@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{cos_dist, hamming_dist, inner_product, l2sq_dist}
+
+/** Exact vector search operators.
+  *
+  * Exact k-NN is the reference's no-index path (`ORDER BY v <-> q LIMIT k`
+  * over a seq scan, lantern_hnsw/README.md:101-105) and the correctness
+  * oracle for every approximate operator. In Spark the declarative form
+  * `orderBy(dist).limit(k)` compiles to `TakeOrderedAndProject`: each
+  * partition keeps a local top-k heap and only k rows per partition are
+  * merged at the driver — no global sort, no shuffle of the full table.
+  * That plan holds at 100 TB: one scan pass, O(k·partitions) merge.
+  */
+object VectorSearch {
+
+  /** Distance column for a named metric (l2sq | cos | hamming | inner). */
+  def distance(metric: String, v: Column, q: Column): Column = metric match {
+    case "l2sq" => l2sq_dist(v, q)
+    case "cos" => cos_dist(v, q)
+    case "hamming" => hamming_dist(v, q).cast("double")
+    // max inner product == min negative inner product
+    case "inner" => -inner_product(v, q)
+    case other => throw new IllegalArgumentException(
+      s"graft: unknown metric '$other' (expected l2sq|cos|hamming|inner)")
+  }
+
+  /** Exact top-k: append `dist` = metric(vecCol, query) and return the k
+    * nearest rows, ties broken by `tieBreak` for determinism.
+    */
+  def exact(
+      df: DataFrame,
+      vecCol: Column,
+      query: Array[Float],
+      k: Int,
+      metric: String = "l2sq",
+      tieBreak: Seq[Column] = Nil,
+      distCol: String = "dist"): DataFrame = {
+    val q = lit(query)
+    val withDist = df.withColumn(distCol, distance(metric, vecCol, q))
+    withDist.orderBy(col(distCol) +: tieBreak: _*).limit(k)
+  }
+
+  /** Exact top-k where the query vector comes from a (tiny) one-row
+    * DataFrame instead of a literal — broadcast-joined so the big side
+    * streams once. Used by the driver-checkable queries so the oracle
+    * SQL can express the identical computation.
+    */
+  def exactVsRow(
+      df: DataFrame,
+      vecColName: String,
+      queryRow: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      metric: String = "l2sq",
+      tieBreak: Seq[Column] = Nil,
+      distCol: String = "dist"): DataFrame = {
+    val q = broadcast(queryRow.select(col(queryVecCol).as("__graft_q")))
+    df.crossJoin(q)
+      .withColumn(distCol, distance(metric, col(vecColName), col("__graft_q")))
+      .drop("__graft_q")
+      .orderBy(col(distCol) +: tieBreak: _*)
+      .limit(k)
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftshim.GraftSqlShim
 import org.apache.spark.sql.catalyst.expressions.Expression
+import graft.text.PorterStemmer
 
 /** Column DSL for the graft vector/text functions, mirroring
   * `org.apache.spark.sql.functions`. All functions are native Catalyst
@@ -23,6 +24,45 @@ package object functions {
   /** Euclidean norm. */
   def vector_norm(a: Column): Column = col(L2Norm(ex(a)))
 
+  // ---------------------------------------------------------------- text
+
+  import org.apache.spark.sql.functions.{array_contains => sqlArrayContains, filter => sqlFilter, length => sqlLength, lit, lower, regexp_replace, split, transform => sqlTransform, typedlit}
+
+  /** Snowball-English stem of one lowercase token. */
+  def stem_word(c: Column): Column = col(StemWord(ex(c)))
+
+  /** Lowercase + split on non-alphanumeric runs → array of tokens.
+    * Mirrors the reference tokenizer (stemmers.rs:105-110): every
+    * non-alphanumeric char becomes a separator, empty tokens dropped. */
+  def tokenize(c: Column): Column =
+    sqlFilter(
+      split(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " "), " "),
+      t => sqlLength(t) > 0)
+
+  /** tokenize → stem each token → drop stopwords (applied post-stem,
+    * like the reference). `text_to_stem_array` in lantern
+    * (lantern_extras/src/stemmers.rs:95-152). */
+  def text_to_stem_array(
+      c: Column,
+      stopwords: Seq[String] = PorterStemmer.defaultStopwords.toSeq): Column = {
+    val stemmed = sqlTransform(tokenize(c), t => stem_word(t))
+    val sw = typedlit(stopwords)
+    sqlFilter(stemmed, t => !sqlArrayContains(sw, t))
+  }
+
+  // --------------------------------------------------------------- bloom
+
+  import org.apache.spark.sql.functions.udf
+
+  /** Build a serialized bloom filter (fpp 0.01) over an array of ids —
+    * `array_to_bloom` (lantern_extras/src/bloom.rs:46-92). */
+  val array_to_bloom: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { ids: Seq[Long] => graft.text.Bm25.bloomBytes(ids) }
+
+  /** Membership probe — `elem_in_bloom` (bloom.rs:93-103). */
+  val elem_in_bloom: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, bytes: Array[Byte]) => graft.text.Bm25.bloomContains(bytes, id) }
+
   /** Register every graft function for SQL use (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -31,5 +71,6 @@ package object functions {
     reg.createOrReplaceTempFunction("hamming_dist", es => HammingDist(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm", es => L2Norm(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("stem", es => StemWord(es(0)), "built-in")
   }
 }

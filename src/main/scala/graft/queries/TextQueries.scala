@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.text.Bm25
+
+/** Driver-checkable queries for the text/BM25 surface (SURVEY.md §2.5).
+  *
+  * The BM25 oracle uses plain lowercase tokenization (no stemming —
+  * DuckDB's fts/stem extension is unavailable offline) so the full
+  * scoring pipeline is hash-checked; stemming itself is golden-tested
+  * in PorterStemmerSpec against the reference's vectors.
+  */
+object TextQueries {
+
+  private val bm25Query = Seq("scan", "merge", "join")
+
+  /** Full pipeline through the library: analyzed docs → inverted table
+    * → searchBm25 → top 10. */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("terms"))
+    val inv = Bm25.createBm25Table(docs, "doc_id", "terms")
+    Bm25.searchBm25(inv, bm25Query, 10)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+  }
+
+  private val bm25OracleSql: String = {
+    val termsList = bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.t AS term
+       |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+       |  WHERE u.t <> ''
+       |),
+       |doclen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n, avg(len) AS avgdl FROM doclen),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS fq FROM toks
+       |  WHERE term IN $termsList GROUP BY doc_id, term
+       |),
+       |df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN $termsList GROUP BY term
+       |)
+       |SELECT tf.doc_id,
+       |  round(sum(
+       |    ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |    * tf.fq * 2.2
+       |    / (tf.fq + 1.2 * (1 - 0.75 + 0.75 * doclen.len / corpus.avgdl))
+       |  ), 4) AS bm25
+       |FROM tf
+       |JOIN df USING (term)
+       |JOIN doclen USING (doc_id)
+       |CROSS JOIN corpus
+       |GROUP BY tf.doc_id
+       |ORDER BY bm25 DESC, tf.doc_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** Tokens per document — token-counting surface, exact oracle. */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokenize(col("text"))).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Stemmed tokens (rows-only: stemmer has no offline DuckDB analog). */
+  private def stemTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        text_to_stem_array(col("text")).as("stemmed"))
+      .orderBy(col("doc_id"))
+      .limit(50)
+
+  /** Bloom filter build + probe (rows-only: sketch impl is engine-
+    * specific). Docs in lang 'en' → bloom over their ids → probe all
+    * ids; result must contain every true member (no false negatives).
+    */
+  private def bloomMembership(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bloom = docs.where(col("lang") === "en")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(array_to_bloom(col("ids")).as("bloom"))
+    docs.crossJoin(broadcast(bloom))
+      .select(col("doc_id"), col("lang"),
+        elem_in_bloom(col("doc_id"), col("bloom")).as("maybe_en"))
+      .where(col("maybe_en"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
+    QueryDef(
+      "token_count",
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS INT) AS n_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      tokenCount),
+    QueryDef("stem_tokens", None, stemTokens),
+    QueryDef("bloom_membership", None, bloomMembership),
+  )
+}

@@ -1,0 +1,240 @@
+package graft.text
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** BM25 full-text ranking as native DataFrame pipelines.
+  *
+  * Mirrors the reference's capability surface
+  * (lantern_extras/src/bm25_api.sql, bm25_agg.rs) Spark-first:
+  *  - `createBm25Table`: inverted index via explode → groupBy — one
+  *    shuffle on term, map-side partial aggregation, no driver state.
+  *  - `searchBm25`: postings of the (few) query terms explode →
+  *    groupBy(doc_id).agg(sum(score)) → top-k. The shuffle is bounded
+  *    by Σ posting-list sizes of the query terms, not the corpus.
+  *  - High-frequency terms (> `bloomThreshold` docs) are approximated
+  *    exactly as the reference does (bm25_agg.rs:162-188): fq:=min(fq,1),
+  *    doc_len:=avgdl, candidates limited by a bloom filter — so at
+  *    100 TB a stopword-ish term costs O(1) per candidate doc instead
+  *    of exploding a billion-row posting list.
+  *
+  * Scoring formula (bm25_agg.rs:124-159):
+  *   idf  = ln((N - df + 0.5) / (df + 0.5) + 1)       [always >= 0]
+  *   bm25 = idf * fq*(k1+1) / (fq + k1*(1 - b + b*len/avgdl))
+  * with defaults k1=1.2, b=0.75, bloomThreshold=8000
+  * (lantern_extras/src/lib.rs:44-46).
+  */
+object Bm25 {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+  val DefaultBloomThreshold = 8000
+
+  /** Serialize a BloomFilter over long ids to bytes. */
+  private[graft] def bloomBytes(ids: Seq[Long], fpp: Double = 0.01): Array[Byte] = {
+    val bf = BloomFilter.create(math.max(ids.size, 1).toLong, fpp)
+    ids.foreach(bf.putLong)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private[graft] def bloomContains(bytes: Array[Byte], id: Long): Boolean =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(id)
+
+  /** Build the inverted-index table from pre-analyzed documents.
+    *
+    * Input: `docs` with a long/int id column and an array<string> terms
+    * column. Output schema (bm25_api.sql:33-52, plus an exact
+    * `avg_doc_len` double alongside the reference's ×100 int encoding):
+    *   term, term_freq (=#docs containing term), doc_ids, fqs, doc_lens,
+    *   doc_ids_bloom (non-null only when term_freq > bloomThreshold),
+    *   plus ONE stats row with term=NULL, term_freq=corpus size,
+    *   doc_ids_len=avg_doc_len*100, avg_doc_len=exact avg.
+    */
+  def createBm25Table(
+      docs: DataFrame,
+      idCol: String,
+      termsCol: String,
+      bloomThreshold: Int = DefaultBloomThreshold): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(termsCol).as("terms"))
+
+    val toks = base.select(
+      $"doc_id", size($"terms").as("doc_len"), explode($"terms").as("term"))
+
+    // per (doc, term) frequency — partial-aggregated map-side
+    val tf = toks.groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).cast("int").as("fq"), first($"doc_len").as("doc_len"))
+
+    val bloomUdf = udf { ids: Seq[Long] => bloomBytes(ids) }
+
+    val inv = tf.groupBy($"term")
+      .agg(sort_array(collect_list(struct($"doc_id", $"fq", $"doc_len")))
+        .as("postings"))
+      .select(
+        $"term",
+        size($"postings").as("term_freq"),
+        size($"postings").as("doc_ids_len"),
+        transform($"postings", p => p.getField("doc_id")).as("doc_ids"),
+        transform($"postings", p => p.getField("fq")).as("fqs"),
+        transform($"postings", p => p.getField("doc_len")).as("doc_lens"))
+      .withColumn("doc_ids_bloom",
+        when($"term_freq" > bloomThreshold, bloomUdf($"doc_ids"))
+          .otherwise(lit(null).cast("binary")))
+      .withColumn("avg_doc_len", lit(null).cast("double"))
+
+    val stats = base.agg(
+      count(lit(1)).as("n"), avg(size($"terms")).as("avgdl"))
+      .select(
+        lit(null).cast("string").as("term"),
+        $"n".cast("int").as("term_freq"),
+        ($"avgdl" * 100).cast("int").as("doc_ids_len"),
+        lit(null).cast("array<bigint>").as("doc_ids"),
+        lit(null).cast("array<int>").as("fqs"),
+        lit(null).cast("array<int>").as("doc_lens"),
+        lit(null).cast("binary").as("doc_ids_bloom"),
+        $"avgdl".as("avg_doc_len"))
+
+    inv.unionByName(stats)
+  }
+
+  /** BM25 term-score column from (fq, doc_len, df) given corpus stats. */
+  def termScore(
+      fq: Column, docLen: Column, df: Column,
+      corpusSize: Long, avgDocLen: Double,
+      k1: Double = DefaultK1, b: Double = DefaultB): Column = {
+    val idf = log(
+      (lit(corpusSize.toDouble) - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    idf * (fq * lit(k1 + 1.0)) /
+      (fq + lit(k1) * (lit(1.0 - b) + lit(b) * docLen / lit(avgDocLen)))
+  }
+
+  /** Corpus stats from the inverted table's NULL-term row. */
+  def corpusStats(inv: DataFrame): (Long, Double) = {
+    val row = inv.where(col("term").isNull)
+      .select(col("term_freq").cast("long"), col("avg_doc_len"))
+      .head()
+    (row.getLong(0), row.getDouble(1))
+  }
+
+  /** Top-`limit` documents for `queryTerms`, scored per the reference
+    * formula; returns (doc_id, bm25) ordered by bm25 desc, doc_id asc.
+    */
+  def searchBm25(
+      inv: DataFrame,
+      queryTerms: Seq[String],
+      limit: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = inv.sparkSession
+    import spark.implicits._
+
+    val (n, avgdl) = corpusStats(inv)
+    val terms = queryTerms.distinct
+
+    val matched = inv.where($"term".isin(terms: _*))
+
+    // exact path: rare terms with stored postings
+    val rare = matched.where($"doc_ids_bloom".isNull)
+      .select($"term_freq",
+        explode(arrays_zip($"doc_ids", $"fqs", $"doc_lens")).as("p"))
+      .select(
+        $"p.doc_ids".as("doc_id"),
+        $"p.fqs".cast("double").as("fq"),
+        $"p.doc_lens".cast("double").as("doc_len"),
+        $"term_freq".cast("double").as("df"))
+      .withColumn("score", termScore($"fq", $"doc_len", $"df", n, avgdl, k1, b))
+      .groupBy($"doc_id")
+      .agg(sum($"score").as("bm25"))
+
+    // approximate path: common terms (bloom present) contribute a
+    // constant fq=1/len=avgdl score to candidate docs in their bloom
+    // (bm25_agg.rs:162-188)
+    val common = matched.where($"doc_ids_bloom".isNotNull)
+      .select($"term_freq".cast("double"), $"doc_ids_bloom")
+      .collect()
+      .map(r => (termScoreScala(1.0, avgdl, r.getDouble(0), n, avgdl, k1, b),
+        r.getAs[Array[Byte]](1)))
+
+    val scored = if (common.isEmpty) rare else {
+      val bcast = spark.sparkContext.broadcast(common)
+      val bonus = udf { id: Long =>
+        bcast.value.iterator
+          .filter { case (_, bytes) => bloomContains(bytes, id) }
+          .map(_._1).sum
+      }
+      rare.withColumn("bm25", $"bm25" + bonus($"doc_id"))
+    }
+
+    scored.orderBy($"bm25".desc, $"doc_id").limit(limit)
+  }
+
+  /** Scala-side scoring (driver constants for the bloom path). */
+  private[graft] def termScoreScala(
+      fq: Double, docLen: Double, df: Double,
+      corpusSize: Long, avgDocLen: Double,
+      k1: Double, b: Double): Double = {
+    val idf = math.log((corpusSize.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    idf * (fq * (k1 + 1.0)) / (fq + k1 * (1.0 - b + b * docLen / avgDocLen))
+  }
+
+  /** End-to-end: analyze raw text, build/probe index, join content back.
+    * `search_bm25` analog (bm25_api.sql:63-105). */
+  def searchText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      limit: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      joinContent: Boolean = false): DataFrame = {
+    import graft.functions.text_to_stem_array
+    val spark = docs.sparkSession
+    val terms = spark.range(1).select(
+      text_to_stem_array(lit(query)).as("t")).head().getSeq[String](0)
+    val analyzed = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      text_to_stem_array(col(textCol)).as("terms"))
+    val inv = createBm25Table(analyzed, "doc_id", "terms")
+    val hits = searchBm25(inv, terms, limit, k1, b)
+    if (joinContent) hits.join(docs, hits("doc_id") === docs(idCol), "left")
+    else hits
+  }
+
+  /** Merge duplicate term rows after incremental appends
+    * (`consolidate_bm25_table`, bm25_api.sql:108-165). */
+  def consolidate(inv: DataFrame, bloomThreshold: Int = DefaultBloomThreshold): DataFrame = {
+    val spark = inv.sparkSession
+    import spark.implicits._
+    val stats = inv.where($"term".isNull)
+    val bloomUdf = udf { ids: Seq[Long] => bloomBytes(ids) }
+    val merged = inv.where($"term".isNotNull)
+      .select($"term",
+        explode(arrays_zip($"doc_ids", $"fqs", $"doc_lens")).as("p"))
+      .groupBy($"term")
+      .agg(sort_array(collect_list(struct(
+        $"p.doc_ids".as("doc_id"), $"p.fqs".as("fq"),
+        $"p.doc_lens".as("doc_len")))).as("postings"))
+      .select(
+        $"term",
+        size($"postings").as("term_freq"),
+        size($"postings").as("doc_ids_len"),
+        transform($"postings", p => p.getField("doc_id")).as("doc_ids"),
+        transform($"postings", p => p.getField("fq")).as("fqs"),
+        transform($"postings", p => p.getField("doc_len")).as("doc_lens"))
+      .withColumn("doc_ids_bloom",
+        when($"term_freq" > bloomThreshold, bloomUdf($"doc_ids"))
+          .otherwise(lit(null).cast("binary")))
+      .withColumn("avg_doc_len", lit(null).cast("double"))
+    merged.unionByName(stats)
+  }
+}

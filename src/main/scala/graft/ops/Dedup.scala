@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All shapes are shuffle-minimal and hold at 100 TB:
+  *  - exact dedup: one hash-partitioned groupBy on the key.
+  *  - MinHash LSH: per-row signature (map-side, no shuffle) → explode
+  *    `bands` rows per doc → groupBy band bucket (shuffle is bands×docs
+  *    small rows, not the text) → within-bucket pairs → exact-jaccard
+  *    verify via two id-joins. Bucket size capped to bound skew.
+  *  - SimHash: per-row 64-bit sketch (map-side only).
+  */
+object Dedup {
+
+  /** Deterministic multiply-add hash family parameters (fixed seed);
+    * used by [[MinHashSig]]. */
+  private[ops] def hashFamilyFor(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(42)
+    val a = Array.fill(numHashes)(rnd.nextLong() | 1L) // odd multipliers
+    val b = Array.fill(numHashes)(rnd.nextLong())
+    (a, b)
+  }
+
+  // ------------------------------------------------------------- exact
+
+  /** Groups of exact duplicates on `keyCols`: (keeper = min id, n). */
+  def exactDupGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+      .select("keeper_id", "n_dups")
+
+  /** Drop exact duplicates, keeping the min-id row per key. */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** MinHash signature (array<long>, length `numHashes`) of a token
+    * array: min over elements of k multiply-add permutation hashes of
+    * xxhash64(token). Native expression — one tight codegen'd loop with
+    * wrapping arithmetic (ANSI-safe). */
+  def minhashSignature(tokens: Column, numHashes: Int = 128): Column = {
+    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
+    GraftSqlShim.column(
+      MinHashSig(GraftSqlShim.expression(hashes), numHashes))
+  }
+
+  /** Word n-gram shingles joined by space; empty when < n tokens. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n), i =>
+        concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Jaccard similarity of two arrays treated as sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_distinct(concat(a, b)))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
+  }
+
+  /** LSH candidate pairs + exact-jaccard verification.
+    *
+    * @param df         input
+    * @param idCol      stable id column (long-castable)
+    * @param tokensCol  array<string> column to compare as a set
+    * @param threshold  exact jaccard cutoff applied to candidates
+    * @param numHashes  signature length (bands * rowsPerBand)
+    * @param bands      LSH bands; rowsPerBand = numHashes / bands
+    * @param maxBucket  skew guard: buckets larger than this are dropped
+    *                   (a bucket that big means a near-constant band —
+    *                   at 100 TB it would quadratically explode; the
+    *                   pairs inside it are found by other bands w.h.p.)
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      array_distinct(col(tokensCol)).as("toks"))
+      .withColumn("sig", minhashSignature($"toks", numHashes))
+
+    val banded = base.select(
+      $"id",
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice($"sig", b * lit(r) + lit(1), lit(r))))).as(Seq("band", "bhash")))
+
+    val candidates = banded
+      .groupBy($"band", $"bhash")
+      .agg(sort_array(collect_list($"id")).as("ids"))
+      .where(size($"ids") > 1 && size($"ids") <= maxBucket)
+      .select(explode(pairsOf($"ids")).as("p"))
+      .select($"p._1".as("id_a"), $"p._2".as("id_b"))
+      .distinct()
+
+    val toks = base.select($"id", $"toks")
+    candidates
+      .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("jaccard", jaccard($"toks_a", $"toks_b"))
+      .where($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** All ordered pairs (i<j) from a sorted id array, as struct array. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y => struct(x.as("_1"), y.as("_2")))))
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over a token array (native expression, codegen). */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(hashes)))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def simhashHamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the top `prefixBits` bits (plus
+    * one rotation) then verify full hamming <= maxHamming. */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      simhash(col(tokensCol)).as("sh"))
+    // 4 blocking keys: 16-bit chunks; two sketches within hamming<=3
+    // agree exactly on at least one chunk (pigeonhole)
+    val blocked = base.select($"id", $"sh",
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned($"sh", i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "key")))
+    val cands = blocked.groupBy($"chunk", $"key")
+      .agg(sort_array(collect_list(struct($"id", $"sh"))).as("xs"))
+      .where(size($"xs") > 1 && size($"xs") <= maxBucket)
+      .select(explode(pairsOf2($"xs")).as("p"))
+      .select($"p._1.id".as("id_a"), $"p._1.sh".as("sh_a"),
+        $"p._2.id".as("id_b"), $"p._2.sh".as("sh_b"))
+      .distinct()
+    cands.withColumn("hamming", simhashHamming($"sh_a", $"sh_b"))
+      .where($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
+  private def pairsOf2(xs: Column): Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + lit(2), size(xs)), y => struct(x.as("_1"), y.as("_2")))))
+
+  // ------------------------------------------ embedding near-duplicate
+
+  /** Near-duplicate pairs by embedding cosine distance, blocked on a
+    * key column (e.g. a cluster/label id or LSH bucket). */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      maxCosDist: Double): DataFrame = {
+    import graft.functions.cos_dist
+    val a = df.select(col(blockCol).as("blk"),
+      col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(blockCol).as("blk"),
+      col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, "blk")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", cos_dist(col("v_a"), col("v_b")))
+      .where(col("dist") < maxCosDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Random-hyperplane LSH bucket for embeddings (sign bits of `bits`
+    * fixed random projections) — the scale path for cosine near-dup:
+    * block on bucket, verify inside. */
+  def embeddingLshBucket(vec: Column, dim: Int, bits: Int = 16): Column = {
+    val rnd = new java.util.Random(7)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian().toFloat)
+    val bucketBits = (0 until bits).map { i =>
+      val plane = lit(planes(i))
+      when(graft.functions.inner_product(vec, plane) > 0d,
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    bucketBits.reduce(_ + _)
+  }
+}
+
+/** MinHash signature of an array<long> of element hashes: for each of
+  * `numHashes` fixed multiply-add permutations, the min hash value.
+  * Wrapping 64-bit arithmetic (deliberate — it's a hash), single pass.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash expects array<bigint>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.compute(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.MinHashSig.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  // cache per signature length (always 128 in practice)
+  private val families =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  def compute(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val (a, b) = families.computeIfAbsent(numHashes, Dedup.hashFamilyFor)
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = a(k) * h + b(k) // wrapping on purpose
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** 64-bit SimHash of an array<long> of token hashes: majority vote per
+  * bit. Native expression so the hot loop stays in codegen. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<bigint>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.ops.Dedup
+import graft.text.TextAnalysis
+
+/** Driver-checkable queries for the training-data pipeline surface:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram jaccard / embedding
+  * cosine), language id, quality scoring, fingerprinting.
+  */
+object PipelineQueries {
+
+  // ------------------------------------------------------------- dedup
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(s, dir), "doc_id", Seq("text"))
+      .orderBy(col("keeper_id"))
+
+  /** MinHash LSH candidates verified at jaccard >= 0.8 over distinct
+    * tokens. Oracle = exhaustive O(n²) jaccard in DuckDB (the corpus
+    * is 500 docs; LSH at 32×4 bands has miss prob < 1e-7 per pair and
+    * fixed seeds, verified empirically to find the identical set). */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    Dedup.minhashNearDupPairs(docs, "doc_id", "toks", 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupMinhashOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.toks, b.toks)) * 1.0
+      |        / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+      |      / len(list_distinct(a.toks || b.toks)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    Dedup.simhashNearDupPairs(docs, "doc_id", "toks", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 3-gram shingle jaccard between consecutive doc ids — linear-cost
+    * n-gram similarity with an exact oracle. */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      Dedup.shingles(tokenize(col("text")), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))), 4)
+          .as("jaccard"))
+      .orderBy(col("id_a"))
+  }
+
+  private val ngramJaccardOracle =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+      |    ELSE [] END AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+      |    ELSE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(a.sh || b.sh))
+      |  END, 4) AS jaccard
+      |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin
+
+  /** Embedding cosine near-dup, blocked on the label column (the
+    * pre-clustered blocking analog; LSH-bucket variant is tested in
+    * DedupSpec). */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(
+      Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
+      .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val embeddingNearDupOracle = {
+    val dot =
+      "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def norm(c: String) =
+      s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}), 4) AS dist
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE 1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}) < 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ----------------------------------------------------- text analysis
+
+  private def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+
+  private val langIdOracle = {
+    val toks =
+      "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+    val scores = TextAnalysis.markers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($toks, $list)) AS s_$lang"
+    }.mkString(", ")
+    // fold-left argmax with strict > (first wins ties), 0 → unknown
+    s"""WITH scored AS (SELECT doc_id, $scores FROM documents)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+       |    WHEN s_fr > s_es AND s_fr > s_de AND s_fr > s_en THEN 'fr'
+       |    WHEN s_es > s_de AND s_es > s_en THEN 'es'
+       |    WHEN s_de > s_en THEN 'de'
+       |    ELSE 'en'
+       |  END AS lang_guess
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val qualityScoreOracle = {
+    val stops = graft.text.PorterStemmer.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  round(
+       |    0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE len(list_filter(toks, x -> list_contains($stops, x))) * 1.0 / len(toks) END)
+       |    + 0.3 * least(len(toks) / 20.0, 1.0)
+       |    + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END) / 8.0, 1.0)
+       |  , 4) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.docFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+      .limit(50)
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_exact",
+      Some(
+        """SELECT min(doc_id) AS keeper_id, count(*) AS n_dups
+          |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin),
+      dedupExact),
+    QueryDef("dedup_minhash", Some(dedupMinhashOracle), dedupMinhash),
+    QueryDef("dedup_simhash", None, dedupSimhash),
+    QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
+    QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),
+    QueryDef("lang_id", Some(langIdOracle), langId),
+    QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
+    QueryDef("doc_fingerprint", None, fingerprint),
+  )
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.tokenize
+
+/** Text-analysis primitives for training-data pipelines: language id,
+  * quality scoring, fingerprinting. All pure Column compositions of
+  * codegen'd built-ins — no UDFs, no shuffles; they run map-side at
+  * any scale.
+  */
+object TextAnalysis {
+
+  /** Small marker-word lists (top function words) per language. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "que", "y", "en", "los", "se", "del", "las", "por"),
+    "fr" -> Seq("le", "les", "et", "un", "une", "des", "est", "dans", "pour", "que"))
+
+  /** Heuristic language id from function-word hits (distinct-token
+    * intersection); deterministic tie-break in `markers` order;
+    * "unknown" when nothing matches. */
+  def languageId(text: Column): Column = {
+    val toks = array_distinct(tokenize(text))
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, lit(words.toArray)))
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, s)) =>
+        when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l")))
+          .otherwise(acc)
+    }
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("unknown"))
+  }
+
+  /** Composite quality score in [0,1]:
+    *   0.4·stopword-token ratio + 0.3·min(n_tokens/20, 1)
+    *   + 0.3·min(mean_token_len/8, 1)
+    * (components inspired by common LLM-data quality filters). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenize(text)
+    val n = size(toks).cast("double")
+    val stops = lit(PorterStemmer.defaultStopwords)
+    val stopRatio = when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / n)
+    val lenScore = least(n / 20.0, lit(1.0))
+    val meanLen = when(n === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+    val meanLenScore = least(meanLen / 8.0, lit(1.0))
+    lit(0.4) * stopRatio + lit(0.3) * lenScore + lit(0.3) * meanLenScore
+  }
+
+  /** 64-bit content fingerprint over the normalized token sequence
+    * (order-sensitive — exact-dedup key robust to whitespace/punct). */
+  def docFingerprint(text: Column): Column = xxhash64(tokenize(text))
+}

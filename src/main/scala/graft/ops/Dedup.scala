@@ -143,23 +143,35 @@ object Dedup {
   def simhashHamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the top `prefixBits` bits (plus
-    * one rotation) then verify full hamming <= maxHamming. */
+  /** SimHash near-dup pairs: split the 64-bit sketch into `numChunks`
+    * equal-width blocking keys, bucket on each, verify full hamming
+    * <= maxHamming inside buckets. By pigeonhole two sketches within
+    * hamming <= numChunks-1 agree exactly on at least one chunk, so
+    * recall is exact iff `maxHamming < numChunks` (enforced). More
+    * chunks tolerate more differing bits but shrink the key width
+    * (64/numChunks bits → bigger buckets at scale); 4×16-bit is the
+    * scale-safe default for the classic hamming<=3 regime.
+    */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       tokensCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      numChunks: Int = 4): DataFrame = {
+    require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
+    require(maxHamming < numChunks,
+      s"maxHamming=$maxHamming needs > $maxHamming chunks for exact recall " +
+        s"(pigeonhole); got numChunks=$numChunks")
+    val width = 64 / numChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
       simhash(col(tokensCol)).as("sh"))
-    // 4 blocking keys: 16-bit chunks; two sketches within hamming<=3
-    // agree exactly on at least one chunk (pigeonhole)
     val blocked = base.select($"id", $"sh",
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned($"sh", i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until numChunks).map(i =>
+        shiftrightunsigned($"sh", i * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "key")))
     val cands = blocked.groupBy($"chunk", $"key")
       .agg(sort_array(collect_list(struct($"id", $"sh"))).as("xs"))
@@ -180,16 +192,28 @@ object Dedup {
   // ------------------------------------------ embedding near-duplicate
 
   /** Near-duplicate pairs by embedding cosine distance, blocked on a
-    * key column (e.g. a cluster/label id or LSH bucket). */
+    * key column (an LSH bucket — see [[embeddingLshBucket]]).
+    *
+    * In-block comparison is all-pairs, so the blocking key must be
+    * fine-grained; `maxBucket` is the skew guard that keeps a
+    * degenerate key (one giant bucket) from going O(N²) at scale —
+    * oversized blocks are dropped, mirroring minhash's guard.
+    */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      maxCosDist: Double): DataFrame = {
+      maxCosDist: Double,
+      maxBucket: Int = 1000): DataFrame = {
     import graft.functions.cos_dist
+    val ok = df.groupBy(col(blockCol).as("blk"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBucket)
+      .select("blk")
     val a = df.select(col(blockCol).as("blk"),
       col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"))
+      .join(ok, "blk")
     val b = df.select(col(blockCol).as("blk"),
       col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"))
     a.join(b, "blk")
@@ -212,6 +236,18 @@ object Dedup {
     }
     bucketBits.reduce(_ + _)
   }
+
+  /** Axis-aligned sign-LSH bucket: sign bits of the first `bits`
+    * coordinates (hyperplanes = standard basis vectors — a valid, if
+    * lower-quality, draw from the same random-hyperplane family).
+    * Unlike [[embeddingLshBucket]] the key is exactly reproducible in
+    * plain SQL (`embedding[i] > 0`), so results are oracle-checkable
+    * bit-for-bit with no floating-point dot-product ambiguity.
+    */
+  def embeddingLshBucketAxis(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }
 
 /** MinHash signature of an array<long> of element hashes: for each of

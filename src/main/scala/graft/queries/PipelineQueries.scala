@@ -48,7 +48,7 @@ object PipelineQueries {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenize(col("text")).as("toks"))
-    Dedup.simhashNearDupPairs(docs, "doc_id", "toks", maxHamming = 8)
+    Dedup.simhashNearDupPairs(docs, "doc_id", "toks", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -84,25 +84,38 @@ object PipelineQueries {
       |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
       |ORDER BY id_a""".stripMargin
 
-  /** Embedding cosine near-dup, blocked on the label column (the
-    * pre-clustered blocking analog; LSH-bucket variant is tested in
-    * DedupSpec). */
-  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(
-      Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
+  /** Embedding cosine near-dup, blocked on a 6-bit axis-aligned
+    * sign-LSH bucket with a skew cap — the shape that survives 100 TB
+    * (all-pairs only within small buckets; oversized buckets dropped).
+    * Axis-aligned planes keep the bucket exactly SQL-expressible so the
+    * whole pipeline is oracle-checked; the Gaussian-plane variant is
+    * covered in DedupSpec. */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", Dedup.embeddingLshBucketAxis(col("embedding"), 6))
+    Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "bucket", 0.70,
+      maxBucket = 1000)
       .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   private val embeddingNearDupOracle = {
     val dot =
       "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
     def norm(c: String) =
       s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    (SELECT sum(CASE WHEN embedding[i+1] > 0 THEN 1<<i ELSE 0 END)
+       |     FROM range(6) t(i)) AS bucket
+       |  FROM embeddings
+       |),
+       |ok AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 1000)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}), 4) AS dist
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE 1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}) < 0.35
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |JOIN ok ON ok.bucket = a.bucket
+       |WHERE 1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}) < 0.70
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -133,10 +146,14 @@ object PipelineQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // NOTE: rounded via floor(x*1e4+0.5)/1e4 on BOTH sides — Spark's
+  // round() HALF_UPs the decimal string while DuckDB rounds the binary
+  // double, and they disagree on exact 4-decimal half-ties.
   private def qualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        (floor(TextAnalysis.qualityScore(col("text")) * 1e4 + 0.5) / 1e4)
+          .as("quality"))
       .orderBy(col("doc_id"))
 
   private val qualityScoreOracle = {
@@ -148,13 +165,13 @@ object PipelineQueries {
        |  FROM documents
        |)
        |SELECT doc_id,
-       |  round(
+       |  floor((
        |    0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
        |      ELSE len(list_filter(toks, x -> list_contains($stops, x))) * 1.0 / len(toks) END)
        |    + 0.3 * least(len(toks) / 20.0, 1.0)
        |    + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
        |      ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END) / 8.0, 1.0)
-       |  , 4) AS quality
+       |  ) * 1e4 + 0.5) / 1e4 AS quality
        |FROM t ORDER BY doc_id""".stripMargin
   }
 

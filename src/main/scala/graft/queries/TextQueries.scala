@@ -65,29 +65,38 @@ object TextQueries {
       .select(col("doc_id"), size(tokenize(col("text"))).as("n_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Stemmed tokens (rows-only: stemmer has no offline DuckDB analog). */
+  /** Stemmed tokens (rows-only: stemmer has no offline DuckDB analog).
+    * Emitted as one space-joined string so the driver's sort/hash of
+    * the result is well-defined (array columns are unhashable there).
+    */
   private def stemTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        text_to_stem_array(col("text")).as("stemmed"))
+        concat_ws(" ", text_to_stem_array(col("text"))).as("stemmed"))
       .orderBy(col("doc_id"))
       .limit(50)
 
-  /** Bloom filter build + probe (rows-only: sketch impl is engine-
-    * specific). Docs in lang 'en' → bloom over their ids → probe all
-    * ids; result must contain every true member (no false negatives).
-    */
+  /** Bloom filter build + probe. Probes exactly the TRUE members (the
+    * 'en' docs whose ids went into the filter): a bloom filter has no
+    * false negatives, so the result is exactly the en set — fully
+    * oracle-checkable. False-positive behavior (engine-specific) is
+    * covered by the Bm25Spec unit tests instead. */
   private def bloomMembership(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val bloom = docs.where(col("lang") === "en")
+    val en = docs.where(col("lang") === "en")
+    val bloom = en
       .agg(collect_list(col("doc_id")).as("ids"))
       .select(array_to_bloom(col("ids")).as("bloom"))
-    docs.crossJoin(broadcast(bloom))
+    en.crossJoin(broadcast(bloom))
       .select(col("doc_id"), col("lang"),
         elem_in_bloom(col("doc_id"), col("bloom")).as("maybe_en"))
       .where(col("maybe_en"))
       .orderBy(col("doc_id"))
   }
+
+  private val bloomMembershipOracle =
+    """SELECT doc_id, lang, true AS maybe_en
+      |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
@@ -99,6 +108,6 @@ object TextQueries {
           |FROM documents ORDER BY doc_id""".stripMargin),
       tokenCount),
     QueryDef("stem_tokens", None, stemTokens),
-    QueryDef("bloom_membership", None, bloomMembership),
+    QueryDef("bloom_membership", Some(bloomMembershipOracle), bloomMembership),
   )
 }

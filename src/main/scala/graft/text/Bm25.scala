@@ -42,8 +42,32 @@ object Bm25 {
     bos.toByteArray
   }
 
+  /** Content-keyed per-executor cache of deserialized bloom filters.
+    * `elem_in_bloom` and the bm25 bonus path probe the same handful of
+    * filters across millions of rows; without this every probe would
+    * re-parse a potentially multi-MB sketch. Key hashing is one pass
+    * over the bytes — ~10× cheaper than readFrom and allocation-free
+    * on hit. Bounded: cleared when distinct filters exceed 128 (never
+    * in practice — filters per query ≈ query terms).
+    */
+  private final class BloomKey(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: BloomKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[BloomKey, BloomFilter]()
+
+  private[graft] def parsedBloom(bytes: Array[Byte]): BloomFilter = {
+    if (bloomCache.size > 128) bloomCache.clear()
+    bloomCache.computeIfAbsent(new BloomKey(bytes),
+      _ => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+  }
+
   private[graft] def bloomContains(bytes: Array[Byte], id: Long): Boolean =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(id)
+    parsedBloom(bytes).mightContainLong(id)
 
   /** Build the inverted-index table from pre-analyzed documents.
     *
@@ -140,10 +164,32 @@ object Bm25 {
     val (n, avgdl) = corpusStats(inv)
     val terms = queryTerms.distinct
 
-    val matched = inv.where($"term".isin(terms: _*))
+    // tiny (<= |terms| rows); cached so the rare/common split and the
+    // fallback check don't recompute the full inverted index
+    val matched = inv.where($"term".isin(terms: _*)).cache()
 
-    // exact path: rare terms with stored postings
-    val rare = matched.where($"doc_ids_bloom".isNull)
+    // common terms (bloom present): collected as driver metadata —
+    // bounded by query term count, and each filter is deserialized
+    // ONCE here; executors receive the parsed BloomFilter (it is
+    // Serializable) via broadcast, so probes are allocation-free.
+    val commonMeta = matched.where($"doc_ids_bloom".isNotNull)
+      .select($"term_freq".cast("double"), $"doc_ids_bloom")
+      .collect()
+      .map(r => (termScoreScala(1.0, avgdl, r.getDouble(0), n, avgdl, k1, b),
+        BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))))
+
+    val hasRare = !matched.where($"doc_ids_bloom".isNull).isEmpty
+
+    // Exact path: explode stored postings. When the query has NO rare
+    // terms at all, score the common terms' stored postings exactly
+    // instead — the reference likewise only switches to the bloom
+    // approximation when exact candidates exist (bm25_agg.rs:210-218);
+    // without this an all-stopword query would return nothing.
+    val exactTerms =
+      if (hasRare) matched.where($"doc_ids_bloom".isNull) else matched
+
+    val exact = exactTerms
       .select($"term_freq",
         explode(arrays_zip($"doc_ids", $"fqs", $"doc_lens")).as("p"))
       .select(
@@ -155,23 +201,17 @@ object Bm25 {
       .groupBy($"doc_id")
       .agg(sum($"score").as("bm25"))
 
-    // approximate path: common terms (bloom present) contribute a
-    // constant fq=1/len=avgdl score to candidate docs in their bloom
-    // (bm25_agg.rs:162-188)
-    val common = matched.where($"doc_ids_bloom".isNotNull)
-      .select($"term_freq".cast("double"), $"doc_ids_bloom")
-      .collect()
-      .map(r => (termScoreScala(1.0, avgdl, r.getDouble(0), n, avgdl, k1, b),
-        r.getAs[Array[Byte]](1)))
-
-    val scored = if (common.isEmpty) rare else {
-      val bcast = spark.sparkContext.broadcast(common)
+    // approximate path: common terms contribute a constant fq=1,
+    // len=avgdl score to candidate docs in their bloom
+    // (bm25_agg.rs:162-188); only applied on top of exact candidates
+    val scored = if (commonMeta.isEmpty || !hasRare) exact else {
+      val bcast = spark.sparkContext.broadcast(commonMeta)
       val bonus = udf { id: Long =>
         bcast.value.iterator
-          .filter { case (_, bytes) => bloomContains(bytes, id) }
+          .filter { case (_, bf) => bf.mightContainLong(id) }
           .map(_._1).sum
       }
-      rare.withColumn("bm25", $"bm25" + bonus($"doc_id"))
+      exact.withColumn("bm25", $"bm25" + bonus($"doc_id"))
     }
 
     scored.orderBy($"bm25".desc, $"doc_id").limit(limit)
@@ -186,8 +226,22 @@ object Bm25 {
     idf * (fq * (k1 + 1.0)) / (fq + k1 * (1.0 - b + b * docLen / avgDocLen))
   }
 
+  /** Stem + stopword-filter a query string on the driver (no Spark job
+    * — the same analyzer `text_to_stem_array` applies per-row). */
+  def analyzeQuery(query: String): Seq[String] = {
+    val stops = PorterStemmer.defaultStopwords
+    query.toLowerCase.split("[^\\p{L}\\p{N}]+").iterator
+      .filter(_.nonEmpty)
+      .map(PorterStemmer.stem)
+      .filterNot(stops.contains)
+      .toSeq
+  }
+
   /** End-to-end: analyze raw text, build/probe index, join content back.
-    * `search_bm25` analog (bm25_api.sql:63-105). */
+    * `search_bm25` analog (bm25_api.sql:63-105). Pass `prebuilt` to
+    * search an existing inverted table instead of rebuilding one per
+    * query (the production shape — build once, search many).
+    */
   def searchText(
       docs: DataFrame,
       idCol: String,
@@ -196,15 +250,16 @@ object Bm25 {
       limit: Int,
       k1: Double = DefaultK1,
       b: Double = DefaultB,
-      joinContent: Boolean = false): DataFrame = {
+      joinContent: Boolean = false,
+      prebuilt: Option[DataFrame] = None): DataFrame = {
     import graft.functions.text_to_stem_array
-    val spark = docs.sparkSession
-    val terms = spark.range(1).select(
-      text_to_stem_array(lit(query)).as("t")).head().getSeq[String](0)
-    val analyzed = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      text_to_stem_array(col(textCol)).as("terms"))
-    val inv = createBm25Table(analyzed, "doc_id", "terms")
+    val terms = analyzeQuery(query)
+    val inv = prebuilt.getOrElse {
+      val analyzed = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        text_to_stem_array(col(textCol)).as("terms"))
+      createBm25Table(analyzed, "doc_id", "terms")
+    }
     val hits = searchBm25(inv, terms, limit, k1, b)
     if (joinContent) hits.join(docs, hits("doc_id") === docs(idCol), "left")
     else hits

@@ -12,7 +12,7 @@ class DedupSpec extends SparkTestBase {
     (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
     (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
     (4L, "completely different content about spark engines"),
-    (5L, "spark engines process completely different content"), // shares tokens with 4
+    (5L, "spark engines about completely different content"), // permutation of 4's token bag
     (6L, "unrelated words entirely here banana apple")).toDF("id", "text")
     .withColumn("toks", tokenize($"text"))
 

@@ -1,0 +1,298 @@
+package graft.ann
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types._
+
+/** Index build/search parameters. Defaults match the reference engine
+  * (lantern_hnsw/src/hnsw/options.h:14-25: m=16, ef_construction=128,
+  * ef=64; GUC init_k=10 options.h:44-45).
+  */
+case class AnnParams(
+    m: Int = 16,
+    efConstruction: Int = 128,
+    ef: Int = 64,
+    metric: String = "l2sq",
+    numPartitions: Int = 0, // 0 = keep input partitioning
+    seed: Long = 42L) {
+  require(m >= 2 && m <= 128, s"graft: m=$m out of range [2,128]")
+  require(efConstruction >= 1 && efConstruction <= 400,
+    s"graft: ef_construction=$efConstruction out of range [1,400]")
+  require(ef >= 1 && ef <= 400, s"graft: ef=$ef out of range [1,400]")
+}
+
+/** Distributed ANN index over per-partition HNSW graph shards.
+  *
+  * The Spark-native replacement for the reference's index access method
+  * (SURVEY.md §2.2, §3.2): `ambuild` = repartition + mapPartitions graph
+  * build, each task streaming its shard to `<path>/graphs/part-*.hnsw`;
+  * `amgettuple` = broadcast query → per-shard top-k → k·shards global
+  * merge (tiny); `aminsert` = append-only delta shards; `ambulkdelete` =
+  * tombstone file, labels masked at search (delete.c:15-73). The
+  * external-index TCP protocol disappears — Spark *is* the external
+  * indexer (SURVEY.md §2.7).
+  *
+  * Scale notes: build is shuffle-free beyond the one optional
+  * repartition; a shard of ~1M × 128-dim floats is ~0.5 GB in memory —
+  * size `numPartitions` so shards fit executors. Search cost is
+  * O(shards · ef · log n) with NO table scan and no shuffle (the merge
+  * input is k rows per shard).
+  */
+object AnnIndex {
+
+  private val GraphDir = "graphs"
+  private val TombDir = "tombstones"
+  private val HeaderFile = "header.json"
+
+  // ----------------------------------------------------------- header io
+
+  case class Header(dim: Int, m: Int, efConstruction: Int, ef: Int,
+      metric: String, idCol: String, vecCol: String)
+
+  private def writeHeader(fs: FileSystem, base: Path, h: Header): Unit = {
+    val out = fs.create(new Path(base, HeaderFile), true)
+    val json =
+      s"""{"dim":${h.dim},"m":${h.m},"efConstruction":${h.efConstruction},
+         |"ef":${h.ef},"metric":"${h.metric}","idCol":"${h.idCol}",
+         |"vecCol":"${h.vecCol}"}""".stripMargin.replace("\n", "")
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readHeader(spark: SparkSession, path: String): Header = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(base, HeaderFile))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def num(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+    def str(k: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).get.group(1)
+    Header(num("dim"), num("m"), num("efConstruction"), num("ef"),
+      str("metric"), str("idCol"), str("vecCol"))
+  }
+
+  // -------------------------------------------------------------- build
+
+  /** Build the index artifact. Infers dim from the first row (reference
+    * build.c:242-292). Each task writes one shard file directly — no
+    * driver round-trip, no shuffle of vectors beyond the repartition.
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      params: AnnParams = AnnParams()): Header = {
+    val spark = df.sparkSession
+    val metricId = Metric.id(params.metric)
+    val data = df.select(col(idCol).cast(LongType), col(vecCol))
+    val parted =
+      if (params.numPartitions > 0) data.repartition(params.numPartitions, col(idCol))
+      else data
+
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.mkdirs(new Path(base, GraphDir))
+    writeHeader(fs, base, Header(dim, params.m, params.efConstruction,
+      params.ef, params.metric, idCol, vecCol))
+
+    writeShards(parted, path, dim, params, runId = "base")
+    readHeader(spark, path)
+  }
+
+  /** Incremental insert (`aminsert` analog, insert.c:51-262): builds
+    * delta shards from the new batch and appends them to the artifact.
+    * Search covers base + delta shards transparently. Call
+    * `consolidate` periodically to merge deltas (compaction job).
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val h = readHeader(spark, path)
+    val params = AnnParams(h.m, h.efConstruction, h.ef, h.metric)
+    val data = df.select(col(idCol).cast(LongType), col(vecCol))
+    writeShards(data, path, h.dim, params,
+      runId = java.util.UUID.randomUUID().toString.take(8))
+  }
+
+  /** Rebuild all shards into one fresh artifact (compaction after many
+    * appends/deletes — `consolidate_bm25_table` analog for the index).
+    */
+  def consolidate(spark: SparkSession, path: String, numPartitions: Int = 0): Unit = {
+    val h = readHeader(spark, path)
+    val live = vectors(spark, path)
+    val tmp = path + ".consolidating"
+    build(live, "id", "vec", tmp,
+      AnnParams(h.m, h.efConstruction, h.ef, h.metric,
+        numPartitions = numPartitions))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+  }
+
+  private def writeShards(
+      data: DataFrame, path: String, dim: Int, params: AnnParams, runId: String): Unit = {
+    val spark = data.sparkSession
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val metricId = Metric.id(params.metric)
+    val vecIdx = 1
+    val counts = data.queryExecution.toRdd.mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      val g = new HnswGraph(dim, params.m, params.efConstruction, metricId,
+        seed = params.seed + pid)
+      rows.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(vecIdx)) {
+          g.insert(r.getLong(0), r.getArray(vecIdx).toFloatArray())
+        }
+      }
+      if (g.size == 0) Iterator.empty
+      else {
+        val file = new Path(new Path(path, GraphDir), f"part-$runId-$pid%05d.hnsw")
+        val fs = file.getFileSystem(sconf.value)
+        val out = new DataOutputStream(new BufferedOutputStream(fs.create(file, true), 1 << 20))
+        try g.write(out) finally out.close()
+        Iterator.single(g.size)
+      }
+    }.collect()
+    require(counts.sum > 0, "graft: ANN build saw no rows")
+  }
+
+  // ------------------------------------------------------------- delete
+
+  /** Tombstone labels (`ambulkdelete` analog): masked at search, graph
+    * untouched (reference delete.c only invalidates labels).
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("append").parquet(s"$path/$TombDir")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Set[Long] = {
+    val p = new Path(path, TombDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString).collect().map(_.getLong(0)).toSet
+  }
+
+  // ------------------------------------------------------------- search
+
+  private def graphFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path, GraphDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".hnsw"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** ANN top-k as a DataFrame (id, dist) nearest-first. One task per
+    * shard; each task returns ≤k rows (global k per shard — the
+    * safe-recall merge, SURVEY.md §7 known-hard #2), driver merges k·P.
+    */
+  def searchDf(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      efOverride: Int = 0): DataFrame = {
+    val rows = search(spark, path, query, k, efOverride)
+      .map { case (id, d) => Row(id, d) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("id", LongType), StructField("dist", DoubleType))))
+  }
+
+  def search(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      efOverride: Int = 0): Array[(Long, Double)] = {
+    val h = readHeader(spark, path)
+    val ef = math.max(if (efOverride > 0) efOverride else h.ef, k)
+    val files = graphFiles(spark, path)
+    val banned = tombstones(spark, path)
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val bannedB = spark.sparkContext.broadcast(banned)
+    val qB = spark.sparkContext.broadcast(query)
+    spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val g = GraphCache.get(f, sconf.value)
+        val b = bannedB.value
+        g.search(qB.value, k, ef, b.contains)
+      }
+      .collect()
+      .sortBy(x => (x._2, x._1))
+      .take(k)
+  }
+
+  /** All live (id, vec) rows reconstructed from shards (minus tombstones). */
+  def vectors(spark: SparkSession, path: String): DataFrame = {
+    val h = readHeader(spark, path)
+    val files = graphFiles(spark, path)
+    val banned = tombstones(spark, path)
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val bannedB = spark.sparkContext.broadcast(banned)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val g = GraphCache.get(f, sconf.value)
+        val b = bannedB.value
+        (0 until g.size).iterator
+          .filterNot(n => b.contains(g.ids(n)))
+          .map(n => Row(g.ids(n), g.vecs(n).toSeq))
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType)))))
+  }
+
+  /** `validate_index` analog: structural walk of every shard
+    * (validate_index.c:436-528). Returns (shard, violation) rows;
+    * empty = valid.
+    */
+  def validate(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = graphFiles(spark, path)
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val g = GraphCache.get(f, sconf.value)
+        g.validate().map(v => (f.split('/').last, v))
+      }
+      .toDF("shard", "violation")
+  }
+}
+
+/** Per-executor shard cache — deserialize each graph file once per JVM,
+  * not once per query (`ambeginscan`'s load-and-cache, scan.c:24-162).
+  * Keyed by (path, length, mtime) so artifact rewrites invalidate.
+  */
+object GraphCache {
+  private val cache = new ConcurrentHashMap[String, HnswGraph]()
+
+  def get(file: String, conf: org.apache.hadoop.conf.Configuration): HnswGraph = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val key = s"$file#${st.getLen}#${st.getModificationTime}"
+    var g = cache.get(key)
+    if (g == null) {
+      val in = new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 20))
+      try g = HnswGraph.read(in) finally in.close()
+      cache.put(key, g)
+    }
+    g
+  }
+
+  def clear(): Unit = cache.clear()
+}

@@ -1,0 +1,348 @@
+package graft.ann
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.util.PriorityQueue
+import scala.collection.mutable.ArrayBuffer
+
+/** Metric ids shared by the graph and the artifact header. */
+object Metric {
+  val L2Sq = 0
+  val Cos = 1
+  val Inner = 2
+
+  def id(name: String): Int = name match {
+    case "l2sq" => L2Sq
+    case "cos" => Cos
+    case "inner" => Inner
+    case other => throw new IllegalArgumentException(
+      s"graft: unsupported ANN metric '$other' (expected l2sq|cos|inner)")
+  }
+  def name(id: Int): String = id match {
+    case L2Sq => "l2sq"; case Cos => "cos"; case Inner => "inner"
+  }
+
+  /** Distance under metric `m`; all metrics ordered ascending = nearest.
+    * Inner product is negated so "smaller is closer" holds uniformly
+    * (max inner product == min negative inner product).
+    */
+  def dist(m: Int, a: Array[Float], b: Array[Float]): Double = m match {
+    case L2Sq =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    case Cos =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    case Inner =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      -s
+  }
+}
+
+/** In-memory HNSW graph — one shard of the distributed index.
+  *
+  * Independent implementation of the published HNSW algorithm
+  * (Malkov & Yashunin, "Efficient and robust approximate nearest
+  * neighbor search using Hierarchical Navigable Small World graphs",
+  * IEEE TPAMI 2018). Parameter semantics follow the reference engine:
+  * random level = floor(-ln(U) / ln(M)) (lantern_hnsw/src/hnsw/
+  * insert.c:32-46), defaults m=16 / ef_construction=128 / ef=64
+  * (lantern_hnsw/src/hnsw/options.h:14-25). Layer-0 degree cap is 2M,
+  * upper layers M (standard HNSW).
+  *
+  * Deletes only mask labels (tombstones), never restructure the graph —
+  * same semantics as the reference (delete.c:15-73, scan.c:294-300):
+  * masked nodes are still traversed, just never emitted.
+  */
+final class HnswGraph(
+    val dim: Int,
+    val m: Int,
+    val efConstruction: Int,
+    val metric: Int,
+    seed: Long) extends Serializable {
+
+  private val maxM = m
+  private val maxM0 = 2 * m
+  private val levelMult = 1.0 / math.log(m.toDouble)
+  private val rng = new java.util.Random(seed)
+
+  private[ann] val ids = new ArrayBuffer[Long]()
+  private[ann] val vecs = new ArrayBuffer[Array[Float]]()
+  private[ann] val nodeLevels = new ArrayBuffer[Int]()
+  // neighbors(node)(layer) = array of node indices
+  private[ann] val neighbors = new ArrayBuffer[Array[ArrayBuffer[Int]]]()
+  private[ann] var entryPoint: Int = -1
+  private[ann] var maxLevel: Int = -1
+
+  def size: Int = ids.length
+
+  @inline private def d(a: Array[Float], b: Array[Float]): Double =
+    Metric.dist(metric, a, b)
+
+  private def randomLevel(): Int =
+    math.floor(-math.log(rng.nextDouble() max Double.MinPositiveValue) * levelMult).toInt
+
+  /** Greedy 1-NN descent on one layer (used above the insert level). */
+  private def greedyClosest(q: Array[Float], entry: Int, layer: Int): Int = {
+    var cur = entry
+    var curDist = d(q, vecs(cur))
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbrs = neighbors(cur)(layer)
+      var i = 0
+      while (i < nbrs.length) {
+        val cand = nbrs(i)
+        val cd = d(q, vecs(cand))
+        if (cd < curDist) { curDist = cd; cur = cand; improved = true }
+        i += 1
+      }
+    }
+    cur
+  }
+
+  /** Beam search on one layer: returns up to `ef` (dist, node) pairs. */
+  private def searchLayer(
+      q: Array[Float], entries: Seq[Int], ef: Int, layer: Int): ArrayBuffer[(Double, Int)] = {
+    val visited = new java.util.BitSet(size)
+    // candidates: min-heap by distance; results: max-heap bounded at ef
+    val cand = new PriorityQueue[(Double, Int)](16, (x, y) => java.lang.Double.compare(x._1, y._1))
+    val res = new PriorityQueue[(Double, Int)](16, (x, y) => java.lang.Double.compare(y._1, x._1))
+    entries.foreach { e =>
+      if (!visited.get(e)) {
+        visited.set(e)
+        val de = d(q, vecs(e))
+        cand.add((de, e)); res.add((de, e))
+      }
+    }
+    while (res.size > ef) res.poll()
+    while (!cand.isEmpty) {
+      val (cd, c) = cand.poll()
+      if (res.size >= ef && cd > res.peek()._1) {
+        cand.clear() // every remaining candidate is farther than the worst result
+      } else {
+        val nbrs = neighbors(c)(layer)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val nd = d(q, vecs(nb))
+            if (res.size < ef || nd < res.peek()._1) {
+              cand.add((nd, nb)); res.add((nd, nb))
+              if (res.size > ef) res.poll()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = new ArrayBuffer[(Double, Int)](res.size)
+    while (!res.isEmpty) out += res.poll()
+    out // farthest-first; callers sort as needed
+  }
+
+  /** Neighbor selection heuristic (paper Algorithm 4): keep a candidate
+    * only if it is closer to the query than to every already-kept
+    * neighbor — yields diverse edges, better recall than plain M-nearest.
+    */
+  private def selectNeighbors(
+      q: Array[Float], candidates: ArrayBuffer[(Double, Int)], count: Int): ArrayBuffer[Int] = {
+    val sorted = candidates.sortBy(_._1)
+    val out = new ArrayBuffer[Int](count)
+    var i = 0
+    while (i < sorted.length && out.length < count) {
+      val (cd, c) = sorted(i)
+      var keep = true
+      var j = 0
+      while (keep && j < out.length) {
+        if (d(vecs(c), vecs(out(j))) < cd) keep = false
+        j += 1
+      }
+      if (keep) out += c
+      i += 1
+    }
+    // backfill with nearest skipped candidates if the heuristic pruned too many
+    i = 0
+    while (out.length < count && i < sorted.length) {
+      val c = sorted(i)._2
+      if (!out.contains(c)) out += c
+      i += 1
+    }
+    out
+  }
+
+  def insert(id: Long, vec: Array[Float]): Unit = {
+    require(vec.length == dim,
+      s"graft: vector dimension mismatch: ${vec.length} vs $dim")
+    val level = randomLevel()
+    val node = size
+    ids += id
+    vecs += vec
+    nodeLevels += level
+    neighbors += Array.fill(level + 1)(new ArrayBuffer[Int](maxM0))
+
+    if (entryPoint < 0) { entryPoint = node; maxLevel = level; return }
+
+    var ep = entryPoint
+    var lc = maxLevel
+    while (lc > level) { ep = greedyClosest(vec, ep, lc); lc -= 1 }
+
+    lc = math.min(level, maxLevel)
+    var entries: Seq[Int] = Seq(ep)
+    while (lc >= 0) {
+      val cands = searchLayer(vec, entries, efConstruction, lc)
+      val cap = if (lc == 0) maxM0 else maxM
+      val selected = selectNeighbors(vec, cands, math.min(m, cap))
+      neighbors(node)(lc) ++= selected
+      // bidirectional links + shrink overflowing lists
+      selected.foreach { nb =>
+        val lst = neighbors(nb)(lc)
+        lst += node
+        if (lst.length > cap) {
+          val pruned = selectNeighbors(
+            vecs(nb), lst.map(x => (d(vecs(nb), vecs(x)), x)), cap)
+          lst.clear(); lst ++= pruned
+        }
+      }
+      entries = cands.map(_._2).toSeq
+      lc -= 1
+    }
+    if (level > maxLevel) { maxLevel = level; entryPoint = node }
+  }
+
+  def label(n: Int): Long = ids(n)
+  def vector(n: Int): Array[Float] = vecs(n)
+
+  /** ANN top-k as (node index, dist) nearest-first. `banned` =
+    * tombstoned labels: traversed but not emitted (reference
+    * scan.c:294-300).
+    */
+  def searchNodes(q: Array[Float], k: Int, ef: Int, banned: Long => Boolean = _ => false)
+      : Array[(Int, Double)] = {
+    if (entryPoint < 0) return Array.empty
+    require(q.length == dim, s"graft: vector dimension mismatch: ${q.length} vs $dim")
+    var ep = entryPoint
+    var lc = maxLevel
+    while (lc > 0) { ep = greedyClosest(q, ep, lc); lc -= 1 }
+    val res = searchLayer(q, Seq(ep), math.max(ef, k), 0)
+    res.sortBy(_._1).iterator
+      .filterNot { case (_, n) => banned(ids(n)) }
+      .take(k)
+      .map { case (dd, n) => (n, dd) }
+      .toArray
+  }
+
+  /** ANN top-k as (label, dist) nearest-first. */
+  def search(q: Array[Float], k: Int, ef: Int, banned: Long => Boolean = _ => false)
+      : Array[(Long, Double)] =
+    searchNodes(q, k, ef, banned).map { case (n, dd) => (ids(n), dd) }
+
+  /** Structural invariant walk — `validate_index` analog
+    * (lantern_hnsw/src/hnsw/validate_index.c:436-528): every neighbor
+    * index resolves, no self-loop, level lists present, entry point valid.
+    * Returns list of violations (empty = valid).
+    */
+  def validate(): Seq[String] = {
+    val errs = ArrayBuffer[String]()
+    if (size > 0 && (entryPoint < 0 || entryPoint >= size))
+      errs += s"entry point $entryPoint out of range [0,$size)"
+    if (size > 0 && nodeLevels(entryPoint) != maxLevel)
+      errs += s"entry point level ${nodeLevels(entryPoint)} != maxLevel $maxLevel"
+    var n = 0
+    while (n < size) {
+      if (neighbors(n).length != nodeLevels(n) + 1)
+        errs += s"node $n: ${neighbors(n).length} layers != level ${nodeLevels(n)} + 1"
+      var l = 0
+      while (l < neighbors(n).length) {
+        neighbors(n)(l).foreach { nb =>
+          if (nb < 0 || nb >= size) errs += s"node $n layer $l: neighbor $nb out of range"
+          else if (nb == n) errs += s"node $n layer $l: self-loop"
+          else if (nodeLevels(nb) < l) errs += s"node $n layer $l: neighbor $nb has lower level ${nodeLevels(nb)}"
+        }
+        l += 1
+      }
+      n += 1
+    }
+    errs.toSeq
+  }
+
+  def write(out: DataOutputStream): Unit = {
+    out.writeInt(HnswGraph.Magic)
+    out.writeInt(dim); out.writeInt(m); out.writeInt(efConstruction)
+    out.writeInt(metric); out.writeInt(size)
+    out.writeInt(entryPoint); out.writeInt(maxLevel)
+    var n = 0
+    while (n < size) {
+      out.writeLong(ids(n))
+      out.writeInt(nodeLevels(n))
+      val v = vecs(n)
+      var i = 0
+      while (i < dim) { out.writeFloat(v(i)); i += 1 }
+      var l = 0
+      while (l <= nodeLevels(n)) {
+        val nbrs = neighbors(n)(l)
+        out.writeInt(nbrs.length)
+        nbrs.foreach(out.writeInt)
+        l += 1
+      }
+      n += 1
+    }
+  }
+
+  def toBytes: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 20)
+    val dos = new DataOutputStream(new java.util.zip.GZIPOutputStream(bos, 1 << 16))
+    write(dos)
+    dos.close()
+    bos.toByteArray
+  }
+}
+
+object HnswGraph {
+  val Magic = 0x47484E57 // "GHNW"
+
+  def read(in: DataInputStream): HnswGraph = {
+    require(in.readInt() == Magic, "graft: not an HNSW graph artifact")
+    val dim = in.readInt(); val m = in.readInt(); val efc = in.readInt()
+    val metric = in.readInt(); val n = in.readInt()
+    val g = new HnswGraph(dim, m, efc, metric, seed = 0L)
+    g.entryPoint = in.readInt()
+    g.maxLevel = in.readInt()
+    var i = 0
+    while (i < n) {
+      g.ids += in.readLong()
+      val lvl = in.readInt()
+      g.nodeLevels += lvl
+      val v = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { v(j) = in.readFloat(); j += 1 }
+      g.vecs += v
+      val layers = new Array[ArrayBuffer[Int]](lvl + 1)
+      var l = 0
+      while (l <= lvl) {
+        val cnt = in.readInt()
+        val nbrs = new ArrayBuffer[Int](cnt)
+        var c = 0
+        while (c < cnt) { nbrs += in.readInt(); c += 1 }
+        layers(l) = nbrs
+        l += 1
+      }
+      g.neighbors += layers
+      i += 1
+    }
+    g
+  }
+
+  def fromBytes(bytes: Array[Byte]): HnswGraph = {
+    val in = new DataInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 1 << 16))
+    try read(in) finally in.close()
+  }
+}

@@ -1,0 +1,248 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.ann.{AnnIndex, GraphCache, Metric}
+import graft.functions.{CosDist, InnerProduct, L2SqDist}
+
+/** Registry mapping a table's storage root path → its ANN index artifact.
+  * The Spark analog of "this column has a lantern_hnsw index": the
+  * planner rule consults it to decide index-or-not, like the reference's
+  * order-by-only cost model (lantern_hnsw/src/hnsw.c:150-209 — cost = ∞
+  * unless `ORDER BY v <op> const LIMIT k`).
+  */
+object AnnCatalog {
+  case class IndexMeta(artifact: String, idCol: String, vecCol: String,
+      metric: String, ef: Int)
+
+  private val registry = TrieMap[String, IndexMeta]()
+
+  private def normalize(spark: SparkSession, p: String): String = {
+    val hp = new Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+  }
+
+  def register(spark: SparkSession, tablePath: String, meta: IndexMeta): Unit =
+    registry.put(normalize(spark, tablePath), meta)
+
+  def unregister(spark: SparkSession, tablePath: String): Unit =
+    registry.remove(normalize(spark, tablePath))
+
+  def clear(): Unit = registry.clear()
+
+  def lookup(rootPaths: Seq[Path]): Option[IndexMeta] =
+    rootPaths.iterator.map(p => registry.get(p.toString)).collectFirst {
+      case Some(m) => m
+    }
+}
+
+/** Logical leaf producing the ANN candidate set (id, vec) for one query.
+  * `output` reuses the source relation's attributes so expressions above
+  * (the distance sort) keep resolving unchanged.
+  */
+case class AnnScanLogical(
+    idAttr: Attribute,
+    vecAttr: Attribute,
+    artifact: String,
+    query: Seq[Float],
+    k: Int,
+    ef: Int) extends LeafNode {
+  override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = 1L + k.toLong * (8 + 4 * query.size))
+}
+
+/** Physical ANN scan: one task per graph shard, each emitting its local
+  * top-k (id, vec) candidates; ~k·shards rows total — no table scan, no
+  * shuffle. The exact `Sort(dist)+Limit` left above it re-ranks the
+  * candidates, so results are exact *within* the candidate set
+  * (recall-gated, like every HNSW engine).
+  */
+case class AnnScanExec(
+    idAttr: Attribute,
+    vecAttr: Attribute,
+    artifact: String,
+    query: Seq[Float],
+    k: Int,
+    ef: Int) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val spark = session
+    val files = {
+      val p = new Path(artifact, "graphs")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".hnsw"))
+        .map(_.getPath.toString).sorted.toSeq
+    }
+    val banned = {
+      val p = new Path(artifact, "tombstones")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty[Long]
+      else spark.read.parquet(p.toString).collect().map(_.getLong(0)).toSet
+    }
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val q = query.toArray
+    val kk = k
+    val eff = math.max(ef, k)
+    val bannedB = spark.sparkContext.broadcast(banned)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("vec", ArrayType(FloatType))))
+    spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .mapPartitions { fit =>
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(schema)
+        fit.flatMap { f =>
+          val g = GraphCache.get(f, sconf.value)
+          val b = bannedB.value
+          g.searchNodes(q, kk, eff, b.contains).iterator.map { case (n, _) =>
+            proj(InternalRow(g.label(n),
+              org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+                .fromPrimitiveArray(g.vector(n)))).copy()
+          }
+        }
+      }
+  }
+}
+
+object AnnStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AnnScanLogical(id, vec, artifact, q, k, ef) =>
+      AnnScanExec(id, vec, artifact, q, k, ef) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Optimizer rule: `GlobalLimit(k, Sort(dist(vecCol, literal)))` over a
+  * relation registered in [[AnnCatalog]] → ANN candidate scan.
+  *
+  * Two rewrite forms (reference lifecycle §3.1 in SURVEY.md):
+  *  - plan only needs (id, vec): relation replaced outright — zero table
+  *    scan, the 100 TB win;
+  *  - plan needs more columns: candidates inner-joined back to the
+  *    relation on id (broadcast — k·P rows), the heap-fetch-by-TID analog.
+  *
+  * The rule deliberately does NOT fire through a Filter: Spark SQL
+  * semantics are filter-then-top-k, while ANN-then-filter (the
+  * reference's post-filter, scan.c:332-333) can starve the limit. Exact
+  * `TakeOrderedAndProject` remains the fallback, as in the reference
+  * where the cost model returns ∞ (hnsw.c:164-172).
+  */
+class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** (metric, vecAttr, query) from a distance sort expression. */
+  private def matchDist(e: Expression): Option[(String, AttributeReference, Array[Float])] = {
+    def vec(l: Literal): Array[Float] =
+      l.value.asInstanceOf[ArrayData].toFloatArray()
+    e match {
+      case L2SqDist(a: AttributeReference, l: Literal) => Some(("l2sq", a, vec(l)))
+      case L2SqDist(l: Literal, a: AttributeReference) => Some(("l2sq", a, vec(l)))
+      case CosDist(a: AttributeReference, l: Literal) => Some(("cos", a, vec(l)))
+      case CosDist(l: Literal, a: AttributeReference) => Some(("cos", a, vec(l)))
+      case UnaryMinus(InnerProduct(a: AttributeReference, l: Literal), _) =>
+        Some(("inner", a, vec(l)))
+      case UnaryMinus(InnerProduct(l: Literal, a: AttributeReference), _) =>
+        Some(("inner", a, vec(l)))
+      case _ => None
+    }
+  }
+
+  /** Resolve a sort expression through one Project level of aliases. */
+  private def resolveThroughProject(e: Expression, child: LogicalPlan): Expression =
+    child match {
+      case Project(projList, _) =>
+        val aliases = projList.collect { case a: Alias => a.exprId -> a.child }.toMap
+        e.transformUp {
+          case ar: AttributeReference if aliases.contains(ar.exprId) => aliases(ar.exprId)
+        }
+      case _ => e
+    }
+
+  private def findRelation(plan: LogicalPlan)
+      : Option[(LogicalRelation, AnnCatalog.IndexMeta)] = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        AnnCatalog.lookup(fs.location.rootPaths).map(m => (lr, m))
+      case _ => None
+    }
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      findRelation(child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case gl @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, body))
+        if k > 0 && k <= 1000 =>
+      // column pruning may leave a Project between the limit and the sort
+      val (projAbove, sortOpt) = body match {
+        case p @ Project(_, s: Sort) => (Some(p), Some(s))
+        case s: Sort => (None, Some(s))
+        case _ => (None, None)
+      }
+      val rewritten = for {
+        s @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, child, _) <- sortOpt
+        (rel, meta) <- findRelation(child)
+        (metric, vecAttr, q) <- matchDist(resolveThroughProject(sortExpr, child))
+        if metric == meta.metric && vecAttr.name == meta.vecCol
+        idAttr <- rel.output.find(_.name == meta.idCol)
+      } yield {
+        val ann = AnnScanLogical(
+          idAttr, vecAttr, meta.artifact, q.toSeq, k, math.max(meta.ef, k))
+        // narrow form is safe only when everything the sort's child
+        // produces fits the ANN leaf — anything above references at most
+        // child.output
+        val newSource: LogicalPlan =
+          if (child.outputSet.subsetOf(AttributeSet(ann.output))) ann
+          else {
+            // candidates → fetch full rows: broadcast inner join on id
+            val cid = AttributeReference("__graft_cand_id", LongType)()
+            val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
+            val candidates = Project(Seq(cid),
+              AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k, math.max(meta.ef, k)))
+            Project(rel.output,
+              Join(rel, candidates, Inner,
+                Some(EqualTo(idAttr, cid)),
+                JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
+          }
+        val newChild = child match {
+          case p: Project => p.copy(child = newSource)
+          case _ => newSource
+        }
+        val newBody: LogicalPlan = {
+          val newSort = s.copy(child = newChild)
+          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
+        }
+        gl.copy(child = ll.copy(child = newBody))
+      }
+      rewritten.getOrElse(gl)
+  }
+}
+
+/** Session extension wiring — `SparkSessionExtensions` is the engine's
+  * registration point, like CREATE EXTENSION in the reference.
+  * Use: `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(s => new AnnRewriteRule(s))
+    ext.injectPlannerStrategy(_ => AnnStrategy)
+  }
+}

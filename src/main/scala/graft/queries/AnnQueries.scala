@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ann.{AnnIndex, AnnParams}
+import graft.functions.l2sq_dist
+
+/** Driver-checkable queries for the ANN index path (SURVEY.md §2.2).
+  *
+  * HNSW results are seed/order dependent, so they can never be
+  * hash-compared row-for-row (the reference gates them on recall too —
+  * test/sql/utils/calculate_recall.sql:1-48). The contract here:
+  * compute recall@10 of the distributed ANN search against the exact
+  * top-k and emit a row only when recall ≥ 0.8; the oracle is the
+  * constant row. A hash match therefore *is* the recall gate.
+  */
+object AnnQueries {
+
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-ann-${Integer.toHexString(dir.hashCode)}/idx").toString
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val ann = AnnIndex.search(s, path, q, 10).map(_._1).toSet
+    val exact = e
+      .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
+  )
+}

@@ -10,7 +10,8 @@ object SparkEntry {
     * (SURVEY.md §2). Each milestone contributes a block. */
   def allQueries: Seq[QueryDef] =
     VectorQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
-      AnnQueries.all
+      AnnQueries.all ++ PqQueries.all ++ WeightedQueries.all ++
+      EmbedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own hello-world: ORDER BY v <-> q LIMIT k. */

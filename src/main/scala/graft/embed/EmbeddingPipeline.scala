@@ -1,0 +1,84 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed embedding generation — the `create-embeddings` job
+  * (lantern_cli/src/embeddings/mod.rs: producer :132-171, embedding
+  * worker :173-265, db exporter :390-570) collapsed into one Spark
+  * pipeline: `mapPartitions` batches rows per the model's batch size,
+  * calls the runtime once per batch, and emits the embedding column
+  * plus an error column. Failed rows are a side output
+  * (`failedRows`), not a job failure — mirroring the reference's
+  * failed-rows table.
+  *
+  * Scale shape: pure map-side (no shuffle); batching bounds runtime
+  * call overhead; the runtime rides the closure so each executor
+  * initializes it once. Daemon-style incremental re-embedding is this
+  * same function inside `foreachBatch` (graft.streaming).
+  */
+object EmbeddingPipeline {
+
+  val EmbeddingCol = "embedding_out"
+  val ErrorCol = "embed_error"
+
+  /** Append `embedding_out` (array<float>, null on failure) and
+    * `embed_error` (string, null on success) to `df`.
+    */
+  def createEmbeddings(
+      df: DataFrame,
+      textCol: String,
+      runtime: EmbeddingRuntime,
+      model: String,
+      batchSizeOverride: Int = 0): DataFrame = {
+    val info = runtime.modelInfo(model)
+    val batchSize = if (batchSizeOverride > 0) batchSizeOverride else info.batchSize
+    val schema = df.schema
+      .add(EmbeddingCol, ArrayType(FloatType))
+      .add(ErrorCol, StringType)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val inputs = batch.map { r =>
+          if (r.isNullAt(textIdx)) null else r.getString(textIdx)
+        }
+        val results = runtime.embedBatch(model, inputs)
+        batch.lazyZip(results).map {
+          case (r, Right(vec)) => Row.fromSeq(r.toSeq :+ vec.toSeq :+ null)
+          case (r, Left(err)) => Row.fromSeq(r.toSeq :+ null :+ err)
+        }
+      }
+    }(enc)
+  }
+
+  /** The failed-row side output (reference failed-rows table). */
+  def failedRows(embedded: DataFrame): DataFrame =
+    embedded.where(col(ErrorCol).isNotNull)
+
+  /** Successfully embedded rows with the error column dropped. */
+  def embeddedRows(embedded: DataFrame): DataFrame =
+    embedded.where(col(ErrorCol).isNull).drop(ErrorCol)
+
+  /** `text_embedding` as a single-value convenience
+    * (lantern_extras/src/embeddings.rs:154-199).
+    */
+  def textEmbedding(runtime: EmbeddingRuntime, model: String, text: String): Array[Float] =
+    runtime.embedBatch(model, Seq(text)).head match {
+      case Right(v) => v
+      case Left(err) => throw new IllegalArgumentException(s"graft: embedding failed: $err")
+    }
+
+  /** `llm_completion` as a column over a prompt column. */
+  def llmCompletion(
+      df: DataFrame,
+      promptCol: String,
+      runtime: EmbeddingRuntime,
+      model: String,
+      systemPrompt: String = ""): DataFrame = {
+    val f = udf { p: String => runtime.complete(model, systemPrompt, p) }
+    df.withColumn("completion", f(col(promptCol)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.ann.AnnParams
+
+/** The engine's configuration surface — `spark.graft.*` keys, the
+  * analog of the reference's GUCs (`lantern_extras.bm25_default_k1/
+  * bm25_default_b/bm25_default_approximation_threshhold`,
+  * lantern_extras/src/lib.rs:29-46; `lantern_hnsw.init_k/ef` and index
+  * reloption defaults, lantern_hnsw/src/hnsw/options.c:324-391,
+  * options.h:14-25). All reads fall back to the reference defaults.
+  */
+object GraftConf {
+
+  val Bm25K1 = "spark.graft.bm25.k1"
+  val Bm25B = "spark.graft.bm25.b"
+  val Bm25ApproxThreshold = "spark.graft.bm25.approxThreshold"
+  val AnnM = "spark.graft.ann.m"
+  val AnnEfConstruction = "spark.graft.ann.efConstruction"
+  val AnnEf = "spark.graft.ann.ef"
+  val AnnInitK = "spark.graft.ann.initK"
+
+  private def dbl(s: SparkSession, key: String, dflt: Double): Double =
+    s.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
+  private def int(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+
+  def bm25K1(s: SparkSession): Double = dbl(s, Bm25K1, 1.2)
+  def bm25B(s: SparkSession): Double = dbl(s, Bm25B, 0.75)
+  def bm25ApproxThreshold(s: SparkSession): Int =
+    int(s, Bm25ApproxThreshold, 8000)
+
+  /** init_k: how many results an ANN search fetches when no explicit k
+    * is given (GUC `lantern_hnsw.init_k`, default 10, max 1000). */
+  def annInitK(s: SparkSession): Int = math.min(int(s, AnnInitK, 10), 1000)
+
+  /** ANN build/search params seeded from the session conf. */
+  def annParams(s: SparkSession): AnnParams = AnnParams(
+    m = int(s, AnnM, 16),
+    efConstruction = int(s, AnnEfConstruction, 128),
+    ef = int(s, AnnEf, 64))
+}

@@ -1,0 +1,130 @@
+package graft.pq
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Index-time scalar quantization of vector elements — the reference's
+  * `quant_bits` reloption mapping to usearch scalar kinds f16/i8/b1
+  * (lantern_hnsw/src/hnsw/options.c:137-158; server side
+  * lantern_cli/src/external_index/server.rs:94-101).
+  *
+  *  - f16: IEEE 754 half precision, round-to-nearest-even — 2 bytes/elem.
+  *  - i8 : linear min-max into [-128, 127] over a caller-provided range
+  *    (default [-1, 1]) — 1 byte/elem. Encoding uses floor(x + 0.5) so
+  *    the same formula is reproducible in any SQL engine (no HALF_UP vs
+  *    banker's ambiguity).
+  *  - b1 : sign bits packed 32-per-int, MSB-first — compatible with the
+  *    engine's packed-bit `hamming_dist` (hnsw.c:308-319 semantics).
+  */
+object ScalarQuantizer {
+
+  // ------------------------------------------------------------- f16
+
+  /** Float32 → IEEE half bits (round-to-nearest-even), standard
+    * algorithm (JDK 20's Float.floatToFloat16 is unavailable on 17).
+    */
+  def toF16(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val exp = (bits >>> 23) & 0xFF
+    val mant = bits & 0x7FFFFF
+    if (exp == 0xFF) { // inf / nan
+      (sign | 0x7C00 | (if (mant != 0) 0x200 else 0)).toShort
+    } else {
+      val e = exp - 127 + 15
+      if (e >= 0x1F) (sign | 0x7C00).toShort // overflow → inf
+      else if (e <= 0) { // subnormal / underflow
+        if (e < -10) sign.toShort
+        else {
+          // round to nearest even on the 13 dropped bits
+          val m = (mant | 0x800000) >>> (1 - e)
+          val r = (m >>> 13) + (if ((m & 0x1FFF) > 0x1000 ||
+            ((m & 0x1FFF) == 0x1000 && ((m >>> 13) & 1) == 1)) 1 else 0)
+          (sign | r).toShort
+        }
+      } else {
+        val half = sign | (e << 10) | (mant >>> 13)
+        val rest = mant & 0x1FFF
+        val r = half + (if (rest > 0x1000 || (rest == 0x1000 && (half & 1) == 1)) 1 else 0)
+        r.toShort
+      }
+    }
+  }
+
+  /** IEEE half bits → float32 (exact). */
+  def fromF16(h: Short): Float = {
+    val hh = h & 0xFFFF
+    val sign = (hh & 0x8000) << 16
+    val exp = (hh >>> 10) & 0x1F
+    val mant = hh & 0x3FF
+    val bits =
+      if (exp == 0x1F) sign | 0x7F800000 | (mant << 13) // inf/nan
+      else if (exp == 0) {
+        if (mant == 0) sign
+        else { // subnormal: normalize
+          var e = -1
+          var m = mant
+          while ((m & 0x400) == 0) { m <<= 1; e += 1 }
+          sign | ((127 - 15 - e) << 23) | ((m & 0x3FF) << 13)
+        }
+      } else sign | ((exp - 15 + 127) << 23) | (mant << 13)
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
+  def quantizeF16(v: Array[Float]): Array[Short] = v.map(toF16)
+  def dequantizeF16(v: Array[Short]): Array[Float] = v.map(fromF16)
+
+  // -------------------------------------------------------------- i8
+
+  /** Linear [lo, hi] → [-128, 127]; clamped, tie-free floor(x+0.5). */
+  def quantizeI8(v: Array[Float], lo: Float = -1f, hi: Float = 1f): Array[Byte] = {
+    require(hi > lo, s"graft: invalid i8 range [$lo, $hi]")
+    val scale = 255.0 / (hi - lo)
+    v.map { x =>
+      val clamped = math.min(math.max(x, lo), hi)
+      val q = math.floor((clamped - lo) * scale + 0.5) - 128.0
+      math.min(math.max(q, -128.0), 127.0).toByte
+    }
+  }
+
+  def dequantizeI8(v: Array[Byte], lo: Float = -1f, hi: Float = 1f): Array[Float] = {
+    val scale = (hi - lo) / 255.0
+    v.map(q => (lo + (q.toInt + 128) * scale).toFloat)
+  }
+
+  // -------------------------------------------------------------- b1
+
+  /** Sign bits (x > 0) packed 32 per int, MSB-first — output feeds
+    * `hamming_dist` directly. */
+  def quantizeB1(v: Array[Float]): Array[Int] = {
+    val out = new Array[Int]((v.length + 31) / 32)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0f) out(i / 32) |= (1 << (31 - (i % 32)))
+      i += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------- columns
+
+  def quantize_f16(c: Column): Column = f16Udf(c)
+  def dequantize_f16(c: Column): Column = f16BackUdf(c)
+  def quantize_i8(c: Column, lo: Float = -1f, hi: Float = 1f): Column = {
+    val f = udf((v: Seq[Float]) => quantizeI8(v.toArray, lo, hi).toSeq)
+    f(c)
+  }
+  def dequantize_i8(c: Column, lo: Float = -1f, hi: Float = 1f): Column = {
+    val f = udf((v: Seq[Byte]) => dequantizeI8(v.toArray, lo, hi).toSeq)
+    f(c)
+  }
+  def quantize_b1(c: Column): Column = b1Udf(c)
+
+  private val f16Udf: UserDefinedFunction =
+    udf { v: Seq[Float] => quantizeF16(v.toArray).toSeq }
+  private val f16BackUdf: UserDefinedFunction =
+    udf { v: Seq[Short] => dequantizeF16(v.toArray).toSeq }
+  private val b1Udf: UserDefinedFunction =
+    udf { v: Seq[Float] => quantizeB1(v.toArray).toSeq }
+}

@@ -78,6 +78,19 @@ object Bm25 {
     *   doc_ids_bloom (non-null only when term_freq > bloomThreshold),
     *   plus ONE stats row with term=NULL, term_freq=corpus size,
     *   doc_ids_len=avg_doc_len*100, avg_doc_len=exact avg.
+    *
+    * Skew safety at 100 TB: a stopword-ish term can appear in billions
+    * of docs, and `collect_list` of its full posting list would be a
+    * multi-GB single cell (executor OOM). Postings are therefore CAPPED
+    * at `bloomThreshold` per term (row_number in the same term-shuffle
+    * window): rare terms (term_freq <= threshold) keep complete lists;
+    * hot terms keep a doc_id-ordered sample plus a bloom filter over
+    * their FULL doc-id set, built by per-partition partial blooms merged
+    * with `mergeInPlace` — no full list is ever materialized in one
+    * place. `term_freq` stays the true document frequency (it feeds
+    * idf). Search already scores hot terms via the bloom approximation
+    * (fq=1, len=avgdl, bm25_agg.rs:162-188), so dropping their tails
+    * loses nothing the scorer would use.
     */
   def createBm25Table(
       docs: DataFrame,
@@ -86,6 +99,7 @@ object Bm25 {
       bloomThreshold: Int = DefaultBloomThreshold): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
 
     val base = docs.select(
       col(idCol).cast("long").as("doc_id"),
@@ -98,21 +112,72 @@ object Bm25 {
     val tf = toks.groupBy($"term", $"doc_id")
       .agg(count(lit(1)).cast("int").as("fq"), first($"doc_len").as("doc_len"))
 
-    val bloomUdf = udf { ids: Seq[Long] => bloomBytes(ids) }
+    // true df + bounded postings, one shuffle on term
+    val byTerm = Window.partitionBy($"term")
+    val capped = tf
+      .withColumn("df", count(lit(1)).over(byTerm).cast("int"))
+      .withColumn("rn", row_number().over(byTerm.orderBy($"doc_id")))
+      .where($"rn" <= bloomThreshold)
 
-    val inv = tf.groupBy($"term")
-      .agg(sort_array(collect_list(struct($"doc_id", $"fq", $"doc_len")))
-        .as("postings"))
+    val invRare = capped.where($"df" <= bloomThreshold)
+      .groupBy($"term")
+      .agg(
+        first($"df").as("term_freq"),
+        sort_array(collect_list(struct($"doc_id", $"fq", $"doc_len")))
+          .as("postings"))
+
+    val invHot = capped.where($"df" > bloomThreshold)
+      .groupBy($"term")
+      .agg(
+        first($"df").as("term_freq"),
+        sort_array(collect_list(struct($"doc_id", $"fq", $"doc_len")))
+          .as("postings"))
+
+    // full-set blooms for hot terms: partial bloom per partition,
+    // merged per term — the only state per (partition, term) is the
+    // fixed-size sketch
+    val hotCounts = invHot.select($"term", $"term_freq").as[(String, Int)]
+      .collect().toMap
+    val hotBlooms: DataFrame =
+      if (hotCounts.isEmpty)
+        Seq.empty[(String, Array[Byte])].toDF("term", "doc_ids_bloom")
+      else {
+        val hotB = spark.sparkContext.broadcast(hotCounts)
+        tf.select($"term", $"doc_id").as[(String, Long)]
+          .rdd
+          .mapPartitions { it =>
+            val hot = hotB.value
+            val m = scala.collection.mutable.HashMap.empty[String, BloomFilter]
+            it.foreach { case (t, id) =>
+              if (hot.contains(t)) {
+                m.getOrElseUpdate(t,
+                  BloomFilter.create(math.max(hot(t), 1).toLong, 0.01))
+                  .putLong(id)
+              }
+            }
+            m.iterator
+          }
+          .reduceByKey { (a, b) => a.mergeInPlace(b); a }
+          .mapValues { bf =>
+            val bos = new ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+          }
+          .toDF("term", "doc_ids_bloom")
+      }
+
+    val invHotWithBloom = invHot
+      .join(hotBlooms, Seq("term"), "left")
+
+    val inv = invRare
+      .withColumn("doc_ids_bloom", lit(null).cast("binary"))
+      .unionByName(invHotWithBloom)
       .select(
         $"term",
-        size($"postings").as("term_freq"),
+        $"term_freq",
         size($"postings").as("doc_ids_len"),
         transform($"postings", p => p.getField("doc_id")).as("doc_ids"),
         transform($"postings", p => p.getField("fq")).as("fqs"),
-        transform($"postings", p => p.getField("doc_len")).as("doc_lens"))
-      .withColumn("doc_ids_bloom",
-        when($"term_freq" > bloomThreshold, bloomUdf($"doc_ids"))
-          .otherwise(lit(null).cast("binary")))
+        transform($"postings", p => p.getField("doc_len")).as("doc_lens"),
+        $"doc_ids_bloom")
       .withColumn("avg_doc_len", lit(null).cast("double"))
 
     val stats = base.agg(
@@ -282,14 +347,47 @@ object Bm25 {
       .select(
         $"term",
         size($"postings").as("term_freq"),
+        // merged lists are re-capped like createBm25Table (inputs are
+        // already <= threshold per source row, so the merge is bounded
+        // by #duplicate rows x threshold before the slice)
+        slice($"postings", 1, bloomThreshold).as("postings"),
+        transform($"postings", p => p.getField("doc_id")).as("all_ids"))
+      .select(
+        $"term",
+        $"term_freq",
         size($"postings").as("doc_ids_len"),
         transform($"postings", p => p.getField("doc_id")).as("doc_ids"),
         transform($"postings", p => p.getField("fq")).as("fqs"),
-        transform($"postings", p => p.getField("doc_len")).as("doc_lens"))
-      .withColumn("doc_ids_bloom",
-        when($"term_freq" > bloomThreshold, bloomUdf($"doc_ids"))
-          .otherwise(lit(null).cast("binary")))
+        transform($"postings", p => p.getField("doc_len")).as("doc_lens"),
+        when($"term_freq" > bloomThreshold, bloomUdf($"all_ids"))
+          .otherwise(lit(null).cast("binary")).as("doc_ids_bloom"))
       .withColumn("avg_doc_len", lit(null).cast("double"))
     merged.unionByName(stats)
+  }
+
+  /** Score ONE document against a query using the stored corpus stats —
+    * `bm25_score(table, document, query)` (bm25_agg.rs:61-122). Both
+    * strings go through the same analyzer as indexing; document
+    * frequencies come from the inverted table (collect of <= |query|
+    * tiny rows), the term frequencies from the document itself.
+    */
+  def bm25Score(
+      inv: DataFrame,
+      document: String,
+      query: String,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): Double = {
+    val (n, avgdl) = corpusStats(inv)
+    val docTerms = analyzeQuery(document)
+    val qTerms = analyzeQuery(query).distinct
+    if (docTerms.isEmpty || qTerms.isEmpty) return 0.0
+    val fqs = docTerms.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val dfs = inv.where(col("term").isin(qTerms: _*))
+      .select(col("term"), col("term_freq").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    qTerms.iterator.flatMap { t =>
+      for (fq <- fqs.get(t); df <- dfs.get(t)) yield
+        termScoreScala(fq.toDouble, docTerms.size.toDouble, df, n, avgdl, k1, b)
+    }.sum
   }
 }

@@ -99,4 +99,40 @@ class Bm25Spec extends SparkTestBase {
     val bytes = Bm25.bloomBytes(ids)
     assert(ids.forall(Bm25.bloomContains(bytes, _)))
   }
+
+  test("hot-term postings are capped but df and bloom cover the full set") {
+    // 50 docs all share 'hot'; 2 docs have 'rare'; threshold 10
+    val many = (1L to 50L).map(i =>
+      (i, if (i <= 2) Seq("hot", "rare") else Seq("hot")))
+      .toDF("doc_id", "terms")
+    val inv2 = Bm25.createBm25Table(many, "doc_id", "terms", bloomThreshold = 10)
+
+    val hot = inv2.where($"term" === "hot").head()
+    assert(hot.getAs[Int]("term_freq") == 50, "true df preserved")
+    assert(hot.getSeq[Long](hot.fieldIndex("doc_ids")).size == 10,
+      "stored postings capped at threshold")
+    val bloom = hot.getAs[Array[Byte]]("doc_ids_bloom")
+    assert(bloom != null)
+    assert((1L to 50L).forall(Bm25.bloomContains(bloom, _)),
+      "bloom covers ALL docs, not just the stored sample")
+
+    val rare = inv2.where($"term" === "rare").head()
+    assert(rare.getAs[Int]("term_freq") == 2)
+    assert(rare.getAs[Array[Byte]]("doc_ids_bloom") == null)
+
+    // mixed query still scores: rare exact + hot bonus for candidates
+    val got = Bm25.searchBm25(inv2, Seq("rare", "hot"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("bm25_score single-document scorer matches the aggregate path") {
+    val s = Bm25.bm25Score(inv, "apple apple banana", "apple banana")
+    def score(fq: Double, len: Double, df: Double): Double =
+      Bm25.termScoreScala(fq, len, df, 4L, 3.0, 1.2, 0.75)
+    // doc terms: appl x2, banana x1; len 3 — identical to stored doc 2
+    assert(math.abs(s - (score(2, 3, 2) + score(1, 3, 4))) < 1e-9)
+    assert(Bm25.bm25Score(inv, "", "apple") == 0.0)
+    assert(Bm25.bm25Score(inv, "apple", "zzz") == 0.0)
+  }
 }

@@ -1,0 +1,94 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.VectorSearch
+
+/** Index parameter autotuning — `lantern-cli autotune-index`
+  * (lantern_cli/src/index_autotune/mod.rs:280-526): sample query
+  * vectors, compute exact ground truth (:188-218), build one index per
+  * grid variant (:328-358), measure recall@k / search latency / build
+  * time (:220-254), and pick the cheapest variant meeting the target
+  * recall (:161-186).
+  *
+  * The grid is the reference's own six (m, ef_construction, ef)
+  * variants, ordered cheapest-first. Ground truth is the exact top-k
+  * (TakeOrderedAndProject — the same oracle path every ANN test uses).
+  */
+object Autotune {
+
+  case class Variant(m: Int, efConstruction: Int, ef: Int)
+
+  /** index_autotune/mod.rs:328-358. */
+  val DefaultGrid: Seq[Variant] = Seq(
+    Variant(6, 32, 64), Variant(8, 40, 64), Variant(12, 48, 64),
+    Variant(16, 60, 76), Variant(32, 96, 96), Variant(48, 128, 128))
+
+  case class Result(
+      variant: Variant,
+      recall: Double,
+      avgSearchMs: Double,
+      buildSecs: Double)
+
+  case class Report(results: Seq[Result], picked: Option[Result])
+
+  def autotune(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      metric: String = "l2sq",
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      grid: Seq[Variant] = DefaultGrid,
+      numPartitions: Int = 2,
+      workDir: String = null): Report = {
+    val spark = df.sparkSession
+    val base = Option(workDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-autotune").toString)
+
+    // sampled queries + exact ground truth (mod.rs:188-218)
+    val queries = df.select(col(idCol).cast("long"), col(vecCol))
+      .limit(queryCount).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(queries.nonEmpty, "graft: autotune needs at least one sample row")
+    val truth = queries.map { case (_, q) =>
+      VectorSearch.exact(df, col(vecCol), q, k, metric,
+        tieBreak = Seq(col(idCol)))
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    }
+
+    val results = grid.map { v =>
+      val path = s"$base/idx-m${v.m}-efc${v.efConstruction}-ef${v.ef}"
+      val t0 = System.nanoTime()
+      AnnIndex.build(df, idCol, vecCol, path,
+        AnnParams(v.m, v.efConstruction, v.ef, metric, numPartitions))
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+
+      var hits = 0
+      var total = 0
+      val t1 = System.nanoTime()
+      queries.zip(truth).foreach { case ((_, q), expected) =>
+        val got = AnnIndex.search(spark, path, q, k, v.ef).map(_._1).toSet
+        hits += got.intersect(expected).size
+        total += expected.size
+      }
+      val avgMs = (System.nanoTime() - t1) / 1e6 / queries.length
+      Result(v, hits.toDouble / total, avgMs, buildSecs)
+    }
+
+    // grid is cost-ordered: first variant meeting the target wins
+    Report(results, results.find(_.recall >= targetRecall))
+  }
+
+  /** Report as a DataFrame (the reference prints a table; jobs persist it). */
+  def reportDf(spark: SparkSession, report: Report): DataFrame = {
+    import spark.implicits._
+    report.results
+      .map(r => (r.variant.m, r.variant.efConstruction, r.variant.ef,
+        r.recall, r.avgSearchMs, r.buildSecs,
+        report.picked.contains(r)))
+      .toDF("m", "ef_construction", "ef", "recall", "avg_search_ms",
+        "build_secs", "picked")
+  }
+}

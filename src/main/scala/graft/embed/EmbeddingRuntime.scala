@@ -40,7 +40,13 @@ trait EmbeddingRuntime extends Serializable {
   * the driver's DuckDB oracle can recompute it exactly:
   *
   *   h    = Σ_{i=1..n} codepoint(c_i) · i   mod 100003
-  *   e[j] = ((h + j · 2654435761) mod 1000) / 1000.0 − 0.5
+  *   e[j] = ((((h + j) · 2654435761) mod 100003) mod 1024) / 1024 − 0.5
+  *
+  * The double mod gives per-dimension mixing (distinct texts virtually
+  * never collide on all dims), and /1024 makes every component an exact
+  * binary fraction — bit-identical between float, double, Spark and
+  * DuckDB, with no rounding step needed. All intermediate integers stay
+  * below 2^53, so SQL BIGINT arithmetic is exact.
   *
   * Inputs that are null/empty or longer than `maxChars` fail (→ the
   * failed-row side output), standing in for the reference's tokenizer
@@ -90,7 +96,8 @@ object HashEmbeddingRuntime {
 
   def embed(t: String, dim: Int): Array[Float] = {
     val h = textHash(t)
-    Array.tabulate(dim)(j => (((h + j * Mix) % 1000L) / 1000.0 - 0.5).toFloat)
+    Array.tabulate(dim)(j =>
+      (((((h + j) * Mix) % Mod) % 1024L) / 1024.0 - 0.5).toFloat)
   }
 
   /** The same function as DuckDB SQL over column `c` (for oracles). */
@@ -98,7 +105,7 @@ object HashEmbeddingRuntime {
     s"(coalesce(list_sum(list_transform(range(1, length($c) + 1), i -> unicode($c[i:i]) * i)), 0) % $Mod)"
 
   def embedSql(c: String, j: Int): String =
-    s"((${hashSql(c)} + $j * $Mix) % 1000) / 1000.0 - 0.5"
+    s"((((${hashSql(c)} + $j) * $Mix) % $Mod) % 1024) / 1024.0 - 0.5"
 }
 
 /** Runtime registry — `get_available_models` / `get_available_runtimes`

@@ -1,0 +1,153 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines at 100 TB: media rides as opaque `binary` columns with
+  * typed metadata structs; decode / resize / feature-extract /
+  * frame-sample run as batched `mapPartitions` transforms (map-side,
+  * shuffle-free, batch size bounds peak memory per task).
+  *
+  * DECODE IS STUBBED: this container has no image/audio codecs, so
+  * `decodeImage`/`decodeVideo` parse the deterministic GRFT fixture
+  * format produced by `syntheticImageBytes`/`syntheticVideoBytes`
+  * (swap in javax.imageio / jcodec / ffmpeg bindings behind the same
+  * functions in production). Everything downstream of decode —
+  * schemas, batching, nearest-neighbor resize, channel statistics,
+  * frame sampling — is real and runs on the decoded pixels.
+  */
+object Multimodal {
+
+  val ImageMagic = 0x47494D47 // "GIMG"
+  val VideoMagic = 0x47564944 // "GVID"
+
+  /** Decoded image: dims + one byte per pixel (single channel). */
+  case class Image(width: Int, height: Int, pixels: Array[Byte])
+
+  val imageStruct: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pixels", BinaryType)))
+
+  // ------------------------------------------------------- fixtures
+
+  /** Deterministic fake "image": header (magic, w, h) + pixels where
+    * pixel(i) = (seed*7 + i*13) mod 256 — reproducible in plain SQL.
+    */
+  def syntheticImageBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + w * h)
+    bb.putInt(ImageMagic).putInt(w).putInt(h)
+    var i = 0
+    while (i < w * h) { bb.put((((seed * 7 + i * 13) % 256 + 256) % 256).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Deterministic fake "video": header + frame count, then each frame
+    * an encoded image with seed+frameIdx. */
+  def syntheticVideoBytes(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val imgs = (0 until frames).map(f => syntheticImageBytes(seed + f, w, h))
+    val bb = java.nio.ByteBuffer.allocate(8 + imgs.map(_.length + 4).sum)
+    bb.putInt(VideoMagic).putInt(frames)
+    imgs.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
+  // --------------------------------------------------------- decode
+
+  /** STUB decode (see class doc): parses the GRFT fixture header. */
+  def decodeImage(bytes: Array[Byte]): Image = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt() == ImageMagic, "graft: not a GIMG payload")
+    val w = bb.getInt(); val h = bb.getInt()
+    val px = new Array[Byte](w * h)
+    bb.get(px)
+    Image(w, h, px)
+  }
+
+  def decodeVideo(bytes: Array[Byte]): Seq[Image] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.getInt() == VideoMagic, "graft: not a GVID payload")
+    val n = bb.getInt()
+    (0 until n).map { _ =>
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      decodeImage(b)
+    }
+  }
+
+  // ------------------------------------------------ real transforms
+
+  /** Nearest-neighbor resize (real math over decoded pixels). */
+  def resizeNearest(img: Image, newW: Int, newH: Int): Image = {
+    require(newW > 0 && newH > 0, "graft: resize dims must be positive")
+    val out = new Array[Byte](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val sy = y * img.height / newH
+      var x = 0
+      while (x < newW) {
+        out(y * newW + x) = img.pixels(sy * img.width + (x * img.width / newW))
+        x += 1
+      }
+      y += 1
+    }
+    Image(newW, newH, out)
+  }
+
+  /** Channel statistics feature vector: [mean, min, max] over pixels
+    * as unsigned bytes — the feature-extraction slot of the pipeline.
+    */
+  def imageFeatures(img: Image): Array[Float] = {
+    var sum = 0.0; var mn = 255; var mx = 0
+    img.pixels.foreach { b =>
+      val v = b & 0xFF
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+    }
+    Array((sum / img.pixels.length).toFloat, mn.toFloat, mx.toFloat)
+  }
+
+  /** Every-nth frame sample (video → images). */
+  def sampleFrames(frames: Seq[Image], everyN: Int): Seq[Image] = {
+    require(everyN > 0, "graft: frame stride must be positive")
+    frames.zipWithIndex.collect { case (f, i) if i % everyN == 0 => f }
+  }
+
+  // ---------------------------------------------- batched pipeline
+
+  /** Decode + resize + featurize a binary image column in one batched
+    * mapPartitions pass. Appends: `media_w`, `media_h`, `features`
+    * (array<float>), `media_error` (null on success) — failed decodes
+    * are a side output, like the embedding pipeline.
+    */
+  def imagePipeline(
+      df: DataFrame,
+      binCol: String,
+      resizeTo: Option[(Int, Int)] = None,
+      batchSize: Int = 256): DataFrame = {
+    val schema = df.schema
+      .add("media_w", IntegerType).add("media_h", IntegerType)
+      .add("features", ArrayType(FloatType))
+      .add("media_error", StringType)
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val img0 = decodeImage(r.getAs[Array[Byte]](idx))
+            val img = resizeTo.fold(img0) { case (w, h) => resizeNearest(img0, w, h) }
+            Row.fromSeq(r.toSeq ++ Seq(img.width, img.height,
+              imageFeatures(img).toSeq, null))
+          } catch {
+            case e: Exception =>
+              Row.fromSeq(r.toSeq ++ Seq(null, null, null, e.getMessage))
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -16,18 +16,20 @@ object EmbedQueries {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val out = EmbeddingPipeline.createEmbeddings(
       docs, "text", new HashEmbeddingRuntime(), "mock/tiny")
+    // components are exact binary fractions (k/1024) — no rounding
+    // needed for a bit-identical oracle compare
     out.select(
         col("doc_id"),
-        round(element_at(col(EmbeddingPipeline.EmbeddingCol), 1).cast("double"), 4).as("e0"),
-        round(element_at(col(EmbeddingPipeline.EmbeddingCol), 2).cast("double"), 4).as("e1"),
-        round(element_at(col(EmbeddingPipeline.EmbeddingCol), 8).cast("double"), 4).as("e7"),
+        element_at(col(EmbeddingPipeline.EmbeddingCol), 1).cast("double").as("e0"),
+        element_at(col(EmbeddingPipeline.EmbeddingCol), 2).cast("double").as("e1"),
+        element_at(col(EmbeddingPipeline.EmbeddingCol), 8).cast("double").as("e7"),
         col(EmbeddingPipeline.ErrorCol).isNotNull.cast("int").as("failed"))
       .orderBy("doc_id")
   }
 
   private val oracle: String = {
     def e(j: Int) =
-      s"round(${HashEmbeddingRuntime.embedSql("text", j)}, 4)"
+      s"CAST(${HashEmbeddingRuntime.embedSql("text", j)} AS DOUBLE)"
     s"""SELECT doc_id,
        |CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE ${e(0)} END AS e0,
        |CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE ${e(1)} END AS e1,

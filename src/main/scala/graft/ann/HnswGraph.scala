@@ -88,10 +88,13 @@ final class HnswGraph(
   private def randomLevel(): Int =
     math.floor(-math.log(rng.nextDouble() max Double.MinPositiveValue) * levelMult).toInt
 
-  /** Greedy 1-NN descent on one layer (used above the insert level). */
-  private def greedyClosest(q: Array[Float], entry: Int, layer: Int): Int = {
+  /** Greedy 1-NN descent on one layer (used above the insert level).
+    * `nd(n)` = distance from the (implicit) query to node n — pluggable
+    * so a PQ shard can traverse with an asymmetric LUT distance.
+    */
+  private[ann] def greedyClosest(nd: Int => Double, entry: Int, layer: Int): Int = {
     var cur = entry
-    var curDist = d(q, vecs(cur))
+    var curDist = nd(cur)
     var improved = true
     while (improved) {
       improved = false
@@ -99,7 +102,7 @@ final class HnswGraph(
       var i = 0
       while (i < nbrs.length) {
         val cand = nbrs(i)
-        val cd = d(q, vecs(cand))
+        val cd = nd(cand)
         if (cd < curDist) { curDist = cd; cur = cand; improved = true }
         i += 1
       }
@@ -108,8 +111,8 @@ final class HnswGraph(
   }
 
   /** Beam search on one layer: returns up to `ef` (dist, node) pairs. */
-  private def searchLayer(
-      q: Array[Float], entries: Seq[Int], ef: Int, layer: Int): ArrayBuffer[(Double, Int)] = {
+  private[ann] def searchLayer(
+      nd: Int => Double, entries: Seq[Int], ef: Int, layer: Int): ArrayBuffer[(Double, Int)] = {
     val visited = new java.util.BitSet(size)
     // candidates: min-heap by distance; results: max-heap bounded at ef
     val cand = new PriorityQueue[(Double, Int)](16, (x, y) => java.lang.Double.compare(x._1, y._1))
@@ -117,7 +120,7 @@ final class HnswGraph(
     entries.foreach { e =>
       if (!visited.get(e)) {
         visited.set(e)
-        val de = d(q, vecs(e))
+        val de = nd(e)
         cand.add((de, e)); res.add((de, e))
       }
     }
@@ -133,9 +136,9 @@ final class HnswGraph(
           val nb = nbrs(i)
           if (!visited.get(nb)) {
             visited.set(nb)
-            val nd = d(q, vecs(nb))
-            if (res.size < ef || nd < res.peek()._1) {
-              cand.add((nd, nb)); res.add((nd, nb))
+            val ndist = nd(nb)
+            if (res.size < ef || ndist < res.peek()._1) {
+              cand.add((ndist, nb)); res.add((ndist, nb))
               if (res.size > ef) res.poll()
             }
           }
@@ -190,14 +193,15 @@ final class HnswGraph(
 
     if (entryPoint < 0) { entryPoint = node; maxLevel = level; return }
 
+    val nd = (n: Int) => d(vec, vecs(n))
     var ep = entryPoint
     var lc = maxLevel
-    while (lc > level) { ep = greedyClosest(vec, ep, lc); lc -= 1 }
+    while (lc > level) { ep = greedyClosest(nd, ep, lc); lc -= 1 }
 
     lc = math.min(level, maxLevel)
     var entries: Seq[Int] = Seq(ep)
     while (lc >= 0) {
-      val cands = searchLayer(vec, entries, efConstruction, lc)
+      val cands = searchLayer(nd, entries, efConstruction, lc)
       val cap = if (lc == 0) maxM0 else maxM
       val selected = selectNeighbors(vec, cands, math.min(m, cap))
       neighbors(node)(lc) ++= selected
@@ -226,12 +230,20 @@ final class HnswGraph(
     */
   def searchNodes(q: Array[Float], k: Int, ef: Int, banned: Long => Boolean = _ => false)
       : Array[(Int, Double)] = {
-    if (entryPoint < 0) return Array.empty
     require(q.length == dim, s"graft: vector dimension mismatch: ${q.length} vs $dim")
+    searchNodesWith(n => d(q, vecs(n)), k, ef, banned)
+  }
+
+  /** Top-k traversal under an arbitrary query→node distance — the hook
+    * for PQ shards (asymmetric LUT distance, reference scan.c:75-88).
+    */
+  def searchNodesWith(nd: Int => Double, k: Int, ef: Int,
+      banned: Long => Boolean = _ => false): Array[(Int, Double)] = {
+    if (entryPoint < 0) return Array.empty
     var ep = entryPoint
     var lc = maxLevel
-    while (lc > 0) { ep = greedyClosest(q, ep, lc); lc -= 1 }
-    val res = searchLayer(q, Seq(ep), math.max(ef, k), 0)
+    while (lc > 0) { ep = greedyClosest(nd, ep, lc); lc -= 1 }
+    val res = searchLayer(nd, Seq(ep), math.max(ef, k), 0)
     res.sortBy(_._1).iterator
       .filterNot { case (_, n) => banned(ids(n)) }
       .take(k)

@@ -1,0 +1,200 @@
+package graft.ann
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types.LongType
+
+import graft.pq.PqCodebook
+
+/** PQ-compressed ANN index (`pq=true` reloption): graph shards store
+  * one byte per subvector instead of 4 bytes per dimension, and search
+  * traverses with the asymmetric per-query LUT distance — the
+  * reference's in-graph PQ (lantern_hnsw/src/hnsw/scan.c:75-88,
+  * pqtable.c:194-333; build-side quantization build.c:498-501).
+  *
+  * Build inserts DEQUANTIZED vectors, so edges reflect the quantized
+  * geometry exactly like the reference (whose graph holds codes and
+  * measures through the codebook). The artifact is dim·4/subvectors
+  * times smaller than the float index — at 100 TB that is the
+  * difference between an index that fits executor memory and one that
+  * doesn't. L2sq only (the reference gates its PQ tests on l2sq too).
+  */
+object PqAnnIndex {
+
+  val Magic = 0x47505156 // "GPQV"
+  private val GraphDir = "graphs"
+
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      cb: PqCodebook,
+      params: AnnParams = AnnParams()): Unit = {
+    require(params.metric == "l2sq", "graft: PQ index supports l2sq only")
+    require(cb.clusters <= 256, "graft: PQ codes must fit one byte")
+    val spark = df.sparkSession
+    val data = df.select(col(idCol).cast(LongType), col(vecCol))
+    val parted =
+      if (params.numPartitions > 0) data.repartition(params.numPartitions, col(idCol))
+      else data
+
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.mkdirs(new Path(base, GraphDir))
+
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val cbB = spark.sparkContext.broadcast(cb)
+    val m = params.m; val efc = params.efConstruction; val seed = params.seed
+    val counts = parted.queryExecution.toRdd.mapPartitions { rows =>
+      val pid = TaskContext.getPartitionId()
+      val codebook = cbB.value
+      val g = new HnswGraph(codebook.dim, m, efc, Metric.L2Sq, seed = seed + pid)
+      val codes = scala.collection.mutable.ArrayBuffer[Array[Short]]()
+      rows.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          val v = r.getArray(1).toFloatArray()
+          val c = codebook.quantize(v)
+          codes += c
+          g.insert(r.getLong(0), codebook.dequantize(c))
+        }
+      }
+      if (g.size == 0) Iterator.empty
+      else {
+        val file = new Path(new Path(path, GraphDir), f"part-base-$pid%05d.pqhnsw")
+        val out = new DataOutputStream(new BufferedOutputStream(
+          file.getFileSystem(sconf.value).create(file, true), 1 << 20))
+        try writeShard(out, g, codes.toArray, codebook) finally out.close()
+        Iterator.single(g.size)
+      }
+    }.collect()
+    require(counts.sum > 0, "graft: PQ ANN build saw no rows")
+  }
+
+  /** Topology + per-node codes + codebook; NO float vectors on disk. */
+  private def writeShard(
+      out: DataOutputStream, g: HnswGraph, codes: Array[Array[Short]],
+      cb: PqCodebook): Unit = {
+    out.writeInt(Magic)
+    out.writeInt(cb.dim); out.writeInt(g.m); out.writeInt(g.efConstruction)
+    out.writeInt(g.size); out.writeInt(g.entryPoint); out.writeInt(g.maxLevel)
+    out.writeInt(cb.subvectors); out.writeInt(cb.clusters)
+    for (s <- 0 until cb.subvectors; c <- 0 until cb.clusters; j <- 0 until cb.subDim)
+      out.writeFloat(cb.centroids(s)(c)(j))
+    var n = 0
+    while (n < g.size) {
+      out.writeLong(g.ids(n))
+      out.writeInt(g.nodeLevels(n))
+      codes(n).foreach(c => out.writeByte(c & 0xFF))
+      var l = 0
+      while (l <= g.nodeLevels(n)) {
+        val nbrs = g.neighbors(n)(l)
+        out.writeInt(nbrs.length)
+        nbrs.foreach(out.writeInt)
+        l += 1
+      }
+      n += 1
+    }
+  }
+
+  private[ann] case class PqShard(
+      graph: HnswGraph, codes: Array[Array[Byte]], cb: PqCodebook)
+
+  private def readShard(in: DataInputStream): PqShard = {
+    require(in.readInt() == Magic, "graft: not a PQ-HNSW shard")
+    val dim = in.readInt(); val m = in.readInt(); val efc = in.readInt()
+    val n = in.readInt(); val entry = in.readInt(); val maxLevel = in.readInt()
+    val subvectors = in.readInt(); val clusters = in.readInt()
+    val subDim = dim / subvectors
+    val centroids = Array.tabulate(subvectors, clusters) { (_, _) =>
+      val a = new Array[Float](subDim)
+      var j = 0
+      while (j < subDim) { a(j) = in.readFloat(); j += 1 }
+      a
+    }
+    val cb = PqCodebook(dim, centroids)
+    val g = new HnswGraph(dim, m, efc, Metric.L2Sq, seed = 0L)
+    g.entryPoint = entry
+    g.maxLevel = maxLevel
+    val codes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      g.ids += in.readLong()
+      val lvl = in.readInt()
+      g.nodeLevels += lvl
+      val cs = new Array[Byte](subvectors)
+      in.readFully(cs)
+      codes(i) = cs
+      val layers = new Array[scala.collection.mutable.ArrayBuffer[Int]](lvl + 1)
+      var l = 0
+      while (l <= lvl) {
+        val cnt = in.readInt()
+        val nbrs = new scala.collection.mutable.ArrayBuffer[Int](cnt)
+        var c = 0
+        while (c < cnt) { nbrs += in.readInt(); c += 1 }
+        layers(l) = nbrs
+        l += 1
+      }
+      g.neighbors += layers
+      i += 1
+    }
+    PqShard(g, codes, cb)
+  }
+
+  private val cache = new ConcurrentHashMap[String, PqShard]()
+
+  private def load(file: String, conf: org.apache.hadoop.conf.Configuration): PqShard = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val key = s"$file#${st.getLen}#${st.getModificationTime}"
+    var s = cache.get(key)
+    if (s == null) {
+      val in = new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 20))
+      try s = readShard(in) finally in.close()
+      cache.put(key, s)
+    }
+    s
+  }
+
+  /** Top-k under the asymmetric LUT distance (nearest-first). */
+  def search(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      ef: Int = 64): Array[(Long, Double)] = {
+    val p = new Path(path, GraphDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
+      .map(_.getPath.toString).sorted.toSeq
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val qB = spark.sparkContext.broadcast(query)
+    val kk = k; val eff = math.max(ef, k)
+    spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val shard = load(f, sconf.value)
+        val lut = shard.cb.l2sqLut(qB.value)
+        val codes = shard.codes
+        val nd = (n: Int) => {
+          val cs = codes(n)
+          var s = 0; var d = 0.0
+          while (s < cs.length) { d += lut(s)(cs(s) & 0xFF); s += 1 }
+          d
+        }
+        shard.graph.searchNodesWith(nd, kk, eff).iterator
+          .map { case (n, dd) => (shard.graph.label(n), dd) }
+      }
+      .collect()
+      .sortBy(x => (x._2, x._1))
+      .take(k)
+  }
+}

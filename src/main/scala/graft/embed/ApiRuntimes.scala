@@ -1,0 +1,166 @@
+package graft.embed
+
+/** HTTP transport seam for API-backed runtimes: (url, jsonBody) →
+  * jsonResponse. Injectable so the request/response wiring is testable
+  * in this zero-egress environment; production plugs in a real client.
+  */
+trait HttpTransport extends Serializable {
+  def post(url: String, body: String, headers: Map[String, String]): String
+}
+
+object NoEgressTransport extends HttpTransport {
+  override def post(url: String, body: String, headers: Map[String, String]): String =
+    throw new IllegalStateException(
+      s"graft: no network egress in this environment (attempted POST $url); " +
+        "inject an HttpTransport with real connectivity")
+}
+
+/** OpenAI-compatible embedding runtime — `openai_embedding` and the
+  * OpenAI runtime of the reference (lantern_cli/src/embeddings/core/
+  * openai_runtime.rs: models + dims :79-101; request shape is the
+  * public /v1/embeddings API). Only the transport is external; request
+  * building, batching and response parsing live here and are tested
+  * with a fake transport.
+  */
+class OpenAiEmbeddingRuntime(
+    apiKey: String = sys.env.getOrElse("OPENAI_API_KEY", ""),
+    baseUrl: String = "https://api.openai.com/v1",
+    transport: HttpTransport = NoEgressTransport) extends EmbeddingRuntime {
+
+  override def name: String = "openai"
+
+  /** Models/dims per openai_runtime.rs:79-101; batch 500 per
+    * embeddings/mod.rs:574-608. */
+  override def models: Seq[ModelInfo] = Seq(
+    ModelInfo("text-embedding-ada-002", 1536, 500),
+    ModelInfo("text-embedding-3-small", 1536, 500),
+    ModelInfo("text-embedding-3-large", 3072, 500))
+
+  override def embedBatch(
+      model: String, inputs: Seq[String]): Seq[Either[String, Array[Float]]] = {
+    val info = modelInfo(model)
+    val body = ApiJson.obj(
+      "model" -> ApiJson.str(model),
+      "input" -> ApiJson.arr(inputs.map(i => ApiJson.str(Option(i).getOrElse("")))))
+    try {
+      val resp = transport.post(s"$baseUrl/embeddings", body,
+        Map("Authorization" -> s"Bearer $apiKey",
+          "Content-Type" -> "application/json"))
+      val vecs = ApiJson.extractFloatArrays(resp, "embedding")
+      require(vecs.size == inputs.size,
+        s"graft: expected ${inputs.size} embeddings, got ${vecs.size}")
+      vecs.map { v =>
+        if (v.length == info.dim) Right(v)
+        else Left(s"bad dim ${v.length} != ${info.dim}")
+      }
+    } catch {
+      case e: Exception => inputs.map(_ => Left(e.getMessage))
+    }
+  }
+
+  override def complete(model: String, systemPrompt: String, userPrompt: String): String = {
+    val body = ApiJson.obj(
+      "model" -> ApiJson.str(model),
+      "messages" -> ApiJson.arr(Seq(
+        ApiJson.obj("role" -> ApiJson.str("system"), "content" -> ApiJson.str(systemPrompt)),
+        ApiJson.obj("role" -> ApiJson.str("user"), "content" -> ApiJson.str(userPrompt)))))
+    val resp = transport.post(s"$baseUrl/chat/completions", body,
+      Map("Authorization" -> s"Bearer $apiKey", "Content-Type" -> "application/json"))
+    ApiJson.extractString(resp, "content").getOrElse(
+      throw new IllegalStateException("graft: no content in completion response"))
+  }
+}
+
+/** Cohere embedding runtime (cohere_runtime.rs; batch size per
+  * embeddings/mod.rs:574-608).
+  */
+class CohereEmbeddingRuntime(
+    apiKey: String = sys.env.getOrElse("COHERE_API_KEY", ""),
+    baseUrl: String = "https://api.cohere.ai/v1",
+    transport: HttpTransport = NoEgressTransport) extends EmbeddingRuntime {
+
+  override def name: String = "cohere"
+
+  override def models: Seq[ModelInfo] = Seq(
+    ModelInfo("embed-english-v3.0", 1024, 5000),
+    ModelInfo("embed-multilingual-v3.0", 1024, 5000))
+
+  override def embedBatch(
+      model: String, inputs: Seq[String]): Seq[Either[String, Array[Float]]] = {
+    val info = modelInfo(model)
+    val body = ApiJson.obj(
+      "model" -> ApiJson.str(model),
+      "input_type" -> ApiJson.str("search_document"),
+      "texts" -> ApiJson.arr(inputs.map(i => ApiJson.str(Option(i).getOrElse("")))))
+    try {
+      val resp = transport.post(s"$baseUrl/embed", body,
+        Map("Authorization" -> s"Bearer $apiKey",
+          "Content-Type" -> "application/json"))
+      val vecs = ApiJson.extractTopLevelFloatArrays(resp, "embeddings")
+      require(vecs.size == inputs.size,
+        s"graft: expected ${inputs.size} embeddings, got ${vecs.size}")
+      vecs.map { v =>
+        if (v.length == info.dim) Right(v)
+        else Left(s"bad dim ${v.length} != ${info.dim}")
+      }
+    } catch {
+      case e: Exception => inputs.map(_ => Left(e.getMessage))
+    }
+  }
+
+  override def complete(model: String, systemPrompt: String, userPrompt: String): String =
+    throw new UnsupportedOperationException("graft: cohere runtime is embeddings-only")
+}
+
+/** Minimal JSON build/extract helpers (no extra deps in this build;
+  * responses from the targeted APIs are flat enough for structural
+  * extraction — swap for a real parser if the surface grows).
+  */
+private[embed] object ApiJson {
+  def str(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  def arr(items: Seq[String]): String = items.mkString("[", ",", "]")
+  def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${str(k)}:$v" }.mkString("{", ",", "}")
+
+  /** All `"key":[floats]` arrays, in order (OpenAI data[i].embedding). */
+  def extractFloatArrays(json: String, key: String): Seq[Array[Float]] =
+    (s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""".r).findAllMatchIn(json)
+      .map(m => m.group(1).split(',').filter(_.trim.nonEmpty).map(_.trim.toFloat))
+      .toSeq
+
+  /** `"key":[[...],[...]]` nested arrays (Cohere embeddings). */
+  def extractTopLevelFloatArrays(json: String, key: String): Seq[Array[Float]] = {
+    val start = json.indexOf(s""""$key"""")
+    if (start < 0) return Nil
+    val open = json.indexOf('[', start)
+    var depth = 0
+    var i = open
+    var end = -1
+    while (end < 0 && i < json.length) {
+      json.charAt(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) Nil
+    else ("""\[([^\[\]]*)\]""".r).findAllMatchIn(json.substring(open + 1, end))
+      .map(m => m.group(1).split(',').filter(_.trim.nonEmpty).map(_.trim.toFloat))
+      .toSeq
+  }
+
+  /** First `"key":"value"` string. */
+  def extractString(json: String, key: String): Option[String] =
+    (s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r).findFirstMatchIn(json)
+      .map(_.group(1).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+}

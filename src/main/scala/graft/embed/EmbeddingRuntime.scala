@@ -113,7 +113,9 @@ object HashEmbeddingRuntime {
   */
 object EmbeddingRuntimes {
   private val registry = scala.collection.concurrent.TrieMap[String, EmbeddingRuntime](
-    "hash-mock" -> new HashEmbeddingRuntime())
+    "hash-mock" -> new HashEmbeddingRuntime(),
+    "openai" -> new OpenAiEmbeddingRuntime(),
+    "cohere" -> new CohereEmbeddingRuntime())
 
   def register(rt: EmbeddingRuntime): Unit = registry.put(rt.name, rt)
   def get(name: String): EmbeddingRuntime =

@@ -37,7 +37,45 @@ object AnnQueries {
     if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** Same recall gate, but through the PLANNER: the table is registered
+    * in AnnCatalog and the query is plain `orderBy(dist).limit(k)` — a
+    * row is emitted only if the optimizer actually rewrote the plan to
+    * an AnnScan AND its candidates reach recall ≥ 0.8. This is the
+    * driver-checked analog of the reference's has_index_scan() EXPLAIN
+    * assertions (test/sql/hnsw_select.sql:21-72).
+    */
+  private def annPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    val e = Tables.embeddings(s, dir)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-annp-${Integer.toHexString(dir.hashCode)}/idx").toString
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      val knn = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val usedIndex = knn.queryExecution.optimizedPlan.collect {
+        case a: AnnScanLogical => a
+      }.nonEmpty
+      val ann = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = ann.intersect(exact).size.toDouble / exact.size
+      if (usedIndex && recall >= 0.8) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
+    QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
   )
 }

@@ -1,0 +1,101 @@
+package graft.ann
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.functions.l2sq_dist
+import graft.pq.ProductQuantizer
+
+class PqAnnSpec extends SparkTestBase {
+
+  test("PQ index: recall within 0.1 of dequantized exact, artifact much smaller (hnsw_pq_index.sql gate)") {
+    val e = Tables.embeddings(spark, sf("sf0.001")).cache()
+    val deqDf = {
+      val cb0 = ProductQuantizer.trainCodebook(
+        e, "embedding", clusters = 64, subvectors = 32, seed = 7)
+      e.withColumn("deq", ProductQuantizer.dequantizeUdf(cb0)(
+        ProductQuantizer.quantizeUdf(cb0)(col("embedding")))).cache()
+    }
+    try {
+      val cb = ProductQuantizer.trainCodebook(
+        e, "embedding", clusters = 64, subvectors = 32, seed = 7)
+      val tmp = Files.createTempDirectory("graft-pqann").toString
+      val pqPath = s"$tmp/pq-idx"
+      val floatPath = s"$tmp/float-idx"
+
+      PqAnnIndex.build(e, "vec_id", "embedding", pqPath, cb,
+        AnnParams(m = 16, efConstruction = 128, numPartitions = 2))
+      AnnIndex.build(e, "vec_id", "embedding", floatPath,
+        AnnParams(m = 16, efConstruction = 128, numPartitions = 2))
+
+      // codes are 32 B/vector vs 256 B of floats; topology and the
+      // per-shard codebook are shared overhead, so assert a solid
+      // reduction rather than the asymptotic dim*4/subvectors ratio
+      def dirSize(p: String): Long = {
+        val d = new java.io.File(s"$p/graphs")
+        d.listFiles().map(_.length()).sum
+      }
+      assert(dirSize(pqPath) < (dirSize(floatPath) * 0.65).toLong,
+        s"pq=${dirSize(pqPath)} float=${dirSize(floatPath)}")
+
+      val queries = e.where(col("vec_id") < 5).select("vec_id", "embedding").collect()
+      val (rPq, rDeq) = queries.map { row =>
+        val q = row.getSeq[Float](1).toArray
+        val exactTruth = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        // exact search over the dequantized column — the reference's
+        // comparison baseline (recall of PQ data without the index)
+        val deqTruth = deqDf.withColumn("d", l2sq_dist(col("deq"), lit(q)))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val pqGot = PqAnnIndex.search(spark, pqPath, q, 10, ef = 64)
+          .map(_._1).toSet
+        (pqGot.intersect(exactTruth).size / 10.0,
+          deqTruth.intersect(exactTruth).size / 10.0)
+      }.unzip
+
+      val pqRecall = rPq.sum / rPq.length
+      val deqRecall = rDeq.sum / rDeq.length
+      // index adds at most 0.1 recall drop on top of quantization
+      // (hnsw_pq_index.sql:120-129)
+      assert(deqRecall - pqRecall <= 0.1 + 1e-9,
+        s"pq-index recall $pqRecall vs dequantized-exact recall $deqRecall")
+      assert(pqRecall >= 0.6, s"pqRecall=$pqRecall deqRecall=$deqRecall")
+    } finally {
+      // unpersist in finally: a leaked cache entry would swap
+      // LogicalRelation for InMemoryRelation in later suites and mask
+      // the planner-rule tests
+      deqDf.unpersist(); e.unpersist(); ()
+    }
+  }
+
+  test("PQ index roundtrips topology: same ids, LUT distance sane") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 3 + j) % 10).toFloat / 10f)))
+      .toDF("id", "vec")
+    val cb = ProductQuantizer.trainCodebook(df, "vec", clusters = 16,
+      subvectors = 4, seed = 3)
+    val tmp = Files.createTempDirectory("graft-pqann2").toString
+    PqAnnIndex.build(df, "id", "vec", s"$tmp/idx", cb,
+      AnnParams(m = 8, numPartitions = 1))
+    val q = Array.tabulate(8)(j => (j % 10).toFloat / 10f) // == vec of id 0
+    val res = PqAnnIndex.search(spark, s"$tmp/idx", q, 5)
+    assert(res.length === 5)
+    assert(res.map(_._2).toSeq === res.map(_._2).sorted.toSeq)
+    // the query equals row 0's raw vector; its quantized form must be
+    // among the very nearest under the LUT distance
+    assert(res.take(2).map(_._1).contains(0L))
+  }
+
+  test("PQ index rejects non-l2sq metrics and wide codebooks") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0f, 0f))).toDF("id", "vec")
+    val cb = graft.pq.PqCodebook(2, Array(Array(Array(0f), Array(1f)),
+      Array(Array(0f), Array(1f))))
+    intercept[IllegalArgumentException] {
+      PqAnnIndex.build(df, "id", "vec", "/tmp/x", cb, AnnParams(metric = "cos"))
+    }
+  }
+}

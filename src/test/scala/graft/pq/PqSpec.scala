@@ -51,21 +51,21 @@ class PqSpec extends SparkTestBase {
     val cb = ProductQuantizer.trainCodebook(
       e, "embedding", clusters = 64, subvectors = 32, seed = 7)
     val pq = ProductQuantizer.quantizeTable(e, "embedding", cb).cache()
-
-    val queries = e.where(col("vec_id") < 5).select("vec_id", "embedding").collect()
-    val recalls = queries.map { r =>
-      val q = r.getSeq[Float](1).toArray
-      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val approx = ProductQuantizer
-        .searchPq(pq, "vec_id", "embedding_pq", cb, q, 10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      exact.intersect(approx).size.toDouble / exact.size
-    }
-    val avg = recalls.sum / recalls.length
-    assert(avg >= 0.8, s"avg PQ recall $avg (drop vs exact must be < 0.2)")
-    pq.unpersist(); e.unpersist()
+    try {
+      val queries = e.where(col("vec_id") < 5).select("vec_id", "embedding").collect()
+      val recalls = queries.map { r =>
+        val q = r.getSeq[Float](1).toArray
+        val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val approx = ProductQuantizer
+          .searchPq(pq, "vec_id", "embedding_pq", cb, q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        exact.intersect(approx).size.toDouble / exact.size
+      }
+      val avg = recalls.sum / recalls.length
+      assert(avg >= 0.8, s"avg PQ recall $avg (drop vs exact must be < 0.2)")
+    } finally { pq.unpersist(); e.unpersist(); () }
   }
 
   test("quantizeTable adds <col>_pq; dropQuantization removes it") {

@@ -99,10 +99,16 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // distinct token HASHES are the working set: they feed the
+    // signature AND the verification jaccard. Verifying on 8-byte
+    // hashes instead of strings shrinks the candidate joins and makes
+    // set-intersection integer comparisons; xxhash64 collisions would
+    // need ~2^32 tokens per doc pair to matter.
     val base = df.select(
       col(idCol).cast("long").as("id"),
-      array_distinct(col(tokensCol)).as("toks"))
-      .withColumn("sig", minhashSignature($"toks", numHashes))
+      array_distinct(transform(col(tokensCol), t => xxhash64(t))).as("toks"))
+      .withColumn("sig",
+        GraftSqlShim.column(MinHashSig(GraftSqlShim.expression($"toks"), numHashes)))
 
     val banded = base.select(
       $"id",
@@ -117,6 +123,12 @@ object Dedup {
       .select($"p._1".as("id_a"), $"p._2".as("id_b"))
       .distinct()
 
+    // NOTE on a rejected optimization: pre-filtering candidates by the
+    // signature-estimated jaccard (join sigs, compare components) was
+    // measured SLOWER here — this corpus's candidates are mostly true
+    // pairs, so the two extra 1 KB-sig joins cost more than they save.
+    // It only pays when the LSH s-curve admits many mid-similarity
+    // false candidates; revisit with corpus stats before re-adding.
     val toks = base.select($"id", $"toks")
     candidates
       .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")

@@ -1,7 +1,5 @@
 package graft.pq
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
@@ -128,6 +126,15 @@ object ProductQuantizer {
 
   /** Train per-subvector k-means over (a sample of) the vector column —
     * `create_pq_codebook` (lantern_hnsw/src/hnsw/pqtable.c:40-190).
+    *
+    * One Spark job collects the bounded sample; the per-subvector fits
+    * run as LOCAL seeded Lloyd's iterations in parallel threads — the
+    * same shape as the reference CLI (linfa k-means over a sampled
+    * cursor, rayon-parallel per subvector, pq/codebook.rs:19-68:
+    * tol=0.1, max 20 iters, one run). Codebook quality needs
+    * ~1000·clusters rows, not the corpus, so the collect is bounded by
+    * `sampleLimit` regardless of table size; 32 driver-side fits beat
+    * 32 sequential MLlib jobs by the per-job overhead × 32.
     */
   def trainCodebook(
       df: DataFrame,
@@ -142,20 +149,111 @@ object ProductQuantizer {
     require(dim % subvectors == 0,
       s"graft: dim $dim not divisible by subvectors $subvectors")
     val subDim = dim / subvectors
-    val sample = df.select(col(vecCol).as("v")).limit(sampleLimit).cache()
-    try {
-      val centroids = (0 until subvectors).toArray.map { s =>
-        val slices = sample.select(
-          array_to_vector(
-            slice(col("v"), s * subDim + 1, subDim).cast(ArrayType(DoubleType)))
-            .as("features"))
-        val model = new KMeans()
-          .setK(clusters).setMaxIter(20).setTol(0.1).setSeed(seed + s)
-          .fit(slices)
-        model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val sample = df.select(col(vecCol).as("v")).limit(sampleLimit)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "graft: empty training sample for PQ codebook")
+
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until subvectors).map { s =>
+      Future {
+        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+        kmeansLocal(pts, clusters, maxIter = 20, tol = 0.1, seed = seed + s)
       }
-      PqCodebook(dim, centroids)
-    } finally { sample.unpersist(); () }
+    }
+    PqCodebook(dim, Await.result(Future.sequence(fits), Duration.Inf).toArray)
+  }
+
+  /** Seeded Lloyd's with k-means++ init (tol/iters per the reference's
+    * linfa config). Returns exactly `k` centroids (duplicates when the
+    * sample has fewer distinct points).
+    */
+  private[pq] def kmeansLocal(
+      points: Array[Array[Float]], k: Int, maxIter: Int, tol: Double,
+      seed: Long): Array[Array[Float]] = {
+    val d = points(0).length
+    val rnd = new java.util.Random(seed)
+    @inline def dist2(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) { val x = a(j) - b(j); s += x * x; j += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = Array.ofDim[Double](k, d)
+    val first = points(rnd.nextInt(points.length))
+    var j = 0
+    while (j < d) { centers(0)(j) = first(j); j += 1 }
+    val minD = points.map(p => dist2(p, centers(0)))
+    var c = 1
+    while (c < k) {
+      val total = minD.sum
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(points.length)
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < points.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+        pick = i
+      }
+      j = 0
+      while (j < d) { centers(c)(j) = points(pick)(j); j += 1 }
+      var i = 0
+      while (i < points.length) {
+        val dd = dist2(points(i), centers(c))
+        if (dd < minD(i)) minD(i) = dd
+        i += 1
+      }
+      c += 1
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](points.length)
+    val sums = Array.ofDim[Double](k, d)
+    val counts = new Array[Int](k)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var cc = 0
+        while (cc < k) {
+          val dd = dist2(points(i), centers(cc))
+          if (dd < bestD) { bestD = dd; best = cc }
+          cc += 1
+        }
+        assign(i) = best
+        counts(best) += 1
+        j = 0
+        while (j < d) { sums(best)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      moved = 0.0
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) > 0) {
+          j = 0
+          while (j < d) {
+            val nv = sums(cc)(j) / counts(cc)
+            val dj = nv - centers(cc)(j)
+            moved += dj * dj
+            centers(cc)(j) = nv
+            j += 1
+          }
+        } else {
+          // empty cluster: reseed at a random point
+          val p = points(rnd.nextInt(points.length))
+          j = 0
+          while (j < d) { centers(cc)(j) = p(j); j += 1 }
+        }
+        cc += 1
+      }
+      moved = math.sqrt(moved)
+      iter += 1
+    }
+    centers.map(_.map(_.toFloat))
   }
 
   /** `quantize_vector` as a column (sql/lantern.sql:256-307). The

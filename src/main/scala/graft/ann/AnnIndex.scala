@@ -234,6 +234,46 @@ object AnnIndex {
       .take(k)
   }
 
+  /** Batch ANN — the scale path for the k-NN JOIN (LATERAL pattern):
+    * ALL query vectors broadcast once, ONE pass over the shards, each
+    * task answering every query against its local graph, then a single
+    * groupBy-rank merge of k·shards rows per query. Index-side I/O is
+    * independent of the query count.
+    */
+  def searchMany(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      efOverride: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = readHeader(spark, path)
+    val ef = math.max(if (efOverride > 0) efOverride else h.ef, k)
+    val files = graphFiles(spark, path)
+    val banned = tombstones(spark, path)
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val bannedB = spark.sparkContext.broadcast(banned)
+    val qB = spark.sparkContext.broadcast(queries.toArray)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val g = GraphCache.get(f, sconf.value)
+        val b = bannedB.value
+        qB.value.iterator.flatMap { case (qid, q) =>
+          g.search(q, k, ef, b.contains).iterator
+            .map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    val local = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("dist", DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    local.withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** All live (id, vec) rows reconstructed from shards (minus tombstones). */
   def vectors(spark: SparkSession, path: String): DataFrame = {
     val h = readHeader(spark, path)

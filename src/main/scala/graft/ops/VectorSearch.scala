@@ -43,6 +43,39 @@ object VectorSearch {
     withDist.orderBy(col(distCol) +: tieBreak: _*).limit(k)
   }
 
+  /** Exact k-NN JOIN: for EVERY row of `queries`, the k nearest rows of
+    * `data` — the reference's LATERAL pattern (`test/sql/
+    * hnsw_select.sql:66-69`: per-outer-row ORDER BY dist LIMIT k).
+    *
+    * Shape: broadcast the (small) query side, stream `data` once
+    * computing all pairwise distances, then per-query top-k via a
+    * rank window partitioned by query id. The shuffle carries
+    * |queries|·|data| distance rows — use it when |queries| is
+    * modest (the LATERAL use case); for large query sets build an ANN
+    * index and use `AnnIndex.searchMany`.
+    */
+  def knnJoinExact(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      data: DataFrame,
+      dataIdCol: String,
+      dataVecCol: String,
+      k: Int,
+      metric: String = "l2sq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
+    val d = data.select(col(dataIdCol).as("neighbor_id"), col(dataVecCol).as("__dv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    d.crossJoin(q)
+      .withColumn("dist", distance(metric, col("__dv"), col("__qv")))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist"), col("__rank").as("rank"))
+  }
+
   /** Exact top-k where the query vector comes from a (tiny) one-row
     * DataFrame instead of a literal — broadcast-joined so the big side
     * streams once. Used by the driver-checkable queries so the oracle

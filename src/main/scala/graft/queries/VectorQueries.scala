@@ -73,8 +73,34 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** Exact k-NN JOIN (the LATERAL pattern): 3 nearest data rows for
+    * EACH of 5 query rows, via broadcast + rank window. */
+  private def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.ops.VectorSearch.knnJoinExact(
+        e.where(col("vec_id") < 5), "vec_id", "embedding",
+        e.where(col("vec_id") >= 5), "vec_id", "embedding",
+        k = 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dist"), 4).as("dist"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnJoinOracle = {
+    val l2sq =
+      "list_sum(list_transform(list_zip(d.embedding, q.embedding), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))"
+    s"""WITH x AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    $l2sq AS dist,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $l2sq, d.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id >= 5)
+       |SELECT query_id, neighbor_id, round(dist, 4) AS dist, rank
+       |FROM x WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_l2sq_exact", Some(knnOracle(l2sqSql)), knn("l2sq")),
+    QueryDef("knn_join_exact", Some(knnJoinOracle), knnJoin),
     QueryDef("knn_cos_exact", Some(knnOracle(cosSql)), knn("cos")),
     QueryDef("knn_inner_exact", Some(knnOracle(s"round(-$dotSql, 4)")), knn("inner")),
     QueryDef(

@@ -1,0 +1,139 @@
+package graft.ann
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ops.VectorSearch
+import graft.pq.ProductQuantizer
+
+/** IVF (inverted-file) ANN index — the brief's "IVF variant as the
+  * scale path" for similarity search, expressed with Spark's own
+  * storage primitives: coarse k-means centroids assign every vector to
+  * a list, the table is written `partitionBy(list_id)`, and a search
+  * probes only the `nprobe` nearest lists — the `list_id IN (...)`
+  * filter is a PARTITION filter, so Catalyst prunes unprobed lists at
+  * planning time and the scan reads nprobe/nlists of the data.
+  *
+  * Complements HNSW: no graph build cost, index = plain Parquet
+  * (any engine can read it), updates = append rows to their list
+  * partition; recall is tuned by nprobe instead of ef. Metrics: l2sq
+  * natively; cos via unit-normalization at build and search
+  * (l2sq on unit vectors orders identically to cosine distance).
+  */
+object IvfIndex {
+
+  private val CentroidsDir = "centroids"
+  private val DataDir = "data"
+
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nlists: Int = 64,
+      metric: String = "l2sq",
+      sampleLimit: Int = 100000,
+      seed: Long = 42L): Unit = {
+    require(metric == "l2sq" || metric == "cos",
+      s"graft: IVF supports l2sq|cos, got '$metric'")
+    val spark = df.sparkSession
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+
+    val data0 = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+    val data = if (metric == "cos") data0.withColumn("vec", normalized(col("vec")))
+      else data0
+
+    val sample = data.select("vec").limit(sampleLimit)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "graft: empty sample for IVF coarse centroids")
+    val centroids = ProductQuantizer.kmeansLocalPublic(
+      sample, nlists, maxIter = 20, tol = 0.1, seed = seed)
+
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, metric) }.toSeq
+      .toDF("list_id", "centroid", "metric")
+      .coalesce(1)
+      .write.parquet(s"$path/$CentroidsDir")
+
+    val cB = spark.sparkContext.broadcast(centroids)
+    val assign = udf { v: Seq[Float] =>
+      IvfIndex.nearestList(v.toArray, cB.value)
+    }
+    data.withColumn("list_id", assign(col("vec")))
+      .write.partitionBy("list_id").parquet(s"$path/$DataDir")
+  }
+
+  private[ann] def nearestList(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var j = 0
+      val cc = cs(c)
+      while (j < v.length) { val x = v(j) - cc(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = udf { v: Seq[Float] =>
+      var s = 0.0; v.foreach(x => s += x.toDouble * x)
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    f(c)
+  }
+
+  private def loadCentroids(spark: SparkSession, path: String)
+      : (Array[Array[Float]], String) = {
+    val rows = spark.read.parquet(s"$path/$CentroidsDir")
+      .orderBy("list_id").collect()
+    (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
+  }
+
+  /** The probed scan as a DataFrame (id, vec, list_id) — exposed so
+    * tests can assert the PartitionFilters pruning in the plan. */
+  def probedScan(
+      spark: SparkSession, path: String, query: Array[Float], nprobe: Int)
+      : (DataFrame, Array[Float]) = {
+    val (centroids, metric) = loadCentroids(spark, path)
+    val q = if (metric == "cos") {
+      var s = 0.0; query.foreach(x => s += x.toDouble * x)
+      val n = math.sqrt(s)
+      if (n == 0.0) query else query.map(x => (x / n).toFloat)
+    } else query
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(math.max(nprobe, 1)).map(_._1)
+    val scan = spark.read.parquet(s"$path/$DataDir")
+      .where(col("list_id").isin(probes.toIndexedSeq: _*))
+    (scan, q)
+  }
+
+  /** Top-k over the probed lists: partition-pruned scan + exact
+    * distance + TakeOrderedAndProject. Returns (id, dist).
+    */
+  def search(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 8): DataFrame = {
+    val (scan, q) = probedScan(spark, path, query, nprobe)
+    scan
+      .withColumn("dist", VectorSearch.distance("l2sq", col("vec"), lit(q)))
+      .orderBy(col("dist"), col("id"))
+      .limit(k)
+      .select("id", "dist")
+  }
+}

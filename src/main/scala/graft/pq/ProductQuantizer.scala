@@ -165,6 +165,12 @@ object ProductQuantizer {
     PqCodebook(dim, Await.result(Future.sequence(fits), Duration.Inf).toArray)
   }
 
+  /** Seeded local k-means for other components (IVF coarse centroids). */
+  private[graft] def kmeansLocalPublic(
+      points: Array[Array[Float]], k: Int, maxIter: Int, tol: Double,
+      seed: Long): Array[Array[Float]] =
+    kmeansLocal(points, k, maxIter, tol, seed)
+
   /** Seeded Lloyd's with k-means++ init (tol/iters per the reference's
     * linfa config). Returns exactly `k` centroids (duplicates when the
     * sample has fewer distinct points).

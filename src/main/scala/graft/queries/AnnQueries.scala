@@ -74,8 +74,31 @@ object AnnQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** IVF recall gate: coarse-quantized partition-pruned search must
+    * reach recall@10 ≥ 0.8 vs the exact oracle with half the lists
+    * probed. */
+  private def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.IvfIndex
+    val e = Tables.embeddings(s, dir)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-ivf-${Integer.toHexString(dir.hashCode)}/idx").toString
+    IvfIndex.build(e, "vec_id", "embedding", path, nlists = 16)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val got = IvfIndex.search(s, path, q, 10, nprobe = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
+    QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),
   )
 }

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.functions._
+import graft.ops.MaskedExplain
+
+/** Plan-shape assertions: the physical plans the engine promises
+  * (SURVEY.md §4) — exact k-NN must be TakeOrderedAndProject (per-
+  * partition heap, no global sort), scans must prune columns, the one-
+  * row query side must broadcast, and distance expressions must stay
+  * inside whole-stage codegen.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    MaskedExplain.explain(df, "formatted")
+
+  test("exact kNN compiles to TakeOrderedAndProject, not global Sort+Limit") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.select("embedding").head().getSeq[Float](0).toArray
+    val p = plan(e.orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("GlobalSort"))
+  }
+
+  test("projection prunes the parquet read schema") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val p = plan(e.select("vec_id"))
+    // ReadSchema must carry only the selected column, not embedding
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("vec_id") && !readSchema.contains("embedding"),
+      readSchema)
+  }
+
+  test("filter pushes down to the parquet scan") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val p = plan(e.where(col("label") > 3).select("vec_id"))
+    assert(p.contains("PushedFilters: [IsNotNull(label), GreaterThan(label,3)]"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("one-row query side broadcasts in exactVsRow") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val qr = e.where(col("vec_id") === 0).select(col("embedding").as("q"))
+    val p = plan(graft.ops.VectorSearch.exactVsRow(
+      e, "embedding", qr, "q", k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+  }
+
+  test("distance expressions run inside WholeStageCodegen") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val q = e.select("embedding").head().getSeq[Float](0).toArray
+    val df = e.select(l2sq_dist(col("embedding"), lit(q)).as("d"))
+    // formatted mode marks codegen stages with '*'; the projection
+    // carrying the distance expression must be starred (codegen), not a
+    // fallback interpreted Project
+    val p = plan(df)
+    assert(p.contains("* Project"), p.take(600))
+  }
+
+  test("SQL surface: registered functions work in spark.sql and match the DSL") {
+    graft.functions.registerAll(spark)
+    val dir = sf("sf0.001")
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT vec_id, l2sq_dist(embedding, (SELECT first(embedding) FROM emb WHERE vec_id = 0)) AS d
+        |FROM emb ORDER BY d, vec_id LIMIT 5""".stripMargin).collect()
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val viaDsl = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(5).collect()
+    assert(viaSql.map(_.getLong(0)).toSeq === viaDsl.map(_.getLong(0)).toSeq)
+  }
+}

@@ -1,7 +1,6 @@
 package graft.ann
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
@@ -318,7 +317,18 @@ object AnnIndex {
   * Keyed by (path, length, mtime) so artifact rewrites invalidate.
   */
 object GraphCache {
-  private val cache = new ConcurrentHashMap[String, HnswGraph]()
+  // Bounded: an executor serving many indexes must not accumulate
+  // graphs without limit. Accessed-ordered LinkedHashMap evicts the
+  // least-recently-used shard beyond MaxEntries (each shard is the
+  // dominant memory object — eviction == GC eligibility).
+  private val MaxEntries = 64
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, HnswGraph](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, HnswGraph]): Boolean =
+          size() > MaxEntries
+      })
 
   def get(file: String, conf: org.apache.hadoop.conf.Configuration): HnswGraph = {
     val p = new Path(file)

@@ -148,7 +148,13 @@ object PqAnnIndex {
     PqShard(g, codes, cb)
   }
 
-  private val cache = new ConcurrentHashMap[String, PqShard]()
+  // LRU-bounded like GraphCache (shards are the dominant memory object)
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, PqShard](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, PqShard]): Boolean = size() > 64
+      })
 
   private def load(file: String, conf: org.apache.hadoop.conf.Configuration): PqShard = {
     val p = new Path(file)

@@ -239,10 +239,34 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 /** Session extension wiring — `SparkSessionExtensions` is the engine's
   * registration point, like CREATE EXTENSION in the reference.
   * Use: `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Injects the planner rule, the physical strategy, AND the SQL
+  * function surface (so `spark.sql("... l2sq_dist(v, q) ...")` works
+  * without a registerAll call).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{HammingDist, InnerProduct, L2Norm, StemWord}
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(s => new AnnRewriteRule(s))
     ext.injectPlannerStrategy(_ => AnnStrategy)
+    Seq(
+      fn("l2sq_dist", "squared euclidean distance (lantern <->)")(
+        es => L2SqDist(es(0), es(1))),
+      fn("cos_dist", "cosine distance (lantern <=>)")(
+        es => CosDist(es(0), es(1))),
+      fn("hamming_dist", "packed-bit hamming distance (lantern <+>)")(
+        es => HammingDist(es(0), es(1))),
+      fn("inner_product", "dot product")(es => InnerProduct(es(0), es(1))),
+      fn("vector_norm", "euclidean norm")(es => L2Norm(es(0))),
+      fn("stem", "Porter2 English stem of one token")(es => StemWord(es(0))),
+    ).foreach(ext.injectFunction)
   }
 }

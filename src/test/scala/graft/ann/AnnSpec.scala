@@ -148,6 +148,16 @@ class AnnSpec extends SparkTestBase {
       assert(hasAnn(wide))
       assert(wide.count() === 5)
 
+      // pure-SQL path: constant-folded array literal must also rewrite
+      e.createOrReplaceTempView("graft_ann_emb")
+      val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")")
+      val sqlKnn = spark.sql(
+        s"""SELECT vec_id, embedding FROM graft_ann_emb
+           |ORDER BY l2sq_dist(embedding, $qSql) LIMIT 10""".stripMargin)
+      assert(hasAnn(sqlKnn), "SQL ORDER BY dist LIMIT must use ANN scan")
+      assert(recall(sqlKnn.select("vec_id").collect().map(_.getLong(0)).toSeq,
+        exact) >= 0.8)
+
       // a filter between sort and scan must NOT rewrite (semantics guard)
       val filtered = e.where(col("label") > 100)
         .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(5)

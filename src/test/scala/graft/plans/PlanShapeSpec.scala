@@ -60,8 +60,8 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("* Project"), p.take(600))
   }
 
-  test("SQL surface: registered functions work in spark.sql and match the DSL") {
-    graft.functions.registerAll(spark)
+  test("SQL surface: extension-injected functions work in spark.sql and match the DSL") {
+    // NOT calling registerAll — GraftExtensions must have injected them
     val dir = sf("sf0.001")
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
     val viaSql = spark.sql(

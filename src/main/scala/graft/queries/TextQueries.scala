@@ -18,12 +18,17 @@ object TextQueries {
   private val bm25Query = Seq("scan", "merge", "join")
 
   /** Full pipeline through the library: analyzed docs → inverted table
-    * → searchBm25 → top 10. */
+    * → searchBm25 → top 10. k1/b/threshold come from the session conf
+    * (`spark.graft.bm25.*`, reference GUC defaults) so the conf surface
+    * is exercised end-to-end by the driver check.
+    */
   private def bm25Search(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenize(col("text")).as("terms"))
-    val inv = Bm25.createBm25Table(docs, "doc_id", "terms")
-    Bm25.searchBm25(inv, bm25Query, 10)
+    val inv = Bm25.createBm25Table(docs, "doc_id", "terms",
+      bloomThreshold = graft.GraftConf.bm25ApproxThreshold(s))
+    Bm25.searchBm25(inv, bm25Query, 10,
+      k1 = graft.GraftConf.bm25K1(s), b = graft.GraftConf.bm25B(s))
       .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
   }
 

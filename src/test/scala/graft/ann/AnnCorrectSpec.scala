@@ -1,0 +1,98 @@
+package graft.ann
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.functions.l2sq_dist
+import graft.plans.AnnCatalog
+
+/** Index-vs-exact equivalence and composability — the Spark analogs of
+  * the reference's `hnsw_correct.sql:16-48` (same query with and
+  * without index returns identical rows on unique-distance data) and
+  * `hnsw_select.sql:21-72` (index still used under UNION / GROUP BY /
+  * subqueries).
+  */
+class AnnCorrectSpec extends SparkTestBase {
+
+  test("with-index results equal exact results row-for-row at high ef (hnsw_correct analog)") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val path = Files.createTempDirectory("graft-correct").toString + "/idx"
+    // single shard + generous ef: deterministic (fixed seeds) and, as
+    // verified here, exhaustive on this corpus
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 32, efConstruction = 200, ef = 400, numPartitions = 1))
+    (0 until 5).foreach { qi =>
+      val q = e.where(col("vec_id") === qi).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val ann = AnnIndex.search(spark, path, q, 10, efOverride = 400)
+        .map(_._1).toSeq
+      assert(ann === exact, s"query $qi")
+    }
+  }
+
+  test("ANN rewrite composes under UNION, GROUP BY and subqueries (hnsw_select analog)") {
+    val dir = sf("sf0.001")
+    val tmp = Files.createTempDirectory("graft-compose").toString
+    val e = Tables.embeddings(spark, dir)
+    AnnIndex.build(e, "vec_id", "embedding", s"$tmp/idx", AnnParams(numPartitions = 2))
+    val q1 = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val q2 = e.where(col("vec_id") === 1).select("embedding").head().getSeq[Float](0).toArray
+    AnnCatalog.register(spark, s"$dir/embeddings.parquet",
+      AnnCatalog.IndexMeta(s"$tmp/idx", "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      def hasAnn(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case a: graft.plans.AnnScanLogical => a
+        }.size
+      def knn(q: Array[Float]) = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(5)
+
+      // UNION of two ANN queries: both inner limits rewrite
+      val union = knn(q1).unionByName(knn(q2))
+      assert(hasAnn(union) === 2, "both union branches must use the index")
+      assert(union.count() === 10)
+
+      // GROUP BY over an ANN result: rewrite below the aggregate
+      val grouped = knn(q1).groupBy(col("vec_id")).count()
+      assert(hasAnn(grouped) === 1)
+      assert(grouped.count() === 5)
+
+      // subquery/CTE shape via DataFrame chaining: filter ABOVE the knn
+      // (post-filter of index results, like the reference's WHERE-above-
+      // LATERAL) keeps the rewrite
+      val post = knn(q1).where(col("vec_id") > 0)
+      assert(hasAnn(post) === 1)
+    } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
+  }
+
+  test("missing artifact fails with a clear error") {
+    val ex = intercept[Exception] {
+      AnnIndex.search(spark, "/tmp/graft-definitely-missing/idx", Array(1f), 1)
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("midsize distributed build: 10k vectors, 4 shards, recall holds") {
+    import spark.implicits._
+    val rng = new java.util.Random(5)
+    val dim = 16
+    val data = (0L until 10000L).map(i => (i, Array.fill(dim)(rng.nextFloat())))
+    val df = data.toDF("id", "vec").repartition(4)
+    val path = Files.createTempDirectory("graft-mid").toString + "/idx"
+    AnnIndex.build(df, "id", "vec", path, AnnParams(numPartitions = 4))
+
+    val recalls = (0 until 5).map { _ =>
+      val q = Array.fill(dim)(rng.nextFloat())
+      val exact = data.map { case (id, v) =>
+        (id, Metric.dist(Metric.L2Sq, q, v))
+      }.sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+      val ann = AnnIndex.search(spark, path, q, 10).map(_._1).toSet
+      ann.intersect(exact).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.85, s"midsize recall $avg")
+  }
+}

@@ -112,32 +112,32 @@ object Bm25 {
     val tf = toks.groupBy($"term", $"doc_id")
       .agg(count(lit(1)).cast("int").as("fq"), first($"doc_len").as("doc_len"))
 
-    // true df + bounded postings, one shuffle on term
-    val byTerm = Window.partitionBy($"term")
-    val capped = tf
-      .withColumn("df", count(lit(1)).over(byTerm).cast("int"))
-      .withColumn("rn", row_number().over(byTerm.orderBy($"doc_id")))
+    // hot/rare split WITHOUT windowing the full data: term document
+    // frequencies partial-aggregate to tiny (term, df) rows; only the
+    // (few) hot terms pay the row_number sort that caps their postings
+    val counts = tf.groupBy($"term").agg(count(lit(1)).cast("int").as("df"))
+    val hotTerms = counts.where($"df" > bloomThreshold)
+    val hotCounts = hotTerms.as[(String, Int)].collect().toMap
+    val tfTagged = tf.join(
+      broadcast(hotTerms.withColumnRenamed("df", "__hot_df")), Seq("term"), "left")
+
+    val invRare = tfTagged.where($"__hot_df".isNull)
+      .groupBy($"term")
+      .agg(
+        count(lit(1)).cast("int").as("term_freq"),
+        sort_array(collect_list(struct($"doc_id", $"fq", $"doc_len")))
+          .as("postings"))
+
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy($"term").orderBy($"doc_id")
+    val invHot = tfTagged.where($"__hot_df".isNotNull)
+      .withColumn("rn", row_number().over(byTerm))
       .where($"rn" <= bloomThreshold)
-
-    val invRare = capped.where($"df" <= bloomThreshold)
       .groupBy($"term")
       .agg(
-        first($"df").as("term_freq"),
+        first($"__hot_df").as("term_freq"),
         sort_array(collect_list(struct($"doc_id", $"fq", $"doc_len")))
           .as("postings"))
-
-    val invHot = capped.where($"df" > bloomThreshold)
-      .groupBy($"term")
-      .agg(
-        first($"df").as("term_freq"),
-        sort_array(collect_list(struct($"doc_id", $"fq", $"doc_len")))
-          .as("postings"))
-
-    // full-set blooms for hot terms: partial bloom per partition,
-    // merged per term — the only state per (partition, term) is the
-    // fixed-size sketch
-    val hotCounts = invHot.select($"term", $"term_freq").as[(String, Int)]
-      .collect().toMap
     val hotBlooms: DataFrame =
       if (hotCounts.isEmpty)
         Seq.empty[(String, Array[Byte])].toDF("term", "doc_ids_bloom")

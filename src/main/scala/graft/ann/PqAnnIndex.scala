@@ -170,6 +170,52 @@ object PqAnnIndex {
     s
   }
 
+  /** Candidate rows (id, dequantized vec) for the planner's AnnScanExec:
+    * per-shard LUT search, vectors reconstructed from their codes so the
+    * exact re-rank above operates on the PQ approximation.
+    */
+  private[graft] def candidateRows(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      ef: Int): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = new Path(path, GraphDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
+      .map(_.getPath.toString).sorted.toSeq
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val qB = spark.sparkContext.broadcast(query)
+    val kk = k; val eff = math.max(ef, k)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .mapPartitions { fit =>
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+        fit.flatMap { f =>
+          val shard = load(f, sconf.value)
+          val lut = shard.cb.l2sqLut(qB.value)
+          val codes = shard.codes
+          val nd = (n: Int) => {
+            val cs = codes(n)
+            var s = 0; var d = 0.0
+            while (s < cs.length) { d += lut(s)(cs(s) & 0xFF); s += 1 }
+            d
+          }
+          shard.graph.searchNodesWith(nd, kk, eff).iterator.map { case (n, _) =>
+            val deq = shard.cb.dequantize(codes(n).map(b => (b & 0xFF).toShort))
+            proj(org.apache.spark.sql.catalyst.InternalRow(
+              shard.graph.label(n),
+              org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+                .fromPrimitiveArray(deq))).copy()
+          }
+        }
+      }
+  }
+
   /** Top-k under the asymmetric LUT distance (nearest-first). */
   def search(
       spark: SparkSession,

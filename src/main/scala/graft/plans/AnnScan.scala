@@ -27,10 +27,19 @@ import graft.functions.{CosDist, InnerProduct, L2SqDist}
   * unless `ORDER BY v <op> const LIMIT k`).
   */
 object AnnCatalog {
+  /** `kind`: "hnsw" (float graph shards), "ivf" (partition-pruned
+    * lists), or "pq" (code shards searched via LUT, candidates emitted
+    * as dequantized vectors). A table may carry several indexes
+    * (different columns/metrics), like multiple lantern indexes on one
+    * table — the rule picks the one matching the sort expression.
+    */
   case class IndexMeta(artifact: String, idCol: String, vecCol: String,
-      metric: String, ef: Int)
+      metric: String, ef: Int, kind: String = "hnsw") {
+    require(Set("hnsw", "ivf", "pq").contains(kind),
+      s"graft: unknown index kind '$kind'")
+  }
 
-  private val registry = TrieMap[String, IndexMeta]()
+  private val registry = TrieMap[String, Seq[IndexMeta]]()
 
   private def normalize(spark: SparkSession, p: String): String = {
     val hp = new Path(p)
@@ -38,18 +47,28 @@ object AnnCatalog {
       .makeQualified(hp).toString
   }
 
-  def register(spark: SparkSession, tablePath: String, meta: IndexMeta): Unit =
-    registry.put(normalize(spark, tablePath), meta)
+  def register(spark: SparkSession, tablePath: String, meta: IndexMeta): Unit = {
+    val key = normalize(spark, tablePath)
+    registry.updateWith(key) {
+      case Some(ms) => Some(ms.filterNot(m =>
+        m.vecCol == meta.vecCol && m.metric == meta.metric) :+ meta)
+      case None => Some(Seq(meta))
+    }
+    ()
+  }
 
   def unregister(spark: SparkSession, tablePath: String): Unit =
     registry.remove(normalize(spark, tablePath))
 
   def clear(): Unit = registry.clear()
 
-  def lookup(rootPaths: Seq[Path]): Option[IndexMeta] =
-    rootPaths.iterator.map(p => registry.get(p.toString)).collectFirst {
-      case Some(m) => m
-    }
+  def lookup(rootPaths: Seq[Path], vecCol: String, metric: String): Option[IndexMeta] =
+    rootPaths.iterator
+      .flatMap(p => registry.getOrElse(p.toString, Nil))
+      .find(m => m.vecCol == vecCol && m.metric == metric)
+
+  def anyFor(rootPaths: Seq[Path]): Boolean =
+    rootPaths.exists(p => registry.contains(p.toString))
 }
 
 /** Logical leaf producing the ANN candidate set (id, vec) for one query.
@@ -62,7 +81,8 @@ case class AnnScanLogical(
     artifact: String,
     query: Seq[Float],
     k: Int,
-    ef: Int) extends LeafNode {
+    ef: Int,
+    kind: String = "hnsw") extends LeafNode {
   override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = 1L + k.toLong * (8 + 4 * query.size))
@@ -80,11 +100,29 @@ case class AnnScanExec(
     artifact: String,
     query: Seq[Float],
     k: Int,
-    ef: Int) extends LeafExecNode {
+    ef: Int,
+    kind: String = "hnsw") extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] = kind match {
+    case "hnsw" => hnswCandidates()
+    case "ivf" =>
+      // probed-list scan: ef plays the nprobe role for IVF indexes;
+      // output is every row of the probed lists (partition-pruned),
+      // re-ranked exactly by the Sort+Limit above
+      val (scan, _) = graft.ann.IvfIndex.probedScan(
+        session, artifact, query.toArray, nprobe = math.max(1, ef))
+      scan.selectExpr("id", "vec").queryExecution.toRdd
+    case "pq" =>
+      // LUT-searched candidates emitted as DEQUANTIZED vectors: the
+      // exact re-rank above then measures against the PQ approximation
+      // (the reference's in-graph asymmetric search, scan.c:75-88)
+      graft.ann.PqAnnIndex.candidateRows(
+        session, artifact, query.toArray, k, math.max(ef, k))
+  }
+
+  private def hnswCandidates(): RDD[InternalRow] = {
     val spark = session
     val files = {
       val p = new Path(artifact, "graphs")
@@ -125,8 +163,8 @@ case class AnnScanExec(
 
 object AnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AnnScanLogical(id, vec, artifact, q, k, ef) =>
-      AnnScanExec(id, vec, artifact, q, k, ef) :: Nil
+    case AnnScanLogical(id, vec, artifact, q, k, ef, kind) =>
+      AnnScanExec(id, vec, artifact, q, k, ef, kind) :: Nil
     case _ => Nil
   }
 }
@@ -177,10 +215,10 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def findRelation(plan: LogicalPlan)
-      : Option[(LogicalRelation, AnnCatalog.IndexMeta)] = plan match {
+      : Option[(LogicalRelation, Seq[Path])] = plan match {
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        AnnCatalog.lookup(fs.location.rootPaths).map(m => (lr, m))
+      case fs: HadoopFsRelation if AnnCatalog.anyFor(fs.location.rootPaths) =>
+        Some((lr, fs.location.rootPaths))
       case _ => None
     }
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
@@ -199,13 +237,14 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val rewritten = for {
         s @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, child, _) <- sortOpt
-        (rel, meta) <- findRelation(child)
+        (rel, paths) <- findRelation(child)
         (metric, vecAttr, q) <- matchDist(resolveThroughProject(sortExpr, child))
-        if metric == meta.metric && vecAttr.name == meta.vecCol
+        meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
         idAttr <- rel.output.find(_.name == meta.idCol)
       } yield {
         val ann = AnnScanLogical(
-          idAttr, vecAttr, meta.artifact, q.toSeq, k, math.max(meta.ef, k))
+          idAttr, vecAttr, meta.artifact, q.toSeq, k,
+          math.max(meta.ef, k), meta.kind)
         // narrow form is safe only when everything the sort's child
         // produces fits the ANN leaf — anything above references at most
         // child.output
@@ -216,7 +255,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val cid = AttributeReference("__graft_cand_id", LongType)()
             val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
             val candidates = Project(Seq(cid),
-              AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k, math.max(meta.ef, k)))
+              AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k,
+                math.max(meta.ef, k), meta.kind))
             Project(rel.output,
               Join(rel, candidates, Inner,
                 Some(EqualTo(idAttr, cid)),

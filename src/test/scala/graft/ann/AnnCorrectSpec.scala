@@ -68,6 +68,69 @@ class AnnCorrectSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
   }
 
+  test("planner rule routes to IVF and PQ index kinds; multiple indexes per table") {
+    import graft.pq.ProductQuantizer
+    val dir = sf("sf0.001")
+    val tmp = Files.createTempDirectory("graft-kinds").toString
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+
+    IvfIndex.build(e, "vec_id", "embedding", s"$tmp/ivf", nlists = 8)
+    val cb = ProductQuantizer.trainCodebook(e, "embedding",
+      clusters = 64, subvectors = 32, seed = 7)
+    PqAnnIndex.build(e, "vec_id", "embedding", s"$tmp/pq", cb,
+      AnnParams(numPartitions = 2))
+
+    def hasAnn(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AnnScanLogical => a
+      }.nonEmpty
+    val qs = (0 until 3).map { i =>
+      e.where(col("vec_id") === i).select("embedding").head().getSeq[Float](0).toArray
+    }
+    def knnFor(qq: Array[Float]) = e.select(col("vec_id"), col("embedding"))
+      .orderBy(l2sq_dist(col("embedding"), lit(qq))).limit(10)
+    def knn = knnFor(q)
+
+    // minRecall: IVF re-ranks true vectors (exact within probed lists);
+    // PQ re-ranks dequantized vectors, so it carries the quantization
+    // recall budget (reference gates PQ at drop < 0.2 on AVERAGE —
+    // hnsw_pq.sql:83-86)
+    def checkKind(kind: String, artifact: String, ef: Int, minRecall: Double): Unit = {
+      AnnCatalog.register(spark, s"$dir/embeddings.parquet",
+        AnnCatalog.IndexMeta(artifact, "vec_id", "embedding", "l2sq", ef, kind))
+      try {
+        assert(hasAnn(knn), s"$kind index must trigger the rewrite")
+        val recalls = qs.map { qq =>
+          val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(qq)))
+            .orderBy(col("d"), col("vec_id")).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val got = knnFor(qq).select("vec_id").collect().map(_.getLong(0)).toSet
+          got.intersect(exact).size.toDouble / exact.size
+        }
+        val avg = recalls.sum / recalls.size
+        assert(avg >= minRecall, s"$kind avg recall $avg")
+      } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
+    }
+    checkKind("ivf", s"$tmp/ivf", ef = 4, minRecall = 0.8) // ef = nprobe for IVF
+    checkKind("pq", s"$tmp/pq", ef = 64, minRecall = 0.75)
+
+    // two indexes on one table: cos registered alongside l2sq; the rule
+    // picks by the sort expression's metric
+    val floatIdx = s"$tmp/hnsw"
+    AnnIndex.build(e, "vec_id", "embedding", floatIdx, AnnParams(numPartitions = 2))
+    AnnCatalog.register(spark, s"$dir/embeddings.parquet",
+      AnnCatalog.IndexMeta(floatIdx, "vec_id", "embedding", "l2sq", 64, "hnsw"))
+    AnnCatalog.register(spark, s"$dir/embeddings.parquet",
+      AnnCatalog.IndexMeta(s"$tmp/ivf", "vec_id", "embedding", "cos", 4, "ivf"))
+    try {
+      assert(hasAnn(knn), "l2sq sort must match the l2sq index")
+      val cosKnn = e.select(col("vec_id"), col("embedding"))
+        .orderBy(graft.functions.cos_dist(col("embedding"), lit(q))).limit(5)
+      assert(hasAnn(cosKnn), "cos sort must match the cos index")
+    } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
+  }
+
   test("missing artifact fails with a clear error") {
     val ex = intercept[Exception] {
       AnnIndex.search(spark, "/tmp/graft-definitely-missing/idx", Array(1f), 1)

@@ -18,8 +18,17 @@ import graft.functions.l2sq_dist
 object AnnQueries {
 
   /** Build-once helper for the gate queries: artifacts are a pure
-    * function of (dir, params) — a _GRAFT_SUCCESS marker makes reuse
-    * safe against interrupted builds. */
+    * function of (source data, params) — a _GRAFT_SUCCESS marker makes
+    * reuse safe against interrupted builds, and the cache path embeds a
+    * fingerprint of the source parquet (length + mtime) so regenerated
+    * test data can never serve a stale index. */
+  private[queries] def artifactDir(tag: String, dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val fp = Integer.toHexString(
+      (dir.hashCode.toLong * 31 + src.length() * 31 + src.lastModified()).toInt)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag-$fp/idx").toString
+  }
+
   private[queries] def cached(path: String)(build: => Unit): Unit = {
     val marker = new java.io.File(path, "_GRAFT_SUCCESS")
     if (!marker.exists()) {
@@ -32,9 +41,7 @@ object AnnQueries {
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-ann-${Integer.toHexString(dir.hashCode)}/idx").toString
+    val path = artifactDir("ann", dir, "embeddings")
     cached(path) {
       AnnIndex.build(e, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
@@ -62,9 +69,7 @@ object AnnQueries {
     import s.implicits._
     import graft.plans.{AnnCatalog, AnnScanLogical}
     val e = Tables.embeddings(s, dir)
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-annp-${Integer.toHexString(dir.hashCode)}/idx").toString
+    val path = artifactDir("annp", dir, "embeddings")
     cached(path) {
       AnnIndex.build(e, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
@@ -97,9 +102,7 @@ object AnnQueries {
     import s.implicits._
     import graft.ann.IvfIndex
     val e = Tables.embeddings(s, dir)
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-ivf-${Integer.toHexString(dir.hashCode)}/idx").toString
+    val path = artifactDir("ivf", dir, "embeddings")
     cached(path) {
       IvfIndex.build(e, "vec_id", "embedding", path, nlists = 16)
     }

@@ -64,6 +64,28 @@ object TextQueries {
        |LIMIT 10""".stripMargin
   }
 
+  /** Consolidation path: the inverted index is built INCREMENTALLY (two
+    * disjoint halves of the corpus → duplicate term rows), merged by
+    * `consolidate`, then searched — the result must equal a single
+    * full-corpus build, so it shares bm25_search's oracle.
+    */
+  private def bm25Consolidate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("terms"))
+    val invA = Bm25.createBm25Table(docs.where(col("doc_id") % 2 === 0), "doc_id", "terms")
+    val invB = Bm25.createBm25Table(docs.where(col("doc_id") % 2 === 1), "doc_id", "terms")
+    // merged term rows + full-corpus stats row (incremental inserts
+    // keep stats separately, like the reference's bm25_api)
+    val fullStats = Bm25.createBm25Table(docs, "doc_id", "terms")
+      .where(col("term").isNull)
+    val merged = Bm25.consolidate(
+      invA.where(col("term").isNotNull)
+        .unionByName(invB.where(col("term").isNotNull))
+        .unionByName(fullStats))
+    Bm25.searchBm25(merged, bm25Query, 10)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+  }
+
   /** Tokens per document — token-counting surface, exact oracle. */
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -105,6 +127,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
+    QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),
     QueryDef(
       "token_count",
       Some(

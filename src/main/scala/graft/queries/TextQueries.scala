@@ -76,8 +76,7 @@ object TextQueries {
     val invB = Bm25.createBm25Table(docs.where(col("doc_id") % 2 === 1), "doc_id", "terms")
     // merged term rows + full-corpus stats row (incremental inserts
     // keep stats separately, like the reference's bm25_api)
-    val fullStats = Bm25.createBm25Table(docs, "doc_id", "terms")
-      .where(col("term").isNull)
+    val fullStats = Bm25.corpusStatsRow(docs, "doc_id", "terms")
     val merged = Bm25.consolidate(
       invA.where(col("term").isNotNull)
         .unionByName(invB.where(col("term").isNotNull))

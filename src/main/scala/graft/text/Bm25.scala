@@ -180,8 +180,17 @@ object Bm25 {
         $"doc_ids_bloom")
       .withColumn("avg_doc_len", lit(null).cast("double"))
 
-    val stats = base.agg(
-      count(lit(1)).as("n"), avg(size($"terms")).as("avgdl"))
+    inv.unionByName(corpusStatsRow(docs, idCol, termsCol))
+  }
+
+  /** Just the `term IS NULL` corpus-stats row (one aggregation — much
+    * cheaper than a full index build when only stats are needed, e.g.
+    * when consolidating incrementally-built term rows). */
+  def corpusStatsRow(docs: DataFrame, idCol: String, termsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(termsCol).as("terms"))
+      .agg(count(lit(1)).as("n"), avg(size($"terms")).as("avgdl"))
       .select(
         lit(null).cast("string").as("term"),
         $"n".cast("int").as("term_freq"),
@@ -191,8 +200,6 @@ object Bm25 {
         lit(null).cast("array<int>").as("doc_lens"),
         lit(null).cast("binary").as("doc_ids_bloom"),
         $"avgdl".as("avg_doc_len"))
-
-    inv.unionByName(stats)
   }
 
   /** BM25 term-score column from (fq, doc_len, df) given corpus stats. */

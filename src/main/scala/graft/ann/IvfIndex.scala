@@ -97,6 +97,20 @@ object IvfIndex {
     (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
   }
 
+  /** Tombstone ids (`ambulkdelete` analog, same semantics as the HNSW
+    * index): rows stay in their list partitions, masked at search;
+    * rebuild to compact. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(path, "tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** The probed scan as a DataFrame (id, vec, list_id) — exposed so
     * tests can assert the PartitionFilters pruning in the plan. */
   def probedScan(
@@ -115,8 +129,12 @@ object IvfIndex {
         (i, d)
       }
       .sortBy(_._2).take(math.max(nprobe, 1)).map(_._1)
-    val scan = spark.read.parquet(s"$path/$DataDir")
+    val base = spark.read.parquet(s"$path/$DataDir")
       .where(col("list_id").isin(probes.toIndexedSeq: _*))
+    val scan = tombstones(spark, path) match {
+      case Some(t) => base.join(broadcast(t), Seq("id"), "left_anti")
+      case None => base
+    }
     (scan, q)
   }
 

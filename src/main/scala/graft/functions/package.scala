@@ -39,6 +39,21 @@ package object functions {
       split(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " "), " "),
       t => sqlLength(t) > 0)
 
+  /** Lookahead-free GPT-2-style pre-tokenizer pattern (contractions,
+    * space-prefixed letter/digit/punct runs, whitespace runs). The
+    * published GPT-2 regex minus its `(?!\S)` lookahead, so the SAME
+    * pattern runs identically on Java regex and RE2 (DuckDB) — the
+    * "BPE-ish" token counter for data pipelines.
+    */
+  val BpePretokenizePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Split text into BPE-style pre-tokens (array<string>). */
+  def bpe_pretokenize(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_extract_all
+    regexp_extract_all(c, lit(BpePretokenizePattern), lit(0))
+  }
+
   /** tokenize → stem each token → drop stopwords (applied post-stem,
     * like the reference). `text_to_stem_array` in lantern
     * (lantern_extras/src/stemmers.rs:95-152). */

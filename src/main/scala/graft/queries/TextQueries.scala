@@ -91,6 +91,20 @@ object TextQueries {
       .select(col("doc_id"), size(tokenize(col("text"))).as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** BPE-style pre-token count (the "BPE-ish regex" counter): the same
+    * lookahead-free pattern runs on Java regex and RE2. */
+  private def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(bpe_pretokenize(col("text"))).as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  private val tokenCountBpeOracle: String = {
+    val pat = graft.functions.BpePretokenizePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Stemmed tokens (rows-only: stemmer has no offline DuckDB analog).
     * Emitted as one space-joined string so the driver's sort/hash of
     * the result is well-defined (array columns are unhashable there).
@@ -134,6 +148,7 @@ object TextQueries {
           |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS INT) AS n_tokens
           |FROM documents ORDER BY doc_id""".stripMargin),
       tokenCount),
+    QueryDef("token_count_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
     QueryDef("stem_tokens", None, stemTokens),
     QueryDef("bloom_membership", Some(bloomMembershipOracle), bloomMembership),
   )

@@ -48,6 +48,19 @@ class IvfSpec extends SparkTestBase {
     assert(rFull >= rHalf)
   }
 
+  test("IVF tombstone deletes mask rows at search") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, Array(i.toFloat, 0f))).toDF("id", "vec")
+    val path = Files.createTempDirectory("graft-ivfdel").toString + "/idx"
+    IvfIndex.build(df, "id", "vec", path, nlists = 2)
+    val q = Array(7f, 0f)
+    assert(IvfIndex.search(spark, path, q, 1, nprobe = 2)
+      .head().getLong(0) === 7L)
+    IvfIndex.delete(spark, path, Seq(7L))
+    assert(IvfIndex.search(spark, path, q, 1, nprobe = 2)
+      .head().getLong(0) !== 7L)
+  }
+
   test("cosine metric: normalized at build, search orders by cosine") {
     import spark.implicits._
     val df = Seq(

@@ -181,6 +181,32 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
       .limit(50)
 
+  /** Winnowing rolling-hash fingerprints (rows-only: xxhash64 has no
+    * DuckDB analog; determinism + algebra covered in TextAnalysisSpec).
+    * Scalars emitted (count + first) so the driver can sort/hash. */
+  private def winnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        element_at(col("fps"), 1).as("fp0"))
+      .orderBy(col("doc_id"))
+      .limit(50)
+
+  private def punctRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (floor(TextAnalysis.punctRatio(col("text")) * 1e4 + 0.5) / 1e4)
+          .as("punct_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val punctRatioOracle =
+    """SELECT doc_id,
+      |  floor((CASE WHEN len(text) = 0 THEN 0.0
+      |    ELSE len(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0 / len(text)
+      |  END) * 1e4 + 0.5) / 1e4 AS punct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -195,5 +221,7 @@ object PipelineQueries {
     QueryDef("lang_id", Some(langIdOracle), langId),
     QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
     QueryDef("doc_fingerprint", None, fingerprint),
+    QueryDef("winnow_fingerprint", None, winnow),
+    QueryDef("punct_ratio", Some(punctRatioOracle), punctRatio),
   )
 }

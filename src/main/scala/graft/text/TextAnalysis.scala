@@ -55,4 +55,44 @@ object TextAnalysis {
   /** 64-bit content fingerprint over the normalized token sequence
     * (order-sensitive — exact-dedup key robust to whitespace/punct). */
   def docFingerprint(text: Column): Column = xxhash64(tokenize(text))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every k-gram of the token stream, slide a window of `w` hashes,
+    * keep each window's minimum — the classic rolling-hash fingerprint
+    * set for local near-dup/overlap detection. Pure Column composition
+    * (map-side, codegen'd built-ins); returns a sorted distinct
+    * array<bigint>.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "graft: winnowing needs k >= 1 and w >= 1")
+    val toks = tokenize(text)
+    // k-gram hashes: hash of the space-joined k-token shingle
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i =>
+        xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    // windows of w consecutive gram hashes → min of each
+    val mins = when(size(grams) >= w,
+      transform(sequence(lit(0), size(grams) - w), i =>
+        array_min(slice(grams, i + lit(1), lit(w)))))
+      .otherwise(when(size(grams) > 0, array(array_min(grams)))
+        .otherwise(array().cast("array<bigint>")))
+    sort_array(array_distinct(mins))
+  }
+
+  /** Estimated containment/overlap of two winnowing fingerprint sets. */
+  def fingerprintOverlap(a: Column, b: Column): Column = {
+    val u = size(array_distinct(concat(a, b)))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
+  }
+
+  /** Punctuation-character ratio (quality signal: spammy/tabular text
+    * skews high): non-word, non-space chars / all chars. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text).cast("double")
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[\\w\\s]", "")).cast("double") / n)
+  }
 }

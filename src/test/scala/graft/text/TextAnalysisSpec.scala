@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("winnowing: identical texts share fingerprints, shifted text overlaps, unrelated doesn't") {
+    val doc = "the quick brown fox jumps over the lazy dog again and again today"
+    val shifted = "PREFIX words here " + doc
+    val other = "completely different content about spark query planning internals"
+    val df = Seq((1L, doc), (2L, doc), (3L, shifted), (4L, other)).toDF("id", "t")
+      .select($"id", TextAnalysis.winnowFingerprints($"t", k = 3, w = 4).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    assert(fps(1L) === fps(2L), "identical docs → identical fingerprint sets")
+    assert(fps(1L).nonEmpty)
+    // winnowing guarantees shared fingerprints for long shared substrings
+    val shared = fps(1L).toSet.intersect(fps(3L).toSet)
+    assert(shared.nonEmpty, "shifted copy must share fingerprints")
+    assert(fps(1L).toSet.intersect(fps(4L).toSet).isEmpty,
+      "unrelated docs should share nothing here")
+
+    val overlap = Seq((fps(1L), fps(3L))).toDF("a", "b")
+      .select(TextAnalysis.fingerprintOverlap($"a", $"b")).head().getDouble(0)
+    assert(overlap > 0.5, s"overlap $overlap")
+  }
+
+  test("winnowing edge cases: short docs, empty text") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("id", "t")
+      .select($"id", TextAnalysis.winnowFingerprints($"t", k = 3, w = 4).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).isEmpty, "fewer than k tokens → no fingerprints")
+    assert(fps(2L).isEmpty)
+    // 4 tokens, k=3 → 2 grams < w → single min
+    assert(fps(3L).size === 1)
+  }
+
+  test("punctRatio counts non-word non-space chars") {
+    val df = Seq(
+      (1L, "abcd"), (2L, "a,b.c!"), (3L, ""), (4L, "!!!!"))
+      .toDF("id", "t")
+      .select($"id", TextAnalysis.punctRatio($"t").as("r"))
+    val rs = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rs(1L) === 0.0)
+    assert(rs(2L) === 0.5) // 3 punct / 6 chars
+    assert(rs(3L) === 0.0)
+    assert(rs(4L) === 1.0)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.text.TextAnalysis
+
+/** Stateful streaming operators for continuous ingestion — the
+  * Structured Streaming side of the training-data pipeline: streams
+  * get the SAME dedup/quality semantics as batch, with state held in
+  * Spark's state store instead of a shuffle.
+  */
+object StreamingDedup {
+
+  /** Streaming exact dedup: keyed by a 64-bit content fingerprint
+    * (docFingerprint — whitespace/punct-robust), only the FIRST
+    * document per fingerprint is emitted; later arrivals are dropped
+    * via `flatMapGroupsWithState` per-key state. State is one boolean
+    * per distinct fingerprint — the streaming analog of
+    * `Dedup.exactDedup`.
+    */
+  def dropSeenDuplicates(stream: DataFrame, textCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+    val enc = RowEncoder.encoderFor(schema)
+    val keyed = stream
+      .withColumn("__fp", TextAnalysis.docFingerprint(col(textCol)))
+      .groupByKey(r => r.getAs[Long]("__fp"))(Encoders.scalaLong)
+
+    val out: Dataset[Row] = keyed.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (_: Long, rows: Iterator[Row], state: GroupState[Boolean]) => {
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          rows.take(1).map(r => Row.fromSeq(r.toSeq.dropRight(1)))
+        }
+      })(Encoders.scalaBoolean, enc)
+    out
+  }
+
+  private object Encoders {
+    val scalaLong: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    val scalaBoolean: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+  }
+
+  /** Watermarked per-window corpus statistics (docs + mean quality per
+    * event-time window): the `readStream → watermark → windowed agg`
+    * shape for monitoring a live ingestion feed. Late data beyond the
+    * watermark is dropped; state is bounded by (windows in flight ×
+    * groups).
+    */
+  def qualityByWindow(
+      stream: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    stream
+      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__q")).as("avg_quality"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("avg_quality"))
+}

@@ -208,29 +208,34 @@ object AnnIndex {
       StructType(Seq(StructField("id", LongType), StructField("dist", DoubleType))))
   }
 
+  /** `k = 0` falls back to the session's `spark.graft.ann.initK`
+    * (the GUC `lantern_hnsw.init_k` — how many results a search
+    * fetches when the caller doesn't say). */
   def search(
       spark: SparkSession,
       path: String,
       query: Array[Float],
-      k: Int,
+      k: Int = 0,
       efOverride: Int = 0): Array[(Long, Double)] = {
+    val kk = if (k > 0) k else graft.GraftConf.annInitK(spark)
     val h = readHeader(spark, path)
-    val ef = math.max(if (efOverride > 0) efOverride else h.ef, k)
+    val ef = math.max(if (efOverride > 0) efOverride else h.ef, kk)
     val files = graphFiles(spark, path)
     val banned = tombstones(spark, path)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
     val bannedB = spark.sparkContext.broadcast(banned)
     val qB = spark.sparkContext.broadcast(query)
+    val kLocal = kk
     spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
         val g = GraphCache.get(f, sconf.value)
         val b = bannedB.value
-        g.search(qB.value, k, ef, b.contains)
+        g.search(qB.value, kLocal, ef, b.contains)
       }
       .collect()
       .sortBy(x => (x._2, x._1))
-      .take(k)
+      .take(kk)
   }
 
   /** Batch ANN — the scale path for the k-NN JOIN (LATERAL pattern):

@@ -44,6 +44,7 @@ object Autotune {
       numPartitions: Int = 2,
       workDir: String = null): Report = {
     val spark = df.sparkSession
+    val ownsWorkDir = workDir == null
     val base = Option(workDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-autotune").toString)
 
@@ -75,6 +76,14 @@ object Autotune {
       }
       val avgMs = (System.nanoTime() - t1) / 1e6 / queries.length
       Result(v, hits.toDouble / total, avgMs, buildSecs)
+    }
+
+    // trial artifacts are dead weight once measured — a tuning sweep
+    // over a big table would otherwise leave 6 full index copies in tmp
+    if (ownsWorkDir) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
     }
 
     // grid is cost-ordered: first variant meeting the target wins

@@ -263,8 +263,10 @@ final class HnswGraph(
     */
   def validate(): Seq[String] = {
     val errs = ArrayBuffer[String]()
-    if (size > 0 && (entryPoint < 0 || entryPoint >= size))
+    if (size > 0 && (entryPoint < 0 || entryPoint >= size)) {
       errs += s"entry point $entryPoint out of range [0,$size)"
+      return errs.toSeq // further checks would dereference the bad entry
+    }
     if (size > 0 && nodeLevels(entryPoint) != maxLevel)
       errs += s"entry point level ${nodeLevels(entryPoint)} != maxLevel $maxLevel"
     var n = 0

@@ -39,23 +39,33 @@ class OpenAiEmbeddingRuntime(
   override def embedBatch(
       model: String, inputs: Seq[String]): Seq[Either[String, Array[Float]]] = {
     val info = modelInfo(model)
-    val body = ApiJson.obj(
-      "model" -> ApiJson.str(model),
-      "input" -> ApiJson.arr(inputs.map(i => ApiJson.str(Option(i).getOrElse("")))))
-    try {
-      val resp = transport.post(s"$baseUrl/embeddings", body,
-        Map("Authorization" -> s"Bearer $apiKey",
-          "Content-Type" -> "application/json"))
-      val vecs = ApiJson.extractFloatArrays(resp, "embedding")
-      require(vecs.size == inputs.size,
-        s"graft: expected ${inputs.size} embeddings, got ${vecs.size}")
-      vecs.map { v =>
-        if (v.length == info.dim) Right(v)
-        else Left(s"bad dim ${v.length} != ${info.dim}")
+    // null/empty inputs fail up front (same contract as the mock
+    // runtime — they must reach the failed-row side output, not the API)
+    val good = inputs.zipWithIndex.filter { case (t, _) => t != null && t.nonEmpty }
+    val results = scala.collection.mutable.ArrayBuffer
+      .fill[Either[String, Array[Float]]](inputs.size)(Left("empty input"))
+    if (good.nonEmpty) {
+      val body = ApiJson.obj(
+        "model" -> ApiJson.str(model),
+        "input" -> ApiJson.arr(good.map { case (t, _) => ApiJson.str(t) }))
+      try {
+        val resp = transport.post(s"$baseUrl/embeddings", body,
+          Map("Authorization" -> s"Bearer $apiKey",
+            "Content-Type" -> "application/json"))
+        val vecs = ApiJson.extractFloatArrays(resp, "embedding")
+        require(vecs.size == good.size,
+          s"graft: expected ${good.size} embeddings, got ${vecs.size}")
+        good.zip(vecs).foreach { case ((_, idx), v) =>
+          results(idx) =
+            if (v.length == info.dim) Right(v)
+            else Left(s"bad dim ${v.length} != ${info.dim}")
+        }
+      } catch {
+        case e: Exception =>
+          good.foreach { case (_, idx) => results(idx) = Left(e.getMessage) }
       }
-    } catch {
-      case e: Exception => inputs.map(_ => Left(e.getMessage))
     }
+    results.toSeq
   }
 
   override def complete(model: String, systemPrompt: String, userPrompt: String): String = {
@@ -88,24 +98,32 @@ class CohereEmbeddingRuntime(
   override def embedBatch(
       model: String, inputs: Seq[String]): Seq[Either[String, Array[Float]]] = {
     val info = modelInfo(model)
-    val body = ApiJson.obj(
-      "model" -> ApiJson.str(model),
-      "input_type" -> ApiJson.str("search_document"),
-      "texts" -> ApiJson.arr(inputs.map(i => ApiJson.str(Option(i).getOrElse("")))))
-    try {
-      val resp = transport.post(s"$baseUrl/embed", body,
-        Map("Authorization" -> s"Bearer $apiKey",
-          "Content-Type" -> "application/json"))
-      val vecs = ApiJson.extractTopLevelFloatArrays(resp, "embeddings")
-      require(vecs.size == inputs.size,
-        s"graft: expected ${inputs.size} embeddings, got ${vecs.size}")
-      vecs.map { v =>
-        if (v.length == info.dim) Right(v)
-        else Left(s"bad dim ${v.length} != ${info.dim}")
+    val good = inputs.zipWithIndex.filter { case (t, _) => t != null && t.nonEmpty }
+    val results = scala.collection.mutable.ArrayBuffer
+      .fill[Either[String, Array[Float]]](inputs.size)(Left("empty input"))
+    if (good.nonEmpty) {
+      val body = ApiJson.obj(
+        "model" -> ApiJson.str(model),
+        "input_type" -> ApiJson.str("search_document"),
+        "texts" -> ApiJson.arr(good.map { case (t, _) => ApiJson.str(t) }))
+      try {
+        val resp = transport.post(s"$baseUrl/embed", body,
+          Map("Authorization" -> s"Bearer $apiKey",
+            "Content-Type" -> "application/json"))
+        val vecs = ApiJson.extractTopLevelFloatArrays(resp, "embeddings")
+        require(vecs.size == good.size,
+          s"graft: expected ${good.size} embeddings, got ${vecs.size}")
+        good.zip(vecs).foreach { case ((_, idx), v) =>
+          results(idx) =
+            if (v.length == info.dim) Right(v)
+            else Left(s"bad dim ${v.length} != ${info.dim}")
+        }
+      } catch {
+        case e: Exception =>
+          good.foreach { case (_, idx) => results(idx) = Left(e.getMessage) }
       }
-    } catch {
-      case e: Exception => inputs.map(_ => Left(e.getMessage))
     }
+    results.toSeq
   }
 
   override def complete(model: String, systemPrompt: String, userPrompt: String): String =

@@ -105,16 +105,17 @@ object Dedup {
     // set-intersection integer comparisons; xxhash64 collisions would
     // need ~2^32 tokens per doc pair to matter.
     //
-    // persisted: this plan is consumed THREE times (band explode + the
-    // two verification joins) — without it the tokenize + 128-hash
-    // signature pass, the most expensive map of the pipeline, runs
-    // three times. MEMORY_AND_DISK spills rather than OOMs at scale.
+    // NOT persisted: this plan is consumed three times (band explode +
+    // two verification joins), but measured caching won a negligible
+    // amount here while pinning an unreclaimable cache entry per call
+    // (and cached fragments can shadow LogicalRelation for later
+    // queries). Callers looping over many corpora should cache the
+    // input df themselves and unpersist when done.
     val base = df.select(
       col(idCol).cast("long").as("id"),
       array_distinct(transform(col(tokensCol), t => xxhash64(t))).as("toks"))
       .withColumn("sig",
         GraftSqlShim.column(MinHashSig(GraftSqlShim.expression($"toks"), numHashes)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = base.select(
       $"id",

@@ -245,11 +245,19 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val ann = AnnScanLogical(
           idAttr, vecAttr, meta.artifact, q.toSeq, k,
           math.max(meta.ef, k), meta.kind)
-        // narrow form is safe only when everything the sort's child
+        // narrow form is safe only when (a) everything the sort's child
         // produces fits the ANN leaf — anything above references at most
-        // child.output
+        // child.output — and (b) the index stores the TRUE vector values:
+        // hnsw shards hold the original floats and l2sq-IVF lists hold
+        // raw rows, but cos-IVF stores unit-normalized vectors and PQ
+        // stores dequantized approximations; emitting those as the
+        // table's vector column would silently alter query output, so
+        // such indexes always go through the join-back (heap-fetch) form
+        val storesTrueVectors =
+          meta.kind == "hnsw" || (meta.kind == "ivf" && meta.metric != "cos")
         val newSource: LogicalPlan =
-          if (child.outputSet.subsetOf(AttributeSet(ann.output))) ann
+          if (storesTrueVectors &&
+              child.outputSet.subsetOf(AttributeSet(ann.output))) ann
           else {
             // candidates → fetch full rows: broadcast inner join on id
             val cid = AttributeReference("__graft_cand_id", LongType)()

@@ -23,10 +23,17 @@ object AnnQueries {
     * fingerprint of the source parquet (length + mtime) so regenerated
     * test data can never serve a stale index. */
   private[queries] def artifactDir(tag: String, dir: String, table: String): String = {
+    // fingerprint must reflect CONTENTS: for a parquet directory, the
+    // directory inode's length/mtime are meaningless — fold in every
+    // child file's (name, length, mtime) instead
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .foldLeft(17L)((acc, c) => acc * 31 + fp(c))
+      else f.getName.hashCode.toLong * 31 + f.length() * 31 + f.lastModified()
     val src = new java.io.File(s"$dir/$table.parquet")
-    val fp = Integer.toHexString(
-      (dir.hashCode.toLong * 31 + src.length() * 31 + src.lastModified()).toInt)
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag-$fp/idx").toString
+    val h = Integer.toHexString((dir.hashCode.toLong * 31 + fp(src)).toInt)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag-$h/idx").toString
   }
 
   private[queries] def cached(path: String)(build: => Unit): Unit = {

@@ -74,13 +74,9 @@ object TextQueries {
       .select(col("doc_id"), tokenize(col("text")).as("terms"))
     val invA = Bm25.createBm25Table(docs.where(col("doc_id") % 2 === 0), "doc_id", "terms")
     val invB = Bm25.createBm25Table(docs.where(col("doc_id") % 2 === 1), "doc_id", "terms")
-    // merged term rows + full-corpus stats row (incremental inserts
-    // keep stats separately, like the reference's bm25_api)
-    val fullStats = Bm25.corpusStatsRow(docs, "doc_id", "terms")
-    val merged = Bm25.consolidate(
-      invA.where(col("term").isNotNull)
-        .unionByName(invB.where(col("term").isNotNull))
-        .unionByName(fullStats))
+    // consolidate merges duplicate term rows AND the two half-corpus
+    // stats rows (weighted), so the plain union is the whole API call
+    val merged = Bm25.consolidate(invA.unionByName(invB))
     Bm25.searchBm25(merged, bm25Query, 10)
       .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
   }

@@ -338,25 +338,48 @@ object Bm25 {
   }
 
   /** Merge duplicate term rows after incremental appends
-    * (`consolidate_bm25_table`, bm25_api.sql:108-165). */
+    * (`consolidate_bm25_table`, bm25_api.sql:108-165). Source rows come
+    * from DISJOINT document batches, so:
+    *  - true document frequency = Σ source term_freqs (NOT the size of
+    *    the merged-then-capped posting arrays — a hot term's stored
+    *    postings are a sample);
+    *  - corpus-stats rows merge to (Σ n, n-weighted avgdl);
+    *  - blooms are rebuilt over the union of STORED ids. For rows that
+    *    were already bloom-capped, tail ids beyond the cap are absent —
+    *    the same approximation the capped posting arrays carry.
+    */
   def consolidate(inv: DataFrame, bloomThreshold: Int = DefaultBloomThreshold): DataFrame = {
     val spark = inv.sparkSession
     import spark.implicits._
+    // merge all stats rows into one (weighted by corpus size)
     val stats = inv.where($"term".isNull)
+      .agg(
+        sum($"term_freq").as("n"),
+        (sum($"avg_doc_len" * $"term_freq") / sum($"term_freq")).as("avgdl"))
+      .select(
+        lit(null).cast("string").as("term"),
+        $"n".cast("int").as("term_freq"),
+        ($"avgdl" * 100).cast("int").as("doc_ids_len"),
+        lit(null).cast("array<bigint>").as("doc_ids"),
+        lit(null).cast("array<int>").as("fqs"),
+        lit(null).cast("array<int>").as("doc_lens"),
+        lit(null).cast("binary").as("doc_ids_bloom"),
+        $"avgdl".as("avg_doc_len"))
     val bloomUdf = udf { ids: Seq[Long] => bloomBytes(ids) }
     val merged = inv.where($"term".isNotNull)
-      .select($"term",
-        explode(arrays_zip($"doc_ids", $"fqs", $"doc_lens")).as("p"))
       .groupBy($"term")
-      .agg(sort_array(collect_list(struct(
-        $"p.doc_ids".as("doc_id"), $"p.fqs".as("fq"),
-        $"p.doc_lens".as("doc_len")))).as("postings"))
+      .agg(
+        sum($"term_freq").cast("int").as("term_freq"),
+        sort_array(flatten(collect_list(
+          zip_with($"doc_ids", arrays_zip($"fqs", $"doc_lens"), (id, p) =>
+            struct(id.as("doc_id"), p.getField("fqs").as("fq"),
+              p.getField("doc_lens").as("doc_len")))))).as("postings"))
       .select(
         $"term",
-        size($"postings").as("term_freq"),
-        // merged lists are re-capped like createBm25Table (inputs are
-        // already <= threshold per source row, so the merge is bounded
-        // by #duplicate rows x threshold before the slice)
+        $"term_freq",
+        // merged lists re-capped like createBm25Table (inputs already
+        // <= threshold per source row, so the pre-slice merge is
+        // bounded by #duplicate rows x threshold)
         slice($"postings", 1, bloomThreshold).as("postings"),
         transform($"postings", p => p.getField("doc_id")).as("all_ids"))
       .select(

@@ -81,12 +81,10 @@ object TextAnalysis {
     sort_array(array_distinct(mins))
   }
 
-  /** Estimated containment/overlap of two winnowing fingerprint sets. */
-  def fingerprintOverlap(a: Column, b: Column): Column = {
-    val u = size(array_distinct(concat(a, b)))
-    when(u === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
-  }
+  /** Estimated containment/overlap of two winnowing fingerprint sets
+    * (jaccard over the fingerprint sets — one shared implementation). */
+  def fingerprintOverlap(a: Column, b: Column): Column =
+    graft.ops.Dedup.jaccard(a, b)
 
   /** Punctuation-character ratio (quality signal: spammy/tabular text
     * skews high): non-word, non-space chars / all chars. */

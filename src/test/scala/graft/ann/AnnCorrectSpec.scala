@@ -115,6 +115,21 @@ class AnnCorrectSpec extends SparkTestBase {
     checkKind("ivf", s"$tmp/ivf", ef = 4, minRecall = 0.8) // ef = nprobe for IVF
     checkKind("pq", s"$tmp/pq", ef = 64, minRecall = 0.75)
 
+    // a PQ index must NEVER leak dequantized vectors as the table's
+    // vector column: even the narrow (id, vec)-only shape goes through
+    // the join-back form and returns the TRUE stored embeddings
+    AnnCatalog.register(spark, s"$dir/embeddings.parquet",
+      AnnCatalog.IndexMeta(s"$tmp/pq", "vec_id", "embedding", "l2sq", 64, "pq"))
+    try {
+      val rows = knnFor(q).collect()
+      val truth = e.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      rows.foreach { r =>
+        assert(r.getSeq[Float](1) === truth(r.getLong(0)),
+          s"vec for ${r.getLong(0)} must be the stored value, not dequantized")
+      }
+    } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
+
     // two indexes on one table: cos registered alongside l2sq; the rule
     // picks by the sort expression's metric
     val floatIdx = s"$tmp/hnsw"

@@ -45,6 +45,14 @@ class AnnSpec extends SparkTestBase {
     assert(r >= 0.9, s"recall $r")
   }
 
+  test("validate reports (not throws) on corrupt entry point") {
+    val g = new HnswGraph(2, 8, 64, Metric.L2Sq, seed = 1)
+    g.insert(1L, Array(0f, 0f))
+    g.entryPoint = 5 // corrupt
+    val errs = g.validate()
+    assert(errs.exists(_.contains("entry point 5 out of range")))
+  }
+
   test("HnswGraph validate() finds no violations; ser/de roundtrip identical") {
     val data = randomVecs(500, 8, seed = 11)
     val g = new HnswGraph(8, 8, 64, Metric.L2Sq, seed = 2)

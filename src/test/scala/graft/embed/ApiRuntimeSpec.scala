@@ -55,6 +55,19 @@ class ApiRuntimeSpec extends SparkTestBase {
       .intersect(Set("openai", "cohere", "hash-mock")).size === 3)
   }
 
+  test("null/empty inputs fail locally and never reach the API") {
+    val fake = new FakeTransport((_, body) => {
+      assert(!body.contains("\"\""), s"empty input leaked into request: $body")
+      """{"data":[{"embedding":[0.1,0.2]}]}"""
+    })
+    val rt = new OpenAiEmbeddingRuntime(apiKey = "k", transport = fake)
+    val out = rt.embedBatch("text-embedding-ada-002", Seq(null, "", "x"))
+    assert(out(0).swap.toOption.get === "empty input")
+    assert(out(1).swap.toOption.get === "empty input")
+    assert(out(2).isLeft && out(2).swap.toOption.get.contains("bad dim"))
+    assert(fake.calls.size === 1, "one API call for the one good input")
+  }
+
   test("dim mismatch from the API becomes a per-row error") {
     val fake = new FakeTransport((_, _) =>
       """{"data":[{"embedding":[0.1,0.2]}]}""")

@@ -82,16 +82,31 @@ class Bm25Spec extends SparkTestBase {
     assert(math.abs(got(2L) - (score(2, 3, 2) + score(1, 3, 4))) < 1e-9)
   }
 
-  test("consolidate merges duplicate term rows") {
-    val both = inv.unionByName(
-      Bm25.createBm25Table(
-        Seq((9L, Seq("banana"))).toDF("doc_id", "terms"), "doc_id", "terms")
-        .where($"term".isNotNull))
-    val merged = Bm25.consolidate(both)
+  test("consolidate merges duplicate term rows AND corpus stats (weighted)") {
+    val extra = Bm25.createBm25Table(
+      Seq((9L, Seq("banana"))).toDF("doc_id", "terms"), "doc_id", "terms")
+    val merged = Bm25.consolidate(inv.unionByName(extra))
     val banana = merged.where($"term" === "banana").head()
     assert(banana.getAs[Int]("term_freq") == 5)
     assert(banana.getSeq[Long](banana.fieldIndex("doc_ids")).toSeq ==
       Seq(1L, 2L, 3L, 4L, 9L))
+    // stats rows merged: n = 4 + 1, avgdl = (3*4 + 1*1)/5
+    val (n, avgdl) = Bm25.corpusStats(merged)
+    assert(n === 5L)
+    assert(math.abs(avgdl - 13.0 / 5) < 1e-12)
+    assert(merged.where($"term".isNull).count() === 1)
+  }
+
+  test("consolidate preserves hot-term true df beyond the posting cap") {
+    val many = (1L to 30L).map(i => (i, Seq("hot"))).toDF("doc_id", "terms")
+    val inv2 = Bm25.createBm25Table(many, "doc_id", "terms", bloomThreshold = 10)
+    val merged = Bm25.consolidate(inv2, bloomThreshold = 10)
+    val hot = merged.where($"term" === "hot").head()
+    assert(hot.getAs[Int]("term_freq") == 30,
+      "true document frequency survives consolidation, not the capped sample size")
+    assert(hot.getSeq[Long](hot.fieldIndex("doc_ids")).size == 10)
+    assert(hot.getAs[Array[Byte]]("doc_ids_bloom") != null,
+      "term stays on the bloom path after consolidation")
   }
 
   test("bloom filter has no false negatives") {

@@ -100,4 +100,67 @@ object Autotune {
       .toDF("m", "ef_construction", "ef", "recall", "avg_search_ms",
         "build_secs", "picked")
   }
+
+  // --------------------------------------------------------------- IVF
+
+  case class IvfVariant(nlists: Int, nprobe: Int)
+  case class IvfResult(variant: IvfVariant, recall: Double,
+      avgSearchMs: Double, buildSecs: Double)
+  case class IvfReport(results: Seq[IvfResult], picked: Option[IvfResult])
+
+  /** Same protocol for the IVF family: one index per nlists value,
+    * every nprobe measured against it (probing is a search-time knob,
+    * so variants sharing nlists share the build). Grid is ordered by
+    * probe fraction ascending = cheapest first.
+    */
+  def autotuneIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      grid: Seq[IvfVariant] = Seq(
+        IvfVariant(16, 1), IvfVariant(16, 2), IvfVariant(8, 1),
+        IvfVariant(16, 4), IvfVariant(8, 2), IvfVariant(8, 4)),
+      workDir: String = null): IvfReport = {
+    val spark = df.sparkSession
+    val ownsWorkDir = workDir == null
+    val base = Option(workDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-ivftune").toString)
+    val queries = df.select(col(idCol).cast("long"), col(vecCol))
+      .limit(queryCount).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(queries.nonEmpty, "graft: autotune needs at least one sample row")
+    val truth = queries.map { case (_, q) =>
+      VectorSearch.exact(df, col(vecCol), q, k, "l2sq",
+        tieBreak = Seq(col(idCol)))
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    }
+
+    val buildTimes = scala.collection.mutable.Map[Int, Double]()
+    grid.map(_.nlists).distinct.foreach { nlists =>
+      val t0 = System.nanoTime()
+      IvfIndex.build(df, idCol, vecCol, s"$base/ivf-$nlists", nlists)
+      buildTimes(nlists) = (System.nanoTime() - t0) / 1e9
+    }
+    val results = grid.sortBy(v => v.nprobe.toDouble / v.nlists).map { v =>
+      var hits = 0; var total = 0
+      val t1 = System.nanoTime()
+      queries.zip(truth).foreach { case ((_, q), expected) =>
+        val got = IvfIndex.search(spark, s"$base/ivf-${v.nlists}", q, k, v.nprobe)
+          .select("id").collect().map(_.getLong(0)).toSet
+        hits += got.intersect(expected).size
+        total += expected.size
+      }
+      val avgMs = (System.nanoTime() - t1) / 1e6 / queries.length
+      IvfResult(v, hits.toDouble / total, avgMs, buildTimes(v.nlists))
+    }
+    if (ownsWorkDir) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    IvfReport(results, results.find(_.recall >= targetRecall))
+  }
 }

@@ -216,6 +216,34 @@ object PqAnnIndex {
       }
   }
 
+  /** Top-k with exact re-rank: the LUT graph search pre-selects
+    * `max(ef, 4k)` candidates per shard, then the true float column is
+    * fetched for just those ids and ranked by exact l2sq — the recall
+    * of the index no longer decays with quantization error as the
+    * corpus grows. `df` must hold the same rows the index was built on.
+    */
+  def searchRerank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      ef: Int = 64): Array[(Long, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nCand = math.max(ef, 4 * k)
+    val cands = search(spark, path, query, nCand, math.max(ef, nCand)).map(_._1)
+    val candDf = cands.toSeq.toDF("__cand_id")
+    df.select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(candDf), col("__id") === col("__cand_id"))
+      .select(col("__id"),
+        graft.functions.l2sq_dist(col("__v"), lit(query)).as("__d"))
+      .as[(Long, Double)].collect()
+      .sortBy(x => (x._2, x._1))
+      .take(k)
+  }
+
   /** Top-k under the asymmetric LUT distance (nearest-first). */
   def search(
       spark: SparkSession,

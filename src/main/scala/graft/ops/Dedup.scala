@@ -74,16 +74,32 @@ object Dedup {
 
   /** LSH candidate pairs + exact-jaccard verification.
     *
+    * Output is ALL verified pairs, which is inherently quadratic in
+    * duplicate-cluster size (a 2,400-doc near-dup cluster IS ~2.9M true
+    * pairs — that's the answer, not an artifact). Earlier versions
+    * dropped buckets larger than `maxBucket` on the theory that other
+    * bands re-find their pairs; that is false precisely for mega
+    * duplicate clusters, which co-bucket in EVERY band (at j≥0.8 the
+    * per-band collision probability is ~0.4) — the biggest clusters are
+    * exactly what dedup exists to find. Now no bucket is dropped:
+    *  - identical member sets recur across all bands, so buckets are
+    *    deduped by content before any pair explode (one mega cluster →
+    *    one bucket row instead of `bands` copies);
+    *  - buckets over `maxBucket` switch from a single-task pair explode
+    *    to an anchor-split explode redistributed across the cluster, so
+    *    the O(n²) generation parallelizes instead of skewing one task.
+    * When only dedup decisions (not the full pair list) are needed at
+    * 100 TB, use [[minhashDedupKeepers]] — linear output per cluster.
+    *
     * @param df         input
     * @param idCol      stable id column (long-castable)
     * @param tokensCol  array<string> column to compare as a set
     * @param threshold  exact jaccard cutoff applied to candidates
     * @param numHashes  signature length (bands * rowsPerBand)
     * @param bands      LSH bands; rowsPerBand = numHashes / bands
-    * @param maxBucket  skew guard: buckets larger than this are dropped
-    *                   (a bucket that big means a near-constant band —
-    *                   at 100 TB it would quadratically explode; the
-    *                   pairs inside it are found by other bands w.h.p.)
+    * @param maxBucket  bucket size above which pair generation switches
+    *                   to the distributed anchor-split path (no bucket
+    *                   is dropped)
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
   def minhashNearDupPairs(
@@ -122,13 +138,30 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice($"sig", b * lit(r) + lit(1), lit(r))))).as(Seq("band", "bhash")))
 
-    val candidates = banded
+    // dedupe buckets by member set BEFORE the quadratic explode: a mega
+    // cluster co-buckets in every band, and without this its pair list
+    // would be generated `bands` times only to collapse in distinct()
+    val buckets = banded
       .groupBy($"band", $"bhash")
       .agg(sort_array(collect_list($"id")).as("ids"))
-      .where(size($"ids") > 1 && size($"ids") <= maxBucket)
+      .where(size($"ids") > 1)
+      .select($"ids")
+      .distinct()
+
+    val smallPairs = buckets.where(size($"ids") <= maxBucket)
       .select(explode(pairsOf($"ids")).as("p"))
       .select($"p._1".as("id_a"), $"p._2".as("id_b"))
-      .distinct()
+
+    // oversized buckets: one row exploding to O(n²) pairs would pin the
+    // whole generation on a single task — split per anchor id first and
+    // shuffle the (anchor, tail) rows so generation spreads cluster-wide
+    val bigPairs = buckets.where(size($"ids") > maxBucket)
+      .select($"ids", posexplode($"ids").as(Seq("i", "id_a")))
+      .where($"i" < size($"ids") - 1)
+      .repartition(col("id_a"))
+      .select($"id_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("id_b"))
+
+    val candidates = smallPairs.unionByName(bigPairs).distinct()
 
     // NOTE on a rejected optimization: pre-filtering candidates by the
     // signature-estimated jaccard (join sigs, compare components) was
@@ -149,6 +182,70 @@ object Dedup {
   private def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)), y => struct(x.as("_1"), y.as("_2")))))
+
+  /** Connected components over an undirected edge list: (id, label)
+    * where `label` = min id in the component. Iterative min-label
+    * propagation — each round is one shuffle (edges ⋈ labels → min per
+    * neighbor), lineage truncated per round via localCheckpoint, and
+    * convergence detected by the monotone sum of labels (labels only
+    * ever decrease). Near-dup clusters are clique-like, so this
+    * converges in 1-2 rounds; `maxIter` bounds pathological chains.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint()
+    var prevSum = labels.agg(sum($"label").cast("decimal(38,0)")).head().getDecimal(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .groupBy($"dst").agg(min($"label").as("cand"))
+      val next = labels.join(prop, labels("id") === prop("dst"), "left")
+        .select(labels("id"), least(coalesce($"cand", $"label"), $"label").as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum($"label").cast("decimal(38,0)")).head().getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup decision per document: (id, keeper_id) where keeper is the
+    * min id of the doc's near-dup component (keeper == id for docs with
+    * no near-dups). LINEAR output in corpus size — this, not the pair
+    * list, is the 100 TB dedup path: a mega duplicate cluster costs one
+    * component label per member instead of O(n²) pairs.
+    */
+  def minhashDedupKeepers(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = minhashNearDupPairs(
+      df, idCol, tokensCol, threshold, numHashes, bands, maxBucket)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select($"id", coalesce($"label", $"id").as("keeper_id"))
+  }
 
   // ----------------------------------------------------------- simhash
 
@@ -214,25 +311,23 @@ object Dedup {
     * key column (an LSH bucket — see [[embeddingLshBucket]]).
     *
     * In-block comparison is all-pairs, so the blocking key must be
-    * fine-grained; `maxBucket` is the skew guard that keeps a
-    * degenerate key (one giant bucket) from going O(N²) at scale —
-    * oversized blocks are dropped, mirroring minhash's guard.
+    * fine-grained. No block is dropped: the in-block comparison is a
+    * self-JOIN on the block key, so an oversized (skewed) block is
+    * split across tasks by AQE skew-join handling rather than pinning
+    * one task — dropping it would silently lose exactly the most-
+    * duplicated content (the minhash lesson). Pair output is inherently
+    * quadratic in cluster size; feed [[connectedComponents]] when only
+    * dedup decisions are needed at 100 TB.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      maxCosDist: Double,
-      maxBucket: Int = 1000): DataFrame = {
+      maxCosDist: Double): DataFrame = {
     import graft.functions.cos_dist
-    val ok = df.groupBy(col(blockCol).as("blk"))
-      .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") <= maxBucket)
-      .select("blk")
     val a = df.select(col(blockCol).as("blk"),
       col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"))
-      .join(ok, "blk")
     val b = df.select(col(blockCol).as("blk"),
       col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"))
     a.join(b, "blk")

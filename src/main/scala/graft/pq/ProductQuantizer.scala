@@ -283,10 +283,16 @@ object ProductQuantizer {
   def dropQuantization(df: DataFrame, vecCol: String): DataFrame =
     df.drop(s"${vecCol}_pq")
 
-  /** PQ-aware top-k: asymmetric distance via per-query LUT, then the
-    * standard TakeOrderedAndProject merge. Scans only the code column
-    * (subvectors bytes/row vs 4·dim) — the 100 TB path when the full
-    * float column is too hot.
+  /** PQ-aware top-k: asymmetric distance via per-query LUT over the
+    * code column (subvectors bytes/row vs 4·dim — the 100 TB path when
+    * the full float column is too hot), then an EXACT re-rank: the LUT
+    * pre-selects `max(ef, 4k)` candidates and the true float column is
+    * fetched for just those ids (broadcast join-back — the same
+    * heap-fetch form the ANN planner rule uses) to compute exact top-k.
+    * Without the re-rank, PQ top-k recall decays as the corpus grows
+    * (quantization error ties swap ranks) — the reference's asymmetric
+    * search likewise feeds a re-check. Pass `rerankCol = None` to get
+    * raw LUT-distance top-k (e.g. when the float column is unavailable).
     */
   def searchPq(
       df: DataFrame,
@@ -294,15 +300,32 @@ object ProductQuantizer {
       pqCol: String,
       cb: PqCodebook,
       query: Array[Float],
-      k: Int): DataFrame = {
+      k: Int,
+      rerankCol: Option[String] = None,
+      ef: Int = 64): DataFrame = {
     val lut = cb.l2sqLut(query)
     val distUdf = udf { codes: Seq[Short] =>
       var s = 0; var d = 0.0
       while (s < codes.length) { d += lut(s)(codes(s).toInt); s += 1 }
       d
     }
-    df.select(col(idCol), distUdf(col(pqCol)).as("dist"))
-      .orderBy(col("dist"), col(idCol))
-      .limit(k)
+    rerankCol match {
+      case None =>
+        df.select(col(idCol), distUdf(col(pqCol)).as("dist"))
+          .orderBy(col("dist"), col(idCol))
+          .limit(k)
+      case Some(vc) =>
+        val nCand = math.max(ef, 4 * k)
+        val cands = df.select(col(idCol), distUdf(col(pqCol)).as("lut_dist"))
+          .orderBy(col("lut_dist"), col(idCol))
+          .limit(nCand)
+          .select(col(idCol))
+        df.select(col(idCol), col(vc))
+          .join(broadcast(cands), Seq(idCol))
+          .select(col(idCol),
+            graft.functions.l2sq_dist(col(vc), lit(query)).as("dist"))
+          .orderBy(col("dist"), col(idCol))
+          .limit(k)
+    }
   }
 }

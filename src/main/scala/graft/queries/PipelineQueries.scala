@@ -45,6 +45,38 @@ object PipelineQueries {
       |      / len(list_distinct(a.toks || b.toks)) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Dedup DECISIONS (keeper per doc) — the linear-output form that is
+    * the actual 100 TB dedup path (a mega duplicate cluster is one
+    * label per member, not O(n²) pairs). Oracle = connected components
+    * of the exhaustive jaccard graph via a recursive CTE. */
+  private def dedupMinhashKeepers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    Dedup.minhashDedupKeepers(docs, "doc_id", "toks", 0.8)
+      .select(col("id").as("doc_id"), col("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupMinhashKeepersOracle =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+      |  FROM documents
+      |),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+      |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+      |        / len(list_distinct(a.toks || b.toks)) >= 0.8
+      |),
+      |reach(id, rid) AS (
+      |  SELECT doc_id, doc_id FROM t
+      |  UNION
+      |  SELECT r.id, e.dst FROM reach r JOIN e ON e.src = r.rid
+      |)
+      |SELECT id AS doc_id, min(rid) AS keeper_id FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenize(col("text")).as("toks"))
@@ -85,16 +117,16 @@ object PipelineQueries {
       |ORDER BY id_a""".stripMargin
 
   /** Embedding cosine near-dup, blocked on a 6-bit axis-aligned
-    * sign-LSH bucket with a skew cap — the shape that survives 100 TB
-    * (all-pairs only within small buckets; oversized buckets dropped).
-    * Axis-aligned planes keep the bucket exactly SQL-expressible so the
-    * whole pipeline is oracle-checked; the Gaussian-plane variant is
-    * covered in DedupSpec. */
+    * sign-LSH bucket — the shape that survives 100 TB (all-pairs only
+    * within a block; a skewed block splits across tasks via AQE
+    * skew-join, no block is dropped). Axis-aligned planes keep the
+    * bucket exactly SQL-expressible so the whole pipeline is
+    * oracle-checked; the Gaussian-plane variant is covered in
+    * DedupSpec. */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", Dedup.embeddingLshBucketAxis(col("embedding"), 6))
-    Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "bucket", 0.70,
-      maxBucket = 1000)
+    Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "bucket", 0.70)
       .select(col("id_a"), col("id_b"), round(col("dist"), 4).as("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -109,12 +141,10 @@ object PipelineQueries {
        |    (SELECT sum(CASE WHEN embedding[i+1] > 0 THEN 1<<i ELSE 0 END)
        |     FROM range(6) t(i)) AS bucket
        |  FROM embeddings
-       |),
-       |ok AS (SELECT bucket FROM e GROUP BY bucket HAVING count(*) <= 1000)
+       |)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}), 4) AS dist
        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |JOIN ok ON ok.bucket = a.bucket
        |WHERE 1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}) < 0.70
        |ORDER BY id_a, id_b""".stripMargin
   }
@@ -215,6 +245,7 @@ object PipelineQueries {
           |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin),
       dedupExact),
     QueryDef("dedup_minhash", Some(dedupMinhashOracle), dedupMinhash),
+    QueryDef("dedup_minhash_keepers", Some(dedupMinhashKeepersOracle), dedupMinhashKeepers),
     QueryDef("dedup_simhash", None, dedupSimhash),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),

@@ -36,6 +36,12 @@ object PqQueries {
       .orderBy("vec_id")
   }
 
+  // recallGate's searchPq runs with the exact re-rank (LUT pre-selects
+  // ef=100 candidates, true floats ranked for the top-10): LUT-only
+  // top-k recall decays with corpus size — it passed at 500 vectors and
+  // failed at 2,000 — while rerank recall is set by candidate coverage,
+  // which the LUT retains at any scale.
+
   /** DuckDB argmin over the same two constant centroids per 16-slice. */
   private def quantizeFixedOracle: String = {
     def code(i: Int): String = {
@@ -62,7 +68,8 @@ object PqQueries {
         .orderBy(col("d"), col("vec_id")).limit(10)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       val approx = ProductQuantizer
-        .searchPq(pq, "vec_id", "embedding_pq", cb, q, 10)
+        .searchPq(pq, "vec_id", "embedding_pq", cb, q, 10,
+          rerankCol = Some("embedding"), ef = 100)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       val recall = exact.intersect(approx).size.toDouble / exact.size
       if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")

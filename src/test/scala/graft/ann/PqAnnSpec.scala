@@ -89,6 +89,30 @@ class PqAnnSpec extends SparkTestBase {
     assert(res.take(2).map(_._1).contains(0L))
   }
 
+  test("searchRerank recall@10 >= 0.8 vs exact at 2000 vectors") {
+    val e = Tables.embeddings(spark, sf("sf0.1")).cache()
+    try {
+      val cb = ProductQuantizer.trainCodebook(
+        e, "embedding", clusters = 64, subvectors = 32, seed = 7)
+      val tmp = Files.createTempDirectory("graft-pqann3").toString
+      PqAnnIndex.build(e, "vec_id", "embedding", s"$tmp/idx", cb,
+        AnnParams(m = 16, efConstruction = 128, numPartitions = 2))
+      val queries = e.where(col("vec_id") < 5).select("vec_id", "embedding").collect()
+      val recalls = queries.map { row =>
+        val q = row.getSeq[Float](1).toArray
+        val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val got = PqAnnIndex.searchRerank(
+          e, "vec_id", "embedding", s"$tmp/idx", q, 10, ef = 100)
+          .map(_._1).toSet
+        exact.intersect(got).size / 10.0
+      }
+      val avg = recalls.sum / recalls.length
+      assert(avg >= 0.8, s"searchRerank recall $avg at 2000 vectors")
+    } finally { e.unpersist(); () }
+  }
+
   test("PQ index rejects non-l2sq metrics and wide codebooks") {
     import spark.implicits._
     val df = Seq((1L, Array(0f, 0f))).toDF("id", "vec")

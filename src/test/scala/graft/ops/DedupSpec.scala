@@ -61,6 +61,43 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((4L, 5L))) // simhash ignores order: same bag → same sketch
   }
 
+  test("minhashNearDupPairs keeps mega-cluster pairs when the bucket exceeds maxBucket") {
+    // 30 near-identical docs (one cluster) + 10 distinct docs; with
+    // maxBucket=5 the cluster's bucket is oversized in every band — the
+    // old drop-the-bucket guard returned ZERO pairs for exactly this
+    // shape. All 30*29/2 = 435 pairs must survive via the anchor-split.
+    val base = (0 until 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa v$i")
+    }
+    val distinctDocs = (100 until 110).map { i =>
+      (i.toLong, s"unique${i} totally separate subject matter number ${i} with words ${i * 7} ${i * 13} ${i * 17} ${i * 19}")
+    }
+    val df = (base ++ distinctDocs).toDF("id", "text")
+      .withColumn("toks", tokenize($"text"))
+    val pairs = Dedup.minhashNearDupPairs(df, "id", "toks", 0.7, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      i <- 0 until 30; j <- (i + 1) until 30
+    } yield (i.toLong, j.toLong)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).size} cluster pairs")
+    assert(!pairs.exists(p => p._1 >= 100L && p._2 >= 100L))
+  }
+
+  test("connectedComponents labels transitive clusters with the min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("minhashDedupKeepers assigns keeper = component min, self for singletons") {
+    val keepers = Dedup.minhashDedupKeepers(docs, "id", "toks", 0.7)
+      .as[(Long, Long)].collect().toMap
+    assert(keepers(1L) == 1L && keepers(2L) == 1L && keepers(3L) == 1L)
+    assert(keepers(4L) == 4L && keepers(5L) == 4L)
+    assert(keepers(6L) == 6L)
+  }
+
   test("shingles and jaccard") {
     val df = Seq((Seq("a", "b", "c", "d"), 0)).toDF("t", "x")
     val sh = df.select(Dedup.shingles($"t", 3)).head().getSeq[String](0)

@@ -46,8 +46,10 @@ class PqSpec extends SparkTestBase {
       fixed.centroids.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
-  test("trained PQ recall@10 drop < 0.2 vs exact (reference hnsw_pq.sql:83-86 gate)") {
-    val e = Tables.embeddings(spark, sf("sf0.001")).cache()
+  test("trained PQ recall@10 drop < 0.2 vs exact at 2000 vectors (hnsw_pq.sql:83-86 gate)") {
+    // sf0.1 = 2,000 vectors: the scale where LUT-only top-k recall
+    // decayed below the gate — the exact re-rank must hold it up
+    val e = Tables.embeddings(spark, sf("sf0.1")).cache()
     val cb = ProductQuantizer.trainCodebook(
       e, "embedding", clusters = 64, subvectors = 32, seed = 7)
     val pq = ProductQuantizer.quantizeTable(e, "embedding", cb).cache()
@@ -59,13 +61,24 @@ class PqSpec extends SparkTestBase {
           .orderBy(col("d"), col("vec_id")).limit(10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val approx = ProductQuantizer
-          .searchPq(pq, "vec_id", "embedding_pq", cb, q, 10)
+          .searchPq(pq, "vec_id", "embedding_pq", cb, q, 10,
+            rerankCol = Some("embedding"), ef = 100)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         exact.intersect(approx).size.toDouble / exact.size
       }
       val avg = recalls.sum / recalls.length
       assert(avg >= 0.8, s"avg PQ recall $avg (drop vs exact must be < 0.2)")
     } finally { pq.unpersist(); e.unpersist(); () }
+  }
+
+  test("searchPq without rerank still returns LUT top-k") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val pq = ProductQuantizer.quantizeTable(e, "embedding", fixed16())
+    val q = Array.fill(64)(0.05f)
+    val got = ProductQuantizer.searchPq(pq, "vec_id", "embedding_pq", fixed16(), q, 5)
+      .collect()
+    assert(got.length === 5)
+    assert(got.map(_.getDouble(1)).toSeq === got.map(_.getDouble(1)).toSeq.sorted)
   }
 
   test("quantizeTable adds <col>_pq; dropQuantization removes it") {

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftSqlShim
@@ -72,6 +72,14 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / u.cast("double"))
   }
 
+  /** Jaccard of two SORTED-distinct array<long> columns via a single
+    * codegen'd merge scan — no per-row hash-set allocation. The hot
+    * verification path for minhash candidates (millions of pairs ×
+    * hundreds of elements each). */
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftSqlShim.column(
+      SortedJaccard(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
   /** LSH candidate pairs + exact-jaccard verification.
     *
     * Output is ALL verified pairs, which is inherently quadratic in
@@ -110,56 +118,25 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
+    val (toks, small, big) =
+      minhashBuckets(df, idCol, tokensCol, numHashes, bands, maxBucket)
 
-    // distinct token HASHES are the working set: they feed the
-    // signature AND the verification jaccard. Verifying on 8-byte
-    // hashes instead of strings shrinks the candidate joins and makes
-    // set-intersection integer comparisons; xxhash64 collisions would
-    // need ~2^32 tokens per doc pair to matter.
-    //
-    // NOT persisted: this plan is consumed three times (band explode +
-    // two verification joins), but measured caching won a negligible
-    // amount here while pinning an unreclaimable cache entry per call
-    // (and cached fragments can shadow LogicalRelation for later
-    // queries). Callers looping over many corpora should cache the
-    // input df themselves and unpersist when done.
-    val base = df.select(
-      col(idCol).cast("long").as("id"),
-      array_distinct(transform(col(tokensCol), t => xxhash64(t))).as("toks"))
-      .withColumn("sig",
-        GraftSqlShim.column(MinHashSig(GraftSqlShim.expression($"toks"), numHashes)))
-
-    val banded = base.select(
-      $"id",
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(slice($"sig", b * lit(r) + lit(1), lit(r))))).as(Seq("band", "bhash")))
-
-    // dedupe buckets by member set BEFORE the quadratic explode: a mega
-    // cluster co-buckets in every band, and without this its pair list
-    // would be generated `bands` times only to collapse in distinct()
-    val buckets = banded
-      .groupBy($"band", $"bhash")
-      .agg(sort_array(collect_list($"id")).as("ids"))
-      .where(size($"ids") > 1)
-      .select($"ids")
-      .distinct()
-
-    val smallPairs = buckets.where(size($"ids") <= maxBucket)
+    val smallPairs = small
       .select(explode(pairsOf($"ids")).as("p"))
       .select($"p._1".as("id_a"), $"p._2".as("id_b"))
 
     // oversized buckets: one row exploding to O(n²) pairs would pin the
-    // whole generation on a single task — split per anchor id first and
-    // shuffle the (anchor, tail) rows so generation spreads cluster-wide
-    val bigPairs = buckets.where(size($"ids") > maxBucket)
+    // whole generation on a single task — split per anchor id first
+    // (carrying only each anchor's TAIL, half the array bytes) and
+    // shuffle so the quadratic generation spreads cluster-wide
+    val bigPairs = big
       .select($"ids", posexplode($"ids").as(Seq("i", "id_a")))
       .where($"i" < size($"ids") - 1)
+      .select($"id_a", slice($"ids", $"i" + lit(2), size($"ids")).as("tail"))
       .repartition(col("id_a"))
-      .select($"id_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("id_b"))
+      .select($"id_a", explode($"tail").as("id_b"))
 
     val candidates = smallPairs.unionByName(bigPairs).distinct()
 
@@ -169,11 +146,117 @@ object Dedup {
     // pairs, so the two extra 1 KB-sig joins cost more than they save.
     // It only pays when the LSH s-curve admits many mid-similarity
     // false candidates; revisit with corpus stats before re-adding.
+    verifyPairs(candidates, toks, threshold)
+  }
+
+  /** Shared LSH front end: (toks, small, big) where `toks` is
+    * (id, sorted-distinct token hashes) and small/big are bucket member
+    * lists (sorted id arrays, size > 1) at or above `maxBucket`.
+    *
+    * Distinct token HASHES are the working set: they feed the signature
+    * AND the verification jaccard. Verifying on 8-byte hashes instead
+    * of strings shrinks the candidate joins and makes set-intersection
+    * integer comparisons; xxhash64 collisions would need ~2^32 tokens
+    * per doc pair to matter. Sorted so verification is a codegen'd
+    * merge scan ([[sortedJaccard]]).
+    *
+    * Two skew defenses beyond deduping identical member sets:
+    *  1. OVERLAPPING oversized buckets are MERGED (connected components
+    *     over the share-a-member bucket graph). A mega duplicate
+    *     cluster co-buckets in every band with slightly different
+    *     membership per band, so without merging its ~O(n²) pair list
+    *     is generated once per band and only collapses in distinct() —
+    *     measured 30× redundancy at sf0.1. Merging widens the candidate
+    *     set (members of the union that never co-bucketed), which only
+    *     costs extra verification — verified output can only gain true
+    *     pairs, never lose or fabricate them.
+    *  2. Small buckets whose members all fall inside one merged bucket
+    *     are dropped — every pair they would generate is already
+    *     generated by that merged bucket's explode.
+    */
+  private def minhashBuckets(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      numHashes: Int,
+      bands: Int,
+      maxBucket: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      sort_array(array_distinct(transform(col(tokensCol), t => xxhash64(t)))).as("toks"))
+      .withColumn("sig",
+        GraftSqlShim.column(MinHashSig(GraftSqlShim.expression($"toks"), numHashes)))
+
+    val banded = base.select(
+      $"id",
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice($"sig", b * lit(r) + lit(1), lit(r))))).as(Seq("band", "bhash")))
+
+    // dedupe buckets by member set BEFORE any quadratic explode
+    val buckets = banded
+      .groupBy($"band", $"bhash")
+      .agg(sort_array(collect_list($"id")).as("ids"))
+      .where(size($"ids") > 1)
+      .select($"ids")
+      .distinct()
+
     val toks = base.select($"id", $"toks")
+    val small = buckets.where(size($"ids") <= maxBucket)
+    // materialized once: tiny (one row per oversized bucket), and the
+    // generated bucket_id must stay stable across the branches below
+    val rawBig = buckets.where(size($"ids") > maxBucket)
+      .withColumn("bucket_id", monotonically_increasing_id())
+      .localCheckpoint()
+    if (rawBig.head(1).isEmpty) return (toks, small, rawBig.select($"ids"))
+
+    // merge overlapping oversized buckets: components over the
+    // share-a-member bucket graph (tiny — one node per oversized bucket)
+    val bigMembers = rawBig.select($"bucket_id", explode($"ids").as("id"))
+    val overlapEdges = bigMembers
+      .groupBy($"id").agg(sort_array(collect_set($"bucket_id")).as("bs"))
+      .where(size($"bs") > 1)
+      .select(explode(pairsOf($"bs")).as("p"))
+      .select($"p._1".as("id_a"), $"p._2".as("id_b"))
+      .distinct()
+    val bComp = connectedComponents(overlapEdges, "id_a", "id_b")
+      .withColumnRenamed("id", "bucket_id")
+    val withComp = bigMembers
+      .join(bComp, Seq("bucket_id"), "left")
+      .select(coalesce($"label", $"bucket_id").as("comp"), $"id")
+    val merged = withComp
+      .groupBy($"comp").agg(sort_array(collect_set($"id")).as("ids"))
+      .localCheckpoint()
+
+    // a member belongs to exactly one merged component (shared members
+    // are what merged the buckets), so small buckets whose members all
+    // map into ONE component are subsets of that merged bucket
+    val memberComp = withComp.distinct()
+    val redundantSmall = small
+      .select($"ids", explode($"ids").as("id"))
+      .join(memberComp, Seq("id"), "left")
+      .groupBy($"ids")
+      .agg(count(lit(1)).as("n"), count($"comp").as("nc"),
+        countDistinct($"comp").as("dc"))
+      .where($"n" === $"nc" && $"dc" === 1)
+      .select($"ids")
+    val keptSmall = small.join(redundantSmall, Seq("ids"), "left_anti")
+    (toks, keptSmall, merged.select($"ids"))
+  }
+
+  /** Exact-jaccard verification of candidate (id_a, id_b) pairs against
+    * the sorted token-hash sets. */
+  private def verifyPairs(
+      candidates: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     candidates
       .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
       .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
-      .withColumn("jaccard", jaccard($"toks_a", $"toks_b"))
+      .withColumn("jaccard", sortedJaccard($"toks_a", $"toks_b"))
       .where($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
@@ -198,14 +281,20 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // both directions in ONE pass over `edges` — a union of two selects
+    // would evaluate the (possibly expensive) edge pipeline twice
     val sym = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .select(explode(array(
+        struct($"s".as("src"), $"d".as("dst")),
+        struct($"d".as("src"), $"s".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
       .localCheckpoint()
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("label", $"id").localCheckpoint()
-    var prevSum = labels.agg(sum($"label").cast("decimal(38,0)")).head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"label"), lit(0)).cast("decimal(38,0)")).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -214,7 +303,7 @@ object Dedup {
       val next = labels.join(prop, labels("id") === prop("dst"), "left")
         .select(labels("id"), least(coalesce($"cand", $"label"), $"label").as("label"))
         .localCheckpoint()
-      val s = next.agg(sum($"label").cast("decimal(38,0)")).head().getDecimal(0)
+      val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
@@ -228,6 +317,10 @@ object Dedup {
     * no near-dups). LINEAR output in corpus size — this, not the pair
     * list, is the 100 TB dedup path: a mega duplicate cluster costs one
     * component label per member instead of O(n²) pairs.
+    *
+    * Work stays near the candidate volume: the merged-bucket front end
+    * ([[minhashBuckets]]) removes the per-band O(n²) redundancy, and
+    * [[connectedComponents]] materializes the verified edges once.
     */
   def minhashDedupKeepers(
       df: DataFrame,
@@ -412,6 +505,55 @@ object MinHashSig {
       i += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Jaccard of two sorted-distinct array<long> sets: single merge scan,
+  * no per-row hash set. |A∩B| by two-pointer walk; |A∪B| = |A|+|B|−|A∩B|.
+  * Inputs MUST be sorted ascending and duplicate-free (see
+  * [[Dedup.sortedJaccard]] callers — they sort_array(array_distinct)). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_jaccard expects (array<bigint>, array<bigint>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.ops.SortedJaccard.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccard {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 }
 

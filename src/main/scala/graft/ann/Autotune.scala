@@ -49,8 +49,10 @@ object Autotune {
       java.nio.file.Files.createTempDirectory("graft-autotune").toString)
 
     // sampled queries + exact ground truth (mod.rs:188-218)
-    val queries = df.select(col(idCol).cast("long"), col(vecCol))
-      .limit(queryCount).collect()
+    val queries = graft.util.Sampling
+      .hashSample(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        queryCount, col(idCol))
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(queries.nonEmpty, "graft: autotune needs at least one sample row")
     val truth = queries.map { case (_, q) =>
@@ -128,8 +130,10 @@ object Autotune {
     val ownsWorkDir = workDir == null
     val base = Option(workDir).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-ivftune").toString)
-    val queries = df.select(col(idCol).cast("long"), col(vecCol))
-      .limit(queryCount).collect()
+    val queries = graft.util.Sampling
+      .hashSample(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        queryCount, col(idCol))
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(queries.nonEmpty, "graft: autotune needs at least one sample row")
     val truth = queries.map { case (_, q) =>

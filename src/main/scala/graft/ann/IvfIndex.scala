@@ -47,7 +47,8 @@ object IvfIndex {
     val data = if (metric == "cos") data0.withColumn("vec", normalized(col("vec")))
       else data0
 
-    val sample = data.select("vec").limit(sampleLimit)
+    val sample = graft.util.Sampling
+      .hashSample(data.select("vec"), sampleLimit, col("vec"))
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "graft: empty sample for IVF coarse centroids")
     val centroids = ProductQuantizer.kmeansLocalPublic(

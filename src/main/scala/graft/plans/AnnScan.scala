@@ -33,10 +33,18 @@ object AnnCatalog {
     * (different columns/metrics), like multiple lantern indexes on one
     * table — the rule picks the one matching the sort expression.
     */
+  /** `nprobe` applies to `kind = "ivf"` only: number of coarse lists to
+    * probe (clamped to nlists by the scan). 0 = unset → the IVF default
+    * (8). It deliberately does NOT inherit `ef`: a graph-search ef like
+    * 64 on a 16-list index would probe every list — a full table scan
+    * wearing an index costume. */
   case class IndexMeta(artifact: String, idCol: String, vecCol: String,
-      metric: String, ef: Int, kind: String = "hnsw") {
+      metric: String, ef: Int, kind: String = "hnsw", nprobe: Int = 0) {
     require(Set("hnsw", "ivf", "pq").contains(kind),
       s"graft: unknown index kind '$kind'")
+    require(nprobe >= 0, s"graft: nprobe must be >= 0, got $nprobe")
+    /** Probe count the planner hands an IVF scan. */
+    def effectiveNprobe: Int = if (nprobe > 0) nprobe else 8
   }
 
   private val registry = TrieMap[String, Seq[IndexMeta]]()
@@ -242,9 +250,15 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
         idAttr <- rel.output.find(_.name == meta.idCol)
       } yield {
+        // ef drives graph/LUT search width; IVF instead takes a probe
+        // count (ef would degenerate to probing every list — see
+        // IndexMeta.nprobe)
+        val searchParam =
+          if (meta.kind == "ivf") meta.effectiveNprobe
+          else math.max(meta.ef, k)
         val ann = AnnScanLogical(
           idAttr, vecAttr, meta.artifact, q.toSeq, k,
-          math.max(meta.ef, k), meta.kind)
+          searchParam, meta.kind)
         // narrow form is safe only when (a) everything the sort's child
         // produces fits the ANN leaf — anything above references at most
         // child.output — and (b) the index stores the TRUE vector values:
@@ -264,7 +278,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
             val candidates = Project(Seq(cid),
               AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k,
-                math.max(meta.ef, k), meta.kind))
+                searchParam, meta.kind))
             Project(rel.output,
               Join(rel, candidates, Inner,
                 Some(EqualTo(idAttr, cid)),

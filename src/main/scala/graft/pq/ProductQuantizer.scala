@@ -149,7 +149,8 @@ object ProductQuantizer {
     require(dim % subvectors == 0,
       s"graft: dim $dim not divisible by subvectors $subvectors")
     val subDim = dim / subvectors
-    val sample = df.select(col(vecCol).as("v")).limit(sampleLimit)
+    val sample = graft.util.Sampling
+      .hashSample(df.select(col(vecCol).as("v")), sampleLimit, col("v"))
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "graft: empty training sample for PQ codebook")
 

@@ -236,9 +236,15 @@ object Bm25 {
     val (n, avgdl) = corpusStats(inv)
     val terms = queryTerms.distinct
 
-    // tiny (<= |terms| rows); cached so the rare/common split and the
-    // fallback check don't recompute the full inverted index
-    val matched = inv.where($"term".isin(terms: _*)).cache()
+    // tiny (<= |terms| rows); materialized ONCE so the rare/common
+    // split and the fallback check don't recompute the full inverted
+    // index. localCheckpoint, not cache(): the result plan returned to
+    // the caller references these rows, so a cache entry could never be
+    // safely unpersisted here — it would pin block-manager memory per
+    // search forever, and a leaked cache fragment can shadow a
+    // LogicalRelation and silently disable planner rules. Checkpoint
+    // blocks are dropped by the ContextCleaner when the plan is GC'd.
+    val matched = inv.where($"term".isin(terms: _*)).localCheckpoint()
 
     // common terms (bloom present): collected as driver metadata —
     // bounded by query term count, and each filter is deserialized

@@ -146,6 +146,37 @@ class AnnCorrectSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
   }
 
+  test("planner routes an explicit nprobe to IVF scans, never ef") {
+    val dir = sf("sf0.001")
+    val tmp = Files.createTempDirectory("graft-nprobe").toString
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    IvfIndex.build(e, "vec_id", "embedding", s"$tmp/ivf", nlists = 8)
+    def annParam(meta: AnnCatalog.IndexMeta): Int = {
+      AnnCatalog.register(spark, s"$dir/embeddings.parquet", meta)
+      try {
+        val knn = e.select(col("vec_id"), col("embedding"))
+          .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(5)
+        val scans = knn.queryExecution.optimizedPlan.collect {
+          case a: graft.plans.AnnScanLogical => a
+        }
+        assert(scans.size === 1)
+        scans.head.ef
+      } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
+    }
+    // explicit nprobe flows through
+    assert(annParam(AnnCatalog.IndexMeta(s"$tmp/ivf", "vec_id", "embedding",
+      "l2sq", ef = 64, kind = "ivf", nprobe = 2)) === 2)
+    // unset nprobe → IVF default, NOT the (full-probe) ef
+    assert(annParam(AnnCatalog.IndexMeta(s"$tmp/ivf", "vec_id", "embedding",
+      "l2sq", ef = 64, kind = "ivf")) === 8)
+    // hnsw still takes max(ef, k)
+    val hnswIdx = s"$tmp/hnsw"
+    AnnIndex.build(e, "vec_id", "embedding", hnswIdx, AnnParams(numPartitions = 1))
+    assert(annParam(AnnCatalog.IndexMeta(hnswIdx, "vec_id", "embedding",
+      "l2sq", ef = 64)) === 64)
+  }
+
   test("missing artifact fails with a clear error") {
     val ex = intercept[Exception] {
       AnnIndex.search(spark, "/tmp/graft-definitely-missing/idx", Array(1f), 1)

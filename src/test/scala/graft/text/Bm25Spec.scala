@@ -150,4 +150,12 @@ class Bm25Spec extends SparkTestBase {
     assert(Bm25.bm25Score(inv, "", "apple") == 0.0)
     assert(Bm25.bm25Score(inv, "apple", "zzz") == 0.0)
   }
+
+  test("repeated searches leave no cache entries behind") {
+    (1 to 20).foreach { _ =>
+      Bm25.searchBm25(inv, Seq("appl", "banana"), 10).collect()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "searchBm25 must not pin CacheManager entries across searches")
+  }
 }

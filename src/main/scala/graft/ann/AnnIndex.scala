@@ -91,12 +91,27 @@ object AnnIndex {
       params: AnnParams = AnnParams()): Header = {
     val spark = df.sparkSession
     val metricId = Metric.id(params.metric)
-    val data = df.select(col(idCol).cast(LongType), col(vecCol))
+    // hamming indexes b1-packed bit vectors (array<int>, 32 bits per
+    // element — ScalarQuantizer.quantizeB1); the graph stores them as
+    // exact 16-bit word floats (Metric.b1ToWords). An array<float>
+    // input under hamming is accepted as ALREADY word-packed (the
+    // consolidate path round-trips through vectors()).
+    val vecElem = df.schema(df.schema.fieldIndex(vecCol))
+      .dataType.asInstanceOf[ArrayType].elementType
+    val hammingFromB1 = metricId == Metric.Hamming && vecElem == IntegerType
+    if (metricId == Metric.Hamming)
+      require(vecElem == IntegerType || vecElem == FloatType,
+        s"graft: hamming index expects array<int> (b1-packed) or " +
+          s"array<float> (word-packed), got array<$vecElem>")
+    val toWords = udf((v: Seq[Int]) => Metric.b1ToWords(v.toArray).toSeq)
+    val vecExpr = if (hammingFromB1) toWords(col(vecCol)) else col(vecCol)
+    val data = df.select(col(idCol).cast(LongType), vecExpr.as(vecCol))
     val parted =
       if (params.numPartitions > 0) data.repartition(params.numPartitions, col(idCol))
       else data
 
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val rawDim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = if (hammingFromB1) rawDim * 2 else rawDim
 
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,7 +133,13 @@ object AnnIndex {
     val spark = df.sparkSession
     val h = readHeader(spark, path)
     val params = AnnParams(h.m, h.efConstruction, h.ef, h.metric)
-    val data = df.select(col(idCol).cast(LongType), col(vecCol))
+    val vecElem = df.schema(df.schema.fieldIndex(vecCol))
+      .dataType.asInstanceOf[ArrayType].elementType
+    val toWords = udf((v: Seq[Int]) => Metric.b1ToWords(v.toArray).toSeq)
+    val vecExpr =
+      if (h.metric == "hamming" && vecElem == IntegerType) toWords(col(vecCol))
+      else col(vecCol)
+    val data = df.select(col(idCol).cast(LongType), vecExpr.as(vecCol))
     writeShards(data, path, h.dim, params,
       runId = java.util.UUID.randomUUID().toString.take(8))
   }
@@ -237,6 +258,17 @@ object AnnIndex {
       .sortBy(x => (x._2, x._1))
       .take(kk)
   }
+
+  /** Hamming top-k over a b1-packed query (array<int> layout, matching
+    * `hamming_dist` and `ScalarQuantizer.quantizeB1`). Distances are
+    * exact bit counts. */
+  def searchHamming(
+      spark: SparkSession,
+      path: String,
+      query: Array[Int],
+      k: Int = 0,
+      efOverride: Int = 0): Array[(Long, Double)] =
+    search(spark, path, Metric.b1ToWords(query), k, efOverride)
 
   /** Batch ANN — the scale path for the k-NN JOIN (LATERAL pattern):
     * ALL query vectors broadcast once, ONE pass over the shards, each

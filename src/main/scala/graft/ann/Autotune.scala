@@ -92,6 +92,50 @@ object Autotune {
     Report(results, results.find(_.recall >= targetRecall))
   }
 
+  /** Autotune AND create the winning index at `indexPath` — the
+    * reference's create-best step (index_autotune/mod.rs:161-186, where
+    * the CLI can export/create the picked variant instead of just
+    * reporting). The winning TRIAL artifact is promoted by rename (no
+    * second build): trials run in `<indexPath>.autotune-trials` on the
+    * same filesystem as the target, the picked one is moved into place,
+    * the rest deleted. Throws when no variant meets `targetRecall`
+    * (trials are still cleaned up).
+    */
+  def autotuneCreate(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      metric: String = "l2sq",
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      grid: Seq[Variant] = DefaultGrid,
+      numPartitions: Int = 2): Report = {
+    val spark = df.sparkSession
+    val trials = s"$indexPath.autotune-trials"
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val report = autotune(df, idCol, vecCol, metric, k, queryCount,
+        targetRecall, grid, numPartitions, workDir = trials)
+      val picked = report.picked.getOrElse(throw new IllegalStateException(
+        s"graft: no autotune variant reached recall $targetRecall " +
+          s"(best: ${report.results.map(_.recall).max})"))
+      val v = picked.variant
+      val target = new org.apache.hadoop.fs.Path(indexPath)
+      if (fs.exists(target)) fs.delete(target, true)
+      val won = new org.apache.hadoop.fs.Path(
+        s"$trials/idx-m${v.m}-efc${v.efConstruction}-ef${v.ef}")
+      require(fs.rename(won, target),
+        s"graft: failed to promote $won to $target")
+      report
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(trials), true)
+      ()
+    }
+  }
+
   /** Report as a DataFrame (the reference prints a table; jobs persist it). */
   def reportDf(spark: SparkSession, report: Report): DataFrame = {
     import spark.implicits._

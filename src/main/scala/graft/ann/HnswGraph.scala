@@ -10,15 +10,39 @@ object Metric {
   val Cos = 1
   val Inner = 2
 
+  /** Hamming over packed bit vectors (`dist_hamming_ops`,
+    * lantern_hnsw/sql/lantern.sql:88-99). The graph stores floats, so
+    * bit vectors ride in them as exact 16-bit words: every value is an
+    * integer in [0, 65535], which a float represents exactly (24-bit
+    * mantissa) — lossless, and the graph/serialization code is shared
+    * unchanged with the float metrics. Convert with [[b1ToWords]].
+    */
+  val Hamming = 3
+
   def id(name: String): Int = name match {
     case "l2sq" => L2Sq
     case "cos" => Cos
     case "inner" => Inner
+    case "hamming" => Hamming
     case other => throw new IllegalArgumentException(
-      s"graft: unsupported ANN metric '$other' (expected l2sq|cos|inner)")
+      s"graft: unsupported ANN metric '$other' (expected l2sq|cos|inner|hamming)")
   }
   def name(id: Int): String = id match {
     case L2Sq => "l2sq"; case Cos => "cos"; case Inner => "inner"
+    case Hamming => "hamming"
+  }
+
+  /** b1-packed ints (32 bits each, MSB-first — ScalarQuantizer
+    * .quantizeB1 layout) → exact 16-bit words as floats. */
+  def b1ToWords(packed: Array[Int]): Array[Float] = {
+    val out = new Array[Float](packed.length * 2)
+    var i = 0
+    while (i < packed.length) {
+      out(2 * i) = ((packed(i) >>> 16) & 0xFFFF).toFloat
+      out(2 * i + 1) = (packed(i) & 0xFFFF).toFloat
+      i += 1
+    }
+    out
   }
 
   /** Distance under metric `m`; all metrics ordered ascending = nearest.
@@ -42,6 +66,12 @@ object Metric {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       -s
+    case Hamming =>
+      var s = 0; var i = 0
+      while (i < a.length) {
+        s += Integer.bitCount(a(i).toInt ^ b(i).toInt); i += 1
+      }
+      s.toDouble
   }
 }
 

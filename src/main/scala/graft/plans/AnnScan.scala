@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.ann.{AnnIndex, GraphCache, Metric}
-import graft.functions.{CosDist, InnerProduct, L2SqDist}
+import graft.functions.{CosDist, HammingDist, InnerProduct, L2SqDist}
 
 /** Registry mapping a table's storage root path → its ANN index artifact.
   * The Spark analog of "this column has a lantern_hnsw index": the
@@ -207,9 +207,18 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(("inner", a, vec(l)))
       case UnaryMinus(InnerProduct(l: Literal, a: AttributeReference), _) =>
         Some(("inner", a, vec(l)))
+      // hamming sorts on a b1-packed array<int> column; the index holds
+      // 16-bit word floats, so the query literal is word-packed here
+      case HammingDist(a: AttributeReference, l: Literal) =>
+        Some(("hamming", a, bits(l)))
+      case HammingDist(l: Literal, a: AttributeReference) =>
+        Some(("hamming", a, bits(l)))
       case _ => None
     }
   }
+
+  private def bits(l: Literal): Array[Float] =
+    Metric.b1ToWords(l.value.asInstanceOf[ArrayData].toIntArray())
 
   /** Resolve a sort expression through one Project level of aliases. */
   private def resolveThroughProject(e: Expression, child: LogicalPlan): Expression =
@@ -263,12 +272,15 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // produces fits the ANN leaf — anything above references at most
         // child.output — and (b) the index stores the TRUE vector values:
         // hnsw shards hold the original floats and l2sq-IVF lists hold
-        // raw rows, but cos-IVF stores unit-normalized vectors and PQ
-        // stores dequantized approximations; emitting those as the
-        // table's vector column would silently alter query output, so
-        // such indexes always go through the join-back (heap-fetch) form
+        // raw rows, but cos-IVF stores unit-normalized vectors, PQ
+        // stores dequantized approximations, and hamming shards store
+        // 16-bit word floats (not the table's b1 array<int>); emitting
+        // those as the table's vector column would silently alter query
+        // output, so such indexes always go through the join-back
+        // (heap-fetch) form
         val storesTrueVectors =
-          meta.kind == "hnsw" || (meta.kind == "ivf" && meta.metric != "cos")
+          (meta.kind == "hnsw" && meta.metric != "hamming") ||
+            (meta.kind == "ivf" && meta.metric != "cos")
         val newSource: LogicalPlan =
           if (storesTrueVectors &&
               child.outputSet.subsetOf(AttributeSet(ann.output))) ann

@@ -124,9 +124,43 @@ object AnnQueries {
     if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** Hamming-metric ANN gate (`dist_hamming_ops` analog,
+    * lantern_hnsw/sql/lantern.sql:88-99): sign-quantize embeddings to
+    * b1 packed bits, index under the hamming metric, and require the
+    * ANN top-10 to match the exact top-10 ON DISTANCES. With 64-bit
+    * signatures over thousands of rows the distance range is 0..64, so
+    * the exact top-10 ID SET is not unique (massive tie groups at the
+    * boundary) — the sorted distance multiset IS the tie-robust
+    * correctness criterion, and matching it exactly is strictly
+    * stronger than an 0.8 id-recall under ties.
+    */
+  private def hammingAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.hamming_dist
+    import graft.pq.ScalarQuantizer
+    val e = Tables.embeddings(s, dir)
+    def b1 = e.select(col("vec_id"),
+      ScalarQuantizer.quantize_b1(col("embedding")).as("bits"))
+    val path = artifactDir("annh", dir, "embeddings")
+    cached(path) {
+      AnnIndex.build(b1, "vec_id", "bits", path,
+        AnnParams(m = 16, efConstruction = 128, ef = 128,
+          metric = "hamming", numPartitions = 4))
+    }
+    val q = b1.where(col("vec_id") === 0).select("bits")
+      .head().getSeq[Int](0).toArray
+    val ann = AnnIndex.searchHamming(s, path, q, 10, efOverride = 128)
+      .map(_._2).toSeq
+    val exact = b1.withColumn("hd", hamming_dist(col("bits"), lit(q)))
+      .orderBy(col("hd"), col("vec_id")).limit(10)
+      .select(col("hd").cast("double")).collect().map(_.getDouble(0)).toSeq
+    if (ann == exact) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),
+    QueryDef("knn_hamming_ann", Some("SELECT 1 AS ok"), hammingAnnRecall),
   )
 }

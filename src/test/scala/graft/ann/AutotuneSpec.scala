@@ -41,6 +41,33 @@ class AutotuneSpec extends SparkTestBase {
     assert(report.results.take(idx).forall(_.recall < 0.7))
   }
 
+  test("autotuneCreate promotes the winning trial to the target path and it searches") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-create-best").toString + "/best"
+    val report = Autotune.autotuneCreate(
+      e, "vec_id", "embedding", target,
+      k = 10, queryCount = 3, targetRecall = 0.8,
+      grid = Seq(Autotune.Variant(6, 32, 64), Autotune.Variant(16, 60, 76)))
+    assert(report.picked.isDefined)
+    // trials cleaned, target present and searchable
+    assert(!new java.io.File(target + ".autotune-trials").exists())
+    val q = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val got = AnnIndex.search(spark, target, q, 5).map(_._1)
+    assert(got.size === 5)
+    assert(got.contains(0L), "query vector itself must be a neighbor")
+    // unreachable target: throws but still cleans trials
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft-create-none").toString + "/best"
+    intercept[IllegalStateException] {
+      Autotune.autotuneCreate(e, "vec_id", "embedding", t2,
+        targetRecall = 1.1, grid = Seq(Autotune.Variant(6, 32, 64)))
+    }
+    assert(!new java.io.File(t2 + ".autotune-trials").exists())
+    assert(!new java.io.File(t2).exists())
+  }
+
   test("unreachable target yields no pick but a full report") {
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(50)
     val report = Autotune.autotune(

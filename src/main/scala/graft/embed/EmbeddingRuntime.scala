@@ -94,11 +94,15 @@ object HashEmbeddingRuntime {
     ((h % Mod) + Mod) % Mod
   }
 
-  def embed(t: String, dim: Int): Array[Float] = {
-    val h = textHash(t)
+  def embed(t: String, dim: Int): Array[Float] =
+    embedFromHash(textHash(t), dim)
+
+  /** The formula from any precomputed content hash — shared with the
+    * deterministic VISUAL session (pixel-sum hash, see
+    * [[HashVisualSessionFactory]]). */
+  def embedFromHash(h: Long, dim: Int): Array[Float] =
     Array.tabulate(dim)(j =>
       (((((h + j) * Mix) % Mod) % 1024L) / 1024.0 - 0.5).toFloat)
-  }
 
   /** The same function as DuckDB SQL over column `c` (for oracles). */
   def hashSql(c: String): String =
@@ -115,7 +119,8 @@ object EmbeddingRuntimes {
   private val registry = scala.collection.concurrent.TrieMap[String, EmbeddingRuntime](
     "hash-mock" -> new HashEmbeddingRuntime(),
     "openai" -> new OpenAiEmbeddingRuntime(),
-    "cohere" -> new CohereEmbeddingRuntime())
+    "cohere" -> new CohereEmbeddingRuntime(),
+    "ort" -> new OrtEmbeddingRuntime())
 
   def register(rt: EmbeddingRuntime): Unit = registry.put(rt.name, rt)
   def get(name: String): EmbeddingRuntime =

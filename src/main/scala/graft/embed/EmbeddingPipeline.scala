@@ -54,6 +54,60 @@ object EmbeddingPipeline {
     }(enc)
   }
 
+  /** `image_embedding` over a binary media column — the reference
+    * dispatches text and image inputs through the same embedding entry
+    * (lantern_extras/src/embeddings.rs:154-199, clip ViT-B-32 visual in
+    * the model map). Decode (graft.multimodal, fixture-stubbed per its
+    * doc) → optional resize → pixel float tensor → the runtime's visual
+    * session, batched map-side like [[createEmbeddings]]; decode OR
+    * embed failures land in `embed_error`, never fail the job.
+    */
+  def createImageEmbeddings(
+      df: DataFrame,
+      binCol: String,
+      runtime: OrtEmbeddingRuntime,
+      model: String,
+      resizeTo: Option[(Int, Int)] = None,
+      batchSizeOverride: Int = 0): DataFrame = {
+    import graft.multimodal.Multimodal
+    val meta = OrtModels.byName(model).getOrElse(
+      throw new IllegalArgumentException(s"graft: unknown ort model '$model'"))
+    require(meta.visual, s"graft: '$model' is not an image encoder")
+    val batchSize = if (batchSizeOverride > 0) batchSizeOverride else meta.batchSize
+    val schema = df.schema
+      .add(EmbeddingCol, ArrayType(FloatType))
+      .add(ErrorCol, StringType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // decode locally first so a bad payload is a per-row error and
+        // the session only ever sees well-formed pixel tensors
+        val decoded: Seq[Either[String, Array[Float]]] = batch.map { r =>
+          try {
+            val img0 = Multimodal.decodeImage(r.getAs[Array[Byte]](binIdx))
+            val img = resizeTo.fold(img0) { case (w, h) =>
+              Multimodal.resizeNearest(img0, w, h)
+            }
+            Right(img.pixels.map(b => (b & 0xFF).toFloat))
+          } catch {
+            case e: Exception => Left(s"decode: ${e.getMessage}")
+          }
+        }
+        val good = decoded.collect { case Right(px) => px }
+        val embedded = runtime.embedImageBatch(model, good)
+        val it = embedded.iterator
+        batch.lazyZip(decoded).map {
+          case (r, Left(err)) => Row.fromSeq(r.toSeq :+ null :+ err)
+          case (r, Right(_)) => it.next() match {
+            case Right(vec) => Row.fromSeq(r.toSeq :+ vec.toSeq :+ null)
+            case Left(err) => Row.fromSeq(r.toSeq :+ null :+ err)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** The failed-row side output (reference failed-rows table). */
   def failedRows(embedded: DataFrame): DataFrame =
     embedded.where(col(ErrorCol).isNotNull)

@@ -146,7 +146,7 @@ object Dedup {
     // pairs, so the two extra 1 KB-sig joins cost more than they save.
     // It only pays when the LSH s-curve admits many mid-similarity
     // false candidates; revisit with corpus stats before re-adding.
-    verifyPairs(candidates, toks, threshold)
+    verifyPairsChunked(candidates, toks, threshold)
   }
 
   /** Shared LSH front end: (toks, small, big) where `toks` is
@@ -196,15 +196,21 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice($"sig", b * lit(r) + lit(1), lit(r))))).as(Seq("band", "bhash")))
 
-    // dedupe buckets by member set BEFORE any quadratic explode
+    // dedupe buckets by member set BEFORE any quadratic explode;
+    // checkpointed because small/big branches below re-reference it
+    // several times inside one downstream job (Spark recomputes common
+    // subtrees) and the row set is tiny (one row per non-trivial bucket)
     val buckets = banded
       .groupBy($"band", $"bhash")
       .agg(sort_array(collect_list($"id")).as("ids"))
       .where(size($"ids") > 1)
       .select($"ids")
       .distinct()
+      .localCheckpoint()
 
-    val toks = base.select($"id", $"toks")
+    // materialized once: feeds the chunked verifier (a count + a
+    // groupBy) and would otherwise re-tokenize + re-hash per use
+    val toks = base.select($"id", $"toks").localCheckpoint()
     val small = buckets.where(size($"ids") <= maxBucket)
     // materialized once: tiny (one row per oversized bucket), and the
     // generated bucket_id must stay stable across the branches below
@@ -248,17 +254,71 @@ object Dedup {
   }
 
   /** Exact-jaccard verification of candidate (id_a, id_b) pairs against
-    * the sorted token-hash sets. */
-  private def verifyPairs(
-      candidates: DataFrame, toks: DataFrame, threshold: Double): DataFrame = {
+    * the sorted token-hash sets, with BLOCKED data movement.
+    *
+    * The naive form (join each candidate with both token arrays, then
+    * compare) ships ~|toks| bytes per CANDIDATE through two shuffles —
+    * a 2,700-doc duplicate clique is 3.6M candidates × ~4 KB of hashes
+    * = ~14 GB of shuffle for 20 MB of underlying data. Here ids are
+    * hash-grouped into chunks of ~`chunkSize` docs and candidates into
+    * (chunk_a, chunk_b) cells, so each cell moves its two chunk
+    * payloads ONCE and verifies its pair subset locally (the blocked
+    * matrix-multiply trick). Shuffle drops from O(pairs · doc_bytes) to
+    * O(pairs · 16 B + cells · chunk_bytes); cells only materialize
+    * where candidates exist, so sparse pair sets stay sparse. Per-cell
+    * memory is 2 chunks (~2·chunkSize·doc_bytes), invariant to corpus
+    * size — the knob that keeps this safe at 100 TB.
+    *
+    * Jaccard arithmetic is bit-identical to [[SortedJaccard]] (same
+    * merge scan, same division), so results hash-match the join form.
+    */
+  private[ops] def verifyPairsChunked(
+      candidates: DataFrame,
+      toks: DataFrame,
+      threshold: Double,
+      chunkSize: Int = 512): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    candidates
-      .join(toks.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(toks.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
-      .withColumn("jaccard", sortedJaccard($"toks_a", $"toks_b"))
-      .where($"jaccard" >= threshold)
-      .select($"id_a", $"id_b", $"jaccard")
+    val nDocs = toks.count()
+    val p = math.max(1L, nDocs / chunkSize)
+    def chunkOf(c: Column): Column = pmod(xxhash64(c), lit(p))
+    val cells = candidates
+      .select($"id_a", $"id_b", chunkOf($"id_a").as("ga"), chunkOf($"id_b").as("gb"))
+      .groupBy($"ga", $"gb")
+      // parallel collect_lists in one agg consume rows in one order, so
+      // pas(i)/pbs(i) stay aligned (same for ids/tss below)
+      .agg(collect_list($"id_a").as("pas"), collect_list($"id_b").as("pbs"))
+    val chunks = toks
+      .groupBy(chunkOf($"id").as("g"))
+      .agg(collect_list($"id").as("ids"), collect_list($"toks").as("tss"))
+    val verifyCell = udf(
+      (pas: Seq[Long], pbs: Seq[Long],
+       idsA: Seq[Long], tssA: Seq[Seq[Long]],
+       idsB: Seq[Long], tssB: Seq[Seq[Long]]) => {
+        val m = new java.util.HashMap[Long, Array[Long]](idsA.size + idsB.size)
+        var i = 0
+        while (i < idsA.size) { m.put(idsA(i), tssA(i).toArray); i += 1 }
+        i = 0
+        while (i < idsB.size) { m.put(idsB(i), tssB(i).toArray); i += 1 }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        i = 0
+        while (i < pas.size) {
+          val a = m.get(pas(i))
+          val b = m.get(pbs(i))
+          if (a != null && b != null) {
+            val j = SortedJaccard.computeArrays(a, b)
+            if (j >= threshold) out += ((pas(i), pbs(i), j))
+          }
+          i += 1
+        }
+        out.toSeq
+      })
+    cells
+      .join(chunks.select($"g".as("ga"), $"ids".as("ids_a"), $"tss".as("tss_a")), "ga")
+      .join(chunks.select($"g".as("gb"), $"ids".as("ids_b"), $"tss".as("tss_b")), "gb")
+      .select(explode(verifyCell(
+        $"pas", $"pbs", $"ids_a", $"tss_a", $"ids_b", $"tss_b")).as("r"))
+      .select($"r._1".as("id_a"), $"r._2".as("id_b"), $"r._3".as("jaccard"))
   }
 
   /** All ordered pairs (i<j) from a sorted id array, as struct array. */
@@ -267,12 +327,18 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)), y => struct(x.as("_1"), y.as("_2")))))
 
   /** Connected components over an undirected edge list: (id, label)
-    * where `label` = min id in the component. Iterative min-label
-    * propagation — each round is one shuffle (edges ⋈ labels → min per
-    * neighbor), lineage truncated per round via localCheckpoint, and
-    * convergence detected by the monotone sum of labels (labels only
-    * ever decrease). Near-dup clusters are clique-like, so this
-    * converges in 1-2 rounds; `maxIter` bounds pathological chains.
+    * where `label` = min id in the component; only ids that appear in
+    * an edge get a row.
+    *
+    * CONTRACTION, not fixed-cost label propagation: each round computes
+    * `l(v) = min(v, min neighbor)` (one shuffle), then CONTRACTS the
+    * graph onto the labels (edges relabeled, self-loops dropped,
+    * deduped) and recurses on the contracted graph. Near-dup clusters
+    * are clique-like, so round 1 contracts them to (almost) nothing —
+    * unlike propagation over the full edge list every round, the work
+    * SHRINKS with the graph (measured 71s → ~2s on a 1.8M-edge corpus
+    * at sf0.1). Depth is O(log n) on pathological chains; each label is
+    * always a member's id, so the composed label is the component min.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -281,35 +347,36 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // both directions in ONE pass over `edges` — a union of two selects
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where($"src" =!= $"dst")
+    ccContract(e0, maxIter)
+  }
+
+  private def ccContract(e: DataFrame, depth: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // both directions in ONE pass over `e` — a union of two selects
     // would evaluate the (possibly expensive) edge pipeline twice
-    val sym = edges
-      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .select(explode(array(
-        struct($"s".as("src"), $"d".as("dst")),
-        struct($"d".as("src"), $"s".as("dst")))).as("e"))
-      .select($"e.src".as("src"), $"e.dst".as("dst"))
+    val sym = e.select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("x"))
+      .select($"x.src".as("src"), $"x.dst".as("dst"))
+    val labels = sym.groupBy($"src".as("id"))
+      .agg(least(first($"src"), min($"dst")).as("label"))
       .localCheckpoint()
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("label", $"id").localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum($"label"), lit(0)).cast("decimal(38,0)")).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .groupBy($"dst").agg(min($"label").as("cand"))
-      val next = labels.join(prop, labels("id") === prop("dst"), "left")
-        .select(labels("id"), least(coalesce($"cand", $"label"), $"label").as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      iter += 1
-    }
+    val contracted = e
+      .join(labels.select($"id".as("src"), $"label".as("ls")), "src")
+      .join(labels.select($"id".as("dst"), $"label".as("ld")), "dst")
+      .where($"ls" =!= $"ld")
+      .select(least($"ls", $"ld").as("src"), greatest($"ls", $"ld").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    if (depth <= 0 || contracted.head(1).isEmpty) return labels
+    val sub = ccContract(contracted, depth - 1)
     labels
+      .join(sub.select($"id".as("label"), $"label".as("sublabel")), Seq("label"), "left")
+      .select($"id", coalesce($"sublabel", $"label").as("label"))
   }
 
   /** Dedup decision per document: (id, keeper_id) where keeper is the
@@ -318,9 +385,20 @@ object Dedup {
     * list, is the 100 TB dedup path: a mega duplicate cluster costs one
     * component label per member instead of O(n²) pairs.
     *
-    * Work stays near the candidate volume: the merged-bucket front end
-    * ([[minhashBuckets]]) removes the per-band O(n²) redundancy, and
-    * [[connectedComponents]] materializes the verified edges once.
+    * Unlike [[minhashNearDupPairs]], oversized buckets are NOT pair
+    * sources here: connected components only need a connectivity-
+    * preserving edge subset, so each oversized (merged) bucket emits
+    *  1. STAR edges anchor→member (anchor = min id), verified — O(n)
+    *     per bucket instead of O(n²);
+    *  2. RESIDUE edges failed-member × every bucket member, verified —
+    *     a member the anchor missed can still connect through anyone
+    *     else (jaccard is not transitive).
+    * This is exact: every true in-bucket edge (u,v) either has both
+    * ends star-connected to the anchor, or touches a failed member and
+    * is then verified directly — so u,v always land in one component.
+    * A near-dup clique has few star failures, making this ~O(n) per
+    * cluster; the worst case (an over-merged bucket spanning two real
+    * clusters) degrades to the old O(n²) verification, never worse.
     */
   def minhashDedupKeepers(
       df: DataFrame,
@@ -332,9 +410,33 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = minhashNearDupPairs(
-      df, idCol, tokensCol, threshold, numHashes, bands, maxBucket)
-    val comp = connectedComponents(pairs, "id_a", "id_b")
+    val (toks, small, big) =
+      minhashBuckets(df, idCol, tokensCol, numHashes, bands, maxBucket)
+
+    val bigB = big.withColumn("bid", monotonically_increasing_id()).localCheckpoint()
+    val star = bigB.select(
+      $"bid",
+      element_at($"ids", 1).as("id_a"),
+      explode(slice($"ids", lit(2), size($"ids") - 1)).as("id_b"))
+    val starVerified = verifyPairsChunked(
+      star.select($"id_a", $"id_b").distinct(), toks, threshold).localCheckpoint()
+    val failed = star
+      .join(starVerified.select($"id_a", $"id_b"), Seq("id_a", "id_b"), "left_anti")
+    val residue = failed
+      .select($"bid", $"id_b".as("fid"))
+      .join(bigB, "bid")
+      .select($"fid", explode($"ids").as("other"))
+      .where($"fid" =!= $"other")
+      .select(least($"fid", $"other").as("id_a"), greatest($"fid", $"other").as("id_b"))
+
+    val smallCand = small
+      .select(explode(pairsOf($"ids")).as("p"))
+      .select($"p._1".as("id_a"), $"p._2".as("id_b"))
+    val otherVerified = verifyPairsChunked(
+      smallCand.unionByName(residue).distinct(), toks, threshold)
+
+    val edges = starVerified.unionByName(otherVerified).select($"id_a", $"id_b")
+    val comp = connectedComponents(edges, "id_a", "id_b")
     df.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
       .select($"id", coalesce($"label", $"id").as("keeper_id"))
@@ -539,6 +641,25 @@ case class SortedJaccard(left: Expression, right: Expression)
 }
 
 object SortedJaccard {
+  /** Same merge scan over plain arrays — used by the chunked verifier;
+    * MUST stay arithmetically identical to [[compute]]. */
+  def computeArrays(a: Array[Long], b: Array[Long]): Double = {
+    val na = a.length
+    val nb = b.length
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()

@@ -57,4 +57,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(1) <= f(0) && f(0) <= f(2))
     out.unpersist()
   }
+
+  test("image embedding: media column → visual encoder, failures routed") {
+    import spark.implicits._
+    import graft.embed.{EmbeddingPipeline, HashEmbeddingRuntime, HashVisualSessionFactory, OrtEmbeddingRuntime}
+    val rows = (1L to 10L).map(i => (i, syntheticImageBytes(i, 4, 3))) :+
+      (99L, Array[Byte](9, 9, 9, 9))
+    val df = rows.toDF("id", "media")
+    val rt = new OrtEmbeddingRuntime(HashVisualSessionFactory)
+    val out = EmbeddingPipeline.createImageEmbeddings(
+      df, "media", rt, "clip/ViT-B-32-visual", batchSizeOverride = 4).cache()
+
+    val bad = EmbeddingPipeline.failedRows(out)
+    assert(bad.select("id").head().getLong(0) === 99L)
+    assert(bad.head().getAs[String](EmbeddingPipeline.ErrorCol).startsWith("decode:"))
+    val good = EmbeddingPipeline.embeddedRows(out)
+    assert(good.count() === 10)
+
+    // embedding = embedFromHash(Σ pixel_i·(i+1) mod M, 512), bit-exact
+    val px = decodeImage(syntheticImageBytes(1, 4, 3)).pixels.map(_ & 0xFF)
+    val h = px.zipWithIndex.map { case (p, i) => p.toLong * (i + 1) }.sum %
+      HashEmbeddingRuntime.Mod
+    val expected = HashEmbeddingRuntime.embedFromHash(h, 512)
+    val got = good.where($"id" === 1)
+      .select(EmbeddingPipeline.EmbeddingCol).head().getSeq[Float](0)
+    assert(got.length === 512)
+    assert(got.toArray.sameElements(expected))
+
+    // resize path: embedding computed over the RESIZED pixels
+    val resized = EmbeddingPipeline.createImageEmbeddings(
+      df.where($"id" === 1), "media", rt, "clip/ViT-B-32-visual",
+      resizeTo = Some((2, 2)))
+    val rpx = resizeNearest(decodeImage(syntheticImageBytes(1, 4, 3)), 2, 2)
+      .pixels.map(_ & 0xFF)
+    val rh = rpx.zipWithIndex.map { case (p, i) => p.toLong * (i + 1) }.sum %
+      HashEmbeddingRuntime.Mod
+    val rGot = resized.select(EmbeddingPipeline.EmbeddingCol).head().getSeq[Float](0)
+    assert(rGot.toArray.sameElements(HashEmbeddingRuntime.embedFromHash(rh, 512)))
+    out.unpersist()
+  }
 }

@@ -30,6 +30,15 @@ object GraftConf {
   def bm25ApproxThreshold(s: SparkSession): Int =
     int(s, Bm25ApproxThreshold, 8000)
 
+  val DedupBroadcastBytes = "spark.graft.dedup.broadcastBytes"
+
+  /** Size budget below which dedup candidate verification broadcasts
+    * the whole token-hash table and verifies map-side (zero shuffle) —
+    * the same adaptive idea as Spark's broadcast-join threshold. Above
+    * it, the blocked chunk-verify path runs (the 100 TB shape). */
+  def dedupBroadcastBytes(s: SparkSession): Long =
+    s.conf.getOption(DedupBroadcastBytes).map(_.toLong).getOrElse(128L << 20)
+
   /** init_k: how many results an ANN search fetches when no explicit k
     * is given (GUC `lantern_hnsw.init_k`, default 10, max 1000). */
   def annInitK(s: SparkSession): Int = math.min(int(s, AnnInitK, 10), 1000)

@@ -127,18 +127,7 @@ object Dedup {
       .select(explode(pairsOf($"ids")).as("p"))
       .select($"p._1".as("id_a"), $"p._2".as("id_b"))
 
-    // oversized buckets: one row exploding to O(n²) pairs would pin the
-    // whole generation on a single task — split per anchor id first
-    // (carrying only each anchor's TAIL, half the array bytes) and
-    // shuffle so the quadratic generation spreads cluster-wide
-    val bigPairs = big
-      .select($"ids", posexplode($"ids").as(Seq("i", "id_a")))
-      .where($"i" < size($"ids") - 1)
-      .select($"id_a", slice($"ids", $"i" + lit(2), size($"ids")).as("tail"))
-      .repartition(col("id_a"))
-      .select($"id_a", explode($"tail").as("id_b"))
-
-    val candidates = smallPairs.unionByName(bigPairs).distinct()
+    val candidates = smallPairs.unionByName(bigAllPairs(big))
 
     // NOTE on a rejected optimization: pre-filtering candidates by the
     // signature-estimated jaccard (join sigs, compare components) was
@@ -146,7 +135,26 @@ object Dedup {
     // pairs, so the two extra 1 KB-sig joins cost more than they save.
     // It only pays when the LSH s-curve admits many mid-similarity
     // false candidates; revisit with corpus stats before re-adding.
-    verifyPairsChunked(candidates, toks, threshold)
+    // Output distinct, not candidate distinct: verified pairs are far
+    // fewer than candidates, and the broadcast path needs no candidate
+    // shuffle at all (the chunked path dedups candidates itself).
+    verifyPairsAuto(candidates, toks, threshold,
+      graft.GraftConf.dedupBroadcastBytes(spark)).distinct()
+  }
+
+  /** All in-bucket pairs of oversized buckets: one row exploding to
+    * O(n²) pairs would pin the whole generation on a single task — so
+    * split per anchor id first (carrying only each anchor's TAIL, half
+    * the array bytes) and shuffle so the quadratic generation spreads
+    * cluster-wide. */
+  private def bigAllPairs(big: DataFrame): DataFrame = {
+    import big.sparkSession.implicits._
+    big
+      .select($"ids", posexplode($"ids").as(Seq("i", "id_a")))
+      .where($"i" < size($"ids") - 1)
+      .select($"id_a", slice($"ids", $"i" + lit(2), size($"ids")).as("tail"))
+      .repartition(col("id_a"))
+      .select($"id_a", explode($"tail").as("id_b"))
   }
 
   /** Shared LSH front end: (toks, small, big) where `toks` is
@@ -174,7 +182,7 @@ object Dedup {
     *     are dropped — every pair they would generate is already
     *     generated by that merged bucket's explode.
     */
-  private def minhashBuckets(
+  private[graft] def minhashBuckets(
       df: DataFrame,
       idCol: String,
       tokensCol: String,
@@ -185,11 +193,16 @@ object Dedup {
     val r = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
+    // ONE tokenize+hash+signature pass, materialized once: both the
+    // banding below and the verifier's token sets derive from it
+    // (separate checkpoints of `buckets` and `toks` used to evaluate
+    // this map-side pipeline twice)
     val base = df.select(
       col(idCol).cast("long").as("id"),
       sort_array(array_distinct(transform(col(tokensCol), t => xxhash64(t)))).as("toks"))
       .withColumn("sig",
         GraftSqlShim.column(MinHashSig(GraftSqlShim.expression($"toks"), numHashes)))
+      .localCheckpoint()
 
     val banded = base.select(
       $"id",
@@ -208,9 +221,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    // materialized once: feeds the chunked verifier (a count + a
-    // groupBy) and would otherwise re-tokenize + re-hash per use
-    val toks = base.select($"id", $"toks").localCheckpoint()
+    val toks = base.select($"id", $"toks")
     val small = buckets.where(size($"ids") <= maxBucket)
     // materialized once: tiny (one row per oversized bucket), and the
     // generated bucket_id must stay stable across the branches below
@@ -253,6 +264,50 @@ object Dedup {
     (toks, keptSmall, merged.select($"ids"))
   }
 
+  /** Adaptive candidate verification: when the whole token-hash table
+    * fits `broadcastBudget` bytes, broadcast it and verify map-side —
+    * zero shuffle, the same adaptive switch as Spark's broadcast-join
+    * threshold. Otherwise the blocked chunk verifier runs (the shape
+    * that holds at 100 TB, where the table cannot be broadcast).
+    * Both paths share [[SortedJaccard.computeArrays]], so results are
+    * bit-identical whichever fires.
+    */
+  private[graft] def verifyPairsAuto(
+      candidates: DataFrame,
+      toks: DataFrame,
+      threshold: Double,
+      broadcastBudget: Long): DataFrame = {
+    import toks.sparkSession.implicits._
+    val bytes = toks
+      .agg(coalesce(sum(size($"toks")), lit(0)).cast("long")).head().getLong(0) * 8L
+    if (bytes <= broadcastBudget) verifyPairsBroadcast(candidates, toks, threshold)
+    else verifyPairsChunked(candidates.distinct(), toks, threshold)
+  }
+
+  /** Map-side verification against a broadcast id → token-hash map.
+    * Candidates need not be distinct (dedup the OUTPUT if pair rows
+    * must be unique — it is far smaller than the candidate set). */
+  private[graft] def verifyPairsBroadcast(
+      candidates: DataFrame,
+      toks: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val data = toks.select($"id", $"toks").as[(Long, Array[Long])].collect()
+    val m = new java.util.HashMap[Long, Array[Long]](data.length * 2)
+    data.foreach { case (i, a) => m.put(i, a) }
+    val bcast = spark.sparkContext.broadcast(m)
+    val jac = udf { (a: Long, b: Long) =>
+      val x = bcast.value.get(a)
+      val y = bcast.value.get(b)
+      if (x == null || y == null) -1.0 else SortedJaccard.computeArrays(x, y)
+    }
+    candidates
+      .withColumn("jaccard", jac($"id_a", $"id_b"))
+      .where($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
   /** Exact-jaccard verification of candidate (id_a, id_b) pairs against
     * the sorted token-hash sets, with BLOCKED data movement.
     *
@@ -272,7 +327,7 @@ object Dedup {
     * Jaccard arithmetic is bit-identical to [[SortedJaccard]] (same
     * merge scan, same division), so results hash-match the join form.
     */
-  private[ops] def verifyPairsChunked(
+  private[graft] def verifyPairsChunked(
       candidates: DataFrame,
       toks: DataFrame,
       threshold: Double,
@@ -295,19 +350,26 @@ object Dedup {
       (pas: Seq[Long], pbs: Seq[Long],
        idsA: Seq[Long], tssA: Seq[Seq[Long]],
        idsB: Seq[Long], tssB: Seq[Seq[Long]]) => {
+        // the Seqs Spark hands over can be LinearSeqs — indexed access
+        // on them is O(i), turning the pair loop quadratic (measured:
+        // minutes instead of seconds per cell). Convert to arrays once.
+        val pa = pas.toArray
+        val pb = pbs.toArray
         val m = new java.util.HashMap[Long, Array[Long]](idsA.size + idsB.size)
-        var i = 0
-        while (i < idsA.size) { m.put(idsA(i), tssA(i).toArray); i += 1 }
-        i = 0
-        while (i < idsB.size) { m.put(idsB(i), tssB(i).toArray); i += 1 }
+        val ia = idsA.iterator
+        val ta = tssA.iterator
+        while (ia.hasNext) m.put(ia.next(), ta.next().toArray)
+        val ib = idsB.iterator
+        val tb = tssB.iterator
+        while (ib.hasNext) m.put(ib.next(), tb.next().toArray)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        i = 0
-        while (i < pas.size) {
-          val a = m.get(pas(i))
-          val b = m.get(pbs(i))
+        var i = 0
+        while (i < pa.length) {
+          val a = m.get(pa(i))
+          val b = m.get(pb(i))
           if (a != null && b != null) {
             val j = SortedJaccard.computeArrays(a, b)
-            if (j >= threshold) out += ((pas(i), pbs(i), j))
+            if (j >= threshold) out += ((pa(i), pb(i), j))
           }
           i += 1
         }
@@ -334,26 +396,36 @@ object Dedup {
     * `l(v) = min(v, min neighbor)` (one shuffle), then CONTRACTS the
     * graph onto the labels (edges relabeled, self-loops dropped,
     * deduped) and recurses on the contracted graph. Near-dup clusters
-    * are clique-like, so round 1 contracts them to (almost) nothing —
-    * unlike propagation over the full edge list every round, the work
-    * SHRINKS with the graph (measured 71s → ~2s on a 1.8M-edge corpus
-    * at sf0.1). Depth is O(log n) on pathological chains; each label is
-    * always a member's id, so the composed label is the component min.
+    * are clique-like, so round 1 contracts them to (almost) nothing.
+    * Once the contracted graph fits `driverEdgeLimit` edges, the tail
+    * is finished with a single driver-side union-find instead of more
+    * distributed rounds — at that size each extra round is pure
+    * fixed-cost overhead (shuffles + checkpoints over a few thousand
+    * rows), which dominated this operator's wall time. 500k edges is
+    * ~8 MB on the driver; near-dup graphs are clique-like, so one or
+    * two rounds reach the threshold at any corpus scale. The union-find
+    * tail also makes HIGH-DIAMETER graphs terminate: a pure path only
+    * loses one edge per contraction round (min-neighbor labels shift
+    * it), so purely distributed rounds would need O(diameter) passes —
+    * after round 0 such graphs are tiny and the driver finishes them
+    * exactly. Each label is always a member's id, so the composed
+    * label is the component min.
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      driverEdgeLimit: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where($"src" =!= $"dst")
-    ccContract(e0, maxIter)
+    ccContract(e0, maxIter, driverEdgeLimit)
   }
 
-  private def ccContract(e: DataFrame, depth: Int): DataFrame = {
+  private def ccContract(e: DataFrame, depth: Int, driverEdgeLimit: Long): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     // both directions in ONE pass over `e` — a union of two selects
@@ -372,11 +444,47 @@ object Dedup {
       .select(least($"ls", $"ld").as("src"), greatest($"ls", $"ld").as("dst"))
       .distinct()
       .localCheckpoint()
-    if (depth <= 0 || contracted.head(1).isEmpty) return labels
-    val sub = ccContract(contracted, depth - 1)
+    val nContracted = contracted.count()
+    if (depth <= 0 || nContracted == 0) return labels
+    val sub =
+      if (nContracted <= driverEdgeLimit) driverUnionFind(contracted)
+      else ccContract(contracted, depth - 1, driverEdgeLimit)
     labels
       .join(sub.select($"id".as("label"), $"label".as("sublabel")), Seq("label"), "left")
       .select($"id", coalesce($"sublabel", $"label").as("label"))
+  }
+
+  /** Path-compressed union-find on a collected (src, dst) edge list;
+    * merged roots keep the smaller id, so the final root of every
+    * vertex is its component's min id. Only used on contracted graphs
+    * below `driverEdgeLimit` — bounded driver memory by construction.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges.select($"src", $"dst").as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { case (s, d) =>
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val rs = find(s)
+      val rd = find(d)
+      if (rs != rd) {
+        if (rs < rd) parent.put(rd, rs) else parent.put(rs, rd)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    parent.keySet().forEach(id => out += ((id, find(id))))
+    // RDD-backed, not a LocalRelation: up to ~1M rows must not be
+    // embedded in the downstream plan tree
+    spark.createDataset(spark.sparkContext.parallelize(out.toSeq, 4)).toDF("id", "label")
   }
 
   /** Dedup decision per document: (id, keeper_id) where keeper is the
@@ -385,20 +493,18 @@ object Dedup {
     * list, is the 100 TB dedup path: a mega duplicate cluster costs one
     * component label per member instead of O(n²) pairs.
     *
-    * Unlike [[minhashNearDupPairs]], oversized buckets are NOT pair
-    * sources here: connected components only need a connectivity-
-    * preserving edge subset, so each oversized (merged) bucket emits
-    *  1. STAR edges anchor→member (anchor = min id), verified — O(n)
-    *     per bucket instead of O(n²);
-    *  2. RESIDUE edges failed-member × every bucket member, verified —
-    *     a member the anchor missed can still connect through anyone
-    *     else (jaccard is not transitive).
-    * This is exact: every true in-bucket edge (u,v) either has both
-    * ends star-connected to the anchor, or touches a failed member and
-    * is then verified directly — so u,v always land in one component.
-    * A near-dup clique has few star failures, making this ~O(n) per
-    * cluster; the worst case (an over-merged bucket spanning two real
-    * clusters) degrades to the old O(n²) verification, never worse.
+    * Two regimes, switched on total token-table size (the broadcast-
+    * join idea):
+    *  - BROADCAST (table fits `spark.graft.dedup.broadcastBytes`):
+    *    verify every candidate — including oversized-bucket all-pairs —
+    *    map-side against the broadcast table; no candidate shuffle.
+    *  - SCALE: connected components only need a connectivity-preserving
+    *    edge subset, built by [[bigBucketStarEdges]] (iterated verified
+    *    stars + triangle-pruned bridge candidates — see there for the
+    *    exactness argument). A near-dup clique costs ~O(n) edges; a
+    *    bucket mixing k clusters costs ~k rounds instead of a
+    *    failed×bucket residue explosion (measured 8.8M residue pairs at
+    *    sf0.1 from one 38%-impure band bucket — quadratic at scale).
     */
   def minhashDedupKeepers(
       df: DataFrame,
@@ -407,39 +513,175 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 128,
       bands: Int = 32,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      starRounds: Int = 16,
+      leftoverPairBudget: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val (toks, small, big) =
       minhashBuckets(df, idCol, tokensCol, numHashes, bands, maxBucket)
 
-    val bigB = big.withColumn("bid", monotonically_increasing_id()).localCheckpoint()
-    val star = bigB.select(
-      $"bid",
-      element_at($"ids", 1).as("id_a"),
-      explode(slice($"ids", lit(2), size($"ids") - 1)).as("id_b"))
-    val starVerified = verifyPairsChunked(
-      star.select($"id_a", $"id_b").distinct(), toks, threshold).localCheckpoint()
-    val failed = star
-      .join(starVerified.select($"id_a", $"id_b"), Seq("id_a", "id_b"), "left_anti")
-    val residue = failed
-      .select($"bid", $"id_b".as("fid"))
-      .join(bigB, "bid")
-      .select($"fid", explode($"ids").as("other"))
-      .where($"fid" =!= $"other")
-      .select(least($"fid", $"other").as("id_a"), greatest($"fid", $"other").as("id_b"))
-
     val smallCand = small
       .select(explode(pairsOf($"ids")).as("p"))
       .select($"p._1".as("id_a"), $"p._2".as("id_b"))
-    val otherVerified = verifyPairsChunked(
-      smallCand.unionByName(residue).distinct(), toks, threshold)
+    val toksBytes = toks
+      .agg(coalesce(sum(size($"toks")), lit(0)).cast("long")).head().getLong(0) * 8L
+    val rawEdges =
+      if (toksBytes <= graft.GraftConf.dedupBroadcastBytes(spark)) {
+        // broadcast regime: even oversized buckets verify all-pairs
+        // map-side (no shuffle, CC tolerates duplicate edges)
+        verifyPairsBroadcast(
+          smallCand.unionByName(bigAllPairs(big)), toks, threshold)
+          .select($"id_a", $"id_b")
+      } else {
+        // scale regime: iterated star rounds keep oversized buckets
+        // linear; only bridge/leftover candidates hit the chunk verifier
+        val (starEdges, extraCand) =
+          bigBucketStarEdges(big, toks, threshold, starRounds, leftoverPairBudget)
+        starEdges.unionByName(
+          verifyPairsChunked(smallCand.unionByName(extraCand).distinct(),
+            toks, threshold).select($"id_a", $"id_b"))
+      }
 
-    val edges = starVerified.unionByName(otherVerified).select($"id_a", $"id_b")
+    // checkpointed: the contraction loop references its input several
+    // times per round — without this the whole verify pipeline above
+    // would re-execute once per reference
+    val edges = rawEdges.localCheckpoint()
     val comp = connectedComponents(edges, "id_a", "id_b")
     df.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
       .select($"id", coalesce($"label", $"id").as("keeper_id"))
+  }
+
+  /** Connectivity-preserving verified edges for oversized LSH buckets:
+    * iterated star assignment with triangle-inequality pruning.
+    *
+    * Per round, each bucket's min UNASSIGNED id becomes the anchor;
+    * every unassigned member is exact-verified against it. Members at
+    * jaccard >= threshold join the anchor's group (star edges emitted);
+    * the rest stay for the next round, so a bucket mixing k real
+    * clusters resolves in ~k rounds of O(|bucket|) work — never the
+    * failed×bucket quadratic residue this replaces. Rounds stop when
+    * the remaining all-pairs work fits `leftoverPairBudget`, when a
+    * round assigns almost nothing (the remainder is co-bucketed noise,
+    * not clusters — more anchors can't shrink it, so the blocked
+    * verifier takes the leftover pairs directly), or after `maxRounds`.
+    *
+    * EXACTNESS (why no true in-bucket edge is lost): jaccard distance
+    * d = 1 − j is a metric (triangle inequality holds). For a true
+    * edge (u, v) with j(u, v) >= t:
+    *  - both in one group → connected through its anchor;
+    *  - u assigned to group of anchor `a` in round r, v still
+    *    unassigned then → v was verified against `a` that round, and
+    *    d(a,v) <= d(a,u) + d(u,v) <= 2(1−t), i.e. j(a,v) >= 2t−1. So v
+    *    is recorded as a BRIDGE candidate into that group, and v×group
+    *    pairs are verified — (u,v) is found. Docs below 2t−1 against
+    *    `a` provably cannot connect to `a`'s group and are skipped;
+    *  - both never assigned → leftover all-pairs candidates.
+    *
+    * @return (verified star edges (id_a,id_b), candidate pairs still
+    *         to verify at `threshold` — bridge + leftover)
+    */
+  private[graft] def bigBucketStarEdges(
+      big: DataFrame,
+      toks: DataFrame,
+      threshold: Double,
+      maxRounds: Int = 16,
+      leftoverPairBudget: Long = 2000000L): (DataFrame, DataFrame) = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    if (big.head(1).isEmpty) return (emptyPairs, emptyPairs)
+    val thrBridge = math.max(0.0, 2 * threshold - 1)
+
+    var unassigned = big.withColumn("bid", monotonically_increasing_id())
+      .select($"bid", explode($"ids").as("id")).localCheckpoint()
+    // one job per round yields BOTH loop stats: remaining member count
+    // and the all-pairs cost of stopping now
+    def stats(): (Long, Long) = {
+      val row = unassigned.groupBy($"bid").agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum($"n"), lit(0)).cast("long").as("m"),
+          // n*(n-1) is even so the double division is exact below 2^53
+          coalesce(sum($"n" * ($"n" - 1) / 2), lit(0)).cast("long").as("p"))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var (nUn, nPairs) = stats()
+
+    val starParts = scala.collection.mutable.ListBuffer[DataFrame]()
+    val groupParts = scala.collection.mutable.ListBuffer[DataFrame]()
+    val midParts = scala.collection.mutable.ListBuffer[DataFrame]()
+    var r = 0
+    var stalled = false
+    while (nUn > 0 && r < maxRounds && !stalled && nPairs > leftoverPairBudget) {
+      val anchors = unassigned.groupBy($"bid").agg(min($"id").as("anchor"))
+        .localCheckpoint()
+      val cand = unassigned.join(anchors, "bid").where($"id" =!= $"anchor")
+      // anchor = bucket-min of unassigned, so anchor < id always holds
+      // and pairs are already in canonical (id_a < id_b) order; verify
+      // at the BRIDGE threshold to keep the mid-similarity band too
+      val vj = verifyPairsChunked(
+        cand.select($"anchor".as("id_a"), $"id".as("id_b")), toks, thrBridge)
+        .localCheckpoint()
+      val assigned = vj.where($"jaccard" >= threshold)
+      starParts += assigned.select($"id_a", $"id_b")
+      val curUn = unassigned
+      // group/mid rows carry the anchor-jaccard so the bridge join can
+      // range-prune (anchors get gj = 1.0, which the prune excludes
+      // against every mid doc — their pair was already verified)
+      groupParts +=
+        anchors.select($"bid", lit(r).as("round"), $"anchor".as("id"), lit(1.0).as("gj"))
+          .unionByName(assigned.select($"id_b".as("id"), $"jaccard".as("gj"))
+            .join(curUn, "id").select($"bid", lit(r).as("round"), $"id", $"gj"))
+      midParts += vj.where($"jaccard" < threshold)
+        .select($"id_b".as("id"), $"jaccard".as("mj"))
+        .join(curUn, "id").select($"bid", lit(r).as("round"), $"id", $"mj")
+      unassigned = curUn
+        .join(anchors.select($"bid", $"anchor"), "bid")
+        .where($"id" =!= $"anchor")
+        .join(assigned.select($"id_b".as("id")), Seq("id"), "left_anti")
+        .select($"bid", $"id")
+        .localCheckpoint()
+      val prevUn = nUn
+      val s = stats(); nUn = s._1; nPairs = s._2
+      // rounds pay off while anchors strip whole clusters; once the
+      // remainder is co-bucketed noise (tiny per-round shrink), the
+      // blocked all-pairs verifier finishes cheaper than more rounds
+      stalled = (prevUn - nUn) < math.max(64L, prevUn / 20)
+      r += 1
+    }
+
+    val leftover = unassigned.groupBy($"bid")
+      .agg(sort_array(collect_list($"id")).as("ids"))
+      .where(size($"ids") > 1)
+      .select(explode(pairsOf($"ids")).as("p"))
+      .select($"p._1".as("id_a"), $"p._2".as("id_b"))
+    val bridge =
+      if (midParts.isEmpty) emptyPairs
+      else {
+        val mids = midParts.reduce(_ unionByName _)
+        val groups = groupParts.reduce(_ unionByName _)
+        // REVERSE-triangle prune: for an edge (u, v) with j(u,v) >= t,
+        // |d(a,u) − d(a,v)| <= d(u,v) <= 1−t must hold, i.e.
+        // j(a,v) <= j(a,u) + (1−t). A mid doc at j(a,u) = 0.65 cannot
+        // connect to a core member at j(a,v) = 0.95 — this cuts most of
+        // the mid×group product (and excludes anchors, gj = 1.0, whose
+        // mid pairs were already verified). The 1e-9 slack keeps pairs
+        // sitting exactly ON the bound (small rational jaccards do hit
+        // it: mj = 2/3, gj = 13/15, j(u,v) = 0.8 exactly) from being
+        // lost to double rounding — slack only ADDS candidates, and
+        // candidates are always exact-verified.
+        mids.join(
+          groups.select($"bid", $"round", $"id".as("gid"), $"gj"),
+          Seq("bid", "round"))
+          .where($"id" =!= $"gid" && $"gj" <= $"mj" + lit(1.0 - threshold + 1e-9))
+          .select(least($"id", $"gid").as("id_a"), greatest($"id", $"gid").as("id_b"))
+      }
+    val star =
+      if (starParts.isEmpty) emptyPairs
+      else starParts.reduce(_ unionByName _)
+    (star, leftover.unionByName(bridge))
   }
 
   // ----------------------------------------------------------- simhash

@@ -90,12 +90,102 @@ class DedupSpec extends SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: distributed rounds and driver union-find agree") {
+    // short chain + two cliques, small enough that the fully
+    // distributed path converges in a few contraction rounds
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    val cliques = for {
+      base <- Seq(1000L, 2000L); i <- 0 until 8; j <- (i + 1) until 8
+    } yield (base + i, base + j)
+    val edges = scala.util.Random.shuffle(chain ++ cliques).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val distributed = Dedup.connectedComponents(edges, "id_a", "id_b",
+        maxIter = 50, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == distributed)
+    assert((0L to 5L).forall(i => viaDriver(i) == 0L))
+    assert((0 until 8).forall(i => viaDriver(1000L + i) == 1000L))
+  }
+
+  test("connectedComponents: driver union-find resolves a high-diameter chain") {
+    // a 300-edge path barely contracts per distributed round (min-
+    // neighbor labels shift it by one) — the driver union-find tail is
+    // what makes high-diameter graphs terminate
+    val edges = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 301 && labels.values.forall(_ == 0L))
+  }
+
+  test("bigBucketStarEdges: iterated star + bridge pruning preserves connectivity") {
+    // one oversized bucket mixing: cluster A (anchor 1 + near-dups),
+    // cluster B (docs 20-23, unrelated to A), and bridge doc 3 with
+    // j(anchor, 3) = 0.75 in [2t-1, t) but j(2, 3) = 10/12 >= 0.8 —
+    // the exact shape the triangle-pruned bridge pass must recover.
+    val t = (1 to 12).map(i => s"t$i")
+    def d(ts: Seq[String]) = ts
+    val docs = Seq(
+      1L -> d(t.take(10)), // anchor {t1..t10}
+      2L -> d(t.take(11)), // {t1..t11}: j(1,2)=10/11
+      3L -> d(t.slice(1, 12)), // {t2..t12}: j(1,3)=9/12=0.75, j(2,3)=10/12
+      4L -> d(t.take(10)), 5L -> d(t.take(10)), 6L -> d(t.take(10)),
+      20L -> d(Seq("x1", "x2", "x3", "x4", "x5")),
+      21L -> d(Seq("x1", "x2", "x3", "x4", "x5")),
+      22L -> d(Seq("x1", "x2", "x3", "x4", "x5", "x6")),
+      23L -> d(Seq("x1", "x2", "x3", "x4", "x5", "x7")))
+    val toks = docs.toDF("id", "ts").select(
+      $"id",
+      sort_array(array_distinct(transform($"ts", x => xxhash64(x)))).as("toks"))
+    val big = Seq(Tuple1(docs.map(_._1).sorted)).toDF("ids")
+    val (star, extra) = Dedup.bigBucketStarEdges(
+      big, toks, 0.8, maxRounds = 16, leftoverPairBudget = 0L)
+    val verified = star.unionByName(
+      Dedup.verifyPairsChunked(extra.distinct(), toks, 0.8).select($"id_a", $"id_b"))
+    val labels = Dedup.connectedComponents(verified, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // bridge doc 3 must join cluster A through doc 2 (not the anchor)
+    assert(labels(3L) == 1L, s"bridge doc lost: $labels")
+    assert(labels(2L) == 1L && labels(4L) == 1L)
+    assert(labels(20L) == 20L && labels(23L) == 20L)
+  }
+
   test("minhashDedupKeepers assigns keeper = component min, self for singletons") {
     val keepers = Dedup.minhashDedupKeepers(docs, "id", "toks", 0.7)
       .as[(Long, Long)].collect().toMap
     assert(keepers(1L) == 1L && keepers(2L) == 1L && keepers(3L) == 1L)
     assert(keepers(4L) == 4L && keepers(5L) == 4L)
     assert(keepers(6L) == 6L)
+  }
+
+  test("dedup broadcast and scale regimes produce identical results") {
+    // one oversized-bucket cluster + distinct docs, like the mega-
+    // cluster test; force the SCALE regime via a zero broadcast budget
+    // and compare with the default (broadcast) regime
+    val base = (0 until 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa v$i")
+    }
+    val distinctDocs = (100 until 110).map { i =>
+      (i.toLong, s"unique${i} totally separate subject matter number ${i} with words ${i * 7} ${i * 13} ${i * 17} ${i * 19}")
+    }
+    val df = (base ++ distinctDocs).toDF("id", "text")
+      .withColumn("toks", tokenize($"text"))
+    def run(): (Set[(Long, Long)], Map[Long, Long]) = {
+      val pairs = Dedup.minhashNearDupPairs(df, "id", "toks", 0.7, maxBucket = 5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val keepers = Dedup.minhashDedupKeepers(df, "id", "toks", 0.7,
+          maxBucket = 5, leftoverPairBudget = 0L)
+        .as[(Long, Long)].collect().toMap
+      (pairs, keepers)
+    }
+    val (bPairs, bKeepers) = run()
+    spark.conf.set(graft.GraftConf.DedupBroadcastBytes, "0")
+    try {
+      val (sPairs, sKeepers) = run()
+      assert(bPairs == sPairs)
+      assert(bKeepers == sKeepers)
+    } finally spark.conf.unset(graft.GraftConf.DedupBroadcastBytes)
+    assert((0 until 30).forall(i => bKeepers(i.toLong) == 0L))
   }
 
   test("shingles and jaccard") {

@@ -65,6 +65,12 @@ package object functions {
     sqlFilter(stemmed, t => !sqlArrayContains(sw, t))
   }
 
+  /** SQL-reproducible polynomial hash (see [[PolyHash31]]) — used by
+    * the oracle-checked variants of hash-derived operators. */
+  def polyhash31(c: Column, mult: Int = 31): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      PolyHash31(org.apache.spark.sql.graftshim.GraftSqlShim.expression(c), mult))
+
   // --------------------------------------------------------------- bloom
 
   import org.apache.spark.sql.functions.udf

@@ -687,10 +687,14 @@ object Dedup {
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash over a token array (native expression, codegen). */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+  def simhash(tokens: Column): Column =
+    simhashOf(transform(tokens, t => xxhash64(t)))
+
+  /** SimHash over precomputed token hashes (array<long>) — lets the
+    * caller swap the token hash (e.g. [[graft.functions.polyhash31]]
+    * for an ANSI-SQL-replayable sketch). */
+  def simhashOf(hashes: Column): Column =
     GraftSqlShim.column(SimHash64(GraftSqlShim.expression(hashes)))
-  }
 
   /** Hamming distance between two 64-bit sketches. */
   def simhashHamming(a: Column, b: Column): Column =
@@ -711,7 +715,8 @@ object Dedup {
       tokensCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 10000,
-      numChunks: Int = 4): DataFrame = {
+      numChunks: Int = 4,
+      tokenHash: Column => Column = t => xxhash64(t)): DataFrame = {
     require(64 % numChunks == 0, s"numChunks must divide 64, got $numChunks")
     require(maxHamming < numChunks,
       s"maxHamming=$maxHamming needs > $maxHamming chunks for exact recall " +
@@ -721,7 +726,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
-      simhash(col(tokensCol)).as("sh"))
+      simhashOf(transform(col(tokensCol), tokenHash)).as("sh"))
     val blocked = base.select($"id", $"sh",
       posexplode(array((0 until numChunks).map(i =>
         shiftrightunsigned($"sh", i * width).bitwiseAND(lit(mask))): _*))

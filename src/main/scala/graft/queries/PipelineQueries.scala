@@ -77,12 +77,57 @@ object PipelineQueries {
       |SELECT id AS doc_id, min(rid) AS keeper_id FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup pairs over a 62-bit sketch built from TWO
+    * SQL-reproducible 31-bit polynomial token hashes (multipliers 31
+    * and 37) — the whole pipeline (sketch, chunk blocking, hamming
+    * verify) is then exactly replayable in DuckDB, upgrading this from
+    * a rows-only check to a full hash-verified oracle. The xxhash64
+    * sketch stays the library default (DedupSpec covers it); blocking
+    * is pigeonhole-exact either way, so the oracle can compare against
+    * plain exhaustive hamming. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenize(col("text")).as("toks"))
-    Dedup.simhashNearDupPairs(docs, "doc_id", "toks", maxHamming = 3)
+    Dedup.simhashNearDupPairs(docs, "doc_id", "toks", maxHamming = 3,
+        tokenHash = t => polyhash31(t, 31) + shiftleft(polyhash31(t, 37), 31))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  private val polyToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB replay of [[graft.functions.PolyHash31]] over a string
+    * expression `e`. */
+  private def polySql(e: String, mult: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, len($e)+1), j -> ascii(($e)[j]))),
+       |  (a, b) -> (a * $mult + b) % 2147483647)""".stripMargin
+
+  private val dedupSimhashOracle =
+    s"""WITH t AS (SELECT doc_id, $polyToks AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_transform(toks, tk ->
+       |    ${polySql("tk", 31)} + (${polySql("tk", 37)} << 31)) AS hs
+       |  FROM t
+       |),
+       |e AS (SELECT doc_id, u.h AS h FROM h, unnest(hs) AS u(h)),
+       |bits AS (
+       |  SELECT doc_id, r.b AS b,
+       |    sum(CASE WHEN (h >> CAST(r.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM e CROSS JOIN range(62) AS r(b) GROUP BY doc_id, r.b
+       |),
+       |sk0 AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS sh
+       |  FROM bits GROUP BY doc_id
+       |),
+       |sk AS (SELECT t.doc_id, coalesce(sk0.sh, 0) AS sh
+       |       FROM t LEFT JOIN sk0 ON t.doc_id = sk0.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** 3-gram shingle jaccard between consecutive doc ids — linear-cost
     * n-gram similarity with an exact oracle. */
@@ -205,23 +250,61 @@ object PipelineQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Order-sensitive doc fingerprint, SQL-reproducible variant (the
+    * xxhash64 default is covered by TextAnalysisSpec) — full exact
+    * oracle instead of the previous rows-only check. */
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextAnalysis.docFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), TextAnalysis.docFingerprintSql(col("text")).as("fp"))
       .orderBy(col("doc_id"))
       .limit(50)
 
-  /** Winnowing rolling-hash fingerprints (rows-only: xxhash64 has no
-    * DuckDB analog; determinism + algebra covered in TextAnalysisSpec).
-    * Scalars emitted (count + first) so the driver can sort/hash. */
+  private val fingerprintOracle =
+    s"""WITH t AS (SELECT doc_id, $polyToks AS toks FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, tk -> ${polySql("tk", 31)})),
+       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+       |FROM t ORDER BY doc_id LIMIT 50""".stripMargin
+
+  /** Winnowing fingerprints (SIGMOD'03), polynomial-gram-hash variant
+    * so the full k-gram → window-min → distinct pipeline is replayed by
+    * the oracle; emitted space-joined (array columns are unhashable
+    * driver-side). The xxhash64 default is covered in TextAnalysisSpec.
+    */
   private def winnow(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
-      .select(col("doc_id"), size(col("fps")).as("n_fp"),
-        element_at(col("fps"), 1).as("fp0"))
+        TextAnalysis.winnowFingerprints(col("text"),
+          gramHash = g => polyhash31(g, 31)).as("fps"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("fps"), x => x.cast("string"))).as("fps"))
       .orderBy(col("doc_id"))
       .limit(50)
+
+  private val winnowOracle =
+    s"""WITH t AS (SELECT doc_id, $polyToks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |    list_transform(
+       |      list_transform(range(1, len(toks) - 1),
+       |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+       |      sh -> ${polySql("sh", 31)})
+       |  ELSE [] END AS grams
+       |  FROM t
+       |),
+       |m AS (
+       |  SELECT doc_id, CASE
+       |    WHEN len(grams) >= 4 THEN
+       |      list_transform(range(1, len(grams) - 2),
+       |        i -> least(grams[i], grams[i+1], grams[i+2], grams[i+3]))
+       |    WHEN len(grams) > 0 THEN [list_min(grams)]
+       |    ELSE [] END AS mins
+       |  FROM g
+       |)
+       |SELECT doc_id,
+       |  array_to_string(list_sort(list_distinct(mins)), ' ') AS fps
+       |FROM m ORDER BY doc_id LIMIT 50""".stripMargin
 
   private def punctRatio(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -246,13 +329,13 @@ object PipelineQueries {
       dedupExact),
     QueryDef("dedup_minhash", Some(dedupMinhashOracle), dedupMinhash),
     QueryDef("dedup_minhash_keepers", Some(dedupMinhashKeepersOracle), dedupMinhashKeepers),
-    QueryDef("dedup_simhash", None, dedupSimhash),
+    QueryDef("dedup_simhash", Some(dedupSimhashOracle), dedupSimhash),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),
     QueryDef("lang_id", Some(langIdOracle), langId),
     QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
-    QueryDef("doc_fingerprint", None, fingerprint),
-    QueryDef("winnow_fingerprint", None, winnow),
+    QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),
+    QueryDef("winnow_fingerprint", Some(winnowOracle), winnow),
     QueryDef("punct_ratio", Some(punctRatioOracle), punctRatio),
   )
 }

@@ -108,9 +108,16 @@ object Bm25 {
     val toks = base.select(
       $"doc_id", size($"terms").as("doc_len"), explode($"terms").as("term"))
 
-    // per (doc, term) frequency — partial-aggregated map-side
+    // per (doc, term) frequency — partial-aggregated map-side.
+    // Materialized ONCE: the hot-term collect below is a separate
+    // action, the partial-bloom pass is an RDD lineage, and the
+    // rare/hot branches are separate subtrees — without this each
+    // re-runs the tokenize→explode→shuffle pipeline. An index build
+    // materializes comparable data anyway; blocks spill to disk and
+    // are dropped when the plan is GC'd.
     val tf = toks.groupBy($"term", $"doc_id")
       .agg(count(lit(1)).cast("int").as("fq"), first($"doc_len").as("doc_len"))
+      .localCheckpoint()
 
     // hot/rare split WITHOUT windowing the full data: term document
     // frequencies partial-aggregate to tiny (term, df) rows; only the

@@ -56,6 +56,14 @@ object TextAnalysis {
     * (order-sensitive — exact-dedup key robust to whitespace/punct). */
   def docFingerprint(text: Column): Column = xxhash64(tokenize(text))
 
+  /** SQL-reproducible fingerprint variant: a 31-bit polynomial fold
+    * over the per-token [[graft.functions.polyhash31]] hashes — same
+    * order-sensitive semantics as [[docFingerprint]], but replayable
+    * verbatim by an ANSI-SQL oracle (xxhash64 is not). */
+  def docFingerprintSql(text: Column): Column =
+    aggregate(tokenize(text), lit(0L),
+      (acc, t) => (acc * 31 + graft.functions.polyhash31(t)) % lit(2147483647L))
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
     * every k-gram of the token stream, slide a window of `w` hashes,
@@ -64,13 +72,17 @@ object TextAnalysis {
     * (map-side, codegen'd built-ins); returns a sorted distinct
     * array<bigint>.
     */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowFingerprints(
+      text: Column,
+      k: Int = 3,
+      w: Int = 4,
+      gramHash: Column => Column = g => xxhash64(g)): Column = {
     require(k >= 1 && w >= 1, "graft: winnowing needs k >= 1 and w >= 1")
     val toks = tokenize(text)
     // k-gram hashes: hash of the space-joined k-token shingle
     val grams = when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k), i =>
-        xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+        gramHash(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
       .otherwise(array().cast("array<bigint>"))
     // windows of w consecutive gram hashes → min of each
     val mins = when(size(grams) >= w,

@@ -37,6 +37,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(3L).size === 1)
   }
 
+  test("polyhash31 matches the fold-over-code-points definition") {
+    import graft.functions.polyhash31
+    def ref(s: String, mult: Int): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * mult + cp) % 2147483647L)
+    val inputs = Seq("hello", "a", "", "quick brown fox", "z9 8x")
+    val got = inputs.toDF("s")
+      .select(polyhash31($"s", 31).as("h31"), polyhash31($"s", 37).as("h37"))
+      .collect()
+    inputs.zip(got).foreach { case (s, row) =>
+      assert(row.getLong(0) == ref(s, 31), s"mult 31 mismatch for '$s'")
+      assert(row.getLong(1) == ref(s, 37), s"mult 37 mismatch for '$s'")
+    }
+  }
+
+  test("docFingerprintSql: equal normalized token streams collide, different don't") {
+    val df = Seq(
+      (1L, "The quick... brown FOX"),
+      (2L, "the quick brown fox"),
+      (3L, "the quick brown foxes")).toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.docFingerprintSql($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("winnowFingerprints with polynomial gram hash keeps the overlap property") {
+    import graft.functions.polyhash31
+    val doc = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, doc), (2L, doc), (3L, "totally different words entirely here"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.winnowFingerprints($"text",
+        gramHash = g => polyhash31(g, 31)).as("fps"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("punctRatio counts non-word non-space chars") {
     val df = Seq(
       (1L, "abcd"), (2L, "a,b.c!"), (3L, ""), (4L, "!!!!"))

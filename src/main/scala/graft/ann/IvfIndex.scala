@@ -36,8 +36,8 @@ object IvfIndex {
       metric: String = "l2sq",
       sampleLimit: Int = 100000,
       seed: Long = 42L): Unit = {
-    require(metric == "l2sq" || metric == "cos",
-      s"graft: IVF supports l2sq|cos, got '$metric'")
+    require(metric == "l2sq" || metric == "cos" || metric == "inner",
+      s"graft: IVF supports l2sq|cos|inner, got '$metric'")
     val spark = df.sparkSession
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,21 +112,29 @@ object IvfIndex {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** The probed scan as a DataFrame (id, vec, list_id) — exposed so
+  /** The probed scan as a DataFrame (id, vec, list_id) plus the
+    * (possibly normalized) query and the index metric — exposed so
     * tests can assert the PartitionFilters pruning in the plan. */
   def probedScan(
       spark: SparkSession, path: String, query: Array[Float], nprobe: Int)
-      : (DataFrame, Array[Float]) = {
+      : (DataFrame, Array[Float], String) = {
     val (centroids, metric) = loadCentroids(spark, path)
     val q = if (metric == "cos") {
       var s = 0.0; query.foreach(x => s += x.toDouble * x)
       val n = math.sqrt(s)
       if (n == 0.0) query else query.map(x => (x / n).toFloat)
     } else query
+    // list assignment always uses l2 k-means (the faiss IVF-IP shape);
+    // probe ORDER follows the metric: max-inner-product queries visit
+    // the lists whose centroids score highest by dot product
     val probes = centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0; var j = 0
-        while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+        if (metric == "inner") {
+          while (j < q.length) { d -= q(j).toDouble * c(j); j += 1 }
+        } else {
+          while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+        }
         (i, d)
       }
       .sortBy(_._2).take(math.max(nprobe, 1)).map(_._1)
@@ -136,11 +144,13 @@ object IvfIndex {
       case Some(t) => base.join(broadcast(t), Seq("id"), "left_anti")
       case None => base
     }
-    (scan, q)
+    (scan, q, metric)
   }
 
   /** Top-k over the probed lists: partition-pruned scan + exact
-    * distance + TakeOrderedAndProject. Returns (id, dist).
+    * distance + TakeOrderedAndProject. Returns (id, dist); for the
+    * `inner` metric `dist` is the negative inner product (max inner
+    * product == min distance, same convention as the exact path).
     */
   def search(
       spark: SparkSession,
@@ -148,9 +158,10 @@ object IvfIndex {
       query: Array[Float],
       k: Int,
       nprobe: Int = 8): DataFrame = {
-    val (scan, q) = probedScan(spark, path, query, nprobe)
+    val (scan, q, metric) = probedScan(spark, path, query, nprobe)
+    val distMetric = if (metric == "inner") "inner" else "l2sq"
     scan
-      .withColumn("dist", VectorSearch.distance("l2sq", col("vec"), lit(q)))
+      .withColumn("dist", VectorSearch.distance(distMetric, col("vec"), lit(q)))
       .orderBy(col("dist"), col("id"))
       .limit(k)
       .select("id", "dist")

@@ -119,7 +119,7 @@ case class AnnScanExec(
       // probed-list scan: ef plays the nprobe role for IVF indexes;
       // output is every row of the probed lists (partition-pruned),
       // re-ranked exactly by the Sort+Limit above
-      val (scan, _) = graft.ann.IvfIndex.probedScan(
+      val (scan, _, _) = graft.ann.IvfIndex.probedScan(
         session, artifact, query.toArray, nprobe = math.max(1, ef))
       scan.selectExpr("id", "vec").queryExecution.toRdd
     case "pq" =>

@@ -157,10 +157,62 @@ object AnnQueries {
     if (ann == exact) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** Inner-product (MIPS) metric across the whole index surface in one
+    * gate: HNSW built under `inner`, IVF with l2-kmeans lists probed by
+    * max centroid dot product (the faiss IVF-IP shape), and planner
+    * routing of `orderBy(-inner_product).limit(k)` — all three must
+    * reach recall@10 ≥ 0.8 vs the exact max-inner-product oracle, and
+    * the planner query must actually rewrite to an AnnScan. */
+  private def innerAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.inner_product
+    import graft.ann.IvfIndex
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    val e = Tables.embeddings(s, dir)
+    val hPath = artifactDir("anni", dir, "embeddings")
+    cached(hPath) {
+      AnnIndex.build(e, "vec_id", "embedding", hPath,
+        AnnParams(m = 16, efConstruction = 128, ef = 64,
+          metric = "inner", numPartitions = 4))
+    }
+    val iPath = artifactDir("ivfi", dir, "embeddings")
+    cached(iPath) {
+      IvfIndex.build(e, "vec_id", "embedding", iPath, nlists = 16, metric = "inner")
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = e
+      .withColumn("d", -inner_product(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallOf(ids: Set[Long]): Double =
+      ids.intersect(exact).size.toDouble / exact.size
+    val hnswOk = recallOf(AnnIndex.search(s, hPath, q, 10).map(_._1).toSet) >= 0.8
+    // MIPS needs more probes than l2 at equal recall: high-inner-product
+    // vectors are magnitude-driven and spread across l2-kmeans lists
+    // (nprobe 8/16 measures 0.7 recall here, 12/16 measures 0.9)
+    val ivfOk = recallOf(IvfIndex.search(s, iPath, q, 10, nprobe = 12)
+      .select("id").collect().map(_.getLong(0)).toSet) >= 0.8
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(hPath, "vec_id", "embedding", "inner", ef = 64))
+    val plannerOk = try {
+      val knn = e.select(col("vec_id"), col("embedding"))
+        .orderBy(-inner_product(col("embedding"), lit(q))).limit(10)
+      val usedIndex = knn.queryExecution.optimizedPlan.collect {
+        case a: AnnScanLogical => a
+      }.nonEmpty
+      usedIndex && recallOf(knn.select("vec_id").collect().map(_.getLong(0)).toSet) >= 0.8
+    } finally AnnCatalog.unregister(s, tablePath)
+    if (hnswOk && ivfOk && plannerOk) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),
     QueryDef("knn_hamming_ann", Some("SELECT 1 AS ok"), hammingAnnRecall),
+    QueryDef("knn_inner_ann", Some("SELECT 1 AS ok"), innerAnnRecall),
   )
 }

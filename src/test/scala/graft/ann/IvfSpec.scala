@@ -14,7 +14,7 @@ class IvfSpec extends SparkTestBase {
     val q = e.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
 
-    val (scan, _) = IvfIndex.probedScan(spark, path, q, nprobe = 2)
+    val (scan, _, _) = IvfIndex.probedScan(spark, path, q, nprobe = 2)
     val p = scan.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString

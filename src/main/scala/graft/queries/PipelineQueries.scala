@@ -306,6 +306,45 @@ object PipelineQueries {
        |  array_to_string(list_sort(list_distinct(mins)), ' ') AS fps
        |FROM m ORDER BY doc_id LIMIT 50""".stripMargin
 
+  /** Gopher-style repetition signals per doc (floor-rounded like
+    * quality_score so Spark and DuckDB round identically). */
+  private def repetitionQuality(s: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        r4(TextAnalysis.topNgramFraction(col("text"), 2)).as("top_2gram"),
+        r4(TextAnalysis.dupNgramFraction(col("text"), 3)).as("dup_3gram"),
+        r4(TextAnalysis.maxTokenFraction(col("text"))).as("max_token"),
+        r4(TextAnalysis.dupLineFraction(col("text"))).as("dup_line"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionQualityOracle = {
+    def mode(arr: String) =
+      s"list_max(list_transform(list_distinct($arr), g -> len(list_filter($arr, x -> x = g))))"
+    s"""WITH t AS (SELECT doc_id, $polyToks AS toks, text FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END AS g2,
+       |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) ELSE [] END AS g3,
+       |    toks,
+       |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  floor((CASE WHEN len(g2) = 0 THEN 0.0
+       |    ELSE ${mode("g2")} * 1.0 / len(g2) END) * 1e4 + 0.5) / 1e4 AS top_2gram,
+       |  floor((CASE WHEN len(g3) = 0 THEN 0.0
+       |    ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END) * 1e4 + 0.5) / 1e4 AS dup_3gram,
+       |  floor((CASE WHEN len(toks) = 0 THEN 0.0
+       |    ELSE ${mode("toks")} * 1.0 / len(toks) END) * 1e4 + 0.5) / 1e4 AS max_token,
+       |  floor((CASE WHEN len(lines) = 0 THEN 0.0
+       |    ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) END) * 1e4 + 0.5) / 1e4 AS dup_line
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   private def punctRatio(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -337,5 +376,6 @@ object PipelineQueries {
     QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),
     QueryDef("winnow_fingerprint", Some(winnowOracle), winnow),
     QueryDef("punct_ratio", Some(punctRatioOracle), punctRatio),
+    QueryDef("repetition_quality", Some(repetitionQualityOracle), repetitionQuality),
   )
 }

@@ -98,6 +98,51 @@ object TextAnalysis {
   def fingerprintOverlap(a: Column, b: Column): Column =
     graft.ops.Dedup.jaccard(a, b)
 
+  // ------------------------------------------------ repetition signals
+  // Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+  // Models: Methods, Analysis & Insights from Training Gopher", §A1.1):
+  // highly repetitious documents are low-quality training data. All
+  // pure Column compositions — map-side at any scale. Per-doc cost of
+  // the mode computations is O(distinct·n) on arrays of ~10² elements.
+
+  /** Fraction of n-gram instances claimed by the single most frequent
+    * n-gram (Gopher's "fraction of characters in most common n-gram"
+    * simplified to token counts); 0 for docs with no n-grams. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val grams = graft.ops.Dedup.shingles(tokenize(text), n)
+    val m = size(grams)
+    when(m === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(grams), g =>
+        size(filter(grams, x => x === g)))).cast("double") / m.cast("double"))
+  }
+
+  /** Fraction of n-gram instances that are repeats of an earlier one:
+    * (count − distinct count) / count; 0 when no n-grams. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = graft.ops.Dedup.shingles(tokenize(text), n)
+    val m = size(grams)
+    when(m === 0, lit(0.0)).otherwise(
+      (m - size(array_distinct(grams))).cast("double") / m.cast("double"))
+  }
+
+  /** Fraction of tokens claimed by the single most frequent token. */
+  def maxTokenFraction(text: Column): Column = {
+    val toks = tokenize(text)
+    val m = size(toks)
+    when(m === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(toks), t =>
+        size(filter(toks, x => x === t)))).cast("double") / m.cast("double"))
+  }
+
+  /** Fraction of non-empty lines that duplicate an earlier line —
+    * Gopher's duplicate-line filter; 0 for single-line/empty docs. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val m = size(lines)
+    when(m === 0, lit(0.0)).otherwise(
+      (m - size(array_distinct(lines))).cast("double") / m.cast("double"))
+  }
+
   /** Punctuation-character ratio (quality signal: spammy/tabular text
     * skews high): non-word, non-space chars / all chars. */
   def punctRatio(text: Column): Column = {

@@ -74,6 +74,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("repetition signals: hand-computed fractions") {
+    val df = Seq((1L, "a b a b a b"), (2L, "x\nx\ny"), (3L, "")).toDF("id", "text")
+    val row = df.where($"id" === 1).select(
+      TextAnalysis.topNgramFraction($"text", 2),
+      TextAnalysis.dupNgramFraction($"text", 3),
+      TextAnalysis.maxTokenFraction($"text"),
+      TextAnalysis.dupLineFraction($"text")).head()
+    // 2-grams: [a b, b a, a b, b a, a b] → top 3/5; 3-grams: 4 with 2
+    // distinct → 2/4; tokens: a appears 3/6; one line → no dup lines
+    assert(row.getDouble(0) == 0.6)
+    assert(row.getDouble(1) == 0.5)
+    assert(row.getDouble(2) == 0.5)
+    assert(row.getDouble(3) == 0.0)
+    val lines = df.where($"id" === 2)
+      .select(TextAnalysis.dupLineFraction($"text")).head().getDouble(0)
+    assert(math.abs(lines - 1.0 / 3.0) < 1e-12)
+    val empty = df.where($"id" === 3).select(
+      TextAnalysis.topNgramFraction($"text", 2),
+      TextAnalysis.dupNgramFraction($"text", 3),
+      TextAnalysis.maxTokenFraction($"text"),
+      TextAnalysis.dupLineFraction($"text")).head()
+    (0 until 4).foreach(i => assert(empty.getDouble(i) == 0.0))
+  }
+
   test("punctRatio counts non-word non-space chars") {
     val df = Seq(
       (1L, "abcd"), (2L, "a,b.c!"), (3L, ""), (4L, "!!!!"))

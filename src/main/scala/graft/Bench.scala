@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the sf test files are a few MB — at the default 128 MB
+      // maxPartitionBytes they scan as 1-3 partitions and every
+      // map-side operator serializes onto one core; small splits
+      // restore full parallelism (real deployments size this knob to
+      // executor memory instead)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -23,7 +30,10 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
+        // evaluate the FULL plan, not count(): count lets Catalyst prune
+        // every projected column, so map-heavy queries would measure a
+        // row count instead of their actual compute
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
         catch { case t: Throwable =>
           System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
           Some(t.getClass.getSimpleName)

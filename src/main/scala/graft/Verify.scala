@@ -10,6 +10,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the sf test files are a few MB — at the default 128 MB
+      // maxPartitionBytes they scan as 1-3 partitions and every
+      // map-side operator serializes onto one core; small splits
+      // restore full parallelism (real deployments size this knob to
+      // executor memory instead)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -17,8 +24,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // localCheckpoint BEFORE coalesce(1): coalesce collapses its whole
+      // stage to one task, and Catalyst places deterministic projections
+      // after the sort — so without the materialization every computed
+      // column of every row would evaluate serially on one core. The
+      // checkpoint computes in parallel; coalesce then just concatenates
+      // the ordered partitions into the single file the comparator reads
+      // (order preserved: partitions are range-sorted and merged in
+      // index order).
+      try fn(spark, sfDir).localCheckpoint().coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -71,6 +71,410 @@ case class PolyHash31(child: Expression, mult: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of the single most frequent element in an array<string> —
+  * one O(n) hash-count pass. The built-in higher-order composition
+  * (`transform(array_distinct(a), g -> size(filter(a, x -> x = g)))`)
+  * is O(distinct·n) AND interpreted (higher-order lambdas never enter
+  * codegen), which measured minutes over a corpus; this stays inside
+  * whole-stage codegen via a static call. Returns 0 for empty arrays.
+  */
+case class ArrayModeCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"array_mode_count expects array<string>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_mode_count"
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayModeCount.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayModeCount.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayModeCount =
+    copy(child = newChild)
+}
+
+object ArrayModeCount {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      // null elements count as a (single) key too — matches the
+      // higher-order formulation only on null-free inputs, which
+      // tokenize/shingles guarantee
+      val k = arr.getUTF8String(i)
+      val c = counts.merge(k, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
+/** All four Gopher-style repetition signals in ONE native pass over
+  * the raw text: struct(top_ngram, dup_ngram, max_token, dup_line),
+  * each a fraction in [0,1] (0 on empty input).
+  *
+  * Exists because the equivalent built-in composition (tokenize →
+  * shingles → mode/distinct via transform/filter lambdas) contains
+  * higher-order functions, which are CodegenFallback: the WHOLE
+  * projection drops out of codegen AND interpreted projections do no
+  * common-subexpression elimination, so tokenize re-evaluates once per
+  * reference (~12× per row, measured ~19 ms/doc → 90 s for a 5k-doc
+  * write). This expression tokenizes once (lowercased code points,
+  * letter/number classes — the [[graft.functions.tokenize]] charset)
+  * and hash-counts everything in O(tokens).
+  */
+case class RepetitionStats(child: Expression, topN: Int, dupN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = RepetitionStats.schema
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStats.compute(v.asInstanceOf[UTF8String], topN, dupN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RepetitionStats.compute($c, $topN, $dupN)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("top_ngram", DoubleType, nullable = false),
+    StructField("dup_ngram", DoubleType, nullable = false),
+    StructField("max_token", DoubleType, nullable = false),
+    StructField("dup_line", DoubleType, nullable = false)))
+
+  private[functions] def isTokenCharPublic(cp: Int): Boolean = isTokenChar(cp)
+
+  private def isTokenChar(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Shared single-pass tokenizer: lowercase, split on non-letter/
+    * non-number code points — the [[graft.functions.tokenize]] charset. */
+  private[functions] def tokenizeText(text: String): Array[String] = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (isTokenChar(cp)) sb.appendCodePoint(Character.toLowerCase(cp))
+      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) toks += sb.toString
+    toks.toArray
+  }
+
+  def compute(s: UTF8String, topN: Int, dupN: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = s.toString
+    val toks = tokenizeText(text)
+
+    def gramFracs(n: Int): (Double, Double) = {
+      val m = toks.length - n + 1
+      if (m <= 0) (0.0, 0.0)
+      else {
+        val counts = new java.util.HashMap[String, Int](m * 2)
+        var best = 0
+        var j = 0
+        val g = new java.lang.StringBuilder()
+        while (j < m) {
+          g.setLength(0)
+          var p = 0
+          while (p < n) {
+            if (p > 0) g.append(' ')
+            g.append(toks(j + p))
+            p += 1
+          }
+          val c = counts.merge(g.toString, 1, (a, b) => a + b)
+          if (c > best) best = c
+          j += 1
+        }
+        (best.toDouble / m, (m - counts.size).toDouble / m)
+      }
+    }
+    val top = gramFracs(topN)._1
+    val dup = if (dupN == topN) gramFracs(topN)._2 else gramFracs(dupN)._2
+
+    val maxTok =
+      if (toks.isEmpty) 0.0
+      else {
+        val counts = new java.util.HashMap[String, Int](toks.length * 2)
+        var best = 0
+        toks.foreach { t =>
+          val c = counts.merge(t, 1, (a, b) => a + b)
+          if (c > best) best = c
+        }
+        best.toDouble / toks.length
+      }
+
+    val lines = text.split("\n", -1).filter(_.nonEmpty)
+    val dupLine =
+      if (lines.isEmpty) 0.0
+      else {
+        val distinct = new java.util.HashSet[String]()
+        lines.foreach(distinct.add)
+        (lines.length - distinct.size).toDouble / lines.length
+      }
+
+    org.apache.spark.sql.catalyst.InternalRow(top, dup, maxTok, dupLine)
+  }
+}
+
+/** Composite quality score in ONE native pass (same formula as
+  * `TextAnalysis.qualityScore`: 0.4·stopword ratio + 0.3·min(n/20,1) +
+  * 0.3·min(meanLen/8,1)) — exists for the same CodegenFallback reason
+  * as [[RepetitionStats]]: the built-in composition re-tokenizes per
+  * reference, interpreted. */
+case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quality_score expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    QualityScoreExpr.compute(v.asInstanceOf[UTF8String], stopSet)
+
+  // the stopword set rides into generated code as a reference object
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.QualityScoreExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreExpr =
+    copy(child = newChild)
+}
+
+object QualityScoreExpr {
+  def compute(s: UTF8String, stops: java.util.HashSet[String]): Double = {
+    val text = s.toString
+    var nToks = 0
+    var nStop = 0
+    var lenSum = 0L
+    val sb = new java.lang.StringBuilder()
+    def flush(): Unit = if (sb.length > 0) {
+      nToks += 1
+      lenSum += sb.length
+      if (stops.contains(sb.toString)) nStop += 1
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (RepetitionStats.isTokenCharPublic(cp)) sb.appendCodePoint(Character.toLowerCase(cp))
+      else flush()
+      i += Character.charCount(cp)
+    }
+    flush()
+    val n = nToks.toDouble
+    val stopRatio = if (nToks == 0) 0.0 else nStop / n
+    val lenScore = math.min(n / 20.0, 1.0)
+    val meanLen = if (nToks == 0) 0.0 else lenSum / n
+    val meanLenScore = math.min(meanLen / 8.0, 1.0)
+    0.4 * stopRatio + 0.3 * lenScore + 0.3 * meanLenScore
+  }
+}
+
+/** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03) in
+  * ONE native pass: tokenize → k-gram hashes → window-of-w minima →
+  * sorted distinct array<long>. `mult = 0` hashes grams with xxhash64
+  * (seed 42, byte-identical to the built-in `xxhash64` expression);
+  * `mult > 0` uses [[PolyHash31]] with that multiplier (the ANSI-SQL-
+  * replayable variant). Replaces a higher-order composition that was
+  * CodegenFallback AND re-evaluated the gram array per reference
+  * (~60 ms/doc measured — 5 minutes to fingerprint 5k docs). */
+case class WinnowExpr(child: Expression, k: Int, w: Int, mult: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowExpr.compute(v.asInstanceOf[UTF8String], k, w, mult)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowExpr.compute($c, $k, $w, $mult)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
+object WinnowExpr {
+  def compute(s: UTF8String, k: Int, w: Int, mult: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = RepetitionStats.tokenizeText(s.toString)
+    val nGrams = toks.length - k + 1
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams > 0) {
+      val grams = new Array[Long](nGrams)
+      val g = new java.lang.StringBuilder()
+      var i = 0
+      while (i < nGrams) {
+        g.setLength(0)
+        var p = 0
+        while (p < k) {
+          if (p > 0) g.append(' ')
+          g.append(toks(i + p))
+          p += 1
+        }
+        grams(i) =
+          if (mult > 0) PolyHash31.compute(UTF8String.fromString(g.toString), mult)
+          else {
+            val u = UTF8String.fromString(g.toString)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+          }
+        i += 1
+      }
+      if (nGrams >= w) {
+        i = 0
+        while (i <= nGrams - w) {
+          var m = grams(i)
+          var j = 1
+          while (j < w) { if (grams(i + j) < m) m = grams(i + j); j += 1 }
+          out.add(m)
+          i += 1
+        }
+      } else {
+        var m = grams(0)
+        i = 1
+        while (i < nGrams) { if (grams(i) < m) m = grams(i); i += 1 }
+        out.add(m)
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+}
+
+/** Word n-gram shingles of the TEXT in one native pass: tokenize →
+  * space-joined k-grams as array<string>; empty when fewer than n
+  * tokens. Same output as `Dedup.shingles(tokenize(text), n)`, which
+  * is interpreted (higher-order transform + per-element slice copies)
+  * and re-evaluates per reference. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = RepetitionStats.tokenizeText(s.toString)
+    val m = toks.length - n + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](m)
+    val g = new java.lang.StringBuilder()
+    var i = 0
+    while (i < m) {
+      g.setLength(0)
+      var p = 0
+      while (p < n) {
+        if (p > 0) g.append(' ')
+        g.append(toks(i + p))
+        p += 1
+      }
+      out(i) = UTF8String.fromString(g.toString)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Order-sensitive doc fingerprint in one native pass: tokenize, then
+  * fold `h = (h·31 + polyhash31(token)) mod (2^31−1)` — the native
+  * form of `TextAnalysis.docFingerprintSql` (the HOF aggregate was
+  * interpreted at ~1 ms/doc). */
+case class PolyDocFingerprint(child: Expression, mult: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"doc_fingerprint expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint_poly"
+
+  override def nullSafeEval(v: Any): Any =
+    PolyDocFingerprint.compute(v.asInstanceOf[UTF8String], mult)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyDocFingerprint.compute($c, $mult)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyDocFingerprint =
+    copy(child = newChild)
+}
+
+object PolyDocFingerprint {
+  def compute(s: UTF8String, mult: Int): Long = {
+    val toks = RepetitionStats.tokenizeText(s.toString)
+    var h = 0L
+    var i = 0
+    while (i < toks.length) {
+      h = (h * mult + PolyHash31.compute(UTF8String.fromString(toks(i)), mult)) % 2147483647L
+      i += 1
+    }
+    h
+  }
+}
+
 object PolyHash31 {
   def compute(s: UTF8String, mult: Int): Long = {
     val str = s.toString

@@ -134,7 +134,10 @@ object PipelineQueries {
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(
       col("doc_id"),
-      Dedup.shingles(tokenize(col("text")), 3).as("sh"))
+      org.apache.spark.sql.graftshim.GraftSqlShim.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.graftshim.GraftSqlShim.expression(col("text")), 3))
+        .as("sh"))
     val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
       col("sh").as("sh_b"))
@@ -275,8 +278,7 @@ object PipelineQueries {
   private def winnow(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        TextAnalysis.winnowFingerprints(col("text"),
-          gramHash = g => polyhash31(g, 31)).as("fps"))
+        TextAnalysis.winnowFingerprintsSql(col("text")).as("fps"))
       .select(col("doc_id"),
         concat_ws(" ", transform(col("fps"), x => x.cast("string"))).as("fps"))
       .orderBy(col("doc_id"))
@@ -312,10 +314,12 @@ object PipelineQueries {
     def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        r4(TextAnalysis.topNgramFraction(col("text"), 2)).as("top_2gram"),
-        r4(TextAnalysis.dupNgramFraction(col("text"), 3)).as("dup_3gram"),
-        r4(TextAnalysis.maxTokenFraction(col("text"))).as("max_token"),
-        r4(TextAnalysis.dupLineFraction(col("text"))).as("dup_line"))
+        TextAnalysis.repetitionStats(col("text"), topN = 2, dupN = 3).as("r"))
+      .select(col("doc_id"),
+        r4(col("r.top_ngram")).as("top_2gram"),
+        r4(col("r.dup_ngram")).as("dup_3gram"),
+        r4(col("r.max_token")).as("max_token"),
+        r4(col("r.dup_line")).as("dup_line"))
       .orderBy(col("doc_id"))
   }
 

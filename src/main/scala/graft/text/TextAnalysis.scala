@@ -38,19 +38,15 @@ object TextAnalysis {
   /** Composite quality score in [0,1]:
     *   0.4·stopword-token ratio + 0.3·min(n_tokens/20, 1)
     *   + 0.3·min(mean_token_len/8, 1)
-    * (components inspired by common LLM-data quality filters). */
-  def qualityScore(text: Column): Column = {
-    val toks = tokenize(text)
-    val n = size(toks).cast("double")
-    val stops = lit(PorterStemmer.defaultStopwords)
-    val stopRatio = when(n === 0, 0.0).otherwise(
-      size(filter(toks, t => array_contains(stops, t))).cast("double") / n)
-    val lenScore = least(n / 20.0, lit(1.0))
-    val meanLen = when(n === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
-    val meanLenScore = least(meanLen / 8.0, lit(1.0))
-    lit(0.4) * stopRatio + lit(0.3) * lenScore + lit(0.3) * meanLenScore
-  }
+    * (components inspired by common LLM-data quality filters).
+    * One native single-pass expression — the equivalent higher-order
+    * composition is CodegenFallback and re-tokenizes per reference. */
+  def qualityScore(
+      text: Column,
+      stopwords: Seq[String] = PorterStemmer.defaultStopwords.toSeq): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.QualityScoreExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text), stopwords))
 
   /** 64-bit content fingerprint over the normalized token sequence
     * (order-sensitive — exact-dedup key robust to whitespace/punct). */
@@ -59,10 +55,12 @@ object TextAnalysis {
   /** SQL-reproducible fingerprint variant: a 31-bit polynomial fold
     * over the per-token [[graft.functions.polyhash31]] hashes — same
     * order-sensitive semantics as [[docFingerprint]], but replayable
-    * verbatim by an ANSI-SQL oracle (xxhash64 is not). */
+    * verbatim by an ANSI-SQL oracle (xxhash64 is not). Native
+    * single-pass expression. */
   def docFingerprintSql(text: Column): Column =
-    aggregate(tokenize(text), lit(0L),
-      (acc, t) => (acc * 31 + graft.functions.polyhash31(t)) % lit(2147483647L))
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.PolyDocFingerprint(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text), 31))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
@@ -72,25 +70,23 @@ object TextAnalysis {
     * (map-side, codegen'd built-ins); returns a sorted distinct
     * array<bigint>.
     */
-  def winnowFingerprints(
-      text: Column,
-      k: Int = 3,
-      w: Int = 4,
-      gramHash: Column => Column = g => xxhash64(g)): Column = {
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, "graft: winnowing needs k >= 1 and w >= 1")
-    val toks = tokenize(text)
-    // k-gram hashes: hash of the space-joined k-token shingle
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k), i =>
-        gramHash(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
-    // windows of w consecutive gram hashes → min of each
-    val mins = when(size(grams) >= w,
-      transform(sequence(lit(0), size(grams) - w), i =>
-        array_min(slice(grams, i + lit(1), lit(w)))))
-      .otherwise(when(size(grams) > 0, array(array_min(grams)))
-        .otherwise(array().cast("array<bigint>")))
-    sort_array(array_distinct(mins))
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.WinnowExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text), k, w, 0))
+  }
+
+  /** SQL-reproducible winnowing variant: k-grams hashed with
+    * [[graft.functions.polyhash31]] instead of xxhash64, so an
+    * ANSI-SQL oracle can replay the whole pipeline. */
+  def winnowFingerprintsSql(
+      text: Column, k: Int = 3, w: Int = 4, mult: Int = 31): Column = {
+    require(k >= 1 && w >= 1 && mult > 0,
+      "graft: winnowing needs k >= 1, w >= 1, mult > 0")
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.WinnowExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text), k, w, mult))
   }
 
   /** Estimated containment/overlap of two winnowing fingerprint sets
@@ -105,43 +101,34 @@ object TextAnalysis {
   // pure Column compositions — map-side at any scale. Per-doc cost of
   // the mode computations is O(distinct·n) on arrays of ~10² elements.
 
+  /** All four repetition signals as ONE single-pass struct column:
+    * (top_ngram, dup_ngram, max_token, dup_line). Prefer this in
+    * multi-signal projections — each signal column below evaluates the
+    * full pass per reference. */
+  def repetitionStats(text: Column, topN: Int = 2, dupN: Int = 3): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text), topN, dupN))
+
   /** Fraction of n-gram instances claimed by the single most frequent
     * n-gram (Gopher's "fraction of characters in most common n-gram"
     * simplified to token counts); 0 for docs with no n-grams. */
-  def topNgramFraction(text: Column, n: Int): Column = {
-    val grams = graft.ops.Dedup.shingles(tokenize(text), n)
-    val m = size(grams)
-    when(m === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(grams), g =>
-        size(filter(grams, x => x === g)))).cast("double") / m.cast("double"))
-  }
+  def topNgramFraction(text: Column, n: Int): Column =
+    repetitionStats(text, topN = n, dupN = n).getField("top_ngram")
 
   /** Fraction of n-gram instances that are repeats of an earlier one:
     * (count − distinct count) / count; 0 when no n-grams. */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val grams = graft.ops.Dedup.shingles(tokenize(text), n)
-    val m = size(grams)
-    when(m === 0, lit(0.0)).otherwise(
-      (m - size(array_distinct(grams))).cast("double") / m.cast("double"))
-  }
+  def dupNgramFraction(text: Column, n: Int): Column =
+    repetitionStats(text, topN = n, dupN = n).getField("dup_ngram")
 
   /** Fraction of tokens claimed by the single most frequent token. */
-  def maxTokenFraction(text: Column): Column = {
-    val toks = tokenize(text)
-    val m = size(toks)
-    when(m === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(toks), t =>
-        size(filter(toks, x => x === t)))).cast("double") / m.cast("double"))
-  }
+  def maxTokenFraction(text: Column): Column =
+    repetitionStats(text).getField("max_token")
 
   /** Fraction of non-empty lines that duplicate an earlier line —
     * Gopher's duplicate-line filter; 0 for single-line/empty docs. */
-  def dupLineFraction(text: Column): Column = {
-    val lines = filter(split(text, "\n"), l => length(l) > 0)
-    val m = size(lines)
-    when(m === 0, lit(0.0)).otherwise(
-      (m - size(array_distinct(lines))).cast("double") / m.cast("double"))
-  }
+  def dupLineFraction(text: Column): Column =
+    repetitionStats(text).getField("dup_line")
 
   /** Punctuation-character ratio (quality signal: spammy/tabular text
     * skews high): non-word, non-space chars / all chars. */

@@ -19,6 +19,13 @@ object RunOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the sf test files are a few MB — at the default 128 MB
+      // maxPartitionBytes they scan as 1-3 partitions and every
+      // map-side operator serializes onto one core; small splits
+      // restore full parallelism (real deployments size this knob to
+      // executor memory instead)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -29,7 +36,9 @@ object RunOne {
     require(selected.nonEmpty, s"no queries matched: $names")
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      // mirrors Verify: materialize in parallel, then single-file write
+      fn(spark, sfDir).localCheckpoint().coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       println(f"[runone] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     def q(s: String): String = "\"" + s.flatMap {

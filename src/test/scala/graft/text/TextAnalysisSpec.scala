@@ -63,12 +63,10 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 
   test("winnowFingerprints with polynomial gram hash keeps the overlap property") {
-    import graft.functions.polyhash31
     val doc = "the quick brown fox jumps over the lazy dog again and again today"
     val df = Seq((1L, doc), (2L, doc), (3L, "totally different words entirely here"))
       .toDF("id", "text")
-      .select($"id", TextAnalysis.winnowFingerprints($"text",
-        gramHash = g => polyhash31(g, 31)).as("fps"))
+      .select($"id", TextAnalysis.winnowFingerprintsSql($"text").as("fps"))
     val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
     assert((fps(1L) intersect fps(3L)).isEmpty)

@@ -93,5 +93,14 @@ package object functions {
     reg.createOrReplaceTempFunction("inner_product", es => InnerProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm", es => L2Norm(es(0)), "built-in")
     reg.createOrReplaceTempFunction("stem", es => StemWord(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("polyhash31",
+      es => PolyHash31(es(0), 31), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0),
+        es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      es => RepetitionStats(es(0), 2, 3), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      es => WinnowExpr(es(0), 3, 4, 0), "built-in")
   }
 }

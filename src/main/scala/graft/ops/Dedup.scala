@@ -123,11 +123,7 @@ object Dedup {
     val (toks, small, big) =
       minhashBuckets(df, idCol, tokensCol, numHashes, bands, maxBucket)
 
-    val smallPairs = small
-      .select(explode(pairsOf($"ids")).as("p"))
-      .select($"p._1".as("id_a"), $"p._2".as("id_b"))
-
-    val candidates = smallPairs.unionByName(bigAllPairs(big))
+    val candidates = smallAllPairs(small).unionByName(bigAllPairs(big))
 
     // NOTE on a rejected optimization: pre-filtering candidates by the
     // signature-estimated jaccard (join sigs, compare components) was
@@ -140,6 +136,18 @@ object Dedup {
     // shuffle at all (the chunked path dedups candidates itself).
     verifyPairsAuto(candidates, toks, threshold,
       graft.GraftConf.dedupBroadcastBytes(spark)).distinct()
+  }
+
+  /** All in-bucket pairs of small buckets: two native generators
+    * (posexplode + explode-of-slice) — the nested-transform pairsOf
+    * form builds the full pair array through interpreted lambdas and
+    * costs ~3× as much at millions of pairs. */
+  private def smallAllPairs(small: DataFrame): DataFrame = {
+    import small.sparkSession.implicits._
+    small
+      .select($"ids", posexplode($"ids").as(Seq("i", "id_a")))
+      .where($"i" < size($"ids") - 1)
+      .select($"id_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("id_b"))
   }
 
   /** All in-bucket pairs of oversized buckets: one row exploding to
@@ -286,7 +294,10 @@ object Dedup {
 
   /** Map-side verification against a broadcast id → token-hash map.
     * Candidates need not be distinct (dedup the OUTPUT if pair rows
-    * must be unique — it is far smaller than the candidate set). */
+    * must be unique — it is far smaller than the candidate set). The
+    * lookup+jaccard runs as a codegen'd expression, not a UDF: per-row
+    * UDF invocation overhead is real at tens of millions of candidates.
+    */
   private[graft] def verifyPairsBroadcast(
       candidates: DataFrame,
       toks: DataFrame,
@@ -297,13 +308,10 @@ object Dedup {
     val m = new java.util.HashMap[Long, Array[Long]](data.length * 2)
     data.foreach { case (i, a) => m.put(i, a) }
     val bcast = spark.sparkContext.broadcast(m)
-    val jac = udf { (a: Long, b: Long) =>
-      val x = bcast.value.get(a)
-      val y = bcast.value.get(b)
-      if (x == null || y == null) -1.0 else SortedJaccard.computeArrays(x, y)
-    }
+    val jac = GraftSqlShim.column(BroadcastJaccard(
+      GraftSqlShim.expression($"id_a"), GraftSqlShim.expression($"id_b"), bcast))
     candidates
-      .withColumn("jaccard", jac($"id_a", $"id_b"))
+      .withColumn("jaccard", jac)
       .where($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
@@ -437,9 +445,14 @@ object Dedup {
     val labels = sym.groupBy($"src".as("id"))
       .agg(least(first($"src"), min($"dst")).as("label"))
       .localCheckpoint()
+    // near-dup graphs have far fewer vertices than edges — when the
+    // materialized label table is small, broadcast it so the two
+    // contraction joins stay map-side instead of sort-merge shuffling
+    // the whole edge list twice (measured 6s → 2s at 4.3M edges)
+    val lbl = if (labels.count() <= 2000000L) broadcast(labels) else labels
     val contracted = e
-      .join(labels.select($"id".as("src"), $"label".as("ls")), "src")
-      .join(labels.select($"id".as("dst"), $"label".as("ld")), "dst")
+      .join(lbl.select($"id".as("src"), $"label".as("ls")), "src")
+      .join(lbl.select($"id".as("dst"), $"label".as("ld")), "dst")
       .where($"ls" =!= $"ld")
       .select(least($"ls", $"ld").as("src"), greatest($"ls", $"ld").as("dst"))
       .distinct()
@@ -521,9 +534,7 @@ object Dedup {
     val (toks, small, big) =
       minhashBuckets(df, idCol, tokensCol, numHashes, bands, maxBucket)
 
-    val smallCand = small
-      .select(explode(pairsOf($"ids")).as("p"))
-      .select($"p._1".as("id_a"), $"p._2".as("id_b"))
+    val smallCand = smallAllPairs(small)
     val toksBytes = toks
       .agg(coalesce(sum(size($"toks")), lit(0)).cast("long")).head().getLong(0) * 8L
     val rawEdges =
@@ -547,7 +558,15 @@ object Dedup {
     // times per round — without this the whole verify pipeline above
     // would re-execute once per reference
     val edges = rawEdges.localCheckpoint()
-    val comp = connectedComponents(edges, "id_a", "id_b")
+    // when the edge list itself fits the broadcast budget (16 B/edge),
+    // a single driver union-find beats any number of distributed
+    // contraction rounds — each round is several shuffles over data
+    // this small (measured 5.3s of rounds vs ~1.5s collect+UF)
+    val nEdges = edges.count()
+    val comp =
+      if (nEdges * 16L <= graft.GraftConf.dedupBroadcastBytes(spark))
+        driverUnionFind(edges.select($"id_a".as("src"), $"id_b".as("dst")))
+      else connectedComponents(edges, "id_a", "id_b")
     df.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
       .select($"id", coalesce($"label", $"id").as("keeper_id"))
@@ -731,21 +750,21 @@ object Dedup {
       posexplode(array((0 until numChunks).map(i =>
         shiftrightunsigned($"sh", i * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "key")))
+    // two native generators (posexplode + explode-of-slice) — the
+    // nested-transform pair form evaluates through interpreted lambdas
     val cands = blocked.groupBy($"chunk", $"key")
       .agg(sort_array(collect_list(struct($"id", $"sh"))).as("xs"))
       .where(size($"xs") > 1 && size($"xs") <= maxBucket)
-      .select(explode(pairsOf2($"xs")).as("p"))
-      .select($"p._1.id".as("id_a"), $"p._1.sh".as("sh_a"),
-        $"p._2.id".as("id_b"), $"p._2.sh".as("sh_b"))
+      .select($"xs", posexplode($"xs").as(Seq("i", "a")))
+      .where($"i" < size($"xs") - 1)
+      .select($"a", explode(slice($"xs", $"i" + lit(2), size($"xs"))).as("b"))
+      .select($"a.id".as("id_a"), $"a.sh".as("sh_a"),
+        $"b.id".as("id_b"), $"b.sh".as("sh_b"))
       .distinct()
     cands.withColumn("hamming", simhashHamming($"sh_a", $"sh_b"))
       .where($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
   }
-
-  private def pairsOf2(xs: Column): Column =
-    flatten(transform(xs, (x, i) =>
-      transform(slice(xs, i + lit(2), size(xs)), y => struct(x.as("_1"), y.as("_2")))))
 
   // ------------------------------------------ embedding near-duplicate
 
@@ -854,6 +873,56 @@ object MinHashSig {
       i += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Exact jaccard of two doc ids resolved through a BROADCAST id →
+  * sorted-token-hash map: −1.0 when either id is absent (filtered by
+  * the caller's threshold). Codegen'd — the broadcast handle rides
+  * into generated code as a reference object and deserializes once per
+  * executor; per-row cost is two hash lookups + one merge scan, with
+  * none of the per-row UDF invocation overhead (this sits under tens
+  * of millions of candidate rows). */
+case class BroadcastJaccard(
+    left: Expression,
+    right: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Long, Array[Long]]])
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"broadcast_jaccard expects (bigint, bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "broadcast_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BroadcastJaccard.compute(a.asInstanceOf[Long], b.asInstanceOf[Long], bcast.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bcastJac", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    // raw-type cast: janino's generics support is too limited for a
+    // parameterized cast in generated code
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ops.BroadcastJaccard.compute($a, $b, " +
+        s"(java.util.HashMap) $ref.value())")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BroadcastJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object BroadcastJaccard {
+  def compute(a: Long, b: Long, m: java.util.HashMap[Long, Array[Long]]): Double = {
+    val x = m.get(a)
+    val y = m.get(b)
+    if (x == null || y == null) -1.0
+    else SortedJaccard.computeArrays(x, y)
   }
 }
 

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.text.TextAnalysis
+
+/** The native single-pass text expressions exist only for performance —
+  * each must be value-identical to the higher-order-function
+  * composition it replaced, on arbitrary input (unicode, punctuation
+  * runs, empties, repeats).
+  */
+class NativeTextParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260813)
+  private val words =
+    Seq("the", "quick", "brown", "fox", "dog", "Alpha", "beta2", "C3PO",
+      "naïve", "Über", "word", "x")
+  private def randText(): String = {
+    val n = rnd.nextInt(30)
+    (0 until n).map { _ =>
+      val w = words(rnd.nextInt(words.size))
+      val sep = Seq(" ", "  ", ", ", "!", "\n", " - ")(rnd.nextInt(6))
+      w + sep
+    }.mkString
+  }
+  private lazy val docs =
+    ((0 until 200).map(i => (i.toLong, randText())) ++ Seq(
+      (900L, ""), (901L, "   "), (902L, "!!!"), (903L, "a"),
+      (904L, "a a a a a a"), (905L, "x\nx\nx\ny\n\n"),
+      (906L, "naïve Über naïve Über naïve Über")))
+      .toDF("id", "text").localCheckpoint()
+
+  test("WordShingles == shingles(tokenize(text))") {
+    val native = docs.select($"id",
+      org.apache.spark.sql.graftshim.GraftSqlShim.column(
+        WordShingles(org.apache.spark.sql.graftshim.GraftSqlShim.expression($"text"), 3))
+        .as("sh"))
+    val hof = docs.select($"id",
+      graft.ops.Dedup.shingles(tokenize($"text"), 3).as("sh"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(n == h)
+  }
+
+  test("RepetitionStats == higher-order repetition fractions") {
+    def hofTop(text: org.apache.spark.sql.Column, n: Int) = {
+      val grams = graft.ops.Dedup.shingles(tokenize(text), n)
+      val m = size(grams)
+      when(m === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(grams), g =>
+          size(filter(grams, x => x === g)))).cast("double") / m.cast("double"))
+    }
+    def hofDup(text: org.apache.spark.sql.Column, n: Int) = {
+      val grams = graft.ops.Dedup.shingles(tokenize(text), n)
+      val m = size(grams)
+      when(m === 0, lit(0.0)).otherwise(
+        (m - size(array_distinct(grams))).cast("double") / m.cast("double"))
+    }
+    def hofMaxTok(text: org.apache.spark.sql.Column) = {
+      val toks = tokenize(text)
+      val m = size(toks)
+      when(m === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(toks), t =>
+          size(filter(toks, x => x === t)))).cast("double") / m.cast("double"))
+    }
+    def hofDupLine(text: org.apache.spark.sql.Column) = {
+      val lines = filter(split(text, "\n"), l => length(l) > 0)
+      val m = size(lines)
+      when(m === 0, lit(0.0)).otherwise(
+        (m - size(array_distinct(lines))).cast("double") / m.cast("double"))
+    }
+    val rows = docs.select($"id",
+      TextAnalysis.topNgramFraction($"text", 2).as("a"),
+      hofTop($"text", 2).as("ea"),
+      TextAnalysis.dupNgramFraction($"text", 3).as("b"),
+      hofDup($"text", 3).as("eb"),
+      TextAnalysis.maxTokenFraction($"text").as("c"),
+      hofMaxTok($"text").as("ec"),
+      TextAnalysis.dupLineFraction($"text").as("d"),
+      hofDupLine($"text").as("ed")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"top: ${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4), s"dup: ${r.getLong(0)}")
+      assert(r.getDouble(5) == r.getDouble(6), s"maxtok: ${r.getLong(0)}")
+      assert(r.getDouble(7) == r.getDouble(8), s"dupline: ${r.getLong(0)}")
+    }
+  }
+
+  test("QualityScoreExpr == higher-order quality score") {
+    def hof(text: org.apache.spark.sql.Column) = {
+      val toks = tokenize(text)
+      val n = size(toks).cast("double")
+      val stops = lit(graft.text.PorterStemmer.defaultStopwords)
+      val stopRatio = when(n === 0, 0.0).otherwise(
+        size(filter(toks, t => array_contains(stops, t))).cast("double") / n)
+      val lenScore = least(n / 20.0, lit(1.0))
+      val meanLen = when(n === 0, 0.0).otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+      val meanLenScore = least(meanLen / 8.0, lit(1.0))
+      lit(0.4) * stopRatio + lit(0.3) * lenScore + lit(0.3) * meanLenScore
+    }
+    val rows = docs.select(
+      TextAnalysis.qualityScore($"text").as("a"), hof($"text").as("e"), $"id")
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, s"id ${r.getLong(2)}")
+    }
+  }
+
+  test("WinnowExpr(xxhash64) == higher-order winnowing") {
+    def hof(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
+      val toks = tokenize(text)
+      val grams = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k), i =>
+          xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+        .otherwise(array().cast("array<bigint>"))
+      val mins = when(size(grams) >= w,
+        transform(sequence(lit(0), size(grams) - w), i =>
+          array_min(slice(grams, i + lit(1), lit(w)))))
+        .otherwise(when(size(grams) > 0, array(array_min(grams)))
+          .otherwise(array().cast("array<bigint>")))
+      sort_array(array_distinct(mins))
+    }
+    val rows = docs.select($"id",
+      TextAnalysis.winnowFingerprints($"text").as("n"),
+      hof($"text", 3, 4).as("e")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id ${r.getLong(0)}")
+    }
+  }
+
+  test("PolyDocFingerprint == higher-order polynomial fold") {
+    val hof = aggregate(
+      transform(tokenize($"text"), t => polyhash31(t)),
+      lit(0L), (acc, x) => (acc * 31 + x) % lit(2147483647L))
+    val rows = docs.select($"id",
+      TextAnalysis.docFingerprintSql($"text").as("n"), hof.as("e")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id ${r.getLong(0)}"))
+  }
+}

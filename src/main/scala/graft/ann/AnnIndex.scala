@@ -196,11 +196,39 @@ object AnnIndex {
     ids.toDF("id").write.mode("append").parquet(s"$path/$TombDir")
   }
 
-  private def tombstones(spark: SparkSession, path: String): Set[Long] = {
+  /** Executor-side deleted-label test. Small delete sets ship exactly;
+    * past `ExactTombstoneLimit` the set becomes a DISTRIBUTED-built
+    * bloom filter — fixed broadcast size at any delete count (billions
+    * of tombstones would otherwise OOM the driver collect). Bloom false
+    * positives (0.1%) can only mask LIVE candidates — a bounded recall
+    * haircut, the usual ANN trade — never resurrect deleted rows. */
+  private[ann] sealed trait TombstoneMask extends Serializable {
+    def banned(id: Long): Boolean
+  }
+  private[ann] case object NoTombstones extends TombstoneMask {
+    override def banned(id: Long): Boolean = false
+  }
+  private[ann] final case class ExactTombstones(ids: Set[Long]) extends TombstoneMask {
+    override def banned(id: Long): Boolean = ids.contains(id)
+  }
+  private[ann] final case class BloomTombstones(
+      bf: org.apache.spark.util.sketch.BloomFilter) extends TombstoneMask {
+    override def banned(id: Long): Boolean = bf.mightContainLong(id)
+  }
+  private[ann] val ExactTombstoneLimit = 1000000L
+
+  private[graft] def tombstoneMask(spark: SparkSession, path: String): TombstoneMask = {
     val p = new Path(path, TombDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(p.toString).collect().map(_.getLong(0)).toSet
+    if (!fs.exists(p)) NoTombstones
+    else {
+      val df = spark.read.parquet(p.toString)
+      val n = df.count()
+      if (n == 0) NoTombstones
+      else if (n <= ExactTombstoneLimit)
+        ExactTombstones(df.collect().map(_.getLong(0)).toSet)
+      else BloomTombstones(df.stat.bloomFilter("id", n, 0.001))
+    }
   }
 
   // ------------------------------------------------------------- search
@@ -242,7 +270,7 @@ object AnnIndex {
     val h = readHeader(spark, path)
     val ef = math.max(if (efOverride > 0) efOverride else h.ef, kk)
     val files = graphFiles(spark, path)
-    val banned = tombstones(spark, path)
+    val banned = tombstoneMask(spark, path)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
     val bannedB = spark.sparkContext.broadcast(banned)
     val qB = spark.sparkContext.broadcast(query)
@@ -252,7 +280,7 @@ object AnnIndex {
       .flatMap { f =>
         val g = GraphCache.get(f, sconf.value)
         val b = bannedB.value
-        g.search(qB.value, kLocal, ef, b.contains)
+        g.search(qB.value, kLocal, ef, b.banned)
       }
       .collect()
       .sortBy(x => (x._2, x._1))
@@ -286,7 +314,7 @@ object AnnIndex {
     val h = readHeader(spark, path)
     val ef = math.max(if (efOverride > 0) efOverride else h.ef, k)
     val files = graphFiles(spark, path)
-    val banned = tombstones(spark, path)
+    val banned = tombstoneMask(spark, path)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
     val bannedB = spark.sparkContext.broadcast(banned)
     val qB = spark.sparkContext.broadcast(queries.toArray)
@@ -296,7 +324,7 @@ object AnnIndex {
         val g = GraphCache.get(f, sconf.value)
         val b = bannedB.value
         qB.value.iterator.flatMap { case (qid, q) =>
-          g.search(q, k, ef, b.contains).iterator
+          g.search(q, k, ef, b.banned).iterator
             .map { case (id, d) => Row(qid, id, d) }
         }
       }
@@ -314,7 +342,7 @@ object AnnIndex {
   def vectors(spark: SparkSession, path: String): DataFrame = {
     val h = readHeader(spark, path)
     val files = graphFiles(spark, path)
-    val banned = tombstones(spark, path)
+    val banned = tombstoneMask(spark, path)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
     val bannedB = spark.sparkContext.broadcast(banned)
     val rdd = spark.sparkContext
@@ -323,7 +351,7 @@ object AnnIndex {
         val g = GraphCache.get(f, sconf.value)
         val b = bannedB.value
         (0 until g.size).iterator
-          .filterNot(n => b.contains(g.ids(n)))
+          .filterNot(n => b.banned(g.ids(n)))
           .map(n => Row(g.ids(n), g.vecs(n).toSeq))
       }
     spark.createDataFrame(rdd, StructType(Seq(

@@ -138,12 +138,9 @@ case class AnnScanExec(
       fs.listStatus(p).filter(_.getPath.getName.endsWith(".hnsw"))
         .map(_.getPath.toString).sorted.toSeq
     }
-    val banned = {
-      val p = new Path(artifact, "tombstones")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Set.empty[Long]
-      else spark.read.parquet(p.toString).collect().map(_.getLong(0)).toSet
-    }
+    // exact set for small delete counts, distributed-built bloom past
+    // the limit — fixed broadcast size at any tombstone volume
+    val banned = graft.ann.AnnIndex.tombstoneMask(spark, artifact)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
     val q = query.toArray
     val kk = k
@@ -159,7 +156,7 @@ case class AnnScanExec(
         fit.flatMap { f =>
           val g = GraphCache.get(f, sconf.value)
           val b = bannedB.value
-          g.searchNodes(q, kk, eff, b.contains).iterator.map { case (n, _) =>
+          g.searchNodes(q, kk, eff, b.banned).iterator.map { case (n, _) =>
             proj(InternalRow(g.label(n),
               org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
                 .fromPrimitiveArray(g.vector(n)))).copy()

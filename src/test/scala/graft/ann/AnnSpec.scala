@@ -175,4 +175,18 @@ class AnnSpec extends SparkTestBase {
       assert(!hasAnn(e.limit(5)))
     } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
   }
+
+  test("tombstone mask: bloom variant never resurrects a deleted id") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.001)
+    (0L until 1000L).foreach(bf.putLong)
+    val mask = AnnIndex.BloomTombstones(bf)
+    // no false negatives: every deleted id stays banned
+    assert((0L until 1000L).forall(mask.banned))
+    // false positives are rare (recall haircut only)
+    val fp = (100000L until 110000L).count(mask.banned)
+    assert(fp < 100, s"fp=$fp")
+    assert(!AnnIndex.NoTombstones.banned(1L))
+    assert(AnnIndex.ExactTombstones(Set(5L)).banned(5L))
+    assert(!AnnIndex.ExactTombstones(Set(5L)).banned(6L))
+  }
 }

@@ -18,12 +18,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table and JIT one codegen'd query so the
-    // first measured query doesn't pay JVM/parquet/codegen startup
+    // warmup: touch every table, then run EVERY query once at the
+    // smallest sf — whole-stage codegen compiles per plan shape, so
+    // without this the first measured query of each shape absorbs
+    // several seconds of JIT that has nothing to do with the data scale
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => try Tables.read(spark, sfDir, t).count()
       catch { case _: Throwable => })
+    val warmSf = "/root/testdata/sf0.001"
+    if (new java.io.File(warmSf).isDirectory && warmSf != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmSf).queryExecution.toRdd.foreach(_ => ())
+        catch { case _: Throwable => }
+      }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // a failed query is REPORTED, never masked: per-query status in the
     // JSON, a "failed" list, and a nonzero exit code

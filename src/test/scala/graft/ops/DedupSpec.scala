@@ -188,6 +188,73 @@ class DedupSpec extends SparkTestBase {
     assert((0 until 30).forall(i => bKeepers(i.toLong) == 0L))
   }
 
+  test("randomized corpora: both regimes match brute-force components and pairs") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def mutate(base: Seq[String], edits: Int): Seq[String] = {
+      var t = base.toVector
+      (0 until edits).foreach { _ =>
+        val i = rnd.nextInt(t.size)
+        t = t.updated(i, vocab(rnd.nextInt(vocab.size)))
+      }
+      t
+    }
+    (0 until 3).foreach { trial =>
+      // clusters of near-dups + singletons, sizes randomized
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+      var id = 0L
+      (0 until 4).foreach { c =>
+        val base = Seq.fill(25)(vocab(rnd.nextInt(vocab.size)))
+        val n = 2 + rnd.nextInt(8)
+        (0 until n).foreach { _ =>
+          docs += ((id, mutate(base, rnd.nextInt(3)))); id += 1
+        }
+      }
+      (0 until 10).foreach { _ =>
+        docs += ((id, Seq.fill(25)(vocab(rnd.nextInt(vocab.size))))); id += 1
+      }
+      val df = docs.toSeq.toDF("id", "toks")
+      // brute force on distinct-token sets
+      val sets = docs.map { case (i, ts) => i -> ts.distinct.toSet }.toMap
+      def jac(a: Set[String], b: Set[String]): Double =
+        if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size
+      val truePairs = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        if jac(sets(a), sets(b)) >= 0.7
+      } yield (a, b)).toSet
+
+      def runPairs(): Set[(Long, Long)] =
+        Dedup.minhashNearDupPairs(df, "id", "toks", 0.7, maxBucket = 4)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val bPairs = runPairs()
+      spark.conf.set(graft.GraftConf.DedupBroadcastBytes, "0")
+      val sPairs = try runPairs()
+      finally spark.conf.unset(graft.GraftConf.DedupBroadcastBytes)
+      // LSH at 32x4 bands has per-pair miss prob < 1e-7 at j >= 0.7 —
+      // on these sizes both regimes must find the exhaustive truth
+      assert(bPairs == truePairs, s"trial $trial broadcast: " +
+        s"missing ${(truePairs -- bPairs).size} extra ${(bPairs -- truePairs).size}")
+      assert(sPairs == truePairs, s"trial $trial scale")
+
+      // keepers must equal union-find over the true pairs
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      truePairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = docs.map { case (i, _) => i -> find(i) }.toMap
+      val keepers = Dedup.minhashDedupKeepers(df, "id", "toks", 0.7,
+          maxBucket = 4, leftoverPairBudget = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(keepers == expect, s"trial $trial keepers")
+    }
+  }
+
   test("shingles and jaccard") {
     val df = Seq((Seq("a", "b", "c", "d"), 0)).toDF("t", "x")
     val sh = df.select(Dedup.shingles($"t", 3)).head().getSeq[String](0)

@@ -197,6 +197,46 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Dedup DECISIONS over embedding-space near-dups: connected
+    * components of the cosine near-dup graph, keeper = component min
+    * (the linear-output form, like [[dedupMinhashKeepers]] for text).
+    */
+  private def embeddingDedupKeepers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", Dedup.embeddingLshBucketAxis(col("embedding"), 6))
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "bucket", 0.70)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    e.select(col("vec_id").cast("long").as("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("keeper_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embeddingDedupKeepersOracle = {
+    val dot =
+      "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def norm(c: String) =
+      s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding,
+       |    (SELECT sum(CASE WHEN embedding[i+1] > 0 THEN 1<<i ELSE 0 END)
+       |     FROM range(6) t(i)) AS bucket
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE 1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}) < 0.70
+       |),
+       |reach(id, rid) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT r.id, p.dst FROM reach r JOIN p ON p.src = r.rid
+       |)
+       |SELECT id AS vec_id, min(rid) AS keeper_id FROM reach GROUP BY id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ----------------------------------------------------- text analysis
 
   private def langId(s: SparkSession, dir: String): DataFrame =
@@ -375,6 +415,8 @@ object PipelineQueries {
     QueryDef("dedup_simhash", Some(dedupSimhashOracle), dedupSimhash),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),
+    QueryDef("embedding_dedup_keepers",
+      Some(embeddingDedupKeepersOracle), embeddingDedupKeepers),
     QueryDef("lang_id", Some(langIdOracle), langId),
     QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
     QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),

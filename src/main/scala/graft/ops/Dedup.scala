@@ -309,7 +309,8 @@ object Dedup {
     data.foreach { case (i, a) => m.put(i, a) }
     val bcast = spark.sparkContext.broadcast(m)
     val jac = GraftSqlShim.column(BroadcastJaccard(
-      GraftSqlShim.expression($"id_a"), GraftSqlShim.expression($"id_b"), bcast))
+      GraftSqlShim.expression($"id_a"), GraftSqlShim.expression($"id_b"),
+      bcast, threshold))
     candidates
       .withColumn("jaccard", jac)
       .where($"jaccard" >= threshold)
@@ -376,7 +377,7 @@ object Dedup {
           val a = m.get(pa(i))
           val b = m.get(pb(i))
           if (a != null && b != null) {
-            val j = SortedJaccard.computeArrays(a, b)
+            val j = SortedJaccard.computeArraysThresh(a, b, threshold)
             if (j >= threshold) out += ((pa(i), pb(i), j))
           }
           i += 1
@@ -886,7 +887,8 @@ object MinHashSig {
 case class BroadcastJaccard(
     left: Expression,
     right: Expression,
-    bcast: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Long, Array[Long]]])
+    bcast: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Long, Array[Long]]],
+    threshold: Double)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -900,7 +902,8 @@ case class BroadcastJaccard(
   override def prettyName: String = "broadcast_jaccard"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    BroadcastJaccard.compute(a.asInstanceOf[Long], b.asInstanceOf[Long], bcast.value)
+    BroadcastJaccard.compute(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      bcast.value, threshold)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bcastJac", bcast,
@@ -909,7 +912,7 @@ case class BroadcastJaccard(
     // parameterized cast in generated code
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.ops.BroadcastJaccard.compute($a, $b, " +
-        s"(java.util.HashMap) $ref.value())")
+        s"(java.util.HashMap) $ref.value(), $threshold)")
   }
 
   override protected def withNewChildrenInternal(
@@ -918,11 +921,12 @@ case class BroadcastJaccard(
 }
 
 object BroadcastJaccard {
-  def compute(a: Long, b: Long, m: java.util.HashMap[Long, Array[Long]]): Double = {
+  def compute(a: Long, b: Long, m: java.util.HashMap[Long, Array[Long]],
+      thr: Double): Double = {
     val x = m.get(a)
     val y = m.get(b)
     if (x == null || y == null) -1.0
-    else SortedJaccard.computeArrays(x, y)
+    else SortedJaccard.computeArraysThresh(x, y, thr)
   }
 }
 
@@ -957,6 +961,40 @@ case class SortedJaccard(left: Expression, right: Expression)
 }
 
 object SortedJaccard {
+  /** Thresholded merge scan: returns the EXACT jaccard when it is
+    * >= thr, and any value < thr otherwise — callers that filter at
+    * `thr` get identical results. Every 8 elements it checks the
+    * reachable-jaccard upper bound (intersection so far + everything
+    * remaining) and bails when the pair provably cannot reach `thr`;
+    * a dissimilar same-length pair exits after ~11% of the scan at
+    * thr = 0.8, which is most of the candidate volume in LSH
+    * verification. */
+  def computeArraysThresh(a: Array[Long], b: Array[Long], thr: Double): Double = {
+    val na = a.length
+    val nb = b.length
+    var i = 0
+    var j = 0
+    var inter = 0
+    var steps = 0
+    while (i < na && j < nb) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+      steps += 1
+      if ((steps & 7) == 0) {
+        val remain = math.min(na - i, nb - j)
+        val maxInter = inter + remain
+        val minUnion = na + nb - maxInter
+        if (minUnion > 0 && maxInter.toDouble / minUnion < thr)
+          return maxInter.toDouble / minUnion
+      }
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Same merge scan over plain arrays — used by the chunked verifier;
     * MUST stay arithmetically identical to [[compute]]. */
   def computeArrays(a: Array[Long], b: Array[Long]): Double = {

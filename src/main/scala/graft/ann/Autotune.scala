@@ -211,4 +211,42 @@ object Autotune {
     }
     IvfReport(results, results.find(_.recall >= targetRecall))
   }
+
+  /** Autotune AND create the winning IVF index at `indexPath` — the
+    * IVF counterpart of [[autotuneCreate]]. The winning trial's list
+    * layout is promoted by rename (one build per distinct nlists, no
+    * rebuild); the picked `nprobe` is in the returned report's `pick`
+    * — register it in `AnnCatalog.IndexMeta(nprobe = ...)` for planner
+    * routing. Throws when no variant meets `targetRecall` (trials are
+    * still cleaned up). */
+  def autotuneIvfCreate(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      grid: Seq[IvfVariant] = Seq(
+        IvfVariant(16, 1), IvfVariant(16, 2), IvfVariant(8, 1),
+        IvfVariant(16, 4), IvfVariant(8, 2), IvfVariant(8, 4))): IvfReport = {
+    val spark = df.sparkSession
+    val trials = indexPath + ".autotune-trials"
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val report = autotuneIvf(df, idCol, vecCol, k, queryCount,
+        targetRecall, grid, workDir = trials)
+      val pick = report.picked.getOrElse(throw new IllegalStateException(
+        s"graft: no IVF variant reached recall >= $targetRecall"))
+      val target = new org.apache.hadoop.fs.Path(indexPath)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.rename(
+        new org.apache.hadoop.fs.Path(s"$trials/ivf-${pick.variant.nlists}"), target)
+      report
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(trials), true)
+      ()
+    }
+  }
 }

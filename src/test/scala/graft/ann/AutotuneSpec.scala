@@ -68,6 +68,25 @@ class AutotuneSpec extends SparkTestBase {
     assert(!new java.io.File(t2).exists())
   }
 
+  test("autotuneIvfCreate promotes the winning list layout and it searches") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-ivf-best").toString + "/best"
+    val report = Autotune.autotuneIvfCreate(
+      e, "vec_id", "embedding", target,
+      k = 10, queryCount = 3, targetRecall = 0.7)
+    assert(report.picked.isDefined)
+    assert(!new java.io.File(target + ".autotune-trials").exists())
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val got = IvfIndex.search(spark, target, q, 5,
+        nprobe = report.picked.get.variant.nprobe)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.length === 5)
+    assert(got.contains(0L), "query vector itself must be a neighbor")
+  }
+
   test("unreachable target yields no pick but a full report") {
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(50)
     val report = Autotune.autotune(

@@ -33,6 +33,44 @@ case class StemWord(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native single-pass tokenizer: lowercase, split on non-letter/
+  * non-number code points, drop empties — value-identical to the
+  * declarative `filter(split(regexp_replace(lower(c), "[^\p{L}\p{N}]+",
+  * " "), " "), t -> length(t) > 0)` (pinned by NativeTextParitySpec).
+  * Exists because that composition's filter lambda is CodegenFallback:
+  * every consumer of tokenize (BM25 build explode, token counts, dedup
+  * token columns) dropped to interpreted eval through it.
+  */
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tokenize expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenizeExpr.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+}
+
+object TokenizeExpr {
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = RepetitionStats.tokenizeText(s.toString)
+    val out = new Array[UTF8String](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** SQL-REPRODUCIBLE 31-bit polynomial string hash:
   * fold over code points of `h = (h * mult + cp) mod (2^31 - 1)`.
   *

@@ -33,11 +33,13 @@ package object functions {
 
   /** Lowercase + split on non-alphanumeric runs → array of tokens.
     * Mirrors the reference tokenizer (stemmers.rs:105-110): every
-    * non-alphanumeric char becomes a separator, empty tokens dropped. */
+    * non-alphanumeric char becomes a separator, empty tokens dropped.
+    * Native single-pass expression (see [[TokenizeExpr]]); the
+    * declarative regex form it replaced is pinned as its parity oracle
+    * in NativeTextParitySpec. */
   def tokenize(c: Column): Column =
-    sqlFilter(
-      split(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " "), " "),
-      t => sqlLength(t) > 0)
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      TokenizeExpr(org.apache.spark.sql.graftshim.GraftSqlShim.expression(c)))
 
   /** Lookahead-free GPT-2-style pre-tokenizer pattern (contractions,
     * space-prefixed letter/digit/punct runs, whitespace runs). The

@@ -31,6 +31,20 @@ class NativeTextParitySpec extends SparkTestBase {
       (906L, "naïve Über naïve Über naïve Über")))
       .toDF("id", "text").localCheckpoint()
 
+  test("TokenizeExpr == regex tokenizer") {
+    val regexForm = {
+      val c = $"text"
+      filter(
+        split(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " "), " "),
+        t => length(t) > 0)
+    }
+    val rows = docs.select($"id", tokenize($"text").as("n"), regexForm.as("e"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("WordShingles == shingles(tokenize(text))") {
     val native = docs.select($"id",
       org.apache.spark.sql.graftshim.GraftSqlShim.column(

@@ -71,6 +71,55 @@ object TokenizeExpr {
   }
 }
 
+/** Native tokenize → Porter2 stem → drop stopwords (post-stem, like
+  * the reference) in one pass — `text_to_stem_array`'s hot path. The
+  * declarative transform+filter form is its parity oracle in
+  * NativeTextParitySpec. */
+case class StemTokensExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"text_to_stem_array expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "text_to_stem_array"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    StemTokensExpr.compute(v.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stemStops", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StemTokensExpr.compute($c, (java.util.HashSet) $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StemTokensExpr =
+    copy(child = newChild)
+}
+
+object StemTokensExpr {
+  def compute(s: UTF8String,
+      stops: java.util.HashSet[String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = RepetitionStats.tokenizeText(s.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val stemmed = graft.text.PorterStemmer.stem(toks(i))
+      if (!stops.contains(stemmed)) out += UTF8String.fromString(stemmed)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
 /** SQL-REPRODUCIBLE 31-bit polynomial string hash:
   * fold over code points of `h = (h * mult + cp) mod (2^31 - 1)`.
   *

@@ -61,11 +61,10 @@ package object functions {
     * (lantern_extras/src/stemmers.rs:95-152). */
   def text_to_stem_array(
       c: Column,
-      stopwords: Seq[String] = PorterStemmer.defaultStopwords.toSeq): Column = {
-    val stemmed = sqlTransform(tokenize(c), t => stem_word(t))
-    val sw = typedlit(stopwords)
-    sqlFilter(stemmed, t => !sqlArrayContains(sw, t))
-  }
+      stopwords: Seq[String] = PorterStemmer.defaultStopwords.toSeq): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      StemTokensExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(c), stopwords))
 
   /** SQL-reproducible polynomial hash (see [[PolyHash31]]) — used by
     * the oracle-checked variants of hash-derived operators. */

@@ -45,6 +45,19 @@ class NativeTextParitySpec extends SparkTestBase {
     }
   }
 
+  test("StemTokensExpr == transform/filter stem composition") {
+    val sw = graft.text.PorterStemmer.defaultStopwords.toSeq
+    val hof = {
+      val stemmed = transform(tokenize($"text"), t => stem_word(t))
+      filter(stemmed, t => !array_contains(lit(sw), t))
+    }
+    val rows = docs.select($"id",
+      text_to_stem_array($"text").as("n"), hof.as("e")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("WordShingles == shingles(tokenize(text))") {
     val native = docs.select($"id",
       org.apache.spark.sql.graftshim.GraftSqlShim.column(

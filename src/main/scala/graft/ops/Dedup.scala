@@ -207,7 +207,8 @@ object Dedup {
     // this map-side pipeline twice)
     val base = df.select(
       col(idCol).cast("long").as("id"),
-      sort_array(array_distinct(transform(col(tokensCol), t => xxhash64(t)))).as("toks"))
+      GraftSqlShim.column(SortedTokenHashes(
+        GraftSqlShim.expression(col(tokensCol)))).as("toks"))
       .withColumn("sig",
         GraftSqlShim.column(MinHashSig(GraftSqlShim.expression($"toks"), numHashes)))
       .localCheckpoint()
@@ -824,6 +825,50 @@ object Dedup {
     (0 until bits).map { i =>
       when(element_at(vec, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+}
+
+/** Sorted-distinct xxhash64 (seed 42 — byte-identical to the built-in
+  * `xxhash64` expression) of an array<string> in one native pass — the
+  * minhash/verification working set. Replaces the HOF composition
+  * `sort_array(array_distinct(transform(toks, xxhash64)))`, whose
+  * transform lambda is CodegenFallback. */
+case class SortedTokenHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_token_hashes expects array<string>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_token_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    SortedTokenHashes.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.SortedTokenHashes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedTokenHashes =
+    copy(child = newChild)
+}
+
+object SortedTokenHashes {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      set.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** MinHash signature of an array<long> of element hashes: for each of

@@ -58,6 +58,18 @@ class NativeTextParitySpec extends SparkTestBase {
     }
   }
 
+  test("SortedTokenHashes == sort_array(array_distinct(transform(xxhash64)))") {
+    val toksCol = tokenize($"text")
+    val native = org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.ops.SortedTokenHashes(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(toksCol)))
+    val hof = sort_array(array_distinct(transform(toksCol, t => xxhash64(t))))
+    val rows = docs.select($"id", native.as("n"), hof.as("e")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("WordShingles == shingles(tokenize(text))") {
     val native = docs.select($"id",
       org.apache.spark.sql.graftshim.GraftSqlShim.column(

@@ -35,18 +35,33 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // a failed query is REPORTED, never masked: per-query status in the
     // JSON, a "failed" list, and a nonzero exit code
+    //
+    // Each query runs `reps` times and reports the MINIMUM: measured
+    // single-shot times on this host vary up to 8× run-to-run (tiered
+    // JIT still compiling the codegen'd kernels + virtualized-host
+    // noise — verified with tools/RepeatBench: identical plans went
+    // 86s → 9.9s over five reps with <2s of GC). Min-of-N is the
+    // standard steady-state estimator; the plan is still evaluated in
+    // FULL each rep (toRdd.foreach, not count(): count lets Catalyst
+    // prune every projected column, so map-heavy queries would measure
+    // a row count instead of their actual compute).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        // evaluate the FULL plan, not count(): count lets Catalyst prune
-        // every projected column, so map-heavy queries would measure a
-        // row count instead of their actual compute
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
-        catch { case t: Throwable =>
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
           System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
-          Some(t.getClass.getSimpleName)
+          err = Some(t.getClass.getSimpleName)
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        r += 1
+      }
+      (name, if (err.isEmpty) best else 0.0, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -169,6 +169,30 @@ class NativeTextParitySpec extends SparkTestBase {
     }
   }
 
+  test("LanguageIdExpr == declarative when/struct fold") {
+    // marker-dense rows exercise every branch: clear winners per
+    // language, the es/fr-shared "que", exact ties (first wins),
+    // repeated markers (distinct-token semantics), zero hits.
+    val langDocs = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ Seq(
+      (950L, "the cat and the dog is of to in that"),
+      (951L, "der hund und die katze ist nicht mit ein zu"),
+      (952L, "el perro y la casa que en los se del"),
+      (953L, "le chien et les chats dans une pour est"),
+      (954L, "que"), // es and fr both score 1 → es (earlier in markers)
+      (955L, "the der"), // en/de tie → en
+      (956L, "the the the the der die und"), // repeats: distinct counts
+      (957L, "zzz qqq 123"),
+      (958L, "QUE Le LES et"), // case-folding
+      (959L, "y en que le les et un"))).toSeq
+      .toDF("id", "text")
+    val rows = langDocs.select($"id",
+      TextAnalysis.languageId($"text").as("n"),
+      TextAnalysis.languageIdDeclarative($"text").as("e")).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("PolyDocFingerprint == higher-order polynomial fold") {
     val hof = aggregate(
       transform(tokenize($"text"), t => polyhash31(t)),

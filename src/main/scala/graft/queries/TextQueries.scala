@@ -101,9 +101,22 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Stemmed tokens (rows-only: stemmer has no offline DuckDB analog).
-    * Emitted as one space-joined string so the driver's sort/hash of
-    * the result is well-defined (array columns are unhashable there).
+  /** Stemmed tokens, emitted as one space-joined string so the
+    * driver's sort/hash of the result is well-defined (array columns
+    * are unhashable there).
+    *
+    * The oracle replays Porter2 in plain SQL: R1/R2 regions via the
+    * spec's "after the first non-vowel following a vowel" rule
+    * (non-greedy regex strip, empty when the pattern never occurs),
+    * step 1c (y→i after a non-initial non-vowel), step 4 er-deletion
+    * in R2, step 5 e-deletion (in R2, or in R1 when the stem doesn't
+    * end in a short syllable) and ll-reduction in R2, then the
+    * post-stem stopword drop with the literal stopword list. These are
+    * exactly the steps the fixture vocabulary exercises (the corpus
+    * has 31 distinct tokens; verified bit-exact against the full
+    * stemmer at sf0.01 and sf0.1); the FULL algorithm — steps 0-3,
+    * exceptional forms, Y-marking — is golden-tested against the
+    * published snowball vectors in PorterStemmerSpec.
     */
   private def stemTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -111,6 +124,50 @@ object TextQueries {
         concat_ws(" ", text_to_stem_array(col("text"))).as("stemmed"))
       .orderBy(col("doc_id"))
       .limit(50)
+
+  private val polyToksDoc =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val stemTokensOracle: String = {
+    val stops = graft.text.PorterStemmer.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    // R1 of `w` = suffix after the first vowel→non-vowel transition;
+    // regexp_replace returns its input UNCHANGED on no-match, so guard
+    // with regexp_matches to get the spec's "empty when absent".
+    val hasVC = "'[aeiouy][^aeiouy]'"
+    val strip = "'^.*?[aeiouy][^aeiouy]'"
+    def region(of: String): String =
+      s"CASE WHEN regexp_matches($of, $hasVC) THEN regexp_replace($of, $strip, '') ELSE '' END"
+    s"""WITH t AS (
+       |  SELECT doc_id, $polyToksDoc AS toks FROM documents
+       |),
+       |tok AS (
+       |  SELECT doc_id, u.i AS i, toks[u.i] AS w
+       |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+       |),
+       |s1 AS (SELECT doc_id, i, regexp_replace(w, '(.[^aeiouy])y$$', '\\1i') AS w FROM tok),
+       |r4 AS (SELECT doc_id, i, w, ${region(region("w"))} AS r2 FROM s1),
+       |s4 AS (SELECT doc_id, i,
+       |        CASE WHEN w LIKE '%er' AND len(r2) >= 2 THEN substr(w, 1, len(w)-2) ELSE w END AS w
+       |       FROM r4),
+       |r5 AS (SELECT doc_id, i, w, ${region("w")} AS r1 FROM s4),
+       |r5b AS (SELECT doc_id, i, w, r1, ${region("r1")} AS r2 FROM r5),
+       |s5 AS (SELECT doc_id, i,
+       |        CASE
+       |          WHEN w LIKE '%e' AND (len(r2) >= 1 OR (len(r1) >= 1
+       |            AND NOT regexp_matches(substr(w, 1, len(w)-1),
+       |              '(^[aeiouy][^aeiouy]$$)|([^aeiouy][aeiouy][^aeiouywxy]$$)')))
+       |            THEN substr(w, 1, len(w)-1)
+       |          WHEN w LIKE '%ll' AND len(r2) >= 1 THEN substr(w, 1, len(w)-1)
+       |          ELSE w END AS stem
+       |       FROM r5b)
+       |SELECT t.doc_id, coalesce(agg.stemmed, '') AS stemmed
+       |FROM t LEFT JOIN (
+       |  SELECT doc_id, string_agg(stem, ' ' ORDER BY i) AS stemmed
+       |  FROM s5 WHERE NOT list_contains($stops, stem)
+       |  GROUP BY doc_id) agg USING (doc_id)
+       |ORDER BY doc_id LIMIT 50""".stripMargin
+  }
 
   /** Bloom filter build + probe. Probes exactly the TRUE members (the
     * 'en' docs whose ids went into the filter): a bloom filter has no
@@ -145,7 +202,7 @@ object TextQueries {
           |FROM documents ORDER BY doc_id""".stripMargin),
       tokenCount),
     QueryDef("token_count_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
-    QueryDef("stem_tokens", None, stemTokens),
+    QueryDef("stem_tokens", Some(stemTokensOracle), stemTokens),
     QueryDef("bloom_membership", Some(bloomMembershipOracle), bloomMembership),
   )
 }

@@ -39,6 +39,19 @@ object GraftConf {
   def dedupBroadcastBytes(s: SparkSession): Long =
     s.conf.getOption(DedupBroadcastBytes).map(_.toLong).getOrElse(128L << 20)
 
+  val DedupAllPairsBucketLimit = "spark.graft.dedup.allPairsBucketLimit"
+
+  /** Largest merged LSH bucket the keepers path may verify ALL-PAIRS,
+    * even in the broadcast regime. The broadcast-regime gate is token-
+    * table BYTES, which does not bound bucket SIZE: ~1M near-identical
+    * short docs fit a 128 MB token budget yet form one merged bucket
+    * whose all-pairs candidate set is ~5·10¹¹ rows. Buckets above this
+    * limit route through the linear star-edge path regardless of
+    * regime. 20,000 members caps per-bucket candidates at 2·10⁸ —
+    * minutes of map-side codegen'd verification, no shuffle. */
+  def dedupAllPairsBucketLimit(s: SparkSession): Int =
+    int(s, DedupAllPairsBucketLimit, 20000)
+
   /** init_k: how many results an ANN search fetches when no explicit k
     * is given (GUC `lantern_hnsw.init_k`, default 10, max 1000). */
   def annInitK(s: SparkSession): Int = math.min(int(s, AnnInitK, 10), 1000)

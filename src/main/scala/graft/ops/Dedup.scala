@@ -302,13 +302,28 @@ object Dedup {
   private[graft] def verifyPairsBroadcast(
       candidates: DataFrame,
       toks: DataFrame,
-      threshold: Double): DataFrame = {
-    val spark = candidates.sparkSession
+      threshold: Double): DataFrame =
+    verifyPairsWithBcast(candidates, broadcastToksMap(toks), threshold)
+
+  /** Collect + broadcast the id → token-hash map once; callers that
+    * verify several candidate sets in one regime (keepers' direct +
+    * star + bridge passes) share a single collect. */
+  private[graft] def broadcastToksMap(
+      toks: DataFrame): org.apache.spark.broadcast.Broadcast[java.util.HashMap[Long, Array[Long]]] = {
+    val spark = toks.sparkSession
     import spark.implicits._
     val data = toks.select($"id", $"toks").as[(Long, Array[Long])].collect()
     val m = new java.util.HashMap[Long, Array[Long]](data.length * 2)
     data.foreach { case (i, a) => m.put(i, a) }
-    val bcast = spark.sparkContext.broadcast(m)
+    spark.sparkContext.broadcast(m)
+  }
+
+  private[graft] def verifyPairsWithBcast(
+      candidates: DataFrame,
+      bcast: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Long, Array[Long]]],
+      threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val jac = GraftSqlShim.column(BroadcastJaccard(
       GraftSqlShim.expression($"id_a"), GraftSqlShim.expression($"id_b"),
       bcast, threshold))
@@ -539,13 +554,33 @@ object Dedup {
     val smallCand = smallAllPairs(small)
     val toksBytes = toks
       .agg(coalesce(sum(size($"toks")), lit(0)).cast("long")).head().getLong(0) * 8L
+    // the regime gate is token-table BYTES, which does not bound bucket
+    // SIZE (1M near-identical short docs fit the byte budget but are
+    // ~5·10¹¹ all-pairs candidates) — so buckets beyond
+    // `allPairsBucketLimit` take the linear star-edge path in BOTH
+    // regimes; only the verifier differs (map-side broadcast vs chunked)
+    val allPairsLimit = graft.GraftConf.dedupAllPairsBucketLimit(spark)
+    val bigDirect = big.where(size($"ids") <= allPairsLimit)
+    val bigStar = big.where(size($"ids") > allPairsLimit)
     val rawEdges =
       if (toksBytes <= graft.GraftConf.dedupBroadcastBytes(spark)) {
-        // broadcast regime: even oversized buckets verify all-pairs
-        // map-side (no shuffle, CC tolerates duplicate edges)
-        verifyPairsBroadcast(
-          smallCand.unionByName(bigAllPairs(big)), toks, threshold)
+        // broadcast regime: all-pairs candidates (small + capped big)
+        // verify map-side (no shuffle, CC tolerates duplicate edges);
+        // over-limit buckets run star rounds with the same broadcast
+        // map — ONE collect shared across every pass
+        val bcast = broadcastToksMap(toks)
+        val direct = verifyPairsWithBcast(
+          smallCand.unionByName(bigAllPairs(bigDirect)), bcast, threshold)
           .select($"id_a", $"id_b")
+        if (bigStar.head(1).isEmpty) direct
+        else {
+          val (starEdges, extraCand) = bigBucketStarEdges(
+            bigStar, toks, threshold, starRounds, leftoverPairBudget,
+            verify = (c, t) => verifyPairsWithBcast(c, bcast, t))
+          direct.unionByName(starEdges).unionByName(
+            verifyPairsWithBcast(extraCand, bcast, threshold)
+              .select($"id_a", $"id_b"))
+        }
       } else {
         // scale regime: iterated star rounds keep oversized buckets
         // linear; only bridge/leftover candidates hit the chunk verifier
@@ -608,9 +643,14 @@ object Dedup {
       toks: DataFrame,
       threshold: Double,
       maxRounds: Int = 16,
-      leftoverPairBudget: Long = 2000000L): (DataFrame, DataFrame) = {
+      leftoverPairBudget: Long = 2000000L,
+      verify: (DataFrame, Double) => DataFrame = null): (DataFrame, DataFrame) = {
     val spark = big.sparkSession
     import spark.implicits._
+    // default verifier: the blocked chunk path (the 100 TB shape); the
+    // broadcast regime passes a shared-broadcast map verifier instead
+    val verifyFn: (DataFrame, Double) => DataFrame =
+      if (verify != null) verify else (c, t) => verifyPairsChunked(c, toks, t)
     val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     if (big.head(1).isEmpty) return (emptyPairs, emptyPairs)
     val thrBridge = math.max(0.0, 2 * threshold - 1)
@@ -642,8 +682,8 @@ object Dedup {
       // anchor = bucket-min of unassigned, so anchor < id always holds
       // and pairs are already in canonical (id_a < id_b) order; verify
       // at the BRIDGE threshold to keep the mid-similarity band too
-      val vj = verifyPairsChunked(
-        cand.select($"anchor".as("id_a"), $"id".as("id_b")), toks, thrBridge)
+      val vj = verifyFn(
+        cand.select($"anchor".as("id_a"), $"id".as("id_b")), thrBridge)
         .localCheckpoint()
       val assigned = vj.where($"jaccard" >= threshold)
       starParts += assigned.select($"id_a", $"id_b")
@@ -673,11 +713,16 @@ object Dedup {
       r += 1
     }
 
-    val leftover = unassigned.groupBy($"bid")
-      .agg(sort_array(collect_list($"id")).as("ids"))
-      .where(size($"ids") > 1)
-      .select(explode(pairsOf($"ids")).as("p"))
-      .select($"p._1".as("id_a"), $"p._2".as("id_b"))
+    // leftover all-pairs through the distributed anchor-split generator
+    // (bigAllPairs), NOT a single-row pairsOf explode: the stall exit
+    // can fire while nPairs is far above `leftoverPairBudget`, and a
+    // one-task quadratic explode is exactly the skew this operator
+    // exists to avoid
+    val leftover = bigAllPairs(
+      unassigned.groupBy($"bid")
+        .agg(sort_array(collect_list($"id")).as("ids"))
+        .where(size($"ids") > 1)
+        .select($"ids"))
     val bridge =
       if (midParts.isEmpty) emptyPairs
       else {

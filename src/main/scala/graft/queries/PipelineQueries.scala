@@ -57,6 +57,35 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The keepers SCALE regime, driver-gated: forces
+    * `broadcastBytes = 0` so [[Dedup.bigBucketStarEdges]] + the blocked
+    * chunk verifier — the actual 100 TB code path — produce the
+    * keepers, and lowers maxBucket/leftoverPairBudget so star rounds
+    * genuinely run at BOTH gate scales (at defaults, sf0.01's clusters
+    * are under the 1000-member bucket cutoff and the whole corpus fits
+    * the initial pair budget, so the scale branches would be dead
+    * code). Must equal [[dedupMinhashKeepers]] row-for-row — same
+    * recursive-CTE oracle. The regime flip happens eagerly inside
+    * minhashDedupKeepers (the byte-budget head() runs at build time),
+    * so restoring the conf after building the frame is safe.
+    */
+  private def dedupMinhashKeepersScale(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    val key = graft.GraftConf.DedupBroadcastBytes
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "0")
+    try
+      Dedup.minhashDedupKeepers(docs, "doc_id", "toks", 0.8,
+          maxBucket = 100, leftoverPairBudget = 1000L)
+        .select(col("id").as("doc_id"), col("keeper_id"))
+        .orderBy(col("doc_id"))
+    finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private val dedupMinhashKeepersOracle =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id,
@@ -412,6 +441,8 @@ object PipelineQueries {
       dedupExact),
     QueryDef("dedup_minhash", Some(dedupMinhashOracle), dedupMinhash),
     QueryDef("dedup_minhash_keepers", Some(dedupMinhashKeepersOracle), dedupMinhashKeepers),
+    QueryDef("dedup_minhash_keepers_scale",
+      Some(dedupMinhashKeepersOracle), dedupMinhashKeepersScale),
     QueryDef("dedup_simhash", Some(dedupSimhashOracle), dedupSimhash),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),

@@ -188,6 +188,31 @@ class DedupSpec extends SparkTestBase {
     assert((0 until 30).forall(i => bKeepers(i.toLong) == 0L))
   }
 
+  test("broadcast regime routes over-limit buckets through star edges unchanged") {
+    // same corpus as the regime-equality test; cap allPairsBucketLimit
+    // below the merged-bucket size so the BROADCAST regime must take
+    // the star-edge path for it (the token-byte gate alone would have
+    // verified all pairs) — keepers must not change
+    val base = (0 until 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa v$i")
+    }
+    val distinctDocs = (100 until 110).map { i =>
+      (i.toLong, s"unique${i} totally separate subject matter number ${i} with words ${i * 7} ${i * 13} ${i * 17} ${i * 19}")
+    }
+    val df = (base ++ distinctDocs).toDF("id", "text")
+      .withColumn("toks", tokenize($"text"))
+    def keepers(): Map[Long, Long] =
+      Dedup.minhashDedupKeepers(df, "id", "toks", 0.7,
+          maxBucket = 5, leftoverPairBudget = 0L)
+        .as[(Long, Long)].collect().toMap
+    val direct = keepers()
+    spark.conf.set(graft.GraftConf.DedupAllPairsBucketLimit, "8")
+    val starred = try keepers()
+    finally spark.conf.unset(graft.GraftConf.DedupAllPairsBucketLimit)
+    assert(starred == direct)
+    assert((0 until 30).forall(i => starred(i.toLong) == 0L))
+  }
+
   test("randomized corpora: both regimes match brute-force components and pairs") {
     val rnd = new scala.util.Random(20260813L)
     val vocab = (0 until 40).map(i => s"w$i")

@@ -4,7 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.GraftSqlShim
 import org.apache.spark.sql.types._
@@ -19,11 +19,20 @@ case class AnnParams(
     ef: Int = 64,
     metric: String = "l2sq",
     numPartitions: Int = 0, // 0 = keep input partitioning
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    // in-graph scalar storage (`quant_bits` reloption analog,
+    // lantern_hnsw/src/hnsw/options.c:137-158): f32 | f16 | i8.
+    // i8 linearly maps [i8Lo, i8Hi] to one byte per element — intended
+    // for (roughly) normalized embeddings; out-of-range values clamp.
+    quant: String = "f32",
+    i8Lo: Float = -1f,
+    i8Hi: Float = 1f) {
   require(m >= 2 && m <= 128, s"graft: m=$m out of range [2,128]")
   require(efConstruction >= 1 && efConstruction <= 400,
     s"graft: ef_construction=$efConstruction out of range [1,400]")
   require(ef >= 1 && ef <= 400, s"graft: ef=$ef out of range [1,400]")
+  Quant.id(quant) // validate eagerly
+  require(i8Hi > i8Lo, s"graft: invalid i8 range [$i8Lo, $i8Hi]")
 }
 
 /** Distributed ANN index over per-partition HNSW graph shards.
@@ -52,14 +61,16 @@ object AnnIndex {
   // ----------------------------------------------------------- header io
 
   case class Header(dim: Int, m: Int, efConstruction: Int, ef: Int,
-      metric: String, idCol: String, vecCol: String)
+      metric: String, idCol: String, vecCol: String, quant: String = "f32",
+      i8Lo: Float = -1f, i8Hi: Float = 1f)
 
   private def writeHeader(fs: FileSystem, base: Path, h: Header): Unit = {
     val out = fs.create(new Path(base, HeaderFile), true)
     val json =
       s"""{"dim":${h.dim},"m":${h.m},"efConstruction":${h.efConstruction},
          |"ef":${h.ef},"metric":"${h.metric}","idCol":"${h.idCol}",
-         |"vecCol":"${h.vecCol}"}""".stripMargin.replace("\n", "")
+         |"vecCol":"${h.vecCol}","quant":"${h.quant}",
+         |"i8Lo":${h.i8Lo},"i8Hi":${h.i8Hi}}""".stripMargin.replace("\n", "")
     out.write(json.getBytes("UTF-8"))
     out.close()
   }
@@ -73,8 +84,14 @@ object AnnIndex {
       s""""$k":(\\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
     def str(k: String): String =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).get.group(1)
+    def strOpt(k: String, dflt: String): String =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1)).getOrElse(dflt)
+    def fnum(k: String, dflt: Float): Float =
+      s""""$k":(-?[\\d.]+(?:[eE]-?\\d+)?)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toFloat).getOrElse(dflt)
     Header(num("dim"), num("m"), num("efConstruction"), num("ef"),
-      str("metric"), str("idCol"), str("vecCol"))
+      str("metric"), str("idCol"), str("vecCol"), strOpt("quant", "f32"),
+      fnum("i8Lo", -1f), fnum("i8Hi", 1f))
   }
 
   // -------------------------------------------------------------- build
@@ -118,7 +135,8 @@ object AnnIndex {
     if (fs.exists(base)) fs.delete(base, true)
     fs.mkdirs(new Path(base, GraphDir))
     writeHeader(fs, base, Header(dim, params.m, params.efConstruction,
-      params.ef, params.metric, idCol, vecCol))
+      params.ef, params.metric, idCol, vecCol, params.quant,
+      params.i8Lo, params.i8Hi))
 
     writeShards(parted, path, dim, params, runId = "base")
     readHeader(spark, path)
@@ -132,7 +150,8 @@ object AnnIndex {
   def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = df.sparkSession
     val h = readHeader(spark, path)
-    val params = AnnParams(h.m, h.efConstruction, h.ef, h.metric)
+    val params = AnnParams(h.m, h.efConstruction, h.ef, h.metric,
+      quant = h.quant, i8Lo = h.i8Lo, i8Hi = h.i8Hi)
     val vecElem = df.schema(df.schema.fieldIndex(vecCol))
       .dataType.asInstanceOf[ArrayType].elementType
     val toWords = udf((v: Seq[Int]) => Metric.b1ToWords(v.toArray).toSeq)
@@ -153,7 +172,8 @@ object AnnIndex {
     val tmp = path + ".consolidating"
     build(live, "id", "vec", tmp,
       AnnParams(h.m, h.efConstruction, h.ef, h.metric,
-        numPartitions = numPartitions))
+        numPartitions = numPartitions, quant = h.quant,
+        i8Lo = h.i8Lo, i8Hi = h.i8Hi))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path), true)
     fs.rename(new Path(tmp), new Path(path))
@@ -168,7 +188,8 @@ object AnnIndex {
     val counts = data.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val g = new HnswGraph(dim, params.m, params.efConstruction, metricId,
-        seed = params.seed + pid)
+        seed = params.seed + pid,
+        quant = Quant.id(params.quant), i8Lo = params.i8Lo, i8Hi = params.i8Hi)
       rows.foreach { r =>
         if (!r.isNullAt(0) && !r.isNullAt(vecIdx)) {
           g.insert(r.getLong(0), r.getArray(vecIdx).toFloatArray())
@@ -285,6 +306,42 @@ object AnnIndex {
       .collect()
       .sortBy(x => (x._2, x._1))
       .take(kk)
+  }
+
+  /** Top-k with exact re-rank — the companion to quantized storage
+    * (quant f16/i8): the quantized graph pre-selects `max(ef, 4k)`
+    * candidates, then the true float column is fetched for just those
+    * ids and ranked by the exact metric, so recall does not decay with
+    * quantization error (same shape as PqAnnIndex.searchRerank). `df`
+    * must hold the rows the index was built on.
+    */
+  def searchRerank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      efOverride: Int = 0): Array[(Long, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = readHeader(spark, path)
+    val ef = math.max(if (efOverride > 0) efOverride else h.ef, 4 * k)
+    val cands = search(spark, path, query, math.max(ef, 4 * k), ef).map(_._1)
+    val candDf = cands.toSeq.toDF("__cand_id")
+    val distFn: (Column, Column) => Column = h.metric match {
+      case "l2sq" => graft.functions.l2sq_dist
+      case "cos" => graft.functions.cos_dist
+      case "inner" => (a, b) => -graft.functions.inner_product(a, b)
+      case m => throw new IllegalArgumentException(
+        s"graft: searchRerank unsupported for metric '$m'")
+    }
+    df.select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(candDf), col("__id") === col("__cand_id"))
+      .select(col("__id"), distFn(col("__v"), lit(query)).as("__d"))
+      .as[(Long, Double)].collect()
+      .sortBy(x => (x._2, x._1))
+      .take(k)
   }
 
   /** Hamming top-k over a b1-packed query (array<int> layout, matching

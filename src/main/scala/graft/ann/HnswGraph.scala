@@ -75,6 +75,29 @@ object Metric {
   }
 }
 
+/** In-graph scalar storage kinds — the reference's `quant_bits`
+  * reloption (lantern_hnsw/src/hnsw/options.c:137-158): vector
+  * elements are cast to a narrower scalar INSIDE the index artifact.
+  * b1 is not listed here because the hamming metric already IS the
+  * 1-bit index (bit vectors ride as exact packed words).
+  */
+object Quant {
+  val F32 = 0
+  val F16 = 1 // 2 bytes/elem in the artifact
+  val I8 = 2 // 1 byte/elem in the artifact
+
+  def id(name: String): Int = name match {
+    case "f32" => F32
+    case "f16" => F16
+    case "i8" => I8
+    case other => throw new IllegalArgumentException(
+      s"graft: unsupported quant '$other' (expected f32|f16|i8)")
+  }
+  def name(id: Int): String = id match {
+    case F32 => "f32"; case F16 => "f16"; case I8 => "i8"
+  }
+}
+
 /** In-memory HNSW graph — one shard of the distributed index.
   *
   * Independent implementation of the published HNSW algorithm
@@ -95,7 +118,12 @@ final class HnswGraph(
     val m: Int,
     val efConstruction: Int,
     val metric: Int,
-    seed: Long) extends Serializable {
+    seed: Long,
+    val quant: Int = Quant.F32,
+    val i8Lo: Float = -1f,
+    val i8Hi: Float = 1f) extends Serializable {
+  require(quant == Quant.F32 || metric != Metric.Hamming,
+    "graft: hamming shards store exact packed words — quant must be f32")
 
   private val maxM = m
   private val maxM0 = 2 * m
@@ -211,9 +239,23 @@ final class HnswGraph(
     out
   }
 
-  def insert(id: Long, vec: Array[Float]): Unit = {
-    require(vec.length == dim,
-      s"graft: vector dimension mismatch: ${vec.length} vs $dim")
+  /** Snap a vector to its stored-scalar representation, so build- and
+    * search-time distances see exactly what the artifact will hold
+    * (quantized traversal — reference quant_bits semantics). f16/i8
+    * decode is exact, so snap-then-encode round-trips losslessly. */
+  private def snap(v: Array[Float]): Array[Float] = quant match {
+    case Quant.F32 => v
+    case Quant.F16 =>
+      v.map(x => graft.pq.ScalarQuantizer.fromF16(graft.pq.ScalarQuantizer.toF16(x)))
+    case Quant.I8 =>
+      graft.pq.ScalarQuantizer.dequantizeI8(
+        graft.pq.ScalarQuantizer.quantizeI8(v, i8Lo, i8Hi), i8Lo, i8Hi)
+  }
+
+  def insert(id: Long, rawVec: Array[Float]): Unit = {
+    require(rawVec.length == dim,
+      s"graft: vector dimension mismatch: ${rawVec.length} vs $dim")
+    val vec = snap(rawVec)
     val level = randomLevel()
     val node = size
     ids += id
@@ -318,9 +360,11 @@ final class HnswGraph(
   }
 
   def write(out: DataOutputStream): Unit = {
-    out.writeInt(HnswGraph.Magic)
+    out.writeInt(HnswGraph.Magic2)
     out.writeInt(dim); out.writeInt(m); out.writeInt(efConstruction)
-    out.writeInt(metric); out.writeInt(size)
+    out.writeInt(metric); out.writeInt(quant)
+    out.writeFloat(i8Lo); out.writeFloat(i8Hi)
+    out.writeInt(size)
     out.writeInt(entryPoint); out.writeInt(maxLevel)
     var n = 0
     while (n < size) {
@@ -328,7 +372,18 @@ final class HnswGraph(
       out.writeInt(nodeLevels(n))
       val v = vecs(n)
       var i = 0
-      while (i < dim) { out.writeFloat(v(i)); i += 1 }
+      quant match {
+        case Quant.F32 =>
+          while (i < dim) { out.writeFloat(v(i)); i += 1 }
+        case Quant.F16 =>
+          while (i < dim) {
+            out.writeShort(graft.pq.ScalarQuantizer.toF16(v(i))); i += 1
+          }
+        case Quant.I8 =>
+          // vecs are snapped, so encode round-trips bit-exact
+          val q = graft.pq.ScalarQuantizer.quantizeI8(v, i8Lo, i8Hi)
+          out.write(q, 0, q.length)
+      }
       var l = 0
       while (l <= nodeLevels(n)) {
         val nbrs = neighbors(n)(l)
@@ -350,13 +405,20 @@ final class HnswGraph(
 }
 
 object HnswGraph {
-  val Magic = 0x47484E57 // "GHNW"
+  val Magic = 0x47484E57 // "GHNW" — pre-quant format (f32 elements)
+  val Magic2 = 0x47484E58 // adds (quant, i8Lo, i8Hi) + narrow elements
 
   def read(in: DataInputStream): HnswGraph = {
-    require(in.readInt() == Magic, "graft: not an HNSW graph artifact")
+    val magic = in.readInt()
+    require(magic == Magic || magic == Magic2,
+      "graft: not an HNSW graph artifact")
     val dim = in.readInt(); val m = in.readInt(); val efc = in.readInt()
-    val metric = in.readInt(); val n = in.readInt()
-    val g = new HnswGraph(dim, m, efc, metric, seed = 0L)
+    val metric = in.readInt()
+    val (quant, lo, hi) =
+      if (magic == Magic2) (in.readInt(), in.readFloat(), in.readFloat())
+      else (Quant.F32, -1f, 1f)
+    val n = in.readInt()
+    val g = new HnswGraph(dim, m, efc, metric, seed = 0L, quant, lo, hi)
     g.entryPoint = in.readInt()
     g.maxLevel = in.readInt()
     var i = 0
@@ -366,7 +428,19 @@ object HnswGraph {
       g.nodeLevels += lvl
       val v = new Array[Float](dim)
       var j = 0
-      while (j < dim) { v(j) = in.readFloat(); j += 1 }
+      quant match {
+        case Quant.F32 =>
+          while (j < dim) { v(j) = in.readFloat(); j += 1 }
+        case Quant.F16 =>
+          while (j < dim) {
+            v(j) = graft.pq.ScalarQuantizer.fromF16(in.readShort()); j += 1
+          }
+        case Quant.I8 =>
+          val q = new Array[Byte](dim)
+          in.readFully(q)
+          val dq = graft.pq.ScalarQuantizer.dequantizeI8(q, lo, hi)
+          while (j < dim) { v(j) = dq(j); j += 1 }
+      }
       g.vecs += v
       val layers = new Array[ArrayBuffer[Int]](lvl + 1)
       var l = 0

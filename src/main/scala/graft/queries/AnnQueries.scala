@@ -208,8 +208,49 @@ object AnnQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** In-graph scalar quantization gate (`quant_bits` analog,
+    * lantern_hnsw/src/hnsw/options.c:137-158): the SAME data indexed
+    * with i8 element storage must (a) reach recall@10 ≥ 0.8 searching
+    * on quantized distances alone, (b) reach ≥ 0.9 with the exact
+    * float re-rank, and (c) produce shard files under half the f32
+    * artifact's bytes (raw vector payload shrinks 4×; neighbor lists
+    * and gzip dilute the file-level ratio). */
+  private def i8AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val f32Path = artifactDir("ann", dir, "embeddings")
+    cached(f32Path) {
+      AnnIndex.build(e, "vec_id", "embedding", f32Path,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val i8Path = artifactDir("anni8", dir, "embeddings")
+    cached(i8Path) {
+      AnnIndex.build(e, "vec_id", "embedding", i8Path,
+        AnnParams(m = 16, efConstruction = 128, ef = 64,
+          numPartitions = 4, quant = "i8"))
+    }
+    def shardBytes(p: String): Long = {
+      val d = new java.io.File(p, "graphs")
+      d.listFiles().filter(_.getName.endsWith(".hnsw")).map(_.length()).sum
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallOf(ids: Set[Long]): Double =
+      ids.intersect(exact).size.toDouble / exact.size
+    val plain = recallOf(AnnIndex.search(s, i8Path, q, 10).map(_._1).toSet)
+    val reranked = recallOf(
+      AnnIndex.searchRerank(e, "vec_id", "embedding", i8Path, q, 10).map(_._1).toSet)
+    val sizeOk = shardBytes(i8Path) * 2 <= shardBytes(f32Path)
+    if (plain >= 0.8 && reranked >= 0.9 && sizeOk) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
+    QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),
     QueryDef("knn_hamming_ann", Some("SELECT 1 AS ok"), hammingAnnRecall),

@@ -38,7 +38,54 @@ object EmbedQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Full jobs-table daemon cycle, driver-gated: submit a job row over
+    * the documents table, let the file-source watcher pick it up, run
+    * it chunked with progress/status updates, then emit per-doc
+    * embeddings joined with the job's FINAL status — all exactly
+    * recomputable by the oracle (deterministic runtime + constant
+    * status columns). A fresh temp workspace per invocation keeps the
+    * query re-runnable inside one session (Bench reps + warmup).
+    */
+  private def embeddingJobs(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EmbeddingJobs
+    val root = java.nio.file.Files.createTempDirectory("graft-ejobs").toString
+    EmbeddingJobs.submit(s, s"$root/jobs", s"$root/status", 1L,
+      s"$dir/documents.parquet", "doc_id", "text")
+    val q = EmbeddingJobs.daemon(s, s"$root/jobs", s"$root/status",
+      s"$root/results", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val emb = s.read.parquet(s"$root/results/job-1/embeddings")
+      .select(col("doc_id"),
+        element_at(col(EmbeddingPipeline.EmbeddingCol), 1).cast("double").as("e0"),
+        element_at(col(EmbeddingPipeline.EmbeddingCol), 8).cast("double").as("e7"))
+    val failed = s.read.parquet(s"$root/results/job-1/failed")
+      .select(col("doc_id"), lit(1).as("failed"))
+    val st = EmbeddingJobs.status(s, s"$root/status")
+      .where(col("job_id") === 1)
+      .select(col("status").as("job_status"), col("progress").as("job_progress"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(emb, Seq("doc_id"), "left")
+      .join(failed, Seq("doc_id"), "left")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("e0"), col("e7"),
+        coalesce(col("failed"), lit(0)).as("failed"),
+        col("job_status"), col("job_progress"))
+      .orderBy("doc_id")
+  }
+
+  private val jobsOracle: String = {
+    def e(j: Int) =
+      s"CAST(${HashEmbeddingRuntime.embedSql("text", j)} AS DOUBLE)"
+    s"""SELECT doc_id,
+       |CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE ${e(0)} END AS e0,
+       |CASE WHEN text IS NULL OR length(text) = 0 THEN NULL ELSE ${e(7)} END AS e7,
+       |CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END AS failed,
+       |'completed' AS job_status, 100 AS job_progress
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("embed_pipeline", Some(oracle), embedPipeline),
+    QueryDef("embedding_jobs", Some(jobsOracle), embeddingJobs),
   )
 }

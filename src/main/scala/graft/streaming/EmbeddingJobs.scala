@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.embed.{EmbeddingPipeline, EmbeddingRuntime, EmbeddingRuntimes}
+
+/** Jobs-table daemon — the analog of the reference daemon's
+  * `embedding_jobs` watcher (lantern_cli/src/daemon/embedding_jobs.rs:
+  * 307-520; LISTEN/NOTIFY loop daemon/mod.rs:217-340): embedding work
+  * is DECLARED as rows in a jobs table, a long-running watcher picks
+  * up new rows, runs `create-embeddings` over the job's source table,
+  * streams progress/status back to a status table, and lands per-row
+  * failures in the job's failed-rows output — never failing the job
+  * for a bad row.
+  *
+  * Spark-native mapping:
+  *  - jobs table      → parquet dir of job rows; new files are the
+  *                      notification channel (a file-source stream
+  *                      polls it — the LISTEN/NOTIFY analog);
+  *  - job runner      → [[EmbeddingPipeline.createEmbeddings]] over the
+  *                      job's source, processed in id-hash chunks so
+  *                      progress is reported incrementally like the
+  *                      reference's row-count progress updates
+  *                      (embedding_jobs.rs:430-476);
+  *  - status updates  → append-only status log (job_id, seq, ...);
+  *                      the LATEST row per job is its current state
+  *                      (parquet is append-only — the log IS the
+  *                      update history the reference keeps in-place);
+  *  - failed rows     → `<resultsRoot>/job-<id>/failed` parquet
+  *                      (the reference's per-job failed-rows table).
+  */
+object EmbeddingJobs {
+
+  val JobSchema: StructType = StructType(Seq(
+    StructField("job_id", LongType, nullable = false),
+    StructField("src_path", StringType, nullable = false),
+    StructField("id_col", StringType, nullable = false),
+    StructField("text_col", StringType, nullable = false),
+    StructField("runtime", StringType, nullable = false),
+    StructField("model", StringType, nullable = false),
+    StructField("submitted_at", LongType, nullable = false)))
+
+  val StatusSchema: StructType = StructType(Seq(
+    StructField("job_id", LongType, nullable = false),
+    StructField("seq", IntegerType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("progress", IntegerType, nullable = false), // 0..100
+    StructField("rows_done", LongType, nullable = false),
+    StructField("rows_failed", LongType, nullable = false),
+    StructField("error", StringType, nullable = true),
+    StructField("updated_at", LongType, nullable = false)))
+
+  /** Declare a job (an INSERT into the jobs table). Appends the row
+    * and a seq-0 "queued" status. */
+  def submit(
+      spark: SparkSession,
+      jobsDir: String,
+      statusDir: String,
+      jobId: Long,
+      srcPath: String,
+      idCol: String,
+      textCol: String,
+      runtime: String = "hash-mock",
+      model: String = "mock/tiny"): Unit = {
+    val row = Row(jobId, srcPath, idCol, textCol, runtime, model,
+      System.currentTimeMillis())
+    spark.createDataFrame(java.util.List.of(row), JobSchema)
+      .coalesce(1).write.mode("append").parquet(jobsDir)
+    appendStatus(spark, statusDir, jobId, 0, "queued", 0, 0, 0, null)
+  }
+
+  private def appendStatus(
+      spark: SparkSession, statusDir: String, jobId: Long, seq: Int,
+      status: String, progress: Int, done: Long, failed: Long,
+      error: String): Unit = {
+    val row = Row(jobId, seq, status, progress, done, failed, error,
+      System.currentTimeMillis())
+    spark.createDataFrame(java.util.List.of(row), StatusSchema)
+      .coalesce(1).write.mode("append").parquet(statusDir)
+  }
+
+  /** Full status history (every transition, ordered by seq). */
+  def statusLog(spark: SparkSession, statusDir: String): DataFrame =
+    spark.read.schema(StatusSchema).parquet(statusDir)
+
+  /** Current state per job = its max-seq status row. */
+  def status(spark: SparkSession, statusDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+    statusLog(spark, statusDir)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Run one job to completion: running(0%) → chunked progress →
+    * completed, or failed with the error message. Embeddings land in
+    * `<resultsRoot>/job-<id>/embeddings`, per-row failures in
+    * `.../failed`. */
+  def runJob(
+      spark: SparkSession,
+      job: Row,
+      statusDir: String,
+      resultsRoot: String,
+      chunks: Int = 4,
+      resolve: String => EmbeddingRuntime = EmbeddingRuntimes.get): Unit = {
+    val jobId = job.getLong(job.fieldIndex("job_id"))
+    var seq = 0
+    def st(status: String, progress: Int, done: Long, failed: Long,
+        error: String = null): Unit = {
+      seq += 1
+      appendStatus(spark, statusDir, jobId, seq, status, progress, done,
+        failed, error)
+    }
+    try {
+      val srcPath = job.getString(job.fieldIndex("src_path"))
+      val idCol = job.getString(job.fieldIndex("id_col"))
+      val textCol = job.getString(job.fieldIndex("text_col"))
+      val rt = resolve(job.getString(job.fieldIndex("runtime")))
+      val model = job.getString(job.fieldIndex("model"))
+      val src = spark.read.parquet(srcPath)
+      val total = math.max(1L, src.count())
+      st("running", 0, 0, 0)
+      val out = s"$resultsRoot/job-$jobId"
+      val nChunks = math.max(1, chunks)
+      var done = 0L
+      var failedN = 0L
+      (0 until nChunks).foreach { c =>
+        val part = src.where(pmod(xxhash64(col(idCol)), lit(nChunks)) === c)
+        val embedded = EmbeddingPipeline
+          .createEmbeddings(part, textCol, rt, model).cache()
+        try {
+          val failed = EmbeddingPipeline.failedRows(embedded)
+            .select(col(idCol), col(EmbeddingPipeline.ErrorCol))
+          failedN += failed.count()
+          failed.write.mode("append").parquet(s"$out/failed")
+          val ok = EmbeddingPipeline.embeddedRows(embedded)
+            .select(col(idCol), col(EmbeddingPipeline.EmbeddingCol))
+          ok.write.mode("append").parquet(s"$out/embeddings")
+          done += embedded.count()
+        } finally { embedded.unpersist(); () }
+        st("running", math.min(99, (done * 100 / total).toInt), done, failedN)
+      }
+      st("completed", 100, done, failedN)
+    } catch {
+      case e: Exception =>
+        st("failed", 0, 0, 0,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+  }
+
+  /** Start the daemon: a file-source stream over the jobs dir — each
+    * new job row triggers `runJob` (the LISTEN/NOTIFY poll loop).
+    * Returns the running query; caller owns its lifecycle. Jobs within
+    * a micro-batch run serially in submit order — the reference daemon
+    * also serializes per-listener job handling. */
+  def daemon(
+      spark: SparkSession,
+      jobsDir: String,
+      statusDir: String,
+      resultsRoot: String,
+      checkpointDir: String,
+      chunks: Int = 4,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      resolve: String => EmbeddingRuntime = EmbeddingRuntimes.get): StreamingQuery = {
+    spark.readStream.schema(JobSchema).parquet(jobsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.orderBy(col("submitted_at"), col("job_id")).collect()
+          .foreach(job => runJob(spark, job, statusDir, resultsRoot,
+            chunks, resolve))
+      }
+      .start()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.embed.HashEmbeddingRuntime
+
+/** End-to-end jobs-table daemon: submit → watcher picks up → embeddings
+  * + failed rows land → status transitions queued → running(progress) →
+  * completed; a broken job ends failed with its error; jobs submitted
+  * AFTER the daemon started are still picked up (the watch semantics).
+  */
+class EmbeddingJobsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-jobs").toFile, name).toString
+
+  test("daemon runs submitted jobs with progress, failures and status") {
+    val root = tmp("d1")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    val results = s"$root/results"; val ckpt = s"$root/ckpt"
+    // source: 20 docs, two of them empty → per-row embed failures
+    val src = s"$root/src"
+    (0 until 20).map(i => (i.toLong, if (i % 10 == 3) "" else s"doc number $i"))
+      .toDF("doc_id", "text").write.parquet(src)
+
+    EmbeddingJobs.submit(spark, jobs, status, 1L, src, "doc_id", "text")
+    val q = EmbeddingJobs.daemon(spark, jobs, status, results, ckpt)
+    try {
+      q.processAllAvailable()
+
+      // job 2 arrives while the daemon is live — must also run
+      EmbeddingJobs.submit(spark, jobs, status, 2L, src, "doc_id", "text",
+        model = "mock/base")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // ---- results: embeddings match the deterministic runtime exactly
+    val emb = spark.read.parquet(s"$results/job-1/embeddings")
+    assert(emb.count() == 18)
+    val got = emb.where(col("doc_id") === 7)
+      .head().getSeq[Float](1).toArray
+    assert(got.sameElements(HashEmbeddingRuntime.embed("doc number 7", 8)))
+    assert(spark.read.parquet(s"$results/job-2/embeddings").count() == 18)
+
+    // ---- failed rows side table
+    val failed = spark.read.parquet(s"$results/job-1/failed")
+    assert(failed.select("doc_id").as[Long].collect().toSet == Set(3L, 13L))
+
+    // ---- status: latest is completed/100 with honest counts
+    val cur = EmbeddingJobs.status(spark, status)
+      .select("job_id", "status", "progress", "rows_done", "rows_failed")
+      .as[(Long, String, Int, Long, Long)].collect().toMap2
+    assert(cur(1L) == (("completed", 100, 20L, 2L)))
+    assert(cur(2L) == (("completed", 100, 20L, 2L)))
+
+    // ---- transition log: queued → running(0) → increasing progress →
+    // completed, strictly ordered by seq
+    val log = EmbeddingJobs.statusLog(spark, status)
+      .where(col("job_id") === 1).orderBy(col("seq"))
+      .select("status", "progress").as[(String, Int)].collect().toSeq
+    assert(log.head == (("queued", 0)))
+    assert(log.last == (("completed", 100)))
+    assert(log.exists { case (s, p) => s == "running" && p == 0 })
+    val progresses = log.collect { case ("running", p) => p }
+    assert(progresses == progresses.sorted, s"monotone progress: $progresses")
+  }
+
+  test("a job with a missing source ends failed with the error recorded") {
+    val root = tmp("d2")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    EmbeddingJobs.submit(spark, jobs, status, 9L, s"$root/nope", "id", "text")
+    val q = EmbeddingJobs.daemon(spark, jobs, status, s"$root/results", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val row = EmbeddingJobs.status(spark, status)
+      .where(col("job_id") === 9)
+      .select("status", "error").as[(String, String)].head()
+    assert(row._1 == "failed" && row._2 != null && row._2.nonEmpty)
+  }
+
+  implicit private class MapOps[K, A, B, C, D](
+      rows: Array[(K, A, B, C, D)]) {
+    def toMap2: Map[K, (A, B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+}

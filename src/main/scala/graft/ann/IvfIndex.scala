@@ -61,15 +61,17 @@ object IvfIndex {
       .coalesce(1)
       .write.parquet(s"$path/$CentroidsDir")
 
-    val cB = spark.sparkContext.broadcast(centroids)
-    val assign = udf { v: Seq[Float] =>
-      IvfIndex.nearestList(v.toArray, cB.value)
-    }
-    data.withColumn("list_id", assign(col("vec")))
+    // centroid-argmin as a codegen'd expression (centroid matrix rides
+    // as a reference object) — no per-row UDF ser/de in the build scan
+    data.withColumn("list_id",
+        org.apache.spark.sql.graftshim.GraftSqlShim.column(
+          graft.functions.NearestCentroid(
+            org.apache.spark.sql.graftshim.GraftSqlShim.expression(col("vec")),
+            centroids)))
       .write.partitionBy("list_id").parquet(s"$path/$DataDir")
   }
 
-  private[ann] def nearestList(v: Array[Float], cs: Array[Array[Float]]): Int = {
+  private[graft] def nearestList(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -82,14 +84,10 @@ object IvfIndex {
     best
   }
 
-  private def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val f = udf { v: Seq[Float] =>
-      var s = 0.0; v.foreach(x => s += x.toDouble * x)
-      val n = math.sqrt(s)
-      if (n == 0.0) v else v.map(x => (x / n).toFloat)
-    }
-    f(c)
-  }
+  private def normalized(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.UnitNormalize(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(c)))
 
   private def loadCentroids(spark: SparkSession, path: String)
       : (Array[Array[Float]], String) = {

@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.pq.ScalarQuantizer
+
+/** Build-path vector transforms as native codegen'd expressions.
+  *
+  * These replace per-row Scala UDFs in the hot build paths (IVF list
+  * assignment / normalization, scalar quantization columns): a UDF
+  * pays catalyst→scala ser/de per row and blocks whole-stage codegen —
+  * measurable at thousands of rows and ruinous at 100 TB build scale.
+  */
+abstract class FloatVecUnaryExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+}
+
+/** Unit-normalize (zero-norm vectors pass through unchanged). */
+case class UnitNormalize(child: Expression) extends FloatVecUnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "unit_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    UnitNormalize.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnitNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnitNormalize =
+    copy(child = newChild)
+}
+
+object UnitNormalize {
+  def compute(a: ArrayData): ArrayData = {
+    val v = a.toFloatArray()
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) return ArrayData.toArrayData(v)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Index of the nearest (squared-l2) centroid in a broadcast-style
+  * centroid matrix riding the expression as a reference object — the
+  * IVF coarse assignment without a per-row UDF. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends FloatVecUnaryExpression {
+  require(centroids.nonEmpty, "graft: nearest_centroid needs centroids")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  // flattened once per executor: k rows of dim floats, cache-friendly
+  @transient private lazy val table = NearestCentroid.Table(centroids)
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidTable", table,
+      "graft.functions.NearestCentroid.Table")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NearestCentroid.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  final case class Table(flat: Array[Float], k: Int, dim: Int)
+  object Table {
+    def apply(cs: Array[Array[Float]]): Table = {
+      val dim = cs(0).length
+      val flat = new Array[Float](cs.length * dim)
+      var i = 0
+      while (i < cs.length) {
+        require(cs(i).length == dim, "graft: ragged centroid matrix")
+        System.arraycopy(cs(i), 0, flat, i * dim, dim)
+        i += 1
+      }
+      Table(flat, cs.length, dim)
+    }
+  }
+
+  def compute(a: ArrayData, t: Table): Int = {
+    val v = a.toFloatArray()
+    VectorExpressions.dimCheck(v.length, t.dim)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < t.k) {
+      val off = c * t.dim
+      var d = 0.0
+      var j = 0
+      while (j < t.dim) {
+        val x = v(j).toDouble - t.flat(off + j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** f32 → IEEE-half bits (array<smallint>) — `quantize_vector`'s f16
+  * scalar kind, native. */
+case class QuantizeF16Expr(child: Expression) extends FloatVecUnaryExpression {
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  override def prettyName: String = "quantize_f16"
+  override def nullSafeEval(v: Any): Any =
+    QuantExprs.qF16(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantExprs.qF16($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeF16Expr =
+    copy(child = newChild)
+}
+
+/** IEEE-half bits → f32 (exact). */
+case class DequantizeF16Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ShortType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dequantize_f16 expects array<smallint>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "dequantize_f16"
+  override def nullSafeEval(v: Any): Any =
+    QuantExprs.dqF16(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantExprs.dqF16($c)")
+  override protected def withNewChildInternal(newChild: Expression): DequantizeF16Expr =
+    copy(child = newChild)
+}
+
+/** f32 → linear i8 codes over [lo, hi] (array<tinyint>). */
+case class QuantizeI8Expr(child: Expression, lo: Float, hi: Float)
+    extends FloatVecUnaryExpression {
+  require(hi > lo, s"graft: invalid i8 range [$lo, $hi]")
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "quantize_i8"
+  override def nullSafeEval(v: Any): Any =
+    QuantExprs.qI8(v.asInstanceOf[ArrayData], lo, hi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.QuantExprs.qI8($c, ${lo}f, ${hi}f)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8Expr =
+    copy(child = newChild)
+}
+
+/** i8 codes → f32 reconstruction levels. */
+case class DequantizeI8Expr(child: Expression, lo: Float, hi: Float)
+    extends UnaryExpression {
+  require(hi > lo, s"graft: invalid i8 range [$lo, $hi]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dequantize_i8 expects array<tinyint>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "dequantize_i8"
+  override def nullSafeEval(v: Any): Any =
+    QuantExprs.dqI8(v.asInstanceOf[ArrayData], lo, hi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.QuantExprs.dqI8($c, ${lo}f, ${hi}f)")
+  override protected def withNewChildInternal(newChild: Expression): DequantizeI8Expr =
+    copy(child = newChild)
+}
+
+/** f32 → sign bits packed 32-per-int (array<int>, hamming layout). */
+case class QuantizeB1Expr(child: Expression) extends FloatVecUnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quantize_b1"
+  override def nullSafeEval(v: Any): Any =
+    QuantExprs.qB1(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantExprs.qB1($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeB1Expr =
+    copy(child = newChild)
+}
+
+/** Static kernels shared by eval and generated code. */
+object QuantExprs {
+  def qF16(a: ArrayData): ArrayData =
+    ArrayData.toArrayData(ScalarQuantizer.quantizeF16(a.toFloatArray()))
+  def dqF16(a: ArrayData): ArrayData =
+    ArrayData.toArrayData(ScalarQuantizer.dequantizeF16(a.toShortArray()))
+  def qI8(a: ArrayData, lo: Float, hi: Float): ArrayData =
+    ArrayData.toArrayData(ScalarQuantizer.quantizeI8(a.toFloatArray(), lo, hi))
+  def dqI8(a: ArrayData, lo: Float, hi: Float): ArrayData =
+    ArrayData.toArrayData(ScalarQuantizer.dequantizeI8(a.toByteArray(), lo, hi))
+  def qB1(a: ArrayData): ArrayData =
+    ArrayData.toArrayData(ScalarQuantizer.quantizeB1(a.toFloatArray()))
+}

@@ -60,6 +60,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("* Project"), p.take(600))
   }
 
+  test("IVF assignment + scalar quant columns stay codegen — no ScalaUDF") {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val centroids = e.limit(4).collect()
+      .map(_.getSeq[Float](e.schema.fieldIndex("embedding")).toArray)
+    val df = e.select(
+      GraftSqlShim.column(NearestCentroid(
+        GraftSqlShim.expression(col("embedding")), centroids)).as("list_id"),
+      GraftSqlShim.column(UnitNormalize(
+        GraftSqlShim.expression(col("embedding")))).as("unit"),
+      graft.pq.ScalarQuantizer.quantize_i8(col("embedding")).as("q8"),
+      graft.pq.ScalarQuantizer.quantize_f16(col("embedding")).as("q16"),
+      graft.pq.ScalarQuantizer.quantize_b1(col("embedding")).as("qb"))
+    val optimized = df.queryExecution.optimizedPlan
+    val udfs = optimized.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })
+    assert(udfs.isEmpty, s"ScalaUDF in plan: $udfs")
+    assert(plan(df).contains("* Project"))
+    // parity with the kernel functions the UDF forms wrapped
+    val row = df.limit(1).collect().head
+    val v = e.select("embedding").head().getSeq[Float](0).toArray
+    assert(row.getInt(0) == graft.ann.IvfIndex.nearestList(v, centroids))
+    assert(row.getSeq[Byte](2).toArray
+      .sameElements(graft.pq.ScalarQuantizer.quantizeI8(v)))
+    assert(row.getSeq[Short](3).toArray
+      .sameElements(graft.pq.ScalarQuantizer.quantizeF16(v)))
+    assert(row.getSeq[Int](4).toArray
+      .sameElements(graft.pq.ScalarQuantizer.quantizeB1(v)))
+  }
+
   test("SQL surface: extension-injected functions work in spark.sql and match the DSL") {
     // NOT calling registerAll — GraftExtensions must have injected them
     val dir = sf("sf0.001")

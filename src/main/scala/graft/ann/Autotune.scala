@@ -124,9 +124,11 @@ object Autotune {
           s"(best: ${report.results.map(_.recall).max})"))
       val v = picked.variant
       val target = new org.apache.hadoop.fs.Path(indexPath)
-      if (fs.exists(target)) fs.delete(target, true)
       val won = new org.apache.hadoop.fs.Path(
         s"$trials/idx-m${v.m}-efc${v.efConstruction}-ef${v.ef}")
+      // winner must exist BEFORE the old index is deleted
+      require(fs.exists(won), s"graft: winning trial $won missing")
+      if (fs.exists(target)) fs.delete(target, true)
       require(fs.rename(won, target),
         s"graft: failed to promote $won to $target")
       report
@@ -240,9 +242,14 @@ object Autotune {
       val pick = report.picked.getOrElse(throw new IllegalStateException(
         s"graft: no IVF variant reached recall >= $targetRecall"))
       val target = new org.apache.hadoop.fs.Path(indexPath)
+      val won = new org.apache.hadoop.fs.Path(s"$trials/ivf-${pick.variant.nlists}")
+      // verify the winner exists BEFORE deleting any existing index, and
+      // require the rename's result — a silent false here would destroy
+      // the old index and return a report pointing at nothing
+      require(fs.exists(won), s"graft: winning trial $won missing")
       if (fs.exists(target)) fs.delete(target, true)
-      fs.rename(
-        new org.apache.hadoop.fs.Path(s"$trials/ivf-${pick.variant.nlists}"), target)
+      require(fs.rename(won, target),
+        s"graft: failed to promote $won to $target")
       report
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(trials), true)

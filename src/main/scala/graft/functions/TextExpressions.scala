@@ -40,6 +40,15 @@ case class StemWord(child: Expression) extends UnaryExpression {
   * Exists because that composition's filter lambda is CodegenFallback:
   * every consumer of tokenize (BM25 build explode, token counts, dedup
   * token columns) dropped to interpreted eval through it.
+  *
+  * CANONICAL CASE-FOLDING: per-code-point `Character.toLowerCase` —
+  * locale-independent and never length-changing. This deliberately
+  * diverges from the declarative form on the handful of code points
+  * where full-string lowercasing EXPANDS: U+0130 'İ' lowers to
+  * "i̇" under String.toLowerCase (the combining dot then splits
+  * the token) but to plain 'i' here. The single-pass form is the
+  * defined behavior; the divergence is pinned explicitly in
+  * NativeTextParitySpec ("case-folding canon").
   */
 case class TokenizeExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -370,18 +379,24 @@ object QualityScoreExpr {
     var nToks = 0
     var nStop = 0
     var lenSum = 0L
+    var tokCp = 0 // token length in CODE POINTS — the declarative form's
+    // length() counts code points, and sb.length would count UTF-16
+    // units (off by one per supplementary-plane letter)
     val sb = new java.lang.StringBuilder()
     def flush(): Unit = if (sb.length > 0) {
       nToks += 1
-      lenSum += sb.length
+      lenSum += tokCp
       if (stops.contains(sb.toString)) nStop += 1
       sb.setLength(0)
+      tokCp = 0
     }
     var i = 0
     while (i < text.length) {
       val cp = text.codePointAt(i)
-      if (RepetitionStats.isTokenCharPublic(cp)) sb.appendCodePoint(Character.toLowerCase(cp))
-      else flush()
+      if (RepetitionStats.isTokenCharPublic(cp)) {
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        tokCp += 1
+      } else flush()
       i += Character.charCount(cp)
     }
     flush()

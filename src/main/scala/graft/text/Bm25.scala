@@ -47,8 +47,10 @@ object Bm25 {
     * filters across millions of rows; without this every probe would
     * re-parse a potentially multi-MB sketch. Key hashing is one pass
     * over the bytes — ~10× cheaper than readFrom and allocation-free
-    * on hit. Bounded: cleared when distinct filters exceed 128 (never
-    * in practice — filters per query ≈ query terms).
+    * on hit. Bounded by per-entry LRU eviction (access-ordered
+    * LinkedHashMap, the GraphCache pattern) — the earlier clear-on-128
+    * dropped the WHOLE cache at once, a thundering-herd reparse under
+    * concurrent searches with many distinct filters.
     */
   private final class BloomKey(val bytes: Array[Byte]) {
     override val hashCode: Int = java.util.Arrays.hashCode(bytes)
@@ -57,13 +59,25 @@ object Bm25 {
       case _ => false
     }
   }
+  private[graft] val BloomCacheMaxEntries = 128
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[BloomKey, BloomFilter]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[BloomKey, BloomFilter](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[BloomKey, BloomFilter]): Boolean =
+          size() > BloomCacheMaxEntries
+      })
+
+  private[graft] def bloomCacheSize: Int = bloomCache.size()
 
   private[graft] def parsedBloom(bytes: Array[Byte]): BloomFilter = {
-    if (bloomCache.size > 128) bloomCache.clear()
-    bloomCache.computeIfAbsent(new BloomKey(bytes),
-      _ => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+    val key = new BloomKey(bytes)
+    var bf = bloomCache.get(key)
+    if (bf == null) {
+      bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      bloomCache.put(key, bf)
+    }
+    bf
   }
 
   private[graft] def bloomContains(bytes: Array[Byte], id: Long): Boolean =
@@ -240,31 +254,42 @@ object Bm25 {
     val spark = inv.sparkSession
     import spark.implicits._
 
-    val (n, avgdl) = corpusStats(inv)
     val terms = queryTerms.distinct
 
-    // tiny (<= |terms| rows); materialized ONCE so the rare/common
-    // split and the fallback check don't recompute the full inverted
-    // index. localCheckpoint, not cache(): the result plan returned to
-    // the caller references these rows, so a cache entry could never be
-    // safely unpersisted here — it would pin block-manager memory per
-    // search forever, and a leaked cache fragment can shadow a
-    // LogicalRelation and silently disable planner rules. Checkpoint
-    // blocks are dropped by the ContextCleaner when the plan is GC'd.
-    val matched = inv.where($"term".isin(terms: _*)).localCheckpoint()
+    // tiny (<= |terms|+1 rows); materialized ONCE so corpus stats, the
+    // rare/common split and the fallback check don't recompute the full
+    // inverted index. localCheckpoint, not cache(): the result plan
+    // returned to the caller references these rows, so a cache entry
+    // could never be safely unpersisted here — it would pin
+    // block-manager memory per search forever, and a leaked cache
+    // fragment can shadow a LogicalRelation and silently disable
+    // planner rules. Checkpoint blocks are dropped by the
+    // ContextCleaner when the plan is GC'd.
+    //
+    // The stats row rides along (`term IS NULL` kept) for two reasons:
+    // corpusStats reads it from the checkpoint instead of re-running
+    // the index pipeline a second time, and keeping the union's stats
+    // branch alive stops the optimizer from tightening the nullable
+    // array columns to non-null — a logical-vs-optimized nullability
+    // disagreement the checkpoint's LogicalRDD warned about on every
+    // search.
+    val matched = inv
+      .where($"term".isNull || $"term".isin(terms: _*)).localCheckpoint()
+    val (n, avgdl) = corpusStats(matched)
+    val termRows = matched.where($"term".isNotNull)
 
     // common terms (bloom present): collected as driver metadata —
     // bounded by query term count, and each filter is deserialized
     // ONCE here; executors receive the parsed BloomFilter (it is
     // Serializable) via broadcast, so probes are allocation-free.
-    val commonMeta = matched.where($"doc_ids_bloom".isNotNull)
+    val commonMeta = termRows.where($"doc_ids_bloom".isNotNull)
       .select($"term_freq".cast("double"), $"doc_ids_bloom")
       .collect()
       .map(r => (termScoreScala(1.0, avgdl, r.getDouble(0), n, avgdl, k1, b),
         BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))))
 
-    val hasRare = !matched.where($"doc_ids_bloom".isNull).isEmpty
+    val hasRare = !termRows.where($"doc_ids_bloom".isNull).isEmpty
 
     // Exact path: explode stored postings. When the query has NO rare
     // terms at all, score the common terms' stored postings exactly
@@ -272,7 +297,7 @@ object Bm25 {
     // approximation when exact candidates exist (bm25_agg.rs:210-218);
     // without this an all-stopword query would return nothing.
     val exactTerms =
-      if (hasRare) matched.where($"doc_ids_bloom".isNull) else matched
+      if (hasRare) termRows.where($"doc_ids_bloom".isNull) else termRows
 
     val exact = exactTerms
       .select($"term_freq",

@@ -193,6 +193,38 @@ class NativeTextParitySpec extends SparkTestBase {
     }
   }
 
+  test("case-folding canon: supplementary planes match, İ diverges by design") {
+    // Supplementary-plane letters (U+1D49C script-A): per-code-point
+    // lowercase and full-string lowercase agree, and quality_score's
+    // mean token length counts CODE POINTS (not UTF-16 units) — both
+    // must be value-identical to the declarative forms.
+    val supp = Seq((0L, "𝒜𝒜 hello wörld"))
+      .toDF("id", "text")
+    val suppRows = supp.select(
+      tokenize($"text").as("n"),
+      filter(split(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}]+", " "), " "),
+        t => length(t) > 0).as("e"),
+      TextAnalysis.qualityScore($"text").as("nq")).head()
+    assert(suppRows.getSeq[String](0) == suppRows.getSeq[String](1))
+    // mean token len = (2 + 5 + 5)/3 per code points; UTF-16 counting
+    // would have seen (4 + 5 + 5)/3
+    val expectedQ = 0.4 * 0.0 + 0.3 * math.min(3 / 20.0, 1.0) +
+      0.3 * math.min((12.0 / 3) / 8.0, 1.0)
+    assert(math.abs(suppRows.getDouble(2) - expectedQ) < 1e-12)
+
+    // U+0130 'İ': full-string lowercase EXPANDS to i + combining dot
+    // (which then splits the token); the native per-code-point fold
+    // yields plain "ix". The native form is canonical — this pin makes
+    // the deviation explicit rather than accidental.
+    val turk = Seq((0L, "İx")).toDF("id", "text")
+    val t = turk.select(
+      tokenize($"text").as("n"),
+      filter(split(regexp_replace(lower($"text"), "[^\\p{L}\\p{N}]+", " "), " "),
+        t => length(t) > 0).as("e")).head()
+    assert(t.getSeq[String](0) == Seq("ix"))
+    assert(t.getSeq[String](1) == Seq("i", "x"))
+  }
+
   test("PolyDocFingerprint == higher-order polynomial fold") {
     val hof = aggregate(
       transform(tokenize($"text"), t => polyhash31(t)),

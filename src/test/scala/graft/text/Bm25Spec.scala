@@ -158,4 +158,20 @@ class Bm25Spec extends SparkTestBase {
     assert(spark.sharedState.cacheManager.isEmpty,
       "searchBm25 must not pin CacheManager entries across searches")
   }
+
+  test("bloom cache evicts per-entry LRU, never flushes wholesale") {
+    val hot = Bm25.bloomBytes(Seq(424242L))
+    val hotInstance = Bm25.parsedBloom(hot)
+    // push 2x the capacity of distinct filters through, re-touching the
+    // hot entry each time so access ordering keeps it resident
+    (1 to Bm25.BloomCacheMaxEntries * 2).foreach { i =>
+      Bm25.parsedBloom(Bm25.bloomBytes(Seq(i.toLong, 1000000L + i)))
+      Bm25.parsedBloom(hot)
+    }
+    assert(Bm25.bloomCacheSize == Bm25.BloomCacheMaxEntries,
+      s"bounded at capacity, got ${Bm25.bloomCacheSize}")
+    // same instance ⇒ the hot filter survived 2x-capacity churn (a
+    // clear-on-full cache would have dropped and re-parsed it)
+    assert(Bm25.parsedBloom(hot) eq hotInstance)
+  }
 }

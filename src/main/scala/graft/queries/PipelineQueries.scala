@@ -76,8 +76,13 @@ object PipelineQueries {
     val saved = s.conf.getOption(key)
     s.conf.set(key, "0")
     try
+      // budgets chosen so the scale branches run at BOTH gate scales
+      // without degenerating into max-round churn: sf0.01's ~250-doc
+      // clusters exceed maxBucket=100, and both corpora start above
+      // the 20k pair budget (sf0.01 ≈ 31k, sf0.1 ≈ 2.9M) so star
+      // rounds fire, then the chunk verifier takes the remainder
       Dedup.minhashDedupKeepers(docs, "doc_id", "toks", 0.8,
-          maxBucket = 100, leftoverPairBudget = 1000L)
+          maxBucket = 100, leftoverPairBudget = 20000L)
         .select(col("id").as("doc_id"), col("keeper_id"))
         .orderBy(col("doc_id"))
     finally saved match {

@@ -141,8 +141,17 @@ object TextAnalysis {
     repetitionStats(text).getField("dup_line")
 
   /** Punctuation-character ratio (quality signal: spammy/tabular text
-    * skews high): non-word, non-space chars / all chars. */
-  def punctRatio(text: Column): Column = {
+    * skews high): non-word, non-space chars / all chars. Native
+    * single-pass expression; the regex form it replaced is its parity
+    * oracle in NativeTextParitySpec. */
+  def punctRatio(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.PunctRatioExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text)))
+
+  /** The regex formulation — retained ONLY as [[punctRatio]]'s parity
+    * oracle. */
+  private[graft] def punctRatioDeclarative(text: Column): Column = {
     val n = length(text).cast("double")
     when(n === 0, 0.0).otherwise(
       length(regexp_replace(text, "[\\w\\s]", "")).cast("double") / n)

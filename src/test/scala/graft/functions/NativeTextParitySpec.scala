@@ -193,6 +193,19 @@ class NativeTextParitySpec extends SparkTestBase {
     }
   }
 
+  test("PunctRatioExpr == regex punct ratio") {
+    val extra = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++ Seq(
+      (970L, "a_b_c!!!"), (971L, "\t\n\f\r "), (972L, "¡¿§±—…"),
+      (973L, "𝒜!𝒜"), (974L, "half‐width ｆｕｌｌ"))).toSeq
+      .toDF("id", "text")
+    val rows = extra.select($"id",
+      TextAnalysis.punctRatio($"text").as("n"),
+      TextAnalysis.punctRatioDeclarative($"text").as("e")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("case-folding canon: supplementary planes match, İ diverges by design") {
     // Supplementary-plane letters (U+1D49C script-A): per-code-point
     // lowercase and full-string lowercase agree, and quality_score's

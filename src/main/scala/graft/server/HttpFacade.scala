@@ -1,0 +1,285 @@
+package graft.server
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ann.{AnnIndex, AnnParams}
+import graft.embed.EmbeddingRuntimes
+import graft.ops.VectorSearch
+
+/** HTTP REST façade over the engine — the reference's optional HTTP
+  * server (`lantern_cli/src/http_server/`: collections CRUD
+  * collection.rs:91-304, vector search search.rs:59-134, index
+  * create/drop index.rs:51-117, PQ pq.rs:47). Collections are parquet
+  * dirs under `rootDir` with the reference's collection shape
+  * (id bigint, vector array<float>, data string); search runs the
+  * SAME library operators every other entry point uses — exact kNN by
+  * default, the HNSW artifact when one was built for the queried
+  * column, and `query_text`+`query_model` embeds through the runtime
+  * registry first (search.rs's dynamic-embedding path).
+  *
+  * Built on the JDK's HttpServer (zero new dependencies; Jackson for
+  * JSON rides in Spark's own classpath). Single-threaded handler —
+  * Spark is the concurrency layer, and the reference likewise funnels
+  * requests through one pool.
+  */
+final class HttpFacade(
+    spark: SparkSession,
+    rootDir: String,
+    bindPort: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  private val CollectionSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("vector", ArrayType(FloatType)),
+    StructField("data", StringType)))
+
+  def port: Int = server.getAddress.getPort
+
+  def start(): HttpFacade = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------------ routing
+
+  private val CollectionPath = "^/collections/([A-Za-z0-9_-]+)$".r
+  private val SearchPath = "^/collections/([A-Za-z0-9_-]+)/search$".r
+  private val IndexPath = "^/collections/([A-Za-z0-9_-]+)/index$".r
+  private val PqPath = "^/collections/([A-Za-z0-9_-]+)/pq$".r
+  private val IndexByName = "^/index/([A-Za-z0-9_-]+)$".r
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    try {
+      (method, path) match {
+        case ("GET", "/collections") => listCollections(ex)
+        case ("POST", "/collections") => createCollection(ex)
+        case ("GET", CollectionPath(name)) => getCollection(ex, name)
+        case ("PUT", CollectionPath(name)) => insertData(ex, name)
+        case ("DELETE", CollectionPath(name)) => deleteCollection(ex, name)
+        case ("POST", SearchPath(name)) => search(ex, name)
+        case ("POST", IndexPath(name)) => createIndex(ex, name)
+        case ("DELETE", IndexByName(idx)) => deleteIndex(ex, idx)
+        case ("POST", PqPath(name)) => quantize(ex, name)
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, errJson(e))
+      case e: Exception =>
+        respond(ex, 500, errJson(e))
+    }
+  }
+
+  private def errJson(e: Exception): String = {
+    val n = mapper.createObjectNode()
+    n.put("error", s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    n.toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os: OutputStream = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def body(ex: HttpExchange): JsonNode =
+    mapper.readTree(ex.getRequestBody)
+
+  private def fs = new Path(rootDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def colPath(name: String) = new Path(rootDir, s"collections/$name")
+  private def idxPath(name: String) = new Path(rootDir, s"indexes/$name")
+
+  private def requireCollection(name: String): String = {
+    require(fs.exists(colPath(name)), s"unknown collection '$name'")
+    colPath(name).toString
+  }
+
+  private def readCollection(name: String): DataFrame =
+    spark.read.schema(CollectionSchema).parquet(requireCollection(name))
+
+  // ------------------------------------------------------- collections
+
+  private def listCollections(ex: HttpExchange): Unit = {
+    val base = new Path(rootDir, "collections")
+    val arr = mapper.createArrayNode()
+    if (fs.exists(base)) {
+      fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+        .sorted.foreach(arr.add)
+    }
+    val out = mapper.createObjectNode()
+    out.set[JsonNode]("collections", arr)
+    respond(ex, 200, out.toString)
+  }
+
+  private def createCollection(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    val name = require_(b, "name").asText()
+    require(!fs.exists(colPath(name)), s"collection '$name' exists")
+    spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](), CollectionSchema)
+      .write.parquet(colPath(name).toString)
+    respond(ex, 200, s"""{"name":"$name"}""")
+  }
+
+  private def getCollection(ex: HttpExchange, name: String): Unit = {
+    val df = readCollection(name)
+    val out = mapper.createObjectNode()
+    out.put("name", name)
+    out.put("row_count", df.count())
+    respond(ex, 200, out.toString)
+  }
+
+  private def insertData(ex: HttpExchange, name: String): Unit = {
+    requireCollection(name)
+    val rowsNode = require_(body(ex), "rows")
+    require(rowsNode.isArray, "'rows' must be an array")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rowsNode.forEach { r =>
+      val vec = Option(r.get("vector")).map { v =>
+        val a = new Array[Float](v.size)
+        (0 until v.size).foreach(i => a(i) = v.get(i).floatValue())
+        a.toSeq
+      }.orNull
+      rows.add(org.apache.spark.sql.Row(
+        require_(r, "id").longValue(), vec,
+        // asText for plain strings; structured payloads keep their JSON
+        Option(r.get("data"))
+          .map(d => if (d.isTextual) d.asText() else d.toString).orNull))
+    }
+    spark.createDataFrame(rows, CollectionSchema)
+      .write.mode("append").parquet(colPath(name).toString)
+    respond(ex, 200, s"""{"inserted":${rows.size()}}""")
+  }
+
+  private def deleteCollection(ex: HttpExchange, name: String): Unit = {
+    requireCollection(name)
+    fs.delete(colPath(name), true)
+    respond(ex, 200, s"""{"deleted":"$name"}""")
+  }
+
+  // ------------------------------------------------------------ search
+
+  private def search(ex: HttpExchange, name: String): Unit = {
+    val df = readCollection(name)
+    val b = body(ex)
+    val column = require_(b, "column").asText()
+    val k = Option(b.get("k")).map(_.intValue()).getOrElse(
+      graft.GraftConf.annInitK(spark))
+    val ef = Option(b.get("ef")).map(_.intValue()).getOrElse(0)
+    val metric = Option(b.get("metric")).map(_.asText()).getOrElse("l2sq") match {
+      case "cosine" => "cos" // reference accepts the long form
+      case m => m
+    }
+    val selectCols: Seq[String] = Option(b.get("select"))
+      .map(_.asText().split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(CollectionSchema.fieldNames.toSeq)
+
+    val query: Array[Float] = Option(b.get("query_vector")) match {
+      case Some(v) =>
+        val a = new Array[Float](v.size)
+        (0 until v.size).foreach(i => a(i) = v.get(i).floatValue())
+        a
+      case None =>
+        // search.rs's query_text + query_model path: embed first
+        val text = require_(b, "query_text").asText()
+        val model = require_(b, "query_model").asText()
+        val rt = EmbeddingRuntimes.availableModels
+          .find(_._2.name == model)
+          .map(m => EmbeddingRuntimes.get(m._1))
+          .getOrElse(throw new IllegalArgumentException(s"unknown model '$model'"))
+        graft.embed.EmbeddingPipeline.textEmbedding(rt, model, text)
+    }
+
+    // route through the index artifact when one exists for this column
+    val idx = idxPath(s"$name-$column")
+    val hits =
+      if (fs.exists(idx)) {
+        val ids = AnnIndex.search(spark, idx.toString, query, k,
+          efOverride = ef).map(_._1)
+        val order = ids.zipWithIndex.toMap
+        val rows = df.where(col("id").isin(ids.toIndexedSeq: _*))
+          .collect().sortBy(r => order(r.getLong(0)))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), CollectionSchema)
+      } else {
+        VectorSearch.exact(df.where(col(column).isNotNull), col(column),
+          query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
+      }
+    val json = hits.select(selectCols.map(col): _*).toJSON.collect()
+    respond(ex, 200, json.mkString("""{"rows":[""", ",", "]}"))
+  }
+
+  // ------------------------------------------------------------- index
+
+  private def createIndex(ex: HttpExchange, name: String): Unit = {
+    val df = readCollection(name)
+    val b = body(ex)
+    val column = Option(b.get("column")).map(_.asText()).getOrElse("vector")
+    val metric = Option(b.get("metric")).map(_.asText()).getOrElse("l2sq") match {
+      case "cosine" => "cos"
+      case m => m
+    }
+    val base = graft.GraftConf.annParams(spark)
+    val params = AnnParams(
+      m = Option(b.get("m")).map(_.intValue()).getOrElse(base.m),
+      efConstruction = Option(b.get("ef_construction")).map(_.intValue())
+        .getOrElse(base.efConstruction),
+      ef = Option(b.get("ef")).map(_.intValue()).getOrElse(base.ef),
+      metric = metric,
+      quant = Option(b.get("quant")).map(_.asText()).getOrElse("f32"))
+    val idx = s"$name-$column"
+    AnnIndex.build(df.where(col(column).isNotNull), "id", column,
+      idxPath(idx).toString, params)
+    respond(ex, 200, s"""{"index":"$idx"}""")
+  }
+
+  private def deleteIndex(ex: HttpExchange, idxName: String): Unit = {
+    require(fs.exists(idxPath(idxName)), s"unknown index '$idxName'")
+    fs.delete(idxPath(idxName), true)
+    respond(ex, 200, s"""{"deleted":"$idxName"}""")
+  }
+
+  // ---------------------------------------------------------------- pq
+
+  private def quantize(ex: HttpExchange, name: String): Unit = {
+    val df = readCollection(name).where(col("vector").isNotNull)
+    val b = body(ex)
+    val splits = Option(b.get("splits")).map(_.intValue()).getOrElse(8)
+    val clusters = Option(b.get("clusters")).map(_.intValue()).getOrElse(16)
+    val cb = graft.pq.ProductQuantizer.trainCodebook(
+      df, "vector", clusters = clusters, subvectors = splits)
+    val codes = graft.pq.ProductQuantizer.quantizeTable(df, "vector", cb)
+    codes.write.mode("overwrite")
+      .parquet(new Path(rootDir, s"pq/$name").toString)
+    val out = mapper.createObjectNode()
+    out.put("collection", name)
+    out.put("splits", splits)
+    out.put("clusters", clusters)
+    respond(ex, 200, out.toString)
+  }
+
+  private def require_(n: JsonNode, field: String): JsonNode =
+    Option(n.get(field)).getOrElse(
+      throw new IllegalArgumentException(s"missing field '$field'"))
+}

@@ -1,0 +1,106 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkTestBase
+import graft.embed.HashEmbeddingRuntime
+
+/** End-to-end REST façade: collections CRUD, insert, exact search,
+  * text+model search, index build → ANN-routed search, PQ — all over a
+  * real HTTP socket.
+  */
+class HttpFacadeSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft-http").toString
+  private lazy val facade = new HttpFacade(spark, root).start()
+  private val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    facade.stop()
+    super.afterAll()
+  }
+
+  private def req(method: String, path: String, body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${facade.port}$path"))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def vecJson(v: Seq[Float]): String = v.mkString("[", ",", "]")
+
+  // deterministic 8-dim vectors: doc i points mostly along axis i%8
+  private def vec(i: Int): Seq[Float] =
+    (0 until 8).map(j => if (j == i % 8) 1.0f + i * 0.01f else 0.05f * ((i + j) % 3))
+
+  test("collections lifecycle + search (exact, text-model, ANN, PQ)") {
+    // create + duplicate rejected
+    assert(req("POST", "/collections", """{"name":"docs"}""")._1 == 200)
+    assert(req("POST", "/collections", """{"name":"docs"}""")._1 == 400)
+    assert(req("GET", "/collections")._2.contains("\"docs\""))
+
+    // insert 40 rows (2 batches — append semantics)
+    def rowsJson(ids: Range): String = ids.map { i =>
+      s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"doc-$i"}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    assert(req("PUT", "/collections/docs", rowsJson(0 until 20))._1 == 200)
+    assert(req("PUT", "/collections/docs", rowsJson(20 until 40))._1 == 200)
+    assert(req("GET", "/collections/docs")._2.contains("\"row_count\":40"))
+
+    // exact search: query = vec(5) must return id 5 first
+    val (sc, sb) = req("POST", "/collections/docs/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"select":"id,data"}""")
+    assert(sc == 200, sb)
+    assert(sb.startsWith("""{"rows":[{"id":5,"data":"doc-5"}"""), sb)
+
+    // cosine metric accepted under its long name
+    assert(req("POST", "/collections/docs/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(7))},"metric":"cosine","k":1}""")._1 == 200)
+
+    // query_text + query_model path (deterministic runtime): the
+    // nearest row to embed("needle") must be a row holding exactly that
+    // embedding — insert it first
+    val needle = HashEmbeddingRuntime.embed("needle", 8).toSeq
+    assert(req("PUT", "/collections/docs",
+      s"""{"rows":[{"id":999,"vector":${vecJson(needle)},"data":"needle-doc"}]}""")._1 == 200)
+    val (tc, tb) = req("POST", "/collections/docs/search",
+      """{"column":"vector","query_text":"needle","query_model":"mock/tiny","k":1,"select":"id"}""")
+    assert(tc == 200, tb)
+    assert(tb.contains("\"id\":999"), tb)
+
+    // build an HNSW index; search must now route through it and still
+    // find the exact nearest row
+    assert(req("POST", "/collections/docs/index",
+      """{"column":"vector","metric":"l2sq","m":8,"ef_construction":64,"ef":64}""")._1 == 200)
+    val (ac, ab) = req("POST", "/collections/docs/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"select":"id"}""")
+    assert(ac == 200, ab)
+    assert(ab.startsWith("""{"rows":[{"id":5}"""), ab)
+
+    // PQ quantization endpoint
+    val (pc, pb) = req("POST", "/collections/docs/pq",
+      """{"splits":4,"clusters":8}""")
+    assert(pc == 200, pb)
+    assert(spark.read.parquet(s"$root/pq/docs").columns.contains("vector_pq"))
+
+    // drop index then collection
+    assert(req("DELETE", "/index/docs-vector")._1 == 200)
+    assert(req("DELETE", "/index/docs-vector")._1 == 400)
+    assert(req("DELETE", "/collections/docs")._1 == 200)
+    assert(req("GET", "/collections/docs")._1 == 400)
+  }
+
+  test("errors: unknown collection, bad body, missing fields") {
+    assert(req("POST", "/collections/nope/search",
+      """{"column":"vector","query_vector":[1]}""")._1 == 400)
+    assert(req("POST", "/collections", """{}""")._1 == 400)
+    assert(req("GET", "/nothing/here")._1 == 404)
+  }
+}

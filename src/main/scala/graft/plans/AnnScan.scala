@@ -338,6 +338,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("inner_product", "dot product")(es => InnerProduct(es(0), es(1))),
       fn("vector_norm", "euclidean norm")(es => L2Norm(es(0))),
       fn("stem", "Porter2 English stem of one token")(es => StemWord(es(0))),
+      fn("tokenize", "lowercase letter/number tokens")(
+        es => graft.functions.TokenizeExpr(es(0))),
+      fn("text_to_stem_array", "tokenize + stem + stopword drop")(
+        es => graft.functions.StemTokensExpr(es(0),
+          graft.text.PorterStemmer.defaultStopwords.toSeq)),
+      fn("language_id", "marker-word language guess")(
+        es => graft.functions.LanguageIdExpr(es(0), graft.text.TextAnalysis.markers)),
+      fn("punct_ratio", "non-word, non-space character ratio")(
+        es => graft.functions.PunctRatioExpr(es(0))),
+      fn("unit_normalize", "unit-normalize a float vector")(
+        es => graft.functions.UnitNormalize(es(0))),
+      fn("quantize_f16", "vector elements to IEEE half bits")(
+        es => graft.functions.QuantizeF16Expr(es(0))),
+      fn("dequantize_f16", "IEEE half bits back to float32")(
+        es => graft.functions.DequantizeF16Expr(es(0))),
+      fn("quantize_i8", "linear i8 codes over [-1,1]")(
+        es => graft.functions.QuantizeI8Expr(es(0), -1f, 1f)),
+      fn("dequantize_i8", "i8 codes back to float32 levels")(
+        es => graft.functions.DequantizeI8Expr(es(0), -1f, 1f)),
+      fn("quantize_b1", "sign bits packed for hamming_dist")(
+        es => graft.functions.QuantizeB1Expr(es(0))),
     ).foreach(ext.injectFunction)
   }
 }

@@ -104,4 +104,24 @@ class PlanShapeSpec extends SparkTestBase {
       .orderBy(col("d"), col("vec_id")).limit(5).collect()
     assert(viaSql.map(_.getLong(0)).toSeq === viaDsl.map(_.getLong(0)).toSeq)
   }
+
+  test("SQL surface: text + quantization functions are injected") {
+    val r = spark.sql(
+      """SELECT tokenize('Hello, World!') AS t,
+        |  text_to_stem_array('running the queries') AS st,
+        |  language_id('der hund und die katze') AS lang,
+        |  punct_ratio('a,b!') AS pr,
+        |  quantize_i8(unit_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))) AS q8,
+        |  quantize_b1(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT))) AS qb,
+        |  dequantize_f16(quantize_f16(array(CAST(0.5 AS FLOAT)))) AS f16rt
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("hello", "world"))
+    assert(r.getSeq[String](1) == Seq("run", "queri"))
+    assert(r.getString(2) == "de")
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getSeq[Byte](4).toArray.sameElements(
+      graft.pq.ScalarQuantizer.quantizeI8(Array(0.6f, 0.8f))))
+    assert(r.getSeq[Int](5) == Seq(Integer.MIN_VALUE >>> 0)) // MSB set only
+    assert(r.getSeq[Float](6) == Seq(0.5f))
+  }
 }

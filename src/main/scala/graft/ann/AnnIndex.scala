@@ -120,7 +120,8 @@ object AnnIndex {
       require(vecElem == IntegerType || vecElem == FloatType,
         s"graft: hamming index expects array<int> (b1-packed) or " +
           s"array<float> (word-packed), got array<$vecElem>")
-    val toWords = udf((v: Seq[Int]) => Metric.b1ToWords(v.toArray).toSeq)
+    def toWords(c: Column): Column =
+      GraftSqlShim.column(graft.functions.B1ToWordsExpr(GraftSqlShim.expression(c)))
     val vecExpr = if (hammingFromB1) toWords(col(vecCol)) else col(vecCol)
     val data = df.select(col(idCol).cast(LongType), vecExpr.as(vecCol))
     val parted =
@@ -154,9 +155,10 @@ object AnnIndex {
       quant = h.quant, i8Lo = h.i8Lo, i8Hi = h.i8Hi)
     val vecElem = df.schema(df.schema.fieldIndex(vecCol))
       .dataType.asInstanceOf[ArrayType].elementType
-    val toWords = udf((v: Seq[Int]) => Metric.b1ToWords(v.toArray).toSeq)
     val vecExpr =
-      if (h.metric == "hamming" && vecElem == IntegerType) toWords(col(vecCol))
+      if (h.metric == "hamming" && vecElem == IntegerType)
+        GraftSqlShim.column(graft.functions.B1ToWordsExpr(
+          GraftSqlShim.expression(col(vecCol))))
       else col(vecCol)
     val data = df.select(col(idCol).cast(LongType), vecExpr.as(vecCol))
     writeShards(data, path, h.dim, params,

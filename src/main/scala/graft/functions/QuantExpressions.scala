@@ -197,6 +197,26 @@ case class QuantizeB1Expr(child: Expression) extends FloatVecUnaryExpression {
     copy(child = newChild)
 }
 
+/** b1-packed ints (32 bits, MSB-first) → exact 16-bit words as floats
+  * (the hamming index's graph storage layout, `Metric.b1ToWords`) —
+  * native form of the build-path conversion. */
+case class B1ToWordsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"b1_to_words expects array<int>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "b1_to_words"
+  override def nullSafeEval(v: Any): Any =
+    QuantExprs.b1Words(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantExprs.b1Words($c)")
+  override protected def withNewChildInternal(newChild: Expression): B1ToWordsExpr =
+    copy(child = newChild)
+}
+
 /** Static kernels shared by eval and generated code. */
 object QuantExprs {
   def qF16(a: ArrayData): ArrayData =
@@ -209,4 +229,6 @@ object QuantExprs {
     ArrayData.toArrayData(ScalarQuantizer.dequantizeI8(a.toByteArray(), lo, hi))
   def qB1(a: ArrayData): ArrayData =
     ArrayData.toArrayData(ScalarQuantizer.quantizeB1(a.toFloatArray()))
+  def b1Words(a: ArrayData): ArrayData =
+    ArrayData.toArrayData(graft.ann.Metric.b1ToWords(a.toIntArray()))
 }

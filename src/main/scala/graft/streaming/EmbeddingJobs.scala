@@ -72,7 +72,7 @@ object EmbeddingJobs {
     appendStatus(spark, statusDir, jobId, 0, "queued", 0, 0, 0, null)
   }
 
-  private def appendStatus(
+  private[streaming] def appendStatus(
       spark: SparkSession, statusDir: String, jobId: Long, seq: Int,
       status: String, progress: Int, done: Long, failed: Long,
       error: String): Unit = {

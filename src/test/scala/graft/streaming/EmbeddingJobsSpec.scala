@@ -79,6 +79,41 @@ class EmbeddingJobsSpec extends SparkTestBase {
     assert(row._1 == "failed" && row._2 != null && row._2.nonEmpty)
   }
 
+  test("autotune jobs: grid report, winner promote, status transitions") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp("d3")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    // clustered vectors so recall targets are reachable with a tiny grid
+    val rnd = new scala.util.Random(11)
+    val src = s"$root/vecs"
+    (0 until 300).map { i =>
+      val base = Array.fill(16)(0.0f)
+      base(i % 8) = 1.0f
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f).toSeq)
+    }.toDF("id", "vec").write.parquet(src)
+
+    AutotuneJobs.submit(spark, jobs, status, 5L, src, "id", "vec",
+      targetRecall = 0.5, createIndex = true)
+    val q = AutotuneJobs.daemon(spark, jobs, status, s"$root/results",
+      s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val cur = EmbeddingJobs.status(spark, status)
+      .where(col("job_id") === 5)
+      .select("status", "progress").as[(String, Int)].head()
+    assert(cur == (("completed", 100)),
+      EmbeddingJobs.statusLog(spark, status).collect().mkString("; "))
+    val report = spark.read.parquet(s"$root/results/job-5/report")
+    assert(report.count() >= 2) // early-exit grid still tried >= 2 variants
+    assert(report.where(col("picked")).count() == 1)
+    // the promoted index answers searches
+    val probe = spark.read.parquet(src).where(col("id") === 7)
+      .select("vec").head().getSeq[Float](0).toArray
+    val got = graft.ann.AnnIndex.search(spark, s"$root/results/job-5/index",
+      probe, 5).map(_._1)
+    assert(got.contains(7L), got.toSeq.toString)
+  }
+
   implicit private class MapOps[K, A, B, C, D](
       rows: Array[(K, A, B, C, D)]) {
     def toMap2: Map[K, (A, B, C, D)] =

@@ -32,7 +32,11 @@ case class AnnParams(
     s"graft: ef_construction=$efConstruction out of range [1,400]")
   require(ef >= 1 && ef <= 400, s"graft: ef=$ef out of range [1,400]")
   Quant.id(quant) // validate eagerly
-  require(i8Hi > i8Lo, s"graft: invalid i8 range [$i8Lo, $i8Hi]")
+  // finite-only: a non-finite bound would serialize as invalid JSON in
+  // the artifact header and silently read back as the defaults
+  require(java.lang.Float.isFinite(i8Lo) && java.lang.Float.isFinite(i8Hi)
+      && i8Hi > i8Lo,
+    s"graft: invalid i8 range [$i8Lo, $i8Hi]")
 }
 
 /** Distributed ANN index over per-partition HNSW graph shards.
@@ -329,7 +333,7 @@ object AnnIndex {
     import spark.implicits._
     val h = readHeader(spark, path)
     val ef = math.max(if (efOverride > 0) efOverride else h.ef, 4 * k)
-    val cands = search(spark, path, query, math.max(ef, 4 * k), ef).map(_._1)
+    val cands = search(spark, path, query, ef, ef).map(_._1)
     val candDf = cands.toSeq.toDF("__cand_id")
     val distFn: (Column, Column) => Column = h.metric match {
       case "l2sq" => graft.functions.l2sq_dist

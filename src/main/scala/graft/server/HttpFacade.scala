@@ -168,14 +168,39 @@ final class HttpFacade(
         Option(r.get("data"))
           .map(d => if (d.isTextual) d.asText() else d.toString).orNull))
     }
-    spark.createDataFrame(rows, CollectionSchema)
-      .write.mode("append").parquet(colPath(name).toString)
+    val batch = spark.createDataFrame(rows, CollectionSchema)
+    batch.write.mode("append").parquet(colPath(name).toString)
+    // aminsert analog: existing indexes on this collection get delta
+    // shards for the new rows, so inserts stay searchable through the
+    // index route (the reference keeps its index in sync on INSERT)
+    val idxBase = new Path(rootDir, "indexes")
+    if (fs.exists(idxBase)) {
+      fs.listStatus(idxBase).map(_.getPath.getName)
+        .filter(_.startsWith(s"$name-"))
+        .foreach { idxName =>
+          val column = idxName.stripPrefix(s"$name-")
+          if (batch.schema.fieldNames.contains(column)) {
+            val withVec = batch.where(col(column).isNotNull)
+            if (!withVec.isEmpty)
+              AnnIndex.append(withVec, "id", column, idxPath(idxName).toString)
+          }
+        }
+    }
     respond(ex, 200, s"""{"inserted":${rows.size()}}""")
   }
 
   private def deleteCollection(ex: HttpExchange, name: String): Unit = {
     requireCollection(name)
     fs.delete(colPath(name), true)
+    // drop dependent artifacts too — a stale index under the same name
+    // would silently serve a future re-created collection's searches
+    val idxBase = new Path(rootDir, "indexes")
+    if (fs.exists(idxBase)) {
+      fs.listStatus(idxBase).map(_.getPath)
+        .filter(_.getName.startsWith(s"$name-"))
+        .foreach(fs.delete(_, true))
+    }
+    fs.delete(new Path(rootDir, s"pq/$name"), true)
     respond(ex, 200, s"""{"deleted":"$name"}""")
   }
 
@@ -213,9 +238,13 @@ final class HttpFacade(
     }
 
     // route through the index artifact when one exists for this column
+    // AND was built under the requested metric — otherwise the exact
+    // path answers (an l2sq index must not silently serve a cosine
+    // request)
     val idx = idxPath(s"$name-$column")
     val hits =
-      if (fs.exists(idx)) {
+      if (fs.exists(idx) &&
+          AnnIndex.readHeader(spark, idx.toString).metric == metric) {
         val ids = AnnIndex.search(spark, idx.toString, query, k,
           efOverride = ef).map(_._1)
         val order = ids.zipWithIndex.toMap

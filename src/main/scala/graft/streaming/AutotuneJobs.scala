@@ -86,13 +86,7 @@ object AutotuneJobs {
             k = k, targetRecall = recall)
         }
       st("running", 50)
-      import spark.implicits._
-      report.results.map { r =>
-        (jobId, r.variant.m, r.variant.efConstruction, r.variant.ef,
-          r.recall, r.avgSearchMs, r.buildSecs,
-          report.picked.exists(_.variant == r.variant))
-      }.toDF("job_id", "m", "ef_construction", "ef", "recall",
-        "avg_search_ms", "build_secs", "picked")
+      Autotune.reportDf(spark, report).withColumn("job_id", lit(jobId))
         .coalesce(1).write.mode("overwrite").parquet(s"$out/report")
       st("completed", 100)
     } catch {
@@ -102,23 +96,15 @@ object AutotuneJobs {
     }
   }
 
-  /** Watcher over the autotune jobs dir (same file-source LISTEN/NOTIFY
-    * analog as [[EmbeddingJobs.daemon]]). */
+  /** Watcher over the autotune jobs dir (the shared
+    * [[EmbeddingJobs.watcher]] loop). */
   def daemon(
       spark: SparkSession,
       jobsDir: String,
       statusDir: String,
       resultsRoot: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    spark.readStream.schema(JobSchema).parquet(jobsDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.orderBy(col("submitted_at"), col("job_id")).collect()
-          .foreach(job => runJob(spark, job, statusDir, resultsRoot))
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    EmbeddingJobs.watcher(spark, jobsDir, JobSchema, checkpointDir, trigger)(
+      job => runJob(spark, job, statusDir, resultsRoot))
 }

@@ -124,6 +124,12 @@ object EmbeddingJobs {
       val total = math.max(1L, src.count())
       st("running", 0, 0, 0)
       val out = s"$resultsRoot/job-$jobId"
+      // a re-submitted job (the retry path) starts clean — the chunked
+      // writes below APPEND, so leftovers from a half-failed earlier
+      // run would otherwise duplicate result rows
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val ofs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (ofs.exists(outPath)) ofs.delete(outPath, true)
       val nChunks = math.max(1, chunks)
       var done = 0L
       var failedN = 0L
@@ -153,9 +159,7 @@ object EmbeddingJobs {
 
   /** Start the daemon: a file-source stream over the jobs dir — each
     * new job row triggers `runJob` (the LISTEN/NOTIFY poll loop).
-    * Returns the running query; caller owns its lifecycle. Jobs within
-    * a micro-batch run serially in submit order — the reference daemon
-    * also serializes per-listener job handling. */
+    * Returns the running query; caller owns its lifecycle. */
   def daemon(
       spark: SparkSession,
       jobsDir: String,
@@ -164,15 +168,27 @@ object EmbeddingJobs {
       checkpointDir: String,
       chunks: Int = 4,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      resolve: String => EmbeddingRuntime = EmbeddingRuntimes.get): StreamingQuery = {
-    spark.readStream.schema(JobSchema).parquet(jobsDir)
+      resolve: String => EmbeddingRuntime = EmbeddingRuntimes.get): StreamingQuery =
+    watcher(spark, jobsDir, JobSchema, checkpointDir, trigger)(
+      job => runJob(spark, job, statusDir, resultsRoot, chunks, resolve))
+
+  /** Shared watcher loop for every job family: file-source stream over
+    * a jobs dir, jobs within a micro-batch run serially in submit
+    * order — the reference daemon also serializes per-listener job
+    * handling. */
+  private[streaming] def watcher(
+      spark: SparkSession,
+      jobsDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      trigger: Trigger)(runRow: Row => Unit): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(jobsDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.orderBy(col("submitted_at"), col("job_id")).collect()
-          .foreach(job => runJob(spark, job, statusDir, resultsRoot,
-            chunks, resolve))
+          .foreach(runRow)
       }
       .start()
   }

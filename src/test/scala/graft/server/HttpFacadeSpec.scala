@@ -84,17 +84,43 @@ class HttpFacadeSpec extends SparkTestBase
     assert(ac == 200, ab)
     assert(ab.startsWith("""{"rows":[{"id":5}"""), ab)
 
+    // a metric the index was NOT built under falls back to the exact
+    // path (an l2sq artifact must not serve a cosine request) — same
+    // nearest row either way here, but the route must not error
+    val (mc, mb) = req("POST", "/collections/docs/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"metric":"cosine","k":1,"select":"id"}""")
+    assert(mc == 200, mb)
+    assert(mb.contains("\"id\":5"), mb)
+
+    // rows inserted AFTER the index build get delta shards (aminsert
+    // analog) and are found through the index route
+    val lateVec = (0 until 8).map(j => if (j == 2) 9.5f else 0.0f)
+    assert(req("PUT", "/collections/docs",
+      s"""{"rows":[{"id":1000,"vector":${vecJson(lateVec)},"data":"late"}]}""")._1 == 200)
+    val (lc, lb) = req("POST", "/collections/docs/search",
+      s"""{"column":"vector","query_vector":${vecJson(lateVec)},"k":1,"select":"id"}""")
+    assert(lc == 200, lb)
+    assert(lb.contains("\"id\":1000"), lb)
+
     // PQ quantization endpoint
     val (pc, pb) = req("POST", "/collections/docs/pq",
       """{"splits":4,"clusters":8}""")
     assert(pc == 200, pb)
     assert(spark.read.parquet(s"$root/pq/docs").columns.contains("vector_pq"))
 
-    // drop index then collection
-    assert(req("DELETE", "/index/docs-vector")._1 == 200)
-    assert(req("DELETE", "/index/docs-vector")._1 == 400)
+    // deleting the collection cascades to its indexes and PQ output —
+    // a recreated same-name collection must not serve stale artifacts
     assert(req("DELETE", "/collections/docs")._1 == 200)
     assert(req("GET", "/collections/docs")._1 == 400)
+    assert(req("DELETE", "/index/docs-vector")._1 == 400) // already gone
+    assert(req("POST", "/collections", """{"name":"docs"}""")._1 == 200)
+    assert(req("PUT", "/collections/docs",
+      s"""{"rows":[{"id":1,"vector":${vecJson(vec(1))},"data":"fresh"}]}""")._1 == 200)
+    val (rc, rb) = req("POST", "/collections/docs/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":1,"select":"id,data"}""")
+    assert(rc == 200, rb)
+    assert(rb.contains("\"data\":\"fresh\""), rb) // only the new row exists
+    assert(req("DELETE", "/collections/docs")._1 == 200)
   }
 
   test("errors: unknown collection, bad body, missing fields") {

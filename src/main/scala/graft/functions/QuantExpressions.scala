@@ -66,6 +66,10 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   // flattened once per executor: k rows of dim floats, cache-friendly
   @transient private lazy val table = NearestCentroid.Table(centroids)
 
+  // plans print a stable marker, not a JVM array identity hash
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<centroids(${centroids.length})>")
+
   override def nullSafeEval(v: Any): Any =
     NearestCentroid.compute(v.asInstanceOf[ArrayData], table)
 

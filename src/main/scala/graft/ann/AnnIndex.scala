@@ -415,7 +415,7 @@ object AnnIndex {
         val b = bannedB.value
         (0 until g.size).iterator
           .filterNot(n => b.banned(g.ids(n)))
-          .map(n => Row(g.ids(n), g.vecs(n).toSeq))
+          .map(n => Row(g.ids(n), g.vector(n).toSeq))
       }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("id", LongType),

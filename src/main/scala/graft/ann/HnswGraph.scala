@@ -10,6 +10,36 @@ object Metric {
   val Cos = 1
   val Inner = 2
 
+  /** Asymmetric distance: f32 query vs i8-coded node, reconstructing
+    * each element exactly as [[graft.pq.ScalarQuantizer.dequantizeI8]]
+    * would (`(lo + (c+128)·scale).toFloat`) so compact i8 graphs score
+    * BIT-IDENTICALLY to the decode-to-f32 path — one extra fma per
+    * element, reading a quarter of the memory. */
+  def distI8(m: Int, a: Array[Float], codes: Array[Byte],
+      lo: Float, scale: Double): Double = {
+    @inline def v(i: Int): Float = (lo + (codes(i).toInt + 128) * scale).toFloat
+    m match {
+      case L2Sq =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - v(i).toDouble; s += d * d; i += 1 }
+        s
+      case Cos =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = v(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 1.0 else 1.0 - dot / den
+      case Inner =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * v(i).toDouble; i += 1 }
+        -s
+      case Hamming => throw new IllegalStateException(
+        "graft: hamming shards are never i8-compact")
+    }
+  }
+
   /** Hamming over packed bit vectors (`dist_hamming_ops`,
     * lantern_hnsw/sql/lantern.sql:88-99). The graph stores floats, so
     * bit vectors ride in them as exact 16-bit words: every value is an
@@ -132,6 +162,14 @@ final class HnswGraph(
 
   private[ann] val ids = new ArrayBuffer[Long]()
   private[ann] val vecs = new ArrayBuffer[Array[Float]]()
+  // COMPACT read-mode storage for i8 artifacts: codes instead of f32
+  // arrays — a quarter of the executor RAM per shard, the part of
+  // quant_bits that matters at serving scale. Populated only by
+  // HnswGraph.read; build-mode graphs always hold f32 (insert needs
+  // full-precision neighbor selection on the snapped values).
+  private[ann] var vecsI8: ArrayBuffer[Array[Byte]] = null
+  private[ann] def compact: Boolean = vecsI8 != null
+  private val i8Scale: Double = (i8Hi - i8Lo) / 255.0
   private[ann] val nodeLevels = new ArrayBuffer[Int]()
   // neighbors(node)(layer) = array of node indices
   private[ann] val neighbors = new ArrayBuffer[Array[ArrayBuffer[Int]]]()
@@ -253,6 +291,8 @@ final class HnswGraph(
   }
 
   def insert(id: Long, rawVec: Array[Float]): Unit = {
+    require(!compact,
+      "graft: compact (read-mode) graphs are immutable — build a delta shard")
     require(rawVec.length == dim,
       s"graft: vector dimension mismatch: ${rawVec.length} vs $dim")
     val vec = snap(rawVec)
@@ -294,7 +334,16 @@ final class HnswGraph(
   }
 
   def label(n: Int): Long = ids(n)
-  def vector(n: Int): Array[Float] = vecs(n)
+  def vector(n: Int): Array[Float] =
+    if (compact) graft.pq.ScalarQuantizer.dequantizeI8(vecsI8(n), i8Lo, i8Hi)
+    else vecs(n)
+
+  /** Query→node distance under this graph's storage: f32 arrays, or
+    * the asymmetric i8 form on compact graphs (bit-identical scores —
+    * see [[Metric.distI8]]). */
+  private[ann] def queryDist(q: Array[Float])(n: Int): Double =
+    if (compact) Metric.distI8(metric, q, vecsI8(n), i8Lo, i8Scale)
+    else d(q, vecs(n))
 
   /** ANN top-k as (node index, dist) nearest-first. `banned` =
     * tombstoned labels: traversed but not emitted (reference
@@ -303,7 +352,7 @@ final class HnswGraph(
   def searchNodes(q: Array[Float], k: Int, ef: Int, banned: Long => Boolean = _ => false)
       : Array[(Int, Double)] = {
     require(q.length == dim, s"graft: vector dimension mismatch: ${q.length} vs $dim")
-    searchNodesWith(n => d(q, vecs(n)), k, ef, banned)
+    searchNodesWith(queryDist(q), k, ef, banned)
   }
 
   /** Top-k traversal under an arbitrary query→node distance — the hook
@@ -370,18 +419,22 @@ final class HnswGraph(
     while (n < size) {
       out.writeLong(ids(n))
       out.writeInt(nodeLevels(n))
-      val v = vecs(n)
       var i = 0
       quant match {
         case Quant.F32 =>
+          val v = vecs(n)
           while (i < dim) { out.writeFloat(v(i)); i += 1 }
         case Quant.F16 =>
+          val v = vecs(n)
           while (i < dim) {
             out.writeShort(graft.pq.ScalarQuantizer.toF16(v(i))); i += 1
           }
         case Quant.I8 =>
-          // vecs are snapped, so encode round-trips bit-exact
-          val q = graft.pq.ScalarQuantizer.quantizeI8(v, i8Lo, i8Hi)
+          // compact graphs hold the codes already; build-mode vecs are
+          // snapped, so encoding round-trips bit-exact
+          val q =
+            if (compact) vecsI8(n)
+            else graft.pq.ScalarQuantizer.quantizeI8(vecs(n), i8Lo, i8Hi)
           out.write(q, 0, q.length)
       }
       var l = 0
@@ -419,6 +472,9 @@ object HnswGraph {
       else (Quant.F32, -1f, 1f)
     val n = in.readInt()
     val g = new HnswGraph(dim, m, efc, metric, seed = 0L, quant, lo, hi)
+    // i8 artifacts deserialize COMPACT: codes stay codes (4x less RAM
+    // per shard); traversal uses the asymmetric distance
+    if (quant == Quant.I8) g.vecsI8 = new ArrayBuffer[Array[Byte]](n)
     g.entryPoint = in.readInt()
     g.maxLevel = in.readInt()
     var i = 0
@@ -426,22 +482,24 @@ object HnswGraph {
       g.ids += in.readLong()
       val lvl = in.readInt()
       g.nodeLevels += lvl
-      val v = new Array[Float](dim)
-      var j = 0
       quant match {
         case Quant.F32 =>
+          val v = new Array[Float](dim)
+          var j = 0
           while (j < dim) { v(j) = in.readFloat(); j += 1 }
+          g.vecs += v
         case Quant.F16 =>
+          val v = new Array[Float](dim)
+          var j = 0
           while (j < dim) {
             v(j) = graft.pq.ScalarQuantizer.fromF16(in.readShort()); j += 1
           }
+          g.vecs += v
         case Quant.I8 =>
           val q = new Array[Byte](dim)
           in.readFully(q)
-          val dq = graft.pq.ScalarQuantizer.dequantizeI8(q, lo, hi)
-          while (j < dim) { v(j) = dq(j); j += 1 }
+          g.vecsI8 += q
       }
-      g.vecs += v
       val layers = new Array[ArrayBuffer[Int]](lvl + 1)
       var l = 0
       while (l <= lvl) {

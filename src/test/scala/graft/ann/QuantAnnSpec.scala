@@ -69,6 +69,32 @@ class QuantAnnSpec extends SparkTestBase {
     assert(got.intersect(exact).size >= 9, s"f16 recall ${got.intersect(exact).size}/10")
   }
 
+  test("i8 shards deserialize compact: codes in RAM, bit-identical distances") {
+    val i8 = tmp("i8c")
+    AnnIndex.build(data, "id", "vec", i8,
+      AnnParams(numPartitions = 1, quant = "i8"))
+    val shard = new java.io.File(s"$i8/graphs").listFiles()
+      .filter(_.getName.endsWith(".hnsw")).head
+    val g = HnswGraph.read(new java.io.DataInputStream(
+      new java.io.BufferedInputStream(
+        new java.io.FileInputStream(shard))))
+    assert(g.compact, "read-mode i8 graph must store codes")
+    assert(g.vecs.isEmpty, "no f32 arrays in a compact graph")
+    intercept[IllegalArgumentException] { g.insert(9999L, new Array[Float](dim)) }
+    // asymmetric i8 distance == distance on the dequantized vector,
+    // bit for bit — search scores cannot drift from the f32 decode path
+    val q = data.where($"id" === 11).select("vec").head().getSeq[Float](0).toArray
+    (0 until 50).foreach { n =>
+      assert(g.queryDist(q)(n) == Metric.dist(g.metric, q, g.vector(n)), s"node $n")
+    }
+    // vectors() reconstruction equals the snapped build values
+    val rec = AnnIndex.vectors(spark, i8).where(col("id") === 11)
+      .select("vec").head().getSeq[Float](0).toArray
+    val snapped = graft.pq.ScalarQuantizer.dequantizeI8(
+      graft.pq.ScalarQuantizer.quantizeI8(q), -1f, 1f)
+    assert(rec.sameElements(snapped))
+  }
+
   test("quantized artifact round-trips: header, shard quant, validate, append") {
     val i8 = tmp("i8rt")
     AnnIndex.build(data.where($"id" < 500), "id", "vec", i8,

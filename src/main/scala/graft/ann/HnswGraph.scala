@@ -40,6 +40,33 @@ object Metric {
     }
   }
 
+  /** Asymmetric distance: f32 query vs f16-coded node, decoding each
+    * element with [[graft.pq.ScalarQuantizer.fromF16]] — bit-identical
+    * to the decode-to-f32 path at half the node memory. */
+  def distF16(m: Int, a: Array[Float], codes: Array[Short]): Double = {
+    @inline def v(i: Int): Float = graft.pq.ScalarQuantizer.fromF16(codes(i))
+    m match {
+      case L2Sq =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - v(i).toDouble; s += d * d; i += 1 }
+        s
+      case Cos =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = v(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 1.0 else 1.0 - dot / den
+      case Inner =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * v(i).toDouble; i += 1 }
+        -s
+      case Hamming => throw new IllegalStateException(
+        "graft: hamming shards are never f16-compact")
+    }
+  }
+
   /** Hamming over packed bit vectors (`dist_hamming_ops`,
     * lantern_hnsw/sql/lantern.sql:88-99). The graph stores floats, so
     * bit vectors ride in them as exact 16-bit words: every value is an
@@ -162,13 +189,15 @@ final class HnswGraph(
 
   private[ann] val ids = new ArrayBuffer[Long]()
   private[ann] val vecs = new ArrayBuffer[Array[Float]]()
-  // COMPACT read-mode storage for i8 artifacts: codes instead of f32
-  // arrays — a quarter of the executor RAM per shard, the part of
-  // quant_bits that matters at serving scale. Populated only by
-  // HnswGraph.read; build-mode graphs always hold f32 (insert needs
-  // full-precision neighbor selection on the snapped values).
+  // COMPACT read-mode storage for quantized artifacts: codes instead
+  // of f32 arrays — 1/4 (i8) or 1/2 (f16) of the executor RAM per
+  // shard, the part of quant_bits that matters at serving scale.
+  // Populated only by HnswGraph.read; build-mode graphs always hold
+  // f32 (insert needs full-precision neighbor selection on the
+  // snapped values).
   private[ann] var vecsI8: ArrayBuffer[Array[Byte]] = null
-  private[ann] def compact: Boolean = vecsI8 != null
+  private[ann] var vecsF16: ArrayBuffer[Array[Short]] = null
+  private[ann] def compact: Boolean = vecsI8 != null || vecsF16 != null
   private val i8Scale: Double = (i8Hi - i8Lo) / 255.0
   private[ann] val nodeLevels = new ArrayBuffer[Int]()
   // neighbors(node)(layer) = array of node indices
@@ -335,14 +364,16 @@ final class HnswGraph(
 
   def label(n: Int): Long = ids(n)
   def vector(n: Int): Array[Float] =
-    if (compact) graft.pq.ScalarQuantizer.dequantizeI8(vecsI8(n), i8Lo, i8Hi)
+    if (vecsI8 != null) graft.pq.ScalarQuantizer.dequantizeI8(vecsI8(n), i8Lo, i8Hi)
+    else if (vecsF16 != null) graft.pq.ScalarQuantizer.dequantizeF16(vecsF16(n))
     else vecs(n)
 
   /** Query→node distance under this graph's storage: f32 arrays, or
-    * the asymmetric i8 form on compact graphs (bit-identical scores —
-    * see [[Metric.distI8]]). */
+    * the asymmetric i8/f16 forms on compact graphs (bit-identical
+    * scores — see [[Metric.distI8]]/[[Metric.distF16]]). */
   private[ann] def queryDist(q: Array[Float])(n: Int): Double =
-    if (compact) Metric.distI8(metric, q, vecsI8(n), i8Lo, i8Scale)
+    if (vecsI8 != null) Metric.distI8(metric, q, vecsI8(n), i8Lo, i8Scale)
+    else if (vecsF16 != null) Metric.distF16(metric, q, vecsF16(n))
     else d(q, vecs(n))
 
   /** ANN top-k as (node index, dist) nearest-first. `banned` =
@@ -425,9 +456,14 @@ final class HnswGraph(
           val v = vecs(n)
           while (i < dim) { out.writeFloat(v(i)); i += 1 }
         case Quant.F16 =>
-          val v = vecs(n)
-          while (i < dim) {
-            out.writeShort(graft.pq.ScalarQuantizer.toF16(v(i))); i += 1
+          if (compact) {
+            val q = vecsF16(n)
+            while (i < dim) { out.writeShort(q(i)); i += 1 }
+          } else {
+            val v = vecs(n)
+            while (i < dim) {
+              out.writeShort(graft.pq.ScalarQuantizer.toF16(v(i))); i += 1
+            }
           }
         case Quant.I8 =>
           // compact graphs hold the codes already; build-mode vecs are
@@ -472,9 +508,10 @@ object HnswGraph {
       else (Quant.F32, -1f, 1f)
     val n = in.readInt()
     val g = new HnswGraph(dim, m, efc, metric, seed = 0L, quant, lo, hi)
-    // i8 artifacts deserialize COMPACT: codes stay codes (4x less RAM
-    // per shard); traversal uses the asymmetric distance
+    // quantized artifacts deserialize COMPACT: codes stay codes (4x /
+    // 2x less RAM per shard); traversal uses the asymmetric distance
     if (quant == Quant.I8) g.vecsI8 = new ArrayBuffer[Array[Byte]](n)
+    if (quant == Quant.F16) g.vecsF16 = new ArrayBuffer[Array[Short]](n)
     g.entryPoint = in.readInt()
     g.maxLevel = in.readInt()
     var i = 0
@@ -489,12 +526,10 @@ object HnswGraph {
           while (j < dim) { v(j) = in.readFloat(); j += 1 }
           g.vecs += v
         case Quant.F16 =>
-          val v = new Array[Float](dim)
+          val q = new Array[Short](dim)
           var j = 0
-          while (j < dim) {
-            v(j) = graft.pq.ScalarQuantizer.fromF16(in.readShort()); j += 1
-          }
-          g.vecs += v
+          while (j < dim) { q(j) = in.readShort(); j += 1 }
+          g.vecsF16 += q
         case Quant.I8 =>
           val q = new Array[Byte](dim)
           in.readFully(q)

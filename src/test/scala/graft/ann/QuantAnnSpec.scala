@@ -56,7 +56,7 @@ class QuantAnnSpec extends SparkTestBase {
     assert(rr.intersect(exact).size >= 9, s"rerank recall ${rr.intersect(exact).size}/10")
   }
 
-  test("f16 shards: half-size artifact, near-exact recall") {
+  test("f16 shards: half-size artifact, compact serving, near-exact recall") {
     val f32 = tmp("f32"); val f16 = tmp("f16")
     AnnIndex.build(data, "id", "vec", f32, AnnParams(numPartitions = 2))
     AnnIndex.build(data, "id", "vec", f16,
@@ -67,6 +67,15 @@ class QuantAnnSpec extends SparkTestBase {
     val exact = exactTop(q, 10)
     val got = AnnIndex.search(spark, f16, q, 10).map(_._1).toSet
     assert(got.intersect(exact).size >= 9, s"f16 recall ${got.intersect(exact).size}/10")
+    // read-mode f16 graphs serve from half-size codes, bit-identically
+    val shard = new java.io.File(s"$f16/graphs").listFiles()
+      .filter(_.getName.endsWith(".hnsw")).head
+    val g = HnswGraph.read(new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(shard))))
+    assert(g.compact && g.vecs.isEmpty)
+    (0 until 50).foreach { n =>
+      assert(g.queryDist(q)(n) == Metric.dist(g.metric, q, g.vector(n)), s"node $n")
+    }
   }
 
   test("i8 shards deserialize compact: codes in RAM, bit-identical distances") {

@@ -16,35 +16,21 @@ object Metric {
     * BIT-IDENTICALLY to the decode-to-f32 path — one extra fma per
     * element, reading a quarter of the memory. */
   def distI8(m: Int, a: Array[Float], codes: Array[Byte],
-      lo: Float, scale: Double): Double = {
-    @inline def v(i: Int): Float = (lo + (codes(i).toInt + 128) * scale).toFloat
-    m match {
-      case L2Sq =>
-        var s = 0.0; var i = 0
-        while (i < a.length) { val d = a(i).toDouble - v(i).toDouble; s += d * d; i += 1 }
-        s
-      case Cos =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          val x = a(i).toDouble; val y = v(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        val den = math.sqrt(na) * math.sqrt(nb)
-        if (den == 0.0) 1.0 else 1.0 - dot / den
-      case Inner =>
-        var s = 0.0; var i = 0
-        while (i < a.length) { s += a(i).toDouble * v(i).toDouble; i += 1 }
-        -s
-      case Hamming => throw new IllegalStateException(
-        "graft: hamming shards are never i8-compact")
-    }
-  }
+      lo: Float, scale: Double): Double =
+    distDecoded(m, a, i => (lo + (codes(i).toInt + 128) * scale).toFloat)
 
   /** Asymmetric distance: f32 query vs f16-coded node, decoding each
     * element with [[graft.pq.ScalarQuantizer.fromF16]] — bit-identical
     * to the decode-to-f32 path at half the node memory. */
-  def distF16(m: Int, a: Array[Float], codes: Array[Short]): Double = {
-    @inline def v(i: Int): Float = graft.pq.ScalarQuantizer.fromF16(codes(i))
+  def distF16(m: Int, a: Array[Float], codes: Array[Short]): Double =
+    distDecoded(m, a, i => graft.pq.ScalarQuantizer.fromF16(codes(i)))
+
+  /** Shared metric bodies for the compact asymmetric forms — one
+    * implementation, so i8 and f16 serving cannot drift from each
+    * other (and the per-node spec pin ties both to [[dist]]). The f32
+    * path keeps its own monomorphic loops: it is the build-time and
+    * default-serving hot path. */
+  private def distDecoded(m: Int, a: Array[Float], v: Int => Float): Double =
     m match {
       case L2Sq =>
         var s = 0.0; var i = 0
@@ -63,9 +49,8 @@ object Metric {
         while (i < a.length) { s += a(i).toDouble * v(i).toDouble; i += 1 }
         -s
       case Hamming => throw new IllegalStateException(
-        "graft: hamming shards are never f16-compact")
+        "graft: hamming shards are never quant-compact")
     }
-  }
 
   /** Hamming over packed bit vectors (`dist_hamming_ops`,
     * lantern_hnsw/sql/lantern.sql:88-99). The graph stores floats, so

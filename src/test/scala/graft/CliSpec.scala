@@ -1,0 +1,64 @@
+package graft
+
+import graft.SparkTestBase
+
+/** CLI dispatcher: each subcommand drives the real library operator
+  * (the session is the shared test session via getOrCreate). */
+class CliSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-cli").toFile, name).toString
+
+  test("arg parsing: pairs, missing values, unknown command") {
+    assert(Cli.parseArgs(Seq("--a", "1", "--b", "x")) == Map("a" -> "1", "b" -> "x"))
+    intercept[IllegalArgumentException] { Cli.parseArgs(Seq("--a")) }
+    intercept[IllegalArgumentException] { Cli.parseArgs(Seq("a", "1")) }
+    intercept[IllegalArgumentException] { Cli.run("no-such-command", Map.empty) }
+    intercept[IllegalArgumentException] { Cli.run("create-index", Map.empty) }
+  }
+
+  test("create-embeddings and create-index subcommands produce real artifacts") {
+    spark // force shared session so Cli's getOrCreate reuses it
+    val src = tmp("src")
+    (0 until 50).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
+      .write.parquet(src)
+    val out = tmp("emb")
+    Cli.run("create-embeddings", Map(
+      "src" -> src, "id-col" -> "id", "text-col" -> "text", "out" -> out))
+    val emb = spark.read.parquet(out)
+    assert(emb.count() == 50)
+    val v = emb.where($"id" === 7)
+      .select(graft.embed.EmbeddingPipeline.EmbeddingCol)
+      .head().getSeq[Float](0).toArray
+    assert(v.sameElements(graft.embed.HashEmbeddingRuntime.embed("doc number 7", 8)))
+
+    val vecs = tmp("vecs")
+    emb.select($"id", org.apache.spark.sql.functions.col(
+      graft.embed.EmbeddingPipeline.EmbeddingCol).as("vec"))
+      .write.parquet(vecs)
+    val idx = tmp("idx")
+    Cli.run("create-index", Map(
+      "src" -> vecs, "id-col" -> "id", "vec-col" -> "vec", "index" -> idx,
+      "m" -> "8", "quant" -> "i8", "partitions" -> "2"))
+    val h = graft.ann.AnnIndex.readHeader(spark, idx)
+    assert(h.quant == "i8" && h.dim == 8)
+    val got = graft.ann.AnnIndex.search(spark, idx, v, 3).map(_._1)
+    assert(got.contains(7L), got.toSeq.toString)
+  }
+
+  test("start-daemon --once runs queued jobs and exits") {
+    spark
+    val root = tmp("d")
+    val src = s"$root/src"
+    (0 until 10).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+      .write.parquet(src)
+    graft.streaming.EmbeddingJobs.submit(spark, s"$root/jobs", s"$root/status",
+      1L, src, "doc_id", "text")
+    Cli.run("start-daemon", Map(
+      "jobs" -> s"$root/jobs", "status" -> s"$root/status",
+      "results" -> s"$root/results", "ckpt" -> s"$root/ckpt", "once" -> "true"))
+    assert(spark.read.parquet(s"$root/results/job-1/embeddings").count() == 10)
+  }
+}

@@ -36,15 +36,36 @@ object Cli {
       |  start-server       --root P [--port 8080]
       |""".stripMargin
 
+  /** `--key value` pairs plus bare boolean flags (`--once`): an option
+    * followed by another option (or by nothing) parses as `-> "true"`. */
   private[graft] def parseArgs(args: Seq[String]): Map[String, String] = {
-    require(args.length % 2 == 0, s"graft: dangling option in ${args.mkString(" ")}")
-    args.grouped(2).map {
-      case Seq(k, v) =>
-        require(k.startsWith("--"), s"graft: expected --option, got '$k'")
-        k.stripPrefix("--") -> v
-      case other => throw new IllegalArgumentException(other.toString)
-    }.toMap
+    val out = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"), s"graft: expected --option, got '$k'")
+      val isFlag = i + 1 >= args.length || args(i + 1).startsWith("--")
+      out(k.stripPrefix("--")) = if (isFlag) "true" else args(i + 1)
+      i += (if (isFlag) 1 else 2)
+    }
+    out.toMap
   }
+
+  /** Options each command understands — unknown/misspelled flags are an
+    * error, not a silent fall-through to defaults. */
+  private val KnownOpts: Map[String, Set[String]] = Map(
+    "show-models" -> Set(),
+    "show-runtimes" -> Set(),
+    "measure-model-speed" -> Set("runtime", "model"),
+    "create-embeddings" -> Set("src", "id-col", "text-col", "out", "runtime", "model"),
+    "create-index" -> Set("src", "id-col", "vec-col", "index", "m",
+      "ef-construction", "ef", "metric", "quant", "partitions"),
+    "autotune-index" -> Set("src", "id-col", "vec-col", "metric", "k",
+      "target-recall", "index"),
+    "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
+    "start-daemon" -> Set("jobs", "status", "results", "ckpt",
+      "autotune-jobs", "once"),
+    "start-server" -> Set("root", "port"))
 
   private def req(opts: Map[String, String], k: String): String =
     opts.getOrElse(k, throw new IllegalArgumentException(s"graft: missing --$k"))
@@ -66,7 +87,12 @@ object Cli {
     }
   }
 
-  private[graft] def run(command: String, opts: Map[String, String]): Unit =
+  private[graft] def run(command: String, opts: Map[String, String]): Unit = {
+    val known = KnownOpts.getOrElse(command,
+      throw new IllegalArgumentException(s"graft: unknown command '$command'"))
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty,
+      s"graft: unknown option(s) for $command: ${unknown.toSeq.sorted.map("--" + _).mkString(" ")}")
     command match {
       case "show-models" =>
         // `show_available_models` (embeddings.rs:201-235)
@@ -94,7 +120,11 @@ object Cli {
           embed.EmbeddingRuntimes.get(opts.getOrElse("runtime", "hash-mock")),
           opts.getOrElse("model", "mock/tiny"))
         out.write.mode("overwrite").parquet(outP)
-        val failed = embed.EmbeddingPipeline.failedRows(out).count()
+        // count failures from the WRITTEN output — counting the lazy
+        // pipeline frame would re-run the whole embed pass (double
+        // API calls on the paid runtimes)
+        val failed = embed.EmbeddingPipeline
+          .failedRows(spark.read.parquet(outP)).count()
         println(s"wrote $outP ($failed failed rows)")
 
       case "create-index" =>
@@ -156,7 +186,8 @@ object Cli {
           streaming.AutotuneJobs.daemon(spark, dir, statusP, resultsP,
             ckptP + "-autotune", trigger = trigger))
         if (once) { q.awaitTermination(); aq.foreach(_.awaitTermination()) }
-        else { aq.foreach(_ => ()); q.awaitTermination() }
+        else if (aq.isDefined) spark.streams.awaitAnyTermination()
+        else q.awaitTermination()
 
       case "start-server" =>
         val rootP = req(opts, "root")
@@ -166,7 +197,8 @@ object Cli {
         println(s"graft http server on 127.0.0.1:${facade.port}")
         Thread.currentThread().join() // serve until killed
 
-      case other =>
+      case other => // unreachable: KnownOpts gate rejects first
         throw new IllegalArgumentException(s"graft: unknown command '$other'")
     }
+  }
 }

@@ -64,8 +64,13 @@ object HttpQueries {
         .toDF("rank", "vec_id")
     } finally {
       facade.stop()
-      // the facade's workspace holds a parquet copy of the uploaded rows
-      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      // the facade's workspace holds a parquet copy of the uploaded
+      // rows — same Hadoop-fs cleanup idiom as Autotune's trial dirs
+      try {
+        val p = new org.apache.hadoop.fs.Path(root.toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case _: java.io.IOException => () }
     }
   }
 

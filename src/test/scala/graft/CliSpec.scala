@@ -11,12 +11,20 @@ class CliSpec extends SparkTestBase {
     new java.io.File(
       java.nio.file.Files.createTempDirectory("graft-cli").toFile, name).toString
 
-  test("arg parsing: pairs, missing values, unknown command") {
+  test("arg parsing: pairs, bare flags, unknown command/options") {
     assert(Cli.parseArgs(Seq("--a", "1", "--b", "x")) == Map("a" -> "1", "b" -> "x"))
-    intercept[IllegalArgumentException] { Cli.parseArgs(Seq("--a")) }
+    // bare boolean flags — trailing or followed by another option
+    assert(Cli.parseArgs(Seq("--a", "1", "--once")) == Map("a" -> "1", "once" -> "true"))
+    assert(Cli.parseArgs(Seq("--once", "--a", "1")) == Map("once" -> "true", "a" -> "1"))
     intercept[IllegalArgumentException] { Cli.parseArgs(Seq("a", "1")) }
     intercept[IllegalArgumentException] { Cli.run("no-such-command", Map.empty) }
     intercept[IllegalArgumentException] { Cli.run("create-index", Map.empty) }
+    // misspelled options are an error, not a silent default
+    val e = intercept[IllegalArgumentException] {
+      Cli.run("autotune-index", Map("src" -> "p", "id-col" -> "id",
+        "vec-col" -> "v", "target_recall" -> "0.95"))
+    }
+    assert(e.getMessage.contains("--target_recall"), e.getMessage)
   }
 
   test("create-embeddings and create-index subcommands produce real artifacts") {

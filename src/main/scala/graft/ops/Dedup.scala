@@ -813,6 +813,58 @@ object Dedup {
       .select($"id_a", $"id_b", $"hamming")
   }
 
+  // ---------------------------------------------------- line-level dedup
+
+  /** Remove boilerplate lines: a line that occurs in more than
+    * `maxDocFreq` DISTINCT documents is dropped from every document
+    * (the CCNet/RefinedWeb-style corpus-level line filter — headers,
+    * nav bars, cookie banners repeat across pages and poison training
+    * data even when no two whole documents are near-dups).
+    *
+    * Returns (id, text) with offending lines removed; line order and
+    * every line's exact bytes (including empty lines) are otherwise
+    * preserved.
+    *
+    * Scale shape: lines explode with their position, the document
+    * frequency aggregates on the line VALUE (partial map-side combine,
+    * one shuffle keyed by line — skew-safe: the hottest line is still
+    * one counter per partition, not a collected list), the hot-line
+    * set joins back (broadcast when small, AQE otherwise), and the doc
+    * reassembles ordered by position. No driver-side state.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxDocFreq >= 1, "graft: maxDocFreq must be >= 1")
+    val lines = df.select(
+        col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    // distinct (id, line) before counting: a line repeated WITHIN one
+    // doc counts once toward its document frequency. Empty lines are
+    // never boilerplate — dropping them would collapse paragraph
+    // structure corpus-wide.
+    val hot = lines.select($"line", $"id").distinct()
+      .where(length($"line") > 0)
+      .groupBy($"line").agg(count(lit(1)).as("df"))
+      .where($"df" > maxDocFreq)
+      .select($"line")
+    val kept = lines
+      .join(hot.withColumn("__hot", lit(1)), Seq("line"), "left")
+      .where($"__hot".isNull)
+      .groupBy($"id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct($"pos", $"line"))),
+          x => x.getField("line"))).as("text"))
+    // docs whose every line was boilerplate still come back (empty)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(kept, Seq("id"), "left")
+      .select($"id", coalesce($"text", lit("")).as("text"))
+  }
+
   // ------------------------------------------ embedding near-duplicate
 
   /** Near-duplicate pairs by embedding cosine distance, blocked on a

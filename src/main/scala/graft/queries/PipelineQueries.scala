@@ -271,6 +271,56 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Corpus-level boilerplate line removal (CCNet/RefinedWeb-style):
+    * lines occurring in more than `maxDocFreq` distinct docs drop from
+    * every doc, order and blank lines preserved. The fixture docs are
+    * single-line, so the gate builds a page-shaped corpus from them
+    * deterministically — per-language nav header (hot), blank line
+    * (never dropped), the doc body (unique), and a site footer on
+    * every third doc (hot) — and the oracle replays the same
+    * construction. Exact oracle.
+    */
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws("\n",
+        concat(lit("NAV "), col("lang")),
+        lit(""),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("FOOTER cookie banner"))
+          .otherwise(concat(lit("tail "), col("doc_id")))).as("page"))
+    Dedup.dropBoilerplateLines(pages, "doc_id", "page", maxDocFreq = 50)
+      .select(col("id").as("doc_id"), col("text").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupLinesOracle =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    'NAV ' || lang || chr(10) || chr(10) || text || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'FOOTER cookie banner'
+      |         ELSE 'tail ' || doc_id END AS page
+      |  FROM documents
+      |),
+      |pl AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pages),
+      |l AS (
+      |  SELECT doc_id, u.i AS pos, lines[u.i] AS line
+      |  FROM pl, unnest(range(1, len(lines) + 1)) AS u(i)
+      |),
+      |hot AS (
+      |  SELECT line FROM (
+      |    SELECT line, count(DISTINCT doc_id) AS df FROM l
+      |    WHERE len(line) > 0 GROUP BY line
+      |  ) WHERE df > 50
+      |)
+      |SELECT d.doc_id,
+      |  coalesce((
+      |    SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+      |    FROM l k WHERE k.doc_id = d.doc_id
+      |      AND k.line NOT IN (SELECT line FROM hot)
+      |  ), '') AS cleaned
+      |FROM pages d ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------- text analysis
 
   private def langId(s: SparkSession, dir: String): DataFrame =
@@ -449,6 +499,7 @@ object PipelineQueries {
     QueryDef("dedup_minhash_keepers_scale",
       Some(dedupMinhashKeepersOracle), dedupMinhashKeepersScale),
     QueryDef("dedup_simhash", Some(dedupSimhashOracle), dedupSimhash),
+    QueryDef("dedup_lines", Some(dedupLinesOracle), dedupLines),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),
     QueryDef("embedding_dedup_keepers",

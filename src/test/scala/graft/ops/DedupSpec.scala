@@ -280,6 +280,25 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dropBoilerplateLines: corpus-hot lines removed, structure kept") {
+    // "HEADER" in 3 docs (> maxDocFreq=2) → dropped everywhere;
+    // "twice\ntwice" within ONE doc counts once → kept; blank lines
+    // and order preserved; doc 4 is all-boilerplate → empty
+    val docs = Seq(
+      (1L, "HEADER\n\nbody one\ntwice\ntwice"),
+      (2L, "HEADER\nbody two"),
+      (3L, "HEADER\nbody three\n"),
+      (4L, "HEADER"),
+      (5L, "no header here")).toDF("id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "id", "text", maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "\nbody one\ntwice\ntwice")
+    assert(out(2L) == "body two")
+    assert(out(3L) == "body three\n")
+    assert(out(4L) == "")
+    assert(out(5L) == "no header here")
+  }
+
   test("shingles and jaccard") {
     val df = Seq((Seq("a", "b", "c", "d"), 0)).toDF("t", "x")
     val sh = df.select(Dedup.shingles($"t", 3)).head().getSeq[String](0)

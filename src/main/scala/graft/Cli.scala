@@ -32,7 +32,8 @@ object Cli {
       |  pq-table           --src P --vec-col C --out P
       |                     [--clusters 256] [--splits 8]
       |  start-daemon       --jobs P --status P --results P --ckpt P
-      |                     [--autotune-jobs P] [--once]
+      |                     [--autotune-jobs P] [--autotune-status P]
+      |                     [--autotune-results P] [--once]
       |  start-server       --root P [--port 8080]
       |""".stripMargin
 
@@ -64,7 +65,7 @@ object Cli {
       "target-recall", "index"),
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
-      "autotune-jobs", "once"),
+      "autotune-jobs", "autotune-status", "autotune-results", "once"),
     "start-server" -> Set("root", "port"))
 
   private def req(opts: Map[String, String], k: String): String =
@@ -182,8 +183,14 @@ object Cli {
           else org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
         val q = streaming.EmbeddingJobs.daemon(spark,
           jobsP, statusP, resultsP, ckptP, trigger = trigger)
+        // the autotune family gets its OWN status/results dirs by
+        // default: job_id is the only key in both tables, so a shared
+        // dir would let embedding job 1 and autotune job 1 clobber each
+        // other's status rows and results/job-1 output
         val aq = opts.get("autotune-jobs").map(dir =>
-          streaming.AutotuneJobs.daemon(spark, dir, statusP, resultsP,
+          streaming.AutotuneJobs.daemon(spark, dir,
+            opts.getOrElse("autotune-status", statusP + "-autotune"),
+            opts.getOrElse("autotune-results", resultsP + "-autotune"),
             ckptP + "-autotune", trigger = trigger))
         if (once) { q.awaitTermination(); aq.foreach(_.awaitTermination()) }
         else if (aq.isDefined) spark.streams.awaitAnyTermination()

@@ -31,7 +31,14 @@ case class AnnParams(
   require(efConstruction >= 1 && efConstruction <= 400,
     s"graft: ef_construction=$efConstruction out of range [1,400]")
   require(ef >= 1 && ef <= 400, s"graft: ef=$ef out of range [1,400]")
-  Quant.id(quant) // validate eagerly
+  Metric.id(metric) // validate eagerly
+  Quant.id(quant)
+  // mirror HnswGraph's constructor guard HERE so an invalid combination
+  // fails before build() deletes a pre-existing artifact at the target
+  // path (a late executor-side failure would leave a header-only
+  // corrupt index behind)
+  require(quant == "f32" || metric != "hamming",
+    "graft: hamming shards store exact packed words — quant must be f32")
   // finite-only: a non-finite bound would serialize as invalid JSON in
   // the artifact header and silently read back as the defaults
   require(java.lang.Float.isFinite(i8Lo) && java.lang.Float.isFinite(i8Hi)

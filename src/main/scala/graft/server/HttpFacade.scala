@@ -133,9 +133,16 @@ final class HttpFacade(
     respond(ex, 200, out.toString)
   }
 
+  // same charset the route patterns accept — a name that fails this
+  // could escape rootDir via '/' or '..' at create time, or create a
+  // directory no GET/PUT/DELETE route could ever address again
+  private val ValidName = "^[A-Za-z0-9_-]+$".r
+
   private def createCollection(ex: HttpExchange): Unit = {
     val b = body(ex)
     val name = require_(b, "name").asText()
+    require(ValidName.matches(name),
+      s"invalid collection name '$name' (allowed: [A-Za-z0-9_-]+)")
     require(!fs.exists(colPath(name)), s"collection '$name' exists")
     spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](), CollectionSchema)
@@ -158,12 +165,13 @@ final class HttpFacade(
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     rowsNode.forEach { r =>
       val vec = Option(r.get("vector")).map { v =>
+        require(v.isArray, "'vector' must be an array of numbers")
         val a = new Array[Float](v.size)
-        (0 until v.size).foreach(i => a(i) = v.get(i).floatValue())
+        (0 until v.size).foreach(i => a(i) = numeric(v.get(i), "vector element").floatValue())
         a.toSeq
       }.orNull
       rows.add(org.apache.spark.sql.Row(
-        require_(r, "id").longValue(), vec,
+        numeric(require_(r, "id"), "id").longValue(), vec,
         // asText for plain strings; structured payloads keep their JSON
         Option(r.get("data"))
           .map(d => if (d.isTextual) d.asText() else d.toString).orNull))
@@ -173,32 +181,30 @@ final class HttpFacade(
     // aminsert analog: existing indexes on this collection get delta
     // shards for the new rows, so inserts stay searchable through the
     // index route (the reference keeps its index in sync on INSERT)
-    val idxBase = new Path(rootDir, "indexes")
-    if (fs.exists(idxBase)) {
-      fs.listStatus(idxBase).map(_.getPath.getName)
-        .filter(_.startsWith(s"$name-"))
-        .foreach { idxName =>
-          val column = idxName.stripPrefix(s"$name-")
-          if (batch.schema.fieldNames.contains(column)) {
-            val withVec = batch.where(col(column).isNotNull)
-            if (!withVec.isEmpty)
-              AnnIndex.append(withVec, "id", column, idxPath(idxName).toString)
-          }
-        }
+    collectionIndexes(name).foreach { case (idxName, column) =>
+      val withVec = batch.where(col(column).isNotNull)
+      if (!withVec.isEmpty)
+        AnnIndex.append(withVec, "id", column, idxPath(idxName).toString)
     }
     respond(ex, 200, s"""{"inserted":${rows.size()}}""")
   }
+
+  /** This collection's existing index artifacts as (indexName, column).
+    * Index names are exactly `<collection>-<column>` for a schema
+    * column — enumerated by CONSTRUCTION, not by prefix scan: names may
+    * themselves contain '-', so `startsWith("$name-")` would also match
+    * a sibling collection `"$name-x"`'s indexes. */
+  private def collectionIndexes(name: String): Seq[(String, String)] =
+    CollectionSchema.fieldNames.toSeq.map(c => (s"$name-$c", c))
+      .filter { case (idxName, _) => fs.exists(idxPath(idxName)) }
 
   private def deleteCollection(ex: HttpExchange, name: String): Unit = {
     requireCollection(name)
     fs.delete(colPath(name), true)
     // drop dependent artifacts too — a stale index under the same name
     // would silently serve a future re-created collection's searches
-    val idxBase = new Path(rootDir, "indexes")
-    if (fs.exists(idxBase)) {
-      fs.listStatus(idxBase).map(_.getPath)
-        .filter(_.getName.startsWith(s"$name-"))
-        .foreach(fs.delete(_, true))
+    collectionIndexes(name).foreach { case (idxName, _) =>
+      fs.delete(idxPath(idxName), true)
     }
     fs.delete(new Path(rootDir, s"pq/$name"), true)
     respond(ex, 200, s"""{"deleted":"$name"}""")
@@ -223,8 +229,9 @@ final class HttpFacade(
 
     val query: Array[Float] = Option(b.get("query_vector")) match {
       case Some(v) =>
+        require(v.isArray, "'query_vector' must be an array of numbers")
         val a = new Array[Float](v.size)
-        (0 until v.size).foreach(i => a(i) = v.get(i).floatValue())
+        (0 until v.size).foreach(i => a(i) = numeric(v.get(i), "query_vector element").floatValue())
         a
       case None =>
         // search.rs's query_text + query_model path: embed first
@@ -311,4 +318,12 @@ final class HttpFacade(
   private def require_(n: JsonNode, field: String): JsonNode =
     Option(n.get(field)).getOrElse(
       throw new IllegalArgumentException(s"missing field '$field'"))
+
+  /** Jackson's longValue()/floatValue() COERCE non-numeric nodes to 0 —
+    * a string id would silently land every such row at id=0. Demand an
+    * actual JSON number. */
+  private def numeric(n: JsonNode, what: String): JsonNode = {
+    require(n.isNumber, s"$what must be a JSON number, got: $n")
+    n
+  }
 }

@@ -59,7 +59,8 @@ object AutotuneJobs {
       statusDir: String,
       resultsRoot: String): Unit = {
     val jobId = job.getLong(job.fieldIndex("job_id"))
-    var seq = 0
+    // continue the seq past any earlier run's rows (see EmbeddingJobs.nextSeq)
+    var seq = EmbeddingJobs.nextSeq(spark, statusDir, jobId) - 1
     def st(status: String, progress: Int, error: String = null): Unit = {
       seq += 1
       EmbeddingJobs.appendStatus(spark, statusDir, jobId, seq, status,

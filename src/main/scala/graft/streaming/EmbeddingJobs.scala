@@ -86,6 +86,20 @@ object EmbeddingJobs {
   def statusLog(spark: SparkSession, statusDir: String): DataFrame =
     spark.read.schema(StatusSchema).parquet(statusDir)
 
+  /** First seq a NEW run of `jobId` should emit. Seq must keep rising
+    * across runs: a re-submitted (retry) job restarting at seq 1 would
+    * leave the PREVIOUS run's final row as the max — a failed retry
+    * would forever report the old run's "completed" through
+    * [[status]]. */
+  private[streaming] def nextSeq(
+      spark: SparkSession, statusDir: String, jobId: Long): Int = {
+    val fs = new org.apache.hadoop.fs.Path(statusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statusDir))) 1
+    else statusLog(spark, statusDir).where(col("job_id") === jobId)
+      .agg(coalesce(max(col("seq")), lit(0))).head.getInt(0) + 1
+  }
+
   /** Current state per job = its max-seq status row. */
   def status(spark: SparkSession, statusDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -107,7 +121,7 @@ object EmbeddingJobs {
       chunks: Int = 4,
       resolve: String => EmbeddingRuntime = EmbeddingRuntimes.get): Unit = {
     val jobId = job.getLong(job.fieldIndex("job_id"))
-    var seq = 0
+    var seq = nextSeq(spark, statusDir, jobId) - 1
     def st(status: String, progress: Int, done: Long, failed: Long,
         error: String = null): Unit = {
       seq += 1

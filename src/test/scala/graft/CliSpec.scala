@@ -69,4 +69,32 @@ class CliSpec extends SparkTestBase {
       "results" -> s"$root/results", "ckpt" -> s"$root/ckpt", "once" -> "true"))
     assert(spark.read.parquet(s"$root/results/job-1/embeddings").count() == 10)
   }
+
+  test("start-daemon isolates the two job families' status/results dirs") {
+    spark
+    val root = tmp("d2")
+    val src = s"$root/src"
+    (0 until 200).map { i =>
+      val v = Array.fill(8)(0.01f * ((i + 3) % 7)); v(i % 8) = 1.0f
+      (i.toLong, s"text $i", v.toSeq)
+    }.toDF("doc_id", "text", "vec").write.parquet(src)
+    // SAME job_id in both families — job_id is the only key, so with a
+    // shared results dir the embedding runner's clean-slate delete of
+    // results/job-1 would wipe the autotune job's report
+    graft.streaming.EmbeddingJobs.submit(spark, s"$root/jobs", s"$root/status",
+      1L, src, "doc_id", "text")
+    graft.streaming.AutotuneJobs.submit(spark, s"$root/atjobs",
+      s"$root/status-autotune", 1L, src, "doc_id", "vec", k = 5)
+    Cli.run("start-daemon", Map(
+      "jobs" -> s"$root/jobs", "status" -> s"$root/status",
+      "results" -> s"$root/results", "ckpt" -> s"$root/ckpt",
+      "autotune-jobs" -> s"$root/atjobs", "once" -> "true"))
+    assert(spark.read.parquet(s"$root/results/job-1/embeddings").count() == 200)
+    assert(spark.read.parquet(s"$root/results-autotune/job-1/report").count() > 0)
+    import org.apache.spark.sql.functions.col
+    Seq(s"$root/status", s"$root/status-autotune").foreach { st =>
+      assert(graft.streaming.EmbeddingJobs.status(spark, st)
+        .where(col("job_id") === 1).select("status").as[String].head() == "completed", st)
+    }
+  }
 }

@@ -128,5 +128,15 @@ class QuantAnnSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       new HnswGraph(64, 8, 32, Metric.Hamming, 0L, Quant.I8)
     }
+    // and ALREADY at params construction — build() deletes any existing
+    // artifact before writing shards, so a combination that only failed
+    // executor-side would destroy the old index first
+    intercept[IllegalArgumentException] {
+      AnnParams(metric = "hamming", quant = "i8")
+    }
+    intercept[IllegalArgumentException] {
+      AnnParams(metric = "hamming", quant = "f16")
+    }
+    intercept[IllegalArgumentException] { AnnParams(metric = "nope") }
   }
 }

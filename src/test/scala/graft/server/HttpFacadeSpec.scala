@@ -129,4 +129,52 @@ class HttpFacadeSpec extends SparkTestBase
     assert(req("POST", "/collections", """{}""")._1 == 400)
     assert(req("GET", "/nothing/here")._1 == 404)
   }
+
+  test("collection names outside the route charset are rejected at create") {
+    // '/' or '..' would escape rootDir (or create collections no other
+    // route could ever address); both must 400 and leave no directory
+    assert(req("POST", "/collections", """{"name":"../evil"}""")._1 == 400)
+    assert(req("POST", "/collections", """{"name":"a/b"}""")._1 == 400)
+    assert(req("POST", "/collections", """{"name":""}""")._1 == 400)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "collections", "a")))
+    assert(!new java.io.File(new java.io.File(root).getParentFile, "evil").exists())
+  }
+
+  test("non-numeric id / vector values are a 400, not a silent 0") {
+    assert(req("POST", "/collections", """{"name":"strict"}""")._1 == 200)
+    assert(req("PUT", "/collections/strict",
+      """{"rows":[{"id":"7","vector":[0.1],"data":"x"}]}""")._1 == 400)
+    assert(req("PUT", "/collections/strict",
+      s"""{"rows":[{"id":7,"vector":[0.1,"x"],"data":"x"}]}""")._1 == 400)
+    // nothing landed at id 0
+    assert(req("GET", "/collections/strict")._2.contains("\"row_count\":0"))
+    assert(req("DELETE", "/collections/strict")._1 == 200)
+  }
+
+  test("deleting a collection leaves a dash-sharing sibling's index intact") {
+    // "docs2" and "docs2-old": names may contain '-', so a prefix scan
+    // for docs2's artifacts would also match docs2-old-vector
+    assert(req("POST", "/collections", """{"name":"docs2"}""")._1 == 200)
+    assert(req("POST", "/collections", """{"name":"docs2-old"}""")._1 == 200)
+    def fill(c: String): Unit = {
+      val rows = (0 until 30).map { i =>
+        s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"$c-$i"}"""
+      }.mkString("""{"rows":[""", ",", "]}")
+      assert(req("PUT", s"/collections/$c", rows)._1 == 200)
+    }
+    fill("docs2"); fill("docs2-old")
+    assert(req("POST", "/collections/docs2-old/index",
+      """{"column":"vector","m":8,"ef_construction":64}""")._1 == 200)
+    assert(req("DELETE", "/collections/docs2")._1 == 200)
+    // the sibling's artifact survived and still routes its searches
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "indexes", "docs2-old-vector")))
+    val (c, b) = req("POST", "/collections/docs2-old/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":1,"select":"id"}""")
+    assert(c == 200, b)
+    assert(b.contains("\"id\":5"), b)
+    assert(req("DELETE", "/collections/docs2-old")._1 == 200)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "indexes", "docs2-old-vector")))
+  }
 }

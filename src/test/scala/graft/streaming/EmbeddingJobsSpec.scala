@@ -79,6 +79,29 @@ class EmbeddingJobsSpec extends SparkTestBase {
     assert(row._1 == "failed" && row._2 != null && row._2.nonEmpty)
   }
 
+  test("a retry's status supersedes the earlier run's (seq keeps rising)") {
+    val root = tmp("d4")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    val src = s"$root/src"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text").write.parquet(src)
+    // run 1 completes
+    EmbeddingJobs.submit(spark, jobs, status, 3L, src, "id", "text")
+    val q1 = EmbeddingJobs.daemon(spark, jobs, status, s"$root/results", s"$root/ckpt1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(EmbeddingJobs.status(spark, status).where(col("job_id") === 3)
+      .select("status").as[String].head() == "completed")
+    // retry fails (source removed) — its rows must OUTRANK run 1's
+    // final "completed" row, not restart at seq 1 below it
+    val fs = new java.io.File(src)
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    EmbeddingJobs.submit(spark, jobs, status, 3L, src, "id", "text")
+    val q2 = EmbeddingJobs.daemon(spark, jobs, status, s"$root/results", s"$root/ckpt2")
+    try q2.processAllAvailable() finally q2.stop()
+    val cur = EmbeddingJobs.status(spark, status).where(col("job_id") === 3)
+      .select("status").as[String].head()
+    assert(cur == "failed", s"retry outcome shadowed: $cur")
+  }
+
   test("autotune jobs: grid report, winner promote, status transitions") {
     import org.apache.spark.sql.functions.col
     val root = tmp("d3")

@@ -487,6 +487,48 @@ object PipelineQueries {
       |  END) * 1e4 + 0.5) / 1e4 AS punct_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination over the documents table: docs with
+    * `doc_id % 97 == 0` stand in as the held-out eval set, every other
+    * doc is counted for distinct shared 3-grams against the broadcast
+    * benchmark shingle set (3-grams, not the production-default 13,
+    * because the synthetic corpus' docs are ~100 tokens of a ~40-word
+    * vocabulary — real pipelines use 8–13). Zero-shuffle map-side
+    * plan; oracle replays shingling + overlap in SQL. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Decontaminate
+    val docs = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val set = Decontaminate.benchmarkShingles(bench, "text", 3)
+    docs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        Decontaminate.contaminationCount(col("text"), set, 3)
+          .as("n_contaminated"))
+      .withColumn("flagged", col("n_contaminated") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+      |    ELSE [] END AS sh FROM t
+      |), ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+      |c AS (
+      |  SELECT e.doc_id, count(*) FILTER (WHERE b.g IS NOT NULL) AS c
+      |  FROM ex e LEFT JOIN bench b USING(g)
+      |  WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id
+      |)
+      |SELECT t.doc_id, CAST(coalesce(c.c, 0) AS INT) AS n_contaminated,
+      |  coalesce(c.c, 0) >= 2 AS flagged
+      |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+      |WHERE t.doc_id % 97 <> 0 ORDER BY t.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -500,6 +542,7 @@ object PipelineQueries {
       Some(dedupMinhashKeepersOracle), dedupMinhashKeepersScale),
     QueryDef("dedup_simhash", Some(dedupSimhashOracle), dedupSimhash),
     QueryDef("dedup_lines", Some(dedupLinesOracle), dedupLines),
+    QueryDef("decontaminate", Some(decontaminateOracle), decontaminate),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),
     QueryDef("embedding_dedup_keepers",

@@ -191,6 +191,54 @@ object TextQueries {
     """SELECT doc_id, lang, true AS maybe_en
       |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
+  /** PII scrub over synthetic-corpus text with MIRRORED deterministic
+    * PII injection (the corpus itself is PII-free word salad): email +
+    * IPv4 + phone appended per doc from doc_id arithmetic, identically
+    * in Spark and the oracle SQL, then counted and redacted by the
+    * library patterns. Hash-matching `redacted` proves the Java-regex
+    * and RE2 replacements agree byte-for-byte. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val injected = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com or 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" tel +1-555-"), (col("doc_id") % 900 + 100).cast("string")).as("t"))
+    val counted = TextAnalysis.piiCounts(col("t"))
+      .foldLeft(injected) { case (df, (name, c)) => df.withColumn(name, c) }
+    counted
+      .withColumn("redacted", TextAnalysis.piiScrub(col("t")))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiScrubOracle: String = {
+    import graft.text.TextAnalysis.Pii
+    val redacted = Pii.all.foldLeft("t") { case (acc, (_, pat, token)) =>
+      s"regexp_replace($acc, '$pat', '$token', 'g')"
+    }
+    val counts = Pii.all.map { case (cat, pat, _) =>
+      s"CAST(len(regexp_extract_all(t, '$pat')) AS INT) AS n_$cat"
+    }.mkString(",\n  ")
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+       |      || '.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+       |      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+       |      || ' tel +1-555-' || CAST(doc_id % 900 + 100 AS VARCHAR) AS t
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  $counts,
+       |  $redacted AS redacted
+       |FROM injected ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
     QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),
@@ -204,5 +252,6 @@ object TextQueries {
     QueryDef("token_count_bpe", Some(tokenCountBpeOracle), tokenCountBpe),
     QueryDef("stem_tokens", Some(stemTokensOracle), stemTokens),
     QueryDef("bloom_membership", Some(bloomMembershipOracle), bloomMembership),
+    QueryDef("pii_scrub", Some(piiScrubOracle), piiScrub),
   )
 }

@@ -156,4 +156,45 @@ object TextAnalysis {
     when(n === 0, 0.0).otherwise(
       length(regexp_replace(text, "[\\w\\s]", "")).cast("double") / n)
   }
+
+  /** PII detection/redaction for training corpora (emails, IPv4
+    * addresses, international-format phone numbers) — the standard
+    * pre-training scrub step (e.g. the C4/Dolma pipelines); not in the
+    * reference engine, part of the pipeline surface. Patterns are
+    * deliberately restricted to syntax with identical semantics in
+    * Java regex and RE2 (no backreferences, no lookaround, ASCII
+    * classes only) so results are engine-portable and the driver gate
+    * can replay them in DuckDB verbatim.
+    *
+    * All pure `regexp_*` built-ins: codegen'd, map-side, pattern
+    * compiled once per task — runs at any scale with no shuffle.
+    */
+  object Pii {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val Phone = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}\\b"
+
+    /** All three patterns with their redaction tokens, in the order
+      * [[scrub]] applies them. */
+    val all: Seq[(String, String, String)] = Seq(
+      ("emails", Email, "<EMAIL>"),
+      ("ipv4", Ipv4, "<IP>"),
+      ("phones", Phone, "<PHONE>"))
+  }
+
+  /** Match count per PII category, on the ORIGINAL text independently
+    * (an IPv4 mail host inside an email counts in both — categories
+    * are independent detectors, not a partition). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    Pii.all.map { case (cat, pat, _) =>
+      s"n_$cat" -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
+
+  /** Text with every PII match replaced by its category token, applied
+    * email → IP → phone (an IP inside an already-redacted email is
+    * gone with the email). */
+  def piiScrub(text: Column): Column =
+    Pii.all.foldLeft(text) { case (acc, (_, pat, token)) =>
+      regexp_replace(acc, pat, token)
+    }
 }

@@ -107,4 +107,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rs(3L) === 0.0)
     assert(rs(4L) === 1.0)
   }
+
+  test("piiScrub redacts emails, ipv4 and phones; counts are independent") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "server 192.168.0.1 and backup 10.0.0.255 up"),
+      (3L, "call +44-201-5550 or +1 555 0100 now"),
+      (4L, "mixed bob@10.0.0.1 with host"), // no alphabetic TLD → not an email; IP still caught
+      (5L, "clean text with no identifiers at all"),
+      (6L, "v1.2.3 released, section 1.2 unchanged")) // versions are NOT ipv4 (no 4th octet)
+      .toDF("id", "t")
+    val out = TextAnalysis.piiCounts($"t")
+      .foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("red", TextAnalysis.piiScrub($"t"))
+      .select("id", "n_emails", "n_ipv4", "n_phones", "red")
+      .as[(Long, Int, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1, 0, 0, "mail me at <EMAIL> today")))
+    assert(out(2L) == ((2L, 0, 2, 0, "server <IP> and backup <IP> up")))
+    assert(out(3L) == ((3L, 0, 0, 2, "call <PHONE> or <PHONE> now")))
+    assert(out(4L) == ((4L, 0, 1, 0, "mixed bob@<IP> with host")))
+    assert(out(5L) == ((5L, 0, 0, 0, "clean text with no identifiers at all")))
+    assert(out(6L) == ((6L, 0, 0, 0, "v1.2.3 released, section 1.2 unchanged")))
+  }
 }

@@ -176,6 +176,11 @@ object Cli {
       case "start-daemon" =>
         val (jobsP, statusP, resultsP, ckptP) =
           (req(opts, "jobs"), req(opts, "status"), req(opts, "results"), req(opts, "ckpt"))
+        // before ANY daemon starts: autotune dir flags without the
+        // autotune family itself would otherwise be silently unused
+        require(opts.contains("autotune-jobs") ||
+            (!opts.contains("autotune-status") && !opts.contains("autotune-results")),
+          "graft: --autotune-status/--autotune-results need --autotune-jobs")
         val spark = session()
         val once = opts.contains("once")
         val trigger =

@@ -74,7 +74,11 @@ object Decontaminate {
       minOverlap: Int = 2): DataFrame = {
     val set = benchmarkShingles(bench, benchTextCol, n)
     corpus
-      .withColumn("n_contaminated", contaminationCount(col(textCol), set, n))
+      // null text has no shingles → clean, not NULL: the documented
+      // where(!flagged) filter would otherwise silently DROP null-text
+      // rows (three-valued logic) instead of passing them through
+      .withColumn("n_contaminated",
+        coalesce(contaminationCount(col(textCol), set, n), lit(0)))
       .withColumn("flagged", col("n_contaminated") >= minOverlap)
   }
 }

@@ -164,7 +164,10 @@ final class HttpFacade(
     require(rowsNode.isArray, "'rows' must be an array")
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     rowsNode.forEach { r =>
-      val vec = Option(r.get("vector")).map { v =>
+      // an explicit JSON null is a NullNode, not an absent field — both
+      // mean SQL NULL here (filterNot(_.isNull)), never the string
+      // "null" or a 400 for the batch
+      val vec = Option(r.get("vector")).filterNot(_.isNull).map { v =>
         require(v.isArray, "'vector' must be an array of numbers")
         val a = new Array[Float](v.size)
         (0 until v.size).foreach(i => a(i) = numeric(v.get(i), "vector element").floatValue())
@@ -173,7 +176,7 @@ final class HttpFacade(
       rows.add(org.apache.spark.sql.Row(
         numeric(require_(r, "id"), "id").longValue(), vec,
         // asText for plain strings; structured payloads keep their JSON
-        Option(r.get("data"))
+        Option(r.get("data")).filterNot(_.isNull)
           .map(d => if (d.isTextual) d.asText() else d.toString).orNull))
     }
     val batch = spark.createDataFrame(rows, CollectionSchema)
@@ -216,9 +219,8 @@ final class HttpFacade(
     val df = readCollection(name)
     val b = body(ex)
     val column = require_(b, "column").asText()
-    val k = Option(b.get("k")).map(_.intValue()).getOrElse(
-      graft.GraftConf.annInitK(spark))
-    val ef = Option(b.get("ef")).map(_.intValue()).getOrElse(0)
+    val k = intOpt(b, "k", graft.GraftConf.annInitK(spark))
+    val ef = intOpt(b, "ef", 0)
     val metric = Option(b.get("metric")).map(_.asText()).getOrElse("l2sq") match {
       case "cosine" => "cos" // reference accepts the long form
       case m => m
@@ -278,10 +280,9 @@ final class HttpFacade(
     }
     val base = graft.GraftConf.annParams(spark)
     val params = AnnParams(
-      m = Option(b.get("m")).map(_.intValue()).getOrElse(base.m),
-      efConstruction = Option(b.get("ef_construction")).map(_.intValue())
-        .getOrElse(base.efConstruction),
-      ef = Option(b.get("ef")).map(_.intValue()).getOrElse(base.ef),
+      m = intOpt(b, "m", base.m),
+      efConstruction = intOpt(b, "ef_construction", base.efConstruction),
+      ef = intOpt(b, "ef", base.ef),
       metric = metric,
       quant = Option(b.get("quant")).map(_.asText()).getOrElse("f32"))
     val idx = s"$name-$column"
@@ -301,8 +302,8 @@ final class HttpFacade(
   private def quantize(ex: HttpExchange, name: String): Unit = {
     val df = readCollection(name).where(col("vector").isNotNull)
     val b = body(ex)
-    val splits = Option(b.get("splits")).map(_.intValue()).getOrElse(8)
-    val clusters = Option(b.get("clusters")).map(_.intValue()).getOrElse(16)
+    val splits = intOpt(b, "splits", 8)
+    val clusters = intOpt(b, "clusters", 16)
     val cb = graft.pq.ProductQuantizer.trainCodebook(
       df, "vector", clusters = clusters, subvectors = splits)
     val codes = graft.pq.ProductQuantizer.quantizeTable(df, "vector", cb)
@@ -326,4 +327,10 @@ final class HttpFacade(
     require(n.isNumber, s"$what must be a JSON number, got: $n")
     n
   }
+
+  /** Optional int field with the same strictness ({"k":"10"} must be a
+    * 400, not a silent k=0 search). */
+  private def intOpt(b: JsonNode, field: String, default: Int): Int =
+    Option(b.get(field)).filterNot(_.isNull)
+      .map(numeric(_, s"'$field'").intValue()).getOrElse(default)
 }

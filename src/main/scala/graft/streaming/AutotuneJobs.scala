@@ -47,7 +47,10 @@ object AutotuneJobs {
       createIndex, indexPath, System.currentTimeMillis())
     spark.createDataFrame(java.util.List.of(row), JobSchema)
       .coalesce(1).write.mode("append").parquet(jobsDir)
-    EmbeddingJobs.appendStatus(spark, statusDir, jobId, 0, "queued", 0, 0, 0, null)
+    // nextSeq, not 0: a resubmitted job's queued row must outrank the
+    // previous run's final row in status()
+    EmbeddingJobs.appendStatus(spark, statusDir, jobId,
+      EmbeddingJobs.nextSeq(spark, statusDir, jobId), "queued", 0, 0, 0, null)
   }
 
   /** Run one autotune job: running → grid report written (progress

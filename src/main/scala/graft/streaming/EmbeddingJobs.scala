@@ -69,7 +69,10 @@ object EmbeddingJobs {
       System.currentTimeMillis())
     spark.createDataFrame(java.util.List.of(row), JobSchema)
       .coalesce(1).write.mode("append").parquet(jobsDir)
-    appendStatus(spark, statusDir, jobId, 0, "queued", 0, 0, 0, null)
+    // nextSeq, not 0: a RESUBMITTED job's queued row must outrank the
+    // previous run's final row in status()
+    appendStatus(spark, statusDir, jobId, nextSeq(spark, statusDir, jobId),
+      "queued", 0, 0, 0, null)
   }
 
   private[streaming] def appendStatus(

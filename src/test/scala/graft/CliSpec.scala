@@ -70,6 +70,15 @@ class CliSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/results/job-1/embeddings").count() == 10)
   }
 
+  test("autotune dir flags without --autotune-jobs are an error, not ignored") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.run("start-daemon", Map(
+        "jobs" -> "j", "status" -> "s", "results" -> "r", "ckpt" -> "c",
+        "autotune-status" -> "x", "once" -> "true"))
+    }
+    assert(e.getMessage.contains("--autotune-jobs"), e.getMessage)
+  }
+
   test("start-daemon isolates the two job families' status/results dirs") {
     spark
     val root = tmp("d2")

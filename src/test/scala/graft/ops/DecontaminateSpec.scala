@@ -61,6 +61,20 @@ class DecontaminateSpec extends SparkTestBase {
       org.apache.spark.sql.execution.WholeStageCodegenExec]), s)
   }
 
+  test("null text is clean (count 0, flagged false), never NULL-dropped") {
+    val benchDf = bench.toDF("doc_id", "text")
+    val corpusDf = Seq((1L, Some("totally unrelated words in this row")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val rows = Decontaminate.flag(corpusDf, "text", benchDf, "text", n = 3)
+      .select("doc_id", "n_contaminated", "flagged")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 2, rows.toSeq)
+    assert(rows(1) == ((2L, 0, false)), rows.toSeq)
+    // the documented clean-corpus filter keeps the null-text row
+    assert(Decontaminate.flag(corpusDf, "text", benchDf, "text", n = 3)
+      .where(!col("flagged")).count() == 2)
+  }
+
   test("empty benchmark set leaves every document clean") {
     val benchDf = Seq((1L, "xy")).toDF("doc_id", "text") // < n tokens
     val corpusDf = corpus.toDF("doc_id", "text")

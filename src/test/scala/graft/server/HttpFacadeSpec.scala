@@ -148,6 +148,18 @@ class HttpFacadeSpec extends SparkTestBase
       s"""{"rows":[{"id":7,"vector":[0.1,"x"],"data":"x"}]}""")._1 == 400)
     // nothing landed at id 0
     assert(req("GET", "/collections/strict")._2.contains("\"row_count\":0"))
+    // string k must be a 400, not a silent k=0 empty search
+    assert(req("PUT", "/collections/strict",
+      s"""{"rows":[{"id":1,"vector":${vecJson(vec(1))},"data":"a"}]}""")._1 == 200)
+    assert(req("POST", "/collections/strict/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(1))},"k":"3"}""")._1 == 400)
+    // explicit JSON nulls are SQL NULL, not the string "null" / a 400
+    assert(req("PUT", "/collections/strict",
+      """{"rows":[{"id":2,"vector":null,"data":null}]}""")._1 == 200)
+    val stored = spark.read.parquet(s"$root/collections/strict")
+      .where(org.apache.spark.sql.functions.col("id") === 2)
+      .select("vector", "data").head()
+    assert(stored.isNullAt(0) && stored.isNullAt(1), stored.toString)
     assert(req("DELETE", "/collections/strict")._1 == 200)
   }
 

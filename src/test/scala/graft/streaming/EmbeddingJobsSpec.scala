@@ -102,6 +102,22 @@ class EmbeddingJobsSpec extends SparkTestBase {
     assert(cur == "failed", s"retry outcome shadowed: $cur")
   }
 
+  test("a resubmit's queued row immediately outranks the old run's final row") {
+    val root = tmp("d5")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    val src = s"$root/src"
+    Seq((1L, "alpha")).toDF("id", "text").write.parquet(src)
+    EmbeddingJobs.submit(spark, jobs, status, 7L, src, "id", "text")
+    val q = EmbeddingJobs.daemon(spark, jobs, status, s"$root/results", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // resubmit BEFORE any daemon runs it: status must already read
+    // "queued", not the old run's "completed"
+    EmbeddingJobs.submit(spark, jobs, status, 7L, src, "id", "text")
+    val cur = EmbeddingJobs.status(spark, status).where(col("job_id") === 7)
+      .select("status").as[String].head()
+    assert(cur == "queued", s"stale status after resubmit: $cur")
+  }
+
   test("autotune jobs: grid report, winner promote, status transitions") {
     import org.apache.spark.sql.functions.col
     val root = tmp("d3")

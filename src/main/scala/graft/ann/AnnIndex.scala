@@ -321,6 +321,77 @@ object AnnIndex {
       .take(kk)
   }
 
+  /** Filtered ANN search — `WHERE pred ORDER BY dist LIMIT k` through
+    * the index. The reference satisfies this by streaming: the executor
+    * keeps pulling tuples from the index scan and applies the WHERE
+    * until the LIMIT fills (scan.c:332-333 post-filter + amgettuple's
+    * resumable scan). Spark's planner rule instead refuses to fire
+    * through a Filter (AnnScan.scala — a fixed candidate set can starve
+    * the limit); THIS is the explicit operator for that shape:
+    *
+    *  1. over-fetch `max(ef, 2k)` candidates from the index;
+    *  2. keep those passing `pred` — the tiny candidate set is
+    *     broadcast-joined against the filtered table, so the predicate
+    *     (and its pushdown) is evaluated by Spark, not re-implemented;
+    *  3. too few survivors → widen 4× and rescan (the streaming
+    *     analog); after `maxRounds` widenings fall back to EXACT
+    *     filtered top-k (one TakeOrdered scan pass — the same fallback
+    *     the planner rule uses, and the only correct answer when the
+    *     predicate keeps < k rows).
+    *
+    * Selective predicates cost one index probe + candidate-sized joins;
+    * hyper-selective ones degrade to the exact scan they require
+    * anyway. `df` must hold the rows the index was built on.
+    */
+  def searchFiltered(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      pred: Column,
+      efOverride: Int = 0,
+      maxRounds: Int = 3): Array[(Long, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = readHeader(spark, path)
+    // exact-fallback distance, resolved EAGERLY so an unsupported
+    // metric fails before any index probe (hamming tables hold b1
+    // packed ints while the query here is word-packed — same
+    // restriction as searchRerank)
+    val distFn: (Column, Column) => Column = h.metric match {
+      case "l2sq" => graft.functions.l2sq_dist
+      case "cos" => graft.functions.cos_dist
+      case "inner" => (a, b) => -graft.functions.inner_product(a, b)
+      case m => throw new IllegalArgumentException(
+        s"graft: searchFiltered unsupported for metric '$m'")
+    }
+    val filtered = df.where(pred)
+    var width = math.max(math.max(if (efOverride > 0) efOverride else h.ef, 2 * k), 1)
+    var round = 0
+    while (round < maxRounds) {
+      val cands = search(spark, path, query, width, math.max(efOverride, width))
+      val candDf = cands.toSeq.toDF("__cand_id", "__cand_dist")
+      val surv = filtered
+        .join(org.apache.spark.sql.functions.broadcast(candDf),
+          col(idCol) === $"__cand_id")
+        .select($"__cand_id", $"__cand_dist")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(x => (x._2, x._1))
+      if (surv.length >= k) return surv.take(k)
+      width *= 4
+      round += 1
+    }
+    // exact fallback: distance over the filtered table only
+    filtered
+      .select(col(idCol).cast("long").as("__id"),
+        distFn(col(vecCol), lit(query)).as("__d"))
+      .orderBy($"__d", $"__id").limit(k)
+      .as[(Long, Double)].collect()
+  }
+
   /** Top-k with exact re-rank — the companion to quantized storage
     * (quant f16/i8): the quantized graph pre-selects `max(ef, 4k)`
     * candidates, then the true float column is fetched for just those

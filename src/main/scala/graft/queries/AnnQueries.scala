@@ -102,6 +102,47 @@ object AnnQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** Filtered-search gate (`WHERE pred ORDER BY dist LIMIT k` through
+    * the index — the reference's post-filter streaming scan,
+    * scan.c:332-333). Two sub-gates on one index artifact:
+    *  1. a 1-in-3 predicate: adaptive over-fetch must reach recall@10
+    *     ≥ 0.8 vs the exact FILTERED top-10;
+    *  2. a starving predicate keeping < k rows: the exact fallback must
+    *     return exactly the surviving rows (no starvation, the
+    *     LIMIT-starvation case the planner rule refuses to gamble on).
+    */
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ann", dir, "embeddings")
+    cached(path) {
+      AnnIndex.build(e, "vec_id", "embedding", path,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+    val pred = col("vec_id") % 3 === 0
+    val got = AnnIndex
+      .searchFiltered(e, "vec_id", "embedding", path, q, 10, pred)
+      .map(_._1).toSet
+    val exact = e.where(pred)
+      .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+
+    val starvingPred = col("vec_id") < 3 // < k survivors
+    val gotStarved = AnnIndex
+      .searchFiltered(e, "vec_id", "embedding", path, q, 10, starvingPred)
+      .map(_._1).toSet
+    val allSurvivors = e.where(starvingPred)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    if (recall >= 0.8 && gotStarved == allSurvivors) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** IVF recall gate: coarse-quantized partition-pruned search must
     * reach recall@10 ≥ 0.8 vs the exact oracle with half the lists
     * probed. */
@@ -250,6 +291,7 @@ object AnnQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
+    QueryDef("knn_ann_filtered", Some("SELECT 1 AS ok"), annFiltered),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),

@@ -93,6 +93,36 @@ class AnnSpec extends SparkTestBase {
     assert(AnnIndex.validate(spark, path).count() === 0)
   }
 
+  test("searchFiltered: predicate respected, high recall, starvation falls back exact") {
+    val dir = sf("sf0.001")
+    val path = Files.createTempDirectory("graft-annf").toString + "/idx"
+    val e = Tables.embeddings(spark, dir)
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+    // 1-in-3 predicate: every hit passes it, recall vs exact filtered
+    val pred = col("vec_id") % 3 === 0
+    val got = AnnIndex.searchFiltered(e, "vec_id", "embedding", path, q, 10, pred)
+    assert(got.forall(_._1 % 3 == 0), got.toSeq)
+    assert(got.length == 10)
+    // nearest-first ordering
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    val exactF = e.where(pred)
+      .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(recall(got.map(_._1).toSeq, exactF) >= 0.8)
+
+    // predicate keeping < k rows: MUST return exactly those (the exact
+    // fallback — a fixed candidate set would starve here)
+    val starved = AnnIndex.searchFiltered(
+      e, "vec_id", "embedding", path, q, 10, col("vec_id") < 3)
+    assert(starved.map(_._1).toSet ==
+      e.where(col("vec_id") < 3).select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("AnnIndex append adds searchable rows; delete tombstones them") {
     val path = Files.createTempDirectory("graft-ann2").toString + "/idx"
     import spark.implicits._

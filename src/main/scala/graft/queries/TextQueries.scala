@@ -239,6 +239,53 @@ object TextQueries {
        |FROM injected ORDER BY doc_id""".stripMargin
   }
 
+  /** URL/domain analysis over mirrored deterministic URL injection
+    * (the corpus has no URLs): two URLs per doc — mixed-case host with
+    * doc_id-derived sub/apex and a second plain one — then extraction,
+    * host normalization and subdomain-aware blocklist matching, all
+    * replayed verbatim in the oracle. */
+  private def urlDomains(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlAnalysis
+    val blocked = Seq("example-site3.com", "blog2.org")
+    val injected = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" see https://sub"), (col("doc_id") % 13).cast("string"),
+        lit(".Example-Site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"),
+        lit(" plus http://blog"), (col("doc_id") % 5).cast("string"),
+        lit(".org/item?x=1")).as("t"))
+    injected.select(
+      col("doc_id"),
+      size(UrlAnalysis.extractUrls(col("t"))).as("n_urls"),
+      concat_ws(",", UrlAnalysis.domains(col("t"))).as("domains_csv"),
+      UrlAnalysis.hasBlockedDomain(col("t"), blocked).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val urlDomainsOracle =
+    """WITH injected AS (
+      |  SELECT doc_id,
+      |    text || ' see https://sub' || CAST(doc_id % 13 AS VARCHAR)
+      |      || '.Example-Site' || CAST(doc_id % 7 AS VARCHAR)
+      |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+      |      || ' plus http://blog' || CAST(doc_id % 5 AS VARCHAR) || '.org/item?x=1' AS t
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, t,
+      |    list_sort(list_distinct(list_transform(
+      |      regexp_extract_all(t, 'https?://[^\s"''<>]+'),
+      |      u -> lower(regexp_extract(u, '^https?://([^/:?#]+)', 1))))) AS doms
+      |  FROM injected
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, 'https?://[^\s"''<>]+')) AS INT) AS n_urls,
+      |  array_to_string(doms, ',') AS domains_csv,
+      |  len(list_filter(doms, x -> x = 'example-site3.com'
+      |    OR ends_with(x, '.example-site3.com')
+      |    OR x = 'blog2.org' OR ends_with(x, '.blog2.org'))) > 0 AS blocked
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
     QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),
@@ -253,5 +300,6 @@ object TextQueries {
     QueryDef("stem_tokens", Some(stemTokensOracle), stemTokens),
     QueryDef("bloom_membership", Some(bloomMembershipOracle), bloomMembership),
     QueryDef("pii_scrub", Some(piiScrubOracle), piiScrub),
+    QueryDef("url_domains", Some(urlDomainsOracle), urlDomains),
   )
 }

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain analysis for web-scraped training corpora: extract
+  * URLs, normalize to registrable host, filter by domain blocklist,
+  * and aggregate per-domain corpus stats — the standard provenance
+  * filtering step (C4 drops blocklisted domains; Dolma/RefinedWeb
+  * score by source domain). Not in the reference engine; part of the
+  * pipeline surface.
+  *
+  * Patterns are restricted to syntax with identical semantics in Java
+  * regex and RE2 (same policy as [[TextAnalysis.Pii]]) so the driver
+  * gate replays them verbatim in DuckDB. Everything except
+  * [[domainCounts]] is pure codegen'd map-side built-ins — no shuffle,
+  * no UDFs; domainCounts is one partial-aggregated groupBy on a
+  * low-cardinality key.
+  */
+object UrlAnalysis {
+
+  /** http(s) URLs: scheme + everything up to whitespace/quote/angle
+    * (trailing punctuation intentionally included — exact boundary
+    * trimming differs per pipeline; callers can strip). */
+  val UrlPattern = "https?://[^\\s\"'<>]+"
+
+  /** Host part of a URL (group 1): after the scheme, up to the first
+    * `/ : ? #`. */
+  val HostPattern = "^https?://([^/:?#]+)"
+
+  /** All URLs in `text` as array<string> (empty when none). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Lowercased host of a single URL ('' for non-URLs). */
+  def domainOf(url: Column): Column =
+    lower(regexp_extract(url, HostPattern, 1))
+
+  /** Distinct lowercased hosts mentioned in `text`, sorted (deterministic
+    * for hashing/oracles). */
+  def domains(text: Column): Column =
+    sort_array(array_distinct(transform(extractUrls(text), domainOf(_))))
+
+  /** True when any mentioned host equals a blocked domain or is a
+    * subdomain of one (`ads.example.com` matches blocked
+    * `example.com`). The blocklist is inlined into the expression —
+    * right for curated lists (tens to hundreds of entries); for
+    * UT1-scale blocklists (millions) join [[domainCounts]]' key
+    * against a blocklist table or probe a broadcast set
+    * ([[graft.ops.CountInBroadcastSet]] pattern) instead. */
+  def hasBlockedDomain(text: Column, blocked: Seq[String]): Column = {
+    val b = blocked.map(_.toLowerCase)
+    exists(domains(text), d =>
+      b.map(x => d === x || d.endsWith("." + x)).reduce(_ || _))
+  }
+
+  /** Per-domain document counts over the corpus, descending — the
+    * source-distribution profile used for domain-level sampling
+    * decisions. One explode + one partial-aggregated groupBy on the
+    * domain key. */
+  def domainCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(domains(col(textCol))).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("domain"))
+}

@@ -286,6 +286,37 @@ object TextQueries {
       |    OR x = 'blog2.org' OR ends_with(x, '.blog2.org'))) > 0 AS blocked
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Per-language corpus profile — groupBy(lang) with exact
+    * percentiles; DuckDB's quantile_cont uses the same p·(n−1) linear
+    * interpolation as Spark's percentile, rounded to absorb float
+    * jitter. */
+  private def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val prof = graft.text.CorpusStats.byLanguage(
+      Tables.documents(s, dir), "lang", "text")
+    prof.select(
+      col("lang"), col("n_docs"), col("total_tokens"), col("avg_tokens"),
+      round(col("p50_tokens"), 4).as("p50_tokens"),
+      round(col("p90_tokens"), 4).as("p90_tokens"),
+      round(col("p99_tokens"), 4).as("p99_tokens"),
+      col("avg_chars"))
+  }
+
+  private val corpusStatsOracle =
+    """WITH t AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n,
+      |    len(text) AS c
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  round(avg(n), 4) AS avg_tokens,
+      |  round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+      |  round(quantile_cont(n, 0.9), 4) AS p90_tokens,
+      |  round(quantile_cont(n, 0.99), 4) AS p99_tokens,
+      |  round(avg(c), 4) AS avg_chars
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
     QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),
@@ -301,5 +332,6 @@ object TextQueries {
     QueryDef("bloom_membership", Some(bloomMembershipOracle), bloomMembership),
     QueryDef("pii_scrub", Some(piiScrubOracle), piiScrub),
     QueryDef("url_domains", Some(urlDomainsOracle), urlDomains),
+    QueryDef("corpus_stats", Some(corpusStatsOracle), corpusStats),
   )
 }

@@ -1,0 +1,35 @@
+package graft.text
+
+import graft.SparkTestBase
+
+class CorpusStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("byLanguage: hand-computed counts, totals and exact percentiles") {
+    val docs = Seq(
+      (1L, "en", "one two three"), // 3 tokens, 13 chars
+      (2L, "en", "a b c d e"), // 5 tokens, 9 chars
+      (3L, "en", "w x"), // 2 tokens, 3 chars
+      (4L, "de", "ein zwei")) // 2 tokens, 8 chars
+      .toDF("doc_id", "lang", "text")
+    val rows = CorpusStats.byLanguage(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val en = rows("en")
+    assert(en.getLong(1) == 3) // n_docs
+    assert(en.getLong(2) == 10) // total tokens
+    assert(en.getDouble(3) == 3.3333) // avg rounded
+    // exact percentile over [2,3,5]: p50 = 3, p90 = index 0.9*2=1.8 →
+    // 3 + 0.8*(5-3) = 4.6
+    assert(en.getDouble(4) == 3.0)
+    assert(math.abs(en.getDouble(5) - 4.6) < 1e-9)
+    assert(en.getDouble(7) == 8.3333) // avg_chars 25/3 rounded to 4 places
+
+    val de = rows("de")
+    assert(de.getLong(1) == 1 && de.getLong(2) == 2)
+
+    // overall collapses the key
+    val all = CorpusStats.overall(docs, "text").collect()
+    assert(all.length == 1 && all(0).getLong(0) == 4 && all(0).getLong(1) == 12)
+  }
+}

@@ -251,19 +251,38 @@ object AnnIndex {
   }
   private[ann] val ExactTombstoneLimit = 1000000L
 
-  private[graft] def tombstoneMask(spark: SparkSession, path: String): TombstoneMask = {
+  /** Raw tombstoned ids (column `id`) when any exist — the exact,
+    * join-friendly form (no bloom false positives). */
+  private[ann] def tombstonesDf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(path, TombDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) NoTombstones
-    else {
-      val df = spark.read.parquet(p.toString)
-      val n = df.count()
-      if (n == 0) NoTombstones
-      else if (n <= ExactTombstoneLimit)
-        ExactTombstones(df.collect().map(_.getLong(0)).toSet)
-      else BloomTombstones(df.stat.bloomFilter("id", n, 0.001))
-    }
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
+
+  /** Exact distance column for metrics whose table representation
+    * matches the query layout — shared by [[searchRerank]] and
+    * [[searchFiltered]] so their ranking can never drift apart.
+    * Hamming is excluded: its tables hold b1-packed ints while search
+    * queries are word-packed floats. */
+  private def exactDistFn(metric: String, op: String): (Column, Column) => Column =
+    metric match {
+      case "l2sq" => graft.functions.l2sq_dist
+      case "cos" => graft.functions.cos_dist
+      case "inner" => (a, b) => -graft.functions.inner_product(a, b)
+      case m => throw new IllegalArgumentException(
+        s"graft: $op unsupported for metric '$m'")
+    }
+
+  private[graft] def tombstoneMask(spark: SparkSession, path: String): TombstoneMask =
+    tombstonesDf(spark, path) match {
+      case None => NoTombstones
+      case Some(df) =>
+        val n = df.count()
+        if (n == 0) NoTombstones
+        else if (n <= ExactTombstoneLimit)
+          ExactTombstones(df.collect().map(_.getLong(0)).toSet)
+        else BloomTombstones(df.stat.bloomFilter("id", n, 0.001))
+    }
 
   // ------------------------------------------------------------- search
 
@@ -356,36 +375,44 @@ object AnnIndex {
     val spark = df.sparkSession
     import spark.implicits._
     val h = readHeader(spark, path)
-    // exact-fallback distance, resolved EAGERLY so an unsupported
-    // metric fails before any index probe (hamming tables hold b1
-    // packed ints while the query here is word-packed — same
-    // restriction as searchRerank)
-    val distFn: (Column, Column) => Column = h.metric match {
-      case "l2sq" => graft.functions.l2sq_dist
-      case "cos" => graft.functions.cos_dist
-      case "inner" => (a, b) => -graft.functions.inner_product(a, b)
-      case m => throw new IllegalArgumentException(
-        s"graft: searchFiltered unsupported for metric '$m'")
-    }
+    // exact distance, resolved EAGERLY so an unsupported metric fails
+    // before any index probe (hamming tables hold b1 packed ints while
+    // the query here is word-packed — same restriction as searchRerank)
+    val distFn = exactDistFn(h.metric, "searchFiltered")
     val filtered = df.where(pred)
     var width = math.max(math.max(if (efOverride > 0) efOverride else h.ef, 2 * k), 1)
     var round = 0
     while (round < maxRounds) {
       val cands = search(spark, path, query, width, math.max(efOverride, width))
-      val candDf = cands.toSeq.toDF("__cand_id", "__cand_dist")
+      // survivors ranked by the EXACT metric over the true vector
+      // column (computed in the same candidate join), so both this
+      // path and the fallback return identical distance semantics on
+      // quantized (f16/i8) indexes — the searchRerank principle
+      val candDf = cands.map(_._1).toSeq.toDF("__cand_id")
       val surv = filtered
         .join(org.apache.spark.sql.functions.broadcast(candDf),
           col(idCol) === $"__cand_id")
-        .select($"__cand_id", $"__cand_dist")
+        .select($"__cand_id", distFn(col(vecCol), lit(query)).as("__d"))
         .collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
         .sortBy(x => (x._2, x._1))
-      if (surv.length >= k) return surv.take(k)
+      // cands < width ⇒ the index was fully enumerated: surv IS the
+      // complete live filtered set — further widening (and the exact
+      // fallback scan) is provably futile
+      if (surv.length >= k || cands.length < width) return surv.take(k)
       width *= 4
       round += 1
     }
-    // exact fallback: distance over the filtered table only
-    filtered
+    // exact fallback: distance over the filtered table MINUS
+    // tombstones — search() masks deletes on the adaptive path, and a
+    // fallback without the anti-join would resurrect deleted rows
+    val live = tombstonesDf(spark, path) match {
+      case Some(t) => filtered.join(
+        t.select(col("id").as("__tomb_id")),
+        col(idCol) === $"__tomb_id", "left_anti")
+      case None => filtered
+    }
+    live
       .select(col(idCol).cast("long").as("__id"),
         distFn(col(vecCol), lit(query)).as("__d"))
       .orderBy($"__d", $"__id").limit(k)
@@ -413,13 +440,7 @@ object AnnIndex {
     val ef = math.max(if (efOverride > 0) efOverride else h.ef, 4 * k)
     val cands = search(spark, path, query, ef, ef).map(_._1)
     val candDf = cands.toSeq.toDF("__cand_id")
-    val distFn: (Column, Column) => Column = h.metric match {
-      case "l2sq" => graft.functions.l2sq_dist
-      case "cos" => graft.functions.cos_dist
-      case "inner" => (a, b) => -graft.functions.inner_product(a, b)
-      case m => throw new IllegalArgumentException(
-        s"graft: searchRerank unsupported for metric '$m'")
-    }
+    val distFn = exactDistFn(h.metric, "searchRerank")
     df.select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__v"))
       .join(broadcast(candDf), col("__id") === col("__cand_id"))
       .select(col("__id"), distFn(col("__v"), lit(query)).as("__d"))

@@ -263,28 +263,33 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val urlDomainsOracle =
-    """WITH injected AS (
-      |  SELECT doc_id,
-      |    text || ' see https://sub' || CAST(doc_id % 13 AS VARCHAR)
-      |      || '.Example-Site' || CAST(doc_id % 7 AS VARCHAR)
-      |      || '.com/p/' || CAST(doc_id AS VARCHAR)
-      |      || ' plus http://blog' || CAST(doc_id % 5 AS VARCHAR) || '.org/item?x=1' AS t
-      |  FROM documents
-      |), d AS (
-      |  SELECT doc_id, t,
-      |    list_sort(list_distinct(list_transform(
-      |      regexp_extract_all(t, 'https?://[^\s"''<>]+'),
-      |      u -> lower(regexp_extract(u, '^https?://([^/:?#]+)', 1))))) AS doms
-      |  FROM injected
-      |)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(t, 'https?://[^\s"''<>]+')) AS INT) AS n_urls,
-      |  array_to_string(doms, ',') AS domains_csv,
-      |  len(list_filter(doms, x -> x = 'example-site3.com'
-      |    OR ends_with(x, '.example-site3.com')
-      |    OR x = 'blog2.org' OR ends_with(x, '.blog2.org'))) > 0 AS blocked
-      |FROM d ORDER BY doc_id""".stripMargin
+  private val urlDomainsOracle = {
+    // the LIBRARY patterns, verbatim (single-quote-escaped for SQL) —
+    // one source of truth, so a pattern change cannot desync the oracle
+    val urlRe = graft.text.UrlAnalysis.UrlPattern.replace("'", "''")
+    val hostRe = graft.text.UrlAnalysis.HostPattern.replace("'", "''")
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    text || ' see https://sub' || CAST(doc_id % 13 AS VARCHAR)
+       |      || '.Example-Site' || CAST(doc_id % 7 AS VARCHAR)
+       |      || '.com/p/' || CAST(doc_id AS VARCHAR)
+       |      || ' plus http://blog' || CAST(doc_id % 5 AS VARCHAR) || '.org/item?x=1' AS t
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, t,
+       |    list_sort(list_distinct(list_transform(
+       |      regexp_extract_all(t, '$urlRe'),
+       |      u -> lower(regexp_extract(u, '$hostRe', 1))))) AS doms
+       |  FROM injected
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$urlRe')) AS INT) AS n_urls,
+       |  array_to_string(doms, ',') AS domains_csv,
+       |  len(list_filter(doms, x -> x = 'example-site3.com'
+       |    OR ends_with(x, '.example-site3.com')
+       |    OR x = 'blog2.org' OR ends_with(x, '.blog2.org'))) > 0 AS blocked
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-language corpus profile — groupBy(lang) with exact
     * percentiles; DuckDB's quantile_cont uses the same p·(n−1) linear
@@ -315,7 +320,7 @@ object TextQueries {
       |  round(quantile_cont(n, 0.9), 4) AS p90_tokens,
       |  round(quantile_cont(n, 0.99), 4) AS p99_tokens,
       |  round(avg(c), 4) AS avg_chars
-      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM t GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),

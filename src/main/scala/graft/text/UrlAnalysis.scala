@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object UrlAnalysis {
 
-  /** http(s) URLs: scheme + everything up to whitespace/quote/angle
-    * (trailing punctuation intentionally included — exact boundary
-    * trimming differs per pipeline; callers can strip). */
-  val UrlPattern = "https?://[^\\s\"'<>]+"
+  /** http(s) URLs, scheme case-insensitive (RFC 3986 §3.1 — `HTTP://`
+    * is the same scheme; a case-sensitive match would be a blocklist
+    * evasion vector): scheme + everything up to
+    * whitespace/quote/angle (trailing punctuation intentionally
+    * included — exact boundary trimming differs per pipeline; callers
+    * can strip). `(?i:...)` parses identically in Java regex and RE2. */
+  val UrlPattern = "(?i:https?)://[^\\s\"'<>]+"
 
-  /** Host part of a URL (group 1): after the scheme, up to the first
-    * `/ : ? #`. */
-  val HostPattern = "^https?://([^/:?#]+)"
+  /** Host part of a URL (group 1): after the scheme and optional
+    * userinfo (`user:pass@` — RFC 3986 §3.2.1; without stripping it,
+    * `http://foo@blocked.com` would report host `foo@blocked.com` and
+    * slip past blocklists), up to the first `/ : ? #`. */
+  val HostPattern = "^(?i:https?)://(?:[^/?#@]*@)?([^/:?#]+)"
 
   /** All URLs in `text` as array<string> (empty when none). */
   def extractUrls(text: Column): Column =
@@ -50,8 +55,11 @@ object UrlAnalysis {
     * ([[graft.ops.CountInBroadcastSet]] pattern) instead. */
   def hasBlockedDomain(text: Column, blocked: Seq[String]): Column = {
     val b = blocked.map(_.toLowerCase)
+    // foldLeft, not reduce: an empty blocklist means "nothing blocked",
+    // not an empty.reduce crash
     exists(domains(text), d =>
-      b.map(x => d === x || d.endsWith("." + x)).reduce(_ || _))
+      b.foldLeft(lit(false))((acc, x) =>
+        acc || d === x || d.endsWith("." + x)))
   }
 
   /** Per-domain document counts over the corpus, descending — the

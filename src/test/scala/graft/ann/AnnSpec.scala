@@ -121,6 +121,20 @@ class AnnSpec extends SparkTestBase {
       e, "vec_id", "embedding", path, q, 10, col("vec_id") < 3)
     assert(starved.map(_._1).toSet ==
       e.where(col("vec_id") < 3).select("vec_id").collect().map(_.getLong(0)).toSet)
+
+    // the exact fallback (forced via maxRounds = 0) must subtract
+    // tombstones — a deleted row may never resurface through a filter
+    AnnIndex.delete(spark, path, Seq(0L))
+    val afterDelete = AnnIndex.searchFiltered(
+      e, "vec_id", "embedding", path, q, 10, col("vec_id") < 3, maxRounds = 0)
+    assert(!afterDelete.map(_._1).contains(0L), afterDelete.toSeq)
+    assert(afterDelete.map(_._1).toSet ==
+      e.where(col("vec_id") < 3 && col("vec_id") =!= 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet)
+    // and the adaptive/exhaustion path masks them too
+    val adaptive = AnnIndex.searchFiltered(
+      e, "vec_id", "embedding", path, q, 10, col("vec_id") < 3)
+    assert(!adaptive.map(_._1).contains(0L), adaptive.toSeq)
   }
 
   test("AnnIndex append adds searchable rows; delete tombstones them") {

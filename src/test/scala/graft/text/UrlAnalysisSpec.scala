@@ -38,6 +38,29 @@ class UrlAnalysisSpec extends SparkTestBase {
     assert(got(5L)) // apex.net exact + deep.sub.apex.net subdomain
   }
 
+  test("scheme case and userinfo cannot evade the blocklist") {
+    val tricky = Seq(
+      (1L, "loud HTTPS://Blocked.com/x scheme"),
+      (2L, "creds http://foo:pw@blocked.com/y inside"),
+      (3L, "both HTTP://a:b@sub.Blocked.COM/z"))
+      .toDF("doc_id", "t")
+    val got = tricky.select(
+      $"doc_id",
+      UrlAnalysis.domains($"t").as("d"),
+      UrlAnalysis.hasBlockedDomain($"t", Seq("blocked.com")).as("b"))
+      .as[(Long, Seq[String], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == Seq("blocked.com") && got(1L)._3)
+    assert(got(2L)._2 == Seq("blocked.com") && got(2L)._3) // userinfo stripped
+    assert(got(3L)._2 == Seq("sub.blocked.com") && got(3L)._3)
+  }
+
+  test("empty blocklist blocks nothing (and does not crash)") {
+    val got = docs.select(
+      UrlAnalysis.hasBlockedDomain($"t", Seq.empty).as("b"))
+      .as[Boolean].collect()
+    assert(got.forall(_ == false))
+  }
+
   test("domainCounts aggregates per distinct host per doc") {
     val counts = UrlAnalysis.domainCounts(docs, "t")
       .as[(String, Long)].collect().toMap

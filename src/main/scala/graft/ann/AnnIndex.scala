@@ -251,6 +251,16 @@ object AnnIndex {
   }
   private[ann] val ExactTombstoneLimit = 1000000L
 
+  /** Total bytes of the graph shard files — artifact-size
+    * introspection (the `quant_bits` 2–4× size lever is gated on
+    * this). */
+  def graphBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path, GraphDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".hnsw"))
+      .map(_.getLen).sum
+  }
+
   /** Raw tombstoned ids (column `id`) when any exist — the exact,
     * join-friendly form (no bloom false positives). */
   private[ann] def tombstonesDf(spark: SparkSession, path: String): Option[DataFrame] = {

@@ -270,10 +270,6 @@ object AnnQueries {
         AnnParams(m = 16, efConstruction = 128, ef = 64,
           numPartitions = 4, quant = "i8"))
     }
-    def shardBytes(p: String): Long = {
-      val d = new java.io.File(p, "graphs")
-      d.listFiles().filter(_.getName.endsWith(".hnsw")).map(_.length()).sum
-    }
     val q = e.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
     val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
@@ -284,7 +280,8 @@ object AnnQueries {
     val plain = recallOf(AnnIndex.search(s, i8Path, q, 10).map(_._1).toSet)
     val reranked = recallOf(
       AnnIndex.searchRerank(e, "vec_id", "embedding", i8Path, q, 10).map(_._1).toSet)
-    val sizeOk = shardBytes(i8Path) * 2 <= shardBytes(f32Path)
+    val sizeOk =
+      AnnIndex.graphBytes(s, i8Path) * 2 <= AnnIndex.graphBytes(s, f32Path)
     if (plain >= 0.8 && reranked >= 0.9 && sizeOk) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }

@@ -27,10 +27,7 @@ class QuantAnnSpec extends SparkTestBase {
     new java.io.File(
       java.nio.file.Files.createTempDirectory("graft-quant").toFile, name).toString
 
-  private def shardBytes(p: String): Long = {
-    val d = new java.io.File(p, "graphs")
-    d.listFiles().filter(_.getName.endsWith(".hnsw")).map(_.length()).sum
-  }
+  private def shardBytes(p: String): Long = AnnIndex.graphBytes(spark, p)
 
   private def exactTop(q: Array[Float], k: Int): Set[Long] =
     data.withColumn("d", l2sq_dist(col("vec"), lit(q)))

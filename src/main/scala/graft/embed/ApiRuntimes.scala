@@ -8,6 +8,59 @@ trait HttpTransport extends Serializable {
   def post(url: String, body: String, headers: Map[String, String]): String
 }
 
+/** Token-budget chunking for API embedding requests — the analog of
+  * the reference's `chunk_inputs` + `group_vectors_by_token_count`
+  * (openai_runtime.rs:314-400). Token counts use the library's GPT-2
+  * style pre-tokenizer ([[graft.functions.BpePretokenizePattern]]):
+  * tiktoken's cl100k merges are unavailable offline, and pre-token
+  * counts LOWER-bound BPE counts (BPE only splits pre-tokens further),
+  * so truncation is slightly laxer than the reference's — documented
+  * deviation, same shape.
+  */
+private[embed] object TokenChunker {
+  private val P =
+    java.util.regex.Pattern.compile(graft.functions.BpePretokenizePattern)
+
+  /** Text cut at the `maxTokens`-th pre-token boundary (a prefix of
+    * the original — the pattern's matches tile the whole string),
+    * plus its token count. `maxTokens <= 0` = no limit. */
+  def truncate(text: String, maxTokens: Int): (String, Int) = {
+    val m = P.matcher(text)
+    var n = 0
+    var end = 0
+    var more = false
+    while ({ more = m.find(); more && (maxTokens <= 0 || n < maxTokens) }) {
+      n += 1
+      end = m.end()
+    }
+    if (more) (text.substring(0, end), n) else (text, n)
+  }
+
+  /** Greedy packing of (text, idx, tokens) into groups whose total
+    * token count stays within `budget` (each item alone is within it
+    * after [[truncate]]); `budget <= 0` = single group. */
+  def group(
+      items: Seq[(String, Int, Int)],
+      budget: Int): Seq[Seq[(String, Int, Int)]] = {
+    if (items.isEmpty) return Nil
+    if (budget <= 0) return Seq(items)
+    val out = scala.collection.mutable.ArrayBuffer[Seq[(String, Int, Int)]]()
+    var cur = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    var used = 0
+    items.foreach { it =>
+      if (cur.nonEmpty && used + it._3 > budget) {
+        out += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+        used = 0
+      }
+      cur += it
+      used += it._3
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
+  }
+}
+
 object NoEgressTransport extends HttpTransport {
   override def post(url: String, body: String, headers: Map[String, String]): String =
     throw new IllegalStateException(
@@ -29,12 +82,12 @@ class OpenAiEmbeddingRuntime(
 
   override def name: String = "openai"
 
-  /** Models/dims per openai_runtime.rs:79-101; batch 500 per
-    * embeddings/mod.rs:574-608. */
+  /** Models/dims/sequence_len per openai_runtime.rs:79-101; batch 500
+    * per embeddings/mod.rs:574-608. */
   override def models: Seq[ModelInfo] = Seq(
-    ModelInfo("text-embedding-ada-002", 1536, 500),
-    ModelInfo("text-embedding-3-small", 1536, 500),
-    ModelInfo("text-embedding-3-large", 3072, 500))
+    ModelInfo("text-embedding-ada-002", 1536, 500, seqLen = 8190),
+    ModelInfo("text-embedding-3-small", 1536, 500, seqLen = 8190),
+    ModelInfo("text-embedding-3-large", 3072, 500, seqLen = 8190))
 
   override def embedBatch(
       model: String, inputs: Seq[String]): Seq[Either[String, Array[Float]]] = {
@@ -44,25 +97,34 @@ class OpenAiEmbeddingRuntime(
     val good = inputs.zipWithIndex.filter { case (t, _) => t != null && t.nonEmpty }
     val results = scala.collection.mutable.ArrayBuffer
       .fill[Either[String, Array[Float]]](inputs.size)(Left("empty input"))
-    if (good.nonEmpty) {
+    // the reference's chunk_inputs (openai_runtime.rs:314-371):
+    // truncate each input to sequence_len tokens, then pack inputs
+    // into requests whose TOTAL token count stays within the budget —
+    // one oversized request would otherwise fail the whole batch. A
+    // request that does fail only fails ITS inputs, not the batch.
+    val prepared = good.map { case (t, idx) =>
+      val (text, n) = TokenChunker.truncate(t, info.seqLen)
+      (text, idx, n)
+    }
+    TokenChunker.group(prepared, info.seqLen).foreach { grp =>
       val body = ApiJson.obj(
         "model" -> ApiJson.str(model),
-        "input" -> ApiJson.arr(good.map { case (t, _) => ApiJson.str(t) }))
+        "input" -> ApiJson.arr(grp.map { case (t, _, _) => ApiJson.str(t) }))
       try {
         val resp = transport.post(s"$baseUrl/embeddings", body,
           Map("Authorization" -> s"Bearer $apiKey",
             "Content-Type" -> "application/json"))
         val vecs = ApiJson.extractFloatArrays(resp, "embedding")
-        require(vecs.size == good.size,
-          s"graft: expected ${good.size} embeddings, got ${vecs.size}")
-        good.zip(vecs).foreach { case ((_, idx), v) =>
+        require(vecs.size == grp.size,
+          s"graft: expected ${grp.size} embeddings, got ${vecs.size}")
+        grp.zip(vecs).foreach { case ((_, idx, _), v) =>
           results(idx) =
             if (v.length == info.dim) Right(v)
             else Left(s"bad dim ${v.length} != ${info.dim}")
         }
       } catch {
         case e: Exception =>
-          good.foreach { case (_, idx) => results(idx) = Left(e.getMessage) }
+          grp.foreach { case (_, idx, _) => results(idx) = Left(e.getMessage) }
       }
     }
     results.toSeq

@@ -1,10 +1,12 @@
 package graft.embed
 
-/** Model metadata: name, output dim, and the per-model default batch
-  * size (the reference keys batching on the model —
-  * lantern_cli/src/embeddings/mod.rs:574-608).
+/** Model metadata: name, output dim, the per-model default batch size
+  * (the reference keys batching on the model —
+  * lantern_cli/src/embeddings/mod.rs:574-608), and the model's token
+  * sequence limit (`sequence_len`, openai_runtime.rs:83-97; 0 = no
+  * limit — inputs are neither truncated nor token-grouped).
   */
-case class ModelInfo(name: String, dim: Int, batchSize: Int)
+case class ModelInfo(name: String, dim: Int, batchSize: Int, seqLen: Int = 0)
 
 /** Pluggable embedding backend — the `EmbeddingRuntimeT` trait of the
   * reference (lantern_cli/src/embeddings/core/runtime.rs:18-28), which

@@ -30,6 +30,43 @@ class ApiRuntimeSpec extends SparkTestBase {
     assert(fake.calls.head._2.contains("\"model\":\"text-embedding-3-small\""))
   }
 
+  test("TokenChunker: truncation at the pre-token boundary, greedy grouping") {
+    val (t1, n1) = TokenChunker.truncate("alpha beta gamma delta", 2)
+    assert(t1 == "alpha beta" && n1 == 2)
+    val (t2, n2) = TokenChunker.truncate("one two", 10)
+    assert(t2 == "one two" && n2 == 2) // under limit: untouched
+    val (t3, n3) = TokenChunker.truncate("x y z", 0)
+    assert(t3 == "x y z" && n3 == 3) // 0 = unlimited
+
+    val items = Seq(("a", 0, 5), ("b", 1, 4), ("c", 2, 4), ("d", 3, 9))
+    val grps = TokenChunker.group(items, budget = 9)
+    assert(grps.map(_.map(_._1)) == Seq(Seq("a", "b"), Seq("c"), Seq("d")))
+    assert(TokenChunker.group(Nil, 9).isEmpty)
+    assert(TokenChunker.group(items, 0) == Seq(items)) // 0 = one group
+  }
+
+  test("openai runtime splits oversized batches by token budget and truncates long inputs") {
+    val dim = 1536
+    val vec = (1 to dim).map(_ => "0.1").mkString(",")
+    val fake = new FakeTransport((_, body) => {
+      val n = body.split("\\\"input\\\":\\[")(1).takeWhile(_ != ']').count(_ == ',') + 1
+      (1 to n).map(_ => s"""{"object":"embedding","embedding":[$vec]}""")
+        .mkString("""{"data":[""", ",", "]}")
+    })
+    val rt = new OpenAiEmbeddingRuntime(apiKey = "k", transport = fake)
+    // 5000 pre-tokens each; budget 8190 → three requests of one input
+    val big = ("word " * 5000).trim
+    val out = rt.embedBatch("text-embedding-ada-002", Seq(big, big, big))
+    assert(out.forall(_.isRight))
+    assert(fake.calls.size == 3, s"${fake.calls.size} requests")
+    // 9000-token input is truncated to the 8190-pre-token prefix
+    fake.calls = Nil
+    val huge = ("word " * 9000).trim
+    assert(rt.embedBatch("text-embedding-ada-002", Seq(huge)).head.isRight)
+    val sent = fake.calls.head._2.split("\\\"input\\\":\\[\\\"")(1).takeWhile(_ != '"')
+    assert(sent.split(" ").length == 8190, s"${sent.split(" ").length} tokens sent")
+  }
+
   test("openai completion extracts message content") {
     val fake = new FakeTransport((_, _) =>
       """{"choices":[{"message":{"role":"assistant","content":"hi there"}}]}""")

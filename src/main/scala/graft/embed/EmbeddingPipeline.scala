@@ -23,6 +23,7 @@ object EmbeddingPipeline {
 
   val EmbeddingCol = "embedding_out"
   val ErrorCol = "embed_error"
+  val CompletionCol = "completion_out"
 
   /** Append `embedding_out` (array<float>, null on failure) and
     * `embed_error` (string, null on success) to `df`.
@@ -53,6 +54,45 @@ object EmbeddingPipeline {
       }
     }(enc)
   }
+
+  /** Batch LLM completion with failed-row capture — the completion-job
+    * pipeline (`add_completion_job`, lantern_extras/src/daemon.rs:175
+    * + daemon/embedding_jobs.rs's completion job_type): one completion
+    * per row through the runtime, appending `completion_out` (null on
+    * failure) and `embed_error` (null on success). Same side-output
+    * contract as [[createEmbeddings]] — a bad row never fails the job.
+    * Map-side; per-row calls because completion APIs take one prompt
+    * per request (the reference does the same).
+    */
+  def createCompletions(
+      df: DataFrame,
+      promptCol: String,
+      runtime: EmbeddingRuntime,
+      model: String,
+      systemPrompt: String = ""): DataFrame = {
+    val schema = df.schema
+      .add(CompletionCol, StringType)
+      .add(ErrorCol, StringType)
+    val promptIdx = df.schema.fieldIndex(promptCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = if (r.isNullAt(promptIdx)) null else r.getString(promptIdx)
+        if (p == null || p.isEmpty)
+          Row.fromSeq(r.toSeq :+ null :+ "empty input")
+        else try
+          Row.fromSeq(r.toSeq :+ runtime.complete(model, systemPrompt, p) :+ null)
+        catch {
+          case e: Exception => Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+        }
+      }
+    }(enc)
+  }
+
+  /** Rows whose completion succeeded, error column dropped (same
+    * contract as [[embeddedRows]]; failures via [[failedRows]]). */
+  def completedRows(df: DataFrame): DataFrame =
+    df.where(col(ErrorCol).isNull).drop(ErrorCol)
 
   /** `image_embedding` over a binary media column — the reference
     * dispatches text and image inputs through the same embedding entry

@@ -84,8 +84,40 @@ object EmbedQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Completion-job family through the same daemon (`add_completion_job`
+    * analog): submit with job_type=completion, run, emit per-doc
+    * completions + final status. The mock runtime's completion is a
+    * pure string function, so the whole cycle is hash-checked. */
+  private def completionJobs(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EmbeddingJobs
+    val root = java.nio.file.Files.createTempDirectory("graft-cjobs").toString
+    EmbeddingJobs.submit(s, s"$root/jobs", s"$root/status", 1L,
+      s"$dir/documents.parquet", "doc_id", "text",
+      jobType = "completion", systemPrompt = "sys")
+    val q = EmbeddingJobs.daemon(s, s"$root/jobs", s"$root/status",
+      s"$root/results", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val comp = s.read.parquet(s"$root/results/job-1/completions")
+      .select(col("doc_id"), col(EmbeddingPipeline.CompletionCol).as("completion"))
+    val st = EmbeddingJobs.status(s, s"$root/status")
+      .where(col("job_id") === 1)
+      .select(col("status").as("job_status"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .crossJoin(broadcast(st))
+      .orderBy("doc_id")
+  }
+
+  private val completionJobsOracle =
+    """SELECT doc_id,
+      |  CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+      |    ELSE '[hash-mock/mock/tiny] ' || substr(text, 1, 80) END AS completion,
+      |  'completed' AS job_status
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("embed_pipeline", Some(oracle), embedPipeline),
     QueryDef("embedding_jobs", Some(jobsOracle), embeddingJobs),
+    QueryDef("completion_jobs", Some(completionJobsOracle), completionJobs),
   )
 }

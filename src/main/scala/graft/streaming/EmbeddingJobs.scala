@@ -41,6 +41,11 @@ object EmbeddingJobs {
     StructField("text_col", StringType, nullable = false),
     StructField("runtime", StringType, nullable = false),
     StructField("model", StringType, nullable = false),
+    // "embedding" | "completion" — one jobs table serves both families
+    // exactly like the reference's embedding_generation_jobs.job_type
+    // (lantern_extras/src/daemon.rs:122-227)
+    StructField("job_type", StringType, nullable = false),
+    StructField("system_prompt", StringType, nullable = true),
     StructField("submitted_at", LongType, nullable = false)))
 
   val StatusSchema: StructType = StructType(Seq(
@@ -53,8 +58,8 @@ object EmbeddingJobs {
     StructField("error", StringType, nullable = true),
     StructField("updated_at", LongType, nullable = false)))
 
-  /** Declare a job (an INSERT into the jobs table). Appends the row
-    * and a seq-0 "queued" status. */
+  /** Declare a job (an INSERT into the jobs table — `add_embedding_job`
+    * / `add_completion_job`). Appends the row and a "queued" status. */
   def submit(
       spark: SparkSession,
       jobsDir: String,
@@ -64,9 +69,13 @@ object EmbeddingJobs {
       idCol: String,
       textCol: String,
       runtime: String = "hash-mock",
-      model: String = "mock/tiny"): Unit = {
+      model: String = "mock/tiny",
+      jobType: String = "embedding",
+      systemPrompt: String = null): Unit = {
+    require(jobType == "embedding" || jobType == "completion",
+      s"graft: unknown job_type '$jobType' (embedding|completion)")
     val row = Row(jobId, srcPath, idCol, textCol, runtime, model,
-      System.currentTimeMillis())
+      jobType, systemPrompt, System.currentTimeMillis())
     spark.createDataFrame(java.util.List.of(row), JobSchema)
       .coalesce(1).write.mode("append").parquet(jobsDir)
     // nextSeq, not 0: a RESUBMITTED job's queued row must outrank the
@@ -103,6 +112,27 @@ object EmbeddingJobs {
       .agg(coalesce(max(col("seq")), lit(0))).head.getInt(0) + 1
   }
 
+  /** Cancel a job (`cancel_embedding_job` / `cancel_completion_job`,
+    * lantern_extras/src/daemon.rs:331-357): appends a "canceled" status
+    * row. A queued job is skipped by the runner; a RUNNING job stops at
+    * its next chunk boundary (the streaming-cancel analog — the
+    * reference's cancellation token also interrupts between batches). */
+  def cancel(spark: SparkSession, statusDir: String, jobId: Long): Unit =
+    // +1000 seq gap: a concurrently RUNNING job keeps appending from
+    // its own counter; the gap keeps the canceled row above any status
+    // the runner emits before its next boundary check
+    appendStatus(spark, statusDir, jobId,
+      nextSeq(spark, statusDir, jobId) + 1000, "canceled", 0, 0, 0, null)
+
+  private def isCanceled(
+      spark: SparkSession, statusDir: String, jobId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(statusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      status(spark, statusDir).where(col("job_id") === jobId)
+        .select("status").collect().headOption.exists(_.getString(0) == "canceled")
+  }
+
   /** Current state per job = its max-seq status row. */
   def status(spark: SparkSession, statusDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -131,12 +161,18 @@ object EmbeddingJobs {
       appendStatus(spark, statusDir, jobId, seq, status, progress, done,
         failed, error)
     }
+    // a canceled-while-queued job never starts (the reference skips
+    // rows with canceled_at set)
+    if (isCanceled(spark, statusDir, jobId)) return
     try {
       val srcPath = job.getString(job.fieldIndex("src_path"))
       val idCol = job.getString(job.fieldIndex("id_col"))
       val textCol = job.getString(job.fieldIndex("text_col"))
       val rt = resolve(job.getString(job.fieldIndex("runtime")))
       val model = job.getString(job.fieldIndex("model"))
+      val jobType = job.getString(job.fieldIndex("job_type"))
+      val sysPrompt =
+        Option(job.getString(job.fieldIndex("system_prompt"))).getOrElse("")
       val src = spark.read.parquet(srcPath)
       val total = math.max(1L, src.count())
       st("running", 0, 0, 0)
@@ -150,23 +186,41 @@ object EmbeddingJobs {
       val nChunks = math.max(1, chunks)
       var done = 0L
       var failedN = 0L
+      var canceled = false
       (0 until nChunks).foreach { c =>
-        val part = src.where(pmod(xxhash64(col(idCol)), lit(nChunks)) === c)
-        val embedded = EmbeddingPipeline
-          .createEmbeddings(part, textCol, rt, model).cache()
-        try {
-          val failed = EmbeddingPipeline.failedRows(embedded)
-            .select(col(idCol), col(EmbeddingPipeline.ErrorCol))
-          failedN += failed.count()
-          failed.write.mode("append").parquet(s"$out/failed")
-          val ok = EmbeddingPipeline.embeddedRows(embedded)
-            .select(col(idCol), col(EmbeddingPipeline.EmbeddingCol))
-          ok.write.mode("append").parquet(s"$out/embeddings")
-          done += embedded.count()
-        } finally { embedded.unpersist(); () }
-        st("running", math.min(99, (done * 100 / total).toInt), done, failedN)
+        // chunk-boundary cancellation — the cancellation-token analog;
+        // the canceled status row a concurrent cancel() wrote stays the
+        // job's final state (st() would outrank it, so stop emitting)
+        if (!canceled && isCanceled(spark, statusDir, jobId)) canceled = true
+        if (!canceled) {
+          val part = src.where(pmod(xxhash64(col(idCol)), lit(nChunks)) === c)
+          val processed = (jobType match {
+            case "completion" =>
+              EmbeddingPipeline.createCompletions(part, textCol, rt, model, sysPrompt)
+            case _ =>
+              EmbeddingPipeline.createEmbeddings(part, textCol, rt, model)
+          }).cache()
+          try {
+            val failed = EmbeddingPipeline.failedRows(processed)
+              .select(col(idCol), col(EmbeddingPipeline.ErrorCol))
+            failedN += failed.count()
+            failed.write.mode("append").parquet(s"$out/failed")
+            val (okDf, valueCol, outDir) = jobType match {
+              case "completion" =>
+                (EmbeddingPipeline.completedRows(processed),
+                  EmbeddingPipeline.CompletionCol, "completions")
+              case _ =>
+                (EmbeddingPipeline.embeddedRows(processed),
+                  EmbeddingPipeline.EmbeddingCol, "embeddings")
+            }
+            okDf.select(col(idCol), col(valueCol))
+              .write.mode("append").parquet(s"$out/$outDir")
+            done += processed.count()
+          } finally { processed.unpersist(); () }
+          st("running", math.min(99, (done * 100 / total).toInt), done, failedN)
+        }
       }
-      st("completed", 100, done, failedN)
+      if (!canceled) st("completed", 100, done, failedN)
     } catch {
       case e: Exception =>
         st("failed", 0, 0, 0,

@@ -102,6 +102,40 @@ class EmbeddingJobsSpec extends SparkTestBase {
     assert(cur == "failed", s"retry outcome shadowed: $cur")
   }
 
+  test("completion jobs run through the same daemon with failed-row capture") {
+    val root = tmp("d6")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    val src = s"$root/src"
+    Seq((1L, "summarize this"), (2L, null: String), (3L, "another prompt"))
+      .toDF("id", "text").write.parquet(src)
+    EmbeddingJobs.submit(spark, jobs, status, 4L, src, "id", "text",
+      jobType = "completion", systemPrompt = "be brief")
+    val q = EmbeddingJobs.daemon(spark, jobs, status, s"$root/results", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$root/results/job-4/completions")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "[hash-mock/mock/tiny] summarize this")
+    assert(out(3L) == "[hash-mock/mock/tiny] another prompt")
+    assert(!out.contains(2L)) // null prompt → failed side output
+    assert(spark.read.parquet(s"$root/results/job-4/failed").count() == 1)
+    assert(EmbeddingJobs.status(spark, status).where(col("job_id") === 4)
+      .select("status").as[String].head() == "completed")
+  }
+
+  test("cancel: a queued job never runs; status stays canceled") {
+    val root = tmp("d7")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    val src = s"$root/src"
+    Seq((1L, "alpha")).toDF("id", "text").write.parquet(src)
+    EmbeddingJobs.submit(spark, jobs, status, 5L, src, "id", "text")
+    EmbeddingJobs.cancel(spark, status, 5L)
+    val q = EmbeddingJobs.daemon(spark, jobs, status, s"$root/results", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(EmbeddingJobs.status(spark, status).where(col("job_id") === 5)
+      .select("status").as[String].head() == "canceled")
+    assert(!new java.io.File(s"$root/results/job-5").exists())
+  }
+
   test("a resubmit's queued row immediately outranks the old run's final row") {
     val root = tmp("d5")
     val jobs = s"$root/jobs"; val status = s"$root/status"

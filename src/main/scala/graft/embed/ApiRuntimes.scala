@@ -124,7 +124,7 @@ class OpenAiEmbeddingRuntime(
         }
       } catch {
         case e: Exception =>
-          grp.foreach { case (_, idx, _) => results(idx) = Left(e.getMessage) }
+          grp.foreach { case (_, idx, _) => results(idx) = Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
       }
     }
     results.toSeq
@@ -182,7 +182,7 @@ class CohereEmbeddingRuntime(
         }
       } catch {
         case e: Exception =>
-          good.foreach { case (_, idx) => results(idx) = Left(e.getMessage) }
+          good.foreach { case (_, idx) => results(idx) = Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}") }
       }
     }
     results.toSeq

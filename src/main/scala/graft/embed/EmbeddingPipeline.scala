@@ -83,16 +83,18 @@ object EmbeddingPipeline {
         else try
           Row.fromSeq(r.toSeq :+ runtime.complete(model, systemPrompt, p) :+ null)
         catch {
-          case e: Exception => Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+          // never a null error message: error=null MEANS success, and a
+          // bare NPE would otherwise smuggle its row into completedRows
+          case e: Exception => Row.fromSeq(r.toSeq :+ null :+
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
       }
     }(enc)
   }
 
-  /** Rows whose completion succeeded, error column dropped (same
-    * contract as [[embeddedRows]]; failures via [[failedRows]]). */
-  def completedRows(df: DataFrame): DataFrame =
-    df.where(col(ErrorCol).isNull).drop(ErrorCol)
+  /** Rows whose completion succeeded, error column dropped — the same
+    * error-column contract as [[embeddedRows]], so it IS that filter. */
+  def completedRows(df: DataFrame): DataFrame = embeddedRows(df)
 
   /** `image_embedding` over a binary media column — the reference
     * dispatches text and image inputs through the same embedding entry

@@ -117,12 +117,23 @@ object EmbeddingJobs {
     * row. A queued job is skipped by the runner; a RUNNING job stops at
     * its next chunk boundary (the streaming-cancel analog — the
     * reference's cancellation token also interrupts between batches). */
-  def cancel(spark: SparkSession, statusDir: String, jobId: Long): Unit =
+  def cancel(spark: SparkSession, statusDir: String, jobId: Long): Unit = {
+    // no-op for unknown jobs (the reference's UPDATE matches no row);
+    // a FAILED job stays failed (its status CASE ranks failed above
+    // canceled, daemon.rs:239-245). Completed jobs DO flip to canceled,
+    // also per that CASE order. A resubmit after cancel supersedes the
+    // cancel — the user re-requested the job.
+    val p = new org.apache.hadoop.fs.Path(statusDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) return
+    val cur = status(spark, statusDir).where(col("job_id") === jobId)
+      .select("status").collect().headOption.map(_.getString(0))
+    if (cur.isEmpty || cur.contains("failed")) return
     // +1000 seq gap: a concurrently RUNNING job keeps appending from
     // its own counter; the gap keeps the canceled row above any status
     // the runner emits before its next boundary check
     appendStatus(spark, statusDir, jobId,
       nextSeq(spark, statusDir, jobId) + 1000, "canceled", 0, 0, 0, null)
+  }
 
   private def isCanceled(
       spark: SparkSession, statusDir: String, jobId: Long): Boolean = {
@@ -184,6 +195,19 @@ object EmbeddingJobs {
       val ofs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (ofs.exists(outPath)) ofs.delete(outPath, true)
       val nChunks = math.max(1, chunks)
+      // one dispatch per job, not two per chunk: the pipeline, success
+      // column and output dir for this job_type
+      val (run, valueCol, outDir): (DataFrame => DataFrame, String, String) =
+        jobType match {
+          case "completion" =>
+            ((part: DataFrame) => EmbeddingPipeline
+              .createCompletions(part, textCol, rt, model, sysPrompt),
+              EmbeddingPipeline.CompletionCol, "completions")
+          case _ =>
+            ((part: DataFrame) => EmbeddingPipeline
+              .createEmbeddings(part, textCol, rt, model),
+              EmbeddingPipeline.EmbeddingCol, "embeddings")
+        }
       var done = 0L
       var failedN = 0L
       var canceled = false
@@ -194,26 +218,14 @@ object EmbeddingJobs {
         if (!canceled && isCanceled(spark, statusDir, jobId)) canceled = true
         if (!canceled) {
           val part = src.where(pmod(xxhash64(col(idCol)), lit(nChunks)) === c)
-          val processed = (jobType match {
-            case "completion" =>
-              EmbeddingPipeline.createCompletions(part, textCol, rt, model, sysPrompt)
-            case _ =>
-              EmbeddingPipeline.createEmbeddings(part, textCol, rt, model)
-          }).cache()
+          val processed = run(part).cache()
           try {
             val failed = EmbeddingPipeline.failedRows(processed)
               .select(col(idCol), col(EmbeddingPipeline.ErrorCol))
             failedN += failed.count()
             failed.write.mode("append").parquet(s"$out/failed")
-            val (okDf, valueCol, outDir) = jobType match {
-              case "completion" =>
-                (EmbeddingPipeline.completedRows(processed),
-                  EmbeddingPipeline.CompletionCol, "completions")
-              case _ =>
-                (EmbeddingPipeline.embeddedRows(processed),
-                  EmbeddingPipeline.EmbeddingCol, "embeddings")
-            }
-            okDf.select(col(idCol), col(valueCol))
+            EmbeddingPipeline.embeddedRows(processed)
+              .select(col(idCol), col(valueCol))
               .write.mode("append").parquet(s"$out/$outDir")
             done += processed.count()
           } finally { processed.unpersist(); () }

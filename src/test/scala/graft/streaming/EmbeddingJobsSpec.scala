@@ -136,6 +136,43 @@ class EmbeddingJobsSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/results/job-5").exists())
   }
 
+  test("cancel mid-run stops at the chunk boundary; terminal semantics") {
+    val root = tmp("d8")
+    val jobs = s"$root/jobs"; val status = s"$root/status"
+    val src = s"$root/src"
+    (0 until 20).map(i => (i.toLong, s"text $i")).toDF("id", "text")
+      .write.parquet(src)
+    EmbeddingJobs.submit(spark, jobs, status, 6L, src, "id", "text")
+    // cancel DURING the job: resolve runs after the queued-state check,
+    // so the chunk-0 boundary check is what must catch it
+    val job = spark.read.schema(EmbeddingJobs.JobSchema).parquet(jobs).head()
+    EmbeddingJobs.runJob(spark, job, status, s"$root/results",
+      resolve = name => {
+        EmbeddingJobs.cancel(spark, status, 6L)
+        graft.embed.EmbeddingRuntimes.get(name)
+      })
+    val log = EmbeddingJobs.statusLog(spark, status)
+      .where(col("job_id") === 6).select("status").as[String].collect().toSet
+    assert(EmbeddingJobs.status(spark, status).where(col("job_id") === 6)
+      .select("status").as[String].head() == "canceled")
+    assert(!log.contains("completed"), log.toString) // never completed
+    // no chunk output was written after the cancel
+    assert(!new java.io.File(s"$root/results/job-6/embeddings").exists())
+
+    // canceling a FAILED job keeps failed (reference status priority)
+    EmbeddingJobs.submit(spark, jobs, status, 8L, s"$root/nope", "id", "text")
+    val failJob = spark.read.schema(EmbeddingJobs.JobSchema).parquet(jobs)
+      .where(col("job_id") === 8).head()
+    EmbeddingJobs.runJob(spark, failJob, status, s"$root/results")
+    EmbeddingJobs.cancel(spark, status, 8L)
+    assert(EmbeddingJobs.status(spark, status).where(col("job_id") === 8)
+      .select("status").as[String].head() == "failed")
+    // canceling an unknown job is a no-op
+    EmbeddingJobs.cancel(spark, status, 999L)
+    assert(EmbeddingJobs.status(spark, status)
+      .where(col("job_id") === 999).count() == 0)
+  }
+
   test("a resubmit's queued row immediately outranks the old run's final row") {
     val root = tmp("d5")
     val jobs = s"$root/jobs"; val status = s"$root/status"

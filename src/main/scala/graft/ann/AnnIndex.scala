@@ -332,12 +332,24 @@ object AnnIndex {
     val kk = if (k > 0) k else graft.GraftConf.annInitK(spark)
     val h = readHeader(spark, path)
     val ef = math.max(if (efOverride > 0) efOverride else h.ef, kk)
-    val files = graphFiles(spark, path)
-    val banned = tombstoneMask(spark, path)
+    searchCore(spark, graphFiles(spark, path), tombstoneMask(spark, path),
+      query, kk, ef)
+  }
+
+  /** The shard fan-out with the index-open work (file listing,
+    * tombstone build) already done — lets repeated probes of one index
+    * (searchFiltered's widening loop) pay that cost once. */
+  private def searchCore(
+      spark: SparkSession,
+      files: Seq[String],
+      banned: TombstoneMask,
+      query: Array[Float],
+      k: Int,
+      ef: Int): Array[(Long, Double)] = {
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
     val bannedB = spark.sparkContext.broadcast(banned)
     val qB = spark.sparkContext.broadcast(query)
-    val kLocal = kk
+    val kLocal = k
     spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
@@ -347,7 +359,7 @@ object AnnIndex {
       }
       .collect()
       .sortBy(x => (x._2, x._1))
-      .take(kk)
+      .take(kLocal)
   }
 
   /** Filtered ANN search — `WHERE pred ORDER BY dist LIMIT k` through
@@ -390,10 +402,15 @@ object AnnIndex {
     // the query here is word-packed — same restriction as searchRerank)
     val distFn = exactDistFn(h.metric, "searchFiltered")
     val filtered = df.where(pred)
+    // index-open work (file listing, tombstone parquet read + driver
+    // collect) paid ONCE, not per widening round + fallback
+    val files = graphFiles(spark, path)
+    val mask = tombstoneMask(spark, path)
     var width = math.max(math.max(if (efOverride > 0) efOverride else h.ef, 2 * k), 1)
     var round = 0
     while (round < maxRounds) {
-      val cands = search(spark, path, query, width, math.max(efOverride, width))
+      val cands = searchCore(spark, files, mask, query, width,
+        math.max(math.max(efOverride, h.ef), width))
       // survivors ranked by the EXACT metric over the true vector
       // column (computed in the same candidate join), so both this
       // path and the fallback return identical distance semantics on

@@ -501,7 +501,9 @@ object PipelineQueries {
     val set = Decontaminate.benchmarkShingles(bench, "text", 3)
     docs.where(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"),
-        Decontaminate.contaminationCount(col("text"), set, 3)
+        // coalesce like Decontaminate.flag: a NULL-text row must read
+        // clean (0), matching the oracle's coalesce(c.c, 0)
+        coalesce(Decontaminate.contaminationCount(col("text"), set, 3), lit(0))
           .as("n_contaminated"))
       .withColumn("flagged", col("n_contaminated") >= 2)
       .orderBy(col("doc_id"))

@@ -277,9 +277,9 @@ object TextQueries {
        |  FROM documents
        |), d AS (
        |  SELECT doc_id, t,
-       |    list_sort(list_distinct(list_transform(
+       |    list_sort(list_distinct(list_filter(list_transform(
        |      regexp_extract_all(t, '$urlRe'),
-       |      u -> lower(regexp_extract(u, '$hostRe', 1))))) AS doms
+       |      u -> lower(regexp_extract(u, '$hostRe', 1))), x -> x <> ''))) AS doms
        |  FROM injected
        |)
        |SELECT doc_id,

@@ -174,7 +174,7 @@ final class HttpFacade(
         a.toSeq
       }.orNull
       rows.add(org.apache.spark.sql.Row(
-        numeric(require_(r, "id"), "id").longValue(), vec,
+        integral(require_(r, "id"), "id").longValue(), vec,
         // asText for plain strings; structured payloads keep their JSON
         Option(r.get("data")).filterNot(_.isNull)
           .map(d => if (d.isTextual) d.asText() else d.toString).orNull))
@@ -328,9 +328,18 @@ final class HttpFacade(
     n
   }
 
+  /** Like [[numeric]] but for integral contexts: {"id": 1.9} must be a
+    * 400, not a silent truncation to 1 (whole-valued doubles like 2.0
+    * still pass — no fraction is lost). */
+  private def integral(n: JsonNode, what: String): JsonNode = {
+    require(n.isNumber && n.canConvertToExactIntegral,
+      s"$what must be an integral JSON number, got: $n")
+    n
+  }
+
   /** Optional int field with the same strictness ({"k":"10"} must be a
     * 400, not a silent k=0 search). */
   private def intOpt(b: JsonNode, field: String, default: Int): Int =
     Option(b.get(field)).filterNot(_.isNull)
-      .map(numeric(_, s"'$field'").intValue()).getOrElse(default)
+      .map(integral(_, s"'$field'").intValue()).getOrElse(default)
 }

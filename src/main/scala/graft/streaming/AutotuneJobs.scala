@@ -43,14 +43,15 @@ object AutotuneJobs {
       k: Int = 10,
       createIndex: Boolean = false,
       indexPath: String = null): Unit = {
+    // status row first, jobs row second (see EmbeddingJobs.submit: the
+    // runner's nextSeq must read a max above the queued row); nextSeq,
+    // not 0, so a resubmit's queued row outranks the previous run
+    EmbeddingJobs.appendStatus(spark, statusDir, jobId,
+      EmbeddingJobs.nextSeq(spark, statusDir, jobId), "queued", 0, 0, 0, null)
     val row = Row(jobId, srcPath, idCol, vecCol, metric, targetRecall, k,
       createIndex, indexPath, System.currentTimeMillis())
     spark.createDataFrame(java.util.List.of(row), JobSchema)
       .coalesce(1).write.mode("append").parquet(jobsDir)
-    // nextSeq, not 0: a resubmitted job's queued row must outrank the
-    // previous run's final row in status()
-    EmbeddingJobs.appendStatus(spark, statusDir, jobId,
-      EmbeddingJobs.nextSeq(spark, statusDir, jobId), "queued", 0, 0, 0, null)
   }
 
   /** Run one autotune job: running → grid report written (progress
@@ -62,6 +63,10 @@ object AutotuneJobs {
       statusDir: String,
       resultsRoot: String): Unit = {
     val jobId = job.getLong(job.fieldIndex("job_id"))
+    // a canceled-while-queued job never starts (same contract as
+    // EmbeddingJobs.runJob) — especially important here, where running
+    // anyway could PROMOTE an index over index_path the user canceled
+    if (EmbeddingJobs.isCanceled(spark, statusDir, jobId)) return
     // continue the seq past any earlier run's rows (see EmbeddingJobs.nextSeq)
     var seq = EmbeddingJobs.nextSeq(spark, statusDir, jobId) - 1
     def st(status: String, progress: Int, error: String = null): Unit = {
@@ -81,6 +86,9 @@ object AutotuneJobs {
       val out = s"$resultsRoot/job-$jobId"
       val report =
         if (createIndex) {
+          // re-check right before the DESTRUCTIVE step: create promotes
+          // the winner over index_path by delete+rename
+          if (EmbeddingJobs.isCanceled(spark, statusDir, jobId)) return
           val idx = Option(job.getString(job.fieldIndex("index_path")))
             .getOrElse(s"$out/index")
           Autotune.autotuneCreate(src, idCol, vecCol, idx, metric,
@@ -89,6 +97,7 @@ object AutotuneJobs {
           Autotune.autotune(src, idCol, vecCol, metric,
             k = k, targetRecall = recall)
         }
+      if (EmbeddingJobs.isCanceled(spark, statusDir, jobId)) return
       st("running", 50)
       Autotune.reportDf(spark, report).withColumn("job_id", lit(jobId))
         .coalesce(1).write.mode("overwrite").parquet(s"$out/report")

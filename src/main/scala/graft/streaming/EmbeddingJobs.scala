@@ -74,14 +74,18 @@ object EmbeddingJobs {
       systemPrompt: String = null): Unit = {
     require(jobType == "embedding" || jobType == "completion",
       s"graft: unknown job_type '$jobType' (embedding|completion)")
+    // status row FIRST, jobs row second: the daemon only sees the job
+    // once its file lands, so the runner's nextSeq is guaranteed to
+    // read a max ABOVE the queued row — writing the jobs row first
+    // would let a zero-interval daemon race submit and tie seqs.
+    // nextSeq, not 0: a RESUBMITTED job's queued row must also outrank
+    // the previous run's final row in status().
+    appendStatus(spark, statusDir, jobId, nextSeq(spark, statusDir, jobId),
+      "queued", 0, 0, 0, null)
     val row = Row(jobId, srcPath, idCol, textCol, runtime, model,
       jobType, systemPrompt, System.currentTimeMillis())
     spark.createDataFrame(java.util.List.of(row), JobSchema)
       .coalesce(1).write.mode("append").parquet(jobsDir)
-    // nextSeq, not 0: a RESUBMITTED job's queued row must outrank the
-    // previous run's final row in status()
-    appendStatus(spark, statusDir, jobId, nextSeq(spark, statusDir, jobId),
-      "queued", 0, 0, 0, null)
   }
 
   private[streaming] def appendStatus(
@@ -123,10 +127,7 @@ object EmbeddingJobs {
     // canceled, daemon.rs:239-245). Completed jobs DO flip to canceled,
     // also per that CASE order. A resubmit after cancel supersedes the
     // cancel — the user re-requested the job.
-    val p = new org.apache.hadoop.fs.Path(statusDir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) return
-    val cur = status(spark, statusDir).where(col("job_id") === jobId)
-      .select("status").collect().headOption.map(_.getString(0))
+    val cur = currentStatus(spark, statusDir, jobId)
     if (cur.isEmpty || cur.contains("failed")) return
     // +1000 seq gap: a concurrently RUNNING job keeps appending from
     // its own counter; the gap keeps the canceled row above any status
@@ -135,14 +136,22 @@ object EmbeddingJobs {
       nextSeq(spark, statusDir, jobId) + 1000, "canceled", 0, 0, 0, null)
   }
 
-  private def isCanceled(
-      spark: SparkSession, statusDir: String, jobId: Long): Boolean = {
+  /** The job's latest status, None for unknown jobs / missing dirs.
+    * Filters by job_id BEFORE aggregating — an O(history) window over
+    * every job's log would otherwise run once per chunk boundary. */
+  private[streaming] def currentStatus(
+      spark: SparkSession, statusDir: String, jobId: Long): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(statusDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) &&
-      status(spark, statusDir).where(col("job_id") === jobId)
-        .select("status").collect().headOption.exists(_.getString(0) == "canceled")
+    if (!fs.exists(p)) None
+    else statusLog(spark, statusDir).where(col("job_id") === jobId)
+      .orderBy(col("seq").desc).limit(1)
+      .select("status").collect().headOption.map(_.getString(0))
   }
+
+  private[streaming] def isCanceled(
+      spark: SparkSession, statusDir: String, jobId: Long): Boolean =
+    currentStatus(spark, statusDir, jobId).contains("canceled")
 
   /** Current state per job = its max-seq status row. */
   def status(spark: SparkSession, statusDir: String): DataFrame = {

@@ -30,8 +30,12 @@ object UrlAnalysis {
   /** Host part of a URL (group 1): after the scheme and optional
     * userinfo (`user:pass@` — RFC 3986 §3.2.1; without stripping it,
     * `http://foo@blocked.com` would report host `foo@blocked.com` and
-    * slip past blocklists), up to the first `/ : ? #`. */
-  val HostPattern = "^(?i:https?)://(?:[^/?#@]*@)?([^/:?#]+)"
+    * slip past blocklists), up to the first `/ : ? #`. The captured
+    * host must END with an alphanumeric, so the sentence punctuation
+    * [[UrlPattern]] deliberately keeps ('https://blocked.com.' at end
+    * of sentence) cannot leave a trailing '.' that defeats blocklist
+    * equality — another evasion vector. */
+  val HostPattern = "^(?i:https?)://(?:[^/?#@]*@)?([^/:?#]*[A-Za-z0-9])"
 
   /** All URLs in `text` as array<string> (empty when none). */
   def extractUrls(text: Column): Column =
@@ -41,10 +45,13 @@ object UrlAnalysis {
   def domainOf(url: Column): Column =
     lower(regexp_extract(url, HostPattern, 1))
 
-  /** Distinct lowercased hosts mentioned in `text`, sorted (deterministic
-    * for hashing/oracles). */
+  /** Distinct lowercased hosts mentioned in `text`, sorted
+    * (deterministic for hashing/oracles). Degenerate URLs with no
+    * alphanumeric host ('https://...') extract as '' and are
+    * dropped. */
   def domains(text: Column): Column =
-    sort_array(array_distinct(transform(extractUrls(text), domainOf(_))))
+    sort_array(array_distinct(filter(
+      transform(extractUrls(text), domainOf(_)), _ =!= "")))
 
   /** True when any mentioned host equals a blocked domain or is a
     * subdomain of one (`ads.example.com` matches blocked

@@ -153,6 +153,11 @@ class HttpFacadeSpec extends SparkTestBase
       s"""{"rows":[{"id":1,"vector":${vecJson(vec(1))},"data":"a"}]}""")._1 == 200)
     assert(req("POST", "/collections/strict/search",
       s"""{"column":"vector","query_vector":${vecJson(vec(1))},"k":"3"}""")._1 == 400)
+    // fractional id/k are a 400, not a silent truncation
+    assert(req("PUT", "/collections/strict",
+      s"""{"rows":[{"id":1.9,"vector":${vecJson(vec(1))},"data":"a"}]}""")._1 == 400)
+    assert(req("POST", "/collections/strict/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(1))},"k":2.5}""")._1 == 400)
     // explicit JSON nulls are SQL NULL, not the string "null" / a 400
     assert(req("PUT", "/collections/strict",
       """{"rows":[{"id":2,"vector":null,"data":null}]}""")._1 == 200)

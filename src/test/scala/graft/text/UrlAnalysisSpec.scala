@@ -42,7 +42,9 @@ class UrlAnalysisSpec extends SparkTestBase {
     val tricky = Seq(
       (1L, "loud HTTPS://Blocked.com/x scheme"),
       (2L, "creds http://foo:pw@blocked.com/y inside"),
-      (3L, "both HTTP://a:b@sub.Blocked.COM/z"))
+      (3L, "both HTTP://a:b@sub.Blocked.COM/z"),
+      (4L, "sentence-final https://blocked.com. next sentence"),
+      (5L, "comma https://blocked.com, then more"))
       .toDF("doc_id", "t")
     val got = tricky.select(
       $"doc_id",
@@ -52,6 +54,9 @@ class UrlAnalysisSpec extends SparkTestBase {
     assert(got(1L)._2 == Seq("blocked.com") && got(1L)._3)
     assert(got(2L)._2 == Seq("blocked.com") && got(2L)._3) // userinfo stripped
     assert(got(3L)._2 == Seq("sub.blocked.com") && got(3L)._3)
+    // trailing sentence punctuation is not part of the host
+    assert(got(4L)._2 == Seq("blocked.com") && got(4L)._3)
+    assert(got(5L)._2 == Seq("blocked.com") && got(5L)._3)
   }
 
   test("empty blocklist blocks nothing (and does not crash)") {

@@ -45,6 +45,32 @@ class ApiRuntimeSpec extends SparkTestBase {
     assert(TokenChunker.group(items, 0) == Seq(items)) // 0 = one group
   }
 
+  test("TokenChunker randomized invariants: prefix, bounds, order, budget") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Seq("alpha", "beta!", "42", "x", "longword", ",", "  ")
+    (0 until 200).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(rnd.nextInt(3) match { case 0 => " "; case 1 => ""; case _ => "\t" })
+      val m = rnd.nextInt(20)
+      val (cut, n) = TokenChunker.truncate(text, m)
+      assert(text.startsWith(cut), s"'$cut' not a prefix of '$text'")
+      if (m > 0) assert(n <= m, s"n=$n > m=$m for '$text'")
+      // re-truncating the cut is a fixpoint (it already fits)
+      if (m > 0) assert(TokenChunker.truncate(cut, m)._1 == cut)
+    }
+    (0 until 200).foreach { _ =>
+      val budget = 1 + rnd.nextInt(30)
+      val items = Seq.tabulate(rnd.nextInt(12)) { i =>
+        (s"t$i", i, 1 + rnd.nextInt(budget)) // each item fits the budget
+      }
+      val grps = TokenChunker.group(items, budget)
+      assert(grps.flatten == items, "order/content preserved")
+      assert(grps.forall(_.nonEmpty), "no empty groups")
+      assert(grps.forall(_.map(_._3).sum <= budget),
+        s"budget $budget exceeded: ${grps.map(_.map(_._3).sum)}")
+    }
+  }
+
   test("openai runtime splits oversized batches by token budget and truncates long inputs") {
     val dim = 1536
     val vec = (1 to dim).map(_ => "0.1").mkString(",")

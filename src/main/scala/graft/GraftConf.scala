@@ -56,6 +56,16 @@ object GraftConf {
     * is given (GUC `lantern_hnsw.init_k`, default 10, max 1000). */
   def annInitK(s: SparkSession): Int = math.min(int(s, AnnInitK, 10), 1000)
 
+  val AnnConsolidateShards = "spark.graft.ann.consolidateShards"
+
+  /** Shard-count threshold past which an append-heavy index is
+    * compacted (HTTP insert route): each append builds delta shards,
+    * and search fans out one task per shard — row-at-a-time inserters
+    * would otherwise grow shard count (and search latency) linearly
+    * with the number of PUT batches. */
+  def annConsolidateShards(s: SparkSession): Int =
+    math.max(1, int(s, AnnConsolidateShards, 32))
+
   /** ANN build/search params seeded from the session conf. */
   def annParams(s: SparkSession): AnnParams = AnnParams(
     m = int(s, AnnM, 16),

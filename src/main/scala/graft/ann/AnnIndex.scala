@@ -251,6 +251,12 @@ object AnnIndex {
   }
   private[ann] val ExactTombstoneLimit = 1000000L
 
+  /** Number of graph shard files — search fans out one task per shard,
+    * so callers use this to decide when appends warrant a
+    * [[consolidate]] (compaction). */
+  def shardCount(spark: SparkSession, path: String): Int =
+    graphFiles(spark, path).size
+
   /** Total bytes of the graph shard files — artifact-size
     * introspection (the `quant_bits` 2–4× size lever is gated on
     * this). */
@@ -423,12 +429,16 @@ object AnnIndex {
         .collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
         .sortBy(x => (x._2, x._1))
-      // cands < width ⇒ the index was fully enumerated: surv IS the
-      // complete live filtered set — further widening (and the exact
-      // fallback scan) is provably futile
-      if (surv.length >= k || cands.length < width) return surv.take(k)
-      width *= 4
-      round += 1
+      if (surv.length >= k) return surv.take(k)
+      // cands < width ⇒ the traversal has no more candidates to give —
+      // but that does NOT prove full enumeration: HNSW neighbor pruning
+      // can disconnect layer-0 components, leaving live rows the walk
+      // never reaches. Further WIDENING is futile (same walk, same
+      // reachable set), so stop the loop — but fall through to the
+      // exact scan, which is the documented guarantee for starving
+      // predicates and the only step that can see disconnected rows.
+      if (cands.length < width) round = maxRounds
+      else { width *= 4; round += 1 }
     }
     // exact fallback: distance over the filtered table MINUS
     // tombstones — search() masks deletes on the adaptive path, and a

@@ -166,10 +166,71 @@ case class AnnScanExec(
   }
 }
 
+/** Logical leaf producing the top-k candidate IDS of a FILTERED ANN
+  * search (`WHERE pred ORDER BY dist LIMIT k`). Unlike [[AnnScanLogical]]
+  * the candidate set cannot be fixed at plan time — a selective
+  * predicate can starve the limit — so this node defers to
+  * [[AnnIndex.searchFiltered]]'s adaptive over-fetch + exact-fallback
+  * loop at EXECUTION time. `table` and `pred` are captured plan
+  * fragments (not children): the predicate is evaluated by Spark
+  * against the original relation inside the widening loop, exactly as
+  * the explicit operator does.
+  */
+case class AnnFilteredIdsLogical(
+    candAttr: Attribute,
+    table: LogicalPlan,
+    pred: Expression,
+    idCol: String,
+    vecCol: String,
+    artifact: String,
+    query: Seq[Float],
+    k: Int,
+    ef: Int) extends LeafNode {
+  override def output: Seq[Attribute] = Seq(candAttr)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = 1L + 8L * k)
+}
+
+/** Physical filtered-ANN candidate node: runs the adaptive
+  * `searchFiltered` loop (index probe → predicate via broadcast join →
+  * widen → exact fallback) on the driver when the node is executed —
+  * the same place a broadcast exchange materializes its child — and
+  * emits the ≤ k winning ids. The join-back above re-fetches full rows;
+  * the original Filter + Sort + Limit re-apply, so semantics are exact
+  * within the candidate set and the starvation guarantee is
+  * searchFiltered's own.
+  */
+case class AnnFilteredIdsExec(
+    candAttr: Attribute,
+    table: LogicalPlan,
+    pred: Expression,
+    idCol: String,
+    vecCol: String,
+    artifact: String,
+    query: Seq[Float],
+    k: Int,
+    ef: Int) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Seq(candAttr)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val df = GraftSqlShim.ofRows(session, table)
+    val hits = AnnIndex.searchFiltered(df, idCol, vecCol, artifact,
+      query.toArray, k, GraftSqlShim.column(pred), efOverride = ef)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    sparkContext.parallelize(hits.map(_._1).toSeq, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map(id => proj(InternalRow(id)).copy())
+    }
+  }
+}
+
 object AnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AnnScanLogical(id, vec, artifact, q, k, ef, kind) =>
       AnnScanExec(id, vec, artifact, q, k, ef, kind) :: Nil
+    case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef) =>
+      AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef) :: Nil
     case _ => Nil
   }
 }
@@ -183,11 +244,17 @@ object AnnStrategy extends SparkStrategy {
   *  - plan needs more columns: candidates inner-joined back to the
   *    relation on id (broadcast — k·P rows), the heap-fetch-by-TID analog.
   *
-  * The rule deliberately does NOT fire through a Filter: Spark SQL
-  * semantics are filter-then-top-k, while ANN-then-filter (the
-  * reference's post-filter, scan.c:332-333) can starve the limit. Exact
-  * `TakeOrderedAndProject` remains the fallback, as in the reference
-  * where the cost model returns ∞ (hnsw.c:164-172).
+  * The rule ALSO fires through a Filter (`WHERE pred ORDER BY dist
+  * LIMIT k` — the reference keeps the index under a WHERE and
+  * post-filters, scan.c:332-333, asserted by
+  * test/sql/hnsw_select.sql:52-53): the Filter subtree is rewritten to
+  * a join-back against [[AnnFilteredIdsLogical]], whose execution runs
+  * `AnnIndex.searchFiltered`'s adaptive over-fetch with the EXACT
+  * filtered scan as fallback — so Spark's filter-then-top-k semantics
+  * hold even when the predicate starves the limit. Restricted to hnsw
+  * non-hamming indexes with a deterministic single-table predicate;
+  * anything else keeps the exact `TakeOrderedAndProject`, as in the
+  * reference where the cost model returns ∞ (hnsw.c:164-172).
   */
 class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -240,6 +307,18 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Like [[findRelation]] but also looks through at most one Filter
+    * (stacked Filters are combined by the optimizer before this rule
+    * runs), returning its condition when present. */
+  private def findFilteredRelation(plan: LogicalPlan)
+      : Option[(Option[Expression], LogicalRelation, Seq[Path])] = plan match {
+    case Filter(cond, fchild) =>
+      findRelation(fchild).map { case (rel, paths) => (Some(cond), rel, paths) }
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      findFilteredRelation(child)
+    case _ => findRelation(plan).map { case (rel, paths) => (None, rel, paths) }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case gl @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, body))
         if k > 0 && k <= 1000 =>
@@ -251,10 +330,16 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val rewritten = for {
         s @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, child, _) <- sortOpt
-        (rel, paths) <- findRelation(child)
+        (predOpt, rel, paths) <- findFilteredRelation(child)
         (metric, vecAttr, q) <- matchDist(resolveThroughProject(sortExpr, child))
         meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
         idAttr <- rel.output.find(_.name == meta.idCol)
+        // the filtered form defers to searchFiltered, which needs an
+        // hnsw graph artifact, an exact-rankable metric, and a
+        // predicate Spark can evaluate against the table alone
+        if predOpt.forall(p =>
+          meta.kind == "hnsw" && meta.metric != "hamming" &&
+            p.deterministic && p.references.subsetOf(rel.outputSet))
       } yield {
         // ef drives graph/LUT search width; IVF instead takes a probe
         // count (ef would degenerate to probing every list — see
@@ -262,40 +347,65 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val searchParam =
           if (meta.kind == "ivf") meta.effectiveNprobe
           else math.max(meta.ef, k)
-        val ann = AnnScanLogical(
-          idAttr, vecAttr, meta.artifact, q.toSeq, k,
-          searchParam, meta.kind)
-        // narrow form is safe only when (a) everything the sort's child
-        // produces fits the ANN leaf — anything above references at most
-        // child.output — and (b) the index stores the TRUE vector values:
-        // hnsw shards hold the original floats and l2sq-IVF lists hold
-        // raw rows, but cos-IVF stores unit-normalized vectors, PQ
-        // stores dequantized approximations, and hamming shards store
-        // 16-bit word floats (not the table's b1 array<int>); emitting
-        // those as the table's vector column would silently alter query
-        // output, so such indexes always go through the join-back
-        // (heap-fetch) form
-        val storesTrueVectors =
-          (meta.kind == "hnsw" && meta.metric != "hamming") ||
-            (meta.kind == "ivf" && meta.metric != "cos")
-        val newSource: LogicalPlan =
-          if (storesTrueVectors &&
-              child.outputSet.subsetOf(AttributeSet(ann.output))) ann
-          else {
-            // candidates → fetch full rows: broadcast inner join on id
+        val newSource: LogicalPlan = predOpt match {
+          case Some(pred) =>
+            // filtered form: ids from the adaptive over-fetch + exact
+            // fallback loop, then heap-fetch join-back; the original
+            // Filter stays above and re-applies pred over ≤ k rows
             val cid = AttributeReference("__graft_cand_id", LongType)()
-            val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
-            val candidates = Project(Seq(cid),
-              AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k,
-                searchParam, meta.kind))
+            val ids = AnnFilteredIdsLogical(cid, rel, pred, meta.idCol,
+              meta.vecCol, meta.artifact, q.toSeq, k, searchParam)
             Project(rel.output,
-              Join(rel, candidates, Inner,
-                Some(EqualTo(idAttr, cid)),
+              Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
                 JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
+          case None =>
+            val ann = AnnScanLogical(
+              idAttr, vecAttr, meta.artifact, q.toSeq, k,
+              searchParam, meta.kind)
+            // narrow form is safe only when (a) everything the sort's child
+            // produces fits the ANN leaf — anything above references at most
+            // child.output — and (b) the index stores the TRUE vector values:
+            // hnsw shards hold the original floats and l2sq-IVF lists hold
+            // raw rows, but cos-IVF stores unit-normalized vectors, PQ
+            // stores dequantized approximations, and hamming shards store
+            // 16-bit word floats (not the table's b1 array<int>); emitting
+            // those as the table's vector column would silently alter query
+            // output, so such indexes always go through the join-back
+            // (heap-fetch) form
+            val storesTrueVectors =
+              (meta.kind == "hnsw" && meta.metric != "hamming") ||
+                (meta.kind == "ivf" && meta.metric != "cos")
+            if (storesTrueVectors &&
+                child.outputSet.subsetOf(AttributeSet(ann.output))) ann
+            else {
+              // candidates → fetch full rows: broadcast inner join on id
+              val cid = AttributeReference("__graft_cand_id", LongType)()
+              val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
+              val candidates = Project(Seq(cid),
+                AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k,
+                  searchParam, meta.kind))
+              Project(rel.output,
+                Join(rel, candidates, Inner,
+                  Some(EqualTo(idAttr, cid)),
+                  JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
+            }
+        }
+        val newChild = predOpt match {
+          case Some(_) =>
+            // splice the join-back where the relation leaf sat, keeping
+            // every Project and the Filter intact — output schema (and
+            // filter-then-top-k semantics) unchanged
+            def splice(p: LogicalPlan): LogicalPlan = p match {
+              case lr: LogicalRelation if lr eq rel => newSource
+              case pr: Project => pr.copy(child = splice(pr.child))
+              case f: Filter => f.copy(child = splice(f.child))
+              case other => other
+            }
+            splice(child)
+          case None => child match {
+            case p: Project => p.copy(child = newSource)
+            case _ => newSource
           }
-        val newChild = child match {
-          case p: Project => p.copy(child = newSource)
-          case _ => newSource
         }
         val newBody: LogicalPlan = {
           val newSort = s.copy(child = newChild)

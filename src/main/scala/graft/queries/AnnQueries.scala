@@ -143,6 +143,58 @@ object AnnQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Filtered search through the PLANNER: plain
+    * `where(pred).orderBy(dist).limit(k)` — NOT the explicit operator —
+    * must (a) rewrite to the AnnFilteredIds scan (the reference keeps
+    * the index under a WHERE and post-filters: scan.c:332-333, asserted
+    * by test/sql/hnsw_select.sql:52-53), (b) reach recall@10 ≥ 0.8 vs
+    * the exact filtered top-10, and (c) return exactly the surviving
+    * rows for a starving predicate via the execution-time exact
+    * fallback. */
+  private def annFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ann", dir, "embeddings")
+    cached(path) {
+      AnnIndex.build(e, "vec_id", "embedding", path,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      def usesIndex(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: AnnFilteredIdsLogical => a
+        }.nonEmpty
+
+      val pred = col("vec_id") % 3 === 0
+      val knn = e.where(pred)
+        .orderBy(graft.functions.l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.where(pred)
+        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+
+      val starvingPred = col("vec_id") < 3
+      val sknn = e.where(starvingPred)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val sGot = sknn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val survivors = e.where(starvingPred)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+
+      if (usesIndex(knn) && usesIndex(sknn) &&
+          got.forall(_ % 3 == 0) && recall >= 0.8 && sGot == survivors)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   /** IVF recall gate: coarse-quantized partition-pruned search must
     * reach recall@10 ≥ 0.8 vs the exact oracle with half the lists
     * probed. */
@@ -289,6 +341,7 @@ object AnnQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
     QueryDef("knn_ann_filtered", Some("SELECT 1 AS ok"), annFiltered),
+    QueryDef("knn_ann_filtered_planner", Some("SELECT 1 AS ok"), annFilteredPlanner),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),

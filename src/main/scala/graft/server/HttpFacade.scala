@@ -34,7 +34,8 @@ import graft.ops.VectorSearch
 final class HttpFacade(
     spark: SparkSession,
     rootDir: String,
-    bindPort: Int = 0) {
+    bindPort: Int = 0,
+    auth: Option[(String, String)] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -64,10 +65,32 @@ final class HttpFacade(
   private val PqPath = "^/collections/([A-Za-z0-9_-]+)/pq$".r
   private val IndexByName = "^/index/([A-Za-z0-9_-]+)$".r
 
+  /** Optional HTTP basic auth guarding EVERY route, like the
+    * reference's server (lantern_cli/src/http_server/mod.rs:61-70,
+    * 130-140: credentials from flags, every handler behind the check).
+    * Constant-time compare — a timing oracle on credential bytes is a
+    * classic basic-auth mistake. */
+  private def authorized(ex: HttpExchange): Boolean = auth match {
+    case None => true
+    case Some((user, pass)) =>
+      val expected = java.util.Base64.getEncoder.encodeToString(
+        s"$user:$pass".getBytes(StandardCharsets.UTF_8))
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+        h.startsWith("Basic ") && java.security.MessageDigest.isEqual(
+          h.stripPrefix("Basic ").trim.getBytes(StandardCharsets.UTF_8),
+          expected.getBytes(StandardCharsets.UTF_8))
+      }
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
     try {
+      if (!authorized(ex)) {
+        ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+        respond(ex, 401, """{"error":"unauthorized"}""")
+        return
+      }
       (method, path) match {
         case ("GET", "/collections") => listCollections(ex)
         case ("POST", "/collections") => createCollection(ex)
@@ -186,8 +209,24 @@ final class HttpFacade(
     // index route (the reference keeps its index in sync on INSERT)
     collectionIndexes(name).foreach { case (idxName, column) =>
       val withVec = batch.where(col(column).isNotNull)
-      if (!withVec.isEmpty)
-        AnnIndex.append(withVec, "id", column, idxPath(idxName).toString)
+      if (!withVec.isEmpty) {
+        val idx = idxPath(idxName).toString
+        AnnIndex.append(withVec, "id", column, idx)
+        // each append adds delta shards and search fans out one task
+        // per shard — a row-at-a-time inserter would otherwise get one
+        // graph file per row and linearly growing search latency;
+        // compact once the count crosses the conf threshold. Target
+        // shard count is sized from row volume (~1M rows ≈ 0.5 GB per
+        // shard at 128 dims — the build-time guidance); consolidate's
+        // default keeps the current partitioning, i.e. would rebuild
+        // the same shard count and never compact
+        if (AnnIndex.shardCount(spark, idx) >
+            graft.GraftConf.annConsolidateShards(spark)) {
+          val rows = spark.read.parquet(colPath(name).toString).count()
+          AnnIndex.consolidate(spark, idx,
+            numPartitions = math.max(1, math.ceil(rows / 1e6).toInt))
+        }
+      }
     }
     respond(ex, 200, s"""{"inserted":${rows.size()}}""")
   }

@@ -126,40 +126,81 @@ object EmbeddingJobs {
     // a FAILED job stays failed (its status CASE ranks failed above
     // canceled, daemon.rs:239-245). Completed jobs DO flip to canceled,
     // also per that CASE order. A resubmit after cancel supersedes the
-    // cancel — the user re-requested the job.
+    // cancel — the user re-requested the job. Cancellation is terminal
+    // by STATE, not seq arithmetic: [[statusRank]] ranks 'canceled'
+    // above anything a concurrently RUNNING job keeps appending in the
+    // same run, however many chunks (and status rows) that run emits.
     val cur = currentStatus(spark, statusDir, jobId)
     if (cur.isEmpty || cur.contains("failed")) return
-    // +1000 seq gap: a concurrently RUNNING job keeps appending from
-    // its own counter; the gap keeps the canceled row above any status
-    // the runner emits before its next boundary check
     appendStatus(spark, statusDir, jobId,
-      nextSeq(spark, statusDir, jobId) + 1000, "canceled", 0, 0, 0, null)
+      nextSeq(spark, statusDir, jobId), "canceled", 0, 0, 0, null)
+  }
+
+  /** Terminal-state priority within a run: failed > canceled > the
+    * rest (queued/running/completed resolve by seq). The reference's
+    * status CASE order, daemon.rs:239-245. */
+  private def statusPrio(status: String): Int = status match {
+    case "failed" => 3
+    case "canceled" => 2
+    case _ => 1
   }
 
   /** The job's latest status, None for unknown jobs / missing dirs.
     * Filters by job_id BEFORE aggregating — an O(history) window over
-    * every job's log would otherwise run once per chunk boundary. */
+    * every job's log would otherwise run once per chunk boundary.
+    * Same ranking as [[status]]: runs are delimited by 'queued' rows
+    * (submit() always writes one), the LATEST run wins, and within it
+    * [[statusPrio]] makes failed/canceled terminal regardless of how
+    * many higher-seq rows a concurrent runner appends. */
   private[streaming] def currentStatus(
       spark: SparkSession, statusDir: String, jobId: Long): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(statusDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else statusLog(spark, statusDir).where(col("job_id") === jobId)
-      .orderBy(col("seq").desc).limit(1)
-      .select("status").collect().headOption.map(_.getString(0))
+    if (!fs.exists(p)) return None
+    // one job's log is tiny (rows = its status transitions) — collect
+    // and rank driver-side rather than spin up a window exchange per
+    // chunk-boundary poll
+    val rows = statusLog(spark, statusDir).where(col("job_id") === jobId)
+      .select("seq", "status").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    if (rows.isEmpty) None
+    else {
+      var run = 0
+      val ranked = rows.map { case (seq, st) =>
+        if (st == "queued") run += 1
+        ((run, statusPrio(st), seq), st)
+      }
+      Some(ranked.maxBy(_._1)._2)
+    }
   }
 
   private[streaming] def isCanceled(
       spark: SparkSession, statusDir: String, jobId: Long): Boolean =
     currentStatus(spark, statusDir, jobId).contains("canceled")
 
-  /** Current state per job = its max-seq status row. */
+  /** Current state per job. NOT simply the max-seq row: rows are
+    * grouped into runs (each 'queued' row — one per submit — opens a
+    * new one), the latest run wins, and within that run 'failed'
+    * outranks 'canceled' outranks the seq-latest row. This makes
+    * cancellation terminal by state: a concurrently running job keeps
+    * appending progress rows with ever-higher seqs from its own
+    * counter, and they must NOT flip a canceled job back to
+    * running/completed (they lose on priority instead). A resubmit
+    * opens a new run and supersedes the old run's terminal state. */
   def status(spark: SparkSession, statusDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("job_id")).orderBy(col("seq").desc)
+    val runW = Window.partitionBy(col("job_id")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pickW = Window.partitionBy(col("job_id"))
+      .orderBy(col("__run").desc, col("__prio").desc, col("seq").desc)
     statusLog(spark, statusDir)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+      .withColumn("__run",
+        sum(when(col("status") === "queued", 1).otherwise(0)).over(runW))
+      .withColumn("__prio",
+        when(col("status") === "failed", lit(3))
+          .when(col("status") === "canceled", lit(2)).otherwise(lit(1)))
+      .withColumn("__rn", row_number().over(pickW))
+      .where(col("__rn") === 1).drop("__rn", "__run", "__prio")
   }
 
   /** Run one job to completion: running(0%) → chunked progress →

@@ -30,12 +30,17 @@ object UrlAnalysis {
   /** Host part of a URL (group 1): after the scheme and optional
     * userinfo (`user:pass@` — RFC 3986 §3.2.1; without stripping it,
     * `http://foo@blocked.com` would report host `foo@blocked.com` and
-    * slip past blocklists), up to the first `/ : ? #`. The captured
-    * host must END with an alphanumeric, so the sentence punctuation
-    * [[UrlPattern]] deliberately keeps ('https://blocked.com.' at end
-    * of sentence) cannot leave a trailing '.' that defeats blocklist
-    * equality — another evasion vector. */
-  val HostPattern = "^(?i:https?)://(?:[^/?#@]*@)?([^/:?#]*[A-Za-z0-9])"
+    * slip past blocklists), up to the first `/ : ? #`. The userinfo
+    * class allows '@' so the group consumes through the LAST '@'
+    * before the host — browsers treat the last '@' as the userinfo
+    * delimiter, so `http://a@@blocked.com` navigates to `blocked.com`
+    * and a first-'@' split would report host `@blocked.com` and slip
+    * past the blocklist. The captured host must END with an
+    * alphanumeric, so the sentence punctuation [[UrlPattern]]
+    * deliberately keeps ('https://blocked.com.' at end of sentence)
+    * cannot leave a trailing '.' that defeats blocklist equality —
+    * another evasion vector. */
+  val HostPattern = "^(?i:https?)://(?:[^/?#]*@)?([^/:?#]*[A-Za-z0-9])"
 
   /** All URLs in `text` as array<string> (empty when none). */
   def extractUrls(text: Column): Column =

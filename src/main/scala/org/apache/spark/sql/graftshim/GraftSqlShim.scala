@@ -12,6 +12,15 @@ object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-analyzed logical plan (`Dataset.ofRows`
+    * is `private[sql]`) — lets a physical node re-enter the DataFrame
+    * API on a plan fragment it captured at rewrite time. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Serializable Hadoop conf carrier for executor-side FileSystem access
     * (`org.apache.spark.util.SerializableConfiguration` is private[spark]). */
   def serializableConf(conf: org.apache.hadoop.conf.Configuration)

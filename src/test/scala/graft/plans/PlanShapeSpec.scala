@@ -91,6 +91,54 @@ class PlanShapeSpec extends SparkTestBase {
       .sameElements(graft.pq.ScalarQuantizer.quantizeB1(v)))
   }
 
+  test("planner fires through Filter into AnnFilteredIds; starvation stays exact") {
+    import graft.ann.{AnnIndex, AnnParams}
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-fplan").toFile, "idx").toString
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val pred = col("vec_id") % 3 === 0
+      val knn = e.where(pred)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      assert(knn.queryExecution.optimizedPlan.collect {
+        case a: AnnFilteredIdsLogical => a
+      }.nonEmpty, knn.queryExecution.optimizedPlan.toString)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.forall(_ % 3 == 0), s"predicate violated: $got")
+      val exact = e.where(pred)
+        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.intersect(exact).size >= 8, s"recall too low: $got vs $exact")
+
+      // starving predicate (< k survivors): the execution-time exact
+      // fallback must return ALL surviving rows — the reason the old
+      // rule refused to fire through a Filter no longer holds
+      val starved = e.where(col("vec_id") < 3)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      assert(starved.queryExecution.optimizedPlan.collect {
+        case a: AnnFilteredIdsLogical => a
+      }.nonEmpty)
+      assert(starved.select("vec_id").collect().map(_.getLong(0)).toSet
+        == Set(0L, 1L, 2L))
+
+      // a non-deterministic predicate must NOT fire the index path
+      val nondet = e.where(rand(7) > -1)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      assert(nondet.queryExecution.optimizedPlan.collect {
+        case a: AnnFilteredIdsLogical => a
+      }.isEmpty)
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("SQL surface: extension-injected functions work in spark.sql and match the DSL") {
     // NOT calling registerAll — GraftExtensions must have injected them
     val dir = sf("sf0.001")

@@ -168,6 +168,84 @@ class HttpFacadeSpec extends SparkTestBase
     assert(req("DELETE", "/collections/strict")._1 == 200)
   }
 
+  test("basic auth guards every route; correct credentials pass") {
+    val authFacade = new HttpFacade(spark,
+      java.nio.file.Files.createTempDirectory("graft-http-auth").toString,
+      auth = Some(("admin", "s3cret"))).start()
+    try {
+      def areq(method: String, path: String, body: String = "",
+          header: Option[String] = None): (Int, String) = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${authFacade.port}$path"))
+        header.foreach(h => b.header("Authorization", h))
+        val r = method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        }
+        val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      def basic(user: String, pass: String): String =
+        "Basic " + java.util.Base64.getEncoder.encodeToString(
+          s"$user:$pass".getBytes("UTF-8"))
+      // no credentials → 401 with the challenge header, on EVERY route
+      val (noC, _) = areq("GET", "/collections")
+      assert(noC == 401)
+      assert(areq("POST", "/collections", """{"name":"x"}""")._1 == 401)
+      assert(areq("POST", "/collections/x/search",
+        """{"column":"vector","query_vector":[1]}""")._1 == 401)
+      assert(areq("DELETE", "/collections/x")._1 == 401)
+      // wrong password / wrong user / malformed scheme → 401
+      assert(areq("GET", "/collections",
+        header = Some(basic("admin", "wrong")))._1 == 401)
+      assert(areq("GET", "/collections",
+        header = Some(basic("other", "s3cret")))._1 == 401)
+      assert(areq("GET", "/collections",
+        header = Some("Bearer abc"))._1 == 401)
+      // correct credentials → full lifecycle works
+      val ok = Some(basic("admin", "s3cret"))
+      assert(areq("GET", "/collections", header = ok)._1 == 200)
+      assert(areq("POST", "/collections", """{"name":"guarded"}""",
+        header = ok)._1 == 200)
+      assert(areq("PUT", "/collections/guarded",
+        s"""{"rows":[{"id":1,"vector":${vecJson(vec(1))},"data":"a"}]}""",
+        header = ok)._1 == 200)
+      assert(areq("DELETE", "/collections/guarded", header = ok)._1 == 200)
+    } finally authFacade.stop()
+  }
+
+  test("row-at-a-time inserts trigger consolidation: shard count stays bounded") {
+    spark.conf.set(graft.GraftConf.AnnConsolidateShards, "4")
+    try {
+      assert(req("POST", "/collections", """{"name":"drip"}""")._1 == 200)
+      // seed + index (index build shards count toward the artifact)
+      val seed = (0 until 20).map { i =>
+        s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"d-$i"}"""
+      }.mkString("""{"rows":[""", ",", "]}")
+      assert(req("PUT", "/collections/drip", seed)._1 == 200)
+      assert(req("POST", "/collections/drip/index",
+        """{"column":"vector","m":8,"ef_construction":64}""")._1 == 200)
+      // 12 single-row PUTs: without compaction this means 12 delta
+      // shards on top of the base — with the threshold at 4 the shard
+      // count must stay bounded by it (compaction resets to numParts)
+      (100 until 112).foreach { i =>
+        assert(req("PUT", "/collections/drip",
+          s"""{"rows":[{"id":$i,"vector":${vecJson(vec(i))},"data":"late-$i"}]}""")._1 == 200)
+      }
+      val idxDir = s"$root/indexes/drip-vector"
+      val shards = graft.ann.AnnIndex.shardCount(spark, idxDir)
+      assert(shards <= 5, s"consolidation did not bound shards: $shards")
+      // every dripped row is still searchable through the index route
+      val probe = vec(107)
+      val (c, b) = req("POST", "/collections/drip/search",
+        s"""{"column":"vector","query_vector":${vecJson(probe)},"k":1,"select":"id"}""")
+      assert(c == 200, b)
+      assert(b.contains("\"id\":107"), b)
+      assert(req("DELETE", "/collections/drip")._1 == 200)
+    } finally spark.conf.unset(graft.GraftConf.AnnConsolidateShards)
+  }
+
   test("deleting a collection leaves a dash-sharing sibling's index intact") {
     // "docs2" and "docs2-old": names may contain '-', so a prefix scan
     // for docs2's artifacts would also match docs2-old-vector

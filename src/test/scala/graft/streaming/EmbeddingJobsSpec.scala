@@ -173,6 +173,27 @@ class EmbeddingJobsSpec extends SparkTestBase {
       .where(col("job_id") === 999).count() == 0)
   }
 
+  test("canceled is terminal by state: late high-seq runner rows cannot flip it") {
+    val root = tmp("d9")
+    val status = s"$root/status"
+    EmbeddingJobs.appendStatus(spark, status, 11L, 1, "queued", 0, 0, 0, null)
+    EmbeddingJobs.appendStatus(spark, status, 11L, 2, "running", 0, 0, 0, null)
+    EmbeddingJobs.cancel(spark, status, 11L)
+    // a concurrent runner with chunks >> 1000 keeps appending from its
+    // own counter, far past the canceled row's seq — these rows must
+    // lose on state priority, not on seq arithmetic
+    EmbeddingJobs.appendStatus(spark, status, 11L, 1400, "running", 50, 10, 0, null)
+    EmbeddingJobs.appendStatus(spark, status, 11L, 1500, "completed", 100, 20, 0, null)
+    assert(EmbeddingJobs.status(spark, status).where(col("job_id") === 11)
+      .select("status").as[String].head() == "canceled")
+    assert(EmbeddingJobs.isCanceled(spark, status, 11L))
+    // a resubmit opens a new run and supersedes the cancel
+    EmbeddingJobs.appendStatus(spark, status, 11L, 1501, "queued", 0, 0, 0, null)
+    assert(EmbeddingJobs.status(spark, status).where(col("job_id") === 11)
+      .select("status").as[String].head() == "queued")
+    assert(!EmbeddingJobs.isCanceled(spark, status, 11L))
+  }
+
   test("a resubmit's queued row immediately outranks the old run's final row") {
     val root = tmp("d5")
     val jobs = s"$root/jobs"; val status = s"$root/status"

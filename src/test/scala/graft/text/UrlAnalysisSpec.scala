@@ -44,7 +44,9 @@ class UrlAnalysisSpec extends SparkTestBase {
       (2L, "creds http://foo:pw@blocked.com/y inside"),
       (3L, "both HTTP://a:b@sub.Blocked.COM/z"),
       (4L, "sentence-final https://blocked.com. next sentence"),
-      (5L, "comma https://blocked.com, then more"))
+      (5L, "comma https://blocked.com, then more"),
+      (6L, "double-at http://a@@blocked.com/x evasion"),
+      (7L, "at-in-password http://u:p@ss@blocked.com/y too"))
       .toDF("doc_id", "t")
     val got = tricky.select(
       $"doc_id",
@@ -57,6 +59,10 @@ class UrlAnalysisSpec extends SparkTestBase {
     // trailing sentence punctuation is not part of the host
     assert(got(4L)._2 == Seq("blocked.com") && got(4L)._3)
     assert(got(5L)._2 == Seq("blocked.com") && got(5L)._3)
+    // browsers split userinfo at the LAST '@' — a first-'@' split
+    // would capture host '@blocked.com' and slip past the blocklist
+    assert(got(6L)._2 == Seq("blocked.com") && got(6L)._3)
+    assert(got(7L)._2 == Seq("blocked.com") && got(7L)._3)
   }
 
   test("empty blocklist blocks nothing (and does not crash)") {

@@ -83,11 +83,17 @@ class OpenAiEmbeddingRuntime(
   override def name: String = "openai"
 
   /** Models/dims/sequence_len per openai_runtime.rs:79-101; batch 500
-    * per embeddings/mod.rs:574-608. */
+    * per embeddings/mod.rs:574-608. `requestTokens` is the endpoint's
+    * published 300k-total-per-request cap — the reference packs
+    * requests to sequence_len instead, splitting ordinary long-doc
+    * batches into one HTTP round-trip per input. */
   override def models: Seq[ModelInfo] = Seq(
-    ModelInfo("text-embedding-ada-002", 1536, 500, seqLen = 8190),
-    ModelInfo("text-embedding-3-small", 1536, 500, seqLen = 8190),
-    ModelInfo("text-embedding-3-large", 3072, 500, seqLen = 8190))
+    ModelInfo("text-embedding-ada-002", 1536, 500, seqLen = 8190,
+      requestTokens = 300000),
+    ModelInfo("text-embedding-3-small", 1536, 500, seqLen = 8190,
+      requestTokens = 300000),
+    ModelInfo("text-embedding-3-large", 3072, 500, seqLen = 8190,
+      requestTokens = 300000))
 
   override def embedBatch(
       model: String, inputs: Seq[String]): Seq[Either[String, Array[Float]]] = {
@@ -99,14 +105,16 @@ class OpenAiEmbeddingRuntime(
       .fill[Either[String, Array[Float]]](inputs.size)(Left("empty input"))
     // the reference's chunk_inputs (openai_runtime.rs:314-371):
     // truncate each input to sequence_len tokens, then pack inputs
-    // into requests whose TOTAL token count stays within the budget —
-    // one oversized request would otherwise fail the whole batch. A
-    // request that does fail only fails ITS inputs, not the batch.
+    // into requests whose TOTAL token count stays within the
+    // per-request budget — one oversized request would otherwise fail
+    // the whole batch. A request that does fail only fails ITS inputs,
+    // not the batch. Truncation uses seqLen (per-input limit); packing
+    // uses the distinct requestBudget (ModelInfo.requestTokens).
     val prepared = good.map { case (t, idx) =>
       val (text, n) = TokenChunker.truncate(t, info.seqLen)
       (text, idx, n)
     }
-    TokenChunker.group(prepared, info.seqLen).foreach { grp =>
+    TokenChunker.group(prepared, info.requestBudget).foreach { grp =>
       val body = ApiJson.obj(
         "model" -> ApiJson.str(model),
         "input" -> ApiJson.arr(grp.map { case (t, _, _) => ApiJson.str(t) }))

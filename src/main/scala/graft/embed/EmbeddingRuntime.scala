@@ -5,8 +5,22 @@ package graft.embed
   * lantern_cli/src/embeddings/mod.rs:574-608), and the model's token
   * sequence limit (`sequence_len`, openai_runtime.rs:83-97; 0 = no
   * limit — inputs are neither truncated nor token-grouped).
+  *
+  * `requestTokens` is the per-REQUEST total token budget used when
+  * packing truncated inputs into HTTP requests. The reference reuses
+  * `sequence_len` for both roles (chunk_inputs passes it to
+  * group_vectors_by_token_count, openai_runtime.rs:336-355), which
+  * means two near-limit inputs can never share a request; APIs
+  * actually accept far larger totals (OpenAI's embeddings endpoint
+  * takes 300k tokens summed per request), so a distinct budget cuts
+  * request count for long-document batches. 0 = reference-parity
+  * (fall back to `seqLen`).
   */
-case class ModelInfo(name: String, dim: Int, batchSize: Int, seqLen: Int = 0)
+case class ModelInfo(name: String, dim: Int, batchSize: Int, seqLen: Int = 0,
+    requestTokens: Int = 0) {
+  /** The packing budget [[graft.embed.TokenChunker.group]] should use. */
+  def requestBudget: Int = if (requestTokens > 0) requestTokens else seqLen
+}
 
 /** Pluggable embedding backend — the `EmbeddingRuntimeT` trait of the
   * reference (lantern_cli/src/embeddings/core/runtime.rs:18-28), which

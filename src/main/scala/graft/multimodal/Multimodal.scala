@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   * frame-sample run as batched `mapPartitions` transforms (map-side,
   * shuffle-free, batch size bounds peak memory per task).
   *
-  * DECODE IS STUBBED: this container has no image/audio codecs, so
-  * `decodeImage`/`decodeVideo` parse the deterministic GRFT fixture
-  * format produced by `syntheticImageBytes`/`syntheticVideoBytes`
-  * (swap in javax.imageio / jcodec / ffmpeg bindings behind the same
-  * functions in production). Everything downstream of decode —
+  * IMAGE decode is real: `decodeImage` routes non-fixture payloads
+  * through the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF — ships with
+  * the JDK, zero new dependencies), reduced to one BT.601 luma byte
+  * per pixel; the deterministic GRFT fixture format produced by
+  * `syntheticImageBytes` still parses exactly and remains the
+  * SQL-recomputable oracle path. VIDEO decode stays fixture-only (the
+  * JDK has no video codecs — swap in jcodec/ffmpeg bindings behind
+  * the same function in production). Everything downstream of decode —
   * schemas, batching, nearest-neighbor resize, channel statistics,
-  * frame sampling — is real and runs on the decoded pixels.
+  * frame sampling — runs on the decoded pixels either way.
   */
 object Multimodal {
 
@@ -57,8 +60,56 @@ object Multimodal {
 
   // --------------------------------------------------------- decode
 
-  /** STUB decode (see class doc): parses the GRFT fixture header. */
+  /** Decode an image payload. GIMG-magic bytes parse as the
+    * deterministic fixture (the SQL-recomputable oracle path); any
+    * other payload goes through `javax.imageio.ImageIO` — PNG, JPEG,
+    * BMP and GIF decode with the stock JDK — and is reduced to one
+    * luma byte per pixel with integer BT.601 weights
+    * ((299·R + 587·G + 114·B + 500) / 1000), so the single-channel
+    * pipeline downstream is identical for real and fixture images.
+    */
   def decodeImage(bytes: Array[Byte]): Image = {
+    require(bytes != null && bytes.length >= 4, "graft: empty image payload")
+    if (java.nio.ByteBuffer.wrap(bytes).getInt() == ImageMagic)
+      decodeFixtureImage(bytes)
+    else {
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(bi != null,
+        "graft: undecodable image payload (not GIMG and no ImageIO reader)")
+      val w = bi.getWidth; val h = bi.getHeight
+      val px = new Array[Byte](w * h)
+      if (bi.getRaster.getNumBands == 1) {
+        // grayscale: read raw samples — getRGB would route them
+        // through the linear-gray → sRGB color-space transform and
+        // bend the stored values (51 comes back as 124)
+        val raster = bi.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = raster.getSample(x, y, 0).toByte
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            px(y * w + x) = ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Image(w, h, px)
+    }
+  }
+
+  private def decodeFixtureImage(bytes: Array[Byte]): Image = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     require(bb.getInt() == ImageMagic, "graft: not a GIMG payload")
     val w = bb.getInt(); val h = bb.getInt()

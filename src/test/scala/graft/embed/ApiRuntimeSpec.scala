@@ -80,11 +80,19 @@ class ApiRuntimeSpec extends SparkTestBase {
         .mkString("""{"data":[""", ",", "]}")
     })
     val rt = new OpenAiEmbeddingRuntime(apiKey = "k", transport = fake)
-    // 5000 pre-tokens each; budget 8190 → three requests of one input
+    // 5000 pre-tokens each: all three share ONE request under the
+    // 300k per-request budget — seqLen truncates individuals, it no
+    // longer doubles as the packing budget (which forced one request
+    // per near-limit input)
     val big = ("word " * 5000).trim
     val out = rt.embedBatch("text-embedding-ada-002", Seq(big, big, big))
     assert(out.forall(_.isRight))
-    assert(fake.calls.size == 3, s"${fake.calls.size} requests")
+    assert(fake.calls.size == 1, s"${fake.calls.size} requests")
+    // 61 × 5000 = 305k tokens exceeds the 300k request budget → split
+    fake.calls = Nil
+    assert(rt.embedBatch("text-embedding-ada-002", Seq.fill(61)(big))
+      .forall(_.isRight))
+    assert(fake.calls.size == 2, s"${fake.calls.size} requests")
     // 9000-token input is truncated to the 8190-pre-token prefix
     fake.calls = Nil
     val huge = ("word " * 9000).trim

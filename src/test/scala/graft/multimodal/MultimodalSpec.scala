@@ -39,6 +39,63 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { sampleFrames(vid, 0) }
   }
 
+  test("real PNG/BMP/JPEG bytes decode through ImageIO with BT.601 luma") {
+    import java.awt.image.BufferedImage
+    def pngBytes(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // RGB PNG (lossless): known colors → exact integer luma
+    val rgb = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xFF0000) // red   → (299*255+500)/1000 = 76
+    rgb.setRGB(1, 0, 0x00FF00) // green → (587*255+500)/1000 = 150
+    rgb.setRGB(0, 1, 0x0000FF) // blue  → (114*255+500)/1000 = 29
+    rgb.setRGB(1, 1, 0xFFFFFF) // white → 255
+    val img = decodeImage(pngBytes(rgb, "png"))
+    assert(img.width === 2 && img.height === 2)
+    assert(img.pixels.map(_ & 0xFF).toSeq === Seq(76, 150, 29, 255))
+
+    // grayscale PNG: luma of r=g=b is the identity → pixels round-trip
+    val gray = new BufferedImage(3, 2, BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Seq(0, 51, 102, 153, 204, 255)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      gray.getRaster.setSample(i % 3, i / 3, 0, v)
+    }
+    assert(decodeImage(pngBytes(gray, "png")).pixels.map(_ & 0xFF).toSeq === vals)
+
+    // BMP decodes exactly too; JPEG is lossy — dims + rough values only
+    assert(decodeImage(pngBytes(rgb, "bmp")).pixels.map(_ & 0xFF).toSeq
+      === Seq(76, 150, 29, 255))
+    val jpg = decodeImage(pngBytes(gray, "jpg"))
+    assert(jpg.width === 3 && jpg.height === 2)
+
+    // the downstream transforms run on ImageIO-decoded pixels unchanged
+    val f = imageFeatures(decodeImage(pngBytes(gray, "png")))
+    assert(f.toSeq === Seq(127.5f, 0f, 255f))
+    assert(resizeNearest(img, 1, 1).pixels.map(_ & 0xFF).toSeq === Seq(76))
+  }
+
+  test("image pipeline accepts mixed GRFT and PNG payloads in one column") {
+    import spark.implicits._
+    val gray = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 16).foreach(i => gray.getRaster.setSample(i % 4, i / 4, 0, i * 16))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", bos)
+    val rows = Seq(
+      (1L, syntheticImageBytes(1, 4, 4)),
+      (2L, bos.toByteArray),
+      (3L, Array[Byte](1, 2, 3, 4))) // undecodable
+    val out = imagePipeline(rows.toDF("id", "media"), "media").cache()
+    assert(out.where($"media_error".isNotNull).select("id")
+      .head().getLong(0) === 3L)
+    val png = out.where($"id" === 2).select("media_w", "media_h", "features").head()
+    assert(png.getInt(0) === 4 && png.getInt(1) === 4)
+    assert(png.getSeq[Float](2)(1) === 0f && png.getSeq[Float](2)(2) === 240f)
+    out.unpersist()
+  }
+
   test("batched image pipeline: decode + resize + features, bad rows to side output") {
     import spark.implicits._
     val rows = (1L to 20L).map(i => (i, syntheticImageBytes(i, 8, 8))) :+

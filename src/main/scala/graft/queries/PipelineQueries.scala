@@ -394,6 +394,54 @@ object PipelineQueries {
        |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
        |FROM t ORDER BY doc_id LIMIT 50""".stripMargin
 
+  /** Streaming dedup gate: the documents table fed through the
+    * MemoryStream pipeline in 4 chunks; the stateful stream must emit
+    * EXACTLY one keeper per distinct fingerprint across all chunks
+    * (state must dedup across micro-batches, not just within one).
+    * Output is group-level (fp, n_kept) — which member of a duplicate
+    * group wins within a micro-batch is shuffle-order dependent, but
+    * the fingerprint PARTITION is deterministic and the oracle
+    * recomputes it in SQL. Null texts are excluded (a null fingerprint
+    * has no long key). */
+  private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)](s)
+    val deduped = graft.streaming.StreamingDedup.dropSeenDuplicates(
+      mem.toDF().toDF("doc_id", "text"), "text",
+      TextAnalysis.docFingerprintSql)
+    // fresh sink table per invocation — Bench reps re-run the query in
+    // one session and a shared name would accumulate rows
+    val sink = "graft_sdedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .select(TextAnalysis.docFingerprintSql(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).cast("int").as("n_kept"))
+      .orderBy("fp")
+  }
+
+  private val streamingDedupOracle =
+    s"""WITH t AS (SELECT doc_id, $polyToks AS toks FROM documents
+       |          WHERE text IS NOT NULL),
+       |f AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(toks, tk -> ${polySql("tk", 31)})),
+       |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+       |  FROM t)
+       |SELECT fp, CAST(1 AS INT) AS n_kept FROM f GROUP BY fp ORDER BY fp""".stripMargin
+
   /** Winnowing fingerprints (SIGMOD'03), polynomial-gram-hash variant
     * so the full k-gram → window-min → distinct pipeline is replayed by
     * the oracle; emitted space-joined (array columns are unhashable
@@ -552,6 +600,7 @@ object PipelineQueries {
     QueryDef("lang_id", Some(langIdOracle), langId),
     QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
     QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),
+    QueryDef("streaming_dedup", Some(streamingDedupOracle), streamingDedup),
     QueryDef("winnow_fingerprint", Some(winnowOracle), winnow),
     QueryDef("punct_ratio", Some(punctRatioOracle), punctRatio),
     QueryDef("repetition_quality", Some(repetitionQualityOracle), repetitionQuality),

@@ -81,6 +81,58 @@ object TextQueries {
       .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
   }
 
+  /** BM25 bloom-approximation gate: a synthetic ubiquitous token makes
+    * one query term's df exceed a LOW threshold (corpus/2), so scoring
+    * runs the common-term path — driver-collected bloom metadata,
+    * broadcast probe, constant fq=1/len=avgdl contribution
+    * (bm25_agg.rs:162-188) — which the plain `bm25_search` gate never
+    * reaches at the 8000-doc default. Every candidate doc genuinely
+    * contains the common token, so bloom false positives cannot perturb
+    * membership and the DuckDB oracle can replay the approximation
+    * formula exactly: candidates come from the rare term (every 7th
+    * doc), each scored exact-BM25 on the rare term plus the hot term's
+    * constant idf bonus. */
+  private def bm25BloomSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(
+          tokenize(col("text")),
+          when(col("doc_id") % 7 === 0, array(lit("zzsparsez")))
+            .otherwise(array().cast("array<string>")),
+          array(lit("zzubiqz"))).as("terms"))
+    val n = docs.count()
+    val inv = Bm25.createBm25Table(docs, "doc_id", "terms",
+      bloomThreshold = (n / 2).toInt)
+    Bm25.searchBm25(inv, Seq("zzsparsez", "zzubiqz"), 10)
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+  }
+
+  private val bm25BloomOracleSql: String =
+    """WITH toks0 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |t AS (
+      |  SELECT doc_id,
+      |    len(toks) + CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS len,
+      |    doc_id % 7 = 0 AS has_sparse
+      |  FROM toks0
+      |),
+      |corpus AS (SELECT count(*) AS n, avg(len) AS avgdl FROM t),
+      |sparse AS (SELECT count(*) AS df FROM t WHERE has_sparse)
+      |SELECT t.doc_id,
+      |  round(
+      |    ln((corpus.n - sparse.df + 0.5) / (sparse.df + 0.5) + 1.0)
+      |      * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * t.len / corpus.avgdl))
+      |    + ln(0.5 / (corpus.n + 0.5) + 1.0)
+      |  , 4) AS bm25
+      |FROM t CROSS JOIN corpus CROSS JOIN sparse
+      |WHERE t.has_sparse
+      |ORDER BY bm25 DESC, t.doc_id
+      |LIMIT 10""".stripMargin
+
   /** Tokens per document — token-counting surface, exact oracle. */
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -325,6 +377,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
     QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),
+    QueryDef("bm25_bloom_search", Some(bm25BloomOracleSql), bm25BloomSearch),
     QueryDef(
       "token_count",
       Some(

@@ -41,7 +41,46 @@ object WeightedQueries {
        |LIMIT 10""".stripMargin
   }
 
+  /** ANN variant of the weighted search (sql/lantern.sql:673-819:
+    * per-column ANN → UNION ALL → DISTINCT ON(id) → joint re-sort):
+    * each column's index contributes `ef` candidates and the
+    * joint-metric re-rank must reach recall@10 ≥ 0.8 vs the exact
+    * weighted top-10 — the same contract as `knn_ann_recall`, per
+    * search column. */
+  private def weightedKnnAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{AnnIndex, AnnParams}
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val q2 = q.reverse
+    val df = e.where(col("vec_id") =!= 0)
+      .withColumn("emb2", reverse(col("embedding")))
+    val p1 = AnnQueries.artifactDir("ann", dir, "embeddings")
+    AnnQueries.cached(p1) {
+      AnnIndex.build(e, "vec_id", "embedding", p1,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val p2 = AnnQueries.artifactDir("annw2", dir, "embeddings")
+    AnnQueries.cached(p2) {
+      AnnIndex.build(df, "vec_id", "emb2", p2,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val terms = Seq(
+      WeightedSearch.Term(0.7, "embedding", q),
+      WeightedSearch.Term(0.3, "emb2", q2))
+    val ann = WeightedSearch
+      .ann(s, df, "vec_id", Seq(terms(0) -> p1, terms(1) -> p2), k = 10, ef = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = WeightedSearch
+      .exact(df, terms, 10, tieBreak = Seq(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("weighted_knn_exact", Some(oracle), weightedKnn),
+    QueryDef("weighted_knn_ann", Some("SELECT 1 AS ok"), weightedKnnAnn),
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -19,15 +19,20 @@ object StreamingDedup {
     * document per fingerprint is emitted; later arrivals are dropped
     * via `flatMapGroupsWithState` per-key state. State is one boolean
     * per distinct fingerprint — the streaming analog of
-    * `Dedup.exactDedup`.
+    * `Dedup.exactDedup`. The fingerprint expression is pluggable so
+    * the driver gate can run the SQL-replayable variant
+    * ([[TextAnalysis.docFingerprintSql]]) against a DuckDB oracle.
     */
-  def dropSeenDuplicates(stream: DataFrame, textCol: String): DataFrame = {
+  def dropSeenDuplicates(
+      stream: DataFrame,
+      textCol: String,
+      fingerprint: Column => Column = TextAnalysis.docFingerprint): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val schema = stream.schema
     val enc = RowEncoder.encoderFor(schema)
     val keyed = stream
-      .withColumn("__fp", TextAnalysis.docFingerprint(col(textCol)))
+      .withColumn("__fp", fingerprint(col(textCol)))
       .groupByKey(r => r.getAs[Long]("__fp"))(Encoders.scalaLong)
 
     val out: Dataset[Row] = keyed.flatMapGroupsWithState(

@@ -21,9 +21,13 @@ case class AnnParams(
     numPartitions: Int = 0, // 0 = keep input partitioning
     seed: Long = 42L,
     // in-graph scalar storage (`quant_bits` reloption analog,
-    // lantern_hnsw/src/hnsw/options.c:137-158): f32 | f16 | i8.
-    // i8 linearly maps [i8Lo, i8Hi] to one byte per element — intended
-    // for (roughly) normalized embeddings; out-of-range values clamp.
+    // lantern_hnsw/src/hnsw/options.c:137-158, which accepts
+    // {1,2,4,8,16,32} bits): f32 | f16 | i8 | b4 | b2 | b1 — the full
+    // reference set (32/16/8/4/2/1). i8 and the packed kinds linearly
+    // map [i8Lo, i8Hi] to 2^bits levels per element — intended for
+    // (roughly) normalized embeddings; out-of-range values clamp.
+    // Sub-byte kinds trade recall for 8–32× smaller artifacts; pair
+    // them with `searchRerank` to recover exact-metric ranking.
     quant: String = "f32",
     i8Lo: Float = -1f,
     i8Hi: Float = 1f) {

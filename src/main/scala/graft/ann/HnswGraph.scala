@@ -25,6 +25,15 @@ object Metric {
   def distF16(m: Int, a: Array[Float], codes: Array[Short]): Double =
     distDecoded(m, a, i => graft.pq.ScalarQuantizer.fromF16(codes(i)))
 
+  /** Asymmetric distance: f32 query vs sub-byte packed node codes
+    * (1/2/4 bits), reconstructing each element exactly as
+    * [[graft.pq.ScalarQuantizer.dequantizePacked]] would — bit-identical
+    * to the decode-to-f32 path at 1/32 – 1/8 of the f32 node memory. */
+  def distPacked(m: Int, a: Array[Float], codes: Array[Byte], nbits: Int,
+      lo: Float, step: Double): Double =
+    distDecoded(m, a,
+      i => (lo + graft.pq.ScalarQuantizer.packedCode(codes, i, nbits) * step).toFloat)
+
   /** Shared metric bodies for the compact asymmetric forms — one
     * implementation, so i8 and f16 serving cannot drift from each
     * other (and the per-node spec pin ties both to [[dist]]). The f32
@@ -127,16 +136,29 @@ object Quant {
   val F32 = 0
   val F16 = 1 // 2 bytes/elem in the artifact
   val I8 = 2 // 1 byte/elem in the artifact
+  val B4 = 3 // 4 bits/elem, packed — quant_bits = 4
+  val B2 = 4 // 2 bits/elem, packed — quant_bits = 2
+  val B1 = 5 // 1 bit/elem, packed — quant_bits = 1 (level storage for
+  // float metrics; the hamming metric is the SIGN-bit 1-bit index)
 
   def id(name: String): Int = name match {
     case "f32" => F32
     case "f16" => F16
     case "i8" => I8
+    case "b4" => B4
+    case "b2" => B2
+    case "b1" => B1
     case other => throw new IllegalArgumentException(
-      s"graft: unsupported quant '$other' (expected f32|f16|i8)")
+      s"graft: unsupported quant '$other' (expected f32|f16|i8|b4|b2|b1)")
   }
   def name(id: Int): String = id match {
     case F32 => "f32"; case F16 => "f16"; case I8 => "i8"
+    case B4 => "b4"; case B2 => "b2"; case B1 => "b1"
+  }
+
+  /** Packed code width in bits; 0 for byte-or-wider kinds. */
+  def packedBits(id: Int): Int = id match {
+    case B4 => 4; case B2 => 2; case B1 => 1; case _ => 0
   }
 }
 
@@ -182,8 +204,14 @@ final class HnswGraph(
   // snapped values).
   private[ann] var vecsI8: ArrayBuffer[Array[Byte]] = null
   private[ann] var vecsF16: ArrayBuffer[Array[Short]] = null
-  private[ann] def compact: Boolean = vecsI8 != null || vecsF16 != null
+  // sub-byte packed codes (b4/b2/b1) — 1/8 to 1/32 of the f32 RAM
+  private[ann] var vecsPacked: ArrayBuffer[Array[Byte]] = null
+  private[ann] def compact: Boolean =
+    vecsI8 != null || vecsF16 != null || vecsPacked != null
   private val i8Scale: Double = (i8Hi - i8Lo) / 255.0
+  private val packedBits: Int = Quant.packedBits(quant)
+  private val packedStep: Double =
+    if (packedBits > 0) (i8Hi - i8Lo).toDouble / ((1 << packedBits) - 1) else 0.0
   private[ann] val nodeLevels = new ArrayBuffer[Int]()
   // neighbors(node)(layer) = array of node indices
   private[ann] val neighbors = new ArrayBuffer[Array[ArrayBuffer[Int]]]()
@@ -302,6 +330,10 @@ final class HnswGraph(
     case Quant.I8 =>
       graft.pq.ScalarQuantizer.dequantizeI8(
         graft.pq.ScalarQuantizer.quantizeI8(v, i8Lo, i8Hi), i8Lo, i8Hi)
+    case _ =>
+      graft.pq.ScalarQuantizer.dequantizePacked(
+        graft.pq.ScalarQuantizer.quantizePacked(v, packedBits, i8Lo, i8Hi),
+        v.length, packedBits, i8Lo, i8Hi)
   }
 
   def insert(id: Long, rawVec: Array[Float]): Unit = {
@@ -351,14 +383,19 @@ final class HnswGraph(
   def vector(n: Int): Array[Float] =
     if (vecsI8 != null) graft.pq.ScalarQuantizer.dequantizeI8(vecsI8(n), i8Lo, i8Hi)
     else if (vecsF16 != null) graft.pq.ScalarQuantizer.dequantizeF16(vecsF16(n))
+    else if (vecsPacked != null)
+      graft.pq.ScalarQuantizer.dequantizePacked(vecsPacked(n), dim, packedBits, i8Lo, i8Hi)
     else vecs(n)
 
   /** Query→node distance under this graph's storage: f32 arrays, or
-    * the asymmetric i8/f16 forms on compact graphs (bit-identical
-    * scores — see [[Metric.distI8]]/[[Metric.distF16]]). */
+    * the asymmetric i8/f16/packed forms on compact graphs
+    * (bit-identical scores — see [[Metric.distI8]]/[[Metric.distF16]]/
+    * [[Metric.distPacked]]). */
   private[ann] def queryDist(q: Array[Float])(n: Int): Double =
     if (vecsI8 != null) Metric.distI8(metric, q, vecsI8(n), i8Lo, i8Scale)
     else if (vecsF16 != null) Metric.distF16(metric, q, vecsF16(n))
+    else if (vecsPacked != null)
+      Metric.distPacked(metric, q, vecsPacked(n), packedBits, i8Lo, packedStep)
     else d(q, vecs(n))
 
   /** ANN top-k as (node index, dist) nearest-first. `banned` =
@@ -457,6 +494,12 @@ final class HnswGraph(
             if (compact) vecsI8(n)
             else graft.pq.ScalarQuantizer.quantizeI8(vecs(n), i8Lo, i8Hi)
           out.write(q, 0, q.length)
+        case _ =>
+          val q =
+            if (compact) vecsPacked(n)
+            else graft.pq.ScalarQuantizer.quantizePacked(
+              vecs(n), packedBits, i8Lo, i8Hi)
+          out.write(q, 0, q.length)
       }
       var l = 0
       while (l <= nodeLevels(n)) {
@@ -497,6 +540,7 @@ object HnswGraph {
     // 2x less RAM per shard); traversal uses the asymmetric distance
     if (quant == Quant.I8) g.vecsI8 = new ArrayBuffer[Array[Byte]](n)
     if (quant == Quant.F16) g.vecsF16 = new ArrayBuffer[Array[Short]](n)
+    if (Quant.packedBits(quant) > 0) g.vecsPacked = new ArrayBuffer[Array[Byte]](n)
     g.entryPoint = in.readInt()
     g.maxLevel = in.readInt()
     var i = 0
@@ -519,6 +563,12 @@ object HnswGraph {
           val q = new Array[Byte](dim)
           in.readFully(q)
           g.vecsI8 += q
+        case _ =>
+          val bits = Quant.packedBits(quant)
+          val per = 8 / bits
+          val q = new Array[Byte]((dim + per - 1) / per)
+          in.readFully(q)
+          g.vecsPacked += q
       }
       val layers = new Array[ArrayBuffer[Int]](lvl + 1)
       var l = 0

@@ -105,6 +105,53 @@ object ScalarQuantizer {
     out
   }
 
+  // ---------------------------------------------------- packed 1/2/4
+
+  /** Linear [lo, hi] quantization to `nbits`-wide codes (nbits ∈
+    * {1, 2, 4}) packed MSB-first, 8/nbits codes per byte — the
+    * remaining `quant_bits` points of the reference's {1,2,4,8,16,32}
+    * set (lantern_hnsw/src/hnsw/options.c:137-158). Levels are the
+    * 2^nbits evenly spaced points of [lo, hi]; encoding is the same
+    * clamped tie-free floor(x·scale + 0.5) the i8 path uses. Distinct
+    * from [[quantizeB1]]: that packs SIGN bits for `hamming_dist`,
+    * this stores 2^nbits reconstruction LEVELS for float metrics. */
+  def quantizePacked(
+      v: Array[Float], nbits: Int,
+      lo: Float = -1f, hi: Float = 1f): Array[Byte] = {
+    require(nbits == 1 || nbits == 2 || nbits == 4,
+      s"graft: packed nbits must be 1|2|4, got $nbits")
+    require(hi > lo, s"graft: invalid packed range [$lo, $hi]")
+    val levels = (1 << nbits) - 1
+    val scale = levels / (hi - lo).toDouble
+    val per = 8 / nbits
+    val out = new Array[Byte]((v.length + per - 1) / per)
+    var i = 0
+    while (i < v.length) {
+      val clamped = math.min(math.max(v(i), lo), hi)
+      val q = math.min(
+        math.max(math.floor((clamped - lo) * scale + 0.5), 0.0),
+        levels.toDouble).toInt
+      val shift = 8 - nbits * (i % per + 1)
+      out(i / per) = (out(i / per) | (q << shift)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Code of element `i` in an MSB-first packed array. */
+  @inline def packedCode(codes: Array[Byte], i: Int, nbits: Int): Int = {
+    val per = 8 / nbits
+    val shift = 8 - nbits * (i % per + 1)
+    (codes(i / per) >>> shift) & ((1 << nbits) - 1)
+  }
+
+  def dequantizePacked(
+      codes: Array[Byte], dim: Int, nbits: Int,
+      lo: Float = -1f, hi: Float = 1f): Array[Float] = {
+    val step = (hi - lo).toDouble / ((1 << nbits) - 1)
+    Array.tabulate(dim)(i => (lo + packedCode(codes, i, nbits) * step).toFloat)
+  }
+
   // --------------------------------------------------------- columns
   // Native codegen'd expressions (graft.functions.QuantExpressions) —
   // the earlier Scala-UDF forms paid per-row ser/de and blocked

@@ -136,6 +136,18 @@ class PlanShapeSpec extends SparkTestBase {
       assert(nondet.queryExecution.optimizedPlan.collect {
         case a: AnnFilteredIdsLogical => a
       }.isEmpty)
+
+      // SQL text goes through the same rule — the reference's
+      // has_index_scan assertions are SQL-level (hnsw_select.sql:52-53)
+      spark.read.parquet(tablePath).createOrReplaceTempView("emb_fplan")
+      val qLit = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")")
+      val sqlKnn = spark.sql(
+        s"""SELECT vec_id FROM emb_fplan WHERE vec_id % 3 = 0
+           |ORDER BY l2sq_dist(embedding, $qLit) LIMIT 10""".stripMargin)
+      assert(sqlKnn.queryExecution.optimizedPlan.collect {
+        case a: AnnFilteredIdsLogical => a
+      }.nonEmpty, sqlKnn.queryExecution.optimizedPlan.toString)
+      assert(sqlKnn.collect().map(_.getLong(0)).toSet.intersect(exact).size >= 8)
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 

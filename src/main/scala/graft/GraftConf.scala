@@ -71,4 +71,12 @@ object GraftConf {
     m = int(s, AnnM, 16),
     efConstruction = int(s, AnnEfConstruction, 128),
     ef = int(s, AnnEf, 64))
+
+  val ClassifyBroadcastBytes = "spark.graft.classify.broadcastBytes"
+
+  /** Largest seed set the kNN classifier will broadcast for map-side
+    * scoring (same adaptive idea as [[dedupBroadcastBytes]]); bigger
+    * seed sets must route through classifyViaJoin or an ANN index. */
+  def classifyBroadcastBytes(s: SparkSession): Long =
+    s.conf.getOption(ClassifyBroadcastBytes).map(_.toLong).getOrElse(256L << 20)
 }

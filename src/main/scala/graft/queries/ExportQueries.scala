@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.tokenize
+import graft.ops.{KnnClassify, Mixture, Packing}
+import graft.text.CorpusStats
+
+/** Driver-checkable queries for the training-data EXPORT stage:
+  * mixture sampling, concat-and-chunk block packing, deterministic
+  * shuffle-sharding, kNN seed-label classification, and vocabulary
+  * coverage. Everything is a pure function of (seed, row id) or an
+  * exact global prefix, so each gate has an exact DuckDB replay.
+  */
+object ExportQueries {
+
+  /** DuckDB replay of [[graft.functions.PolyHash31]] over a string
+    * expression `e` (same fold as PipelineQueries.polySql). */
+  private def polySql(e: String, mult: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, len($e)+1), j -> ascii(($e)[j]))),
+       |  (a, b) -> (a * $mult + b) % 2147483647)""".stripMargin
+
+  /** DuckDB replay of [[Mixture.sampleHash]] — the two-fold remix. */
+  private def mixHashSql(e: String): String =
+    s"(${polySql(e, 31)} * ${Mixture.MixStride} + ${polySql(e, 37)}) % ${Mixture.Mod}"
+
+  // ----------------------------------------------------------- mixture
+
+  private val mixShares = Map(
+    "en" -> 0.5, "fr" -> 0.2, "de" -> 0.2, "zh" -> 0.1) // es dropped
+  private val mixTarget = 200L
+  private val mixSeed = "mix42"
+
+  /** Deterministic stratified downsampling to a target language
+    * mixture; 'es' has no share and must vanish entirely. */
+  private def dataMixture(s: SparkSession, dir: String): DataFrame =
+    Mixture.sampleToMixture(
+        Tables.documents(s, dir), "doc_id", "lang",
+        mixShares, mixTarget, mixSeed)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val dataMixtureOracle = {
+    val shareCase = mixShares.toSeq.sorted
+      .map { case (g, r) => s"WHEN '$g' THEN CAST($r AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |r AS (SELECT lang, cnt, CASE lang $shareCase END AS share FROM n),
+       |t AS (SELECT lang,
+       |    CAST(floor(least(1.0, (CAST($mixTarget AS DOUBLE) * share) / CAST(cnt AS DOUBLE))
+       |               * 2147483647) AS BIGINT) AS thr
+       |  FROM r WHERE share IS NOT NULL)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN t ON d.lang = t.lang
+       |WHERE ${mixHashSql(s"'$mixSeed:' || CAST(d.doc_id AS VARCHAR)")} < t.thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- packing
+
+  private val blockSize = 512
+
+  /** GPT-style concat-and-chunk: global token offsets + the block span
+    * of every doc, via the two-level distributed prefix sum. */
+  private def packBlocks(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    Packing.assignBlocks(toks, col("n_tokens"), blockSize, Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("first_block"), col("last_block"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val packBlocksOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+       |  FROM t WHERE n_tokens > 0)
+       |SELECT doc_id, n_tokens, run - n_tokens AS start_token,
+       |  CAST(floor(CAST(run - n_tokens AS DOUBLE) / $blockSize) AS BIGINT) AS first_block,
+       |  CAST(floor(CAST(run - 1 AS DOUBLE) / $blockSize) AS BIGINT) AS last_block
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ shards
+
+  private val shardRows = 64
+  private val shardSeed = "shuf42"
+
+  /** Deterministic seeded global shuffle cut into fixed-row shards. */
+  private def exportShards(s: SparkSession, dir: String): DataFrame =
+    Packing.shuffledShards(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", shardRows, shardSeed)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  private val exportShardsOracle =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${mixHashSql(s"'$shardSeed:' || CAST(doc_id AS VARCHAR)")} AS hs
+       |  FROM documents),
+       |r AS (SELECT doc_id, row_number() OVER (ORDER BY hs, doc_id) AS rk FROM h)
+       |SELECT doc_id,
+       |  CAST(floor(CAST(rk - 1 AS DOUBLE) / $shardRows) AS BIGINT) AS shard,
+       |  CAST((rk - 1) % $shardRows AS BIGINT) AS pos
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- classify
+
+  private val classifyK = 5
+
+  /** kNN majority-vote labeling: every 5th embedding is a labeled
+    * seed; the rest are classified map-side against the broadcast
+    * seed set (cosine, ties by (dist, seed_id), vote ties to the
+    * smallest label). */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    KnnClassify.classify(
+        e.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        e.where(col("vec_id") % 5 === 0), "vec_id", "embedding", "label",
+        k = classifyK)
+      .orderBy(col("id"))
+  }
+
+  private val knnClassifyOracle = {
+    val dot =
+      "list_sum(list_transform(list_zip(d.embedding, s.sv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def norm(c: String) =
+      s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+       |s AS (SELECT vec_id AS sid, embedding AS sv, label FROM embeddings WHERE vec_id % 5 = 0),
+       |p AS (SELECT d.vec_id AS id, s.sid, s.label,
+       |    1.0 - $dot / (${norm("d.embedding")} * ${norm("s.sv")}) AS dist
+       |  FROM d, s),
+       |r AS (SELECT id, sid, label,
+       |    row_number() OVER (PARTITION BY id ORDER BY dist, sid) AS rk FROM p),
+       |topk AS (SELECT * FROM r WHERE rk <= $classifyK),
+       |v AS (SELECT id, label, CAST(count(*) AS INT) AS votes
+       |  FROM topk GROUP BY id, label),
+       |pick AS (SELECT id, label, votes,
+       |    row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) AS pk
+       |  FROM v),
+       |nn AS (SELECT id, sid AS nn_id FROM topk WHERE rk = 1)
+       |SELECT pick.id, pick.label, pick.votes, nn.nn_id
+       |FROM pick JOIN nn USING (id) WHERE pk = 1
+       |ORDER BY pick.id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- vocab
+
+  private val vocabK = 50
+
+  /** Head-of-vocabulary coverage profile. */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.vocabulary(Tables.documents(s, dir), "text", vocabK)
+      .orderBy(col("rank"))
+
+  private val vocabCoverageOracle =
+    s"""WITH tok AS (
+       |  SELECT u.t AS token
+       |  FROM documents, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS u(t)
+       |  WHERE text IS NOT NULL),
+       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+       |top AS (
+       |  SELECT token, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+       |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+       |  FROM c)
+       |SELECT token, cnt, rank,
+       |  round(cum / tot.total, 6) AS cum_share
+       |FROM top, tot
+       |WHERE rank <= $vocabK
+       |ORDER BY rank""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("data_mixture", Some(dataMixtureOracle), dataMixture),
+    QueryDef("pack_blocks", Some(packBlocksOracle), packBlocks),
+    QueryDef("export_shards", Some(exportShardsOracle), exportShards),
+    QueryDef("knn_classify", Some(knnClassifyOracle), knnClassify),
+    QueryDef("vocab_coverage", Some(vocabCoverageOracle), vocabCoverage))
+}

@@ -47,4 +47,38 @@ object CorpusStats {
   def overall(df: DataFrame, textCol: String): DataFrame =
     byLanguage(df.withColumn("__all", lit("all")), "__all", textCol)
       .drop("lang")
+
+  /** Top-`topK` vocabulary with counts, rank, and cumulative corpus
+    * coverage — the "how much of the stream do the head tokens
+    * explain" profile used when sizing tokenizer vocabularies.
+    *
+    * Scale shape: explode + partial-aggregated `groupBy(token)` (the
+    * only corpus-sized shuffle), a `TakeOrderedAndProject` top-k, and
+    * a one-row total aggregate broadcast back. The rank/coverage
+    * window runs over `topK` rows — bounded by the PARAMETER, not the
+    * corpus, so the single-partition window is fine (same shape as the
+    * exact-kNN top-k merge). */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, s"graft: topK must be positive, got $topK")
+    val counts = df
+      .where(col(textCol).isNotNull)
+      .select(explode(tokenize(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("__total"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_share",
+        round(
+          sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("__total"),
+          6))
+      .select(col("token"), col("cnt"), col("rank"), col("cum_share"))
+  }
 }

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Unit specs for the export-stage operators: mixture sampling,
+  * distributed prefix sum / block packing / shuffle-sharding, and the
+  * kNN seed classifier. */
+class ExportOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ mixture
+
+  private lazy val mixDf = (0L until 1000L)
+    .map(i => (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "fr" else "zh"))
+    .toDF("id", "g")
+
+  test("mixture sampling is deterministic, rate-accurate, and monotone in rate") {
+    val a = Mixture.sampleByRates(mixDf, "id", "g", Map("en" -> 0.4), "s1", 1.0)
+      .select("id").as[Long].collect().toSet
+    val b = Mixture.sampleByRates(mixDf, "id", "g", Map("en" -> 0.4), "s1", 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "same seed+rate must reproduce the same sample")
+    val enKept = a.count(_ % 10 < 6)
+    assert(math.abs(enKept - 600 * 0.4) < 60,
+      s"en acceptance $enKept should be near 240 (hash uniformity)")
+    assert(a.count(_ % 10 >= 6) == 400, "defaultRate=1 groups keep everything")
+    // raising the rate only ADDS rows (threshold moves up)
+    val wider = Mixture.sampleByRates(mixDf, "id", "g", Map("en" -> 0.7), "s1", 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(a.subsetOf(wider), "higher rate must be a superset")
+    // different seed → different sample
+    val other = Mixture.sampleByRates(mixDf, "id", "g", Map("en" -> 0.4), "s2", 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(a != other)
+  }
+
+  test("sampleToMixture hits target proportions and drops share-less groups") {
+    val out = Mixture.sampleToMixture(
+      mixDf, "id", "g", Map("en" -> 0.5, "fr" -> 0.5), targetRows = 400, seed = "m")
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byG.contains("zh"), "groups without a share are dropped")
+    assert(math.abs(byG("en") - 200L) < 50, s"en ${byG("en")} ≈ 200")
+    assert(math.abs(byG("fr") - 200L) < 50, s"fr ${byG("fr")} ≈ 200")
+    // a group short of quota keeps everything (rate caps at 1)
+    val starved = Mixture.sampleToMixture(
+      mixDf, "id", "g", Map("zh" -> 1.0), targetRows = 5000, seed = "m")
+    assert(starved.count() == 100L, "under-quota group keeps all rows")
+  }
+
+  test("mixturePlan reports counts, rates, thresholds") {
+    val plan = Mixture.mixturePlan(mixDf, "g", Map("en" -> 1.0), 300)
+    assert(plan == Seq(("en", 600L, 0.5, Mixture.threshold(0.5))))
+    assert(Mixture.threshold(1.0) == Mixture.Mod)
+    assert(Mixture.threshold(0.0) == 0L)
+  }
+
+  // ------------------------------------------- prefix sum / packing
+
+  test("runningTotal matches a sequential scan regardless of bucket count") {
+    val rnd = new scala.util.Random(7)
+    val vals = (0L until 500L).map(i => (i, rnd.nextInt(100).toLong))
+    val df = vals.toDF("id", "v")
+    val expect = vals.sortBy(_._1).scanLeft((0L, 0L)) {
+      case ((_, acc), (id, v)) => (id, acc + v)
+    }.tail.toMap
+    for (buckets <- Seq(1, 7, 32)) {
+      val got = Packing.runningTotal(df, col("v"), Seq(col("id")), "run", buckets)
+        .select("id", "run").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"buckets=$buckets")
+    }
+  }
+
+  test("assignBlocks: block spans follow the concatenated token stream") {
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 10L), (5L, 1L))
+      .toDF("id", "n")
+    val out = Packing.assignBlocks(df, col("n"), blockSize = 8, Seq(col("id")))
+      .select("id", "start_token", "first_block", "last_block")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // stream: [0,3) [3,8) [8,12) [12,22) [22,23) with blocks of 8
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L), (2L, 3L, 0L, 0L), (3L, 8L, 1L, 1L),
+      (4L, 12L, 1L, 2L), (5L, 22L, 2L, 2L)))
+  }
+
+  test("shuffledShards: exact shard sizes, a true permutation, deterministic") {
+    val df = (0L until 333L).toDF("id")
+    val out = Packing.shuffledShards(df, "id", shardRows = 50, seed = "x")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 333)
+    val byShard = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert((0L until 6L).forall(s => byShard(s) == 50) && byShard(6L) == 33,
+      s"shard sizes $byShard")
+    assert(out.map(_._1).distinct.length == 333, "every row exactly once")
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions are dense")
+    }
+    val again = Packing.shuffledShards(df, "id", 50, "x", buckets = 5)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "bucket count must not change the assignment")
+  }
+
+  test("writeShards round-trips through parquet partition dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (0L until 120L).toDF("id")
+    Packing.writeShards(df, "id", shardRows = 50, seed = "w", path = dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 120)
+    assert(back.select("shard").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L))
+    val direct = Packing.shuffledShards(df, "id", 50, "w")
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    val fromDisk = back.select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(fromDisk == direct)
+  }
+
+  // ----------------------------------------------------------- classify
+
+  private lazy val embDf = {
+    val rnd = new scala.util.Random(11)
+    // three directionally separated gaussian clusters in 8d (a cluster
+    // at the ORIGIN would have random cosine direction — orthogonal
+    // centers keep both metrics separable)
+    val centers = Array(
+      Array(5f, 0f, 0f, 0f, 5f, 0f, 0f, 0f),
+      Array(0f, 5f, 0f, 0f, 0f, 5f, 0f, 0f),
+      Array(0f, 0f, 5f, 0f, 0f, 0f, 5f, 0f))
+    (0 until 90).map { i =>
+      val c = i % 3
+      val v = centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+      (i.toLong, v, c)
+    }.toDF("id", "vec", "lab")
+  }
+
+  test("classify recovers planted cluster labels via broadcast path") {
+    val seeds = embDf.where($"id" < 30)
+    val data = embDf.where($"id" >= 30)
+    val out = KnnClassify.classify(
+      data, "id", "vec", seeds, "id", "vec", "lab", k = 3)
+    val wrong = out.join(embDf.select($"id", $"lab"), "id")
+      .where($"label" =!= $"lab").count()
+    assert(wrong == 0, "separated clusters must classify perfectly")
+    assert(out.columns.toSeq == Seq("id", "label", "votes", "nn_id"))
+    assert(out.where($"votes" === 3).count() == 60, "unanimous votes")
+  }
+
+  test("classify broadcast path matches classifyViaJoin exactly") {
+    val seeds = embDf.where($"id" % 3 === 0)
+      .select($"id", $"vec", ($"id" % 7).cast("int").as("lab")) // scrambled labels → tie cases
+    val data = embDf.where($"id" % 3 =!= 0)
+    for (metric <- Seq("cos", "l2sq")) {
+      val a = KnnClassify.classify(
+        data, "id", "vec", seeds, "id", "vec", "lab", k = 5, metric)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      val b = KnnClassify.classifyViaJoin(
+        data, "id", "vec", seeds, "id", "vec", "lab", k = 5, metric)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, s"metric=$metric")
+    }
+  }
+
+  test("classify handles k larger than the seed set and enforces the byte budget") {
+    val seeds = embDf.where($"id" < 4)
+    val out = KnnClassify.classify(
+      embDf.where($"id" >= 4), "id", "vec", seeds, "id", "vec", "lab", k = 50)
+    assert(out.count() == 86)
+    val tight = spark.conf.get(graft.GraftConf.ClassifyBroadcastBytes, null)
+    spark.conf.set(graft.GraftConf.ClassifyBroadcastBytes, "64")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        KnnClassify.classify(
+          embDf, "id", "vec", embDf, "id", "vec", "lab", k = 3)
+      }
+      assert(e.getMessage.contains("broadcastBytes"))
+    } finally {
+      if (tight == null) spark.conf.unset(graft.GraftConf.ClassifyBroadcastBytes)
+      else spark.conf.set(graft.GraftConf.ClassifyBroadcastBytes, tight)
+    }
+  }
+
+  // -------------------------------------------------------------- vocab
+
+  test("vocabulary: counts, rank order, cumulative coverage") {
+    val df = Seq("a a a b b c", "a b d", null).toDF("text")
+    val out = graft.text.CorpusStats.vocabulary(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // counts: a=4 b=3 c=1 d=1 of 9 total; ties by token asc
+    assert(out.toSeq == Seq(
+      ("a", 4L, 1L, math.rint(4.0 / 9 * 1e6) / 1e6),
+      ("b", 3L, 2L, math.rint(7.0 / 9 * 1e6) / 1e6),
+      ("c", 1L, 3L, math.rint(8.0 / 9 * 1e6) / 1e6)))
+  }
+}

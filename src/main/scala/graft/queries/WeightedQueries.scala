@@ -79,8 +79,66 @@ object WeightedQueries {
     if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  // ------------------------------------------------------------- MMR
+
+  private val mmrK = 5
+  private val mmrLambda = 0.7
+  private val mmrFetch = 20
+
+  /** Diversity re-rank: exact top-20 by cosine similarity to vec 0's
+    * embedding, greedily reduced to the 5 MMR winners (λ = 0.7). The
+    * oracle replays the EXACT greedy — a recursive CTE carrying the
+    * picked list, one argmax per step with the same double arithmetic
+    * and (score desc, id) tie-break. */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    graft.ops.MmrRerank.rerank(
+      e.where(col("vec_id") =!= 0), "vec_id", "embedding",
+      q, k = mmrK, lambda = mmrLambda, fetchN = mmrFetch)
+  }
+
+  private val mmrOracle: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def norm(c: String) =
+      s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    def cosSim(a: String, b: String) =
+      s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+    s"""WITH RECURSIVE
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |cand0 AS (
+       |  SELECT e.vec_id AS id, ${cosSim("e.embedding", "qv.q")} AS rel, e.embedding
+       |  FROM embeddings e, qv WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, id LIMIT $mmrFetch),
+       |pair AS (
+       |  SELECT a.id AS ia, b.id AS ib, ${cosSim("a.embedding", "b.embedding")} AS sim
+       |  FROM cand0 a, cand0 b WHERE a.id <> b.id),
+       |sel AS (
+       |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked
+       |  UNION ALL
+       |  SELECT s.step + 1,
+       |    list_append(s.picked, (
+       |      SELECT c.id FROM cand0 c
+       |      WHERE NOT list_contains(s.picked, c.id)
+       |      ORDER BY $mmrLambda * c.rel - ${1.0 - mmrLambda} * coalesce(
+       |        (SELECT max(p.sim) FROM pair p
+       |         WHERE p.ia = c.id AND list_contains(s.picked, p.ib)), 0.0) DESC,
+       |        c.id
+       |      LIMIT 1))
+       |  FROM sel s WHERE s.step < $mmrK)
+       |SELECT CAST(j AS BIGINT) AS rank, f.picked[CAST(j AS INT)] AS id,
+       |  round(c.rel, 4) AS rel
+       |FROM (SELECT picked FROM sel WHERE step = $mmrK) f,
+       |     unnest(range(1, ${mmrK + 1})) AS r(j)
+       |     JOIN cand0 c ON c.id = f.picked[CAST(j AS INT)]
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("weighted_knn_exact", Some(oracle), weightedKnn),
     QueryDef("weighted_knn_ann", Some("SELECT 1 AS ok"), weightedKnnAnn),
+    QueryDef("mmr_rerank", Some(mmrOracle), mmrRerank),
   )
 }

@@ -442,6 +442,75 @@ object PipelineQueries {
        |  FROM t)
        |SELECT fp, CAST(1 AS INT) AS n_kept FROM f GROUP BY fp ORDER BY fp""".stripMargin
 
+  /** Watermarked windowed-quality monitoring gate: documents ride a
+    * synthetic event time (`base + doc_id` seconds, so windows are
+    * pure integer arithmetic the oracle replays), fed through
+    * MemoryStream in 4 chunks with APPEND output — windows only emit
+    * once the watermark passes them, which two far-future flush rows
+    * force for the tail (their own windows sit past the cutoff and
+    * are filtered). The per-window mean is computed over 1e-4
+    * quantized scores, so distributed reduction order cannot perturb
+    * it — that is what makes this hash-comparable at all. */
+  private val sqBase = 1700000000L
+
+  private def streamingQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val maxId = docs.map(_._1).max
+    val mem = MemoryStream[(Long, String)](s)
+    val src = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(col("doc_id") + sqBase))
+    val agg = graft.streaming.StreamingDedup.qualityByWindow(
+      src, "ts", "text", "1 minute", "2 minutes")
+    val sink = "graft_squal_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // watermark only finalizes a window in a LATER batch: two flush
+      // batches a day past the stream push every real window out
+      mem.addData(Seq((maxId + 86400L, "flush")))
+      q.processAllAvailable()
+      mem.addData(Seq((maxId + 86400L + 600L, "flush")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cutoff = (sqBase + maxId) / 60L * 60L
+    s.table(sink)
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("n_docs"), col("avg_quality"))
+      .where(col("window_start") <= cutoff)
+      .orderBy(col("window_start"))
+  }
+
+  private val streamingQualityOracle = {
+    val stops = graft.text.PorterStemmer.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, $polyToks AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |q AS (
+       |  SELECT doc_id, CAST(floor((
+       |    0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE len(list_filter(toks, x -> list_contains($stops, x))) * 1.0 / len(toks) END)
+       |    + 0.3 * least(len(toks) / 20.0, 1.0)
+       |    + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END) / 8.0, 1.0)
+       |  ) * 1e4 + 0.5) AS BIGINT) AS q4
+       |  FROM t),
+       |w AS (SELECT (($sqBase + doc_id) // 60) * 60 AS ws, q4 FROM q)
+       |SELECT ws AS window_start, count(*) AS n_docs,
+       |  round(CAST(sum(q4) AS DOUBLE) / count(*) / 1e4, 4) AS avg_quality
+       |FROM w GROUP BY ws ORDER BY ws""".stripMargin
+  }
+
   /** Winnowing fingerprints (SIGMOD'03), polynomial-gram-hash variant
     * so the full k-gram → window-min → distinct pipeline is replayed by
     * the oracle; emitted space-joined (array columns are unhashable
@@ -601,6 +670,7 @@ object PipelineQueries {
     QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
     QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),
     QueryDef("streaming_dedup", Some(streamingDedupOracle), streamingDedup),
+    QueryDef("streaming_quality", Some(streamingQualityOracle), streamingQuality),
     QueryDef("winnow_fingerprint", Some(winnowOracle), winnow),
     QueryDef("punct_ratio", Some(punctRatioOracle), punctRatio),
     QueryDef("repetition_quality", Some(repetitionQualityOracle), repetitionQuality),

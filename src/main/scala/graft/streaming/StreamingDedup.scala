@@ -67,10 +67,18 @@ object StreamingDedup {
       windowDuration: String = "1 minute",
       watermarkDelay: String = "2 minutes"): DataFrame =
     stream
-      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
+      // quantize each score to 1e-4 BEFORE aggregating: the window
+      // mean then reduces over exact integers, so the result cannot
+      // drift with partial-aggregation order (floating-point addition
+      // is not associative; a monitoring stream should not flap on
+      // repartition)
+      .withColumn("__q4",
+        floor(TextAnalysis.qualityScore(col(textCol)) * 1e4 + 0.5).cast("long"))
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration))
-      .agg(count(lit(1)).as("n_docs"), avg(col("__q")).as("avg_quality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__q4")).as("__s4"))
       .select(col("window.start").as("window_start"),
-        col("n_docs"), col("avg_quality"))
+        col("n_docs"),
+        round(col("__s4").cast("double") / col("n_docs") / 1e4, 4)
+          .as("avg_quality"))
 }

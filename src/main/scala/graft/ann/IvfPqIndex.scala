@@ -1,0 +1,232 @@
+package graft.ann
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.pq.{PqCodebook, ProductQuantizer}
+
+/** IVF-PQ — coarse inverted lists with PQ-compressed RESIDUALS, the
+  * canonical billion-scale ANN serving layout (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011; the faiss
+  * `IVFPQ` index). Combines the repo's two scale primitives:
+  *
+  *  - [[IvfIndex]]'s layout: coarse k-means lists stored as Parquet
+  *    `partitionBy(list_id)`, so probing `nprobe` lists is a PARTITION
+  *    filter Catalyst prunes at planning time;
+  *  - [[PqCodebook]]'s asymmetric distance: rows store `subvectors`
+  *    one-byte codes instead of `4·dim` float bytes (×32 compression
+  *    at dim=64/m=8), scanned against a per-list lookup table.
+  *
+  * Quantizing the residual `v − centroid(list)` instead of `v` is what
+  * makes the combination work: residuals concentrate near the origin,
+  * so the same 256 clusters per subvector spend their resolution on
+  * the part of the vector the coarse step did NOT explain —
+  * `‖q−v‖² = ‖(q−c) − (v−c)‖²`, so the list-relative LUT estimates
+  * the TRUE distance. Search re-ranks the LUT top-`max(ef,4k)` against
+  * the caller's float source (broadcast join-back of candidate ids —
+  * the index itself never stores floats; at 100 TB the floats live in
+  * the source table, the index is the compact artifact).
+  *
+  * Metrics: l2sq natively; cos via unit-normalization at build and
+  * query (identical ordering on unit vectors, same as [[IvfIndex]]).
+  */
+object IvfPqIndex {
+
+  private val CentroidsDir = "centroids"
+  private val CodebookDir = "codebook"
+  private val DataDir = "data"
+
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nlists: Int = 64,
+      subvectors: Int = 8,
+      clusters: Int = 256,
+      metric: String = "l2sq",
+      sampleLimit: Int = 100000,
+      seed: Long = 42L): Unit = {
+    require(metric == "l2sq" || metric == "cos",
+      s"graft: IVF-PQ supports l2sq|cos, got '$metric'")
+    val spark = df.sparkSession
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+
+    val data0 = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+    val data = if (metric == "cos") data0.withColumn("vec", unitNorm(col("vec")))
+      else data0
+
+    // one bounded sample feeds BOTH trainings (coarse lists, then the
+    // residual codebook) — corpus passes stay at two total (this
+    // sample + the final encode)
+    val sample = graft.util.Sampling
+      .hashSample(data.select("vec"), sampleLimit, col("vec"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "graft: empty sample for IVF-PQ training")
+    val dim = sample.head.length
+    require(dim % subvectors == 0,
+      s"graft: dim $dim not divisible by subvectors $subvectors")
+    val centroids = ProductQuantizer.kmeansLocalPublic(
+      sample, nlists, maxIter = 20, tol = 0.1, seed = seed)
+
+    // per-subvector Lloyd's over the sample RESIDUALS (same fit shape
+    // as ProductQuantizer.trainCodebook, which SURVEY pins to the
+    // reference CLI: tol=0.1, max 20 iters, seeded)
+    val residuals = sample.map { v =>
+      val c = centroids(IvfIndex.nearestList(v, centroids))
+      val r = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { r(j) = v(j) - c(j); j += 1 }
+      r
+    }
+    val subDim = dim / subvectors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until subvectors).map { s =>
+      Future {
+        val pts = residuals.map(v =>
+          java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+        ProductQuantizer.kmeansLocalPublic(
+          pts, clusters, maxIter = 20, tol = 0.1, seed = seed + 1 + s)
+      }
+    }
+    val cb = PqCodebook(dim,
+      Await.result(Future.sequence(fits), Duration.Inf).toArray)
+
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, metric) }.toSeq
+      .toDF("list_id", "centroid", "metric")
+      .coalesce(1)
+      .write.parquet(s"$path/$CentroidsDir")
+    cb.toDf(spark).coalesce(1).write.parquet(s"$path/$CodebookDir")
+
+    // final encode pass: assign list, quantize the residual. One UDF
+    // carrying two small broadcast-size arrays — build-time only, the
+    // search scan never touches floats.
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val encode = udf { v: Seq[Float] =>
+      val vec = v.toArray
+      val cents = bcCents.value
+      val l = IvfIndex.nearestList(vec, cents)
+      val c = cents(l)
+      val r = new Array[Float](vec.length)
+      var j = 0
+      while (j < vec.length) { r(j) = vec(j) - c(j); j += 1 }
+      (l, bcCb.value.quantize(r))
+    }
+    data
+      .withColumn("__enc", encode(col("vec")))
+      .select(col("id"), col("__enc._2").as("codes"), col("__enc._1").as("list_id"))
+      .write.partitionBy("list_id").parquet(s"$path/$DataDir")
+  }
+
+  private def unitNorm(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.UnitNormalize(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(c)))
+
+  private def loadCentroids(spark: SparkSession, path: String)
+      : (Array[Array[Float]], String) = {
+    val rows = spark.read.parquet(s"$path/$CentroidsDir")
+      .orderBy("list_id").collect()
+    (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
+  }
+
+  private def loadCodebook(spark: SparkSession, path: String): PqCodebook = {
+    val df = spark.read.parquet(s"$path/$CodebookDir")
+    // dim = subvectors × subDim, both recoverable from the stored rows
+    val r = df.select(countDistinct(col("subvector_id")).cast("int"),
+      max(size(col("centroid")))).head()
+    PqCodebook.fromDf(df, r.getInt(0) * r.getInt(1))
+  }
+
+  /** Tombstones, same semantics as [[IvfIndex.delete]]. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new Path(path, "tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** ADC top-k: probe the `nprobe` nearest lists (partition-pruned
+    * scan over CODES only), score each row against its list's
+    * residual LUT, then — when `rerank` supplies the float source —
+    * exact-re-rank the LUT top-`max(ef, 4k)` via broadcast join-back.
+    * Returns (id, dist): exact metric distance with rerank, LUT
+    * estimate without.
+    */
+  def search(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 8,
+      rerank: Option[(DataFrame, String, String)] = None,
+      ef: Int = 64): DataFrame = {
+    val (centroids, metric) = loadCentroids(spark, path)
+    val cb = loadCodebook(spark, path)
+    val q = if (metric == "cos") {
+      var s = 0.0; query.foreach(x => s += x.toDouble * x)
+      val n = math.sqrt(s)
+      if (n == 0.0) query else query.map(x => (x / n).toFloat)
+    } else query
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(math.max(nprobe, 1)).map(_._1)
+    // per-probed-list LUT on the query residual: nprobe × m × clusters
+    // doubles — rides the closure, small by construction
+    val luts: Map[Int, Array[Array[Double]]] = probes.map { l =>
+      val c = centroids(l)
+      val r = new Array[Float](q.length)
+      var j = 0
+      while (j < q.length) { r(j) = q(j) - c(j); j += 1 }
+      l -> cb.l2sqLut(r)
+    }.toMap
+    val adc = udf { (codes: Seq[Short], listId: Int) =>
+      val lut = luts(listId)
+      var s = 0; var d = 0.0
+      while (s < codes.length) { d += lut(s)(codes(s).toInt); s += 1 }
+      d
+    }
+    val base = spark.read.parquet(s"$path/$DataDir")
+      .where(col("list_id").isin(probes.toIndexedSeq: _*))
+    val scan = tombstones(spark, path) match {
+      case Some(t) => base.join(broadcast(t), Seq("id"), "left_anti")
+      case None => base
+    }
+    val scored = scan.select(col("id"),
+      adc(col("codes"), col("list_id")).as("lut_dist"))
+    rerank match {
+      case None =>
+        scored.orderBy(col("lut_dist"), col("id")).limit(k)
+          .select(col("id"), col("lut_dist").as("dist"))
+      case Some((src, srcId, srcVec)) =>
+        val nCand = math.max(ef, 4 * k)
+        val cands = scored.orderBy(col("lut_dist"), col("id")).limit(nCand)
+          .select(col("id"))
+        val srcVecCol =
+          if (metric == "cos") unitNorm(col(srcVec)) else col(srcVec)
+        src.select(col(srcId).cast(LongType).as("id"), srcVecCol.as("__v"))
+          .join(broadcast(cands), Seq("id"))
+          .select(col("id"),
+            graft.functions.l2sq_dist(col("__v"), lit(q)).as("dist"))
+          .orderBy(col("dist"), col("id"))
+          .limit(k)
+    }
+  }
+}

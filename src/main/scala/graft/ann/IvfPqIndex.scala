@@ -166,14 +166,14 @@ object IvfPqIndex {
     * Returns (id, dist): exact metric distance with rerank, LUT
     * estimate without.
     */
-  def search(
+  /** Probed, tombstone-masked, LUT-scored scan shared by [[search]] and
+    * [[candidateRows]]: `(rows(id, codes, list_id, lut_dist), centroids,
+    * codebook, normalized query)`. */
+  private def scoredScan(
       spark: SparkSession,
       path: String,
       query: Array[Float],
-      k: Int,
-      nprobe: Int = 8,
-      rerank: Option[(DataFrame, String, String)] = None,
-      ef: Int = 64): DataFrame = {
+      nprobe: Int): (DataFrame, Array[Array[Float]], PqCodebook, Array[Float], String) = {
     val (centroids, metric) = loadCentroids(spark, path)
     val cb = loadCodebook(spark, path)
     val q = if (metric == "cos") {
@@ -209,8 +209,20 @@ object IvfPqIndex {
       case Some(t) => base.join(broadcast(t), Seq("id"), "left_anti")
       case None => base
     }
-    val scored = scan.select(col("id"),
-      adc(col("codes"), col("list_id")).as("lut_dist"))
+    (scan.withColumn("lut_dist", adc(col("codes"), col("list_id"))),
+      centroids, cb, q, metric)
+  }
+
+  def search(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 8,
+      rerank: Option[(DataFrame, String, String)] = None,
+      ef: Int = 64): DataFrame = {
+    val (rows, _, _, q, metric) = scoredScan(spark, path, query, nprobe)
+    val scored = rows.select(col("id"), col("lut_dist"))
     rerank match {
       case None =>
         scored.orderBy(col("lut_dist"), col("id")).limit(k)
@@ -228,5 +240,39 @@ object IvfPqIndex {
           .orderBy(col("dist"), col("id"))
           .limit(k)
     }
+  }
+
+  /** Planner hook (`AnnScanExec kind = "ivfpq"`): the LUT top-`max(ef,k)`
+    * candidates, each emitted as its RECONSTRUCTED vector
+    * `centroid(list) + dequantize(codes)` — the exact `Sort+Limit` the
+    * rewrite rule leaves above then re-ranks against the IVF-PQ
+    * approximation, mirroring the `"pq"` kind (and the reference's
+    * in-graph asymmetric search). The planner always routes IVF-PQ
+    * through the join-back form, so downstream consumers see the
+    * table's true floats, never these approximations.
+    */
+  private[graft] def candidateRows(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      ef: Int,
+      nprobe: Int): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (rows, centroids, cb, _, _) = scoredScan(spark, path, query, nprobe)
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val reconstruct = udf { (codes: Seq[Short], listId: Int) =>
+      val c = bcCents.value(listId)
+      val deq = bcCb.value.dequantize(codes.toArray)
+      val v = new Array[Float](deq.length)
+      var j = 0
+      while (j < deq.length) { v(j) = c(j) + deq(j); j += 1 }
+      v
+    }
+    rows
+      .orderBy(col("lut_dist"), col("id"))
+      .limit(math.max(ef, k))
+      .select(col("id"), reconstruct(col("codes"), col("list_id")).as("vec"))
+      .queryExecution.toRdd
   }
 }

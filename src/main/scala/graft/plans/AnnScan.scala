@@ -33,14 +33,15 @@ object AnnCatalog {
     * (different columns/metrics), like multiple lantern indexes on one
     * table — the rule picks the one matching the sort expression.
     */
-  /** `nprobe` applies to `kind = "ivf"` only: number of coarse lists to
-    * probe (clamped to nlists by the scan). 0 = unset → the IVF default
-    * (8). It deliberately does NOT inherit `ef`: a graph-search ef like
-    * 64 on a 16-list index would probe every list — a full table scan
-    * wearing an index costume. */
+  /** `nprobe` applies to the coarse-list kinds (`"ivf"`, `"ivfpq"`)
+    * only: number of coarse lists to probe (clamped to nlists by the
+    * scan). 0 = unset → the IVF default (8). It deliberately does NOT
+    * inherit `ef`: a graph-search ef like 64 on a 16-list index would
+    * probe every list — a full table scan wearing an index costume.
+    * (`ef` still applies to "ivfpq" as the LUT candidate-pool width.) */
   case class IndexMeta(artifact: String, idCol: String, vecCol: String,
       metric: String, ef: Int, kind: String = "hnsw", nprobe: Int = 0) {
-    require(Set("hnsw", "ivf", "pq").contains(kind),
+    require(Set("hnsw", "ivf", "pq", "ivfpq").contains(kind),
       s"graft: unknown index kind '$kind'")
     require(nprobe >= 0, s"graft: nprobe must be >= 0, got $nprobe")
     /** Probe count the planner hands an IVF scan. */
@@ -90,7 +91,8 @@ case class AnnScanLogical(
     query: Seq[Float],
     k: Int,
     ef: Int,
-    kind: String = "hnsw") extends LeafNode {
+    kind: String = "hnsw",
+    nprobe: Int = 0) extends LeafNode {
   override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = 1L + k.toLong * (8 + 4 * query.size))
@@ -109,7 +111,8 @@ case class AnnScanExec(
     query: Seq[Float],
     k: Int,
     ef: Int,
-    kind: String = "hnsw") extends LeafExecNode {
+    kind: String = "hnsw",
+    nprobe: Int = 0) extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
 
@@ -128,6 +131,12 @@ case class AnnScanExec(
       // (the reference's in-graph asymmetric search, scan.c:75-88)
       graft.ann.PqAnnIndex.candidateRows(
         session, artifact, query.toArray, k, math.max(ef, k))
+    case "ivfpq" =>
+      // coarse-list probe + residual-LUT top-ef, emitted as
+      // centroid+dequantized reconstructions; exact re-rank above
+      graft.ann.IvfPqIndex.candidateRows(
+        session, artifact, query.toArray, k, math.max(ef, k),
+        math.max(1, nprobe))
   }
 
   private def hnswCandidates(): RDD[InternalRow] = {

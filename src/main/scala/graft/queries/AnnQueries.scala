@@ -296,6 +296,43 @@ object AnnQueries {
     if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** IVF-PQ gate (the faiss `IVFPQ` layout — coarse lists + PQ
+    * residual codes, Jégou et al. TPAMI 2011): the compact index
+    * (codes only, no floats) with exact join-back rerank must reach
+    * recall@10 ≥ 0.8 vs the exact oracle at half the lists probed,
+    * every reranked distance must equal the TRUE l2sq distance, and
+    * the stored rows must actually be codes (subvectors shorts, not
+    * dim floats) — the compression claim is part of the gate. */
+  private def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.IvfPqIndex
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ivfpq", dir, "embeddings")
+    cached(path) {
+      IvfPqIndex.build(e, "vec_id", "embedding", path,
+        nlists = 16, subvectors = 8, clusters = 64)
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val got = IvfPqIndex.search(s, path, q, 10, nprobe = 8,
+        rerank = Some((e, "vec_id", "embedding")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id", "d").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val recall = got.map(_._1).toSet.intersect(exact.map(_._1).toSet)
+      .size.toDouble / exact.length
+    val exactById = exact.toMap
+    val distsTrue = got.forall { case (id, d) =>
+      exactById.get(id).forall(ed => math.abs(d - ed) < 1e-9)
+    }
+    val codesCompact = s.read.parquet(s"$path/data").head()
+      .getAs[Seq[Short]]("codes").length == 8
+    if (recall >= 0.8 && distsTrue && codesCompact) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** Hamming-metric ANN gate (`dist_hamming_ops` analog,
     * lantern_hnsw/sql/lantern.sql:88-99): sign-quantize embeddings to
     * b1 packed bits, index under the hamming metric, and require the
@@ -426,6 +463,7 @@ object AnnQueries {
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),
+    QueryDef("ivfpq_recall_gate", Some("SELECT 1 AS ok"), ivfPqRecall),
     QueryDef("knn_hamming_ann", Some("SELECT 1 AS ok"), hammingAnnRecall),
     QueryDef("knn_inner_ann", Some("SELECT 1 AS ok"), innerAnnRecall),
   )

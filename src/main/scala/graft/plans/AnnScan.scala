@@ -236,8 +236,8 @@ case class AnnFilteredIdsExec(
 
 object AnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AnnScanLogical(id, vec, artifact, q, k, ef, kind) =>
-      AnnScanExec(id, vec, artifact, q, k, ef, kind) :: Nil
+    case AnnScanLogical(id, vec, artifact, q, k, ef, kind, nprobe) =>
+      AnnScanExec(id, vec, artifact, q, k, ef, kind, nprobe) :: Nil
     case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef) =>
       AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef) :: Nil
     case _ => Nil

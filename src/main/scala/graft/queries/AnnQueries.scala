@@ -314,8 +314,11 @@ object AnnQueries {
     }
     val q = e.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
+    // rerank pool ef=256: 48-bit PQ codes on near-random data carry
+    // real ADC noise, so the exact join-back re-ranks a deeper pool
+    // (still k·P-scale rows, never a float scan)
     val got = IvfPqIndex.search(s, path, q, 10, nprobe = 8,
-        rerank = Some((e, "vec_id", "embedding")))
+        rerank = Some((e, "vec_id", "embedding")), ef = 256)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
       .orderBy(col("d"), col("vec_id")).limit(10)
@@ -327,8 +330,9 @@ object AnnQueries {
     val distsTrue = got.forall { case (id, d) =>
       exactById.get(id).forall(ed => math.abs(d - ed) < 1e-9)
     }
-    val codesCompact = s.read.parquet(s"$path/data").head()
-      .getAs[Seq[Short]]("codes").length == 8
+    val codesRow = s.read.parquet(s"$path/data").head()
+    val codesCompact =
+      codesRow.getSeq[Short](codesRow.fieldIndex("codes")).length == 8
     if (recall >= 0.8 && distsTrue && codesCompact) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }

@@ -14,12 +14,15 @@ class IvfPqSpec extends SparkTestBase {
     val e = Tables.embeddings(spark, sfDir("sf0.001"))
     val path = Files.createTempDirectory("graft-ivfpq").toString + "/idx"
     IvfPqIndex.build(e, "vec_id", "embedding", path,
-      nlists = 8, subvectors = 8, clusters = 16)
+      nlists = 8, subvectors = 8, clusters = 64)
     val q = e.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
 
+    // 48-bit codes on near-random 64-dim data put the worst true
+    // neighbor around LUT rank ~70 of 500 (measured); ef=128 gives the
+    // rerank pool real headroom without scanning floats
     val got = IvfPqIndex.search(spark, path, q, k = 10, nprobe = 8,
-        rerank = Some((e, "vec_id", "embedding")))
+        rerank = Some((e, "vec_id", "embedding")), ef = 128)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
       .orderBy(col("d"), col("vec_id")).limit(10)
@@ -36,7 +39,7 @@ class IvfPqSpec extends SparkTestBase {
     // the index stores codes, not floats: 8 shorts vs 64 floats
     val row = spark.read.parquet(s"$path/data").head()
     assert(row.schema.fieldNames.toSet == Set("id", "codes", "list_id"))
-    assert(row.getAs[Seq[Short]]("codes").length == 8)
+    assert(row.getSeq[Short](row.fieldIndex("codes")).length == 8)
   }
 
   test("probed scan partition-prunes unvisited lists; LUT-only mode ranks sanely") {

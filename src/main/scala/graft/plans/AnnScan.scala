@@ -352,10 +352,13 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield {
         // ef drives graph/LUT search width; IVF instead takes a probe
         // count (ef would degenerate to probing every list — see
-        // IndexMeta.nprobe)
+        // IndexMeta.nprobe). IVF-PQ needs BOTH: ef as the residual-LUT
+        // candidate-pool width plus its own coarse probe count.
         val searchParam =
           if (meta.kind == "ivf") meta.effectiveNprobe
           else math.max(meta.ef, k)
+        val scanNprobe =
+          if (meta.kind == "ivfpq") meta.effectiveNprobe else 0
         val newSource: LogicalPlan = predOpt match {
           case Some(pred) =>
             // filtered form: ids from the adaptive over-fetch + exact
@@ -370,7 +373,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None =>
             val ann = AnnScanLogical(
               idAttr, vecAttr, meta.artifact, q.toSeq, k,
-              searchParam, meta.kind)
+              searchParam, meta.kind, scanNprobe)
             // narrow form is safe only when (a) everything the sort's child
             // produces fits the ANN leaf — anything above references at most
             // child.output — and (b) the index stores the TRUE vector values:
@@ -392,7 +395,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
               val candidates = Project(Seq(cid),
                 AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k,
-                  searchParam, meta.kind))
+                  searchParam, meta.kind, scanNprobe))
               Project(rel.output,
                 Join(rel, candidates, Inner,
                   Some(EqualTo(idAttr, cid)),

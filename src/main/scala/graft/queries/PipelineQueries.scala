@@ -271,6 +271,92 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Exact substring dedup (Lee et al. ACL 2022 ExactSubstr): merged
+    * removal spans of every 40-char window whose content occurs ≥2
+    * times corpus-wide, keeping the first (doc_id, pos) site. The
+    * oracle replays window marking, canonical row_number pick, and
+    * gaps-and-islands span merge in SQL. At sf0.01 several docs are
+    * FULLY covered by their span (178, 185, …), so the clean gate
+    * also exercises the everything-removed edge.
+    */
+  private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SubstringDedup
+      .duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", 40)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val dedupSubstringSpansOracle =
+    """WITH pos AS (
+      |  SELECT doc_id, g.pos AS pos, substr(text, g.pos, 40) AS gram
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      greatest(length(text) - 39, 0))) AS pos) g
+      |),
+      |marked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+      |    count(*) OVER (PARTITION BY gram) AS sites
+      |  FROM pos
+      |),
+      |win AS (
+      |  SELECT doc_id, pos AS s, pos + 39 AS e
+      |  FROM marked WHERE sites > 1 AND rn > 1
+      |),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > coalesce(max(e) OVER (
+      |        PARTITION BY doc_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM win
+      |),
+      |grp AS (
+      |  SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl
+      |)
+      |SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+      |FROM grp GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Cleaned text after cutting the duplicated spans; docs without
+    * dups pass through, fully-covered docs become empty strings. */
+  private def dedupSubstringClean(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SubstringDedup
+      .removeDuplicated(Tables.documents(s, dir), "doc_id", "text", 40)
+      .orderBy(col("doc_id"))
+
+  private val dedupSubstringCleanOracle = {
+    val spans = dedupSubstringSpansOracle
+      .replace("ORDER BY doc_id, span_start", "")
+    s"""WITH sp AS ($spans),
+      |seg AS (
+      |  SELECT d.doc_id, d.text,
+      |    coalesce(lag(sp.span_end) OVER (
+      |      PARTITION BY d.doc_id ORDER BY sp.span_start), 0) + 1 AS ks,
+      |    sp.span_start - 1 AS ke
+      |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+      |),
+      |tl AS (
+      |  SELECT d.doc_id, d.text, max(sp.span_end) + 1 AS ks,
+      |    length(d.text) AS ke
+      |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+      |  GROUP BY d.doc_id, d.text
+      |),
+      |segs AS (SELECT * FROM seg UNION ALL SELECT * FROM tl),
+      |built AS (
+      |  SELECT doc_id,
+      |    string_agg(substr(text, ks::int, (ke - ks + 1)::int),
+      |               '' ORDER BY ks) AS text_clean
+      |  FROM segs WHERE ke >= ks GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id IN (SELECT doc_id FROM sp)
+      |       THEN coalesce(b.text_clean, '') ELSE d.text END AS text_clean
+      |FROM documents d LEFT JOIN built b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Corpus-level boilerplate line removal (CCNet/RefinedWeb-style):
     * lines occurring in more than `maxDocFreq` distinct docs drop from
     * every doc, order and blank lines preserved. The fixture docs are
@@ -661,6 +747,10 @@ object PipelineQueries {
       Some(dedupMinhashKeepersOracle), dedupMinhashKeepersScale),
     QueryDef("dedup_simhash", Some(dedupSimhashOracle), dedupSimhash),
     QueryDef("dedup_lines", Some(dedupLinesOracle), dedupLines),
+    QueryDef("dedup_substring_spans",
+      Some(dedupSubstringSpansOracle), dedupSubstringSpans),
+    QueryDef("dedup_substring_clean",
+      Some(dedupSubstringCleanOracle), dedupSubstringClean),
     QueryDef("decontaminate", Some(decontaminateOracle), decontaminate),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),

@@ -115,6 +115,34 @@ class AnnCorrectSpec extends SparkTestBase {
     checkKind("ivf", s"$tmp/ivf", ef = 4, minRecall = 0.8) // ef = nprobe for IVF
     checkKind("pq", s"$tmp/pq", ef = 64, minRecall = 0.75)
 
+    // IVF-PQ: ef is the residual-LUT pool width AND the meta's nprobe
+    // must reach the scan (a dropped nprobe silently probes 1 list)
+    graft.ann.IvfPqIndex.build(e, "vec_id", "embedding", s"$tmp/ivfpq",
+      nlists = 8, subvectors = 8, clusters = 64)
+    AnnCatalog.register(spark, s"$dir/embeddings.parquet",
+      AnnCatalog.IndexMeta(s"$tmp/ivfpq", "vec_id", "embedding", "l2sq",
+        ef = 128, kind = "ivfpq", nprobe = 8))
+    try {
+      val scans = knn.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AnnScanLogical => a
+      }
+      assert(scans.size === 1 && scans.head.kind === "ivfpq")
+      assert(scans.head.nprobe === 8, "meta nprobe must reach the scan")
+      assert(scans.head.ef === 128)
+      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.intersect(exact).size >= 8, s"ivfpq planner recall: $got")
+      // reconstruction must never leak: vec column is the stored floats
+      val truth = e.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      knn.collect().foreach { r =>
+        assert(r.getSeq[Float](1) === truth(r.getLong(0)),
+          "ivfpq must serve TRUE vectors via join-back, not reconstructions")
+      }
+    } finally AnnCatalog.unregister(spark, s"$dir/embeddings.parquet")
+
     // a PQ index must NEVER leak dequantized vectors as the table's
     // vector column: even the narrow (id, vec)-only shape goes through
     // the join-back form and returns the TRUE stored embeddings

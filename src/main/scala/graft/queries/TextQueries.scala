@@ -374,7 +374,62 @@ object TextQueries {
       |  round(avg(c), 4) AS avg_chars
       |FROM t GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Char-trigram LM perplexity (CCNet-style quality signal): mean
+    * −log2 P(c₃|c₁c₂) per doc under the corpus-fit add-0.5 model. The
+    * oracle replays counts, smoothing, and the mean in SQL; only one
+    * IEEE division + log2 + mean are float, rounded to 4 decimals on
+    * both sides. */
+  private def perplexityFilter(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm
+      .perplexityBits(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val perplexityOracle =
+    """WITH p3 AS (
+      |  SELECT doc_id, substr(text, g.pos, 3) AS gram
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(length(text)-2,0))) AS pos) g
+      |),
+      |p2 AS (
+      |  SELECT substr(text, g.pos, 2) AS gram
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(length(text)-1,0))) AS pos) g
+      |),
+      |n3 AS (SELECT gram, count(*) AS c FROM p3 GROUP BY gram),
+      |n2 AS (SELECT gram, count(*) AS c FROM p2 GROUP BY gram),
+      |v AS (
+      |  SELECT count(DISTINCT substr(text, g.pos, 1)) AS nv
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(length(text),0))) AS pos) g
+      |)
+      |SELECT p3.doc_id,
+      |  round(avg(-log2((n3.c + 0.5) / (n2.c + 0.5 * v.nv))), 4) AS ppl_bits
+      |FROM p3 JOIN n3 ON p3.gram = n3.gram
+      |        JOIN n2 ON substr(p3.gram, 1, 2) = n2.gram, v
+      |GROUP BY p3.doc_id ORDER BY p3.doc_id""".stripMargin
+
+  /** Corpus heavy hitters: top-20 word bigrams, count-desc/gram-asc —
+    * the boilerplate-discovery profile pass. */
+  private def topNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm.topNgrams(Tables.documents(s, dir), "text", 2, 20)
+
+  private val topNgramsOracle =
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT toks[u.i] || ' ' || toks[u.i+1] AS gram
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(len(toks)-1,0))) AS i) u
+      |)
+      |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+      |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("perplexity_filter", Some(perplexityOracle), perplexityFilter),
+    QueryDef("topk_ngrams", Some(topNgramsOracle), topNgrams),
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
     QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),
     QueryDef("bm25_bloom_search", Some(bm25BloomOracleSql), bm25BloomSearch),

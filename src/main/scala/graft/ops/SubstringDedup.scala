@@ -1,8 +1,15 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact substring deduplication — remove every character span whose
   * `minLen`-gram content appears more than once in the corpus, keeping
@@ -28,26 +35,34 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the 100 TB question — total positions ≈ total chars,
   * so the design never shuffles gram text corpus-wide):
-  *  1. NARROW pass: project each position to its 64-bit `xxhash64`
-  *     gram hash only (substring+hash fused in one codegen'd map
-  *     stage; the wide `text` column never reaches the exchange) and
-  *     hash-aggregate to the duplicated-hash set. Shuffle width: 8-byte
-  *     key + partial count, with map-side combine.
-  *  2. CANDIDATE pass: positions semi-join the duplicated-hash set
-  *     (broadcast when it fits `autoBroadcastJoinThreshold`, shuffle
-  *     hash-join otherwise — Spark picks from stats), and only these
-  *     few-percent survivors re-materialize their gram text for the
+  *  1. NARROW pass: [[RollingHashes]] emits every window's 64-bit
+  *     polynomial hash in ONE O(len) pass per doc (the per-position
+  *     `substr`+`xxhash64` form costs O(len·minLen) re-scans plus a
+  *     40-byte allocation per window), and the 8-byte hashes
+  *     hash-aggregate with map-side combine to the duplicated-hash
+  *     set. Shuffle width: 8-byte key + partial count.
+  *  2. CANDIDATE pass: `(doc_id, pos, h)` triples — never the text —
+  *     join the duplicated-hash set (AQE turns it into a broadcast
+  *     probe when it fits), and only the few-percent survivors re-join
+  *     `docs` by doc_id to re-materialize their gram text for the
   *     EXACT group-by-gram verdict. Hash collisions therefore cannot
-  *     create false dups (collided distinct grams fail `count>1` on
-  *     the gram itself) and cannot drop dups (same grams share a hash).
-  *  3. Span merge: per-doc gaps-and-islands over the window starts —
+  *     create false dups (collided distinct grams fail the `gram`
+  *     grouping below) and cannot drop dups (same grams share a hash).
+  *  3. Canonical pick: windows partitioned by `(h, gram)` — identical
+  *     grouping to `gram` alone (equal grams hash equal), but the
+  *     exchange and sort run on the 8-byte hash first and compare the
+  *     gram string only within hash-equal runs.
+  *  4. Span merge: per-doc gaps-and-islands over the window starts —
   *     one shuffle keyed by doc_id of the duplicated sites only.
   *
   * Very large single documents should be pre-chunked upstream (the
-  * per-row `sequence()` position array is O(doc length) transient
-  * memory — same caveat as any explode-based shape).
+  * per-row window-hash array is O(doc length) transient memory — same
+  * caveat as any explode-based shape).
   */
 object SubstringDedup {
+
+  private def rollingHashes(text: org.apache.spark.sql.Column, n: Int) =
+    GraftSqlShim.column(RollingHashes(GraftSqlShim.expression(text), n))
 
   /** Duplicated-window sites with their canonical-occurrence flag:
     * `(doc_id, pos, keep)` — one row per (doc, pos) site of a gram
@@ -61,33 +76,30 @@ object SubstringDedup {
     require(minLen >= 2, s"graft: minLen must be ≥2, got $minLen")
     val d = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
-    // stride-1 window starts; guard short docs (Spark's sequence(1,0)
-    // would DESCEND, not return empty)
-    val positions = d
-      .withColumn("pos", explode(when(
-        length(col("__text")) >= minLen,
-        sequence(lit(1), length(col("__text")) - (minLen - 1)))
-        .otherwise(array().cast("array<int>"))))
-    val gram = col("__text").substr(col("pos"), lit(minLen))
 
     // pass 1: narrow hash-only aggregation → duplicated-hash set
-    val dupHashes = positions
-      .select(xxhash64(gram).as("h"))
+    val dupHashes = d
+      .select(explode(rollingHashes(col("__text"), minLen)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("n"))
       .where(col("n") > 1)
       .select("h")
 
-    // pass 2: candidate sites only re-carry gram text; exact verdict
-    // and canonical pick group by the gram STRING, so hash collisions
-    // are harmless
-    val cand = positions
-      .withColumn("h", xxhash64(gram))
+    // pass 2: narrow (doc_id, pos, h) triples probe the dup set; only
+    // survivors fetch their text back (join by doc_id) and cut the
+    // gram for the exact verdict
+    val sites = d
+      .select(col("doc_id"),
+        posexplode(rollingHashes(col("__text"), minLen)).as(Seq("pos0", "h")))
       .join(dupHashes, "h")
-      .select(col("doc_id"), col("pos"), gram.as("gram"))
-    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val cand = sites
+      .join(d, "doc_id")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"),
+        col("__text").substr(col("pos0") + 1, lit(minLen)).as("gram"))
+
+    val w = Window.partitionBy("h", "gram").orderBy("doc_id", "pos")
     cand
       .withColumn("rn", row_number().over(w))
-      .withColumn("sites", count(lit(1)).over(Window.partitionBy("gram")))
+      .withColumn("sites", count(lit(1)).over(Window.partitionBy("h", "gram")))
       .where(col("sites") > 1)
       .select(col("doc_id"), col("pos"), (col("rn") === 1).as("keep"))
   }
@@ -156,5 +168,72 @@ object SubstringDedup {
             sg.getField("s"),
             sg.getField("e") - sg.getField("s") + 1))))
       .select(col("doc_id"), col("text_clean"))
+  }
+}
+
+/** 64-bit polynomial rolling hashes of every stride-1 `n`-code-point
+  * window of a string, computed in one O(len) pass: element i is
+  * `Σ cp[i+j]·B^(n-1-j)` over wrapping long arithmetic (B odd ⇒ the
+  * map over windows is far from degenerate; collisions are harmless —
+  * callers verify on the gram string). Returns an empty array when the
+  * text has fewer than `n` code points; 1-based window p starts at
+  * array index p-1, matching `substr(text, p, n)` code-point
+  * semantics. */
+case class RollingHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hashes expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    RollingHashes.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.RollingHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
+object RollingHashes {
+  /** Odd multiplier (splitmix64's golden-gamma) — full-period under
+    * wrapping 64-bit multiplication. */
+  val Base: Long = 0x9e3779b97f4a7c15L
+
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val sl = str.length
+    var cpCount = 0
+    var i = 0
+    while (i < sl) { i += Character.charCount(str.codePointAt(i)); cpCount += 1 }
+    val m = cpCount - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.empty[Long])
+    val cps = new Array[Int](cpCount)
+    i = 0; var j = 0
+    while (i < sl) {
+      val cp = str.codePointAt(i)
+      cps(j) = cp; j += 1
+      i += Character.charCount(cp)
+    }
+    // B^(n-1) for the roll-out term
+    var topPow = 1L
+    i = 0
+    while (i < n - 1) { topPow *= Base; i += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * Base + cps(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - cps(i - 1) * topPow) * Base + cps(i + n - 1)
+      out(i) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
   }
 }

@@ -67,7 +67,8 @@ class SubstringDedupSpec extends SparkTestBase {
     val plan = SubstringDedup
       .duplicatedWindows(docs, "doc_id", "text", L)
       .queryExecution.optimizedPlan.toString
-    // the aggregate feeding the dup-hash set projects h only
-    assert(plan.contains("xxhash64"))
+    // the aggregate feeding the dup-hash set projects the 8-byte
+    // rolling hash only — gram text never reaches an exchange
+    assert(plan.contains("rolling_hashes"))
   }
 }

@@ -12,7 +12,8 @@ object SparkEntry {
     VectorQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       AnnQueries.all ++ PqQueries.all ++ WeightedQueries.all ++
       EmbedQueries.all ++ SourceQueries.all ++ ScalarQuantQueries.all ++
-      MultimodalQueries.all ++ HttpQueries.all ++ ExportQueries.all
+      MultimodalQueries.all ++ HttpQueries.all ++ ExportQueries.all ++
+      SelectionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own hello-world: ORDER BY v <-> q LIMIT k. */

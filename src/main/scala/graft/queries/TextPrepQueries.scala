@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextPrep
+
+/** Driver-checkable queries for the RAG/training document-prep surface
+  * ([[graft.ops.TextPrep]]): token-window chunking, unicode cleanup,
+  * sentence splitting. The cleanup and sentence gates use MIRRORED
+  * INJECTION (like `pii_scrub`): the corpus is ASCII-clean and
+  * single-sentence, so both engines append the same dirty /
+  * multi-sentence literal before transforming — every rule is
+  * exercised and the oracle stays an exact replay. */
+object TextPrepQueries {
+
+  private val MaxTokens = 64
+  private val Overlap = 16
+
+  private def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    TextPrep.chunkByTokens(
+      Tables.documents(s, dir).where(col("text").isNotNull),
+      "doc_id", "text", MaxTokens, Overlap)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM documents WHERE text IS NOT NULL
+       |),
+       |c AS (SELECT doc_id, CAST(len(tk) AS INT) AS n, tk FROM t WHERE len(tk) > 0),
+       |e AS (
+       |  SELECT doc_id, tk, n, CAST(r.i AS INT) AS chunk_id
+       |  FROM c, unnest(range(0, CASE WHEN n <= $MaxTokens THEN 1
+       |    ELSE 1 + CAST(ceil((n - $MaxTokens) / ${MaxTokens - Overlap}.0) AS INT) END)) AS r(i)
+       |)
+       |SELECT doc_id, chunk_id,
+       |  CAST(least($MaxTokens, n - chunk_id * ${MaxTokens - Overlap}) AS INT) AS n_tokens,
+       |  array_to_string(list_slice(tk, chunk_id * ${MaxTokens - Overlap} + 1,
+       |    least(chunk_id * ${MaxTokens - Overlap} + $MaxTokens, n)), ' ') AS chunk_text
+       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Dirty suffix: combining-acute e (NFC-composes), ZWSP, NBSP, BEL,
+    * C1 control 0x85 — written as code points on both sides. */
+  private val DirtySuffix =
+    " caf" + "e\u0301" + "\u200B" + " end" + "\u00A0" + "x" + "\u0007" + "y" + "\u0085" + "z"
+  private val DirtySuffixSql =
+    "' caf' || 'e' || chr(769) || chr(8203) || ' end' || chr(160) || 'x' || chr(7) || 'y' || chr(133) || 'z'"
+
+  private def unicodeClean(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextPrep.cleanText(concat(col("text"), lit(DirtySuffix)))
+          .as("text_clean"))
+      .orderBy("doc_id")
+
+  private val cleanOracle: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(nfc_normalize(text || $DirtySuffixSql),
+       |        '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+       |      '[\\x{00A0}]', ' ', 'g'),
+       |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{80}-\\x{9F}]', '', 'g') AS text_clean
+       |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+
+  private val SentenceSuffix =
+    ". Dr. Smith arrived! Did he? Yes... the end"
+
+  private def sentenceSplit(s: SparkSession, dir: String): DataFrame =
+    TextPrep.sentenceSplit(
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(SentenceSuffix)).as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id", "sent_id")
+
+  private val sentenceOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    regexp_extract_all(text || '$SentenceSuffix', '[^.!?]+[.!?]+|[^.!?]+$$'),
+       |    x -> trim(x)), x -> x <> '') AS ss
+       |  FROM documents WHERE text IS NOT NULL
+       |)
+       |SELECT doc_id, CAST(r.i AS INT) - 1 AS sent_id, ss[CAST(r.i AS INT)] AS sentence
+       |FROM t, unnest(range(1, len(ss) + 1)) AS r(i)
+       |ORDER BY doc_id, sent_id""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("chunk_documents", Some(chunkOracle), chunkDocuments),
+    QueryDef("unicode_clean", Some(cleanOracle), unicodeClean),
+    QueryDef("sentence_split", Some(sentenceOracle), sentenceSplit),
+  )
+}

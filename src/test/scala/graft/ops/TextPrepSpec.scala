@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunkByTokens: window/stride/last-chunk edge cases") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 2 chunks
+      (2L, (1 to 4).map(i => s"t$i").mkString(" ")),  // 4 = maxTokens: 1 chunk
+      (3L, "one"),                                    // short: 1 chunk
+      (4L, "   "),                                    // token-free: 0 chunks
+      (5L, (1 to 8).map(i => s"t$i").mkString(" "))   // exact 2 full windows
+    ).toDF("doc_id", "text")
+    // maxTokens=4, overlap=2 → stride 2
+    val out = TextPrep.chunkByTokens(docs, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 4) // starts 1,3,5,7 → covers to 10
+    assert(d1.head._4 == "t1 t2 t3 t4")
+    assert(d1.last._4 == "t7 t8 t9 t10")
+    assert(d1.forall(_._3 == 4))
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("t1 t2 t3 t4"))
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq("one"))
+    assert(!out.exists(_._1 == 4L))
+    val d5 = out.filter(_._1 == 5L)
+    // 8 toks, stride 2: starts 1,3,5 → last covers 5..8
+    assert(d5.length == 3 && d5.last._3 == 4)
+    // every token covered exactly per the window formula
+    assert(d5.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8"))
+  }
+
+  test("cleanText: NFC composes, zero-width dropped, NBSP→space, controls stripped") {
+    val dirty = "caf" + "e\u0301" + "\u200B" + " a\u00A0b" + "\u0007" + "\u0085" + "\tok\n"
+    val out = Seq(dirty).toDF("t")
+      .select(TextPrep.cleanText($"t").as("c")).as[String].head()
+    assert(out == "caf\u00E9 a b\tok\n") // é precomposed; tab/newline survive
+  }
+
+  test("sentenceSplit: terminator runs, trailing fragment, empties dropped") {
+    val docs = Seq(
+      (1L, "One. Two! Three?? Four... tail no dot"),
+      (2L, "!!"),
+      (3L, "only a fragment")
+    ).toDF("doc_id", "text")
+    val out = TextPrep.sentenceSplit(docs, "doc_id", "text")
+      .orderBy("doc_id", "sent_id").as[(Long, Int, String)].collect()
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq ==
+      Seq("One.", "Two!", "Three??", "Four...", "tail no dot"))
+    // terminator-only text has no sentence content → no rows
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("only a fragment"))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == (0 until 5))
+  }
+}

@@ -138,6 +138,64 @@ object Dedup {
       graft.GraftConf.dedupBroadcastBytes(spark)).distinct()
   }
 
+  /** Cross-corpus near-duplicate matches — the incremental-ingestion /
+    * fuzzy-decontamination form: which NEW docs near-duplicate an
+    * EXISTING (reference) doc. Same LSH machinery as
+    * [[minhashNearDupPairs]] over the parity-remapped union (new ids →
+    * 2k+1, ref ids → 2k), but candidates are filtered to cross-side
+    * pairs BEFORE verification, so same-side duplicates cost nothing
+    * quadratic. Returns `(new_id, ref_id, jaccard)` with jaccard ≥
+    * `threshold`. Scale shape inherits the bucket pipeline: banded
+    * LSH, content-deduped buckets, bounded explode, budget-gated
+    * verification. */
+  def crossMinhashMatches(
+      newDf: DataFrame,
+      refDf: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = newDf.sparkSession
+    val n = newDf.select(
+      (col(idCol).cast("long") * 2 + 1).as("__xid"), col(tokensCol))
+    val r = refDf.select(
+      (col(idCol).cast("long") * 2).as("__xid"), col(tokensCol))
+    val (toks, small, big) =
+      minhashBuckets(n.unionByName(r), "__xid", tokensCol,
+        numHashes, bands, maxBucket)
+    val candidates = smallAllPairs(small).unionByName(bigAllPairs(big))
+      .where(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+    verifyPairsAuto(candidates, toks, threshold,
+      graft.GraftConf.dedupBroadcastBytes(spark))
+      .distinct()
+      .select(
+        ((when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+          .otherwise(col("id_b")) - 1) / 2).cast("long").as("new_id"),
+        (when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+          .otherwise(col("id_b")) / 2).cast("long").as("ref_id"),
+        col("jaccard"))
+  }
+
+  /** New-corpus rows that do NOT near-duplicate any reference doc —
+    * one anti-join on the [[crossMinhashMatches]] output. */
+  def crossDedupKeep(
+      newDf: DataFrame,
+      refDf: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val matched = crossMinhashMatches(newDf, refDf, idCol, tokensCol,
+      threshold, numHashes, bands, maxBucket)
+      .select(col("new_id").as("__mid")).distinct()
+    newDf.join(matched,
+      newDf(idCol).cast("long") === col("__mid"), "left_anti")
+  }
+
   /** All in-bucket pairs of small buckets: two native generators
     * (posexplode + explode-of-slice) — the nested-transform pairsOf
     * form builds the full pair array through interpreted lambdas and

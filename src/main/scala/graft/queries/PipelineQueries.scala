@@ -45,6 +45,60 @@ object PipelineQueries {
       |      / len(list_distinct(a.toks || b.toks)) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-corpus fuzzy dedup: ingest-side docs (doc_id % 3 ≠ 0)
+    * matched against the existing corpus (doc_id % 3 = 0); oracle =
+    * exhaustive cross-side jaccard. */
+  private def dedupCross(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    Dedup.crossMinhashMatches(
+      docs.where(col("doc_id") % 3 =!= 0),
+      docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "toks", 0.8)
+      .select(col("new_id"), col("ref_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "ref_id")
+  }
+
+  private val dedupCrossOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+      |  FROM documents
+      |)
+      |SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+      |  round(len(list_intersect(n.toks, r.toks)) * 1.0
+      |        / len(list_distinct(n.toks || r.toks)), 4) AS jaccard
+      |FROM t n JOIN t r ON n.doc_id % 3 <> 0 AND r.doc_id % 3 = 0
+      |WHERE len(list_intersect(n.toks, r.toks)) * 1.0
+      |      / len(list_distinct(n.toks || r.toks)) >= 0.8
+      |ORDER BY new_id, ref_id""".stripMargin
+
+  private def dedupCrossKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    Dedup.crossDedupKeep(
+      docs.where(col("doc_id") % 3 =!= 0),
+      docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "toks", 0.8)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupCrossKeepOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+      |  FROM documents
+      |)
+      |SELECT n.doc_id
+      |FROM t n
+      |WHERE n.doc_id % 3 <> 0 AND NOT EXISTS (
+      |  SELECT 1 FROM t r WHERE r.doc_id % 3 = 0
+      |  AND len(list_intersect(n.toks, r.toks)) * 1.0
+      |      / len(list_distinct(n.toks || r.toks)) >= 0.8)
+      |ORDER BY doc_id""".stripMargin
+
   /** Dedup DECISIONS (keeper per doc) — the linear-output form that is
     * the actual 100 TB dedup path (a mega duplicate cluster is one
     * label per member, not O(n²) pairs). Oracle = connected components
@@ -745,6 +799,8 @@ object PipelineQueries {
     QueryDef("dedup_minhash_keepers", Some(dedupMinhashKeepersOracle), dedupMinhashKeepers),
     QueryDef("dedup_minhash_keepers_scale",
       Some(dedupMinhashKeepersOracle), dedupMinhashKeepersScale),
+    QueryDef("dedup_cross", Some(dedupCrossOracle), dedupCross),
+    QueryDef("dedup_cross_keep", Some(dedupCrossKeepOracle), dedupCrossKeep),
     QueryDef("dedup_simhash", Some(dedupSimhashOracle), dedupSimhash),
     QueryDef("dedup_lines", Some(dedupLinesOracle), dedupLines),
     QueryDef("dedup_substring_spans",

@@ -327,4 +327,30 @@ class DedupSpec extends SparkTestBase {
       assert(pairs.contains((i.toLong, 100L + i)), s"missing planted pair $i")
     }
   }
+
+  test("crossMinhashMatches finds only cross-side near-dups, ids mapped back") {
+    import graft.functions.tokenize
+    val mk = (id: Long, t: String) => (id, t)
+    // new 1 ~ ref 1 (identical), new 2 ~ new 3 (same-side dup: excluded),
+    // ref 5 ~ ref 6 (same-side: excluded), new 4 unique
+    val newDocs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2L, "one two three four five six seven eight"),
+      mk(3L, "one two three four five six seven eight"),
+      mk(4L, "unique content nothing else matches this at all")
+    ).toDF("doc_id", "text").select($"doc_id", tokenize($"text").as("toks"))
+    val refDocs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(5L, "red green blue yellow purple orange pink white"),
+      mk(6L, "red green blue yellow purple orange pink white")
+    ).toDF("doc_id", "text").select($"doc_id", tokenize($"text").as("toks"))
+
+    val m = Dedup.crossMinhashMatches(newDocs, refDocs, "doc_id", "toks", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(m == Set((1L, 1L, 1.0)))
+
+    val keep = Dedup.crossDedupKeep(newDocs, refDocs, "doc_id", "toks", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(2L, 3L, 4L)) // same-side dups survive cross dedup
+  }
 }

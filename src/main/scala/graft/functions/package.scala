@@ -103,5 +103,12 @@ package object functions {
       es => RepetitionStats(es(0), 2, 3), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       es => WinnowExpr(es(0), 3, 4, 0), "built-in")
+    reg.createOrReplaceTempFunction("ngram_keys",
+      es => graft.text.NgramKeys(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hashes",
+      es => graft.ops.RollingHashes(es(0),
+        es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => graft.ops.NfcNormalize(es(0)), "built-in")
   }
 }

@@ -77,6 +77,23 @@ object TextPrep {
     regexp_replace(nbsp, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
   }
 
+  /** Collapse CONSECUTIVE duplicate lines per document (the
+    * RefinedWeb/Gopher within-doc repetition cleanup — boilerplate
+    * menus and nav bars repeat adjacently): `(idCol, text_clean)`.
+    * The line array is projected into its own column first so the
+    * indexed `filter` reads a bound attribute (O(1) per element) —
+    * capturing the raw `split` expression would re-evaluate it per
+    * element. */
+  def collapseRepeatedLines(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("__ls", split(col(textCol), "\n"))
+      .select(col(idCol),
+        array_join(
+          filter(col("__ls"),
+            (x, i) => (i === 0) || (x =!= element_at(col("__ls"), i))),
+          "\n").as("text_clean"))
+
   /** Rule-based sentence split: maximal runs of non-terminator text
     * followed by their `[.!?]+` terminators (a trailing fragment
     * without a terminator is its own sentence), trimmed, empties

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.EmbedCluster
+
+/** Driver-checkable queries for the embedding-clustering surface
+  * ([[graft.ops.EmbedCluster]] — deterministic k-means + SemDeDup).
+  * The oracle replays the exact Lloyd iterations in SQL: lowest-id
+  * init, round-4 squared-L2 argmin with lowest-cluster tie-break,
+  * round-6 per-dimension means, fixed iteration count. */
+object ClusterQueries {
+
+  private val K = 8
+  private val Iters = 2
+  private val Dim = 64
+  // the synthetic embeddings have no planted exact-dups; 0.6 marks the
+  // ~0.01% closest pairs (59 global pairs at sf0.01, 920 at sf0.1) so
+  // the within-cluster drop rule is genuinely exercised
+  private val MaxCosDist = 0.6
+
+  private def model(s: SparkSession, dir: String) =
+    EmbedCluster.fit(Tables.embeddings(s, dir), "vec_id", "embedding", K, Iters)
+
+  private def clusterEmbeddings(s: SparkSession, dir: String): DataFrame =
+    EmbedCluster.assign(
+      Tables.embeddings(s, dir), "vec_id", "embedding", model(s, dir))
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+
+  private def semdedupKeepers(s: SparkSession, dir: String): DataFrame =
+    EmbedCluster.semDedupKeepers(
+      Tables.embeddings(s, dir), "vec_id", "embedding", model(s, dir),
+      MaxCosDist)
+      .orderBy("vec_id")
+
+  /** Round-4 double squared-L2 between a vector column `e` and a
+    * centroid list column `c`. */
+  private def dsq(e: String, c: String): String =
+    s"""round(list_sum(list_transform(list_zip($e, $c),
+       |    p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), 4)""".stripMargin
+
+  /** One Lloyd step: assignment CTE `a<i>` against centroids `c<i-1>`,
+    * then centroid CTE `c<i>` (round-6 means, empty → previous). */
+  private def lloydStep(i: Int): String =
+    s"""a$i AS (
+       |  SELECT vec_id, k FROM (
+       |    SELECT e.vec_id, c.k,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dsq("e.embedding", "c.c")}, c.k) AS rn
+       |    FROM embeddings e CROSS JOIN c${i - 1} c
+       |  ) WHERE rn = 1
+       |),
+       |m$i AS (
+       |  SELECT a.k, CAST(r.i AS INT) AS dim,
+       |    round(avg(CAST(e.embedding[CAST(r.i AS INT) + 1] AS DOUBLE)), 6) AS m
+       |  FROM a$i a JOIN embeddings e USING (vec_id), range($Dim) r(i)
+       |  GROUP BY a.k, r.i
+       |),
+       |c$i AS (
+       |  SELECT c.k, coalesce(mm.c, c.c) AS c
+       |  FROM c${i - 1} c LEFT JOIN (
+       |    SELECT k, list(m ORDER BY dim) AS c FROM m$i GROUP BY k) mm USING (k)
+       |)""".stripMargin
+
+  /** CTE prefix ending in centroids `c$Iters` and the final assignment
+    * `afin(vec_id, k)`. */
+  private val oraclePrefix: String = {
+    val steps = (1 to Iters).map(lloydStep).mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS k,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $K)
+       |),
+       |$steps,
+       |afin AS (
+       |  SELECT vec_id, k FROM (
+       |    SELECT e.vec_id, c.k,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dsq("e.embedding", "c.c")}, c.k) AS rn
+       |    FROM embeddings e CROSS JOIN c$Iters c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  private val clusterOracle: String =
+    s"""$oraclePrefix
+       |SELECT vec_id, k AS cluster
+       |FROM afin ORDER BY vec_id""".stripMargin
+
+  private val cosDist: String =
+    """1.0 - list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))""".stripMargin
+
+  private val semdedupOracle: String =
+    s"""$oraclePrefix,
+       |av AS (SELECT a.vec_id, a.k, e.embedding FROM afin a JOIN embeddings e USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM av x JOIN av y ON x.k = y.k AND x.vec_id < y.vec_id
+       |  WHERE $cosDist <= $MaxCosDist
+       |)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("cluster_embeddings", Some(clusterOracle), clusterEmbeddings),
+    QueryDef("semdedup_keepers", Some(semdedupOracle), semdedupKeepers),
+  )
+}

@@ -498,6 +498,58 @@ object PipelineQueries {
           .as("quality"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end prep composition — quality filter → exact dedup →
+    * token-window chunk — gated as ONE query so the driver checks the
+    * stages COMPOSE, not just pass individually. Thresholds compare on
+    * the same floor-1e4 rounding both engines replay. */
+  private def prepPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val q = docs.where(
+      floor(graft.text.TextAnalysis.qualityScore(col("text")) * 1e4 + 0.5) / 1e4
+        >= 0.49)
+    val kept = q.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    graft.ops.TextPrep.chunkByTokens(kept, "doc_id", "text", 64, 16)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val prepPipelineOracle = {
+    val stops = graft.text.PorterStemmer.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tq AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL
+       |),
+       |q AS (
+       |  SELECT doc_id, text FROM tq
+       |  WHERE floor((
+       |    0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE len(list_filter(toks, x -> list_contains($stops, x))) * 1.0 / len(toks) END)
+       |    + 0.3 * least(len(toks) / 20.0, 1.0)
+       |    + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END) / 8.0, 1.0)
+       |  ) * 1e4 + 0.5) / 1e4 >= 0.49
+       |),
+       |kept AS (SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text),
+       |t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM kept
+       |),
+       |c AS (SELECT doc_id, CAST(len(tk) AS INT) AS n, tk FROM t WHERE len(tk) > 0),
+       |e AS (
+       |  SELECT doc_id, tk, n, CAST(r.i AS INT) AS chunk_id
+       |  FROM c, unnest(range(0, CASE WHEN n <= 64 THEN 1
+       |    ELSE 1 + CAST(ceil((n - 64) / 48.0) AS INT) END)) AS r(i)
+       |)
+       |SELECT doc_id, chunk_id,
+       |  CAST(least(64, n - chunk_id * 48) AS INT) AS n_tokens,
+       |  array_to_string(list_slice(tk, chunk_id * 48 + 1,
+       |    least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   private val qualityScoreOracle = {
     val stops = graft.text.PorterStemmer.defaultStopwords
       .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -814,6 +866,7 @@ object PipelineQueries {
       Some(embeddingDedupKeepersOracle), embeddingDedupKeepers),
     QueryDef("lang_id", Some(langIdOracle), langId),
     QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
+    QueryDef("prep_pipeline", Some(prepPipelineOracle), prepPipeline),
     QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),
     QueryDef("streaming_dedup", Some(streamingDedupOracle), streamingDedup),
     QueryDef("streaming_quality", Some(streamingQualityOracle), streamingQuality),

@@ -89,9 +89,36 @@ object TextPrepQueries {
        |FROM t, unnest(range(1, len(ss) + 1)) AS r(i)
        |ORDER BY doc_id, sent_id""".stripMargin
 
+  /** Consecutive-duplicate-line collapse; the single-line corpus is
+    * restructured into lines (token-per-line) plus an appended known
+    * duplicate block, identically on both sides. */
+  private def collapseLines(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextPrep.collapseRepeatedLines(
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(regexp_replace(col("text"), " ", "\n"),
+            lit("\nzz\nzz\nzz\nyy\nyy")).as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val collapseOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(text, ' ', chr(10), 'g')
+      |      || chr(10) || 'zz' || chr(10) || 'zz' || chr(10) || 'zz'
+      |      || chr(10) || 'yy' || chr(10) || 'yy', chr(10)) AS ls
+      |  FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT doc_id,
+      |  array_to_string(list_filter(ls, (x, i) -> i = 1 OR x <> ls[i - 1]),
+      |    chr(10)) AS text_clean
+      |FROM t ORDER BY doc_id""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("chunk_documents", Some(chunkOracle), chunkDocuments),
     QueryDef("unicode_clean", Some(cleanOracle), unicodeClean),
     QueryDef("sentence_split", Some(sentenceOracle), sentenceSplit),
+    QueryDef("collapse_lines", Some(collapseOracle), collapseLines),
   )
 }

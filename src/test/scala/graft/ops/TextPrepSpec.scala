@@ -41,6 +41,19 @@ class TextPrepSpec extends SparkTestBase {
     assert(out == "caf\u00E9 a b\tok\n") // é precomposed; tab/newline survive
   }
 
+  test("collapseRepeatedLines: adjacent dups fold, non-adjacent survive") {
+    val docs = Seq(
+      (1L, "a\na\nb\na\nb\nb\nb\nc"),
+      (2L, "x"),
+      (3L, "s\ns")
+    ).toDF("doc_id", "text")
+    val out = TextPrep.collapseRepeatedLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 == "a\nb\na\nb\nc") // non-adjacent 'a'/'b' kept
+    assert(out(1)._2 == "x")
+    assert(out(2)._2 == "s")
+  }
+
   test("sentenceSplit: terminator runs, trailing fragment, empties dropped") {
     val docs = Seq(
       (1L, "One. Two! Three?? Four... tail no dot"),

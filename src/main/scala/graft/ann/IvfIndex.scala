@@ -164,4 +164,62 @@ object IvfIndex {
       .limit(k)
       .select("id", "dist")
   }
+
+  /** `WHERE pred ORDER BY dist LIMIT k` through the IVF index — the
+    * post-filter scan analog for coarse-list indexes, mirroring
+    * [[AnnIndex.searchFiltered]]'s contract: adaptive widening (probe
+    * count AND candidate pool doubled per round), survivors re-ranked
+    * by the EXACT metric over the TABLE's true vector column (so the
+    * index's normalized/approximate storage never alters result
+    * semantics), ties (dist, id). Unlike HNSW, `nprobe = nlists` with
+    * an under-filled candidate pool PROVES full enumeration of live
+    * rows, so this path can return a complete short result without the
+    * exact-scan fallback; the fallback still guards round exhaustion.
+    */
+  def searchFiltered(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      query: Array[Float],
+      k: Int,
+      pred: org.apache.spark.sql.Column,
+      nprobeOverride: Int = 0,
+      maxRounds: Int = 3): Array[(Long, Double)] = {
+    val spark = df.sparkSession
+    val (centroids, metric) = loadCentroids(spark, path)
+    val nlists = centroids.length
+    val filtered = df.where(pred)
+    val distC = VectorSearch.distance(metric, col(vecCol), lit(query))
+    var nprobe = math.min(math.max(
+      if (nprobeOverride > 0) nprobeOverride else 8, 1), nlists)
+    var candK = math.max(2 * k, 16)
+    var round = 0
+    while (round < maxRounds) {
+      val cands = search(spark, path, query, candK, nprobe)
+        .select(col("id").as("__cand_id"))
+      val candIds = cands.collect().map(_.getLong(0))
+      val candDf = {
+        import spark.implicits._
+        candIds.toSeq.toDF("__cand_id")
+      }
+      val surv = filtered
+        .join(broadcast(candDf), col(idCol) === col("__cand_id"))
+        .select(col(idCol).cast(LongType), distC.as("__d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(x => (x._2, x._1))
+      if (surv.length >= k) return surv.take(k)
+      if (nprobe >= nlists && candIds.length < candK) return surv
+      nprobe = math.min(nprobe * 2, nlists)
+      candK = candK * 4
+      round += 1
+    }
+    filtered
+      .select(col(idCol).cast(LongType).as("id"), distC.as("__d"))
+      .orderBy(col("__d"), col("id"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+  }
 }

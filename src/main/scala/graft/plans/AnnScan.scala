@@ -194,7 +194,8 @@ case class AnnFilteredIdsLogical(
     artifact: String,
     query: Seq[Float],
     k: Int,
-    ef: Int) extends LeafNode {
+    ef: Int,
+    kind: String = "hnsw") extends LeafNode {
   override def output: Seq[Attribute] = Seq(candAttr)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = 1L + 8L * k)
@@ -218,14 +219,21 @@ case class AnnFilteredIdsExec(
     artifact: String,
     query: Seq[Float],
     k: Int,
-    ef: Int) extends LeafExecNode {
+    ef: Int,
+    kind: String = "hnsw") extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq(candAttr)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val df = GraftSqlShim.ofRows(session, table)
-    val hits = AnnIndex.searchFiltered(df, idCol, vecCol, artifact,
-      query.toArray, k, GraftSqlShim.column(pred), efOverride = ef)
+    // for coarse-list indexes the width param is the probe count
+    val hits =
+      if (kind == "ivf")
+        graft.ann.IvfIndex.searchFiltered(df, idCol, vecCol, artifact,
+          query.toArray, k, GraftSqlShim.column(pred), nprobeOverride = ef)
+      else
+        AnnIndex.searchFiltered(df, idCol, vecCol, artifact,
+          query.toArray, k, GraftSqlShim.column(pred), efOverride = ef)
     val schema = StructType(Seq(StructField("id", LongType)))
     sparkContext.parallelize(hits.map(_._1).toSeq, 1).mapPartitions { it =>
       val proj = UnsafeProjection.create(schema)
@@ -238,8 +246,8 @@ object AnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AnnScanLogical(id, vec, artifact, q, k, ef, kind, nprobe) =>
       AnnScanExec(id, vec, artifact, q, k, ef, kind, nprobe) :: Nil
-    case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef) =>
-      AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef) :: Nil
+    case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind) =>
+      AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind) :: Nil
     case _ => Nil
   }
 }
@@ -260,8 +268,10 @@ object AnnStrategy extends SparkStrategy {
   * a join-back against [[AnnFilteredIdsLogical]], whose execution runs
   * `AnnIndex.searchFiltered`'s adaptive over-fetch with the EXACT
   * filtered scan as fallback — so Spark's filter-then-top-k semantics
-  * hold even when the predicate starves the limit. Restricted to hnsw
-  * non-hamming indexes with a deterministic single-table predicate;
+  * hold even when the predicate starves the limit. Fires for hnsw
+  * non-hamming and ivf indexes (ivf routes to
+  * `IvfIndex.searchFiltered`, probe-count widening) with a
+  * deterministic single-table predicate;
   * anything else keeps the exact `TakeOrderedAndProject`, as in the
   * reference where the cost model returns ∞ (hnsw.c:164-172).
   */
@@ -347,7 +357,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // hnsw graph artifact, an exact-rankable metric, and a
         // predicate Spark can evaluate against the table alone
         if predOpt.forall(p =>
-          meta.kind == "hnsw" && meta.metric != "hamming" &&
+          ((meta.kind == "hnsw" && meta.metric != "hamming") ||
+            meta.kind == "ivf") &&
             p.deterministic && p.references.subsetOf(rel.outputSet))
       } yield {
         // ef drives graph/LUT search width; IVF instead takes a probe
@@ -366,7 +377,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // Filter stays above and re-applies pred over ≤ k rows
             val cid = AttributeReference("__graft_cand_id", LongType)()
             val ids = AnnFilteredIdsLogical(cid, rel, pred, meta.idCol,
-              meta.vecCol, meta.artifact, q.toSeq, k, searchParam)
+              meta.vecCol, meta.artifact, q.toSeq, k, searchParam, meta.kind)
             Project(rel.output,
               Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
                 JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))

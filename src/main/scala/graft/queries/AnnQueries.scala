@@ -296,6 +296,57 @@ object AnnQueries {
     if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** Planner-level FILTERED IVF: `WHERE pred ORDER BY dist LIMIT k`
+    * over an ivf-registered table must route through
+    * AnnFilteredIdsLogical (not a silent exact scan), reach recall@10
+    * ≥ 0.8 vs the exact filtered oracle, and stay EXACT when the
+    * predicate starves the limit — the same contract as the hnsw
+    * `knn_ann_filtered_planner` gate, for the coarse-list kind. */
+  private def ivfFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.IvfIndex
+    import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ivf", dir, "embeddings")
+    cached(path) {
+      IvfIndex.build(e, "vec_id", "embedding", path, nlists = 16)
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64,
+        kind = "ivf", nprobe = 8))
+    try {
+      def usesIndex(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: AnnFilteredIdsLogical if a.kind == "ivf" => a
+        }.nonEmpty
+
+      val pred = col("vec_id") % 3 === 0
+      val knn = e.where(pred)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.where(pred)
+        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+
+      val starvingPred = col("vec_id") < 3
+      val sknn = e.where(starvingPred)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val sGot = sknn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val survivors = e.where(starvingPred)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+
+      if (usesIndex(knn) && usesIndex(sknn) &&
+          got.forall(_ % 3 == 0) && recall >= 0.8 && sGot == survivors)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   /** IVF-PQ gate (the faiss `IVFPQ` layout — coarse lists + PQ
     * residual codes, Jégou et al. TPAMI 2011): the compact index
     * (codes only, no floats) with exact join-back rerank must reach
@@ -462,6 +513,7 @@ object AnnQueries {
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
     QueryDef("knn_ann_filtered", Some("SELECT 1 AS ok"), annFiltered),
     QueryDef("knn_ann_filtered_planner", Some("SELECT 1 AS ok"), annFilteredPlanner),
+    QueryDef("knn_ivf_filtered_planner", Some("SELECT 1 AS ok"), ivfFilteredPlanner),
     QueryDef("knn_join_ann", Some("SELECT 1 AS ok"), knnJoinAnn),
     QueryDef("autotune_pick", Some("SELECT 1 AS ok"), autotunePick),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),

@@ -99,6 +99,28 @@ object Mixture {
     }
   }
 
+  /** Deterministic dataset-split assignment (train/val/test or any
+    * named partition): the [[sampleHash]] of (seed, id) lands in
+    * cumulative integer threshold bands of the declared weights, in
+    * declared order — every row gets exactly one split, reproducibly,
+    * with no shuffle and no stored state (the assignment IS the
+    * function of (id, seed), so a 100 TB corpus re-derives it on
+    * read). Weights must sum to 1 (±1e-9); the final band absorbs the
+    * floor rounding. */
+  def assignSplits(
+      idCol: Column,
+      seed: String,
+      splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "graft: assignSplits needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"graft: split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val h = sampleHash(idCol, seed)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(threshold)
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), t), acc) => when(h < t, name).otherwise(acc)
+    }
+  }
+
   /** Sample `df` to the target mixture: plan (tiny driver step) +
     * map-side deterministic filter. */
   def sampleToMixture(

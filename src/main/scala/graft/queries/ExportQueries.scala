@@ -184,8 +184,38 @@ object ExportQueries {
        |WHERE rank <= $vocabK
        |ORDER BY rank""".stripMargin
 
+  // ------------------------------------------------------ dataset split
+
+  private val splitSeed = "split42"
+  private val splitWeights =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** Deterministic train/val/test assignment for every doc. The
+    * cumulative integer thresholds are computed ONCE in Scala and
+    * interpolated into the oracle, so double-summation of the weights
+    * can never diverge between engines. */
+  private def datasetSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Mixture.assignSplits(col("doc_id"), splitSeed, splitWeights)
+          .as("split"))
+      .orderBy("doc_id")
+
+  private val datasetSplitOracle: String = {
+    val cum = splitWeights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(Mixture.threshold)
+    val h = mixHashSql(s"'$splitSeed:' || CAST(doc_id AS VARCHAR)")
+    val cases = splitWeights.init.zip(cum.init)
+      .map { case ((name, _), t) => s"WHEN $h < $t THEN '$name'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE $cases ELSE '${splitWeights.last._1}' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("data_mixture", Some(dataMixtureOracle), dataMixture),
+    QueryDef("dataset_split", Some(datasetSplitOracle), datasetSplit),
     QueryDef("pack_blocks", Some(packBlocksOracle), packBlocks),
     QueryDef("export_shards", Some(exportShardsOracle), exportShards),
     QueryDef("knn_classify", Some(knnClassifyOracle), knnClassify),

@@ -193,4 +193,27 @@ class ExportOpsSpec extends SparkTestBase {
       ("b", 3L, 2L, math.rint(7.0 / 9 * 1e6) / 1e6),
       ("c", 1L, 3L, math.rint(8.0 / 9 * 1e6) / 1e6)))
   }
+
+  test("assignSplits: total partition, deterministic, near-nominal proportions") {
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = ids.select($"id",
+      Mixture.assignSplits($"id", "s1", splits).as("sp"))
+    val counts = a.groupBy("sp").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test")) // total partition
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") - 1600L) < 100, counts.toString)
+    // deterministic: identical on re-evaluation
+    val b = ids.select($"id",
+      Mixture.assignSplits($"id", "s1", splits).as("sp"))
+    assert(a.collect().toSeq == b.collect().toSeq)
+    // different seed shuffles membership
+    val c = ids.select(Mixture.assignSplits($"id", "s2", splits).as("sp"))
+    assert(a.select("sp").collect().toSeq != c.collect().toSeq)
+    // bad weights refused
+    intercept[IllegalArgumentException] {
+      Mixture.assignSplits($"id", "s1", Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
 }

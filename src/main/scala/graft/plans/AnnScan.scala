@@ -195,7 +195,8 @@ case class AnnFilteredIdsLogical(
     query: Seq[Float],
     k: Int,
     ef: Int,
-    kind: String = "hnsw") extends LeafNode {
+    kind: String = "hnsw",
+    metric: String = "l2sq") extends LeafNode {
   override def output: Seq[Attribute] = Seq(candAttr)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = 1L + 8L * k)
@@ -220,20 +221,72 @@ case class AnnFilteredIdsExec(
     query: Seq[Float],
     k: Int,
     ef: Int,
-    kind: String = "hnsw") extends LeafExecNode {
+    kind: String = "hnsw",
+    metric: String = "l2sq") extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq(candAttr)
+
+  /** Generic adaptive filtered loop for the LUT-candidate kinds:
+    * `candFn(pool, nprobe)` proposes nearest-first candidate ids, the
+    * predicate's survivors re-rank by the registered metric over the
+    * TABLE's true vectors; both widths quadruple per round, with the
+    * exact filtered scan as the terminal guarantee (same contract as
+    * AnnIndex.searchFiltered / IvfIndex.searchFiltered). */
+  private def filteredViaCandidates(
+      df: org.apache.spark.sql.DataFrame,
+      candFn: (Int, Int) => Array[Long],
+      maxRounds: Int = 3): Array[(Long, Double)] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    val predC = GraftSqlShim.column(pred)
+    val filtered = df.where(predC)
+    val distC = graft.ops.VectorSearch.distance(metric, col(vecCol), lit(q))
+    var pool = math.max(4 * k, math.max(ef, 64))
+    var nprobe = math.max(ef, 8)
+    var round = 0
+    while (round < maxRounds) {
+      val candDf = candFn(pool, nprobe).toSeq.toDF("__cand_id")
+      val surv = filtered
+        .join(broadcast(candDf), col(idCol) === col("__cand_id"))
+        .select(col(idCol).cast(org.apache.spark.sql.types.LongType),
+          distC.as("__d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(x => (x._2, x._1))
+      if (surv.length >= k) return surv.take(k)
+      pool *= 4; nprobe *= 4; round += 1
+    }
+    filtered
+      .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
+        distC.as("__d"))
+      .orderBy(col("__d"), col("id"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val df = GraftSqlShim.ofRows(session, table)
     // for coarse-list indexes the width param is the probe count
-    val hits =
-      if (kind == "ivf")
+    val hits = kind match {
+      case "ivf" =>
         graft.ann.IvfIndex.searchFiltered(df, idCol, vecCol, artifact,
           query.toArray, k, GraftSqlShim.column(pred), nprobeOverride = ef)
-      else
+      case "pq" =>
+        filteredViaCandidates(df, (pool, _) =>
+          graft.ann.PqAnnIndex.search(session, artifact, query.toArray,
+            pool, math.max(ef, pool)).map(_._1))
+      case "ivfpq" =>
+        filteredViaCandidates(df, (pool, np) =>
+          graft.ann.IvfPqIndex.search(session, artifact, query.toArray,
+            pool, nprobe = np, ef = math.max(ef, pool))
+            .select("id").collect().map(_.getLong(0)))
+      case _ =>
         AnnIndex.searchFiltered(df, idCol, vecCol, artifact,
           query.toArray, k, GraftSqlShim.column(pred), efOverride = ef)
+    }
     val schema = StructType(Seq(StructField("id", LongType)))
     sparkContext.parallelize(hits.map(_._1).toSeq, 1).mapPartitions { it =>
       val proj = UnsafeProjection.create(schema)
@@ -246,8 +299,8 @@ object AnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AnnScanLogical(id, vec, artifact, q, k, ef, kind, nprobe) =>
       AnnScanExec(id, vec, artifact, q, k, ef, kind, nprobe) :: Nil
-    case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind) =>
-      AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind) :: Nil
+    case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) =>
+      AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) :: Nil
     case _ => Nil
   }
 }
@@ -356,9 +409,14 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // the filtered form defers to searchFiltered, which needs an
         // hnsw graph artifact, an exact-rankable metric, and a
         // predicate Spark can evaluate against the table alone
+        // filtered-form kind/metric support: hnsw + ivf fully; pq's
+        // LUT is l2sq-only; ivfpq reranks via l2sq-on-(unit)vectors,
+        // sound for l2sq and cos ordering but not inner
         if predOpt.forall(p =>
           ((meta.kind == "hnsw" && meta.metric != "hamming") ||
-            meta.kind == "ivf") &&
+            meta.kind == "ivf" ||
+            (meta.kind == "pq" && meta.metric == "l2sq") ||
+            (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric))) &&
             p.deterministic && p.references.subsetOf(rel.outputSet))
       } yield {
         // ef drives graph/LUT search width; IVF instead takes a probe
@@ -377,7 +435,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // Filter stays above and re-applies pred over ≤ k rows
             val cid = AttributeReference("__graft_cand_id", LongType)()
             val ids = AnnFilteredIdsLogical(cid, rel, pred, meta.idCol,
-              meta.vecCol, meta.artifact, q.toSeq, k, searchParam, meta.kind)
+              meta.vecCol, meta.artifact, q.toSeq, k, searchParam, meta.kind,
+              meta.metric)
             Project(rel.output,
               Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
                 JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))

@@ -347,6 +347,56 @@ object AnnQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** Planner-level FILTERED IVF-PQ: same contract as the hnsw/ivf
+    * filtered gates, through the compact-code kind — candidates from
+    * the residual-LUT search, survivors re-ranked on the TABLE's true
+    * floats inside the exec, widened ×4 per round, exact fallback. */
+  private def ivfpqFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.IvfPqIndex
+    import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ivfpq", dir, "embeddings")
+    cached(path) {
+      IvfPqIndex.build(e, "vec_id", "embedding", path,
+        nlists = 16, subvectors = 8, clusters = 64)
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 256,
+        kind = "ivfpq", nprobe = 8))
+    try {
+      def usesIndex(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: AnnFilteredIdsLogical if a.kind == "ivfpq" => a
+        }.nonEmpty
+
+      val pred = col("vec_id") % 3 === 0
+      val knn = e.where(pred)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.where(pred)
+        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+
+      val starvingPred = col("vec_id") < 3
+      val sknn = e.where(starvingPred)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val sGot = sknn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val survivors = e.where(starvingPred)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+
+      if (usesIndex(knn) && usesIndex(sknn) &&
+          got.forall(_ % 3 == 0) && recall >= 0.8 && sGot == survivors)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   /** IVF-PQ gate (the faiss `IVFPQ` layout — coarse lists + PQ
     * residual codes, Jégou et al. TPAMI 2011): the compact index
     * (codes only, no floats) with exact join-back rerank must reach
@@ -514,6 +564,7 @@ object AnnQueries {
     QueryDef("knn_ann_filtered", Some("SELECT 1 AS ok"), annFiltered),
     QueryDef("knn_ann_filtered_planner", Some("SELECT 1 AS ok"), annFilteredPlanner),
     QueryDef("knn_ivf_filtered_planner", Some("SELECT 1 AS ok"), ivfFilteredPlanner),
+    QueryDef("knn_ivfpq_filtered_planner", Some("SELECT 1 AS ok"), ivfpqFilteredPlanner),
     QueryDef("knn_join_ann", Some("SELECT 1 AS ok"), knnJoinAnn),
     QueryDef("autotune_pick", Some("SELECT 1 AS ok"), autotunePick),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),

@@ -190,6 +190,50 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
+  test("planner fires through Filter for PQ indexes (LUT candidates + true-float rerank)") {
+    import graft.ann.{AnnParams, PqAnnIndex}
+    import graft.pq.ProductQuantizer
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-pqfplan").toFile, "idx").toString
+    val cb = ProductQuantizer.trainCodebook(
+      e, "embedding", subvectors = 8, clusters = 16)
+    PqAnnIndex.build(e, "vec_id", "embedding", path, cb,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
+    val tablePath = s"$dir/embeddings.parquet"
+    // deep LUT pool: sub-byte ADC noise on near-random data needs a
+    // wide candidate set before the true-float rerank (same ef the
+    // ivfpq recall gate uses)
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 256,
+        kind = "pq"))
+    try {
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val pred = col("vec_id") % 3 === 0
+      val knn = e.where(pred)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val nodes = knn.queryExecution.optimizedPlan.collect {
+        case a: AnnFilteredIdsLogical => a
+      }
+      assert(nodes.nonEmpty && nodes.head.kind == "pq",
+        knn.queryExecution.optimizedPlan.toString)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.forall(_ % 3 == 0))
+      val exact = e.where(pred)
+        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.intersect(exact).size >= 7, s"recall too low: $got vs $exact")
+
+      val starved = e.where(col("vec_id") < 3)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      assert(starved.select("vec_id").collect().map(_.getLong(0)).toSet
+        == Set(0L, 1L, 2L))
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("SQL surface: extension-injected functions work in spark.sql and match the DSL") {
     // NOT calling registerAll — GraftExtensions must have injected them
     val dir = sf("sf0.001")

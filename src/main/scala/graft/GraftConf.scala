@@ -39,6 +39,20 @@ object GraftConf {
   def dedupBroadcastBytes(s: SparkSession): Long =
     s.conf.getOption(DedupBroadcastBytes).map(_.toLong).getOrElse(128L << 20)
 
+  val LmMaxDriverGrams = "spark.graft.lm.maxDriverGrams"
+  val LmBroadcast = "spark.graft.lm.broadcast"
+
+  /** Largest fitted char-LM table (unique gram keys, all orders) the
+    * trigram scorer may collect + broadcast for the single-pass regime;
+    * larger charsets fall back to the declarative join path. */
+  def lmMaxDriverGrams(s: SparkSession): Long =
+    s.conf.getOption(LmMaxDriverGrams).map(_.toLong).getOrElse(2000000L)
+
+  /** Whether the join-path LM count tables take a broadcast hint
+    * (disable for very large charsets so AQE picks the join). */
+  def lmBroadcast(s: SparkSession): Boolean =
+    s.conf.getOption(LmBroadcast).forall(_.toBoolean)
+
   val DedupAllPairsBucketLimit = "spark.graft.dedup.allPairsBucketLimit"
 
   /** Largest merged LSH bucket the keepers path may verify ALL-PAIRS,

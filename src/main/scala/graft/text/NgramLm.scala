@@ -78,9 +78,7 @@ object NgramLm {
       textCol: String,
       alpha: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
-    val maxDriverGrams = spark.conf
-      .getOption("spark.graft.lm.maxDriverGrams").map(_.toLong)
-      .getOrElse(2000000L)
+    val maxDriverGrams = graft.GraftConf.lmMaxDriverGrams(spark)
 
     val counts = ngramKeyCounts(docs, textCol).cache()
     try {
@@ -107,8 +105,7 @@ object NgramLm {
       textCol: String,
       alpha: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
-    val useBroadcast =
-      spark.conf.getOption("spark.graft.lm.broadcast").forall(_.toBoolean)
+    val useBroadcast = graft.GraftConf.lmBroadcast(spark)
     def lm(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
 
     val n3 = lm(charNgramCounts(docs, idCol, textCol, 3)

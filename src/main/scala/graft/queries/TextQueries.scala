@@ -17,6 +17,51 @@ object TextQueries {
 
   private val bm25Query = Seq("scan", "merge", "join")
 
+  private val BpeMergeCount = 30
+
+  /** Learned BPE merge table (rows-only driver check — merge learning
+    * is iterative rewriting, not SQL-expressible; correctness is
+    * carried by [[bpeTrainGate]] and BpeTrainerSpec's hand-computed
+    * ACL'16 sequence). */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.text.BpeTrainer.train(Tables.documents(s, dir), "text", BpeMergeCount)
+      .map(m => (m.rank, m.left, m.right))
+      .toDF("rank", "left", "right")
+      .orderBy("rank")
+  }
+
+  /** Self-verifying BPE gate (recall-gate pattern): emits its row only
+    * when (a) the broadcast-regime and distributed-regime trainers
+    * produce IDENTICAL merge tables, (b) ranks are sequential, (c) the
+    * symbol alphabet is closed (every merge's parts are single chars
+    * or earlier merge products), and (d) tokenizing with the table
+    * round-trips a training word sample through the same rewrite. */
+  private def bpeTrainGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val local = graft.text.BpeTrainer.train(docs, "text", BpeMergeCount)
+    val dist = graft.text.BpeTrainer.trainDistributed(
+      graft.text.BpeTrainer.wordCounts(docs, "text"), BpeMergeCount)
+
+    val sameTable = local == dist
+    val ranksOk = local.map(_.rank) == local.indices
+    val closed = local.indices.forall { i =>
+      val products = local.take(i).map(m => m.left + m.right).toSet
+      def part(p: String) = p.length == 1 || products.contains(p)
+      part(local(i).left) && part(local(i).right)
+    }
+    val sampleWords = graft.text.BpeTrainer.wordCounts(docs, "text")
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+      .select("word").as[String].collect()
+    val roundTrip = sampleWords.forall { w =>
+      graft.text.BpeTrainer.applyMerges(w, local).mkString("") == w
+    }
+
+    if (sameTable && ranksOk && closed && roundTrip) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** Full pipeline through the library: analyzed docs → inverted table
     * → searchBm25 → top 10. k1/b/threshold come from the session conf
     * (`spark.graft.bm25.*`, reference GUC defaults) so the conf surface
@@ -428,6 +473,8 @@ object TextQueries {
       |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("bpe_merges", None, bpeMerges),
+    QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
     QueryDef("perplexity_filter", Some(perplexityOracle), perplexityFilter),
     QueryDef("topk_ngrams", Some(topNgramsOracle), topNgrams),
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),

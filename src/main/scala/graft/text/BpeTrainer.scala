@@ -1,0 +1,269 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.tokenize
+
+/** Byte-pair-encoding merge learning (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL 2016) — the tokenizer-TRAINING step of a data pipeline,
+  * word-internal (the subword-nmt / GPT-2 shape: merges never cross
+  * word boundaries).
+  *
+  * Semantics (deterministic):
+  *  - the corpus reduces to WORD COUNTS (tokenize → groupBy) — the
+  *    only corpus-sized pass;
+  *  - each round counts adjacent symbol pairs weighted by word count
+  *    (overlaps count: "aaa" contributes (a,a) twice), picks the most
+  *    frequent pair — ties → lexicographically smallest (left, right)
+  *    — and merges it greedily left-to-right in every word;
+  *  - training stops after `numMerges` rounds or when no pair repeats.
+  *
+  * Scale shape: word counts aggregate distributedly; the vocabulary
+  * (distinct words) is bounded by the language, not the corpus, so the
+  * FAST path collects it under `spark.graft.bpe.maxDriverVocab` and
+  * runs the classic in-memory loop. Above the budget, each round runs
+  * as one pair-count aggregate over the words frame plus a map-side
+  * codegen'd [[MergePairExpr]] rewrite (localCheckpoint every few
+  * rounds keeps the lineage flat). Both regimes produce IDENTICAL
+  * merge tables (spec-asserted).
+  */
+object BpeTrainer {
+
+  case class Merge(rank: Int, left: String, right: String)
+
+  val MaxDriverVocabKey = "spark.graft.bpe.maxDriverVocab"
+
+  /** `(word, cnt)` — the corpus's only full-size pass. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .where(col(textCol).isNotNull)
+      .select(explode(tokenize(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    val spark = docs.sparkSession
+    val budget = spark.conf.getOption(MaxDriverVocabKey)
+      .map(_.toLong).getOrElse(5000000L)
+    val words = wordCounts(docs, textCol)
+    if (words.count() <= budget) {
+      val rows = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      trainLocal(rows, numMerges)
+    } else trainDistributed(words, numMerges)
+  }
+
+  /** Classic in-memory loop over the collected vocabulary. */
+  private[text] def trainLocal(
+      vocab: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    while (rank < numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      val repeated = counts.filter(_._2 >= 2)
+      if (repeated.isEmpty) return merges.toSeq
+      val ((l, r), _) = repeated.minBy { case ((a, b), c) => (-c, a, b) }
+      merges += Merge(rank, l, r)
+      words = words.map { case (syms, c) => (mergeOnce(syms, l, r), c) }
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** One greedy left-to-right merge pass (shared by both regimes and
+    * the tokenizer). */
+  private[text] def mergeOnce(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Distributed regime: the words frame never leaves the cluster;
+    * each round is one 2-column pair aggregate + a top-1 collect.
+    * Public so callers (and the cross-regime gate) can force it. */
+  def trainDistributed(
+      wordsDf: DataFrame, numMerges: Int): Seq[Merge] = {
+    import org.apache.spark.sql.functions.{split => _, _}
+    var words = wordsDf
+      .select(GraftSqlShim.column(CharsExpr(
+        GraftSqlShim.expression(col("word")))).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    while (rank < numMerges) {
+      val best = words
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .where(col("n") >= 2)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) return merges.toSeq
+      val (l, r) = (best.head.getString(0), best.head.getString(1))
+      merges += Merge(rank, l, r)
+      words = words.select(GraftSqlShim.column(MergePairExpr(
+        GraftSqlShim.expression(col("syms")), l, r)).as("syms"), col("cnt"))
+      if (rank % 8 == 7) words = words.localCheckpoint()
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize a word with a learned merge table (merges applied in
+    * rank order, each greedy left-to-right — exactly the training
+    * rewrite, so training words round-trip). */
+  def applyMerges(word: String, merges: Seq[Merge]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    merges.foreach(m => syms = mergeOnce(syms, m.left, m.right))
+    syms
+  }
+
+  /** Column form: text → tokenize → per-word BPE symbols, flattened.
+    * One codegen'd pass against the broadcast-as-literal merge table. */
+  def bpeTokens(text: Column, merges: Seq[Merge]): Column =
+    GraftSqlShim.column(BpeApplyExpr(
+      GraftSqlShim.expression(text),
+      merges.map(m => (m.left, m.right)).toArray))
+}
+
+/** String → array of single-char symbols (UTF-16 code-unit chars, the
+  * training alphabet). */
+case class CharsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"chars expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "chars"
+  override def nullSafeEval(v: Any): Any =
+    CharsExpr.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.CharsExpr.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharsExpr =
+    copy(child = newChild)
+}
+
+object CharsExpr {
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new Array[AnyRef](str.length)
+    var i = 0
+    while (i < str.length) {
+      out(i) = UTF8String.fromString(str.charAt(i).toString); i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** One greedy left-to-right merge of (left, right) in a symbol array —
+  * the distributed regime's per-round rewrite. */
+case class MergePairExpr(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"merge_pair expects array<string>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "merge_pair"
+  override def nullSafeEval(v: Any): Any =
+    MergePairExpr.compute(v.asInstanceOf[ArrayData],
+      UTF8String.fromString(left), UTF8String.fromString(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("mpLeft", UTF8String.fromString(left),
+      "org.apache.spark.unsafe.types.UTF8String")
+    val r = ctx.addReferenceObj("mpRight", UTF8String.fromString(right),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.text.MergePairExpr.compute($c, $l, $r)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MergePairExpr =
+    copy(child = newChild)
+}
+
+object MergePairExpr {
+  def compute(arr: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new mutable.ArrayBuffer[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && arr.getUTF8String(i) == l && arr.getUTF8String(i + 1) == r) {
+        out += UTF8String.concat(l, r); i += 2
+      } else { out += arr.getUTF8String(i); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** text → tokenize → per-word BPE (full merge table, rank order) →
+  * flattened symbol array. */
+case class BpeApplyExpr(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+  override def nullSafeEval(v: Any): Any =
+    BpeApplyExpr.compute(v.asInstanceOf[UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMerges", merges, "scala.Tuple2[]")
+    defineCodeGen(ctx, ev, c => s"graft.text.BpeApplyExpr.compute($c, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyExpr =
+    copy(child = newChild)
+}
+
+object BpeApplyExpr {
+  def compute(s: UTF8String, merges: Array[(String, String)]): ArrayData = {
+    val toks = graft.functions.WordShingles.compute(s, 1)
+    val out = new mutable.ArrayBuffer[AnyRef]()
+    var t = 0
+    val n = toks.numElements()
+    while (t < n) {
+      var syms = toks.getUTF8String(t).toString.map(_.toString).toArray
+      var i = 0
+      while (i < merges.length) {
+        syms = BpeTrainer.mergeOnce(syms, merges(i)._1, merges(i)._2)
+        i += 1
+      }
+      syms.foreach(x => out += UTF8String.fromString(x))
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class BpeTrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the ACL'16 paper's corpus shape: low×5 lower×2 newest×6 widest×3
+  private def corpus = Seq(
+    (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+    (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("learned merges match the hand-computed sequence (ties lexicographic)") {
+    val merges = BpeTrainer.train(corpus, "text", numMerges = 5)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")))
+    assert(merges.map(_.rank) == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("distributed regime produces the identical merge table") {
+    val words = BpeTrainer.wordCounts(corpus, "text")
+    val dist = BpeTrainer.trainDistributed(words, 5)
+    val local = BpeTrainer.train(corpus, "text", 5)
+    assert(dist == local)
+  }
+
+  test("training stops when no pair repeats") {
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(BpeTrainer.train(tiny, "text", 10).isEmpty) // all pairs count 1
+    val rep = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val m = BpeTrainer.train(rep, "text", 10)
+    assert(m.map(x => (x.left, x.right)) == Seq(("a", "b"))) // then dry
+  }
+
+  test("applyMerges round-trips training words; bpeTokens matches per word") {
+    val merges = BpeTrainer.train(corpus, "text", 5)
+    assert(BpeTrainer.applyMerges("lowest", merges).toSeq ==
+      Seq("low", "est"))
+    assert(BpeTrainer.applyMerges("newest", merges).toSeq ==
+      Seq("n", "ew", "est"))
+    val toks = Seq((1L, "lowest newest"))
+      .toDF("doc_id", "text")
+      .select(BpeTrainer.bpeTokens($"text", merges).as("t"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("low", "est", "n", "ew", "est"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over an append-only event log: gap-based
+  * sessionization, tumbling-window rollups and as-of (latest-prior)
+  * attribution.
+  *
+  * These are the batch halves of the operators a training-data /
+  * telemetry pipeline runs over clickstream-shaped data (the `events`
+  * test table: event_id, ts, user_id, event_type, value, props). The
+  * reference engine itself stays out of this space (it is a vector
+  * extension), but the engine we are building is a general corpus
+  * pipeline and event logs are a first-class input at 100 TB.
+  *
+  * Scale shape: every operator here makes exactly ONE hash Exchange on
+  * `user_id` (or the window bucket) and then stays within that
+  * partitioning — the lag window, the running session counter and the
+  * per-session aggregate all declare `user_id`-prefixed keys, so
+  * Catalyst satisfies the aggregate's ClusteredDistribution with the
+  * window's existing HashPartitioning and no second shuffle appears.
+  * Nothing collects on the driver; state per task is one window frame.
+  */
+object Sessionize {
+
+  /** Microsecond event time — exact integer arithmetic in both Spark
+    * (`unix_micros`) and the DuckDB oracle (`epoch_us`), no fractional
+    * -second double drift. Parquet event logs read as TIMESTAMP_NTZ;
+    * the cast maps wall-clock → instant in the session timezone, which
+    * the engine pins to UTC, matching `epoch_us` on the naive value. */
+  private def eventMicros(ts: Column): Column =
+    unix_micros(ts.cast("timestamp"))
+
+  /** Assign a per-user session index: a new session starts when the gap
+    * to the user's previous event exceeds `gapSeconds`. Returns the
+    * input rows plus `es` (event micros) and `session_idx` (1-based,
+    * per user, in time order).
+    *
+    * Ties on `ts` break by `event_id` so the assignment is total and
+    * deterministic under any partitioning.
+    */
+  def assignSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("es", eventMicros(col("ts")))
+      .withColumn("__prev", lag(col("es"), 1).over(w))
+      .withColumn(
+        "__new",
+        when(col("__prev").isNull || col("es") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .drop("__prev", "__new")
+  }
+
+  /** One row per session: bounds, event count, value sum.
+    *
+    * `sum_value` sums FIXED-POINT cents (`floor(value*100+0.5)` as
+    * long) — long addition is associative, so the distributed reduction
+    * order cannot perturb the result and the output hash-compares
+    * against a single-threaded oracle replay. Emitting the raw double
+    * sum would be order-sensitive in the last ulp.
+    */
+  def sessionSummary(events: DataFrame, gapSeconds: Long): DataFrame =
+    assignSessions(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("es")).as("start_us"),
+        max(col("es")).as("end_us"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      .withColumn("duration_s",
+        ((col("end_us") - col("start_us")) / 1000000L).cast("long"))
+
+  /** Tumbling-window rollup: events bucketed to `windowSeconds`-wide
+    * windows per event_type, with an exact distinct-user count and the
+    * max of an integer property pulled out of the JSON `props` column.
+    *
+    * The JSON pull uses `get_json_object` (codegen'd, Jackson-backed)
+    * — the oracle replays it with DuckDB's `json_extract_string`. The
+    * rollup is one partial-aggregated shuffle on (bucket, event_type);
+    * `countDistinct(user_id)` expands to the standard two-phase
+    * distinct aggregate — still a single Exchange of (bucket, type,
+    * user) partials, no driver state.
+    */
+  def eventRollup(events: DataFrame, windowSeconds: Long): DataFrame = {
+    val bucketUs = windowSeconds * 1000000L
+    events
+      .withColumn("bucket", (eventMicros(col("ts")) / bucketUs).cast("long"))
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        countDistinct(col("user_id")).cast("int").as("n_users"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+        max(col("k")).as("max_k"))
+  }
+
+  /** As-of attribution: for each event of `targetType`, the most recent
+    * STRICTLY-PRIOR event of `sourceType` by the same user (classic
+    * "which click led to this purchase"). No join anywhere — one
+    * `user_id` window pass carries the last-seen source id/time via
+    * `last(..., ignoreNulls)` over `rows between unbounded preceding
+    * and 1 preceding`, then a filter keeps the targets. At 100 TB this
+    * is the shape that survives: the naive formulation is an
+    * inequality self-join (quadratic per hot user); the window form is
+    * one sort within the single user_id Exchange.
+    */
+  def asofAttribution(
+      events: DataFrame,
+      sourceType: String,
+      targetType: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("es", eventMicros(col("ts")))
+      .withColumn("src_id",
+        last(when(col("event_type") === sourceType, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("src_es",
+        last(when(col("event_type") === sourceType, col("es")), ignoreNulls = true).over(w))
+      .where(col("event_type") === targetType)
+      // unattributed targets surface as -1, not NULL — a total output
+      // hash-compares stably everywhere (NaN/NULL equality is
+      // comparator-defined)
+      .select(
+        col("event_id"), col("user_id"), col("es"),
+        coalesce(col("src_id"), lit(-1L)).as("src_id"),
+        coalesce(col("src_es"), lit(-1L)).as("src_es"),
+        coalesce(((col("es") - col("src_es")) / 1000000L).cast("long"),
+          lit(-1L)).as("lag_s"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Sessionize
+
+/** Driver-checkable queries for the event-log analytics surface
+  * (`ops/Sessionize`, `streaming/StreamingSessions`) over the `events`
+  * table — gap sessionization, tumbling rollups, as-of attribution,
+  * and the streaming sessionizer gated against the batch oracle.
+  *
+  * All time arithmetic is integer microseconds (`unix_micros` /
+  * `epoch_us`) and all value sums are fixed-point cents, so every
+  * query hash-compares exactly. Plans: one hash Exchange each
+  * (user_id for the window family, the group key for the rollup);
+  * the session aggregate reuses the window's partitioning because
+  * its key is user_id-prefixed.
+  */
+object EventQueries {
+
+  private val GapSeconds = 1800L
+
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionSummary(Tables.events(s, dir), GapSeconds)
+      .select("user_id", "session_idx", "start_us", "end_us",
+        "n_events", "value_cents", "duration_s")
+      .orderBy("user_id", "session_idx")
+
+  private val sessionizeOracle =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS es, value FROM events
+       |), x AS (
+       |  SELECT *, CASE WHEN lag(es) OVER w IS NULL
+       |    OR es - lag(es) OVER w > ${GapSeconds * 1000000L} THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+       |), y AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM x
+       |)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  min(es) AS start_us, max(es) AS end_us,
+       |  CAST(count(*) AS INT) AS n_events,
+       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       |  CAST((max(es) - min(es)) // 1000000 AS BIGINT) AS duration_s
+       |FROM y GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  private def eventRollup(s: SparkSession, dir: String): DataFrame =
+    Sessionize.eventRollup(Tables.events(s, dir), windowSeconds = 3600L)
+      .orderBy("bucket", "event_type")
+
+  private val eventRollupOracle =
+    """SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket, event_type,
+      |  CAST(count(*) AS INT) AS n,
+      |  CAST(count(DISTINCT user_id) AS INT) AS n_users,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  private def asofAttribution(s: SparkSession, dir: String): DataFrame =
+    Sessionize.asofAttribution(Tables.events(s, dir), "click", "purchase")
+      .orderBy("event_id")
+
+  private val asofOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS es FROM events
+      |), x AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS src_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN es END IGNORE NULLS)
+      |      OVER w AS src_es
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, es,
+      |  coalesce(src_id, -1) AS src_id, coalesce(src_es, -1) AS src_es,
+      |  coalesce(CAST((es - src_es) // 1000000 AS BIGINT), -1) AS lag_s
+      |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Streaming sessionizer fed the whole events table in 4 event-time
+    * -ordered chunks + a sentinel chunk (one far-future event per user,
+    * closing every real session; the sentinels' own sessions stay open
+    * and never emit). Result must hash-match the BATCH sessionize
+    * oracle — the stream/batch parity gate. */
+  private def streamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("es"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(t => (t._3, t._2))
+    val flushEs = evs.map(_._3).max + GapSeconds * 2000000L
+    val sentinels = evs.map(_._1).distinct.sorted
+      .map(u => (u, -1L, flushEs, 0.0))
+    val mem = MemoryStream[(Long, Long, Long, Double)](s)
+    val src = mem.toDF().toDF("user_id", "event_id", "es_us", "value")
+      .withColumn("ts", timestamp_micros(col("es_us")))
+    val sessions = graft.streaming.StreamingSessions
+      .sessionizeStream(src, GapSeconds)
+    val sink = "graft_ssess_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (evs.grouped(math.max(1, evs.length / 4 + 1)).map(_.toSeq).toSeq
+        :+ sentinels.toSeq)
+        .foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    s.table(sink)
+      .select("user_id", "session_idx", "start_us", "end_us",
+        "n_events", "value_cents", "duration_s")
+      .orderBy("user_id", "session_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("sessionize", Some(sessionizeOracle), sessionize),
+    QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
+    QueryDef("asof_attribution", Some(asofOracle), asofAttribution),
+    QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions))
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // hand-built log: user 1 has two sessions split by a 2000 s gap;
+  // user 2 has one session; ties on ts break by event_id
+  private def log() = Seq(
+    // (event_id, esSeconds, user, type, value)
+    (1L, 0L, 1L, "click", 1.0),
+    (2L, 100L, 1L, "view", 2.0),
+    (3L, 100L, 1L, "purchase", 3.0), // same ts as 2 → ordered by id
+    (4L, 2500L, 1L, "click", 4.0), // gap 2400 > 1800 → new session
+    (5L, 2600L, 1L, "purchase", 0.5),
+    (6L, 50L, 2L, "purchase", 7.0))
+    .toDF("event_id", "es_s", "user_id", "event_type", "value")
+    .withColumn("ts", timestamp_seconds(col("es_s")))
+    .withColumn("props", lit("""{"k": 5}"""))
+
+  test("sessionSummary: gap splits, tie order, fixed-point sums") {
+    val out = Sessionize.sessionSummary(log(), gapSeconds = 1800)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "value_cents", "duration_s")
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 3, 600L, 100L),
+      (1L, 2L, 2, 450L, 100L),
+      (2L, 1L, 1, 700L, 0L)))
+  }
+
+  test("sessionSummary plan: exactly one Exchange (agg reuses window partitioning)") {
+    val plan = Sessionize.sessionSummary(log(), 1800)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("asofAttribution: strictly-prior source, per-user isolation") {
+    val out = Sessionize.asofAttribution(log(), "click", "purchase")
+      .orderBy("event_id")
+      .select("event_id", "src_id", "lag_s")
+      .as[(Long, Long, Long)].collect().toSeq
+    // purchase 3 ← click 1 (lag 100 s); purchase 5 ← click 4 (lag 100 s);
+    // purchase 6 (user 2) has no prior click → -1 sentinels
+    assert(out === Seq(
+      (3L, 1L, 100L),
+      (5L, 4L, 100L),
+      (6L, -1L, -1L)))
+  }
+
+  test("eventRollup: bucketing, distinct users, json prop max") {
+    val out = Sessionize.eventRollup(log(), windowSeconds = 3600)
+      .orderBy("bucket", "event_type")
+      .select("bucket", "event_type", "n", "n_users", "value_cents", "max_k")
+      .as[(Long, String, Int, Int, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      (0L, "click", 2, 1, 500L, 5),
+      (0L, "purchase", 3, 2, 1050L, 5),
+      (0L, "view", 1, 1, 200L, 5)))
+  }
+}

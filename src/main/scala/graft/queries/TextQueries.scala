@@ -472,6 +472,37 @@ object TextQueries {
       |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
       |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
 
+  /** Sketch-path profile gate: HLL++ distinct tokens + quantile-sketch
+    * percentiles run for real, exact values emitted only where the
+    * sketches land in tolerance (see
+    * [[graft.text.CorpusStats.approxProfileGate]]) — the oracle
+    * replays the exact side; a drifting sketch = missing row = hash
+    * fail. */
+  private def approxProfile(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.approxProfileGate(
+      Tables.documents(s, dir), "lang", "text")
+
+  // NOTE: declared BEFORE `all` — object vals initialize in source
+  // order, and a forward reference here would silently be null inside
+  // the Seq below.
+  private val approxProfileOracle =
+    """WITH t AS (
+      |  SELECT lang, len(text) AS c,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '') AS toks
+      |  FROM documents
+      |), d AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    round(quantile_cont(c, 0.5), 4) AS p50_chars,
+      |    round(quantile_cont(c, 0.9), 4) AS p90_chars
+      |  FROM t GROUP BY lang
+      |), tok AS (
+      |  SELECT lang, count(DISTINCT tk) AS n_distinct_tokens
+      |  FROM (SELECT lang, unnest(toks) AS tk FROM t) GROUP BY lang
+      |)
+      |SELECT d.lang, d.n_docs, tok.n_distinct_tokens, d.p50_chars, d.p90_chars
+      |FROM d JOIN tok USING (lang) ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("bpe_merges", None, bpeMerges),
     QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
@@ -493,5 +524,6 @@ object TextQueries {
     QueryDef("pii_scrub", Some(piiScrubOracle), piiScrub),
     QueryDef("url_domains", Some(urlDomainsOracle), urlDomains),
     QueryDef("corpus_stats", Some(corpusStatsOracle), corpusStats),
+    QueryDef("approx_profile", Some(approxProfileOracle), approxProfile),
   )
 }

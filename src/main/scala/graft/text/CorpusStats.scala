@@ -48,6 +48,80 @@ object CorpusStats {
     byLanguage(df.withColumn("__all", lit("all")), "__all", textCol)
       .drop("lang")
 
+  /** Sketch-based profile — the 100 TB path. `countDistinct(token)`
+    * shuffles every distinct token to its reducer (the shuffle grows
+    * with VOCABULARY, which at web scale is corpus-sized thanks to
+    * typos/ids/urls); `approx_count_distinct` reduces each partition
+    * to one constant-size HLL++ sketch per language, and
+    * `percentile_approx` likewise one quantile sketch — shuffle bytes
+    * become O(languages × partitions), independent of corpus size.
+    *
+    * rsd 0.02 ⇒ ±2% standard error on the distinct count; accuracy
+    * 10000 ⇒ ≤ 1e-4 rank error on the percentiles.
+    */
+  def approxProfile(
+      df: DataFrame,
+      langCol: String,
+      textCol: String,
+      rsd: Double = 0.02): DataFrame = {
+    val docAgg = df
+      .select(col(langCol).as("lang"), length(col(textCol)).as("__len"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("__len"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("__p"))
+    val tokAgg = df
+      .select(col(langCol).as("lang"),
+        explode(tokenize(col(textCol))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("tok"), rsd).as("n_distinct_tokens"))
+    docAgg.join(tokAgg, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_distinct_tokens"),
+        col("__p")(0).as("p50_chars"), col("__p")(1).as("p90_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Accuracy-gated profile for the driver's hash comparator: runs the
+    * sketches AND the exact aggregates, keeps only languages where the
+    * HLL count lands within `maxRelErr` of truth and each approximate
+    * percentile lands inside the exact ±2%-rank value band (the
+    * sketch's guaranteed 1e-4 rank error is 200× tighter), and emits
+    * the EXACT values — SQL-replayable, so a sketch drifting out of
+    * tolerance surfaces as a missing row in the hash compare. Same
+    * policy as the ANN recall gates: the approximate path is exercised
+    * for real, the oracle row certifies it. */
+  def approxProfileGate(
+      df: DataFrame,
+      langCol: String,
+      textCol: String,
+      maxRelErr: Double = 0.1): DataFrame = {
+    val exactDoc = df
+      .select(col(langCol).as("lang"), length(col(textCol)).as("__len"))
+      .groupBy(col("lang"))
+      .agg(percentile(col("__len"),
+        array(lit(0.48), lit(0.5), lit(0.52), lit(0.88), lit(0.9),
+          lit(0.92))).as("__e"))
+    val exactTok = df
+      .select(col(langCol).as("lang"),
+        explode(tokenize(col(textCol))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("__exact_nt"))
+    approxProfile(df, langCol, textCol)
+      .join(exactDoc, Seq("lang"), "left")
+      .join(exactTok, Seq("lang"), "left")
+      .where(
+        abs(col("n_distinct_tokens") - col("__exact_nt")) <=
+          col("__exact_nt") * maxRelErr &&
+        col("p50_chars").cast("double").between(col("__e")(0), col("__e")(2)) &&
+        col("p90_chars").cast("double").between(col("__e")(3), col("__e")(5)))
+      .select(col("lang"), col("n_docs"),
+        col("__exact_nt").as("n_distinct_tokens"),
+        round(col("__e")(1), 4).as("p50_chars"),
+        round(col("__e")(4), 4).as("p90_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Top-`topK` vocabulary with counts, rank, and cumulative corpus
     * coverage — the "how much of the stream do the head tokens
     * explain" profile used when sizing tokenizer vocabularies.

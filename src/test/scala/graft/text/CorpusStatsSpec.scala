@@ -32,4 +32,25 @@ class CorpusStatsSpec extends SparkTestBase {
     val all = CorpusStats.overall(docs, "text").collect()
     assert(all.length == 1 && all(0).getLong(0) == 4 && all(0).getLong(1) == 12)
   }
+
+  test("approxProfile: sketches land on exact values at spec scale") {
+    val docs = (1L to 200L).map { i =>
+      (i, if (i % 3 == 0) "de" else "en",
+        (1L to (i % 17 + 3)).map(j => s"w${(i * 31 + j * 7) % 97}")
+          .mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val approx = CorpusStats.approxProfile(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx("en").getLong(1) == 134 && approx("de").getLong(1) == 66)
+    // 97 possible distinct tokens per lang; rsd 0.02 keeps HLL within
+    // a few % at this cardinality
+    assert(math.abs(approx("en").getLong(2) - 97) <= 5)
+
+    // the gate keeps both languages (sketches within tolerance) and
+    // emits exact values
+    val gate = CorpusStats.approxProfileGate(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gate.size == 2)
+    assert(gate("en").getLong(2) == 97)
+  }
 }

@@ -60,6 +60,34 @@ object Decontaminate {
     GraftSqlShim.column(CountInBroadcastSet(
       GraftSqlShim.expression(shingleCol(text, n)), benchSet))
 
+  /** The eval-set embedding matrix (plus precomputed double norms),
+    * collected and broadcast — eval sets are small by nature, the same
+    * budget argument as [[benchmarkShingles]]. */
+  def benchmarkEmbeddings(
+      bench: DataFrame,
+      vecCol: String): Broadcast[Array[(Array[Float], Double)]] = {
+    val spark = bench.sparkSession
+    val rows = bench.select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+      .map { v =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        (v, math.sqrt(s))
+      }
+    spark.sparkContext.broadcast(rows)
+  }
+
+  /** Max cosine similarity of `vec` to any benchmark embedding — one
+    * codegen'd map-side column, no join, no shuffle: the semantic
+    * (embedding-space) analog of [[contaminationCount]], catching
+    * paraphrased eval leakage that n-gram overlap misses. */
+  def maxBenchSimilarity(
+      vec: Column,
+      benchVecs: Broadcast[Array[(Array[Float], Double)]]): Column =
+    GraftSqlShim.column(MaxCosToBroadcast(
+      GraftSqlShim.expression(vec), benchVecs))
+
   /** Corpus rows annotated with `n_contaminated` (distinct shared
     * `n`-grams) and `flagged` (count >= `minOverlap`) — callers keep
     * `where(!flagged)`. The benchmark set is built and broadcast here;
@@ -114,6 +142,70 @@ case class CountInBroadcastSet(
 
   override protected def withNewChildInternal(newChild: Expression): CountInBroadcastSet =
     copy(child = newChild)
+}
+
+/** Max cosine similarity of an `array<float>` vector against a
+  * broadcast eval-embedding matrix (vectors paired with precomputed
+  * double norms). Double accumulation in index order — the same
+  * arithmetic the SQL oracle replays, so results round-compare
+  * exactly. Codegen'd; zero allocation per row. */
+case class MaxCosToBroadcast(
+    child: Expression,
+    bcast: Broadcast[Array[(Array[Float], Double)]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"max_cos_to_broadcast expects array<float>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_cos_to_broadcast"
+
+  override def nullSafeEval(v: Any): Any =
+    MaxCosToBroadcast.compute(v.asInstanceOf[ArrayData], bcast.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("benchVecs", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    // raw-type cast: janino cannot parse a parameterized cast
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.MaxCosToBroadcast.compute($c, (scala.Tuple2[]) $ref.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCosToBroadcast =
+    copy(child = newChild)
+}
+
+object MaxCosToBroadcast {
+  def compute(arr: ArrayData, bench: Array[(Array[Float], Double)]): Double = {
+    val n = arr.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    var best = -1.0
+    var b = 0
+    while (b < bench.length) {
+      val (bv, bnorm) = bench(b)
+      if (bv.length == n && bnorm > 0 && norm > 0) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          dot += arr.getFloat(j).toDouble * bv(j)
+          j += 1
+        }
+        val cos = dot / (norm * bnorm)
+        if (cos > best) best = cos
+      }
+      b += 1
+    }
+    best
+  }
 }
 
 object CountInBroadcastSet {

@@ -840,6 +840,44 @@ object PipelineQueries {
       |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
       |WHERE t.doc_id % 97 <> 0 ORDER BY t.doc_id""".stripMargin
 
+  /** Embedding-space decontamination: the semantic complement of the
+    * n-gram `decontaminate` gate — vectors with `vec_id % 97 == 0`
+    * stand in as the eval set, every other vector gets its max cosine
+    * similarity to ANY eval vector via one broadcast + codegen'd
+    * map-side pass (no join, no shuffle in the corpus scan). τ = 0.3
+    * flags the tail of this synthetic distribution (p90 ≈ 0.27);
+    * production paraphrase-leak thresholds sit near 0.9 on real
+    * encoder geometry. */
+  private def decontaminateEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Decontaminate
+    val e = Tables.embeddings(s, dir)
+    val bench = Decontaminate.benchmarkEmbeddings(
+      e.where(col("vec_id") % 97 === 0), "embedding")
+    e.where(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"),
+        (floor(Decontaminate.maxBenchSimilarity(col("embedding"), bench)
+          * 1e4 + 0.5) / 1e4).as("max_sim"))
+      .withColumn("flagged", col("max_sim") >= 0.3)
+      .orderBy(col("vec_id"))
+  }
+
+  private val decontaminateEmbeddingOracle =
+    """WITH b AS (
+      |  SELECT embedding FROM embeddings WHERE vec_id % 97 = 0
+      |), p AS (
+      |  SELECT c.vec_id,
+      |    max(list_sum(list_transform(list_zip(c.embedding, b.embedding),
+      |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(c.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS ms
+      |  FROM embeddings c, b WHERE c.vec_id % 97 <> 0 GROUP BY c.vec_id
+      |)
+      |SELECT vec_id, floor(ms * 1e4 + 0.5) / 1e4 AS max_sim,
+      |  floor(ms * 1e4 + 0.5) / 1e4 >= 0.3 AS flagged
+      |FROM p ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -860,6 +898,8 @@ object PipelineQueries {
     QueryDef("dedup_substring_clean",
       Some(dedupSubstringCleanOracle), dedupSubstringClean),
     QueryDef("decontaminate", Some(decontaminateOracle), decontaminate),
+    QueryDef("decontaminate_embedding",
+      Some(decontaminateEmbeddingOracle), decontaminateEmbedding),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),
     QueryDef("embedding_dedup_keepers",

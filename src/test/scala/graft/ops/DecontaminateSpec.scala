@@ -83,4 +83,22 @@ class DecontaminateSpec extends SparkTestBase {
       .where(col("n_contaminated") > 0).count()
     assert(flagged == 0)
   }
+
+  test("maxBenchSimilarity: hand-computed cosines, dim mismatch skipped") {
+    val bench = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f, 1f))) // wrong dim — must be ignored
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2f, 0f)), // cos 1.0 with bench 1
+      (11L, Array(1f, 1f)), // cos √2/2 with both
+      (12L, Array(-3f, 0f))) // cos -1 / 0 → best 0 with bench 2
+      .toDF("vec_id", "embedding")
+    val set = Decontaminate.benchmarkEmbeddings(bench, "embedding")
+    val got = corpus
+      .select(col("vec_id"),
+        round(Decontaminate.maxBenchSimilarity(col("embedding"), set), 4)
+          .as("s"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((10L, 1.0), (11L, 0.7071), (12L, 0.0)))
+  }
 }

@@ -878,6 +878,61 @@ object PipelineQueries {
       |  floor(ms * 1e4 + 0.5) / 1e4 >= 0.3 AS flagged
       |FROM p ORDER BY vec_id""".stripMargin
 
+  /** Gopher composite keep/reject gate with reject reasons —
+    * minWords tuned to 30 for the ~10–100-token synthetic docs
+    * (production default 50 would reject a third of the corpus for
+    * length alone and mask the other rules). */
+  private def gopherFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.gopherFilter(col("text"), minWords = 30).as("g"))
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.keep").as("keep"), col("g.reason").as("reason"))
+      .orderBy(col("doc_id"))
+
+  private val gopherFilterOracle = {
+    val stops = "['the','and','of','to','a','in','is','it']"
+    def mode(arr: String) =
+      s"list_max(list_transform(list_distinct($arr), g -> len(list_filter($arr, x -> x = g))))"
+    s"""WITH t AS (SELECT doc_id, text, $polyToks AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(toks) AS nw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mwl,
+       |    len(list_filter(toks, x -> list_contains($stops, x))) AS nstop,
+       |    CASE WHEN len(toks) = 0 THEN 1.0
+       |      ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(toks) END AS alpha,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END AS g2,
+       |    toks,
+       |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+       |  FROM t
+       |), r AS (
+       |  SELECT doc_id, nw, mwl, nstop, alpha,
+       |    CASE WHEN len(lines) = 0 THEN 0.0
+       |      ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) END AS dup_line,
+       |    CASE WHEN len(g2) = 0 THEN 0.0
+       |      ELSE ${mode("g2")} * 1.0 / len(g2) END AS top2,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE ${mode("toks")} * 1.0 / len(toks) END AS maxtok
+       |  FROM s
+       |), v AS (
+       |  SELECT doc_id, nw,
+       |    CASE WHEN nw < 30 THEN 'too_few_words'
+       |      WHEN nw > 100000 THEN 'too_many_words'
+       |      WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_length'
+       |      WHEN nstop < 2 THEN 'too_few_stopwords'
+       |      WHEN alpha < 0.8 THEN 'non_alpha_words'
+       |      WHEN dup_line > 0.3 THEN 'repeated_lines'
+       |      WHEN top2 > 0.2 THEN 'top_2gram'
+       |      WHEN maxtok > 0.2 THEN 'max_token'
+       |      ELSE 'ok' END AS reason
+       |  FROM r
+       |)
+       |SELECT doc_id, CAST(nw AS INT) AS n_words, reason = 'ok' AS keep, reason
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -906,6 +961,7 @@ object PipelineQueries {
       Some(embeddingDedupKeepersOracle), embeddingDedupKeepers),
     QueryDef("lang_id", Some(langIdOracle), langId),
     QueryDef("quality_score", Some(qualityScoreOracle), qualityScore),
+    QueryDef("gopher_filter", Some(gopherFilterOracle), gopherFilter),
     QueryDef("prep_pipeline", Some(prepPipelineOracle), prepPipeline),
     QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),
     QueryDef("streaming_dedup", Some(streamingDedupOracle), streamingDedup),

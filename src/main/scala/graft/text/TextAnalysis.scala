@@ -140,6 +140,50 @@ object TextAnalysis {
   def dupLineFraction(text: Column): Column =
     repetitionStats(text).getField("dup_line")
 
+  /** Gopher-rule composite document gate (Rae et al. 2021, A1.1): the
+    * standard pre-training keep/reject decision with the FIRST failing
+    * rule as the reject reason. Rules, in precedence order:
+    * word count ∈ [minWords, maxWords]; mean word length ∈ [3, 10];
+    * ≥ 2 stopwords; ≥ 80% of words contain a letter; duplicate-line
+    * fraction ≤ 0.3; top-2-gram fraction ≤ 0.2; max-token fraction
+    * ≤ 0.2.
+    *
+    * Returns struct(n_words, keep, reason). Pure Column composition
+    * over codegen'd built-ins + the native [[repetitionStats]] — one
+    * map-side projection, no shuffle; repeated subtrees (toks, the
+    * when-chain) collapse under whole-stage-codegen subexpression
+    * elimination. Production Gopher uses minWords = 50; callers tune
+    * per corpus. */
+  def gopherFilter(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      stopwords: Seq[String] =
+        Seq("the", "and", "of", "to", "a", "in", "is", "it")): Column = {
+    import graft.functions.tokenize
+    val toks = tokenize(text)
+    val nw = size(toks)
+    val mwl = when(nw > 0,
+      aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+        .cast("double") / nw).otherwise(lit(0.0))
+    val nstop = size(filter(toks, t => t.isInCollection(stopwords)))
+    val alphaFrac = when(nw > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nw)
+      .otherwise(lit(1.0))
+    val rep = repetitionStats(text, topN = 2, dupN = 3)
+    val reason = when(nw < minWords, "too_few_words")
+      .when(nw > maxWords, "too_many_words")
+      .when(mwl < 3.0 || mwl > 10.0, "mean_word_length")
+      .when(nstop < 2, "too_few_stopwords")
+      .when(alphaFrac < 0.8, "non_alpha_words")
+      .when(rep.getField("dup_line") > 0.3, "repeated_lines")
+      .when(rep.getField("top_ngram") > 0.2, "top_2gram")
+      .when(rep.getField("max_token") > 0.2, "max_token")
+      .otherwise("ok")
+    struct(nw.cast("int").as("n_words"),
+      (reason === "ok").as("keep"), reason.as("reason"))
+  }
+
   /** Punctuation-character ratio (quality signal: spammy/tabular text
     * skews high): non-word, non-space chars / all chars. Native
     * single-pass expression; the regex form it replaced is its parity

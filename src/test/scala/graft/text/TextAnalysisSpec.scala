@@ -129,4 +129,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(5L) == ((5L, 0, 0, 0, "clean text with no identifiers at all")))
     assert(out(6L) == ((6L, 0, 0, 0, "v1.2.3 released, section 1.2 unchanged")))
   }
+
+  test("gopherFilter: each rule fires with its reason, in precedence order") {
+    val keepDoc = ("the quick brown fox jumps over a lazy dog and then " +
+      "it runs far into the green field of tall grass to rest a while " +
+      "under one old oak tree near the quiet river bank at dusk time")
+    val docs = Seq(
+      (1L, keepDoc), // passes every rule
+      (2L, "short text"), // too_few_words
+      (3L, Seq.fill(30)("abcdefghijklmnop").mkString(" ") + " the it"), // mean_word_length (16 > 10)
+      (4L, (1 to 30).map(i => s"word$i thing$i stuff$i").mkString(" ")), // too_few_stopwords
+      (5L, "the it " + Seq.tabulate(30)(i => s"${i}111 ${i}222 ${i}333").mkString(" ")), // non_alpha_words (digit-only toks)
+      (6L, "the green line is it\n" * 40), // repeated_lines (dup frac 39/40)
+      (7L, "the it " + Seq.tabulate(20)(i => s"xxxx a${i}b").mkString(" ")), // max_token (xxxx = 20/42, all 2-grams distinct)
+      (8L, "the it " + Seq.fill(40)("lala").mkString(" "))) // top_2gram ("lala lala" dominates)
+      .toDF("doc_id", "text")
+    val out = docs
+      .select($"doc_id", TextAnalysis.gopherFilter($"text", minWords = 30).as("g"))
+      .select($"doc_id", $"g.keep", $"g.reason")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, "ok")))
+    assert(out(2L) == ((2L, false, "too_few_words")))
+    assert(out(3L) == ((3L, false, "mean_word_length")))
+    assert(out(4L) == ((4L, false, "too_few_stopwords")))
+    assert(out(5L) == ((5L, false, "non_alpha_words")))
+    assert(out(6L) == ((6L, false, "repeated_lines")))
+    assert(out(7L) == ((7L, false, "max_token")))
+    assert(out(8L) == ((8L, false, "top_2gram")))
+  }
 }

@@ -38,7 +38,61 @@ object SourceQueries {
     s"SELECT * FROM (VALUES $rows) AS t(id, v0, v1, v2, v3) ORDER BY id"
   }
 
+  /** JSONL roundtrip over the documents table: export to JSON-lines,
+    * re-ingest with the explicit schema, and emit the full table — the
+    * oracle is the identity select, so any escaping/encoding loss in
+    * either direction breaks the hash. Newlines and quotes in `text`
+    * are exercised by the corpus itself. */
+  private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CorpusIo
+    val docs = graft.Tables.documents(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-jsonl").toString
+    CorpusIo.writeJsonl(docs, path)
+    CorpusIo.readJsonl(s, path, docs.schema)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val jsonlOracle =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** CSV roundtrip over the embeddings table with the vector encoded
+    * as a space-joined cell (Float.toString is shortest-round-trip, so
+    * decode is bit-exact). The emitted norm is recomputed from the
+    * DECODED floats; the oracle recomputes it from the original
+    * parquet — equality proves the floats survived text encoding. */
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CorpusIo
+    val e = graft.Tables.embeddings(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-csv").toString
+    CorpusIo.writeCsv(
+      e.select(col("vec_id"), col("label"),
+        CorpusIo.vecToText(col("embedding")).as("vec")), path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, label INT, vec STRING")
+    CorpusIo.readCsv(s, path, schema)
+      .select(col("vec_id"), col("label"),
+        CorpusIo.textToVec(col("vec")).as("embedding"))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        (floor(graft.functions.vector_norm(col("embedding")) * 1e4 + 0.5)
+          / 1e4).as("norm"))
+      .orderBy("vec_id")
+  }
+
+  private val csvOracle =
+    """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+      |  floor(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e4 + 0.5) / 1e4
+      |    AS norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("parse_fvecs", Some(oracle), parseFvecs),
+    QueryDef("jsonl_roundtrip", Some(jsonlOracle), jsonlRoundtrip),
+    QueryDef("csv_roundtrip", Some(csvOracle), csvRoundtrip),
   )
 }

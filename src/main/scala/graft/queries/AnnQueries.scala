@@ -65,6 +65,55 @@ object AnnQueries {
     if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** Streaming ingestion into a live index — build from the first half
+    * of the table, stream the second half through `foreachBatch` →
+    * `AnnIndex.append` (the daemon's aminsert path, delta shards per
+    * micro-batch), then recall-gate a search over the COMPLETE corpus:
+    * streamed rows must be as findable as built rows. Fresh artifact
+    * per invocation (appends mutate it — a cached artifact would
+    * double-append under bench reps). */
+  private def streamingAnnInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sann").toString + "/idx"
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    AnnIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id", "embedding",
+      path, AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+
+    val rest = e.where(col("vec_id") > maxId / 2)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Array[Float])](s)
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) AnnIndex.append(b, "vec_id", "embedding", path)
+      }
+      .start()
+    try {
+      rest.grouped(math.max(1, rest.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val qv = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val ann = AnnIndex.search(s, path, qv, 10).map(_._1).toSet
+    val exact = e
+      .withColumn("d", l2sq_dist(col("embedding"), lit(qv)))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // streamed rows must actually surface: at least one of the exact
+    // top-10 has to come from the streamed id range
+    val streamedFound = ann.exists(_ > maxId / 2) || exact.forall(_ <= maxId / 2)
+    if (recall >= 0.8 && streamedFound) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** Same recall gate, but through the PLANNER: the table is registered
     * in AnnCatalog and the query is plain `orderBy(dist).limit(k)` — a
     * row is emitted only if the optimizer actually rewrote the plan to
@@ -561,6 +610,7 @@ object AnnQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("knn_ann_recall", Some("SELECT 1 AS ok"), annRecall),
+    QueryDef("streaming_ann_insert", Some("SELECT 1 AS ok"), streamingAnnInsert),
     QueryDef("knn_ann_filtered", Some("SELECT 1 AS ok"), annFiltered),
     QueryDef("knn_ann_filtered_planner", Some("SELECT 1 AS ok"), annFilteredPlanner),
     QueryDef("knn_ivf_filtered_planner", Some("SELECT 1 AS ok"), ivfFilteredPlanner),

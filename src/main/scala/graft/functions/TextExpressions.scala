@@ -409,6 +409,85 @@ object QualityScoreExpr {
   }
 }
 
+/** Token-stream stats for the Gopher rule chain in ONE native pass:
+  * struct(n_words, len_sum, n_stop, n_alpha). Tokenization mirrors
+  * [[QualityScoreExpr.compute]] char-for-char (same isTokenChar, same
+  * lowering, code-point lengths), so the SQL replay over the regex
+  * tokenizer stays hash-exact. Replaces a 4-pass higher-order-function
+  * composition (tokenize + size + aggregate + filter×2 with a
+  * per-token rlike) that measured ~6× slower on the bench corpus. */
+case class GopherStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gopher_stats expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("len_sum", LongType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GopherStatsExpr.compute(v.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GopherStatsExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
+}
+
+object GopherStatsExpr {
+  def compute(s: UTF8String,
+      stops: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = s.toString
+    var nToks = 0
+    var nStop = 0
+    var nAlpha = 0
+    var lenSum = 0L
+    var tokCp = 0
+    var tokHasAlpha = false
+    val sb = new java.lang.StringBuilder()
+    def flush(): Unit = if (sb.length > 0) {
+      nToks += 1
+      lenSum += tokCp
+      if (stops.contains(sb.toString)) nStop += 1
+      if (tokHasAlpha) nAlpha += 1
+      sb.setLength(0)
+      tokCp = 0
+      tokHasAlpha = false
+    }
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (RepetitionStats.isTokenCharPublic(cp)) {
+        val lc = Character.toLowerCase(cp)
+        sb.appendCodePoint(lc)
+        tokCp += 1
+        // the declarative form's token.rlike("[a-z]"): ASCII letters
+        // after lowering
+        if (lc >= 'a' && lc <= 'z') tokHasAlpha = true
+      } else flush()
+      i += Character.charCount(cp)
+    }
+    flush()
+    org.apache.spark.sql.catalyst.InternalRow(nToks, lenSum, nStop, nAlpha)
+  }
+}
+
 /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03) in
   * ONE native pass: tokenize → k-gram hashes → window-of-w minima →
   * sorted distinct array<long>. `mult = 0` hashes grams with xxhash64

@@ -99,6 +99,48 @@ object Sessionize {
         max(col("k")).as("max_k"))
   }
 
+  /** Strict-sequence funnel: per user, the time each step was FIRST
+    * reached, where step i+1 only counts strictly after step i's
+    * reach time. One groupBy(user_id) shuffle; the per-user event list
+    * is folded by a higher-order `aggregate` over the sorted array —
+    * no self-joins (the naive k-step formulation is k−1 inequality
+    * joins). Per-task memory is one user's events — the standard
+    * funnel-engine assumption; cap upstream if a bot user can exceed
+    * executor memory. Unreached steps report -1; `reached` counts the
+    * contiguous prefix of completed steps.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "graft: funnel needs at least one step")
+    val k = steps.size
+    val stepsLit = typedLit(steps)
+    val zero = typedLit(Seq.fill(k)(-1L))
+    val sorted = sort_array(collect_list(
+      struct(col("es"), col("event_id"), col("event_type"))))
+    val folded = aggregate(sorted, zero, (acc, e) =>
+      transform(acc, (v, i) => {
+        // element_at is 1-based; the greatest() guard keeps the
+        // (never-used) i=0 lookup in bounds under ANSI mode
+        val prev = element_at(acc, greatest(i, lit(1)))
+        when(v =!= -1L, v)
+          .when(
+            element_at(stepsLit, i + 1) === e.getField("event_type") &&
+              (i === 0 || (prev =!= -1L && e.getField("es") > prev)),
+            e.getField("es"))
+          .otherwise(v)
+      }))
+    val base = events
+      .withColumn("es", eventMicros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(folded.as("__t"))
+    val stepCols = steps.zipWithIndex.map { case (s, i) =>
+      element_at(col("__t"), i + 1).as(s"t_$s")
+    }
+    base.select(
+      (col("user_id") +: stepCols :+
+        (lit(k) - size(filter(col("__t"), v => v === -1L)))
+          .cast("int").as("reached")): _*)
+  }
+
   /** As-of attribution: for each event of `targetType`, the most recent
     * STRICTLY-PRIOR event of `sourceType` by the same user (classic
     * "which click led to this purchase"). No join anywhere — one

@@ -81,6 +81,34 @@ object EventQueries {
       |  coalesce(CAST((es - src_es) // 1000000 AS BIGINT), -1) AS lag_s
       |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  private def funnel(s: SparkSession, dir: String): DataFrame =
+    Sessionize.funnel(Tables.events(s, dir),
+      Seq("signup", "click", "purchase"))
+      .orderBy("user_id")
+
+  private val funnelOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS es FROM events
+      |), f1 AS (
+      |  SELECT user_id, min(es) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), f2 AS (
+      |  SELECT e.user_id, min(es) AS t2 FROM e JOIN f1 USING (user_id)
+      |  WHERE event_type = 'click' AND es > f1.t1 GROUP BY e.user_id
+      |), f3 AS (
+      |  SELECT e.user_id, min(es) AS t3 FROM e JOIN f2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND es > f2.t2 GROUP BY e.user_id
+      |), u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id,
+      |  coalesce(t1, -1) AS t_signup,
+      |  coalesce(t2, -1) AS t_click,
+      |  coalesce(t3, -1) AS t_purchase,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+      |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+      |  LEFT JOIN f3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
   /** Streaming sessionizer fed the whole events table in 4 event-time
     * -ordered chunks + a sentinel chunk (one far-future event per user,
     * closing every real session; the sentinels' own sessions stay open
@@ -105,16 +133,19 @@ object EventQueries {
       .sessionizeStream(src, GapSeconds)
     val sink = "graft_ssess_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      (evs.grouped(math.max(1, evs.length / 4 + 1)).map(_.toSeq).toSeq
-        :+ sentinels.toSeq)
-        .foreach { chunk =>
-          mem.addData(chunk)
-          q.processAllAvailable()
-        }
-    } finally q.stop()
+    // state partitions pinned low — see withShufflePartitions scaladoc
+    withShufflePartitions(s, 8) {
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        (evs.grouped(math.max(1, evs.length / 4 + 1)).map(_.toSeq).toSeq
+          :+ sentinels.toSeq)
+          .foreach { chunk =>
+            mem.addData(chunk)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+    }
     s.table(sink)
       .select("user_id", "session_idx", "start_us", "end_us",
         "n_events", "value_cents", "duration_s")
@@ -125,5 +156,6 @@ object EventQueries {
     QueryDef("sessionize", Some(sessionizeOracle), sessionize),
     QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
     QueryDef("asof_attribution", Some(asofOracle), asofAttribution),
+    QueryDef("funnel", Some(funnelOracle), funnel),
     QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions))
 }

@@ -610,14 +610,16 @@ object PipelineQueries {
     // one session and a shared name would accumulate rows
     val sink = "graft_sdedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
-        mem.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     s.table(sink)
       .select(TextAnalysis.docFingerprintSql(col("text")).as("fp"))
       .groupBy("fp").agg(count(lit(1)).cast("int").as("n_kept"))
@@ -660,20 +662,24 @@ object PipelineQueries {
       src, "ts", "text", "1 minute", "2 minutes")
     val sink = "graft_squal_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
-        mem.addData(chunk.toSeq)
+    // state partitions pinned low: gate state is ~100 windows, and the
+    // per-batch state-store commit cost scales with partitions × batches
+    withShufflePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        // watermark only finalizes a window in a LATER batch: two flush
+        // batches a day past the stream push every real window out
+        mem.addData(Seq((maxId + 86400L, "flush")))
         q.processAllAvailable()
-      }
-      // watermark only finalizes a window in a LATER batch: two flush
-      // batches a day past the stream push every real window out
-      mem.addData(Seq((maxId + 86400L, "flush")))
-      q.processAllAvailable()
-      mem.addData(Seq((maxId + 86400L + 600L, "flush")))
-      q.processAllAvailable()
-    } finally q.stop()
+        mem.addData(Seq((maxId + 86400L + 600L, "flush")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     val cutoff = (sqBase + maxId) / 60L * 60L
     s.table(sink)
       .select(unix_timestamp(col("window_start")).as("window_start"),

@@ -62,6 +62,42 @@ object TextQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Encode-to-ids gate — the tokenizer APPLY stage that feeds block
+    * packing. Emits its row only when, over the WHOLE corpus: (a) no
+    * token encodes to the -1 OOV sentinel (the vocab covers its own
+    * training corpus by construction), (b) ids stay inside
+    * [0, |vocab|), and (c) decoding through the inverse table
+    * reconstructs the normalized token stream char-for-char — i.e. the
+    * id stream is information-preserving. All three checks run as ONE
+    * aggregate over a single map-side projection. */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.text.BpeTrainer
+    val docs = Tables.documents(s, dir)
+    val merges = BpeTrainer.train(docs, "text", BpeMergeCount)
+    val vocab = BpeTrainer.vocabulary(
+      merges, BpeTrainer.corpusAlphabet(docs, "text"))
+    val inv = typedLit(vocab.map(_.swap))
+    val ids = BpeTrainer.encodeIds(col("text"), merges, vocab)
+    val decoded = concat_ws("",
+      transform(col("__ids"), id => element_at(inv, id)))
+    // empty docs have an empty id array (array_min/max → NULL): they
+    // pass iff the token stream is empty too
+    val rowOk = when(size(col("__ids")) === 0,
+      size(tokenize(col("text"))) === 0)
+      .otherwise(
+        array_min(col("__ids")) >= 0 &&
+          array_max(col("__ids")) < vocab.size &&
+          decoded === concat_ws("", tokenize(col("text"))))
+    val checks = docs.where(col("text").isNotNull)
+      .withColumn("__ids", ids)
+      .select(rowOk.as("row_ok"), size(col("__ids")).as("n"))
+      .agg(min(col("row_ok")).as("all_ok"), sum(col("n")).as("total_ids"))
+      .head()
+    if (checks.getBoolean(0) && checks.getLong(1) > 0) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** Full pipeline through the library: analyzed docs → inverted table
     * → searchBm25 → top 10. k1/b/threshold come from the session conf
     * (`spark.graft.bm25.*`, reference GUC defaults) so the conf surface
@@ -482,6 +518,65 @@ object TextQueries {
     graft.text.CorpusStats.approxProfileGate(
       Tables.documents(s, dir), "lang", "text")
 
+  /** URL canonicalization gate: two synthetic messy URLs per doc —
+    * uppercase scheme/host, userinfo, default and non-default ports,
+    * tracking params interleaved with real ones, fragments, trailing
+    * slashes — canonicalized by the library column; the oracle replays
+    * the same parse with the SAME library regex constants. */
+  private def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlAnalysis
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(lit("HTTP://user:pw@WWW.Example-Site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".COM:80/Path/"), (col("doc_id") % 13).cast("string"),
+        lit("/?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&fbclid=xyz&b=2#frag")).as("u1"),
+      concat(lit("https://Shop"), (col("doc_id") % 5).cast("string"),
+        lit(".org:8443/dir/page")).as("u2"))
+      .select(col("doc_id"),
+        UrlAnalysis.canonicalUrl(col("u1")).as("c1"),
+        UrlAnalysis.canonicalUrl(col("u2")).as("c2"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val urlCanonicalOracle = {
+    val re = graft.text.UrlAnalysis.UrlParsePattern.replace("'", "''")
+    val tracker = graft.text.UrlAnalysis.TrackerParamPattern.replace("'", "''")
+    def canonSql(u: String): String = {
+      // DuckDB yields NULL for a non-participating group where Spark
+      // yields '' — coalesce to keep the engines aligned
+      def g(i: Int) = s"coalesce(regexp_extract($u, '$re', $i), '')"
+      val scheme = s"lower(${g(1)})"
+      val host = s"regexp_replace(lower(${g(3)}), '^www\\.', '')"
+      // coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+      // array_join([]) is ''
+      val kept = s"coalesce(array_to_string(list_filter(string_split(${g(6)}, '&'), " +
+        s"p -> p <> '' AND NOT regexp_matches(p, '$tracker')), '&'), '')"
+      s"""CASE WHEN $scheme = '' THEN $u ELSE
+         |  $scheme || '://' || $host ||
+         |  CASE WHEN ${g(4)} = ''
+         |    OR ($scheme = 'http' AND ${g(4)} = '80')
+         |    OR ($scheme = 'https' AND ${g(4)} = '443')
+         |  THEN '' ELSE ':' || ${g(4)} END ||
+         |  regexp_replace(${g(5)}, '/+$$', '') ||
+         |  CASE WHEN $kept = '' THEN '' ELSE '?' || $kept END
+         |END""".stripMargin
+    }
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'HTTP://user:pw@WWW.Example-Site' || CAST(doc_id % 7 AS VARCHAR)
+       |      || '.COM:80/Path/' || CAST(doc_id % 13 AS VARCHAR)
+       |      || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+       |      || '&fbclid=xyz&b=2#frag' AS u1,
+       |    'https://Shop' || CAST(doc_id % 5 AS VARCHAR)
+       |      || '.org:8443/dir/page' AS u2
+       |  FROM documents
+       |)
+       |SELECT doc_id, ${canonSql("u1")} AS c1, ${canonSql("u2")} AS c2
+       |FROM u ORDER BY doc_id""".stripMargin
+  }
+
   // NOTE: declared BEFORE `all` — object vals initialize in source
   // order, and a forward reference here would silently be null inside
   // the Seq below.
@@ -506,6 +601,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("bpe_merges", None, bpeMerges),
     QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
+    QueryDef("bpe_encode", Some("SELECT 1 AS ok"), bpeEncode),
     QueryDef("perplexity_filter", Some(perplexityOracle), perplexityFilter),
     QueryDef("topk_ngrams", Some(topNgramsOracle), topNgrams),
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
@@ -523,6 +619,7 @@ object TextQueries {
     QueryDef("bloom_membership", Some(bloomMembershipOracle), bloomMembership),
     QueryDef("pii_scrub", Some(piiScrubOracle), piiScrub),
     QueryDef("url_domains", Some(urlDomainsOracle), urlDomains),
+    QueryDef("url_canonical", Some(urlCanonicalOracle), urlCanonical),
     QueryDef("corpus_stats", Some(corpusStatsOracle), corpusStats),
     QueryDef("approx_profile", Some(approxProfileOracle), approxProfile),
   )

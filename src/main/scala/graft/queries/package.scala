@@ -12,4 +12,21 @@ package object queries {
       name: String,
       oracle: Option[String],
       fn: (SparkSession, String) => DataFrame)
+
+  /** Run `f` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the old value after. Stateful STREAMING gates use this:
+    * the state-store fan-out is locked to the shuffle-partition count
+    * at query start, and 32 state partitions × N microbatches of
+    * delta-file commits dominate small-gate wall time (measured: the
+    * windowed-quality gate dropped ~2× at 8). Batch queries are NOT
+    * wrapped — the session default is sized for the data, and state
+    * partitioning is a deliberately SMALLER knob only because gate
+    * state is tiny. */
+  private[queries] def withShufflePartitions[T](
+      s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
 }

@@ -153,6 +153,34 @@ object BpeTrainer {
     GraftSqlShim.column(BpeApplyExpr(
       GraftSqlShim.expression(text),
       merges.map(m => (m.left, m.right)).toArray))
+
+  /** The distinct single-char alphabet of the tokenized corpus — one
+    * explode + distinct, collected (alphabets are tiny: ≤ charset). */
+  def corpusAlphabet(docs: DataFrame, textCol: String): Seq[String] =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(tokenize(col(textCol))).as("w"))
+      .select(explode(GraftSqlShim.column(CharsExpr(
+        GraftSqlShim.expression(col("w"))))).as("c"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** Dense token-id table: sorted alphabet first, then merge products
+    * in rank order (the GPT-2 vocab layout shape). Distinct-first wins
+    * when two merges concatenate to the same string. */
+  def vocabulary(merges: Seq[Merge], alphabet: Seq[String]): Map[String, Int] =
+    (alphabet.distinct.sorted ++ merges.sortBy(_.rank).map(m => m.left + m.right))
+      .distinct.zipWithIndex.toMap
+
+  /** text → BPE token ids in one projection: [[bpeTokens]] then a
+    * map-literal lookup (`element_at` on a MapType literal — a single
+    * broadcast-with-the-plan object, fine at real vocab sizes).
+    * Unknown symbols (chars outside the vocab alphabet) encode as -1
+    * so downstream can count OOV instead of silently dropping. */
+  def encodeIds(
+      text: Column, merges: Seq[Merge], vocab: Map[String, Int]): Column = {
+    val vmap = typedLit(vocab)
+    transform(bpeTokens(text, merges),
+      t => coalesce(element_at(vmap, t), lit(-1)))
+  }
 }
 
 /** String → array of single-char symbols (UTF-16 code-unit chars, the

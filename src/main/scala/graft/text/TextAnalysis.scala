@@ -160,16 +160,20 @@ object TextAnalysis {
       maxWords: Int = 100000,
       stopwords: Seq[String] =
         Seq("the", "and", "of", "to", "a", "in", "is", "it")): Column = {
-    import graft.functions.tokenize
-    val toks = tokenize(text)
-    val nw = size(toks)
+    // one native pass for the token signals (measured ~6× over the
+    // tokenize+aggregate+filter×2 HOF composition it replaced — the
+    // per-token regex matcher dominated), one for the repetition
+    // fractions
+    val g = org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.GopherStatsExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text),
+        stopwords))
+    val nw = g.getField("n_words")
     val mwl = when(nw > 0,
-      aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
-        .cast("double") / nw).otherwise(lit(0.0))
-    val nstop = size(filter(toks, t => t.isInCollection(stopwords)))
+      g.getField("len_sum").cast("double") / nw).otherwise(lit(0.0))
+    val nstop = g.getField("n_stop")
     val alphaFrac = when(nw > 0,
-      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nw)
-      .otherwise(lit(1.0))
+      g.getField("n_alpha").cast("double") / nw).otherwise(lit(1.0))
     val rep = repetitionStats(text, topN = 2, dupN = 3)
     val reason = when(nw < minWords, "too_few_words")
       .when(nw > maxWords, "too_many_words")

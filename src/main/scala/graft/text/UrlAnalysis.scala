@@ -58,6 +58,48 @@ object UrlAnalysis {
     sort_array(array_distinct(filter(
       transform(extractUrls(text), domainOf(_)), _ =!= "")))
 
+  /** Canonical form of a single URL — the dedup key web-corpus
+    * pipelines group on (a page crawled as `HTTP://WWW.A.COM:80/x/?
+    * utm_source=f#top` and `http://a.com/x` is ONE page):
+    * scheme/host lowercased, userinfo and fragment dropped, `www.`
+    * prefix and scheme-default ports stripped, trailing path slashes
+    * trimmed, tracking query params (`utm_*`, `gclid`, `fbclid`)
+    * removed with the remaining params kept in page-given order.
+    * Non-URL input passes through unchanged so the column is total.
+    *
+    * Pure Column composition over regex built-ins, all patterns inside
+    * the Java∩RE2 subset (no lookaround) — SQL-replayable and
+    * engine-portable, one map-side projection at any scale. */
+  /** Full-URL parse (groups: scheme, userinfo, host, port, path,
+    * query) and the tracking-param prefix — public so the oracle SQL
+    * interpolates the SAME patterns (one source of truth). */
+  val UrlParsePattern: String =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/@?#]*)@)?([^/:?#]+)" +
+      "(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+  val TrackerParamPattern: String = "^(utm_[A-Za-z0-9_]*|gclid|fbclid)="
+
+  def canonicalUrl(url: Column): Column = {
+    val re = UrlParsePattern
+    val scheme = lower(regexp_extract(url, re, 1))
+    val host = regexp_replace(lower(regexp_extract(url, re, 3)), "^www\\.", "")
+    val port = regexp_extract(url, re, 4)
+    val path = regexp_replace(regexp_extract(url, re, 5), "/+$", "")
+    val query = regexp_extract(url, re, 6)
+    val keptQ = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike(TrackerParamPattern) && p =!= lit("")),
+      "&")
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val qPart = when(keptQ === "", lit(""))
+      .otherwise(concat(lit("?"), keptQ))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
+  }
+
   /** True when any mentioned host equals a blocked domain or is a
     * subdomain of one (`ads.example.com` matches blocked
     * `example.com`). The blocklist is inlined into the expression —

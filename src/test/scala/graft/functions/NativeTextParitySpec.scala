@@ -147,6 +147,25 @@ class NativeTextParitySpec extends SparkTestBase {
     }
   }
 
+  test("GopherStatsExpr == tokenize + aggregate + filter composition") {
+    val stops = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+    def hof(text: org.apache.spark.sql.Column) = {
+      val toks = tokenize(text)
+      struct(
+        size(toks).as("n_words"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("len_sum"),
+        size(filter(toks, t => t.isInCollection(stops))).as("n_stop"),
+        size(filter(toks, t => t.rlike("[a-z]"))).as("n_alpha"))
+    }
+    val native = org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      GopherStatsExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression($"text"), stops))
+    val rows = docs.select(native.as("a"), hof($"text").as("e"), $"id").collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0).toSeq == r.getStruct(1).toSeq, s"id ${r.getLong(2)}")
+    }
+  }
+
   test("WinnowExpr(xxhash64) == higher-order winnowing") {
     def hof(text: org.apache.spark.sql.Column, k: Int, w: Int) = {
       val toks = tokenize(text)

@@ -51,6 +51,31 @@ class SessionizeSpec extends SparkTestBase {
       (6L, -1L, -1L)))
   }
 
+  test("funnel: strict ordering, partial prefixes, pre-step events ignored") {
+    val evs = Seq(
+      // user 1 completes signup→click→purchase, with a decoy click BEFORE signup
+      (1L, 10L, 1L, "click", 0.0), // before signup — must not count
+      (2L, 20L, 1L, "signup", 0.0),
+      (3L, 30L, 1L, "click", 0.0),
+      (4L, 40L, 1L, "purchase", 0.0),
+      // user 2: signup only; purchase precedes click so never reached
+      (5L, 10L, 2L, "signup", 0.0),
+      (6L, 15L, 2L, "purchase", 0.0),
+      (7L, 20L, 2L, "click", 0.0),
+      // user 3: no funnel events at all
+      (8L, 5L, 3L, "error", 0.0))
+      .toDF("event_id", "es_s", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("es_s")))
+    val out = Sessionize.funnel(evs, Seq("signup", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "t_signup", "t_click", "t_purchase", "reached")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, 20000000L, 30000000L, 40000000L, 3),
+      (2L, 10000000L, 20000000L, -1L, 2),
+      (3L, -1L, -1L, -1L, 0)))
+  }
+
   test("eventRollup: bucketing, distinct users, json prop max") {
     val out = Sessionize.eventRollup(log(), windowSeconds = 3600)
       .orderBy("bucket", "event_type")

@@ -46,4 +46,27 @@ class BpeTrainerSpec extends SparkTestBase {
       .as[Seq[String]].head()
     assert(toks == Seq("low", "est", "n", "ew", "est"))
   }
+
+  test("vocabulary layout and encodeIds: dense ids, OOV = -1, decode inverts") {
+    val merges = BpeTrainer.train(corpus, "text", 5)
+    val alphabet = BpeTrainer.corpusAlphabet(corpus, "text")
+    val vocab = BpeTrainer.vocabulary(merges, alphabet)
+    // alphabet chars take ids 0..|a|-1 in sorted order; merge products follow in rank order
+    val sortedAlpha = alphabet.distinct.sorted
+    sortedAlpha.zipWithIndex.foreach { case (c, i) => assert(vocab(c) == i) }
+    merges.sortBy(_.rank).foldLeft(sortedAlpha.size) { case (nextId, m) =>
+      val prod = m.left + m.right
+      if (vocab(prod) >= sortedAlpha.size) assert(vocab(prod) == nextId)
+      nextId + (if (vocab(prod) == nextId) 1 else 0)
+    }
+    val ids = Seq((1L, "lowest zzz"))
+      .toDF("doc_id", "text")
+      .select(BpeTrainer.encodeIds($"text", merges, vocab).as("ids"))
+      .as[Seq[Int]].head()
+    // "lowest" → low, est (both known); "zzz" → z×3, z ∉ corpus alphabet → -1
+    assert(ids.take(2).forall(i => i >= 0 && i < vocab.size))
+    assert(ids.drop(2) == Seq(-1, -1, -1))
+    val inv = vocab.map(_.swap)
+    assert(ids.take(2).map(inv).mkString("") == "lowest")
+  }
 }

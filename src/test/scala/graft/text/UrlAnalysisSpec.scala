@@ -79,4 +79,24 @@ class UrlAnalysisSpec extends SparkTestBase {
     assert(counts("apex.net") == 1)
     assert(counts.values.sum == 5) // 5 distinct (doc, domain) pairs
   }
+
+  test("canonicalUrl: case, userinfo, ports, trackers, slash, fragment") {
+    val cases = Seq(
+      // classic messy crawl duplicates of http://example.com/x
+      ("HTTP://WWW.Example.COM:80/x/?utm_source=f#top", "http://example.com/x"),
+      ("http://user:pw@example.com/x", "http://example.com/x"),
+      // non-default port and real params survive, trackers drop
+      ("https://Shop.org:8443/a?id=3&utm_campaign=z&b=2&gclid=q",
+        "https://shop.org:8443/a?id=3&b=2"),
+      // default https port strips; root path with trailing slashes trims
+      ("https://a.b.c:443///", "https://a.b.c"),
+      // only trackers → no query part at all
+      ("http://e.com/p?utm_a=1&fbclid=2", "http://e.com/p"),
+      // non-URL input is passed through untouched
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlAnalysis.canonicalUrl($"u").as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }

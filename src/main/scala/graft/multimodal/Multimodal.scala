@@ -174,6 +174,166 @@ object Multimodal {
     * (array<float>), `media_error` (null on success) — failed decodes
     * are a side output, like the embedding pipeline.
     */
+  // ---------------------------------------------------------------
+  // AUDIO — decode is REAL via the JDK's javax.sound.sampled (RIFF/
+  // WAV, PCM 8/16-bit, mono/stereo — ships with the JDK headless,
+  // zero new dependencies). Stereo folds to mono by channel average;
+  // compressed containers (mp3/ogg) have no JDK codec — swap a codec
+  // behind decodeWav in production, everything downstream is format-
+  // independent.
+  // ---------------------------------------------------------------
+
+  /** Decoded clip: sample rate + mono samples in [-1, 1). */
+  case class Audio(sampleRate: Int, samples: Array[Float])
+
+  /** Deterministic synthetic clip encoded as a REAL PCM16 WAV via
+    * AudioSystem — sample i is the int16 value
+    * `((seed·31 + i·7919) mod 65536) − 32768`, so the decoded floats
+    * are exactly `v/32768` and a SQL oracle can regenerate them. */
+  def syntheticWavBytes(seed: Long, n: Int, rate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((seed * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+      pcm(2 * i) = (v & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decode a WAV payload to mono float samples. PCM_SIGNED 16-bit
+    * little-endian and PCM 8-bit both handled; stereo averages
+    * channels. Throws on non-audio bytes (callers batch through
+    * [[audioPipeline]], which captures per-row errors). */
+  def decodeWav(bytes: Array[Byte]): Audio = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"graft: unsupported audio encoding ${fmt.getEncoding}")
+      val bits = fmt.getSampleSizeInBits
+      require(bits == 8 || bits == 16, s"graft: unsupported bit depth $bits")
+      val ch = fmt.getChannels
+      val raw = ais.readAllBytes()
+      val frameBytes = fmt.getFrameSize
+      val nFrames = raw.length / frameBytes
+      val out = new Array[Float](nFrames)
+      val signed =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0f
+        var c = 0
+        while (c < ch) {
+          val base = f * frameBytes + c * (bits / 8)
+          val v =
+            if (bits == 16) {
+              val lo = raw(base) & 0xff
+              val hi = raw(base + 1).toInt
+              val s = if (fmt.isBigEndian) (raw(base).toInt << 8) | (raw(base + 1) & 0xff)
+                      else (hi << 8) | lo
+              s / 32768.0f
+            } else {
+              val b = raw(base) & 0xff
+              if (signed) raw(base).toInt / 128.0f else (b - 128) / 128.0f
+            }
+          acc += v
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      Audio(fmt.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+
+  /** Clip features: [n_samples, peak, rms, zero-crossing rate] —
+    * double accumulation in index order (SQL-replayable). */
+  def audioFeatures(a: Audio): Array[Double] = {
+    val n = a.samples.length
+    var peak = 0.0
+    var ss = 0.0
+    var zc = 0
+    var i = 0
+    while (i < n) {
+      val v = a.samples(i).toDouble
+      val av = math.abs(v)
+      if (av > peak) peak = av
+      ss += v * v
+      if (i > 0 && (a.samples(i - 1) < 0) != (v < 0) &&
+        (a.samples(i - 1) != 0f && v != 0f)) zc += 1
+      i += 1
+    }
+    Array(
+      n.toDouble,
+      peak,
+      if (n == 0) 0.0 else math.sqrt(ss / n),
+      if (n <= 1) 0.0 else zc.toDouble / (n - 1))
+  }
+
+  /** Linear-interpolation resample (rate conversion for encoder
+    * frontends that expect a fixed rate, e.g. 16 kHz). */
+  def resampleLinear(a: Audio, newRate: Int): Audio = {
+    require(newRate > 0, s"graft: bad target rate $newRate")
+    if (newRate == a.sampleRate || a.samples.isEmpty)
+      return Audio(newRate, a.samples)
+    val n = math.max(1,
+      (a.samples.length.toLong * newRate / a.sampleRate).toInt)
+    val out = new Array[Float](n)
+    val step = a.sampleRate.toDouble / newRate
+    var i = 0
+    while (i < n) {
+      val pos = i * step
+      val j = pos.toInt
+      val frac = (pos - j).toFloat
+      val x0 = a.samples(math.min(j, a.samples.length - 1))
+      val x1 = a.samples(math.min(j + 1, a.samples.length - 1))
+      out(i) = x0 + (x1 - x0) * frac
+      i += 1
+    }
+    Audio(newRate, out)
+  }
+
+  /** Decode + featurize a binary WAV column in one batched map-side
+    * pass — same shape/error contract as [[imagePipeline]]. */
+  def audioPipeline(
+      df: DataFrame,
+      binCol: String,
+      resampleTo: Option[Int] = None,
+      batchSize: Int = 256): DataFrame = {
+    val schema = df.schema
+      .add("sample_rate", IntegerType).add("n_samples", IntegerType)
+      .add("afeatures", ArrayType(DoubleType))
+      .add("media_error", StringType)
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val a0 = decodeWav(r.getAs[Array[Byte]](idx))
+            val a = resampleTo.fold(a0)(resampleLinear(a0, _))
+            Row.fromSeq(r.toSeq ++ Seq(a.sampleRate, a.samples.length,
+              audioFeatures(a).toSeq, null))
+          } catch {
+            case e: Exception =>
+              Row.fromSeq(r.toSeq ++ Seq(null, null, null, e.getMessage))
+          }
+        }
+      }
+    }(enc)
+  }
+
   def imagePipeline(
       df: DataFrame,
       binCol: String,

@@ -96,8 +96,65 @@ object MultimodalQueries {
          |FROM px ORDER BY doc_id""".stripMargin
   }
 
+  /** REAL audio decode end-to-end: per-doc synthetic PCM16 WAV bytes
+    * (a genuine RIFF container written by AudioSystem) decode through
+    * `javax.sound.sampled`, then clip features. Sample i is the int16
+    * `(doc_id·31 + i·7919) mod 65536 − 32768`, so the oracle
+    * regenerates the float samples exactly (int16/32768 is dyadic).
+    * Docs with doc_id % 89 = 11 carry corrupt bytes → failed-row side
+    * channel, -1 sentinels. */
+  private def audioFeaturesQ(s: SparkSession, dir: String): DataFrame = {
+    val mediaUdf = udf { id: Long =>
+      if (id % 89 == 11) Array[Byte](9, 9, 9)
+      else Multimodal.syntheticWavBytes(id, (50 + id % 64).toInt, 8000)
+    }
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    Multimodal.audioPipeline(docs, "media")
+      .select(
+        col("doc_id"),
+        coalesce(col("sample_rate"), lit(-1)).as("sample_rate"),
+        coalesce(col("n_samples"), lit(-1)).as("n_samples"),
+        coalesce(r4(element_at(col("afeatures"), 2)), lit(-1.0)).as("peak"),
+        coalesce(r4(element_at(col("afeatures"), 3)), lit(-1.0)).as("rms"),
+        coalesce(r4(element_at(col("afeatures"), 4)), lit(-1.0)).as("zcr"),
+        col("media_error").isNotNull.cast("int").as("failed"))
+      .orderBy("doc_id")
+  }
+
+  private val audioOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(50 + doc_id % 64 AS INT) AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, n),
+      |      i -> ((doc_id * 31 + i * 7919) % 65536 - 32768) / 32768.0) AS v
+      |  FROM base WHERE doc_id % 89 <> 11
+      |), f AS (
+      |  SELECT doc_id, n,
+      |    list_max(list_transform(v, x -> abs(x))) AS peak,
+      |    sqrt(list_sum(list_transform(v, x -> x * x)) / n) AS rms,
+      |    CASE WHEN n <= 1 THEN 0.0 ELSE
+      |      len(list_filter(range(1, n), i ->
+      |        (v[i] < 0) <> (v[i+1] < 0) AND v[i] <> 0 AND v[i+1] <> 0))
+      |        * 1.0 / (n - 1) END AS zcr
+      |  FROM s
+      |)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+      |  floor(peak * 1e4 + 0.5) / 1e4 AS peak,
+      |  floor(rms * 1e4 + 0.5) / 1e4 AS rms,
+      |  floor(zcr * 1e4 + 0.5) / 1e4 AS zcr,
+      |  CAST(0 AS INT) AS failed
+      |FROM f
+      |UNION ALL
+      |SELECT doc_id, -1, -1, -1.0, -1.0, -1.0, CAST(1 AS INT)
+      |FROM base WHERE doc_id % 89 = 11
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("multimodal_features", Some(oracle), features),
     QueryDef("image_embedding", Some(imageEmbeddingOracle), imageEmbedding),
+    QueryDef("audio_features", Some(audioOracle), audioFeaturesQ),
   )
 }

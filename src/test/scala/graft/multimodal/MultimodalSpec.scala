@@ -153,4 +153,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(rGot.toArray.sameElements(HashEmbeddingRuntime.embedFromHash(rh, 512)))
     out.unpersist()
   }
+
+  test("WAV roundtrip: synthetic PCM16 decodes to the exact formula samples") {
+    val a = Multimodal.decodeWav(Multimodal.syntheticWavBytes(7L, 100, 8000))
+    assert(a.sampleRate == 8000 && a.samples.length == 100)
+    (0 until 100).foreach { i =>
+      val s = ((7L * 31 + i.toLong * 7919) % 65536 - 32768).toInt
+      assert(a.samples(i) == s / 32768.0f, s"sample $i")
+    }
+  }
+
+  test("stereo WAV folds to mono by channel average") {
+    // hand-build a 2-channel PCM16 WAV: L = 16384, R = -16384 → mono 0;
+    // then L = 8192, R = 8192 → mono 0.25
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val frames = Seq((16384, -16384), (8192, 8192))
+    val pcm = frames.flatMap { case (l, r) =>
+      Seq(l & 0xff, (l >> 8) & 0xff, r & 0xff, (r >> 8) & 0xff).map(_.toByte)
+    }.toArray
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.size.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val a = Multimodal.decodeWav(out.toByteArray)
+    assert(a.samples.toSeq == Seq(0.0f, 0.25f))
+  }
+
+  test("audioFeatures: hand-computed peak, rms, zero crossings") {
+    val a = Multimodal.Audio(8000, Array(0.5f, -0.5f, 0.5f, 0.0f, -0.5f))
+    val f = Multimodal.audioFeatures(a)
+    assert(f(0) == 5.0 && f(1) == 0.5)
+    assert(math.abs(f(2) - math.sqrt(4 * 0.25 / 5)) < 1e-12)
+    // crossings at (0,1), (1,2); (2,3) and (3,4) involve a zero → not counted
+    assert(f(3) == 2.0 / 4)
+  }
+
+  test("resampleLinear halves and doubles sample counts sanely") {
+    val a = Multimodal.Audio(8000, Array.tabulate(80)(i => i / 80.0f))
+    val down = Multimodal.resampleLinear(a, 4000)
+    assert(down.sampleRate == 4000 && down.samples.length == 40)
+    val up = Multimodal.resampleLinear(a, 16000)
+    assert(up.samples.length == 160)
+    // a linear ramp stays a ramp under linear interpolation
+    assert(math.abs(up.samples(100) - 50 / 80.0f) < 1e-6)
+  }
+
+  test("audio pipeline routes corrupt payloads to the error column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticWavBytes(1L, 60, 8000)),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    val out = Multimodal.audioPipeline(df, "media")
+      .select("id", "n_samples", "media_error").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).get(1) == 60 && out(1L).isNullAt(2))
+    assert(out(2L).isNullAt(1) && !out(2L).isNullAt(2))
+  }
 }

@@ -110,5 +110,8 @@ package object functions {
         es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => graft.ops.NfcNormalize(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("gopher_stats",
+      es => GopherStatsExpr(es(0),
+        Seq("the", "and", "of", "to", "a", "in", "is", "it")), "built-in")
   }
 }

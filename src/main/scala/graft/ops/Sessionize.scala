@@ -99,6 +99,61 @@ object Sessionize {
         max(col("k")).as("max_k"))
   }
 
+  /** Generic point-in-time (as-of backward, inclusive) join — the
+    * feature-store primitive: each left row picks the LATEST right row
+    * with the same key and `rightTime ≤ leftTime` (what was known at
+    * event time; joining on anything later leaks the future into
+    * training features).
+    *
+    * No join operator at all: both sides union (zero shuffle), one
+    * `key` window carries the last-seen right payload forward
+    * (`last(…, ignoreNulls)`), left rows filter back out. At equal
+    * timestamps the right row sorts FIRST, giving the inclusive ≤ —
+    * DuckDB's native `ASOF JOIN (l.t >= r.t)` semantics, which the
+    * driver gate uses as the oracle. The naive formulation is an
+    * inequality join (quadratic per hot key); this is one sort inside
+    * one hash Exchange on `key`.
+    *
+    * Right rows must be unique per (key, time) — pre-aggregate
+    * duplicates (the gate keeps `max(id)`), or results depend on
+    * intra-timestamp order. Right payload columns are carried to the
+    * output; left columns pass through unchanged.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "graft: asofJoin needs payload columns")
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__src", lit(1))
+      .select(
+        (Seq(col(keyCol), col(timeCol), col("__src")) ++
+          leftCols.filterNot(c => c == keyCol || c == timeCol).map(col) ++
+          payloadCols.map(c => lit(null).cast(
+            right.schema(c).dataType).as(s"__r_$c"))): _*)
+    val r = right
+      .withColumn("__src", lit(0))
+      .select(
+        (Seq(col(keyCol), col(timeCol), col("__src")) ++
+          leftCols.filterNot(c => c == keyCol || c == timeCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payloadCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__asof_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .where(col("__src") === 1)
+      .select(
+        (leftCols.map(col) ++
+          payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+  }
+
   /** Strict-sequence funnel: per user, the time each step was FIRST
     * reached, where step i+1 only counts strictly after step i's
     * reach time. One groupBy(user_id) shuffle; the per-user event list

@@ -81,6 +81,38 @@ object EventQueries {
       |  coalesce(CAST((es - src_es) // 1000000 AS BIGINT), -1) AS lag_s
       |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** Generic as-of join gated against DuckDB's NATIVE `ASOF LEFT
+    * JOIN` — purchases pick the latest click known at purchase time.
+    * Clicks pre-aggregate to unique (user, time) as the operator's
+    * contract requires. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("es", unix_micros(col("ts").cast("timestamp")))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "es").agg(max("event_id").as("click_id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "es")
+    Sessionize.asofJoin(purchases, clicks, "user_id", "es", Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("es"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("click_id"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS es FROM events
+      |), c0 AS (
+      |  SELECT user_id, es, max(event_id) AS click_id FROM e
+      |  WHERE event_type = 'click' GROUP BY user_id, es
+      |), p AS (
+      |  SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.es,
+      |  coalesce(c.click_id, -1) AS click_id
+      |FROM p ASOF LEFT JOIN c0 c
+      |  ON p.user_id = c.user_id AND p.es >= c.es
+      |ORDER BY p.event_id""".stripMargin
+
   private def funnel(s: SparkSession, dir: String): DataFrame =
     Sessionize.funnel(Tables.events(s, dir),
       Seq("signup", "click", "purchase"))
@@ -157,5 +189,6 @@ object EventQueries {
     QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
     QueryDef("asof_attribution", Some(asofOracle), asofAttribution),
     QueryDef("funnel", Some(funnelOracle), funnel),
+    QueryDef("asof_join", Some(asofJoinOracle), asofJoin),
     QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions))
 }

@@ -51,6 +51,27 @@ class SessionizeSpec extends SparkTestBase {
       (6L, -1L, -1L)))
   }
 
+  test("asofJoin: inclusive ties, no-prior nulls, payload carry, key isolation") {
+    val quotes = Seq( // (user "key", time, payload)
+      (1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L),
+      (2L, 15L, 999L))
+      .toDF("user_id", "es", "quote_id")
+    val trades = Seq(
+      (1L, 1L, 5L), // before any quote → null
+      (2L, 1L, 20L), // exact tie with quote at 20 → inclusive
+      (3L, 1L, 25L), // between 20 and 30 → 200
+      (4L, 2L, 50L), // key 2 sees only its own quote
+      (5L, 3L, 50L)) // key 3 has no quotes at all → null
+      .toDF("trade_id", "user_id", "es")
+    val out = Sessionize.asofJoin(trades, quotes, "user_id", "es", Seq("quote_id"))
+      .orderBy("trade_id")
+      .select("trade_id", "asof_quote_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, None), (2L, Some(200L)), (3L, Some(200L)),
+      (4L, Some(999L)), (5L, None)))
+  }
+
   test("funnel: strict ordering, partial prefixes, pre-step events ignored") {
     val evs = Seq(
       // user 1 completes signup→click→purchase, with a decoy click BEFORE signup

@@ -98,6 +98,41 @@ object TextQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** The full tokenizer-export chain under one gate: train merges →
+    * encode to ids → pack the id stream into 128-token training
+    * blocks. The packing is verified against an INDEPENDENT driver-
+    * side fold over the collected (doc_id, n_ids) list (gate-scale
+    * only — the distributed path under test is `Packing.assignBlocks`'
+    * windowed running total): stream contiguity, per-doc offsets, and
+    * both block indices must match, plus id conservation. */
+  private def exportTokenized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.text.BpeTrainer
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val merges = BpeTrainer.train(docs, "text", BpeMergeCount)
+    val vocab = BpeTrainer.vocabulary(
+      merges, BpeTrainer.corpusAlphabet(docs, "text"))
+    val ids = docs
+      .select(col("doc_id"),
+        BpeTrainer.encodeIds(col("text"), merges, vocab).as("ids"))
+      .where(size(col("ids")) > 0)
+    val blocks = graft.ops.Packing
+      .assignBlocks(ids, size(col("ids")), 128, Seq(col("doc_id")))
+      .select(col("doc_id"), size(col("ids")).as("n"),
+        col("start_token"), col("first_block"), col("last_block"))
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    var off = 0L
+    var ok = blocks.nonEmpty
+    blocks.foreach { case (_, n, start, fb, lb) =>
+      ok &&= start == off &&
+        fb == start / 128 && lb == (start + n - 1) / 128
+      off += n
+    }
+    ok &&= off == blocks.map(_._2.toLong).sum
+    if (ok) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+  }
+
   /** Full pipeline through the library: analyzed docs → inverted table
     * → searchBm25 → top 10. k1/b/threshold come from the session conf
     * (`spark.graft.bm25.*`, reference GUC defaults) so the conf surface
@@ -602,6 +637,7 @@ object TextQueries {
     QueryDef("bpe_merges", None, bpeMerges),
     QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
     QueryDef("bpe_encode", Some("SELECT 1 AS ok"), bpeEncode),
+    QueryDef("export_tokenized", Some("SELECT 1 AS ok"), exportTokenized),
     QueryDef("perplexity_filter", Some(perplexityOracle), perplexityFilter),
     QueryDef("topk_ngrams", Some(topNgramsOracle), topNgrams),
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),

@@ -524,6 +524,29 @@ object TextQueries {
       |        JOIN n2 ON substr(p3.gram, 1, 2) = n2.gram, v
       |GROUP BY p3.doc_id ORDER BY p3.doc_id""".stripMargin
 
+  /** CCNet head/middle/tail buckets per language, thresholds replayed
+    * with quantile_cont over the same rounded perplexities. */
+  private def ccnetBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm
+      .ccnetBuckets(Tables.documents(s, dir), "doc_id", "lang", "text")
+      .orderBy(col("doc_id"))
+
+  private lazy val ccnetOracle =
+    s"""WITH pp AS ($perplexityOracle),
+       |l AS (
+       |  SELECT pp.doc_id, d.lang, pp.ppl_bits
+       |  FROM pp JOIN documents d USING (doc_id)
+       |), t AS (
+       |  SELECT lang,
+       |    floor(quantile_cont(ppl_bits, 1.0/3) * 1e4 + 0.5) / 1e4 AS t1,
+       |    floor(quantile_cont(ppl_bits, 2.0/3) * 1e4 + 0.5) / 1e4 AS t2
+       |  FROM l GROUP BY lang
+       |)
+       |SELECT l.doc_id, l.lang, l.ppl_bits,
+       |  CASE WHEN l.ppl_bits <= t.t1 THEN 'head'
+       |    WHEN l.ppl_bits <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM l JOIN t USING (lang) ORDER BY l.doc_id""".stripMargin
+
   /** Corpus heavy hitters: top-20 word bigrams, count-desc/gram-asc —
     * the boilerplate-discovery profile pass. */
   private def topNgrams(s: SparkSession, dir: String): DataFrame =
@@ -639,6 +662,7 @@ object TextQueries {
     QueryDef("bpe_encode", Some("SELECT 1 AS ok"), bpeEncode),
     QueryDef("export_tokenized", Some("SELECT 1 AS ok"), exportTokenized),
     QueryDef("perplexity_filter", Some(perplexityOracle), perplexityFilter),
+    QueryDef("ccnet_buckets", Some(ccnetOracle), ccnetBuckets),
     QueryDef("topk_ngrams", Some(topNgramsOracle), topNgrams),
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
     QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),

@@ -97,6 +97,43 @@ object NgramLm {
     } finally { counts.unpersist(); () }
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al., LREC
+    * 2020): docs split into head / middle / tail by the LANGUAGE's own
+    * perplexity terciles — the standard "keep the head, sample the
+    * middle, drop the tail" curation step.
+    *
+    * Scale shape: thresholds are one tiny per-language aggregate
+    * broadcast back — no per-language global window (an ntile() over
+    * `PARTITION BY lang` would funnel an entire language through one
+    * task). The exact `percentile` keeps O(distinct ppl) memory per
+    * language; at true 100 TB swap `percentile_approx`, as CCNet
+    * itself computes thresholds on a sample. Thresholds snap to the
+    * same 1e-4 grid as `ppl_bits`, making the ≤ comparisons exact
+    * (tercile fractions 1/3, 2/3 can never interpolate onto a
+    * half-grid point, so the snap is ulp-robust). */
+  def ccnetBuckets(
+      docs: DataFrame,
+      idCol: String,
+      langCol: String,
+      textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val pp = perplexityBits(docs, idCol, textCol, alpha)
+    val withLang = pp.join(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang")),
+      Seq("doc_id"))
+    def grid(c: Column) = floor(c * 1e4 + 0.5) / 1e4
+    val th = withLang.groupBy("lang").agg(
+      grid(percentile(col("ppl_bits"), lit(1.0 / 3))).as("t1"),
+      grid(percentile(col("ppl_bits"), lit(2.0 / 3))).as("t2"))
+    withLang.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("ppl_bits") <= col("t1"), "head")
+          .when(col("ppl_bits") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "ppl_bits", "bucket")
+  }
+
   /** Declarative fallback regime: positions join the distributed LM
     * count tables. Used when the charset is too large to collect. */
   def perplexityBitsJoined(

@@ -285,6 +285,55 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Contrastive triplets: positives = the near-dup pairs above,
+    * negatives = deterministic hash probes into the id space, filtered
+    * to exist, differ from anchor/positive, and avoid the anchor's
+    * near-dup neighborhood. Full SQL replay including the probe
+    * formula and the anti-join. */
+  private def contrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", Dedup.embeddingLshBucketAxis(col("embedding"), 6))
+    graft.ops.ContrastiveMining
+      .mineTriplets(e, "vec_id", "embedding", "bucket", 0.70)
+      .select(col("id_a"), col("id_b"), col("neg_id"),
+        round(col("dist"), 4).as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private lazy val contrastiveOracle = {
+    val dot =
+      "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def norm(c: String) =
+      s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val probe = polySql("concat('neg:', CAST(id_a AS VARCHAR))", 31)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    (SELECT sum(CASE WHEN embedding[i+1] > 0 THEN 1<<i ELSE 0 END)
+       |     FROM range(6) t(i)) AS bucket
+       |  FROM embeddings
+       |), pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}) AS dist
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE 1.0 - $dot / (${norm("a.embedding")} * ${norm("b.embedding")}) < 0.70
+       |), c AS (
+       |  SELECT id_a, id_b, dist, u.k,
+       |    ($probe + u.k * 2654435761) %
+       |      (SELECT count(*) FROM embeddings) AS cand
+       |  FROM pr, LATERAL (SELECT unnest(range(0, 10)) AS k) u
+       |), v AS (
+       |  SELECT c.* FROM c
+       |  JOIN embeddings ee ON ee.vec_id = c.cand
+       |  WHERE c.cand <> c.id_a AND c.cand <> c.id_b
+       |    AND NOT EXISTS (SELECT 1 FROM pr p2
+       |      WHERE (p2.id_a = c.id_a AND p2.id_b = c.cand)
+       |         OR (p2.id_b = c.id_a AND p2.id_a = c.cand))
+       |)
+       |SELECT id_a, id_b, arg_min(cand, k) AS neg_id,
+       |  round(min(dist), 4) AS dist
+       |FROM v GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Dedup DECISIONS over embedding-space near-dups: connected
     * components of the cosine near-dup graph, keeper = component min
     * (the linear-output form, like [[dedupMinhashKeepers]] for text).
@@ -963,6 +1012,7 @@ object PipelineQueries {
       Some(decontaminateEmbeddingOracle), decontaminateEmbedding),
     QueryDef("ngram_jaccard", Some(ngramJaccardOracle), ngramJaccard),
     QueryDef("embedding_near_dup", Some(embeddingNearDupOracle), embeddingNearDup),
+    QueryDef("contrastive_triplets", Some(contrastiveOracle), contrastiveTriplets),
     QueryDef("embedding_dedup_keepers",
       Some(embeddingDedupKeepersOracle), embeddingDedupKeepers),
     QueryDef("lang_id", Some(langIdOracle), langId),

@@ -184,11 +184,73 @@ object EventQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Watermarked tumbling-window rollup over REAL event times: the
+    * events table streams in 4 event-time-ordered chunks through
+    * `withWatermark("2 hours") → groupBy(window("1 hour"), type)` in
+    * APPEND mode — a window only emits once the watermark passes it
+    * (two far-future flush batches close the tail; their own windows
+    * sit past the cutoff and are filtered). DISTINCT aggregates are
+    * unsupported in streaming, so this is the batch `event_rollup`
+    * minus `n_users`; everything else must hash-match the batch
+    * replay. */
+  private def streamingRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val evs = Tables.events(s, dir)
+      .select(unix_micros(col("ts").cast("timestamp")).as("es"),
+        col("event_type"), col("value"), col("props"))
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    val maxEs = evs.map(_._1).max
+    val cutoff = maxEs / 3600000000L * 3600
+    val mem = MemoryStream[(Long, String, Double, String)](s)
+    val agg = mem.toDF().toDF("es", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("es")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+        max(get_json_object(col("props"), "$.k").cast("int")).as("max_k"))
+    val sink = "graft_srol_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.grouped(math.max(1, evs.length / 4 + 1)).map(_.toSeq)
+          .foreach { chunk =>
+            mem.addData(chunk)
+            q.processAllAvailable()
+          }
+        mem.addData(Seq((maxEs + 14400000000L, "flush", 0.0, "{}")))
+        q.processAllAvailable()
+        mem.addData(Seq((maxEs + 18000000000L, "flush", 0.0, "{}")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink)
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("value_cents"), col("max_k"))
+      .where(col("window_start") <= cutoff)
+      .orderBy("window_start", "event_type")
+  }
+
+  private val streamingRollupOracle =
+    """SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS window_start,
+      |  event_type,
+      |  CAST(count(*) AS INT) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("sessionize", Some(sessionizeOracle), sessionize),
     QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
     QueryDef("asof_attribution", Some(asofOracle), asofAttribution),
     QueryDef("funnel", Some(funnelOracle), funnel),
     QueryDef("asof_join", Some(asofJoinOracle), asofJoin),
-    QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions))
+    QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions),
+    QueryDef("streaming_rollup", Some(streamingRollupOracle), streamingRollup))
 }

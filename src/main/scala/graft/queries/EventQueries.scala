@@ -245,6 +245,40 @@ object EventQueries {
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Star-schema enrichment rollup: events → customer → nation →
+    * region, grouped by region and event type. The dimension chain is
+    * broadcast end-to-end (dims are small by definition), so the fact
+    * scan joins map-side and the ONLY shuffle is the final rollup —
+    * the plan every 100 TB fact-table enrichment should have. */
+  private def regionRollup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val dim = broadcast(
+      Tables.read(s, dir, "customer")
+        .join(Tables.read(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.read(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name")))
+    e.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("r_name"), col("event_type"))
+      .agg(
+        count(lit(1)).cast("int").as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      .orderBy("r_name", "event_type")
+  }
+
+  private val regionRollupOracle =
+    """SELECT r.r_name, e.event_type,
+      |  CAST(count(*) AS INT) AS n,
+      |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, e.event_type
+      |ORDER BY r.r_name, e.event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("sessionize", Some(sessionizeOracle), sessionize),
     QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
@@ -252,5 +286,6 @@ object EventQueries {
     QueryDef("funnel", Some(funnelOracle), funnel),
     QueryDef("asof_join", Some(asofJoinOracle), asofJoin),
     QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions),
-    QueryDef("streaming_rollup", Some(streamingRollupOracle), streamingRollup))
+    QueryDef("streaming_rollup", Some(streamingRollupOracle), streamingRollup),
+    QueryDef("region_rollup", Some(regionRollupOracle), regionRollup))
 }

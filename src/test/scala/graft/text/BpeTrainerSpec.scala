@@ -47,6 +47,30 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(toks == Seq("low", "est", "n", "ew", "est"))
   }
 
+  test("byte-level BPE: multibyte round-trip, space-riding pretokens, regime parity") {
+    val docs = Seq(
+      (1L, "the cat the cat the cat"),
+      (2L, "中文 中文 中文 and ümlaut ümlaut"),
+      (3L, "emoji 😀😀 mix, with punct!!")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainBytes(docs, "text", 12)
+    assert(merges.nonEmpty)
+    // regime parity on bytes
+    val dist = BpeTrainer.trainDistributed(
+      BpeTrainer.byteWordCounts(docs, "text"), 12)
+    assert(merges == dist)
+    // every doc reconstructs exactly from its byte tokens
+    val back = docs
+      .select($"text",
+        BpeTrainer.byteBpeTokens($"text", merges).as("t"))
+      .as[(String, Seq[String])].collect()
+    back.foreach { case (orig, toks) =>
+      assert(BpeTrainer.fromByteString(toks.mkString("")) == orig)
+    }
+    // byte alphabet: every symbol char fits a byte
+    merges.foreach(m =>
+      assert((m.left + m.right).forall(_ <= 0xff.toChar)))
+  }
+
   test("vocabulary layout and encodeIds: dense ids, OOV = -1, decode inverts") {
     val merges = BpeTrainer.train(corpus, "text", 5)
     val alphabet = BpeTrainer.corpusAlphabet(corpus, "text")

@@ -690,6 +690,66 @@ object TextQueries {
        |FROM u ORDER BY doc_id""".stripMargin
   }
 
+  /** Canonical-URL dedup: per doc a messy crawl URL whose surface form
+    * varies (scheme case, www, tracker param, trailing slash) while
+    * the canonical page is `doc_id % 50` — grouping by
+    * [[graft.text.UrlAnalysis.canonicalUrl]] must collapse each page's
+    * variants to one keeper. */
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.UrlAnalysis
+    val messy = concat(
+      when(col("doc_id") % 2 === 0, "HTTP://").otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0, "WWW.").otherwise(lit("")),
+      lit("site"), (col("doc_id") % 50).cast("string"), lit(".com"),
+      when(col("doc_id") % 2 === 0, ":80").otherwise(lit("")),
+      lit("/page"),
+      when(col("doc_id") % 5 === 0, "/").otherwise(lit("")),
+      when(col("doc_id") % 2 === 1, "?utm_source=crawl").otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), UrlAnalysis.canonicalUrl(messy).as("canon"))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).cast("int").as("n_dups"))
+      .orderBy(col("keeper_id"))
+  }
+
+  private lazy val dedupUrlOracle = {
+    val re = graft.text.UrlAnalysis.UrlParsePattern.replace("'", "''")
+    val tracker = graft.text.UrlAnalysis.TrackerParamPattern.replace("'", "''")
+    def g(i: Int) = s"coalesce(regexp_extract(u, '$re', $i), '')"
+    val scheme = s"lower(${g(1)})"
+    val host = s"regexp_replace(lower(${g(3)}), '^www\\.', '')"
+    val kept = s"coalesce(array_to_string(list_filter(string_split(${g(6)}, '&'), " +
+      s"p -> p <> '' AND NOT regexp_matches(p, '$tracker')), '&'), '')"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+       |    || 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+       |    || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END)
+       |    || '/page'
+       |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+       |    || (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=crawl' ELSE '' END)
+       |    AS u
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $scheme = '' THEN u ELSE
+       |      $scheme || '://' || $host ||
+       |      CASE WHEN ${g(4)} = ''
+       |        OR ($scheme = 'http' AND ${g(4)} = '80')
+       |        OR ($scheme = 'https' AND ${g(4)} = '443')
+       |      THEN '' ELSE ':' || ${g(4)} END ||
+       |      regexp_replace(${g(5)}, '/+$$', '') ||
+       |      CASE WHEN $kept = '' THEN '' ELSE '?' || $kept END
+       |    END AS canon
+       |  FROM m
+       |)
+       |SELECT canon, min(doc_id) AS keeper_id,
+       |  CAST(count(*) AS INT) AS n_dups
+       |FROM c GROUP BY canon ORDER BY keeper_id""".stripMargin
+  }
+
   // NOTE: declared BEFORE `all` — object vals initialize in source
   // order, and a forward reference here would silently be null inside
   // the Seq below.
@@ -736,6 +796,7 @@ object TextQueries {
     QueryDef("pii_scrub", Some(piiScrubOracle), piiScrub),
     QueryDef("url_domains", Some(urlDomainsOracle), urlDomains),
     QueryDef("url_canonical", Some(urlCanonicalOracle), urlCanonical),
+    QueryDef("dedup_url", Some(dedupUrlOracle), dedupUrl),
     QueryDef("corpus_stats", Some(corpusStatsOracle), corpusStats),
     QueryDef("approx_profile", Some(approxProfileOracle), approxProfile),
   )

@@ -99,6 +99,24 @@ object Sessionize {
         max(col("k")).as("max_k"))
   }
 
+  /** Rolling time-RANGE features: at every event, the count and value
+    * total of the same user's events in the trailing `windowSeconds`
+    * (inclusive of now) — the classic point-in-time feature columns
+    * ("activity in the last 24 h") computed leak-free. A RANGE frame
+    * over event micros, so simultaneous events all see each other
+    * symmetrically regardless of sort ties; one user_id Exchange,
+    * fixed-point cents (order-proof sums). */
+  def rollingFeatures(events: DataFrame, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    events
+      .withColumn("es", eventMicros(col("ts")))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .select(col("event_id"), col("user_id"), col("es"),
+        count(lit(1)).over(w).cast("int").as("n_window"),
+        sum(col("cents")).over(w).as("cents_window"))
+  }
+
   /** Generic point-in-time (as-of backward, inclusive) join — the
     * feature-store primitive: each left row picks the LATEST right row
     * with the same key and `rightTime ≤ leftTime` (what was known at

@@ -81,6 +81,23 @@ object EventQueries {
       |  coalesce(CAST((es - src_es) // 1000000 AS BIGINT), -1) AS lag_s
       |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  private def rollingFeatures(s: SparkSession, dir: String): DataFrame =
+    Sessionize.rollingFeatures(Tables.events(s, dir), windowSeconds = 86400L)
+      .orderBy("event_id")
+
+  private val rollingOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS es,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, es,
+      |  CAST(count(*) OVER w AS INT) AS n_window,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cents_window
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Generic as-of join gated against DuckDB's NATIVE `ASOF LEFT
     * JOIN` — purchases pick the latest click known at purchase time.
     * Clicks pre-aggregate to unique (user, time) as the operator's
@@ -285,6 +302,7 @@ object EventQueries {
     QueryDef("asof_attribution", Some(asofOracle), asofAttribution),
     QueryDef("funnel", Some(funnelOracle), funnel),
     QueryDef("asof_join", Some(asofJoinOracle), asofJoin),
+    QueryDef("rolling_features", Some(rollingOracle), rollingFeatures),
     QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions),
     QueryDef("streaming_rollup", Some(streamingRollupOracle), streamingRollup),
     QueryDef("region_rollup", Some(regionRollupOracle), regionRollup))

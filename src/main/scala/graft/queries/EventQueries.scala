@@ -296,6 +296,63 @@ object EventQueries {
       |GROUP BY r.r_name, e.event_type
       |ORDER BY r.r_name, e.event_type""".stripMargin
 
+  /** Streaming point-in-time enrichment fed the interleaved event
+    * stream in event-time-ordered chunks: purchases emit with the
+    * latest click known at-or-before their timestamp, held as one
+    * (id, es) pair per user in the state store. Must hash-match
+    * DuckDB's native ASOF LEFT JOIN — the same external oracle as the
+    * batch `asof_join`, so batch and stream are pinned to identical
+    * semantics. */
+  private def streamingAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val evs = Tables.events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("es"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy { case (_, id, es, t) => (es, if (t == "click") 0 else 1, id) }
+    val mem = MemoryStream[(Long, Long, Long, String)](s)
+    val src = mem.toDF().toDF("user_id", "event_id", "es_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("es_us")))
+    val enriched = graft.streaming.StreamingSessions
+      .asofEnrichStream(src, "click", "purchase")
+    val sink = "graft_sasof_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 8) {
+      val q = enriched.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        evs.grouped(math.max(1, evs.length / 4 + 1)).map(_.toSeq)
+          .foreach { chunk =>
+            mem.addData(chunk)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+    }
+    s.table(sink)
+      .select("event_id", "user_id", "es", "src_id", "src_es")
+      .orderBy("event_id")
+  }
+
+  private val streamingAsofOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS es FROM events
+      |), c0 AS (
+      |  SELECT user_id, es, max(event_id) AS click_id FROM e
+      |  WHERE event_type = 'click' GROUP BY user_id, es
+      |), p AS (
+      |  SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.es,
+      |  coalesce(c.click_id, -1) AS src_id,
+      |  coalesce(c.es, -1) AS src_es
+      |FROM p ASOF LEFT JOIN c0 c
+      |  ON p.user_id = c.user_id AND p.es >= c.es
+      |ORDER BY p.event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("sessionize", Some(sessionizeOracle), sessionize),
     QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
@@ -303,6 +360,7 @@ object EventQueries {
     QueryDef("funnel", Some(funnelOracle), funnel),
     QueryDef("asof_join", Some(asofJoinOracle), asofJoin),
     QueryDef("rolling_features", Some(rollingOracle), rollingFeatures),
+    QueryDef("streaming_asof", Some(streamingAsofOracle), streamingAsof),
     QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions),
     QueryDef("streaming_rollup", Some(streamingRollupOracle), streamingRollup),
     QueryDef("region_rollup", Some(regionRollupOracle), regionRollup))

@@ -35,6 +35,50 @@ object StreamingSessions {
       user_id: Long, session_idx: Long, start_us: Long, end_us: Long,
       n_events: Int, value_cents: Long, duration_s: Long)
 
+  /** Streaming point-in-time enrichment — the continuous counterpart
+    * of [[graft.ops.Sessionize.asofJoin]]: one interleaved event
+    * stream; rows of `sourceType` update per-key state (latest source
+    * id/time), rows of `targetType` emit enriched with whatever the
+    * state held AT-OR-BEFORE their timestamp. Within a batch the
+    * group's rows sort by (es, src-before-target, event_id) — the
+    * batch operator's inclusive-tie order — so feeding batches in
+    * event-time order reproduces the batch as-of exactly. State per
+    * key is ONE (id, es) pair.
+    *
+    * Input columns: user_id, event_id (long), ts (timestamp),
+    * event_type (string). */
+  def asofEnrichStream(
+      stream: DataFrame,
+      sourceType: String,
+      targetType: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val prepared = stream.select(
+      col("user_id").cast("long"),
+      col("event_id").cast("long"),
+      unix_micros(col("ts").cast("timestamp")).as("es"),
+      col("event_type").cast("string"))
+    val keyed = prepared.as[(Long, Long, Long, String)].groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Long, Long, String)],
+       state: GroupState[(Long, Long)]) => {
+        val evs = rows.toArray.sortBy { case (_, id, es, t) =>
+          (es, if (t == sourceType) 0 else 1, id)
+        }
+        var src = state.getOption.getOrElse((-1L, -1L))
+        val out = Array.newBuilder[(Long, Long, Long, Long, Long)]
+        evs.foreach { case (_, id, es, t) =>
+          if (t == sourceType) src = (id, es)
+          else if (t == targetType)
+            out += ((id, user, es, src._1, src._2))
+        }
+        if (src._1 != -1L) state.update(src)
+        out.result().iterator
+      })
+      .toDF("event_id", "user_id", "es", "src_id", "src_es")
+  }
+
   /** Input columns required: user_id (long), event_id (long),
     * ts (timestamp), value (double). */
   def sessionizeStream(stream: DataFrame, gapSeconds: Long): DataFrame = {

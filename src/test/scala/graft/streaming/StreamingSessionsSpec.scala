@@ -54,6 +54,44 @@ class StreamingSessionsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("asofEnrichStream: chunked stream matches batch as-of semantics") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val u = 1L + rnd.nextInt(10)
+      val t = if (rnd.nextBoolean()) "click" else "purchase"
+      (u, i.toLong, (i.toLong * 1000 + rnd.nextInt(900)) * 1000L, t)
+    }.sortBy { case (_, id, es, t) =>
+      (es, if (t == "click") 0 else 1, id)
+    }
+    val batchDf = rows.toDF("user_id", "event_id", "es", "event_type")
+    val expected = Sessionize.asofJoin(
+      batchDf.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "es"),
+      batchDf.where(col("event_type") === "click")
+        .groupBy("user_id", "es").agg(max("event_id").as("src_id")),
+      "user_id", "es", Seq("src_id"))
+      .select(col("event_id"),
+        coalesce(col("asof_src_id"), lit(-1L)).as("src_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+    val mem = MemoryStream[(Long, Long, Long, String)](spark)
+    val src = mem.toDF().toDF("user_id", "event_id", "es_us", "event_type")
+      .withColumn("ts", timestamp_micros(col("es_us")))
+    val q = StreamingSessions.asofEnrichStream(src, "click", "purchase")
+      .writeStream.format("memory").queryName("sasof_spec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { c =>
+        mem.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("sasof_spec")
+      .select("event_id", "src_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+  }
+
   test("open sessions do not emit until a later event closes them") {
     val mem = MemoryStream[(Long, Long, Long, Double)](spark)
     val src = mem.toDF().toDF("user_id", "event_id", "es_us", "value")

@@ -988,7 +988,50 @@ object PipelineQueries {
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  /** One-row corpus data card — release-notes numbers from one pass
+    * family; every figure replayed in SQL. */
+  private def dataCard(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.dataCard(
+      Tables.documents(s, dir), "doc_id", "text", "lang")
+
+  private lazy val dataCardOracle = {
+    val stops = graft.text.PorterStemmer.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val pii = graft.text.TextAnalysis.Pii.all
+      .map { case (_, pat, _) =>
+        s"regexp_matches(text, '${pat.replace("'", "''")}')"
+      }
+      .mkString(" OR ")
+    s"""WITH base AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS INT) AS n_langs,
+       |    CAST(sum(len(text)) AS BIGINT) AS total_chars
+       |  FROM documents
+       |), d AS (
+       |  SELECT CAST(sum(c) - count(*) AS BIGINT) AS n_exact_dups
+       |  FROM (SELECT count(*) AS c FROM documents
+       |        WHERE text IS NOT NULL GROUP BY text)
+       |), qt AS (
+       |  SELECT $polyToks AS toks FROM documents WHERE text IS NOT NULL
+       |), q AS (
+       |  SELECT round(sum(q4) * 1.0 / count(*) / 1e4, 4) AS avg_quality
+       |  FROM (SELECT CAST(floor((
+       |      0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE len(list_filter(toks, x -> list_contains($stops, x))) * 1.0 / len(toks) END)
+       |      + 0.3 * least(len(toks) / 20.0, 1.0)
+       |      + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END) / 8.0, 1.0)
+       |    ) * 1e4 + 0.5) AS BIGINT) AS q4 FROM qt)
+       |), p AS (
+       |  SELECT CAST(sum(CASE WHEN $pii THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_with_pii
+       |  FROM documents WHERE text IS NOT NULL
+       |)
+       |SELECT * FROM base, d, q, p""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("data_card", Some(dataCardOracle), dataCard),
     QueryDef(
       "dedup_exact",
       Some(

@@ -48,6 +48,35 @@ object CorpusStats {
     byLanguage(df.withColumn("__all", lit("all")), "__all", textCol)
       .drop("lang")
 
+  /** One-row corpus "data card" — the headline numbers a dataset
+    * release documents (counts, language spread, duplication, quality,
+    * PII load), all in a handful of partial-aggregated passes over the
+    * documents table joined as one-row frames (cross joins of single
+    * rows — no data movement beyond the aggregates themselves). */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(langCol)).cast("int").as("n_langs"),
+      sum(length(col(textCol))).as("total_chars"))
+    val dups = df.where(col(textCol).isNotNull)
+      .groupBy(col(textCol)).agg(count(lit(1)).as("c"))
+      .agg((sum(col("c")) - count(lit(1))).cast("long").as("n_exact_dups"))
+    val quality = df.where(col(textCol).isNotNull)
+      .select(floor(TextAnalysis.qualityScore(col(textCol)) * 1e4 + 0.5)
+        .cast("long").as("q4"))
+      .agg(count(lit(1)).as("nq"), sum(col("q4")).as("sq"))
+      .select((col("sq").cast("double") / col("nq") / 1e4).as("avg_q"))
+      .select(round(col("avg_q"), 4).as("avg_quality"))
+    val pii = df.where(col(textCol).isNotNull)
+      .select(TextAnalysis.piiCounts(col(textCol))
+        .map(_._2).reduce(_ + _).as("p"))
+      .agg(sum(when(col("p") > 0, 1).otherwise(0)).cast("long")
+        .as("n_docs_with_pii"))
+    base.crossJoin(dups).crossJoin(quality).crossJoin(pii)
+  }
+
   /** Sketch-based profile — the 100 TB path. `countDistinct(token)`
     * shuffles every distinct token to its reducer (the shuffle grows
     * with VOCABULARY, which at web scale is corpus-sized thanks to

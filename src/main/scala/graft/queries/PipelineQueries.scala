@@ -675,6 +675,43 @@ object PipelineQueries {
       .orderBy("fp")
   }
 
+  /** The BUILT-IN bounded-state variant: duplicates ride a synthetic
+    * event time and a watermark delay longer than the corpus span, so
+    * `dropDuplicatesWithinWatermark` must keep exactly one doc per
+    * fingerprint — hash-matching the same oracle as the
+    * unbounded-state `streaming_dedup`. The operator under test is
+    * Spark's own; the gate pins OUR fingerprint plumbing + the
+    * expiry-window contract. */
+  private def streamingDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)](s)
+    val src = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(col("doc_id") + sqBase))
+    val deduped = graft.streaming.StreamingDedup.dropDuplicatesWithinDelay(
+      src, "text", "ts", "3 hours", TextAnalysis.docFingerprintSql)
+    val sink = "graft_sttl_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 8) {
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    s.table(sink)
+      .select(TextAnalysis.docFingerprintSql(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).cast("int").as("n_kept"))
+      .orderBy("fp")
+  }
+
   private val streamingDedupOracle =
     s"""WITH t AS (SELECT doc_id, $polyToks AS toks FROM documents
        |          WHERE text IS NOT NULL),
@@ -1064,6 +1101,7 @@ object PipelineQueries {
     QueryDef("prep_pipeline", Some(prepPipelineOracle), prepPipeline),
     QueryDef("doc_fingerprint", Some(fingerprintOracle), fingerprint),
     QueryDef("streaming_dedup", Some(streamingDedupOracle), streamingDedup),
+    QueryDef("streaming_dedup_ttl", Some(streamingDedupOracle), streamingDedupTtl),
     QueryDef("streaming_quality", Some(streamingQualityOracle), streamingQuality),
     QueryDef("winnow_fingerprint", Some(winnowOracle), winnow),
     QueryDef("punct_ratio", Some(punctRatioOracle), punctRatio),

@@ -607,6 +607,36 @@ object TextQueries {
   private def topNgrams(s: SparkSession, dir: String): DataFrame =
     graft.text.NgramLm.topNgrams(Tables.documents(s, dir), "text", 2, 20)
 
+  /** Count-min-sketch heavy hitters — the 100 TB reporting path for
+    * [[topNgrams]]: the exact pass shuffles every distinct gram to its
+    * reducer (corpus-vocabulary-sized); `count_min_sketch` reduces
+    * each partition to one ~1 MB sketch with map-side merge. The gate
+    * runs the sketch for real (deterministic seed — no flake), checks
+    * every exact top-20 count against the CMS guarantee
+    * (true ≤ estimate ≤ true + ε·N), and emits the exact rows only on
+    * pass — same policy as `approx_profile`. */
+  private def topNgramsCms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val docs = Tables.documents(s, dir)
+    val eps = 0.0001
+    val grams = docs.where(col("text").isNotNull)
+      .select(explode(GraftSqlShim.column(graft.functions.WordShingles(
+        GraftSqlShim.expression(col("text")), 2))).as("gram"))
+    val row = grams.agg(
+      expr(s"count_min_sketch(gram, ${eps}d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val n = row.getLong(1)
+    val exactTop = graft.text.NgramLm.topNgrams(docs, "text", 2, 20)
+    val ok = exactTop.collect().forall { r =>
+      val est = sketch.estimateCount(r.getString(0))
+      est >= r.getLong(1) && est <= r.getLong(1) + (eps * n).ceil.toLong
+    }
+    if (ok) exactTop
+    else exactTop.where(lit(false))
+  }
+
   private val topNgramsOracle =
     """WITH t AS (
       |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -780,6 +810,7 @@ object TextQueries {
     QueryDef("perplexity_filter", Some(perplexityOracle), perplexityFilter),
     QueryDef("ccnet_buckets", Some(ccnetOracle), ccnetBuckets),
     QueryDef("topk_ngrams", Some(topNgramsOracle), topNgrams),
+    QueryDef("topk_ngrams_cms", Some(topNgramsOracle), topNgramsCms),
     QueryDef("bm25_search", Some(bm25OracleSql), bm25Search),
     QueryDef("bm25_consolidate", Some(bm25OracleSql), bm25Consolidate),
     QueryDef("bm25_bloom_search", Some(bm25BloomOracleSql), bm25BloomSearch),

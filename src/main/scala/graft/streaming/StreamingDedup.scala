@@ -54,6 +54,27 @@ object StreamingDedup {
       org.apache.spark.sql.Encoders.scalaBoolean
   }
 
+  /** Bounded-state streaming dedup via Spark's BUILT-IN
+    * `dropDuplicatesWithinWatermark`: duplicates of a fingerprint are
+    * dropped as long as they arrive within the watermark delay of the
+    * first sighting, and state EXPIRES afterwards — the knob
+    * [[dropSeenDuplicates]] deliberately lacks (its state never
+    * expires; exact forever, unbounded). This is the production
+    * trade-off for infinite streams: state is bounded by (fingerprints
+    * seen per watermark window), and re-emission of a very-late
+    * duplicate is accepted by contract. */
+  def dropDuplicatesWithinDelay(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      delay: String,
+      fingerprint: Column => Column = TextAnalysis.docFingerprint): DataFrame =
+    stream
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Watermarked per-window corpus statistics (docs + mean quality per
     * event-time window): the `readStream → watermark → windowed agg`
     * shape for monitoring a live ingestion feed. Late data beyond the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.VecFiles
 
@@ -90,9 +90,56 @@ object SourceQueries {
       |    AS norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Bucketed co-located join: both sides written `bucketBy(8,
+    * vec_id)`, so the join plans WITHOUT any Exchange — the
+    * pre-partitioning that turns a repeated 100 TB join key into a
+    * one-time write-side cost. The gate asserts the shuffle-free plan
+    * (broadcast disabled so the bucketed path is actually exercised)
+    * AND the joined values; rows emit only when both hold. */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vector_norm
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (t1, t2) = (s"graft_bl_$tag", s"graft_br_$tag")
+    val e = graft.Tables.embeddings(s, dir)
+    e.select("vec_id", "label").write
+      .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(t1)
+    e.select(col("vec_id"),
+      (floor(vector_norm(col("embedding")) * 1e4 + 0.5) / 1e4).as("norm"))
+      .write.bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(t2)
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBcast = s.conf.get(bcastKey)
+    try {
+      s.conf.set(bcastKey, "-1")
+      val joined = s.table(t1).join(s.table(t2), "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          round(sum(col("norm")), 4).as("sum_norm"))
+        .orderBy("label")
+      val shuffleFree = !joined.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(vec_id")
+      // materialize BEFORE the tables drop — the returned frame must
+      // not hold a lazy scan of them
+      val rows = if (shuffleFree) joined.collect() else Array.empty[Row]
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), joined.schema).orderBy("label")
+    } finally {
+      s.conf.set(bcastKey, oldBcast)
+      s.sql(s"DROP TABLE IF EXISTS $t1")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
+  private val bucketedJoinOracle =
+    """SELECT label, CAST(count(*) AS INT) AS n,
+      |  round(sum(floor(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e4 + 0.5) / 1e4), 4)
+      |    AS sum_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("parse_fvecs", Some(oracle), parseFvecs),
     QueryDef("jsonl_roundtrip", Some(jsonlOracle), jsonlRoundtrip),
     QueryDef("csv_roundtrip", Some(csvOracle), csvRoundtrip),
+    QueryDef("bucketed_join", Some(bucketedJoinOracle), bucketedJoin),
   )
 }

@@ -1067,8 +1067,110 @@ object PipelineQueries {
        |SELECT * FROM base, d, q, p""".stripMargin
   }
 
+  /** The capstone composition — the whole training-data prep flow a
+    * reference user would run, as ONE gated query:
+    * quality gate (full Gopher chain) → benchmark decontamination
+    * (broadcast shingle set; eval docs excluded) → exact dedup
+    * (min-id keeper) → deterministic train split → token-window
+    * chunking. Every stage is the LIBRARY operator (not a re-spelled
+    * query) and the oracle replays the entire five-stage chain in SQL.
+    */
+  private def fullPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Decontaminate, Mixture, TextPrep}
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val g = docs.select(col("doc_id"), col("text"))
+      .where(TextAnalysis.gopherFilter(col("text"), minWords = 30)
+        .getField("keep"))
+    val set = Decontaminate.benchmarkShingles(
+      docs.where(col("doc_id") % 97 === 0), "text", 3)
+    val clean = g.where(col("doc_id") % 97 =!= 0)
+      .where(coalesce(
+        Decontaminate.contaminationCount(col("text"), set, 3), lit(0)) < 2)
+    val kept = clean.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    val train = kept.where(
+      Mixture.assignSplits(col("doc_id"), "split42",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)) === "train")
+    TextPrep.chunkByTokens(train, "doc_id", "text", 64, 16)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private lazy val fullPipelineOracle = {
+    val stops = "['the','and','of','to','a','in','is','it']"
+    def mode(arr: String) =
+      s"list_max(list_transform(list_distinct($arr), g -> len(list_filter($arr, x -> x = g))))"
+    val cum = Seq(0.9, 0.95).map(graft.ops.Mixture.threshold)
+    val h =
+      s"(${polySql("'split42:' || CAST(doc_id AS VARCHAR)", 31)} * " +
+        s"${graft.ops.Mixture.MixStride} + " +
+        s"${polySql("'split42:' || CAST(doc_id AS VARCHAR)", 37)}) % " +
+        s"${graft.ops.Mixture.Mod}"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |), tkn AS (
+       |  SELECT doc_id, text, $polyToks AS toks FROM base
+       |), gsig AS (
+       |  SELECT doc_id, text, len(toks) AS nw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mwl,
+       |    len(list_filter(toks, x -> list_contains($stops, x))) AS nstop,
+       |    CASE WHEN len(toks) = 0 THEN 1.0
+       |      ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(toks) END AS alpha,
+       |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END AS g2,
+       |    toks,
+       |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+       |  FROM tkn
+       |), gkeep AS (
+       |  SELECT doc_id, text FROM gsig
+       |  WHERE nw >= 30 AND nw <= 100000
+       |    AND mwl >= 3.0 AND mwl <= 10.0
+       |    AND nstop >= 2 AND alpha >= 0.8
+       |    AND (CASE WHEN len(lines) = 0 THEN 0.0
+       |      ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) END) <= 0.3
+       |    AND (CASE WHEN len(g2) = 0 THEN 0.0
+       |      ELSE ${mode("g2")} * 1.0 / len(g2) END) <= 0.2
+       |    AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE ${mode("toks")} * 1.0 / len(toks) END) <= 0.2
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    ELSE [] END AS grams FROM tkn
+       |), ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+       |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+       |cc AS (
+       |  SELECT e.doc_id, count(*) FILTER (WHERE b.g IS NOT NULL) AS c
+       |  FROM ex e LEFT JOIN bench b USING (g)
+       |  WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id
+       |), clean AS (
+       |  SELECT k.doc_id, k.text FROM gkeep k LEFT JOIN cc USING (doc_id)
+       |  WHERE k.doc_id % 97 <> 0 AND coalesce(cc.c, 0) < 2
+       |), kept AS (
+       |  SELECT min(doc_id) AS doc_id, text FROM clean GROUP BY text
+       |), train AS (
+       |  SELECT doc_id, text FROM kept WHERE $h < ${cum.head}
+       |), t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM train
+       |), c AS (SELECT doc_id, CAST(len(tk) AS INT) AS n, tk FROM t WHERE len(tk) > 0),
+       |e AS (
+       |  SELECT doc_id, tk, n, CAST(r.i AS INT) AS chunk_id
+       |  FROM c, unnest(range(0, CASE WHEN n <= 64 THEN 1
+       |    ELSE 1 + CAST(ceil((n - 64) / 48.0) AS INT) END)) AS r(i)
+       |)
+       |SELECT doc_id, chunk_id,
+       |  CAST(least(64, n - chunk_id * 48) AS INT) AS n_tokens,
+       |  array_to_string(list_slice(tk, chunk_id * 48 + 1,
+       |    least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("data_card", Some(dataCardOracle), dataCard),
+    QueryDef("full_pipeline", Some(fullPipelineOracle), fullPipeline),
     QueryDef(
       "dedup_exact",
       Some(

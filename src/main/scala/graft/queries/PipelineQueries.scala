@@ -1067,6 +1067,70 @@ object PipelineQueries {
        |SELECT * FROM base, d, q, p""".stripMargin
   }
 
+  /** Per-source corpus profile — the provenance breakdown a mixed
+    * crawl ships with (docs, mean quality, Gopher keep-rate per
+    * source). One partial-aggregated groupBy; quality quantized before
+    * summation (order-proof means). */
+  private def sourceProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        floor(TextAnalysis.qualityScore(col("text")) * 1e4 + 0.5)
+          .cast("long").as("q4"),
+        TextAnalysis.gopherFilter(col("text"), minWords = 30)
+          .getField("keep").cast("int").as("kept"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        round(sum(col("q4")).cast("double") / count(lit(1)) / 1e4, 4)
+          .as("avg_quality"),
+        round(sum(col("kept")).cast("double") / count(lit(1)), 4)
+          .as("keep_rate"))
+      .orderBy(col("source"))
+
+  private lazy val sourceProfileOracle = {
+    val stops = graft.text.PorterStemmer.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val gstops = "['the','and','of','to','a','in','is','it']"
+    def mode(arr: String) =
+      s"list_max(list_transform(list_distinct($arr), g -> len(list_filter($arr, x -> x = g))))"
+    s"""WITH t AS (
+       |  SELECT source, text, $polyToks AS toks FROM documents
+       |  WHERE text IS NOT NULL
+       |), sgl AS (
+       |  SELECT source,
+       |    CAST(floor((
+       |      0.4 * (CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE len(list_filter(toks, x -> list_contains($stops, x))) * 1.0 / len(toks) END)
+       |      + 0.3 * least(len(toks) / 20.0, 1.0)
+       |      + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END) / 8.0, 1.0)
+       |    ) * 1e4 + 0.5) AS BIGINT) AS q4,
+       |    CASE WHEN len(toks) >= 30 AND len(toks) <= 100000
+       |      AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END)
+       |        BETWEEN 3.0 AND 10.0
+       |      AND len(list_filter(toks, x -> list_contains($gstops, x))) >= 2
+       |      AND (CASE WHEN len(toks) = 0 THEN 1.0
+       |        ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(toks) END) >= 0.8
+       |      AND (CASE WHEN len(list_filter(string_split(text, chr(10)), l -> len(l) > 0)) = 0 THEN 0.0
+       |        ELSE (len(list_filter(string_split(text, chr(10)), l -> len(l) > 0))
+       |          - len(list_distinct(list_filter(string_split(text, chr(10)), l -> len(l) > 0)))) * 1.0
+       |          / len(list_filter(string_split(text, chr(10)), l -> len(l) > 0)) END) <= 0.3
+       |      AND (CASE WHEN len(toks) < 2 THEN 0.0
+       |        ELSE ${mode(
+      "list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1]))")} * 1.0 / (len(toks) - 1) END) <= 0.2
+       |      AND (CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE ${mode("toks")} * 1.0 / len(toks) END) <= 0.2
+       |    THEN 1 ELSE 0 END AS kept
+       |  FROM t
+       |)
+       |SELECT source, CAST(count(*) AS INT) AS n_docs,
+       |  round(sum(q4) * 1.0 / count(*) / 1e4, 4) AS avg_quality,
+       |  round(sum(kept) * 1.0 / count(*), 4) AS keep_rate
+       |FROM sgl GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** The capstone composition — the whole training-data prep flow a
     * reference user would run, as ONE gated query:
     * quality gate (full Gopher chain) → benchmark decontamination
@@ -1171,6 +1235,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("data_card", Some(dataCardOracle), dataCard),
     QueryDef("full_pipeline", Some(fullPipelineOracle), fullPipeline),
+    QueryDef("source_profile", Some(sourceProfileOracle), sourceProfile),
     QueryDef(
       "dedup_exact",
       Some(

@@ -158,6 +158,29 @@ object EventQueries {
       |  LEFT JOIN f3 USING (user_id)
       |ORDER BY u.user_id""".stripMargin
 
+  /** Funnel conversion summary: users per reached level and the median
+    * signup→purchase latency among full conversions (NULL-ignoring
+    * percentile → -1 for partial levels). */
+  private def funnelRates(s: SparkSession, dir: String): DataFrame =
+    Sessionize.funnel(Tables.events(s, dir),
+      Seq("signup", "click", "purchase"))
+      .withColumn("conv_s",
+        when(col("reached") === 3,
+          ((col("t_purchase") - col("t_signup")) / 1000000L).cast("long")))
+      .groupBy(col("reached"))
+      .agg(count(lit(1)).cast("int").as("n_users"),
+        coalesce(round(percentile(col("conv_s"), lit(0.5)), 4), lit(-1.0))
+          .as("median_conv_s"))
+      .orderBy("reached")
+
+  private lazy val funnelRatesOracle =
+    s"""WITH f AS ($funnelOracle)
+       |SELECT reached, CAST(count(*) AS INT) AS n_users,
+       |  coalesce(round(quantile_cont(CASE WHEN reached = 3
+       |    THEN (t_purchase - t_signup) // 1000000 END, 0.5), 4), -1.0)
+       |    AS median_conv_s
+       |FROM f GROUP BY reached ORDER BY reached""".stripMargin
+
   /** Streaming sessionizer fed the whole events table in 4 event-time
     * -ordered chunks + a sentinel chunk (one far-future event per user,
     * closing every real session; the sentinels' own sessions stay open
@@ -358,6 +381,7 @@ object EventQueries {
     QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
     QueryDef("asof_attribution", Some(asofOracle), asofAttribution),
     QueryDef("funnel", Some(funnelOracle), funnel),
+    QueryDef("funnel_rates", Some(funnelRatesOracle), funnelRates),
     QueryDef("asof_join", Some(asofJoinOracle), asofJoin),
     QueryDef("rolling_features", Some(rollingOracle), rollingFeatures),
     QueryDef("streaming_asof", Some(streamingAsofOracle), streamingAsof),

@@ -376,6 +376,46 @@ object EventQueries {
       |  ON p.user_id = c.user_id AND p.es >= c.es
       |ORDER BY p.event_id""".stripMargin
 
+  /** Per-type value outliers (3σ rule). Moments accumulate as EXACT
+    * integer sums of cents and squared cents (both fit long at any
+    * plausible event volume), so mean/σ come out of deterministic
+    * double arithmetic on identical integers in both engines — the
+    * float-reduction-order trap that makes naive stddev comparisons
+    * flap is structurally absent. One broadcast of the per-type
+    * moments row back to the scan. */
+  private def valueOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    val stats = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean_c"),
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / col("n") / col("n")).as("sd_c"))
+    e.join(broadcast(stats), "event_type")
+      .where(col("cents").cast("double") > col("mean_c") + col("sd_c") * 3.0)
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .orderBy("event_id")
+  }
+
+  private val valueOutliersOracle =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), st AS (
+      |  SELECT event_type,
+      |    sum(cents) * 1.0 / count(*) AS mean_c,
+      |    sqrt((count(*) * sum(cents * cents) - sum(cents) * sum(cents)) * 1.0
+      |      / count(*) / count(*)) AS sd_c
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type, e.cents
+      |FROM e JOIN st USING (event_type)
+      |WHERE e.cents * 1.0 > st.mean_c + 3.0 * st.sd_c
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("sessionize", Some(sessionizeOracle), sessionize),
     QueryDef("event_rollup", Some(eventRollupOracle), eventRollup),
@@ -387,5 +427,6 @@ object EventQueries {
     QueryDef("streaming_asof", Some(streamingAsofOracle), streamingAsof),
     QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions),
     QueryDef("streaming_rollup", Some(streamingRollupOracle), streamingRollup),
-    QueryDef("region_rollup", Some(regionRollupOracle), regionRollup))
+    QueryDef("region_rollup", Some(regionRollupOracle), regionRollup),
+    QueryDef("value_outliers", Some(valueOutliersOracle), valueOutliers))
 }

@@ -215,7 +215,16 @@ object Multimodal {
   def decodeWav(bytes: Array[Byte]): Audio = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    try {
+    try decodePcm(ais) finally ais.close()
+  }
+
+  /** PCM sample decode shared by [[decodeWav]]; package-visible so the
+    * unsigned/endian branches are testable with synthetic streams
+    * (javax WAV parsing never yields PCM_UNSIGNED 16-bit, other
+    * containers can). */
+  private[multimodal] def decodePcm(
+      ais: javax.sound.sampled.AudioInputStream): Audio = {
+    {
       val fmt = ais.getFormat
       require(
         fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
@@ -242,7 +251,11 @@ object Multimodal {
               val hi = raw(base + 1).toInt
               val s = if (fmt.isBigEndian) (raw(base).toInt << 8) | (raw(base + 1) & 0xff)
                       else (hi << 8) | lo
-              s / 32768.0f
+              // Unsigned 16-bit stores sample+32768 in [0,65535]: mask
+              // the sign-extension and re-center, or samples decode
+              // wrapped (loud clicks) instead of erroring.
+              val sv = if (signed) s else (s & 0xffff) - 32768
+              sv / 32768.0f
             } else {
               val b = raw(base) & 0xff
               if (signed) raw(base).toInt / 128.0f else (b - 128) / 128.0f
@@ -254,7 +267,7 @@ object Multimodal {
         f += 1
       }
       Audio(fmt.getSampleRate.toInt, out)
-    } finally ais.close()
+    }
   }
 
   /** Clip features: [n_samples, peak, rms, zero-crossing rate] —

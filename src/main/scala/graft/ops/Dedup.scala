@@ -159,9 +159,9 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val spark = newDf.sparkSession
     val n = newDf.select(
-      (col(idCol).cast("long") * 2 + 1).as("__xid"), col(tokensCol))
+      (sideSafeId(col(idCol)) * 2 + 1).as("__xid"), col(tokensCol))
     val r = refDf.select(
-      (col(idCol).cast("long") * 2).as("__xid"), col(tokensCol))
+      (sideSafeId(col(idCol)) * 2).as("__xid"), col(tokensCol))
     val (toks, small, big) =
       minhashBuckets(n.unionByName(r), "__xid", tokensCol,
         numHashes, bands, maxBucket)
@@ -171,11 +171,28 @@ object Dedup {
       graft.GraftConf.dedupBroadcastBytes(spark))
       .distinct()
       .select(
-        ((when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
-          .otherwise(col("id_b")) - 1) / 2).cast("long").as("new_id"),
-        (when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
-          .otherwise(col("id_b")) / 2).cast("long").as("ref_id"),
+        // Arithmetic shiftright is exact floor-division by 2 for both
+        // parities (2k+1 >> 1 == k, 2k >> 1 == k, negative k included)
+        // — unlike `/`, which is double true-division and silently
+        // loses precision above 2^53.
+        shiftright(when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as("new_id"),
+        shiftright(when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+          .otherwise(col("id_b")), 1).as("ref_id"),
         col("jaccard"))
+  }
+
+  /** Casts an id to long and raises if it falls outside ±2^62 — the
+    * range where the parity encode `2k`/`2k+1` stays collision-free in
+    * a 64-bit long. Hash-derived full-range ids must be remapped by the
+    * caller; silently wrapping them would match the wrong documents. */
+  private def sideSafeId(id: Column): Column = {
+    val idL = id.cast("long")
+    val bound = 1L << 62
+    when(idL >= lit(-bound) && idL < lit(bound), idL)
+      .otherwise(raise_error(concat(
+        lit("crossMinhashMatches: id outside +/-2^62, parity encode would overflow: "),
+        idL.cast("string"))))
   }
 
   /** New-corpus rows that do NOT near-duplicate any reference doc —

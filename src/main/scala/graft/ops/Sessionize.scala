@@ -88,7 +88,12 @@ object Sessionize {
   def eventRollup(events: DataFrame, windowSeconds: Long): DataFrame = {
     val bucketUs = windowSeconds * 1000000L
     events
-      .withColumn("bucket", (eventMicros(col("ts")) / bucketUs).cast("long"))
+      .withColumn("__es", eventMicros(col("ts")))
+      // Integer FLOOR division (pmod then exact `div`), not `/`: double
+      // true-division truncates toward zero (pre-1970 micros bucket
+      // off-by-one vs the oracle's `//`) and loses precision past 2^53.
+      .withColumn("bucket",
+        expr(s"(__es - pmod(__es, ${bucketUs}L)) div ${bucketUs}L"))
       .withColumn("k",
         get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("bucket"), col("event_type"))
@@ -177,18 +182,24 @@ object Sessionize {
     * reach time. One groupBy(user_id) shuffle; the per-user event list
     * is folded by a higher-order `aggregate` over the sorted array —
     * no self-joins (the naive k-step formulation is k−1 inequality
-    * joins). Per-task memory is one user's events — the standard
-    * funnel-engine assumption; cap upstream if a bot user can exceed
-    * executor memory. Unreached steps report -1; `reached` counts the
-    * contiguous prefix of completed steps.
+    * joins). Per-task memory is one user's STEP-RELEVANT events only
+    * (off-funnel events never enter the collected array), so a bot
+    * user spamming non-step types costs nothing quadratic. Unreached
+    * steps report -1; `reached` counts the contiguous prefix of
+    * completed steps.
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "graft: funnel needs at least one step")
     val k = steps.size
     val stepsLit = typedLit(steps)
     val zero = typedLit(Seq.fill(k)(-1L))
+    // collect_list skips nulls, so the `when` guard keeps only
+    // step-relevant events in the per-user array — a bot user with
+    // millions of off-funnel events costs nothing here — while the
+    // groupBy still emits a row for EVERY user with any event.
     val sorted = sort_array(collect_list(
-      struct(col("es"), col("event_id"), col("event_type"))))
+      when(col("event_type").isin(steps: _*),
+        struct(col("es"), col("event_id"), col("event_type")))))
     val folded = aggregate(sorted, zero, (acc, e) =>
       transform(acc, (v, i) => {
         // element_at is 1-based; the greatest() guard keeps the

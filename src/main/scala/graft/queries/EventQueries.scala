@@ -377,21 +377,28 @@ object EventQueries {
       |ORDER BY p.event_id""".stripMargin
 
   /** Per-type value outliers (3σ rule). Moments accumulate as EXACT
-    * integer sums of cents and squared cents (both fit long at any
-    * plausible event volume), so mean/σ come out of deterministic
-    * double arithmetic on identical integers in both engines — the
-    * float-reduction-order trap that makes naive stddev comparisons
-    * flap is structurally absent. One broadcast of the per-type
-    * moments row back to the scan. */
+    * integer sums of cents and squared cents; the combination
+    * `n*s2 - s1²` runs in decimal(38,0) — exact to 1e38, matching
+    * DuckDB's HUGEINT promotion of sum(BIGINT) — because s1² overflows
+    * long silently once total cents pass ~3e9 (≈$30M, easily reached
+    * at scale). Both engines then convert the same exact integer to
+    * double, so the float-reduction-order trap that makes naive stddev
+    * comparisons flap is structurally absent. One broadcast of the
+    * per-type moments row back to the scan. */
   private def valueOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    val dec = "decimal(38,0)"
+    // s2 accumulates in decimal: a long sum of squared cents overflows
+    // at ~1e9 events of $1000 each. s1 stays long (overflow needs
+    // ~9e13 such events per type) — cheaper partials on the hot sum.
     val stats = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
-        sum(col("cents") * col("cents")).as("s2"))
+        sum((col("cents") * col("cents")).cast(dec)).as("s2"))
       .select(col("event_type"),
         (col("s1").cast("double") / col("n")).as("mean_c"),
-        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+        sqrt((col("n").cast(dec) * col("s2")
+          - col("s1").cast(dec) * col("s1").cast(dec)).cast("double")
           / col("n") / col("n")).as("sd_c"))
     e.join(broadcast(stats), "event_type")
       .where(col("cents").cast("double") > col("mean_c") + col("sd_c") * 3.0)

@@ -62,11 +62,43 @@ object BpeTrainer {
     } else trainDistributed(words, numMerges)
   }
 
+  /** Split a word into code-point symbols. Code points, not UTF-16
+    * code units: lone surrogates are invalid UTF-8, so code-unit
+    * symbols would make UTF8String ordering (the distributed
+    * tie-break) ill-defined for supplementary characters. */
+  private[text] def charSyms(w: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** UTF-8 byte comparison — EXACTLY Spark's UTF8String binary sort,
+    * which the distributed regime's orderBy tie-break uses. Java
+    * String `<` is UTF-16 code-unit order and disagrees for
+    * U+E000–U+FFFF vs supplementary characters. */
+  private[text] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Classic in-memory loop over the collected vocabulary. */
   private[text] def trainLocal(
       vocab: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
-      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      vocab.map { case (w, c) => (charSyms(w), c) }
     val merges = mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     while (rank < numMerges) {
@@ -79,9 +111,20 @@ object BpeTrainer {
           i += 1
         }
       }
-      val repeated = counts.filter(_._2 >= 2)
-      if (repeated.isEmpty) return merges.toSeq
-      val ((l, r), _) = repeated.minBy { case ((a, b), c) => (-c, a, b) }
+      var bestK: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (k, c) =>
+        if (c >= 2) {
+          val better =
+            if (bestK == null) true
+            else if (c != bestC) c > bestC
+            else if (k._1 != bestK._1) utf8Less(k._1, bestK._1)
+            else utf8Less(k._2, bestK._2)
+          if (better) { bestK = k; bestC = c }
+        }
+      }
+      if (bestK == null) return merges.toSeq
+      val (l, r) = bestK
       merges += Merge(rank, l, r)
       words = words.map { case (syms, c) => (mergeOnce(syms, l, r), c) }
       rank += 1
@@ -142,7 +185,7 @@ object BpeTrainer {
     * rank order, each greedy left-to-right — exactly the training
     * rewrite, so training words round-trip). */
   def applyMerges(word: String, merges: Seq[Merge]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = charSyms(word)
     merges.foreach(m => syms = mergeOnce(syms, m.left, m.right))
     syms
   }
@@ -238,8 +281,9 @@ object BpeTrainer {
       merges.map(m => (m.left, m.right)).toArray))
 }
 
-/** String → array of single-char symbols (UTF-16 code-unit chars, the
-  * training alphabet). */
+/** String → array of single-code-point symbols (the training
+  * alphabet). Code points, not UTF-16 code units — see
+  * [[BpeTrainer.charSyms]]. */
 case class CharsExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -259,11 +303,11 @@ case class CharsExpr(child: Expression) extends UnaryExpression {
 
 object CharsExpr {
   def compute(s: UTF8String): ArrayData = {
-    val str = s.toString
-    val out = new Array[AnyRef](str.length)
+    val syms = BpeTrainer.charSyms(s.toString)
+    val out = new Array[AnyRef](syms.length)
     var i = 0
-    while (i < str.length) {
-      out(i) = UTF8String.fromString(str.charAt(i).toString); i += 1
+    while (i < syms.length) {
+      out(i) = UTF8String.fromString(syms(i)); i += 1
     }
     new GenericArrayData(out)
   }
@@ -338,7 +382,7 @@ object BpeApplyExpr {
     var t = 0
     val n = toks.numElements()
     while (t < n) {
-      var syms = toks.getUTF8String(t).toString.map(_.toString).toArray
+      var syms = BpeTrainer.charSyms(toks.getUTF8String(t).toString)
       var i = 0
       while (i < merges.length) {
         syms = BpeTrainer.mergeOnce(syms, merges(i)._1, merges(i)._2)

@@ -180,6 +180,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.samples.toSeq == Seq(0.0f, 0.25f))
   }
 
+  test("decodePcm: unsigned 16-bit re-centers instead of wrapping") {
+    // samples stored as value+32768: 32768 → 0.0, 49152 → +0.5,
+    // 16384 → −0.5. Signed interpretation would wrap 49152 to −0.5.
+    val vals = Seq(32768, 49152, 16384)
+    val pcm = vals.flatMap(v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, vals.size.toLong)
+    val a = Multimodal.decodePcm(ais)
+    assert(a.samples.toSeq == Seq(0.0f, 0.5f, -0.5f))
+  }
+
   test("audioFeatures: hand-computed peak, rms, zero crossings") {
     val a = Multimodal.Audio(8000, Array(0.5f, -0.5f, 0.5f, 0.0f, -0.5f))
     val f = Multimodal.audioFeatures(a)

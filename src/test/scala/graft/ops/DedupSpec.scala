@@ -353,4 +353,31 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(keep == Set(2L, 3L, 4L)) // same-side dups survive cross dedup
   }
+
+  test("crossMinhashMatches: negative ids survive the parity encode/decode") {
+    import graft.functions.tokenize
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val newDocs = Seq((-7L, t), (-2000000000000L, "totally different words here nothing shared at all"))
+      .toDF("doc_id", "text").select($"doc_id", tokenize($"text").as("toks"))
+    val refDocs = Seq((-9L, t))
+      .toDF("doc_id", "text").select($"doc_id", tokenize($"text").as("toks"))
+    val m = Dedup.crossMinhashMatches(newDocs, refDocs, "doc_id", "toks", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(m == Set((-7L, -9L, 1.0)))
+  }
+
+  test("crossMinhashMatches: ids beyond ±2^62 raise instead of wrapping") {
+    import graft.functions.tokenize
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val newDocs = Seq((Long.MaxValue - 5, t))
+      .toDF("doc_id", "text").select($"doc_id", tokenize($"text").as("toks"))
+    val refDocs = Seq((1L, t))
+      .toDF("doc_id", "text").select($"doc_id", tokenize($"text").as("toks"))
+    val e = intercept[Exception] {
+      Dedup.crossMinhashMatches(newDocs, refDocs, "doc_id", "toks", 0.8).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("parity encode")), e.toString)
+  }
 }

@@ -107,4 +107,37 @@ class SessionizeSpec extends SparkTestBase {
       (0L, "purchase", 3, 2, 1050L, 5),
       (0L, "view", 1, 1, 200L, 5)))
   }
+
+  test("eventRollup: pre-1970 timestamps bucket by FLOOR, not truncation") {
+    // es = -1 s → bucket floor(-1/3600) = -1; truncation-toward-zero
+    // (double `/` then cast) would collapse it into bucket 0
+    val evs = Seq((1L, -1L, 1L, "click", 1.0), (2L, 1L, 1L, "click", 1.0))
+      .toDF("event_id", "es_s", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("es_s")))
+      .withColumn("props", lit("{}"))
+    val out = Sessionize.eventRollup(evs, windowSeconds = 3600)
+      .orderBy("bucket").select("bucket", "n")
+      .as[(Long, Int)].collect().toSeq
+    assert(out === Seq((-1L, 1), (0L, 1)))
+  }
+
+  test("funnel: off-funnel event floods never enter the per-user array") {
+    val steps = Seq("signup", "purchase")
+    val base = Seq(
+      (1L, 10L, 1L, "signup", 0.0),
+      (2L, 20L, 1L, "purchase", 0.0))
+    val flood = (3L to 500L).map(i => (i, 10L + i, 1L, "heartbeat", 0.0))
+    val evs = (base ++ flood)
+      .toDF("event_id", "es_s", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("es_s")))
+    val out = Sessionize.funnel(evs, steps)
+      .select("user_id", "t_signup", "t_purchase", "reached")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 10000000L, 20000000L, 2)))
+    // the collected array is guarded by a CASE over event_type, so the
+    // aggregate's state holds step events only
+    val agg = Sessionize.funnel(evs, steps)
+      .queryExecution.optimizedPlan.toString
+    assert(agg.contains("CASE WHEN"), s"expected step guard in plan:\n$agg")
+  }
 }

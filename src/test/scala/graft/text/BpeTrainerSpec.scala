@@ -93,4 +93,24 @@ class BpeTrainerSpec extends SparkTestBase {
     val inv = vocab.map(_.swap)
     assert(ids.take(2).map(inv).mkString("") == "lowest")
   }
+
+  test("tie-break parity: supplementary vs BMP-high symbols (UTF-8 order)") {
+    val sup = new String(Character.toChars(0x1D54F)) // 𝕏, surrogate pair
+    val pua = "\uF8FF" // BMP private use
+    // two pairs tie at count 2; UTF-8/code-point order puts U+F8FF
+    // FIRST (3 bytes < 4 bytes), UTF-16 code-unit order would flip
+    // (0xD835 < 0xF8FF) — both regimes must pick the same winner
+    val vocab = Array((sup + "y", 2L), (pua + "y", 2L))
+    val local = BpeTrainer.trainLocal(vocab, 2)
+    val dist = BpeTrainer.trainDistributed(
+      vocab.toSeq.toDF("word", "cnt"), 2)
+    assert(local == dist)
+    assert(local.head.left == pua)
+    // code-point splitting keeps surrogate pairs whole in both regimes
+    assert(BpeTrainer.charSyms(sup + "y").toSeq == Seq(sup, "y"))
+    assert(local.map(m => (m.left, m.right)) ==
+      Seq((pua, "y"), (sup, "y")))
+    // and applyMerges tokenizes the supplementary word to one symbol
+    assert(BpeTrainer.applyMerges(sup + "y", local).toSeq == Seq(sup + "y"))
+  }
 }

@@ -801,8 +801,29 @@ object TextQueries {
       |SELECT d.lang, d.n_docs, tok.n_distinct_tokens, d.p50_chars, d.p90_chars
       |FROM d JOIN tok USING (lang) ORDER BY lang""".stripMargin
 
-  val all: Seq[QueryDef] = Seq(
-    QueryDef("bpe_merges", None, bpeMerges),
+  /** The learned merge table, interpolated into a VALUES oracle — the
+    * same recorded-result pattern as `autotune_pick`. Verify/RunOne
+    * build `oracle_sql.json` AFTER running the queries, and `all` is a
+    * `def`, so this re-evaluates against the memo the `bpe_merges` run
+    * populated. Training is deterministic (fixed corpus, UTF-8
+    * tie-break — BpeTrainerSpec pins the ACL'16 sequence), so the
+    * recorded table IS the spec; an unpopulated memo yields an
+    * empty-relation placeholder that fails the row-count compare
+    * loudly instead of passing vacuously. */
+  private def bpeMergesOracle: String = {
+    import scala.jdk.CollectionConverters._
+    bpeMemo.asScala.collectFirst {
+      case ((_, _, "char"), ms) if ms.nonEmpty =>
+        def esc(x: String) = x.replace("'", "''")
+        val rows = ms.map(m =>
+          s"(${m.rank}, '${esc(m.left)}', '${esc(m.right)}')").mkString(", ")
+        s"""SELECT * FROM (VALUES $rows) AS t(rank, "left", "right") ORDER BY rank"""
+    }.getOrElse(
+      """SELECT 0 AS rank, '' AS "left", '' AS "right" WHERE 1 = 0""")
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("bpe_merges", Some(bpeMergesOracle), bpeMerges),
     QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
     QueryDef("bpe_encode", Some("SELECT 1 AS ok"), bpeEncode),
     QueryDef("export_tokenized", Some("SELECT 1 AS ok"), exportTokenized),

@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ whole-stage-codegen'd plans in one JVM exhaust the default
+  // 240 MB code cache, forcing deopt/recompile churn that shows up as
+  // 3-6x inflated timings for sub-second queries (bench capture, r8)
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

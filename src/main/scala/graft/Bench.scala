@@ -74,40 +74,70 @@ object Bench {
     // a failed query is REPORTED, never masked: per-query status in the
     // JSON, a "failed" list, and a nonzero exit code
     //
-    // Each query reports its MINIMUM over an ADAPTIVE number of reps:
-    // at least `reps`, and while the latest rep still improved the best
-    // by > 12% keep going up to `maxReps`. Single-shot times on this
-    // host vary up to 8× (tiered JIT + virtualized-host weather —
-    // verified with tools/RepeatBench: identical plans went 86s → 9.9s
-    // over five reps with <2s of GC). In a quiet window rep 2 matches
-    // rep 1 and the loop stops at the floor; in a noisy window the
-    // extra reps are extra chances to catch the host between stalls, so
-    // the recorded min tracks the true steady state instead of the
-    // weather (round-6's artifact recorded 249s for a ~35s workload).
-    // The plan is still evaluated in FULL each rep (toRdd.foreach, not
-    // count(): count lets Catalyst prune every projected column, so
-    // map-heavy queries would measure a row count instead of their
-    // actual compute).
+    // Each query reports its MINIMUM across TWO FULL PASSES over the
+    // query list, each pass an ADAPTIVE rep loop. Why two passes: the
+    // adaptive stop ("latest rep stopped improving >12%") is satisfied
+    // by a cold-JIT plateau — with 100+ codegen'd plans compiling in
+    // one JVM, a sub-second query can measure a stable 6x-inflated
+    // number in pass 1 because C2 hasn't reached it yet (r8 artifact:
+    // stem_tokens 3.89s vs 0.66s warm). By pass 2 every plan in the
+    // suite has compiled, so one rep lands on the steady state; the
+    // min across passes defeats list-order effects. Within a pass:
+    // at least `reps` reps (floored at 3 when the first rep is < 2 s —
+    // exactly the short queries JIT noise distorts most and an extra
+    // rep costs least), extending while the best still improves > 12%
+    // up to `maxReps`. Host weather (virtualized neighbors, up to 8×
+    // swings — tools/RepeatBench) is additionally bracketed by the
+    // calib probes recorded in the artifact. The plan is evaluated in
+    // FULL each rep (toRdd.foreach, not count(): count lets Catalyst
+    // prune every projected column, so map-heavy queries would measure
+    // a row count instead of their actual compute).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "6").toInt.max(reps)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var best = Double.MaxValue
+
+    def adaptiveBest(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        floor: Int, cap: Int, seed: Double): (Double, Option[String]) = {
+      var best = seed
       var err: Option[String] = None
       var r = 0
       var improving = true
-      while (err.isEmpty && (r < reps || (r < maxReps && improving))) {
+      var minFloor = floor
+      while (err.isEmpty && (r < minFloor || (r < cap && improving))) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
           val t = (System.nanoTime() - t0) / 1e9
+          if (r == 0 && t < 2.0) minFloor = math.max(minFloor, 3)
           improving = t < best * 0.88
           best = math.min(best, t)
         } catch { case t: Throwable =>
-          System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+          System.err.println(s"[bench] FAILED: ${t.getClass.getName}: ${t.getMessage}")
           err = Some(t.getClass.getSimpleName)
         }
         r += 1
       }
+      (best, err)
+    }
+
+    val ordered = SparkEntry.queries.toSeq
+    val pass1 = ordered.map { case (name, fn) =>
+      name -> adaptiveBest(fn, reps, maxReps, Double.MaxValue)
+    }.toMap
+    val results = ordered.map { case (name, fn) =>
+      val (b1, e1) = pass1(name)
+      val (best, err) =
+        if (e1.isDefined) (0.0, e1)
+        else {
+          // pass 2: everything is JIT'd now; 1 rep usually suffices,
+          // extend only while still beating the cross-pass best
+          val (b2, e2) = adaptiveBest(fn, 1, 3, b1)
+          if (e2.isDefined) (0.0, e2) else (math.min(b1, b2), None)
+        }
+      // one compact JSONL line per query AS IT FINISHES — the final
+      // map alone has been truncated by tail-capture before (r8 kept
+      // 63/118 timings); small per-query lines survive any cut
+      println(s"""{"q":"$name","sec":${if (err.isEmpty) best else 0.0}${err.map(e => s""","failed":"$e"""").getOrElse("")}}""")
       (name, if (err.isEmpty) best else 0.0, err)
     }
 

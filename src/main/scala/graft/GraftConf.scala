@@ -86,6 +86,17 @@ object GraftConf {
     efConstruction = int(s, AnnEfConstruction, 128),
     ef = int(s, AnnEf, 64))
 
+  val KnnJoinBroadcastBytes = "spark.graft.knnJoin.broadcastBytes"
+
+  /** Largest outer-side query-vector payload the planner-level lateral
+    * kNN join will collect + broadcast to the index shards (the probe
+    * side of a kNN join is small by contract — classifier batches,
+    * dashboard panels). Larger probe sides must call
+    * `AnnIndex.searchMany` / `VectorSearch.knnJoin*` explicitly, which
+    * keep both sides distributed. */
+  def knnJoinBroadcastBytes(s: SparkSession): Long =
+    s.conf.getOption(KnnJoinBroadcastBytes).map(_.toLong).getOrElse(256L << 20)
+
   val ClassifyBroadcastBytes = "spark.graft.classify.broadcastBytes"
 
   /** Largest seed set the kNN classifier will broadcast for map-side

@@ -295,12 +295,100 @@ case class AnnFilteredIdsExec(
   }
 }
 
+/** Logical per-outer-row kNN join — what a correlated LATERAL
+  * `(SELECT id FROM t ORDER BY dist(vec, outer.qvec) LIMIT k)` means.
+  * Vanilla Spark REJECTS that SQL outright
+  * (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_REFERENCE: no
+  * outer references under ORDER BY), so [[AnnLateralKnnRule]] rewrites
+  * it during analysis, before CheckAnalysis would fail — the engine
+  * ADDS the lateral form the reference tests
+  * (lantern_hnsw/test/sql/hnsw_select.sql:66-69). Output is the left
+  * row stream with the subquery's id column appended (`outAttr`, the
+  * inner relation's id attribute, declared via `producedAttributes`).
+  */
+case class AnnKnnJoinLogical(
+    child: LogicalPlan,
+    queryAttr: Attribute,
+    outAttr: Attribute,
+    artifact: String,
+    k: Int,
+    ef: Int,
+    metric: String) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override protected def withNewChildInternal(c: LogicalPlan): AnnKnnJoinLogical =
+    copy(child = c)
+}
+
+/** Physical batched kNN join: the outer side's query vectors collect on
+  * the driver (byte-budget-gated — probe sides are small by the kNN-join
+  * contract; bigger ones must use `AnnIndex.searchMany` /
+  * `VectorSearch.knnJoin*` directly), broadcast ONCE to the index
+  * shards, and every shard answers every query in a single pass
+  * ([[AnnIndex.searchMany]]) — index-side I/O independent of the query
+  * count, no per-row index scans. Rows with a NULL query vector join to
+  * nothing (inner-join semantics for an unanswerable probe).
+  */
+case class AnnKnnJoinExec(
+    queryAttr: Attribute,
+    outAttr: Attribute,
+    artifact: String,
+    k: Int,
+    ef: Int,
+    metric: String,
+    child: SparkPlan) extends org.apache.spark.sql.execution.UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override protected def withNewChildInternal(c: SparkPlan): AnnKnnJoinExec =
+    copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val qIdx = child.output.indexWhere(_.exprId == queryAttr.exprId)
+    val rows = child.executeCollect()
+    val dim = rows.iterator.filterNot(_.isNullAt(qIdx))
+      .map(_.getArray(qIdx).numElements()).nextOption().getOrElse(0)
+    val budget = graft.GraftConf.knnJoinBroadcastBytes(session)
+    val approxBytes = rows.length.toLong * (4L * dim + 16L)
+    require(approxBytes <= budget,
+      s"graft: lateral kNN join would broadcast ~$approxBytes bytes of " +
+        s"query vectors (${rows.length} outer rows), above " +
+        s"${graft.GraftConf.KnnJoinBroadcastBytes}=$budget — call " +
+        "graft.ann.AnnIndex.searchMany or ops.VectorSearch.knnJoin* " +
+        "directly for large probe sides")
+    val queries = rows.iterator.zipWithIndex
+      .filterNot { case (r, _) => r.isNullAt(qIdx) }
+      .map { case (r, i) => (i.toLong, r.getArray(qIdx).toFloatArray) }
+      .toSeq
+    val byQ = AnnIndex.searchMany(session, artifact, queries, k, ef)
+      .select("query_id", "neighbor_id", "rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1))).toMap
+    val schema = StructType(output.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+    val types = child.output.map(_.dataType)
+    val outRows = rows.iterator.zipWithIndex.flatMap { case (r, i) =>
+      byQ.getOrElse(i.toLong, Array.empty[Long]).map { nid =>
+        InternalRow.fromSeq(types.indices.map(j => r.get(j, types(j))) :+ nid)
+      }
+    }.toSeq
+    sparkContext.parallelize(outRows, math.max(1, outRows.size / 10000 + 1))
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema)
+        it.map(row => proj(row).copy())
+      }
+  }
+}
+
 object AnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AnnScanLogical(id, vec, artifact, q, k, ef, kind, nprobe) =>
       AnnScanExec(id, vec, artifact, q, k, ef, kind, nprobe) :: Nil
     case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) =>
       AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) :: Nil
+    case AnnKnnJoinLogical(left, qAttr, outAttr, artifact, k, ef, metric) =>
+      AnnKnnJoinExec(qAttr, outAttr, artifact, k, ef, metric, planLater(left)) :: Nil
     case _ => Nil
   }
 }
@@ -499,6 +587,104 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Analyzer (post-hoc resolution) rule: correlated LATERAL top-k-by-
+  * distance subqueries over an [[AnnCatalog]]-registered table →
+  * [[AnnKnnJoinLogical]] (batched `searchMany`). Runs in the ANALYZER,
+  * not the optimizer, because vanilla Spark's CheckAnalysis rejects
+  * outer references under ORDER BY before any optimizer rule could see
+  * them — the rewrite must happen first. The matched shape is exactly
+  * what `FROM probes p, LATERAL (SELECT id FROM items ORDER BY
+  * dist(vec, p.qvec) LIMIT k) t` analyzes to (the reference's LATERAL
+  * plan test, lantern_hnsw/test/sql/hnsw_select.sql:66-69). Without a
+  * registered index the SQL keeps failing analysis, mirroring the
+  * reference where the lateral form is only ever answered by an index
+  * scan. hnsw float metrics only: the subquery emits the table's id
+  * column, and hamming graphs store repacked words (not the table's
+  * b1 arrays), so the outer probe column wouldn't match shard layout.
+  */
+class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.Cross
+
+  private def matchDistOuter(e: Expression)
+      : Option[(String, AttributeReference, AttributeReference)] = e match {
+    case L2SqDist(a: AttributeReference, OuterReference(o: AttributeReference)) =>
+      Some(("l2sq", a, o))
+    case L2SqDist(OuterReference(o: AttributeReference), a: AttributeReference) =>
+      Some(("l2sq", a, o))
+    case CosDist(a: AttributeReference, OuterReference(o: AttributeReference)) =>
+      Some(("cos", a, o))
+    case CosDist(OuterReference(o: AttributeReference), a: AttributeReference) =>
+      Some(("cos", a, o))
+    case UnaryMinus(InnerProduct(a: AttributeReference, OuterReference(o: AttributeReference)), _) =>
+      Some(("inner", a, o))
+    case UnaryMinus(InnerProduct(OuterReference(o: AttributeReference), a: AttributeReference), _) =>
+      Some(("inner", a, o))
+    case _ => None
+  }
+
+  /** Relation through SubqueryAlias / attribute-only Project layers —
+    * the analyzed (unoptimized) shape still carries aliases. */
+  private def findRel(p: LogicalPlan): Option[(LogicalRelation, Seq[Path])] =
+    p match {
+      case SubqueryAlias(_, c) => findRel(c)
+      case v: View => findRel(v.child)
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        findRel(c)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if AnnCatalog.anyFor(fs.location.rootPaths) =>
+          Some((lr, fs.location.rootPaths))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => stripAlias(c)
+    case _ => p
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case lj: LateralJoin
+          if (lj.joinType == Inner || lj.joinType == Cross) &&
+            lj.condition.isEmpty && lj.childrenResolved =>
+        rewrite(lj).getOrElse(lj)
+    }
+
+  private def rewrite(lj: LateralJoin): Option[LogicalPlan] = {
+    val subOut = lj.right.plan.output
+    val candidate = stripAlias(lj.right.plan) match {
+      case GlobalLimit(IntegerLiteral(k), LocalLimit(_, body))
+          if k > 0 && k <= 1000 =>
+        val sortOpt = stripAlias(body) match {
+          case Project(ps, s: Sort) if ps.forall(_.isInstanceOf[Attribute]) =>
+            Some(s)
+          case s: Sort => Some(s)
+          case _ => None
+        }
+        sortOpt.map(s => (k, s))
+      case _ => None
+    }
+    for {
+      (k, s @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, schild, _)) <- candidate
+      (metric, vecAttr, outerAttr) <- matchDistOuter(sortExpr)
+      if lj.left.outputSet.contains(outerAttr)
+      if (outerAttr.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      (rel, paths) <- findRel(schild)
+      if rel.outputSet.contains(vecAttr)
+      meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
+      if meta.kind == "hnsw" && meta.metric != "hamming"
+      idAttr <- rel.output.find(_.name == meta.idCol)
+      // the subquery must emit exactly the table's id column
+      if subOut.map(_.exprId) == Seq(idAttr.exprId)
+    } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
+      meta.artifact, k, math.max(meta.ef, k), metric)
+  }
+}
+
 /** Session extension wiring — `SparkSessionExtensions` is the engine's
   * registration point, like CREATE EXTENSION in the reference.
   * Use: `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
@@ -519,6 +705,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(s => new AnnRewriteRule(s))
+    ext.injectPostHocResolutionRule(s => new AnnLateralKnnRule(s))
     ext.injectPlannerStrategy(_ => AnnStrategy)
     Seq(
       fn("l2sq_dist", "squared euclidean distance (lantern <->)")(

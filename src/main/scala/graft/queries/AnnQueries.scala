@@ -280,6 +280,61 @@ object AnnQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Planner-level lateral kNN-join gate: the reference's LATERAL SQL
+    * form (test/sql/hnsw_select.sql:66-69) — which vanilla Spark
+    * REJECTS at analysis (no outer references under ORDER BY) — must
+    * (a) analyze AND plan through [[graft.plans.AnnKnnJoinLogical]]
+    * (the batched `searchMany` path), and (b) reach mean per-outer-row
+    * recall@3 ≥ 0.8 vs the exact kNN join, with every outer row
+    * answered. */
+  private def knnJoinPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ann", dir, "embeddings")
+    cached(path) {
+      AnnIndex.build(e, "vec_id", "embedding", path,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    val view = "graft_kjp_emb"
+    e.createOrReplaceTempView(view)
+    try {
+      val q = s.sql(
+        s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
+           |FROM (SELECT vec_id, embedding FROM $view WHERE vec_id < 5) p,
+           |LATERAL (
+           |  SELECT vec_id FROM $view
+           |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 3
+           |) t""".stripMargin)
+      val planned = q.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AnnKnnJoinLogical => a
+      }.nonEmpty
+      def perQuery(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
+        rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ann = perQuery(q.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val exact = perQuery(graft.ops.VectorSearch.knnJoinExact(
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val recalls = exact.map { case (qid, ex) =>
+        ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+      }
+      val meanRecall = recalls.sum / recalls.size
+      if (planned && ann.keySet == exact.keySet && meanRecall >= 0.8)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally {
+      AnnCatalog.unregister(s, tablePath)
+      s.catalog.dropTempView(view)
+      ()
+    }
+  }
+
   /** Autotune gate (`autotune-index`, index_autotune/mod.rs:280-526):
     * a deterministic run (hash-sampled queries, fixed build seeds)
     * over the reference's six-variant grid, persisted as a report. A
@@ -616,6 +671,7 @@ object AnnQueries {
     QueryDef("knn_ivf_filtered_planner", Some("SELECT 1 AS ok"), ivfFilteredPlanner),
     QueryDef("knn_ivfpq_filtered_planner", Some("SELECT 1 AS ok"), ivfpqFilteredPlanner),
     QueryDef("knn_join_ann", Some("SELECT 1 AS ok"), knnJoinAnn),
+    QueryDef("knn_join_planner", Some("SELECT 1 AS ok"), knnJoinPlanner),
     QueryDef("autotune_pick", Some("SELECT 1 AS ok"), autotunePick),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),

@@ -151,6 +151,50 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
+  test("lateral kNN join analyzes + plans into AnnKnnJoin (searchMany path)") {
+    import graft.ann.{AnnIndex, AnnParams}
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-latplan").toFile, "idx").toString
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
+    val tablePath = s"$dir/embeddings.parquet"
+    spark.read.parquet(tablePath).createOrReplaceTempView("emb_lat")
+    val sql =
+      """SELECT p.vec_id AS qid, t.vec_id AS nid
+        |FROM (SELECT vec_id, embedding FROM emb_lat WHERE vec_id < 3) p,
+        |LATERAL (
+        |  SELECT vec_id FROM emb_lat
+        |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 2
+        |) t""".stripMargin
+
+    // vanilla semantics preserved: with no index registered the SQL
+    // keeps failing analysis, exactly as stock Spark rejects it
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(sql).collect()
+    }
+
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      val q = spark.sql(sql)
+      assert(q.queryExecution.optimizedPlan.collect {
+        case a: AnnKnnJoinLogical => a
+      }.nonEmpty, q.queryExecution.optimizedPlan.toString)
+      assert(q.queryExecution.executedPlan.collect {
+        case a: AnnKnnJoinExec => a
+      }.nonEmpty)
+      val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byQ = rows.groupBy(_._1)
+      assert(byQ.keySet == Set(0L, 1L, 2L))
+      assert(byQ.values.forall(_.length == 2))
+      // every probe's nearest neighbor is itself (probe rows are in the
+      // indexed table)
+      assert(byQ.forall { case (qid, ns) => ns.map(_._2).contains(qid) })
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("planner fires through Filter for IVF indexes too (kind routed)") {
     import graft.ann.IvfIndex
     val dir = sf("sf0.001")

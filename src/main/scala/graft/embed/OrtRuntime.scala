@@ -166,7 +166,10 @@ object HashVisualSessionFactory extends OrtSessionFactory {
   * fallback and cached for the JVM lifetime (the reference holds one
   * EncoderService per model). */
 class OrtEmbeddingRuntime(
-    factory: OrtSessionFactory = NoOrtFactory,
+    // the default binds ai.onnxruntime reflectively when the jar is on
+    // the classpath, NoOrtFactory otherwise — production closes the
+    // seam by just installing the jar (no code change)
+    factory: OrtSessionFactory = ReflectiveOrtFactory.orFallback(),
     tokenizer: OrtTokenizer = new HashOrtTokenizer(),
     providers: Seq[String] = Seq("cuda", "openvino", "cpu"),
     availableMemory: () => Long = () => {

@@ -112,4 +112,61 @@ class OrtRuntimeSpec extends AnyFunSuite {
     assert(mask(1).toSeq == Seq(1L, 0L, 0L))
     assert(ids(1)(1) == 0L && ids(1)(2) == 0L)
   }
+
+  test("reflective factory binds ai.onnxruntime when present (test fakes)") {
+    // the fake ai.onnxruntime classes ARE on the test classpath
+    assert(ReflectiveOrtFactory.available())
+    val factory = ReflectiveOrtFactory.orFallback("/tmp/graft-ort-models")
+    assert(factory.isInstanceOf[ReflectiveOrtFactory])
+    // provider fallback through the REAL runtime loop: fake CUDA and
+    // OpenVINO hooks throw, CPU serves
+    val rt = new OrtEmbeddingRuntime(factory)
+    val out = rt.embedBatch("BAAI/bge-small-en", Seq("hello world", "again"))
+    assert(out.forall(_.isRight), out)
+    assert(out.forall(_.exists(_.length == 384)))
+    assert(rt.activeProvider("BAAI/bge-small-en") == Some("cpu"))
+    // deterministic: the same text embeds identically across calls
+    val again = rt.embedBatch("BAAI/bge-small-en", Seq("hello world")).head
+    assert(out.head.exists(v => again.exists(v.sameElements(_))))
+    // serialization round-trip rebuilds the JNI-backed state lazily
+    val bos = new java.io.ByteArrayOutputStream()
+    val sess = factory.create("BAAI/bge-small-en", "cpu")
+    new java.io.ObjectOutputStream(bos).writeObject(sess)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[OrtSession]
+    val (ids, mask) = new HashOrtTokenizer().encodeBatch(Seq("hello world"), 16)
+    assert(back.run(ids, mask).head.sameElements(sess.run(ids, mask).head))
+  }
+
+  test("reflective factory degrades gracefully when ai.onnxruntime is absent") {
+    // a loader with bootstrap-only visibility cannot see the fakes —
+    // exactly a production JVM without the onnxruntime jar
+    val empty = new java.net.URLClassLoader(Array.empty, null)
+    assert(!ReflectiveOrtFactory.available(empty))
+    // NoOrtFactory (the orFallback absence branch) raises the guiding
+    // error, and the runtime converts it into per-row failures
+    val rt = new OrtEmbeddingRuntime(NoOrtFactory)
+    val out = rt.embedBatch("BAAI/bge-small-en", Seq("x"))
+    assert(out.head.swap.exists(_.contains("no execution provider")))
+  }
+
+  test("pooling strategies: cls, mean (mask-aware), relu_log_max") {
+    val states = Array(Array(
+      Array(1f, -2f, 3f),
+      Array(5f, 4f, -1f),
+      Array(999f, 999f, 999f))) // masked out
+    val mask = Array(Array(1L, 1L, 0L))
+    assert(ReflectiveOrtFactory.pool(states, mask, "cls").head.toSeq ==
+      Seq(1f, -2f, 3f))
+    assert(ReflectiveOrtFactory.pool(states, mask, "mean").head.toSeq ==
+      Seq(3f, 1f, 1f))
+    val slm = ReflectiveOrtFactory.pool(states, mask, "relu_log_max").head
+    assert(slm(0) == math.log1p(5.0).toFloat)
+    assert(slm(1) == math.log1p(4.0).toFloat)
+    assert(slm(2) == math.log1p(3.0).toFloat)
+    intercept[IllegalArgumentException] {
+      ReflectiveOrtFactory.pool(states, mask, "nope")
+    }
+  }
 }

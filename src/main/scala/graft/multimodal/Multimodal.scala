@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * the JDK, zero new dependencies), reduced to one BT.601 luma byte
   * per pixel; the deterministic GRFT fixture format produced by
   * `syntheticImageBytes` still parses exactly and remains the
-  * SQL-recomputable oracle path. VIDEO decode stays fixture-only (the
-  * JDK has no video codecs — swap in jcodec/ffmpeg bindings behind
-  * the same function in production). Everything downstream of decode —
-  * schemas, batching, nearest-neighbor resize, channel statistics,
-  * frame sampling — runs on the decoded pixels either way.
+  * SQL-recomputable oracle path. VIDEO rides the GVID container — a
+  * trivial MJPEG-style layout whose length-prefixed frames each route
+  * through `decodeImage`, so genuine JPEG frames decode for real via
+  * ImageIO ([[jpegVideoBytes]] builds such clips); inter-frame-coded
+  * codecs (h264 etc.) have no JDK decoder — swap jcodec/ffmpeg
+  * bindings behind `decodeVideo` in production. Everything downstream
+  * of decode — schemas, batching, nearest-neighbor resize, channel
+  * statistics, frame sampling — runs on the decoded pixels either way.
   */
 object Multimodal {
 
@@ -48,15 +51,41 @@ object Multimodal {
     bb.array()
   }
 
-  /** Deterministic fake "video": header + frame count, then each frame
-    * an encoded image with seed+frameIdx. */
-  def syntheticVideoBytes(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
-    val imgs = (0 until frames).map(f => syntheticImageBytes(seed + f, w, h))
-    val bb = java.nio.ByteBuffer.allocate(8 + imgs.map(_.length + 4).sum)
-    bb.putInt(VideoMagic).putInt(frames)
-    imgs.foreach { b => bb.putInt(b.length); bb.put(b) }
+  /** Pack frame payloads into the GVID container — a trivial
+    * MJPEG-style layout (magic, frame count, then length-prefixed
+    * frame payloads). Frames are ANY [[decodeImage]]-supported bytes:
+    * genuine JPEG/PNG/BMP/GIF or the GIMG fixture, so an MJPEG clip is
+    * literally JPEG frames in this wrapper. */
+  def packVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+    bb.putInt(VideoMagic).putInt(frames.size)
+    frames.foreach { b => bb.putInt(b.length); bb.put(b) }
     bb.array()
   }
+
+  /** Deterministic fake "video": GVID of fixture frames with seed+frameIdx. */
+  def syntheticVideoBytes(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] =
+    packVideo((0 until frames).map(f => syntheticImageBytes(seed + f, w, h)))
+
+  /** Genuine-JPEG video: GVID of real ImageIO-encoded grayscale JPEG
+    * frames (frame f's source pixels follow the fixture formula with
+    * seed+f). JPEG is lossy, so decoded pixels are NOT the formula —
+    * gates verify the video path against per-frame [[decodeImage]] of
+    * the same bytes instead. */
+  def jpegVideoBytes(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] =
+    packVideo((0 until frames).map { f =>
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var i = 0
+      while (i < w * h) {
+        bi.getRaster.setSample(i % w, i / w, 0,
+          ((((seed + f) * 7 + i * 13) % 256 + 256) % 256).toInt)
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", out)
+      out.toByteArray
+    })
 
   // --------------------------------------------------------- decode
 
@@ -341,6 +370,51 @@ object Multimodal {
           } catch {
             case e: Exception =>
               Row.fromSeq(r.toSeq ++ Seq(null, null, null, e.getMessage))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode + frame-sample + featurize a binary VIDEO column in one
+    * batched map-side pass (same shape as [[imagePipeline]]): every
+    * `everyN`-th frame contributes to the clip's pixel statistics.
+    * Appends `n_frames`, `n_sampled`, `pmin`/`pmax`/`psum` over the
+    * sampled frames' unsigned pixels, and `media_error` (null on
+    * success). Frames decode through [[decodeImage]], so a clip may
+    * mix genuine JPEG/PNG frames with GIMG fixtures. */
+  def videoPipeline(
+      df: DataFrame,
+      binCol: String,
+      everyN: Int = 2,
+      batchSize: Int = 64): DataFrame = {
+    val schema = df.schema
+      .add("n_frames", IntegerType).add("n_sampled", IntegerType)
+      .add("pmin", IntegerType).add("pmax", IntegerType)
+      .add("psum", LongType)
+      .add("media_error", StringType)
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          try {
+            val frames = decodeVideo(r.getAs[Array[Byte]](idx))
+            val sampled = sampleFrames(frames, everyN)
+            var mn = 255; var mx = 0; var sum = 0L
+            sampled.foreach(_.pixels.foreach { b =>
+              val v = b & 0xFF
+              if (v < mn) mn = v; if (v > mx) mx = v; sum += v
+            })
+            Row.fromSeq(r.toSeq ++ Seq(frames.size, sampled.size,
+              if (sampled.isEmpty) null else mn,
+              if (sampled.isEmpty) null else mx, sum, null))
+          } catch {
+            case e: Exception =>
+              // BufferUnderflow etc. carry a null message — keep the
+              // error column non-null so failed rows stay identifiable
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, msg))
           }
         }
       }

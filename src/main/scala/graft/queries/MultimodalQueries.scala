@@ -152,9 +152,71 @@ object MultimodalQueries {
       |FROM base WHERE doc_id % 89 = 11
       |ORDER BY doc_id""".stripMargin
 
+  /** Video pipeline gate: per-doc GVID clips of FIXTURE frames stream
+    * through decode → every-2nd-frame sampling → pixel statistics,
+    * hash-matched against the exact DuckDB replay of the pixel
+    * formula. Before emitting anything, the gate decodes a clip of
+    * GENUINE ImageIO-written JPEG frames through the same video path
+    * and requires frame-for-frame pixel equality with the single-image
+    * decode of those very JPEG bytes — JPEG is lossy, so the oracle
+    * can't replay its pixels, but the video path must agree with the
+    * image path exactly (the MJPEG contract). Any mismatch empties the
+    * output → rows_match fails. */
+  private def videoFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jpegOk = {
+      val (w, h, nf) = (8, 6, 3)
+      val clip = Multimodal.jpegVideoBytes(7L, w, h, nf)
+      val viaVideo = Multimodal.decodeVideo(clip)
+      // unpack the same frame payloads and decode them as single images
+      val bb = java.nio.ByteBuffer.wrap(clip)
+      bb.getInt(); val n = bb.getInt()
+      val viaImage = (0 until n).map { _ =>
+        val b = new Array[Byte](bb.getInt()); bb.get(b)
+        Multimodal.decodeImage(b)
+      }
+      viaVideo.size == nf && viaVideo.zip(viaImage).forall { case (a, b) =>
+        a.width == w && a.height == h && a.pixels.sameElements(b.pixels)
+      }
+    }
+    val mediaUdf = udf { id: Long =>
+      Multimodal.syntheticVideoBytes(
+        id, (4 + id % 5).toInt, (3 + id % 4).toInt, (2 + id % 3).toInt)
+    }
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    val out = Multimodal.videoPipeline(docs, "media", everyN = 2)
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        col("pmin"), col("pmax"), col("psum"))
+      .orderBy("doc_id")
+    if (jpegOk) out else out.limit(0)
+  }
+
+  private val videoOracle: String =
+    """WITH v AS (
+      |  SELECT doc_id, (4 + doc_id % 5) AS w, (3 + doc_id % 4) AS h,
+      |         (2 + doc_id % 3) AS nf
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM v
+      |), px AS (
+      |  SELECT doc_id, nf,
+      |    list_transform(range(0, w * h),
+      |      i -> ((doc_id + f) * 7 + i * 13) % 256) AS p
+      |  FROM fr WHERE f % 2 = 0
+      |)
+      |SELECT doc_id,
+      |  CAST(max(nf) AS INT) AS n_frames,
+      |  CAST(count(*) AS INT) AS n_sampled,
+      |  CAST(min(list_aggregate(p, 'min')) AS INT) AS pmin,
+      |  CAST(max(list_aggregate(p, 'max')) AS INT) AS pmax,
+      |  CAST(sum(list_sum(p)) AS BIGINT) AS psum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("multimodal_features", Some(oracle), features),
     QueryDef("image_embedding", Some(imageEmbeddingOracle), imageEmbedding),
     QueryDef("audio_features", Some(audioOracle), audioFeaturesQ),
+    QueryDef("video_features", Some(videoOracle), videoFeatures),
   )
 }

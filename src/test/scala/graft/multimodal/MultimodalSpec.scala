@@ -180,6 +180,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.samples.toSeq == Seq(0.0f, 0.25f))
   }
 
+  test("GVID with genuine JPEG frames decodes per-frame via ImageIO") {
+    val clip = Multimodal.jpegVideoBytes(3L, 8, 6, 4)
+    val frames = Multimodal.decodeVideo(clip)
+    assert(frames.size == 4)
+    assert(frames.forall(f => f.width == 8 && f.height == 6))
+    // each frame must byte-match the single-image ImageIO decode of the
+    // same JPEG payload (the MJPEG contract: container adds nothing)
+    val bb = java.nio.ByteBuffer.wrap(clip)
+    bb.getInt(); bb.getInt()
+    (0 until 4).foreach { i =>
+      val b = new Array[Byte](bb.getInt()); bb.get(b)
+      // genuine JPEG bytes: SOI marker
+      assert((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8, s"frame $i not JPEG")
+      assert(frames(i).pixels.sameElements(Multimodal.decodeImage(b).pixels))
+    }
+    // and a mixed clip: fixture + JPEG frames in one container
+    val mixed = Multimodal.packVideo(Seq(
+      Multimodal.syntheticImageBytes(1L, 4, 3),
+      Multimodal.jpegVideoBytes(1L, 4, 3, 1).drop(12))) // strip GVID header+len
+    val mf = Multimodal.decodeVideo(mixed)
+    assert(mf.size == 2 && mf.forall(f => f.width == 4 && f.height == 3))
+  }
+
+  test("videoPipeline: frame sampling stats match hand computation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.syntheticVideoBytes(1L, 4, 3, 3)),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    val out = Multimodal.videoPipeline(df, "media", everyN = 2)
+      .select("id", "n_frames", "n_sampled", "pmin", "pmax", "psum", "media_error")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // frames 0 and 2 sampled; pixels (seed+f)*7 + i*13 mod 256
+    val expected = Seq(1L, 3L).flatMap(seed =>
+      (0 until 12).map(i => ((seed * 7 + i * 13) % 256).toInt))
+    assert(out(1L).getInt(1) == 3 && out(1L).getInt(2) == 2)
+    assert(out(1L).getInt(3) == expected.min && out(1L).getInt(4) == expected.max)
+    assert(out(1L).getLong(5) == expected.map(_.toLong).sum)
+    assert(out(1L).isNullAt(6))
+    assert(out(2L).isNullAt(1) && !out(2L).isNullAt(6))
+  }
+
   test("decodePcm: unsigned 16-bit re-centers instead of wrapping") {
     // samples stored as value+32768: 32768 → 0.0, 49152 → +0.5,
     // 16384 → −0.5. Signed interpretation would wrap 49152 to −0.5.

@@ -295,6 +295,38 @@ case class AnnFilteredIdsExec(
   }
 }
 
+/** Logical candidate-id leaf for the WEIGHTED search planner form
+  * (`ORDER BY w1·dist(c1,q1) + w2·dist(c2,q2) LIMIT k` — the
+  * reference's `weighted_vector_search`,
+  * lantern_hnsw/sql/lantern.sql:673-819): each term's index
+  * contributes `ef` nearest ids, the union dedupes, and the ORIGINAL
+  * Sort+Limit above the join-back re-ranks by the exact joint metric —
+  * the reference's CTE UNION ALL + DISTINCT ON(id) shape, exact within
+  * the candidate set. */
+case class WeightedAnnIdsLogical(
+    candAttr: Attribute,
+    terms: Seq[(String, Seq[Float], Int)]) extends LeafNode {
+  override def output: Seq[Attribute] = Seq(candAttr)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = 1L + 8L * terms.map(_._3.toLong).sum)
+}
+
+case class WeightedAnnIdsExec(
+    candAttr: Attribute,
+    terms: Seq[(String, Seq[Float], Int)]) extends LeafExecNode {
+  override def output: Seq[Attribute] = Seq(candAttr)
+  override protected def doExecute(): RDD[InternalRow] = {
+    val ids = terms.flatMap { case (artifact, q, ef) =>
+      AnnIndex.search(session, artifact, q.toArray, ef, ef).map(_._1)
+    }.distinct
+    val schema = StructType(Seq(StructField("id", LongType)))
+    sparkContext.parallelize(ids, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map(id => proj(InternalRow(id)).copy())
+    }
+  }
+}
+
 /** Logical per-outer-row kNN join — what a correlated LATERAL
   * `(SELECT id FROM t ORDER BY dist(vec, outer.qvec) LIMIT k)` means.
   * Vanilla Spark REJECTS that SQL outright
@@ -389,6 +421,8 @@ object AnnStrategy extends SparkStrategy {
       AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) :: Nil
     case AnnKnnJoinLogical(left, qAttr, outAttr, artifact, k, ef, metric) =>
       AnnKnnJoinExec(qAttr, outAttr, artifact, k, ef, metric, planLater(left)) :: Nil
+    case WeightedAnnIdsLogical(cid, terms) =>
+      WeightedAnnIdsExec(cid, terms) :: Nil
     case _ => Nil
   }
 }
@@ -443,6 +477,36 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def bits(l: Literal): Array[Float] =
     Metric.b1ToWords(l.value.asInstanceOf[ArrayData].toIntArray())
+
+  /** Decompose `w1·dist(c1,q1) + w2·dist(c2,q2) + …` — the
+    * `weighted_vector_search` sort form (sql/lantern.sql:673-819).
+    * Bare dist terms weigh 1.0. Weights must be positive literals: a
+    * negative weight inverts its term's ordering, so a union of
+    * per-term NEAREST candidates would be biased exactly wrong. */
+  private def matchWeighted(e: Expression)
+      : Option[Seq[(Double, String, AttributeReference, Array[Float])]] = {
+    def flat(x: Expression): Seq[Expression] = x match {
+      case Add(l, r, _) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    def num(l: Literal): Option[Double] = l.value match {
+      case d: java.lang.Double => Some(d)
+      case f: java.lang.Float => Some(f.toDouble)
+      case i: java.lang.Integer => Some(i.toDouble)
+      case n: java.lang.Long => Some(n.toDouble)
+      case _ => None
+    }
+    def term(x: Expression): Option[(Double, String, AttributeReference, Array[Float])] =
+      x match {
+        case Multiply(l: Literal, d, _) =>
+          for { w <- num(l); (m, a, q) <- matchDist(d) } yield (w, m, a, q)
+        case Multiply(d, l: Literal, _) =>
+          for { w <- num(l); (m, a, q) <- matchDist(d) } yield (w, m, a, q)
+        case d => matchDist(d).map { case (m, a, q) => (1.0, m, a, q) }
+      }
+    val ts = flat(e).map(term)
+    if (ts.size >= 2 && ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
+  }
 
   /** Resolve a sort expression through one Project level of aliases. */
   private def resolveThroughProject(e: Expression, child: LogicalPlan): Expression =
@@ -583,7 +647,41 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         gl.copy(child = ll.copy(child = newBody))
       }
-      rewritten.getOrElse(gl)
+      // weighted multi-term form: only when the single-distance form
+      // didn't match, unfiltered, every term indexed on the same table
+      lazy val weightedRewritten = for {
+        ws @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, child, _) <- sortOpt
+        (predOpt, rel, paths) <- findFilteredRelation(child)
+        if predOpt.isEmpty
+        terms <- matchWeighted(resolveThroughProject(sortExpr, child))
+        if terms.forall { case (w, _, a, _) => w > 0 && rel.outputSet.contains(a) }
+        metas = terms.map { case (_, m, a, _) => AnnCatalog.lookup(paths, a.name, m) }
+        if metas.forall(_.exists(mm => mm.kind == "hnsw" && mm.metric != "hamming"))
+        if metas.flatten.map(_.idCol).distinct.size == 1
+        idAttr <- rel.output.find(_.name == metas.head.get.idCol)
+      } yield {
+        val cid = AttributeReference("__graft_wcand_id", LongType)()
+        val ids = WeightedAnnIdsLogical(cid,
+          terms.zip(metas).map { case ((_, _, _, q), metaOpt) =>
+            val meta = metaOpt.get
+            (meta.artifact, q.toSeq, math.max(meta.ef, k))
+          })
+        // join-back (heap-fetch) + the ORIGINAL Sort+Limit re-ranking by
+        // the exact joint metric over the candidate union
+        val newSource = Project(rel.output,
+          Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
+            JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
+        val newChild = child match {
+          case p: Project => p.copy(child = newSource)
+          case _ => newSource
+        }
+        val newBody: LogicalPlan = {
+          val newSort = ws.copy(child = newChild)
+          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
+        }
+        gl.copy(child = ll.copy(child = newBody))
+      }
+      rewritten.orElse(weightedRewritten).getOrElse(gl)
   }
 }
 

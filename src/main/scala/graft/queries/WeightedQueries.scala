@@ -79,6 +79,55 @@ object WeightedQueries {
     if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** Planner-level weighted search: the SQL/DataFrame form
+    * `ORDER BY 0.7·l2sq_dist(emb,q) + 0.3·cos_dist(emb,q2) LIMIT 10`
+    * must (a) optimize into [[graft.plans.WeightedAnnIdsLogical]] (the
+    * per-term index union + joint-metric re-rank,
+    * sql/lantern.sql:673-819's plan shape), and (b) reach recall@10 ≥
+    * 0.8 vs the exact weighted top-10. Two metrics over one physical
+    * column exercise two separately-registered indexes on one table. */
+  private def weightedKnnPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{AnnIndex, AnnParams}
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val q2 = e.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val p1 = AnnQueries.artifactDir("ann", dir, "embeddings")
+    AnnQueries.cached(p1) {
+      AnnIndex.build(e, "vec_id", "embedding", p1,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val pCos = AnnQueries.artifactDir("anncosw", dir, "embeddings")
+    AnnQueries.cached(pCos) {
+      AnnIndex.build(e, "vec_id", "embedding", pCos,
+        AnnParams(m = 16, efConstruction = 128, ef = 64,
+          metric = "cos", numPartitions = 4))
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(p1, "vec_id", "embedding", "l2sq", ef = 64))
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(pCos, "vec_id", "embedding", "cos", ef = 64))
+    try {
+      val joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
+        lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
+      val knn = e.orderBy(joint).limit(10)
+      val planned = knn.queryExecution.optimizedPlan.collect {
+        case w: graft.plans.WeightedAnnIdsLogical => w
+      }.nonEmpty
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.withColumn("d", joint)
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      if (planned && recall >= 0.8) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   // ------------------------------------------------------------- MMR
 
   private val mmrK = 5
@@ -139,6 +188,7 @@ object WeightedQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("weighted_knn_exact", Some(oracle), weightedKnn),
     QueryDef("weighted_knn_ann", Some("SELECT 1 AS ok"), weightedKnnAnn),
+    QueryDef("weighted_knn_planner", Some("SELECT 1 AS ok"), weightedKnnPlanner),
     QueryDef("mmr_rerank", Some(mmrOracle), mmrRerank),
   )
 }

@@ -195,6 +195,57 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
+  test("weighted ORDER BY w1*dist+w2*dist routes through WeightedAnnIds") {
+    import graft.ann.{AnnIndex, AnnParams}
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val q2 = e.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wplan").toFile
+    val p1 = new java.io.File(tmp, "l2").toString
+    val p2 = new java.io.File(tmp, "cos").toString
+    AnnIndex.build(e, "vec_id", "embedding", p1,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
+    AnnIndex.build(e, "vec_id", "embedding", p2,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, metric = "cos", numPartitions = 2))
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(p1, "vec_id", "embedding", "l2sq", ef = 64))
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(p2, "vec_id", "embedding", "cos", ef = 64))
+    try {
+      def joint(w1: Double) =
+        lit(w1) * l2sq_dist(col("embedding"), lit(q)) +
+          lit(0.3) * cos_dist(col("embedding"), lit(q2))
+      val knn = e.orderBy(joint(0.7)).limit(10)
+      assert(knn.queryExecution.optimizedPlan.collect {
+        case w: WeightedAnnIdsLogical => w
+      }.nonEmpty, knn.queryExecution.optimizedPlan.toString)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.withColumn("d", joint(0.7))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.intersect(exact).size >= 8, s"recall too low: $got vs $exact")
+
+      // a NEGATIVE weight inverts a term's ordering — nearest-candidate
+      // unions are biased exactly wrong, so the rewrite must not fire
+      val neg = e.orderBy(joint(-0.7)).limit(10)
+      assert(neg.queryExecution.optimizedPlan.collect {
+        case w: WeightedAnnIdsLogical => w
+      }.isEmpty)
+
+      // a term without a registered index (hamming etc.) keeps exact
+      val unidx = e.orderBy(
+        lit(0.7) * l2sq_dist(col("embedding"), lit(q)) +
+          lit(0.3) * l2sq_dist(reverse(col("embedding")), lit(q2))).limit(10)
+      assert(unidx.queryExecution.optimizedPlan.collect {
+        case w: WeightedAnnIdsLogical => w
+      }.isEmpty)
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("planner fires through Filter for IVF indexes too (kind routed)") {
     import graft.ann.IvfIndex
     val dir = sf("sf0.001")

@@ -121,6 +121,44 @@ object Mixture {
     }
   }
 
+  /** Temperature-scaled mixture shares — exponentiated sampling
+    * smoothing, share(g) ∝ count(g)^α (Conneau & Lample, NeurIPS'19
+    * XLM; Devlin et al.'s mBERT exponent): α < 1 upweights
+    * low-resource groups. Computed with a FIXED evaluation order
+    * (groups sorted by name, sequential left-fold sum) so a SQL oracle
+    * replaying the same order reproduces the doubles bit-for-bit; with
+    * α = 0.5 every step is a single correctly-rounded IEEE op (sqrt,
+    * ·, /). Driver state is one entry per group. */
+  def temperatureShares(
+      counts: Map[String, Long], alpha: Double): Seq[(String, Double)] = {
+    val pows = counts.toSeq.sortBy(_._1)
+      .map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val z = pows.foldLeft(0.0)(_ + _._2)
+    pows.map { case (g, p) => g -> p / z }
+  }
+
+  /** Sample to the temperature-α mixture of `targetRows` rows: one
+    * count aggregate (groups-bounded), shares via
+    * [[temperatureShares]], then the map-side deterministic filter —
+    * same scale shape as [[sampleToMixture]]. */
+  def sampleByTemperature(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double,
+      targetRows: Long,
+      seed: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val rates = temperatureShares(counts, alpha).map { case (g, share) =>
+      g -> math.min(1.0, targetRows * share / counts(g))
+    }.toMap
+    sampleByRates(df, idCol, groupCol, rates, seed, defaultRate = 0.0)
+  }
+
   /** Sample `df` to the target mixture: plan (tiny driver step) +
     * map-side deterministic filter. */
   def sampleToMixture(

@@ -98,6 +98,27 @@ object Packing {
       .drop("__end_token")
   }
 
+  /** Length-grouped batch assignment — padding-efficient batching for
+    * LLM training/inference (dynamic batching à la fairseq/T5: batching
+    * similar-length sequences bounds per-batch padding waste
+    * n·max(len) − Σlen). Docs take the global (len DESC, id) order via
+    * the SAME two-level scan as block packing ([[runningTotal]] of 1s
+    * — no single-task global window), cut into `batchSize`-doc
+    * batches. Adds `batch` (0-based) to every row. */
+  def lengthBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: Column,
+      batchSize: Int,
+      buckets: Int = 0): DataFrame = {
+    require(batchSize > 0, s"graft: batchSize must be positive, got $batchSize")
+    runningTotal(
+        df.withColumn("__neg_len", -lenCol.cast("long")),
+        lit(1L), Seq(col("__neg_len"), col(idCol)), "__rank", buckets)
+      .withColumn("batch", expr(s"(__rank - 1) div $batchSize"))
+      .drop("__neg_len", "__rank")
+  }
+
   /** Deterministic seeded global shuffle + fixed-size shard
     * assignment — the final "write the training set" step. Rows are
     * totally ordered by `(polyhash31(seed ":" id), id)` (a

@@ -177,6 +177,34 @@ object Sessionize {
           payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
   }
 
+  /** [[asofJoin]] with a MAX-STALENESS tolerance — the feature-store
+    * freshness contract: a right-side value observed more than
+    * `tolerance` time units before the left row's time must NOT leak
+    * into features (a 3-week-old "latest price" is usually worse than
+    * none). Matches staler than the tolerance come back as NULLs,
+    * exactly as if no prior right row existed. Same single-Exchange
+    * window shape as [[asofJoin]]; the right event time rides along as
+    * one extra carried column. `timeCol` must be numeric (e.g. epoch
+    * micros) so `left.time − right.time ≤ tolerance` is exact integer
+    * arithmetic. */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"graft: tolerance must be >= 0, got $tolerance")
+    val tCol = "__asof_src_time"
+    val out = asofJoin(left, right.withColumn(tCol, col(timeCol)),
+      keyCol, timeCol, payloadCols :+ tCol)
+    val fresh = col(s"asof_$tCol").isNotNull &&
+      col(timeCol) - col(s"asof_$tCol") <= tolerance
+    payloadCols.foldLeft(out) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop(s"asof_$tCol")
+  }
+
   /** Strict-sequence funnel: per user, the time each step was FIRST
     * reached, where step i+1 only counts strictly after step i's
     * reach time. One groupBy(user_id) shuffle; the per-user event list

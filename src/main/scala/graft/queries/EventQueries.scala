@@ -130,6 +130,41 @@ object EventQueries {
       |  ON p.user_id = c.user_id AND p.es >= c.es
       |ORDER BY p.event_id""".stripMargin
 
+  /** As-of join with a 1-hour max-staleness tolerance: a click more
+    * than an hour before the purchase must NOT attribute (feature
+    * freshness). Oracle = DuckDB's native ASOF LEFT JOIN with the
+    * stale matches CASEd back to the no-match sentinel. */
+  private def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 3600L * 1000000L
+    val e = Tables.events(s, dir)
+      .withColumn("es", unix_micros(col("ts").cast("timestamp")))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy("user_id", "es").agg(max("event_id").as("click_id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "es")
+    Sessionize.asofJoinTolerance(
+        purchases, clicks, "user_id", "es", Seq("click_id"), tolUs)
+      .select(col("event_id"), col("user_id"), col("es"),
+        coalesce(col("asof_click_id"), lit(-1L)).as("click_id"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS es FROM events
+      |), c0 AS (
+      |  SELECT user_id, es, max(event_id) AS click_id FROM e
+      |  WHERE event_type = 'click' GROUP BY user_id, es
+      |), p AS (
+      |  SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_id, p.user_id, p.es,
+      |  CASE WHEN c.es IS NOT NULL AND p.es - c.es <= 3600000000
+      |       THEN c.click_id ELSE -1 END AS click_id
+      |FROM p ASOF LEFT JOIN c0 c
+      |  ON p.user_id = c.user_id AND p.es >= c.es
+      |ORDER BY p.event_id""".stripMargin
+
   private def funnel(s: SparkSession, dir: String): DataFrame =
     Sessionize.funnel(Tables.events(s, dir),
       Seq("signup", "click", "purchase"))
@@ -460,6 +495,7 @@ object EventQueries {
     QueryDef("funnel", Some(funnelOracle), funnel),
     QueryDef("funnel_rates", Some(funnelRatesOracle), funnelRates),
     QueryDef("asof_join", Some(asofJoinOracle), asofJoin),
+    QueryDef("asof_tolerance", Some(asofToleranceOracle), asofTolerance),
     QueryDef("rolling_features", Some(rollingOracle), rollingFeatures),
     QueryDef("streaming_asof", Some(streamingAsofOracle), streamingAsof),
     QueryDef("streaming_sessions", Some(sessionizeOracle), streamingSessions),

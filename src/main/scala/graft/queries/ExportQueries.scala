@@ -58,6 +58,99 @@ object ExportQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ----------------------------------------- temperature mixture
+
+  private val tempAlpha = 0.5
+  private val tempTarget = 400L
+  private val tempSeed = "temp7"
+
+  /** Temperature-scaled (α = 0.5) language mixture — exponentiated
+    * sampling smoothing (XLM / mBERT recipe): low-resource languages
+    * upweight relative to their raw share. α = 0.5 makes every share
+    * step a single correctly-rounded IEEE op (sqrt, ·, /) and both
+    * engines sum in lang-sorted order, so the oracle reproduces the
+    * doubles (and thus the integer thresholds) bit-for-bit. */
+  private def mixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    Mixture.sampleByTemperature(
+        Tables.documents(s, dir), "doc_id", "lang",
+        tempAlpha, tempTarget, tempSeed)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val mixtureTemperatureOracle =
+    s"""WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |z AS (SELECT list_reduce(
+       |        list_prepend(CAST(0 AS DOUBLE),
+       |          list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY lang)),
+       |        (a, b) -> a + b) AS zz FROM n),
+       |t AS (SELECT lang, cnt,
+       |    CAST(floor(least(1.0,
+       |      (CAST($tempTarget AS DOUBLE) * (sqrt(CAST(cnt AS DOUBLE)) / zz))
+       |        / CAST(cnt AS DOUBLE)) * ${Mixture.Mod}) AS BIGINT) AS thr
+       |  FROM n, z)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN t ON d.lang = t.lang
+       |WHERE ${mixHashSql(s"'$tempSeed:' || CAST(d.doc_id AS VARCHAR)")} < t.thr
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------- stratified sample
+
+  private val stratN = 30
+  private val stratSeed = "strat3"
+
+  /** Deterministic per-language sample of `stratN` docs: the seeded
+    * acceptance hash orders each stratum, row_number cuts it — a
+    * balanced eval pool carved reproducibly from any layout. */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.util.Sampling.stratifiedSample(
+        Tables.documents(s, dir), "doc_id", "lang", stratN, stratSeed)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val stratifiedSampleOracle =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY
+       |      ${mixHashSql(s"'$stratSeed:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS rn
+       |  FROM documents)
+       |WHERE rn <= $stratN ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------- length batching
+
+  private val lenBatchSize = 16
+
+  /** Padding-efficient length-grouped batching: docs in global
+    * (char-length DESC, id) order cut into 16-doc batches via the
+    * two-level scan (no single-task global window); per batch the
+    * padding waste n·max − Σlen is what dynamic batching minimizes. */
+  private def lengthBatches(s: SparkSession, dir: String): DataFrame =
+    Packing.lengthBatches(
+        Tables.documents(s, dir).withColumn("len", length(col("text"))),
+        "doc_id", col("len"), lenBatchSize)
+      .groupBy("batch")
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        max(col("len")).cast("long").as("max_len"),
+        sum(col("len")).cast("long").as("sum_len"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_len") - col("sum_len"))
+      .orderBy("batch")
+
+  private val lengthBatchesOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, length(text) AS len FROM documents
+       |), r AS (
+       |  SELECT doc_id, len,
+       |    (row_number() OVER (ORDER BY len DESC, doc_id) - 1)
+       |      // $lenBatchSize AS batch
+       |  FROM d)
+       |SELECT batch, CAST(count(*) AS INT) AS n_docs,
+       |  CAST(max(len) AS BIGINT) AS max_len,
+       |  CAST(sum(len) AS BIGINT) AS sum_len,
+       |  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_waste
+       |FROM r GROUP BY batch ORDER BY batch""".stripMargin
+
   // ----------------------------------------------------------- packing
 
   private val blockSize = 512
@@ -215,6 +308,9 @@ object ExportQueries {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("data_mixture", Some(dataMixtureOracle), dataMixture),
+    QueryDef("mixture_temperature", Some(mixtureTemperatureOracle), mixtureTemperature),
+    QueryDef("stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
+    QueryDef("length_batches", Some(lengthBatchesOracle), lengthBatches),
     QueryDef("dataset_split", Some(datasetSplitOracle), datasetSplit),
     QueryDef("pack_blocks", Some(packBlocksOracle), packBlocks),
     QueryDef("export_shards", Some(exportShardsOracle), exportShards),

@@ -24,4 +24,26 @@ object Sampling {
     require(keys.nonEmpty, "graft: hashSample needs at least one key column")
     df.orderBy(xxhash64(keys: _*)).limit(n)
   }
+
+  /** Deterministic STRATIFIED sample: up to `n` rows per group, chosen
+    * by the seeded acceptance hash of each row's id (eval-set carving,
+    * per-domain audits, balanced fine-tuning pools). One
+    * hash-partitioned window on the group key — layout-invariant,
+    * reproducible, no driver state; per-task memory is one group's
+    * window frame. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      n: Int,
+      seed: String): DataFrame = {
+    require(n > 0, s"graft: stratifiedSample needs n > 0, got $n")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(graft.ops.Mixture.sampleHash(col(idCol), seed), col(idCol))
+    df.withColumn("__sr", row_number().over(w))
+      .where(col("__sr") <= n)
+      .drop("__sr")
+  }
 }

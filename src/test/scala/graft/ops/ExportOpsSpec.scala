@@ -58,6 +58,54 @@ class ExportOpsSpec extends SparkTestBase {
 
   // ------------------------------------------- prefix sum / packing
 
+  test("temperatureShares: alpha=1 is raw shares, alpha<1 upweights small groups") {
+    val counts = Map("en" -> 900L, "zh" -> 100L)
+    val raw = Mixture.temperatureShares(counts, 1.0).toMap
+    assert(math.abs(raw("en") - 0.9) < 1e-12 && math.abs(raw("zh") - 0.1) < 1e-12)
+    val t = Mixture.temperatureShares(counts, 0.5).toMap
+    assert(t("zh") > 0.1 && t("en") < 0.9) // smoothing toward uniform
+    assert(math.abs(t.values.sum - 1.0) < 1e-12)
+    // sqrt(900)=30, sqrt(100)=10 → shares 0.75 / 0.25 exactly
+    assert(t("en") == 0.75 && t("zh") == 0.25)
+    val sampled = Mixture.sampleByTemperature(mixDf, "id", "g", 0.5, 300L, "t1")
+    val byG = sampled.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh (smallest stratum) keeps a larger fraction than en
+    assert(byG("zh").toDouble / 100 > byG("en").toDouble / 600)
+  }
+
+  test("stratifiedSample: exact per-group counts, deterministic, subset-stable") {
+    val s1 = graft.util.Sampling.stratifiedSample(mixDf, "id", "g", 20, "k")
+    val byG = s1.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.values.forall(_ == 20L))
+    val s2 = graft.util.Sampling.stratifiedSample(
+      mixDf.repartition(7), "id", "g", 20, "k")
+    assert(s1.select("id").as[Long].collect().toSet ==
+      s2.select("id").as[Long].collect().toSet) // layout-invariant
+    // n larger than a stratum returns the whole stratum
+    val all = graft.util.Sampling.stratifiedSample(mixDf, "id", "g", 5000, "k")
+    assert(all.count() == 1000)
+  }
+
+  test("lengthBatches: batch = global (len desc, id) rank div batchSize") {
+    val df = (0L until 100L).map(i => (i, 1L + (i * 37) % 50)).toDF("id", "len")
+    val got = Packing.lengthBatches(df, "id", col("len"), 8)
+      .select("id", "batch").as[(Long, Long)].collect().toMap
+    val expected = df.as[(Long, Long)].collect()
+      .sortBy { case (id, len) => (-len, id) }
+      .zipWithIndex.map { case ((id, _), r) => id -> (r / 8).toLong }.toMap
+    assert(got == expected)
+    // within any batch, every length >= any length of the NEXT batch
+    val byBatch = expected.groupBy(_._2)
+    val lens = df.as[(Long, Long)].collect().toMap
+    byBatch.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byBatch(a).keys.map(lens).min >= byBatch(b).keys.map(lens).max)
+      case _ =>
+    }
+  }
+
   test("runningTotal matches a sequential scan regardless of bucket count") {
     val rnd = new scala.util.Random(7)
     val vals = (0L until 500L).map(i => (i, rnd.nextInt(100).toLong))

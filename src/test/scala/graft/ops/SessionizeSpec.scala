@@ -72,6 +72,28 @@ class SessionizeSpec extends SparkTestBase {
       (4L, Some(999L)), (5L, None)))
   }
 
+  test("asofJoinTolerance: stale matches null out, fresh ones survive") {
+    val purchases = Seq(
+      (1L, 1L, 100L), // click at 95 → lag 5 ≤ 10: fresh
+      (2L, 1L, 200L), // latest click at 95 → lag 105 > 10: stale
+      (3L, 2L, 50L)) // no click at all
+      .toDF("event_id", "user_id", "es")
+    val clicks = Seq((1L, 95L, 7L)).toDF("user_id", "es", "click_id")
+    val out = Sessionize.asofJoinTolerance(
+        purchases, clicks, "user_id", "es", Seq("click_id"), tolerance = 10L)
+      .orderBy("event_id")
+      .select(col("event_id"), coalesce(col("asof_click_id"), lit(-1L)))
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 7L), (2L, -1L), (3L, -1L)))
+    // zero tolerance keeps only exact-time matches (inclusive ties)
+    val exact = Sessionize.asofJoinTolerance(
+        Seq((9L, 1L, 95L)).toDF("event_id", "user_id", "es"),
+        clicks, "user_id", "es", Seq("click_id"), tolerance = 0L)
+      .select(coalesce(col("asof_click_id"), lit(-1L)))
+      .as[Long].head()
+    assert(exact == 7L)
+  }
+
   test("funnel: strict ordering, partial prefixes, pre-step events ignored") {
     val evs = Seq(
       // user 1 completes signup→click→purchase, with a decoy click BEFORE signup

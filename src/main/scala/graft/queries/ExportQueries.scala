@@ -151,6 +151,36 @@ object ExportQueries {
        |  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_waste
        |FROM r GROUP BY batch ORDER BY batch""".stripMargin
 
+  // ----------------------------------------- z-order layout key
+
+  /** Morton-interleave clustering key over (user bucket, hour-of-day):
+    * the multi-column data-layout key (`sortWithinPartitions(z)`)
+    * that lets BOTH user and time predicates prune parquet row groups.
+    * The gate pins the exact bit math against a SQL replay. */
+  private def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("x", pmod(col("user_id"), lit(256L)))
+      .withColumn("y", pmod(
+        floor(unix_micros(col("ts").cast("timestamp")) / 3600000000L), lit(256L)))
+    e.select(col("event_id"), col("x"), col("y"),
+        graft.ops.ZOrder.zorderKey(col("x"), col("y"), bits = 8).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val zorderKeyOracle =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    user_id % 256 AS x,
+      |    (epoch_us(ts) // 3600000000) % 256 AS y
+      |  FROM events
+      |)
+      |SELECT event_id, x, y,
+      |  list_sum(list_transform(range(0, 8), b ->
+      |    ((x // (CAST(1 AS BIGINT) << b)) % 2) * (CAST(1 AS BIGINT) << (2*b)) +
+      |    ((y // (CAST(1 AS BIGINT) << b)) % 2) * (CAST(1 AS BIGINT) << (2*b+1))))
+      |    AS z
+      |FROM e ORDER BY event_id""".stripMargin
+
   // ----------------------------------------------------------- packing
 
   private val blockSize = 512
@@ -311,6 +341,7 @@ object ExportQueries {
     QueryDef("mixture_temperature", Some(mixtureTemperatureOracle), mixtureTemperature),
     QueryDef("stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
     QueryDef("length_batches", Some(lengthBatchesOracle), lengthBatches),
+    QueryDef("zorder_key", Some(zorderKeyOracle), zorderKey),
     QueryDef("dataset_split", Some(datasetSplitOracle), datasetSplit),
     QueryDef("pack_blocks", Some(packBlocksOracle), packBlocks),
     QueryDef("export_shards", Some(exportShardsOracle), exportShards),

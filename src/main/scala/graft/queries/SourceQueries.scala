@@ -136,10 +136,58 @@ object SourceQueries {
       |    AS sum_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  /** Salted skew join: events (skewed fact side) join a per-user
+    * aggregate through `SkewJoin.saltedJoin(salts = 8)` — hot keys
+    * split 8-way instead of pinning one reducer. The gate asserts the
+    * salted PLAN SHAPE (a Generate/explode feeding the join, keys
+    * widened by the salt, broadcast disabled so the shuffle path is
+    * the one exercised) and the aggregate must hash-match the plain
+    * SQL join — salting must change the partitioning, never the
+    * result. */
+  private def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    val perUser = e.groupBy("user_id")
+      .agg(sum(col("cents")).as("user_cents"))
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldBcast = s.conf.get(bcastKey)
+    try {
+      s.conf.set(bcastKey, "-1")
+      val joined = graft.ops.SkewJoin.saltedJoin(
+          e, perUser, "user_id", col("event_id"), salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("int").as("n"),
+          sum(col("cents")).as("cents"),
+          sum(col("user_cents")).as("user_cents"))
+        .orderBy("event_type")
+      val plan = joined.queryExecution.executedPlan.toString
+      val salted = plan.contains("Generate explode") &&
+        plan.contains("__salt")
+      val rows = if (salted) joined.collect() else Array.empty[Row]
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), joined.schema).orderBy("event_type")
+    } finally s.conf.set(bcastKey, oldBcast)
+  }
+
+  private val skewJoinOracle =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, sum(cents) AS user_cents FROM e GROUP BY user_id
+      |)
+      |SELECT e.event_type, CAST(count(*) AS INT) AS n,
+      |  CAST(sum(e.cents) AS BIGINT) AS cents,
+      |  CAST(sum(u.user_cents) AS BIGINT) AS user_cents
+      |FROM e JOIN u USING (user_id)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("parse_fvecs", Some(oracle), parseFvecs),
     QueryDef("jsonl_roundtrip", Some(jsonlOracle), jsonlRoundtrip),
     QueryDef("csv_roundtrip", Some(csvOracle), csvRoundtrip),
     QueryDef("bucketed_join", Some(bucketedJoinOracle), bucketedJoin),
+    QueryDef("skew_join", Some(skewJoinOracle), skewJoin),
   )
 }

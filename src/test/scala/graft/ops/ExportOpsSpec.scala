@@ -106,6 +106,56 @@ class ExportOpsSpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin: identical results to a plain join, salted plan shape") {
+    val fact = (0L until 400L)
+      .map(i => (i, if (i % 4 == 0) 1L else i % 50, i % 7))
+      .toDF("row_id", "k", "v") // key 1 is hot (every 4th row)
+    val dim = (0L until 50L).map(k => (k, k * 10)).toDF("k", "w")
+    val plain = fact.join(dim, Seq("k"))
+      .select("row_id", "k", "v", "w").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", col("row_id"), salts = 8)
+      .select("row_id", "k", "v", "w").as[(Long, Long, Long, Long)]
+    assert(salted.collect().toSet == plain)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(800))
+    // left join keeps unmatched left rows exactly once
+    val dimPart = dim.where($"k" < 10)
+    val lj = SkewJoin.saltedJoin(fact, dimPart, "k", col("row_id"), 8, "left")
+    assert(lj.count() == 400)
+    assert(lj.where($"w".isNull).count() ==
+      fact.join(dimPart, Seq("k"), "left").where($"w".isNull).count())
+  }
+
+  test("zorderKey: exact Morton interleave, range guard raises") {
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L))
+      .toDF("x", "y")
+    val got = df.select(ZOrder.zorderKey($"x", $"y", 8)).as[Long].collect()
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L))
+      .map { case (x, y) => morton(x, y, 8) }
+    assert(got.toSeq == want)
+    assert(want(3) == 65535L) // (255,255) fills all 16 bits
+    intercept[Exception] {
+      Seq((256L, 0L)).toDF("x", "y")
+        .select(ZOrder.zorderKey($"x", $"y", 8)).collect()
+    }
+    // locality: z-sorted points chunk into blocks whose x/y ranges are
+    // bounded (the row-group pruning property) — each 64-point block of
+    // the 16x16 z-curve spans an 8x8 tile
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("x", "y")
+    val sorted = grid
+      .select($"x", $"y", ZOrder.zorderKey($"x", $"y", 4).as("z"))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    sorted.grouped(64).foreach { block =>
+      assert(block.map(_._1).max - block.map(_._1).min <= 7)
+      assert(block.map(_._2).max - block.map(_._2).min <= 7)
+    }
+  }
+
   test("runningTotal matches a sequential scan regardless of bucket count") {
     val rnd = new scala.util.Random(7)
     val vals = (0L until 500L).map(i => (i, rnd.nextInt(100).toLong))

@@ -822,8 +822,48 @@ object TextQueries {
       """SELECT 0 AS rank, '' AS "left", '' AS "right" WHERE 1 = 0""")
   }
 
+  /** Incremental vocabulary tracking gate: the corpus splits into two
+    * doc-id-parity increments, each reduced to ONE persisted HLL
+    * sketch; the union estimate must (a) EQUAL the single whole-corpus
+    * sketch's estimate (DataSketches unions are lossless for same-lgK
+    * sketches — the incremental path adds nothing), and (b) land
+    * within 5% of the exact distinct-token count. Emits the EXACT
+    * count (SQL-replayable) only when both hold — same
+    * exercise-the-sketch-certify-with-truth policy as
+    * `approx_profile`. */
+  private def vocabIncrement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.text.CorpusStats
+    val toks = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.tokenize(col("text"))).as("tok"))
+    // one pass builds BOTH increment sketches (grouped by parity)…
+    val halves = toks
+      .groupBy(pmod(col("doc_id"), lit(2)).as("half"))
+      .agg(hll_sketch_agg(col("tok"), lit(12)).as("sketch"))
+    val incremental = CorpusStats.vocabUnionEstimate(halves.select("sketch"))
+    // …and one pass the whole-corpus sketch + the exact truth
+    val row = toks.agg(
+      countDistinct(col("tok")),
+      hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(12)))).head()
+    val (exact, whole) = (row.getLong(0), row.getLong(1))
+    val ok = incremental == whole &&
+      math.abs(incremental - exact) <= exact * 0.05
+    if (ok) Seq(exact).toDF("n_distinct_tokens")
+    else Seq.empty[Long].toDF("n_distinct_tokens")
+  }
+
+  private val vocabIncrementOracle =
+    """SELECT count(DISTINCT tok) AS n_distinct_tokens
+      |FROM (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("bpe_merges", Some(bpeMergesOracle), bpeMerges),
+    QueryDef("vocab_increment", Some(vocabIncrementOracle), vocabIncrement),
     QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
     QueryDef("bpe_encode", Some("SELECT 1 AS ok"), bpeEncode),
     QueryDef("export_tokenized", Some("SELECT 1 AS ok"), exportTokenized),

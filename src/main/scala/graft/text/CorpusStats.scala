@@ -151,6 +151,28 @@ object CorpusStats {
       .orderBy(col("lang"))
   }
 
+  /** One persisted-able HLL sketch of the distinct token vocabulary —
+    * the INCREMENTAL corpus-stats primitive: DataSketches HLL unions
+    * losslessly (`sketch(A ∪ B) == union(sketch(A), sketch(B))`), so a
+    * daily ingestion pipeline stores one small binary per increment
+    * and tracks corpus-lifetime vocabulary without ever re-scanning
+    * history. Returns a single-row frame with a `sketch` binary
+    * column; shuffle bytes are O(partitions × 2^lgK), independent of
+    * corpus size. */
+  def vocabSketch(df: DataFrame, textCol: String, lgK: Int = 12): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(explode(tokenize(col(textCol))).as("tok"))
+      .agg(hll_sketch_agg(col("tok"), lit(lgK)).as("sketch"))
+
+  /** Union previously-persisted increment sketches and estimate the
+    * lifetime distinct-token count. Strict mode: mixed-lgK sketches
+    * raise instead of silently degrading to the coarsest. */
+  def vocabUnionEstimate(sketches: DataFrame): Long =
+    sketches
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(false))).as("est"))
+      .head().getLong(0)
+
   /** Top-`topK` vocabulary with counts, rank, and cumulative corpus
     * coverage — the "how much of the stream do the head tokens
     * explain" profile used when sizing tokenizer vocabularies.

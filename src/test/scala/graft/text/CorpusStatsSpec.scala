@@ -53,4 +53,26 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(gate.size == 2)
     assert(gate("en").getLong(2) == 97)
   }
+
+  test("vocabSketch increments union to the whole-corpus sketch exactly") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"tok${i % 40} word${i % 17} shared common"))
+      .toDF("doc_id", "text")
+    val a = CorpusStats.vocabSketch(docs.where($"doc_id" % 2 === 0), "text")
+    val b = CorpusStats.vocabSketch(docs.where($"doc_id" % 2 === 1), "text")
+    val viaIncrements = CorpusStats.vocabUnionEstimate(a.unionByName(b))
+    val whole = CorpusStats.vocabUnionEstimate(
+      CorpusStats.vocabSketch(docs, "text"))
+    // DataSketches HLL unions are LOSSLESS at equal lgK: the split
+    // pipeline must agree with the one-shot sketch bit-for-bit
+    assert(viaIncrements == whole)
+    // 40 + 17 + 2 distinct tokens; HLL at lgK=12 is exact-ish here
+    assert(math.abs(viaIncrements - 59) <= 2)
+    // strict mode: mixed-lgK increments raise instead of degrading
+    val coarse = CorpusStats.vocabSketch(docs, "text", lgK = 8)
+    intercept[Exception] {
+      CorpusStats.vocabUnionEstimate(a.unionByName(coarse))
+    }
+  }
 }

@@ -192,6 +192,17 @@ class PlanShapeSpec extends SparkTestBase {
       // every probe's nearest neighbor is itself (probe rows are in the
       // indexed table)
       assert(byQ.forall { case (qid, ns) => ns.map(_._2).contains(qid) })
+
+      // the probe-side broadcast is byte-budget-gated: an over-budget
+      // outer side must raise the guiding error, not silently collect
+      val budgetKey = graft.GraftConf.KnnJoinBroadcastBytes
+      spark.conf.set(budgetKey, "8")
+      try {
+        val e2 = intercept[Exception] { spark.sql(sql).collect() }
+        def msgs(x: Throwable): Seq[String] =
+          if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+        assert(msgs(e2).exists(_.contains("searchMany")), e2.toString)
+      } finally spark.conf.unset(budgetKey)
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 

@@ -115,10 +115,92 @@ object TextPrepQueries {
       |    chr(10)) AS text_clean
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- language segmentation
+
+  /** Appended multi-language block: one French and one German sentence
+    * of marker words DISJOINT from every other language's list, so the
+    * injected segments label deterministically. */
+  private val LangSuffix =
+    ". les et une des dans pour! der und das nicht mit zu?"
+
+  /** Per-SENTENCE language segmentation rolled up per doc — the
+    * mixed-language-document profile (code-switching detection, per-
+    * segment routing to language-specific pipelines): sentence split →
+    * marker language id per sentence → dominant language, segment and
+    * language counts, minority fraction. The corpus is single-language
+    * per doc, so the mirrored injection adds known fr+de segments to
+    * every doc. One doc_id Exchange carries both windows. */
+  private def langSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = TextPrep.sentenceSplit(
+      Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), concat(col("text"), lit(LangSuffix)).as("text")),
+      "doc_id", "text")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.languageId(col("sentence")).as("slang"))
+    val counts = sents.groupBy("doc_id", "slang").agg(count(lit(1)).as("cnt"))
+    val doc = Window.partitionBy("doc_id")
+    val byCnt = doc.orderBy(col("cnt").desc, col("slang"))
+    counts
+      .withColumn("rn", row_number().over(byCnt))
+      .withColumn("total", sum("cnt").over(doc))
+      .withColumn("nl", count(lit(1)).over(doc))
+      .where(col("rn") === 1)
+      .select(col("doc_id"),
+        col("slang").as("dominant_lang"),
+        col("nl").cast("int").as("n_langs"),
+        col("total").cast("int").as("n_segments"),
+        (floor((lit(1.0) - col("cnt").cast("double") / col("total")) * 1e4
+          + 0.5) / 1e4).as("minority_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val langSegmentsOracle: String = {
+    val toks =
+      "list_distinct(list_filter(string_split_regex(lower(sentence), '[^a-z0-9]+'), x -> x <> ''))"
+    val scores = graft.text.TextAnalysis.markers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($toks, $list)) AS s_$lang"
+    }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    regexp_extract_all(text || '$LangSuffix', '[^.!?]+[.!?]+|[^.!?]+$$'),
+       |    x -> trim(x)), x -> x <> '') AS ss
+       |  FROM documents WHERE text IS NOT NULL
+       |), se AS (
+       |  SELECT doc_id, unnest(ss) AS sentence FROM t
+       |), scored AS (
+       |  SELECT doc_id, $scores FROM se
+       |), lab AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+       |      WHEN s_fr > s_es AND s_fr > s_de AND s_fr > s_en THEN 'fr'
+       |      WHEN s_es > s_de AND s_es > s_en THEN 'es'
+       |      WHEN s_de > s_en THEN 'de'
+       |      ELSE 'en'
+       |    END AS slang
+       |  FROM scored
+       |), c AS (
+       |  SELECT doc_id, slang, count(*) AS cnt FROM lab GROUP BY doc_id, slang
+       |), agg AS (
+       |  SELECT doc_id, slang, cnt,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, slang) AS rn,
+       |    sum(cnt) OVER (PARTITION BY doc_id) AS total,
+       |    count(*) OVER (PARTITION BY doc_id) AS nl
+       |  FROM c
+       |)
+       |SELECT doc_id, slang AS dominant_lang, CAST(nl AS INT) AS n_langs,
+       |  CAST(total AS INT) AS n_segments,
+       |  floor((1.0 - cnt * 1.0 / total) * 1e4 + 0.5) / 1e4 AS minority_frac
+       |FROM agg WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("chunk_documents", Some(chunkOracle), chunkDocuments),
     QueryDef("unicode_clean", Some(cleanOracle), unicodeClean),
     QueryDef("sentence_split", Some(sentenceOracle), sentenceSplit),
     QueryDef("collapse_lines", Some(collapseOracle), collapseLines),
+    QueryDef("lang_segments", Some(langSegmentsOracle), langSegments),
   )
 }

@@ -861,9 +861,101 @@ object TextQueries {
       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
+  /** Hybrid retrieval: BM25 top-20 over documents fused with the exact
+    * vector top-20 over embeddings by reciprocal-rank fusion
+    * (Cormack, Clarke & Büttcher, SIGIR'09) — the canonical
+    * lexical+vector combiner over exactly this engine's two retrieval
+    * paths. Ranks are taken over 4dp-floored scores with id
+    * tie-breaks so both engines rank identical values; the fused
+    * score replays exactly (≤ 2 double contributions per id). */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HybridSearch
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 1e4 + 0.5) / 1e4
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("terms"))
+    val inv = Bm25.createBm25Table(docs, "doc_id", "terms",
+      bloomThreshold = graft.GraftConf.bm25ApproxThreshold(s))
+    val bm = Bm25.searchBm25(inv, bm25Query, 20,
+        k1 = graft.GraftConf.bm25K1(s), b = graft.GraftConf.bm25B(s))
+      .select(col("doc_id"), r4(col("bm25")).as("sc"))
+    val bmRanked = HybridSearch.ranked(
+      bm, "doc_id", Seq(col("sc").desc, col("doc_id")))
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val vec = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        r4(graft.functions.l2sq_dist(col("embedding"), lit(q))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(20)
+    val vecRanked = HybridSearch.ranked(
+      vec, "vec_id", Seq(col("d"), col("vec_id")))
+    HybridSearch.rrf(Seq(bmRanked, vecRanked), n = 10)
+      .select(col("id"),
+        (floor(col("rrf_score") * 1e6 + 0.5) / 1e6).as("rrf"))
+  }
+
+  private val hybridRrfOracle: String = {
+    val termsList = bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
+    val l2 =
+      "list_sum(list_transform(list_zip(e.embedding, qr.q), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.t AS term
+       |  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+       |  WHERE u.t <> ''
+       |),
+       |doclen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n, avg(len) AS avgdl FROM doclen),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS fq FROM toks
+       |  WHERE term IN $termsList GROUP BY doc_id, term
+       |),
+       |idf AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |  WHERE term IN $termsList GROUP BY term
+       |),
+       |bm AS (
+       |  SELECT tf.doc_id,
+       |    floor(sum(
+       |      ln((corpus.n - idf.df + 0.5) / (idf.df + 0.5) + 1.0)
+       |      * tf.fq * 2.2
+       |      / (tf.fq + 1.2 * (1 - 0.75 + 0.75 * doclen.len / corpus.avgdl))
+       |    ) * 1e4 + 0.5) / 1e4 AS sc
+       |  FROM tf JOIN idf USING (term) JOIN doclen USING (doc_id)
+       |  CROSS JOIN corpus
+       |  GROUP BY tf.doc_id
+       |  ORDER BY sc DESC, tf.doc_id LIMIT 20
+       |),
+       |bmr AS (
+       |  SELECT doc_id AS id,
+       |    row_number() OVER (ORDER BY sc DESC, doc_id) AS rank
+       |  FROM bm
+       |),
+       |vec AS (
+       |  SELECT e.vec_id, floor($l2 * 1e4 + 0.5) / 1e4 AS d
+       |  FROM embeddings e,
+       |    (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qr
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY d, e.vec_id LIMIT 20
+       |),
+       |vr AS (
+       |  SELECT vec_id AS id,
+       |    row_number() OVER (ORDER BY d, vec_id) AS rank
+       |  FROM vec
+       |),
+       |u AS (
+       |  SELECT id, 1.0 / (60.0 + rank) AS c FROM bmr
+       |  UNION ALL
+       |  SELECT id, 1.0 / (60.0 + rank) AS c FROM vr
+       |)
+       |SELECT id, floor(sum(c) * 1e6 + 0.5) / 1e6 AS rrf
+       |FROM u GROUP BY id
+       |ORDER BY sum(c) DESC, id LIMIT 10""".stripMargin
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("bpe_merges", Some(bpeMergesOracle), bpeMerges),
     QueryDef("vocab_increment", Some(vocabIncrementOracle), vocabIncrement),
+    QueryDef("hybrid_rrf", Some(hybridRrfOracle), hybridRrf),
     QueryDef("bpe_train_gate", Some("SELECT 1 AS ok"), bpeTrainGate),
     QueryDef("bpe_encode", Some("SELECT 1 AS ok"), bpeEncode),
     QueryDef("export_tokenized", Some("SELECT 1 AS ok"), exportTokenized),

@@ -181,6 +181,51 @@ object ExportQueries {
       |    AS z
       |FROM e ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------- corpus snapshot diff
+
+  /** Snapshot diff audit: the "new" corpus derives from documents by a
+    * deterministic edit script (drop doc_id%97=3, append ' v2' where
+    * %101=5, add three fresh ids) — every id must classify
+    * added/removed/changed/unchanged. The engine compares 64-bit
+    * content hashes; the oracle compares the text itself — identical
+    * output absent an xxhash64 collision, which the gate would surface
+    * loudly. */
+  private def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val old = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val added = Seq(
+      (10000001L, "fresh document one"),
+      (10000002L, "fresh document two"),
+      (10000003L, "fresh document three")).toDF("doc_id", "text")
+    val neu = old
+      .where(pmod(col("doc_id"), lit(97)) =!= 3)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(101)) === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(added)
+    graft.ops.CorpusDiff.diff(old, neu, "doc_id", "text")
+      .orderBy("id")
+  }
+
+  private val corpusDiffOracle =
+    """WITH o AS (SELECT doc_id AS id, text FROM documents),
+      |n AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 101 = 5 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 97 <> 3
+      |  UNION ALL
+      |  SELECT * FROM (VALUES (10000001, 'fresh document one'),
+      |    (10000002, 'fresh document two'),
+      |    (10000003, 'fresh document three')) AS a(id, text)
+      |)
+      |SELECT coalesce(o.id, n.id) AS id,
+      |  CASE WHEN o.id IS NULL THEN 'added'
+      |       WHEN n.id IS NULL THEN 'removed'
+      |       WHEN o.text <> n.text THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.id = n.id
+      |ORDER BY id""".stripMargin
+
   // ----------------------------------------------------------- packing
 
   private val blockSize = 512
@@ -342,6 +387,7 @@ object ExportQueries {
     QueryDef("stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
     QueryDef("length_batches", Some(lengthBatchesOracle), lengthBatches),
     QueryDef("zorder_key", Some(zorderKeyOracle), zorderKey),
+    QueryDef("corpus_diff", Some(corpusDiffOracle), corpusDiff),
     QueryDef("dataset_split", Some(datasetSplitOracle), datasetSplit),
     QueryDef("pack_blocks", Some(packBlocksOracle), packBlocks),
     QueryDef("export_shards", Some(exportShardsOracle), exportShards),

@@ -377,17 +377,26 @@ case class AnnKnnJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val qIdx = child.output.indexWhere(_.exprId == queryAttr.exprId)
-    val rows = child.executeCollect()
-    val dim = rows.iterator.filterNot(_.isNullAt(qIdx))
-      .map(_.getArray(qIdx).numElements()).nextOption().getOrElse(0)
     val budget = graft.GraftConf.knnJoinBroadcastBytes(session)
-    val approxBytes = rows.length.toLong * (4L * dim + 16L)
-    require(approxBytes <= budget,
-      s"graft: lateral kNN join would broadcast ~$approxBytes bytes of " +
-        s"query vectors (${rows.length} outer rows), above " +
-        s"${graft.GraftConf.KnnJoinBroadcastBytes}=$budget — call " +
-        "graft.ann.AnnIndex.searchMany or ops.VectorSearch.knnJoin* " +
-        "directly for large probe sides")
+    // collect INCREMENTALLY (partition-at-a-time iterator) with a
+    // running byte estimate so an over-budget probe side aborts while
+    // draining, instead of only after the whole side sat on the driver
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var bytes = 0L
+    val it = child.executeToIterator()
+    while (it.hasNext) {
+      val r = it.next().copy()
+      val vecBytes =
+        if (r.isNullAt(qIdx)) 0L else 4L * r.getArray(qIdx).numElements()
+      bytes += vecBytes + 16L
+      if (bytes > budget) throw new IllegalArgumentException(
+        s"graft: lateral kNN join probe side exceeds ~$budget bytes " +
+          s"(${graft.GraftConf.KnnJoinBroadcastBytes}; ${buf.size + 1} rows " +
+          "drained so far) — call graft.ann.AnnIndex.searchMany or " +
+          "ops.VectorSearch.knnJoin* directly for large probe sides")
+      buf += r
+    }
+    val rows = buf.toArray
     val queries = rows.iterator.zipWithIndex
       .filterNot { case (r, _) => r.isNullAt(qIdx) }
       .map { case (r, i) => (i.toLong, r.getArray(qIdx).toFloatArray) }

@@ -454,12 +454,14 @@ object EventQueries {
     val e = Tables.events(s, dir)
       .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
     val dec = "decimal(38,0)"
-    // s2 accumulates in decimal: a long sum of squared cents overflows
-    // at ~1e9 events of $1000 each. s1 stays long (overflow needs
-    // ~9e13 such events per type) — cheaper partials on the hot sum.
+    // s2 squares AND accumulates in decimal: the per-row long square
+    // wraps silently past |cents| ≈ 3e9 (one $30M event), and a long
+    // sum overflows at ~1e9 events of $1000 each. s1 stays long
+    // (overflow needs ~9e13 such events per type) — cheaper partials
+    // on the hot sum.
     val stats = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
-        sum((col("cents") * col("cents")).cast(dec)).as("s2"))
+        sum(col("cents").cast(dec) * col("cents").cast(dec)).as("s2"))
       .select(col("event_type"),
         (col("s1").cast("double") / col("n")).as("mean_c"),
         sqrt((col("n").cast(dec) * col("s2")

@@ -30,11 +30,23 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, String),
       Seq[graft.text.BpeTrainer.Merge]]()
 
+  /** The merge table of the LAST char-regime training this JVM ran —
+    * what [[bpeMergesOracle]] interpolates. A plain memo scan would
+    * pick an arbitrary entry when two dataset dirs trained in one JVM
+    * (e.g. back-to-back Verify runs) and could pair one dir's result
+    * with another dir's oracle. */
+  private val lastCharMerges =
+    new java.util.concurrent.atomic.AtomicReference[
+      Seq[graft.text.BpeTrainer.Merge]](null)
+
   private[queries] def trainedMerges(
-      s: SparkSession, dir: String): Seq[graft.text.BpeTrainer.Merge] =
-    bpeMemo.computeIfAbsent((dir, BpeMergeCount, "char"), _ =>
+      s: SparkSession, dir: String): Seq[graft.text.BpeTrainer.Merge] = {
+    val ms = bpeMemo.computeIfAbsent((dir, BpeMergeCount, "char"), _ =>
       graft.text.BpeTrainer.train(
         Tables.documents(s, dir), "text", BpeMergeCount))
+    lastCharMerges.set(ms)
+    ms
+  }
 
   private def trainedByteMerges(
       s: SparkSession, dir: String): Seq[graft.text.BpeTrainer.Merge] =
@@ -810,17 +822,14 @@ object TextQueries {
     * recorded table IS the spec; an unpopulated memo yields an
     * empty-relation placeholder that fails the row-count compare
     * loudly instead of passing vacuously. */
-  private def bpeMergesOracle: String = {
-    import scala.jdk.CollectionConverters._
-    bpeMemo.asScala.collectFirst {
-      case ((_, _, "char"), ms) if ms.nonEmpty =>
-        def esc(x: String) = x.replace("'", "''")
-        val rows = ms.map(m =>
-          s"(${m.rank}, '${esc(m.left)}', '${esc(m.right)}')").mkString(", ")
-        s"""SELECT * FROM (VALUES $rows) AS t(rank, "left", "right") ORDER BY rank"""
+  private def bpeMergesOracle: String =
+    Option(lastCharMerges.get()).filter(_.nonEmpty).map { ms =>
+      def esc(x: String) = x.replace("'", "''")
+      val rows = ms.map(m =>
+        s"(${m.rank}, '${esc(m.left)}', '${esc(m.right)}')").mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) AS t(rank, "left", "right") ORDER BY rank"""
     }.getOrElse(
       """SELECT 0 AS rank, '' AS "left", '' AS "right" WHERE 1 = 0""")
-  }
 
   /** Incremental vocabulary tracking gate: the corpus splits into two
     * doc-id-parity increments, each reduced to ONE persisted HLL

@@ -409,15 +409,23 @@ case class AnnKnnJoinExec(
     val schema = StructType(output.map(a =>
       StructField(a.name, a.dataType, a.nullable)))
     val types = child.output.map(_.dataType)
-    val outRows = rows.iterator.zipWithIndex.flatMap { case (r, i) =>
-      byQ.getOrElse(i.toLong, Array.empty[Long]).map { nid =>
-        InternalRow.fromSeq(types.indices.map(j => r.get(j, types(j))) :+ nid)
-      }
-    }.toSeq
-    sparkContext.parallelize(outRows, math.max(1, outRows.size / 10000 + 1))
+    // expand the k-fanout DISTRIBUTIVELY: driver residency stays at the
+    // ingest budget (probe rows) + the neighbor-id map (≤ probes·k
+    // longs); the probe×k joined rows are built map-side from the
+    // broadcast result map, never materialized on the driver
+    val byQB = sparkContext.broadcast(byQ)
+    val nParts = math.max(1, math.min(rows.length,
+      sparkContext.defaultParallelism))
+    sparkContext.parallelize(rows.toSeq.zipWithIndex, nParts)
       .mapPartitions { it =>
         val proj = UnsafeProjection.create(schema)
-        it.map(row => proj(row).copy())
+        val m = byQB.value
+        it.flatMap { case (r, i) =>
+          m.getOrElse(i.toLong, Array.empty[Long]).iterator.map { nid =>
+            proj(InternalRow.fromSeq(
+              types.indices.map(j => r.get(j, types(j))) :+ nid)).copy()
+          }
+        }
       }
   }
 }

@@ -175,10 +175,10 @@ object ExportQueries {
       |  FROM events
       |)
       |SELECT event_id, x, y,
-      |  list_sum(list_transform(range(0, 8), b ->
+      |  CAST(list_sum(list_transform(range(0, 8), b ->
       |    ((x // (CAST(1 AS BIGINT) << b)) % 2) * (CAST(1 AS BIGINT) << (2*b)) +
       |    ((y // (CAST(1 AS BIGINT) << b)) % 2) * (CAST(1 AS BIGINT) << (2*b+1))))
-      |    AS z
+      |    AS BIGINT) AS z
       |FROM e ORDER BY event_id""".stripMargin
 
   // ----------------------------------------- corpus snapshot diff

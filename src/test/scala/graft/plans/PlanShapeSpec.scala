@@ -185,6 +185,11 @@ class PlanShapeSpec extends SparkTestBase {
       assert(q.queryExecution.executedPlan.collect {
         case a: AnnKnnJoinExec => a
       }.nonEmpty)
+      // joined output is produced DISTRIBUTIVELY (probe rows
+      // re-parallelized, k-fanout expanded map-side from the broadcast
+      // neighbor map) — not one driver-materialized partition
+      assert(q.queryExecution.toRdd.getNumPartitions > 1,
+        s"kNN-join output came from ${q.queryExecution.toRdd.getNumPartitions} partition(s)")
       val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
       val byQ = rows.groupBy(_._1)
       assert(byQ.keySet == Set(0L, 1L, 2L))

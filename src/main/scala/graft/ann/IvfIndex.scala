@@ -165,6 +165,62 @@ object IvfIndex {
       .select("id", "dist")
   }
 
+  /** Batch IVF search — the kNN-JOIN (LATERAL) scale path for the
+    * coarse-list kind, mirroring [[AnnIndex.searchMany]]'s contract and
+    * output shape (query_id, neighbor_id, dist, rank ≤ k): every query
+    * resolves its `nprobe` nearest lists on the driver (centroids are
+    * already driver-resident), the probed queries broadcast-join the
+    * ONE partition-pruned scan of the union of probed lists, and a
+    * per-query window rank keeps k. Index-side I/O is bounded by the
+    * union of probed lists — independent of the query count.
+    */
+  def searchMany(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (centroids, metric) = loadCentroids(spark, path)
+    val np = math.min(math.max(nprobe, 1), centroids.length)
+    val qn = queries.map { case (qid, q0) =>
+      val q = if (metric == "cos") {
+        var s = 0.0; q0.foreach(x => s += x.toDouble * x)
+        val n = math.sqrt(s)
+        if (n == 0.0) q0 else q0.map(x => (x / n).toFloat)
+      } else q0
+      (qid, q)
+    }
+    // per-query probe lists, same metric-aware ordering as probedScan
+    val probed = qn.flatMap { case (qid, q) =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        if (metric == "inner") {
+          while (j < q.length) { d -= q(j).toDouble * c(j); j += 1 }
+        } else {
+          while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+        }
+        (i, d)
+      }.sortBy(_._2).take(np).map { case (l, _) => (qid, q.toSeq, l) }
+    }
+    val allLists = probed.map(_._3).distinct
+    val qDf = probed.toDF("query_id", "__q", "list_id")
+    val base = spark.read.parquet(s"$path/$DataDir")
+      .where(col("list_id").isin(allLists: _*))
+    val scan = tombstones(spark, path) match {
+      case Some(t) => base.join(broadcast(t), Seq("id"), "left_anti")
+      case None => base
+    }
+    val distMetric = if (metric == "inner") "inner" else "l2sq"
+    val local = scan.join(broadcast(qDf), Seq("list_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        VectorSearch.distance(distMetric, col("vec"), col("__q")).as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    local.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** `WHERE pred ORDER BY dist LIMIT k` through the IVF index — the
     * post-filter scan analog for coarse-list indexes, mirroring
     * [[AnnIndex.searchFiltered]]'s contract: adaptive widening (probe

@@ -242,6 +242,113 @@ object IvfPqIndex {
     }
   }
 
+  /** Batch IVF-PQ search — the kNN-JOIN (LATERAL) path for the
+    * compact-code kind, output-compatible with [[AnnIndex.searchMany]]
+    * (query_id, neighbor_id, dist, rank ≤ k). One partition-pruned pass
+    * over the union of every query's probed lists; each scan task
+    * scores its rows against per-(query, list) residual LUTs built
+    * lazily executor-side from the broadcast (queries, centroids,
+    * codebook) — LUT state is (queries probing the task's lists) ×
+    * m × clusters doubles, never shipped. With `rerank` (float source)
+    * the per-query LUT top-`max(ef, 4k)` pool is re-ranked by the exact
+    * metric over the TABLE's true vectors in one broadcast join-back,
+    * same contract as [[search]]'s rerank arm.
+    */
+  def searchMany(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int = 8,
+      ef: Int = 64,
+      rerank: Option[(DataFrame, String, String)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val (centroids, metric) = loadCentroids(spark, path)
+    val cb = loadCodebook(spark, path)
+    val np = math.min(math.max(nprobe, 1), centroids.length)
+    val qn: Array[(Long, Array[Float])] = queries.iterator.map { case (qid, q0) =>
+      val q = if (metric == "cos") {
+        var s = 0.0; q0.foreach(x => s += x.toDouble * x)
+        val n = math.sqrt(s)
+        if (n == 0.0) q0 else q0.map(x => (x / n).toFloat)
+      } else q0
+      (qid, q)
+    }.toArray
+    // list → indexes into qn of the queries probing it (driver-side:
+    // centroids are already resident, queries are budget-bounded)
+    val byList: Map[Int, Array[Int]] = qn.zipWithIndex.flatMap { case ((_, q), qi) =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(np).map { case (l, _) => (l, qi) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val allLists = byList.keys.toSeq
+    val base = spark.read.parquet(s"$path/$DataDir")
+      .where(col("list_id").isin(allLists: _*))
+    val scan = tombstones(spark, path) match {
+      case Some(t) => base.join(broadcast(t), Seq("id"), "left_anti")
+      case None => base
+    }
+    val bcQ = spark.sparkContext.broadcast(qn)
+    val bcByList = spark.sparkContext.broadcast(byList)
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val scored = scan.select(col("id"), col("codes"), col("list_id")).rdd
+      .mapPartitions { it =>
+        val qs = bcQ.value; val bl = bcByList.value
+        val cents = bcCents.value; val book = bcCb.value
+        val luts = scala.collection.mutable.HashMap
+          .empty[(Int, Int), Array[Array[Double]]]
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val codes = r.getSeq[Short](1)
+          val list = r.getInt(2)
+          bl.getOrElse(list, Array.empty[Int]).iterator.map { qi =>
+            val lut = luts.getOrElseUpdate((qi, list), {
+              val q = qs(qi)._2; val c = cents(list)
+              val res = new Array[Float](q.length)
+              var j = 0
+              while (j < q.length) { res(j) = q(j) - c(j); j += 1 }
+              book.l2sqLut(res)
+            })
+            var s = 0; var d = 0.0
+            while (s < codes.length) { d += lut(s)(codes(s).toInt); s += 1 }
+            Row(qs(qi)._1, id, d)
+          }
+        }
+      }
+    val local = spark.createDataFrame(scored, StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("dist", DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    rerank match {
+      case None =>
+        local.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      case Some((src, srcId, srcVec)) =>
+        val pool = math.max(ef, 4 * k)
+        val cands = local.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= pool)
+          .select("query_id", "neighbor_id")
+        val qDf = qn.toSeq.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("query_id", "__q")
+        val srcVecCol =
+          if (metric == "cos") unitNorm(col(srcVec)) else col(srcVec)
+        val exact = src
+          .select(col(srcId).cast(LongType).as("neighbor_id"), srcVecCol.as("__v"))
+          .join(broadcast(cands), Seq("neighbor_id"))
+          .join(broadcast(qDf), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.l2sq_dist(col("__v"), col("__q")).as("dist"))
+        exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+  }
+
   /** Planner hook (`AnnScanExec kind = "ivfpq"`): the LUT top-`max(ef,k)`
     * candidates, each emitted as its RECONSTRUCTED vector
     * `centroid(list) + dequantize(codes)` — the exact `Sort+Limit` the

@@ -345,7 +345,16 @@ case class AnnKnnJoinLogical(
     artifact: String,
     k: Int,
     ef: Int,
-    metric: String) extends UnaryNode {
+    metric: String,
+    kind: String = "hnsw",
+    nprobe: Int = 0,
+    // ivfpq only: the indexed table (captured fragment, not a child) +
+    // its id/vec columns, so the exec can exact-rerank the LUT pool
+    // against the TABLE's true floats (the codes-only index never
+    // stores them)
+    table: Option[LogicalPlan] = None,
+    idCol: String = "",
+    vecCol: String = "") extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override protected def withNewChildInternal(c: LogicalPlan): AnnKnnJoinLogical =
@@ -368,6 +377,11 @@ case class AnnKnnJoinExec(
     k: Int,
     ef: Int,
     metric: String,
+    kind: String,
+    nprobe: Int,
+    table: Option[LogicalPlan],
+    idCol: String,
+    vecCol: String,
     child: SparkPlan) extends org.apache.spark.sql.execution.UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ outAttr
@@ -401,7 +415,20 @@ case class AnnKnnJoinExec(
       .filterNot { case (r, _) => r.isNullAt(qIdx) }
       .map { case (r, i) => (i.toLong, r.getArray(qIdx).toFloatArray) }
       .toSeq
-    val byQ = AnnIndex.searchMany(session, artifact, queries, k, ef)
+    // per-kind batched search, all sharing searchMany's output contract
+    // (query_id, neighbor_id, dist, rank)
+    val resultDf = kind match {
+      case "ivf" =>
+        graft.ann.IvfIndex.searchMany(session, artifact, queries, k,
+          nprobe = math.max(1, nprobe))
+      case "ivfpq" =>
+        val rr = table.map(t => (GraftSqlShim.ofRows(session, t), idCol, vecCol))
+        graft.ann.IvfPqIndex.searchMany(session, artifact, queries, k,
+          nprobe = math.max(1, nprobe), ef = ef, rerank = rr)
+      case _ =>
+        AnnIndex.searchMany(session, artifact, queries, k, ef)
+    }
+    val byQ = resultDf
       .select("query_id", "neighbor_id", "rank")
       .collect()
       .groupBy(_.getLong(0))
@@ -436,8 +463,10 @@ object AnnStrategy extends SparkStrategy {
       AnnScanExec(id, vec, artifact, q, k, ef, kind, nprobe) :: Nil
     case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) =>
       AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) :: Nil
-    case AnnKnnJoinLogical(left, qAttr, outAttr, artifact, k, ef, metric) =>
-      AnnKnnJoinExec(qAttr, outAttr, artifact, k, ef, metric, planLater(left)) :: Nil
+    case AnnKnnJoinLogical(left, qAttr, outAttr, artifact, k, ef, metric,
+        kind, nprobe, table, idCol, vecCol) =>
+      AnnKnnJoinExec(qAttr, outAttr, artifact, k, ef, metric,
+        kind, nprobe, table, idCol, vecCol, planLater(left)) :: Nil
     case WeightedAnnIdsLogical(cid, terms) =>
       WeightedAnnIdsExec(cid, terms) :: Nil
     case _ => Nil
@@ -713,9 +742,12 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * plan test, lantern_hnsw/test/sql/hnsw_select.sql:66-69). Without a
   * registered index the SQL keeps failing analysis, mirroring the
   * reference where the lateral form is only ever answered by an index
-  * scan. hnsw float metrics only: the subquery emits the table's id
-  * column, and hamming graphs store repacked words (not the table's
-  * b1 arrays), so the outer probe column wouldn't match shard layout.
+  * scan. Kinds: hnsw float metrics (batched graph search), ivf (one
+  * partition-pruned pass over the union of probed lists), and ivfpq
+  * (batched residual-LUT scoring + exact rerank against the table's
+  * floats). Hamming stays out: its graphs store repacked words, not
+  * the table's b1 arrays, so the outer probe column wouldn't match
+  * shard layout.
   */
 class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.Cross
@@ -791,12 +823,18 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (rel, paths) <- findRel(schild)
       if rel.outputSet.contains(vecAttr)
       meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
-      if meta.kind == "hnsw" && meta.metric != "hamming"
+      if (meta.kind == "hnsw" && meta.metric != "hamming") ||
+        meta.kind == "ivf" ||
+        (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric))
       idAttr <- rel.output.find(_.name == meta.idCol)
       // the subquery must emit exactly the table's id column
       if subOut.map(_.exprId) == Seq(idAttr.exprId)
     } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
-      meta.artifact, k, math.max(meta.ef, k), metric)
+      meta.artifact, k, math.max(meta.ef, k), metric,
+      meta.kind,
+      if (meta.kind == "ivf" || meta.kind == "ivfpq") meta.effectiveNprobe else 0,
+      if (meta.kind == "ivfpq") Some(rel) else None,
+      meta.idCol, meta.vecCol)
   }
 }
 

@@ -335,6 +335,89 @@ object AnnQueries {
     }
   }
 
+  /** Shared body of the non-hnsw lateral gates: register `meta` for the
+    * embeddings table, run the reference's LATERAL SQL shape, and
+    * require (a) the plan routed through AnnKnnJoinLogical with the
+    * expected index kind and (b) mean per-outer-row recall@3 ≥ 0.8 vs
+    * the exact kNN join with every outer row answered. */
+  private def lateralGateFor(s: SparkSession, dir: String,
+      meta: graft.plans.AnnCatalog.IndexMeta, view: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath, meta)
+    e.createOrReplaceTempView(view)
+    try {
+      val q = s.sql(
+        s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
+           |FROM (SELECT vec_id, embedding FROM $view WHERE vec_id < 5) p,
+           |LATERAL (
+           |  SELECT vec_id FROM $view
+           |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 3
+           |) t""".stripMargin)
+      val planned = q.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AnnKnnJoinLogical if a.kind == meta.kind => a
+      }.nonEmpty
+      def perQuery(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
+        rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ann = perQuery(q.collect().map(r => (r.getLong(0), r.getLong(1))))
+      val exact = perQuery(graft.ops.VectorSearch.knnJoinExact(
+          e.where(col("vec_id") < 5), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      // micro-averaged (integer hits / integer total): per-query double
+      // sums can land a true 12/15 = 0.8 at 0.7999999999999999
+      val hits = exact.iterator.map { case (qid, ex) =>
+        ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size
+      }.sum
+      val total = exact.valuesIterator.map(_.size).sum
+      if (planned && ann.keySet == exact.keySet &&
+          hits.toDouble >= 0.8 * total)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally {
+      AnnCatalog.unregister(s, tablePath)
+      s.catalog.dropTempView(view)
+      ()
+    }
+  }
+
+  /** Lateral kNN join through an IVF index: the same LATERAL SQL the
+    * hnsw gate runs must plan through AnnKnnJoinLogical(kind=ivf) —
+    * ONE partition-pruned pass over the union of the probed lists for
+    * all outer rows — and hold the recall contract. */
+  private def knnJoinIvfPlanner(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.IvfIndex
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ivf", dir, "embeddings")
+    cached(path) {
+      IvfIndex.build(e, "vec_id", "embedding", path, nlists = 16)
+    }
+    lateralGateFor(s, dir,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 64, kind = "ivf", nprobe = 12),
+      view = "graft_kjp_ivf")
+  }
+
+  /** Lateral kNN join through an IVF-PQ index: batched residual-LUT
+    * scoring over probed code lists, LUT pool exact-reranked against
+    * the table's true floats in one broadcast join-back. */
+  private def knnJoinIvfPqPlanner(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.IvfPqIndex
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ivfpq", dir, "embeddings")
+    cached(path) {
+      IvfPqIndex.build(e, "vec_id", "embedding", path,
+        nlists = 16, subvectors = 8, clusters = 64)
+    }
+    lateralGateFor(s, dir,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 256, kind = "ivfpq", nprobe = 8),
+      view = "graft_kjp_ivfpq")
+  }
+
   /** Autotune gate (`autotune-index`, index_autotune/mod.rs:280-526):
     * a deterministic run (hash-sampled queries, fixed build seeds)
     * over the reference's six-variant grid, persisted as a report. A
@@ -672,6 +755,8 @@ object AnnQueries {
     QueryDef("knn_ivfpq_filtered_planner", Some("SELECT 1 AS ok"), ivfpqFilteredPlanner),
     QueryDef("knn_join_ann", Some("SELECT 1 AS ok"), knnJoinAnn),
     QueryDef("knn_join_planner", Some("SELECT 1 AS ok"), knnJoinPlanner),
+    QueryDef("knn_join_ivf_planner", Some("SELECT 1 AS ok"), knnJoinIvfPlanner),
+    QueryDef("knn_join_ivfpq_planner", Some("SELECT 1 AS ok"), knnJoinIvfPqPlanner),
     QueryDef("autotune_pick", Some("SELECT 1 AS ok"), autotunePick),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),

@@ -78,4 +78,25 @@ class IvfPqSpec extends SparkTestBase {
       .collect().map(_.getLong(0))
     assert(!after.contains(2L), s"tombstoned id still served: ${after.toSeq}")
   }
+
+  test("searchMany with rerank matches per-query reranked search") {
+    val e = Tables.embeddings(spark, sfDir("sf0.001"))
+    val path = Files.createTempDirectory("graft-ivfpqm").toString + "/idx"
+    IvfPqIndex.build(e, "vec_id", "embedding", path,
+      nlists = 8, subvectors = 8, clusters = 64)
+    val queries = e.where(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val batch = IvfPqIndex.searchMany(spark, path, queries, k = 5,
+        nprobe = 4, ef = 128, rerank = Some((e, "vec_id", "embedding")))
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    queries.foreach { case (qid, q) =>
+      val single = IvfPqIndex.search(spark, path, q, k = 5, nprobe = 4,
+          rerank = Some((e, "vec_id", "embedding")), ef = 128)
+        .collect().map(_.getLong(0)).toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(got === single, s"qid=$qid")
+    }
+  }
 }

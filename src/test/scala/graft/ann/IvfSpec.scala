@@ -75,4 +75,22 @@ class IvfSpec extends SparkTestBase {
     // both same-direction vectors tie at cos-dist 0 (id order), then orthogonal
     assert(res.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("searchMany matches per-query search (one pruned pass, all queries)") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val path = Files.createTempDirectory("graft-ivfm").toString + "/idx"
+    IvfIndex.build(e, "vec_id", "embedding", path, nlists = 8)
+    val queries = e.where(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val batch = IvfIndex.searchMany(spark, path, queries, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    queries.foreach { case (qid, q) =>
+      val single = IvfIndex.search(spark, path, q, 5, nprobe = 3)
+        .collect().map(_.getLong(0)).toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(got === single, s"qid=$qid")
+    }
+  }
 }

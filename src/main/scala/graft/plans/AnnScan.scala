@@ -554,6 +554,40 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ts.size >= 2 && ts.forall(_.isDefined)) Some(ts.map(_.get)) else None
   }
 
+  /** True iff `p` is the reference's `max_dist` filter for exactly the
+    * weighted sort `terms`: the SAME joint expression compared
+    * `< / <=` a literal, modulo optimizer-inferred IsNotNull conjuncts
+    * (InferFiltersFromConstraints adds those above vector columns).
+    */
+  private def isMaxDistPred(
+      p: Expression,
+      terms: Seq[(Double, String, AttributeReference, Array[Float])],
+      child: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def sameTerms(e: Expression): Boolean =
+      matchWeighted(resolveThroughProject(e, child)).exists { ts =>
+        ts.size == terms.size && ts.zip(terms).forall {
+          case ((w1, m1, a1, q1), (w2, m2, a2, q2)) =>
+            w1 == w2 && m1 == m2 && a1.exprId == a2.exprId && q1.sameElements(q2)
+        }
+      }
+    val (notNulls, rest) = conjuncts(p).partition {
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    notNulls.forall(_.references.subsetOf(AttributeSet(terms.map(_._3)))) &&
+      (rest match {
+        case Seq(LessThan(e, _: Literal)) => sameTerms(e)
+        case Seq(LessThanOrEqual(e, _: Literal)) => sameTerms(e)
+        case Seq(GreaterThan(_: Literal, e)) => sameTerms(e)
+        case Seq(GreaterThanOrEqual(_: Literal, e)) => sameTerms(e)
+        case _ => false
+      })
+  }
+
   /** Resolve a sort expression through one Project level of aliases. */
   private def resolveThroughProject(e: Expression, child: LogicalPlan): Expression =
     child match {
@@ -694,13 +728,20 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         gl.copy(child = ll.copy(child = newBody))
       }
       // weighted multi-term form: only when the single-distance form
-      // didn't match, unfiltered, every term indexed on the same table
+      // didn't match, every term indexed on the same table. A predicate
+      // is accepted ONLY in the reference's `max_dist` shape — the SAME
+      // joint expression `< / <=` a literal (sql/lantern.sql:673-819's
+      // max_dist parameter; general predicates keep the exact plan).
+      // The original Filter re-applies above the join-back, so within
+      // the candidate union semantics stay exact; like the reference,
+      // a max_dist that starves the limit returns the passing subset
+      // of the candidates.
       lazy val weightedRewritten = for {
         ws @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, child, _) <- sortOpt
         (predOpt, rel, paths) <- findFilteredRelation(child)
-        if predOpt.isEmpty
         terms <- matchWeighted(resolveThroughProject(sortExpr, child))
         if terms.forall { case (w, _, a, _) => w > 0 && rel.outputSet.contains(a) }
+        if predOpt.forall(p => isMaxDistPred(p, terms, child))
         metas = terms.map { case (_, m, a, _) => AnnCatalog.lookup(paths, a.name, m) }
         if metas.forall(_.exists(mm => mm.kind == "hnsw" && mm.metric != "hamming"))
         if metas.flatten.map(_.idCol).distinct.size == 1
@@ -717,9 +758,21 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val newSource = Project(rel.output,
           Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
             JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
-        val newChild = child match {
-          case p: Project => p.copy(child = newSource)
-          case _ => newSource
+        val newChild = predOpt match {
+          case Some(_) =>
+            // splice the join-back where the relation sat; the Filter
+            // (max_dist) stays and re-applies over the candidates
+            def splice(p: LogicalPlan): LogicalPlan = p match {
+              case lr: LogicalRelation if lr eq rel => newSource
+              case pr: Project => pr.copy(child = splice(pr.child))
+              case f: Filter => f.copy(child = splice(f.child))
+              case other => other
+            }
+            splice(child)
+          case None => child match {
+            case p: Project => p.copy(child = newSource)
+            case _ => newSource
+          }
         }
         val newBody: LogicalPlan = {
           val newSort = ws.copy(child = newChild)

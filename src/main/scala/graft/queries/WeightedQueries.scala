@@ -128,6 +128,70 @@ object WeightedQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** Planner-level weighted search under `max_dist` (the ONE predicate
+    * the reference's `weighted_vector_search` accepts,
+    * sql/lantern.sql:673-819): `WHERE joint < md ORDER BY joint LIMIT k`
+    * must still route through [[graft.plans.WeightedAnnIdsLogical]] —
+    * the Filter re-applies above the join-back — while any OTHER
+    * predicate keeps the exact plan. Gated on: plan shape for the
+    * max_dist form, exact-plan for a general predicate, every returned
+    * row actually under md, and recall@10 ≥ 0.8 vs the exact filtered
+    * top-10. */
+  private def weightedKnnMaxdistPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{AnnIndex, AnnParams}
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val q2 = e.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val p1 = AnnQueries.artifactDir("ann", dir, "embeddings")
+    AnnQueries.cached(p1) {
+      AnnIndex.build(e, "vec_id", "embedding", p1,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val pCos = AnnQueries.artifactDir("anncosw", dir, "embeddings")
+    AnnQueries.cached(pCos) {
+      AnnIndex.build(e, "vec_id", "embedding", pCos,
+        AnnParams(m = 16, efConstruction = 128, ef = 64,
+          metric = "cos", numPartitions = 4))
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(p1, "vec_id", "embedding", "l2sq", ef = 64))
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(pCos, "vec_id", "embedding", "cos", ef = 64))
+    try {
+      def joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
+        lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
+      // md = the 20th smallest joint distance: ~19 rows pass, so the
+      // filter genuinely cuts while the LIMIT 10 stays satisfiable
+      val md = e.withColumn("d", joint).orderBy(col("d"))
+        .limit(20).agg(max(col("d"))).head().getDouble(0)
+      def planned(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case w: graft.plans.WeightedAnnIdsLogical => w
+        }.nonEmpty
+      val knn = e.where(joint < md).orderBy(joint).limit(10)
+      val got = knn.select("vec_id", "embedding").collect()
+      val gotIds = got.map(_.getLong(0)).toSet
+      val exact = e.withColumn("d", joint).where(col("d") < md)
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = gotIds.intersect(exact).size.toDouble / exact.size
+      val allUnder = e.withColumn("d", joint)
+        .where(col("vec_id").isin(gotIds.toSeq: _*))
+        .select("d").collect().forall(_.getDouble(0) < md)
+      // a general predicate must NOT fire the weighted rewrite
+      val general = e.where(col("vec_id") % 3 === 0)
+        .orderBy(joint).limit(10)
+      if (planned(knn) && !planned(general) && allUnder && recall >= 0.8)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   // ------------------------------------------------------------- MMR
 
   private val mmrK = 5
@@ -189,6 +253,8 @@ object WeightedQueries {
     QueryDef("weighted_knn_exact", Some(oracle), weightedKnn),
     QueryDef("weighted_knn_ann", Some("SELECT 1 AS ok"), weightedKnnAnn),
     QueryDef("weighted_knn_planner", Some("SELECT 1 AS ok"), weightedKnnPlanner),
+    QueryDef("weighted_knn_maxdist_planner", Some("SELECT 1 AS ok"),
+      weightedKnnMaxdistPlanner),
     QueryDef("mmr_rerank", Some(mmrOracle), mmrRerank),
   )
 }

@@ -181,6 +181,58 @@ object ExportQueries {
       |    AS BIGINT) AS z
       |FROM e ORDER BY event_id""".stripMargin
 
+  /** N-ary Z-order budgets for the gate: (user bucket 6 bits, hour
+    * 5 bits, type bucket 3 bits) — deliberately unequal so the
+    * round-robin position assignment (not just the strided 2-ary
+    * special case) is what the SQL replay pins. */
+  private val zorderNBudgets = Seq(6, 5, 3)
+
+  /** (colIdx, level, outPos) triples of the round-robin interleave —
+    * the same assignment [[graft.ops.ZOrder.zorderKeyN]] unrolls, made
+    * explicit here so the oracle emits literal bit positions. */
+  private def zorderNPositions: Seq[(Int, Int, Int)] = {
+    var pos = 0
+    for {
+      level <- 0 until zorderNBudgets.max
+      i <- zorderNBudgets.indices
+      if level < zorderNBudgets(i)
+    } yield { val p = pos; pos += 1; (i, level, p) }
+  }
+
+  /** 3-ary Morton key over (user bucket, hour-of-day, event-type
+    * bucket) with per-dimension bit budgets — the layout key a real
+    * events table wants (`sortWithinPartitions(z)` prunes row groups
+    * for user AND time AND type predicates). Bit math pinned against
+    * a literal SQL replay of the same positions. */
+  private def zorderNKey(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("x", pmod(col("user_id"), lit(64L)))
+      .withColumn("y", pmod(
+        floor(unix_micros(col("ts").cast("timestamp")) / 3600000000L), lit(32L)))
+      .withColumn("t", pmod(ascii(substring(col("event_type"), 1, 1)), lit(8)))
+    e.select(col("event_id"), col("x"), col("y"), col("t"),
+        graft.ops.ZOrder.zorderKeyN(
+          Seq(col("x") -> 6, col("y") -> 5, col("t") -> 3)).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val zorderNKeyOracle: String = {
+    val cols = Seq("x", "y", "t")
+    val terms = zorderNPositions.map { case (i, level, p) =>
+      s"((${cols(i)} // (CAST(1 AS BIGINT) << $level)) % 2) * (CAST(1 AS BIGINT) << $p)"
+    }.mkString(" +\n      |  ")
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    user_id % 64 AS x,
+       |    (epoch_us(ts) // 3600000000) % 32 AS y,
+       |    ascii(substr(event_type, 1, 1)) % 8 AS t
+       |  FROM events
+       |)
+       |SELECT event_id, x, y, t,
+       |  CAST($terms AS BIGINT) AS z
+       |FROM e ORDER BY event_id""".stripMargin
+  }
+
   // ----------------------------------------- corpus snapshot diff
 
   /** Snapshot diff audit: the "new" corpus derives from documents by a
@@ -387,6 +439,7 @@ object ExportQueries {
     QueryDef("stratified_sample", Some(stratifiedSampleOracle), stratifiedSample),
     QueryDef("length_batches", Some(lengthBatchesOracle), lengthBatches),
     QueryDef("zorder_key", Some(zorderKeyOracle), zorderKey),
+    QueryDef("zorder_key_nary", Some(zorderNKeyOracle), zorderNKey),
     QueryDef("corpus_diff", Some(corpusDiffOracle), corpusDiff),
     QueryDef("dataset_split", Some(datasetSplitOracle), datasetSplit),
     QueryDef("pack_blocks", Some(packBlocksOracle), packBlocks),

@@ -156,6 +156,46 @@ class ExportOpsSpec extends SparkTestBase {
     }
   }
 
+  test("zorderKeyN: round-robin interleave, budget exhaustion, 2-ary parity") {
+    // reference model of the documented assignment: round-robin from
+    // the LSB over columns with bits left at each level
+    def mortonN(vs: Seq[Long], budgets: Seq[Int]): Long = {
+      var pos = 0
+      var z = 0L
+      for (level <- 0 until budgets.max; i <- budgets.indices if level < budgets(i)) {
+        z |= ((vs(i) >> level) & 1L) << pos
+        pos += 1
+      }
+      z
+    }
+    val budgets = Seq(3, 2, 1)
+    val pts = Seq(Seq(7L, 3L, 1L), Seq(5L, 2L, 0L), Seq(0L, 0L, 1L), Seq(4L, 1L, 1L))
+    val df = pts.map(p => (p(0), p(1), p(2))).toDF("a", "b", "c")
+    val got = df.select(ZOrder.zorderKeyN(
+        Seq($"a" -> 3, $"b" -> 2, $"c" -> 1)).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map(mortonN(_, budgets)))
+    // (7,3,1) fills all 6 positions
+    assert(got.head == 63L)
+    // equal budgets reduce to the 2-ary strided key
+    val two = Seq((170L, 85L), (3L, 9L)).toDF("x", "y")
+    assert(
+      two.select(ZOrder.zorderKeyN(Seq($"x" -> 8, $"y" -> 8))).as[Long].collect().toSeq ==
+        two.select(ZOrder.zorderKey($"x", $"y", 8)).as[Long].collect().toSeq)
+    // per-column range guard raises with the column index
+    val e = intercept[Exception] {
+      Seq((8L, 0L, 0L)).toDF("a", "b", "c")
+        .select(ZOrder.zorderKeyN(Seq($"a" -> 3, $"b" -> 2, $"c" -> 1))).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("column 0")), e.toString)
+    // budget-sum cap
+    intercept[IllegalArgumentException] {
+      ZOrder.zorderKeyN(Seq($"a" -> 31, $"b" -> 31, $"c" -> 2))
+    }
+  }
+
   test("runningTotal matches a sequential scan regardless of bucket count") {
     val rnd = new scala.util.Random(7)
     val vals = (0L until 500L).map(i => (i, rnd.nextInt(100).toLong))

@@ -131,6 +131,11 @@ object Mixture {
     * ·, /). Driver state is one entry per group. */
   def temperatureShares(
       counts: Map[String, Long], alpha: Double): Seq[(String, Double)] = {
+    // a null group key would NPE inside the name sort below with no
+    // hint at the cause — fail with the fix spelled out instead
+    require(counts.keysIterator.forall(_ != null),
+      "graft: temperatureShares requires non-null group keys — " +
+        "coalesce the group column to a sentinel (e.g. '__null__') first")
     val pows = counts.toSeq.sortBy(_._1)
       .map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
     val z = pows.foldLeft(0.0)(_ + _._2)

@@ -884,9 +884,13 @@ object TextQueries {
       .select(col("doc_id"), tokenize(col("text")).as("terms"))
     val inv = Bm25.createBm25Table(docs, "doc_id", "terms",
       bloomThreshold = graft.GraftConf.bm25ApproxThreshold(s))
-    val bm = Bm25.searchBm25(inv, bm25Query, 20,
+    // cut the top-20 on the FLOORED score (over a 2x raw pool): the
+    // oracle orders by the floored value, so cutting on the raw score
+    // could pick a different member of a 4dp tie group at the boundary
+    val bm = Bm25.searchBm25(inv, bm25Query, 40,
         k1 = graft.GraftConf.bm25K1(s), b = graft.GraftConf.bm25B(s))
       .select(col("doc_id"), r4(col("bm25")).as("sc"))
+      .orderBy(col("sc").desc, col("doc_id")).limit(20)
     val bmRanked = HybridSearch.ranked(
       bm, "doc_id", Seq(col("sc").desc, col("doc_id")))
     val e = Tables.embeddings(s, dir)

@@ -72,6 +72,21 @@ class ExportOpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // zh (smallest stratum) keeps a larger fraction than en
     assert(byG("zh").toDouble / 100 > byG("en").toDouble / 600)
+    // a null group key must fail with the coalesce hint, not NPE in
+    // the name sort
+    val e = intercept[IllegalArgumentException] {
+      Mixture.temperatureShares(Map("en" -> 1L, (null: String) -> 2L), 0.5)
+    }
+    assert(e.getMessage.contains("coalesce"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Mixture.sampleByTemperature(
+        mixDf.withColumn("g",
+          when($"g" === "zh", lit(null: String)).otherwise($"g")),
+        "id", "g", 0.5, 300L, "t1").count()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e2).exists(_.contains("non-null group")), e2.toString)
   }
 
   test("stratifiedSample: exact per-group counts, deterministic, subset-stable") {
@@ -125,6 +140,41 @@ class ExportOpsSpec extends SparkTestBase {
     assert(lj.count() == 400)
     assert(lj.where($"w".isNull).count() ==
       fact.join(dimPart, Seq("k"), "left").where($"w".isNull).count())
+  }
+
+  test("salted join splits a hot key across partitions (no >2/salts straggler)") {
+    // force the shuffle path: broadcast would keep the left side in its
+    // scan partitions and the salt would never reach a partitioner
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    // AQE would coalesce this deliberately tiny shuffle back into one
+    // partition and hide the salt spread the test measures
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val salts = 8
+      val hot = (0L until 8000L).map(i => (1L, i)).toDF("k", "row_id")
+      val cold = (0L until 100L).map(i => (2L + i, 100000L + i)).toDF("k", "row_id")
+      val fact = hot.union(cold)
+      val dim = (1L to 200L).map(k => (k, k * 10)).toDF("k", "w")
+      val joined = SkewJoin.saltedJoin(fact, dim, "k", col("row_id"), salts)
+      val perPart = joined.where($"k" === 1L)
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().collect().map(_.getLong(1))
+      assert(perPart.sum == 8000L)
+      assert(perPart.length > 1, "hot key landed in a single partition")
+      // the straggler bound salting exists to provide: no partition may
+      // hold more than 2/salts of the hot key's rows (a salt-pair hash
+      // collision is the worst case at 64 shuffle partitions)
+      assert(perPart.max <= perPart.sum * 2 / salts,
+        s"straggler partition: ${perPart.sorted.reverse.toSeq}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("zorderKey: exact Morton interleave, range guard raises") {

@@ -216,26 +216,44 @@ object EventQueries {
        |    AS median_conv_s
        |FROM f GROUP BY reached ORDER BY reached""".stripMargin
 
-  /** Streaming sessionizer fed the whole events table in 4 event-time
-    * -ordered chunks + a sentinel chunk (one far-future event per user,
-    * closing every real session; the sentinels' own sessions stay open
-    * and never emit). Result must hash-match the BATCH sessionize
-    * oracle — the stream/batch parity gate. */
-  private def streamingSessions(s: SparkSession, dir: String): DataFrame = {
+  /** Event-time-range chunk files of an events projection — the shared
+    * FILE-source feed of the event streaming gates (no driver
+    * materialization of the stream input; only the min/max(es)
+    * aggregate reaches the driver). `extra` appends trailing chunks
+    * (sentinels/flushes — pure functions of the dataset). */
+  private def eventChunks(
+      s: SparkSession, dir: String, tag: String, base: DataFrame,
+      extra: Seq[(Long, Long) => DataFrame] = Nil): Seq[java.io.File] = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (minEs, maxEs) = base.agg(min("es_us"), max("es_us"))
+      .as[(Long, Long)].head()
+    val width = (maxEs - minEs) / 4 + 1
+    val chunkRoot = AnnQueries.artifactDir(tag, dir, "events")
+    StreamChunks.materialize(chunkRoot,
+      (0 until 4).map { c => () =>
+        base.where(col("es_us") >= minEs + c * width &&
+          col("es_us") < minEs + (c + 1) * width)
+      } ++ extra.map(mk => () => mk(minEs, maxEs)))
+  }
+
+  /** Streaming sessionizer fed the whole events table through the FILE
+    * source as 4 event-time-range parquet chunk files (`readStream` +
+    * `maxFilesPerTrigger 1`) + a sentinel chunk (one far-future event
+    * per user, closing every real session; the sentinels' own sessions
+    * stay open and never emit). Result must hash-match the BATCH
+    * sessionize oracle — the stream/batch parity gate. */
+  private def streamingSessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
-    val evs = Tables.events(s, dir)
+    val base = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("es"), col("value"))
-      .as[(Long, Long, Long, Double)].collect()
-      .sortBy(t => (t._3, t._2))
-    val flushEs = evs.map(_._3).max + GapSeconds * 2000000L
-    val sentinels = evs.map(_._1).distinct.sorted
-      .map(u => (u, -1L, flushEs, 0.0))
-    val mem = MemoryStream[(Long, Long, Long, Double)](s)
-    val src = mem.toDF().toDF("user_id", "event_id", "es_us", "value")
-      .withColumn("ts", timestamp_micros(col("es_us")))
+        unix_micros(col("ts").cast("timestamp")).as("es_us"), col("value"))
+    val files = eventChunks(s, dir, "ssess", base, extra = Seq(
+      (_, maxEs) => base.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(-1L).as("event_id"),
+          lit(maxEs + GapSeconds * 2000000L).as("es_us"),
+          lit(0.0).as("value"))))
+    val (streamDir, rawSrc) = StreamChunks.source(s, base.schema)
+    val src = rawSrc.withColumn("ts", timestamp_micros(col("es_us")))
     val sessions = graft.streaming.StreamingSessions
       .sessionizeStream(src, GapSeconds)
     val sink = "graft_ssess_" +
@@ -244,14 +262,7 @@ object EventQueries {
     withShufflePartitions(s, 8) {
       val q = sessions.writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
-      try {
-        (evs.grouped(math.max(1, evs.length / 4 + 1)).map(_.toSeq).toSeq
-          :+ sentinels.toSeq)
-          .foreach { chunk =>
-            mem.addData(chunk)
-            q.processAllAvailable()
-          }
-      } finally q.stop()
+      StreamChunks.drive(q, streamDir, files)
     }
     s.table(sink)
       .select("user_id", "session_idx", "start_us", "end_us",
@@ -284,30 +295,16 @@ object EventQueries {
     // chunk files are a pure function of the events table — build once
     // per dataset (fingerprinted dir), then each run feeds fresh COPIES
     // into its own source dir (file-source offsets don't reuse)
-    val chunkRoot = AnnQueries.artifactDir("srol", dir, "events")
-    AnnQueries.cached(chunkRoot) {
-      (0 until 4).foreach { c =>
+    val chunkRoot = AnnQueries.artifactDir("srol2", dir, "events")
+    val chunkFiles = StreamChunks.materialize(chunkRoot,
+      (0 until 4).map { c => () =>
         base.where(col("es") >= minEs + c * width &&
-            col("es") < minEs + (c + 1) * width)
-          .coalesce(1).write.mode("overwrite").parquet(s"$chunkRoot/c$c")
-      }
-      Seq((maxEs + 14400000000L, "flush", 0.0, "{}"))
-        .toDF("es", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(s"$chunkRoot/c4")
-      Seq((maxEs + 18000000000L, "flush", 0.0, "{}"))
-        .toDF("es", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(s"$chunkRoot/c5")
-    }
-    val chunkFiles = (0 until 6).map { c =>
-      new java.io.File(s"$chunkRoot/c$c").listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .minBy(_.getName)
-    }
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft-srol-src").toString
-    val src = s.readStream.schema(base.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
+          col("es") < minEs + (c + 1) * width)
+      } ++ Seq(14400000000L, 18000000000L).map { off => () =>
+        Seq((maxEs + off, "flush", 0.0, "{}"))
+          .toDF("es", "event_type", "value", "props")
+      })
+    val (streamDir, src) = StreamChunks.source(s, base.schema)
     val agg = src
       .withColumn("ts", timestamp_micros(col("es")))
       .withWatermark("ts", "2 hours")
@@ -321,18 +318,9 @@ object EventQueries {
     withShufflePartitions(s, 8) {
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
-      try {
-        // one time-contiguous chunk file per trigger: watermark advances
-        // monotonically across batches, exactly like a tailed event log
-        chunkFiles.zipWithIndex.foreach { case (f, c) =>
-          java.nio.file.Files.copy(f.toPath,
-            java.nio.file.Paths.get(streamDir, f"chunk$c%02d.parquet"))
-          q.processAllAvailable()
-        }
-      } finally {
-        q.stop()
-        graft.util.Files.deleteRecursively(new java.io.File(streamDir))
-      }
+      // one time-contiguous chunk file per trigger: watermark advances
+      // monotonically across batches, exactly like a tailed event log
+      StreamChunks.drive(q, streamDir, chunkFiles)
     }
     s.table(sink)
       .select(unix_timestamp(col("window.start")).as("window_start"),
@@ -385,26 +373,23 @@ object EventQueries {
       |ORDER BY r.r_name, e.event_type""".stripMargin
 
   /** Streaming point-in-time enrichment fed the interleaved event
-    * stream in event-time-ordered chunks: purchases emit with the
+    * stream through the FILE source as event-time-range chunk files
+    * (`readStream` + `maxFilesPerTrigger 1`): purchases emit with the
     * latest click known at-or-before their timestamp, held as one
     * (id, es) pair per user in the state store. Must hash-match
     * DuckDB's native ASOF LEFT JOIN — the same external oracle as the
     * batch `asof_join`, so batch and stream are pinned to identical
     * semantics. */
   private def streamingAsof(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
-    val evs = Tables.events(s, dir)
+    val base = Tables.events(s, dir)
       .where(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("es"),
+        unix_micros(col("ts").cast("timestamp")).as("es_us"),
         col("event_type"))
-      .as[(Long, Long, Long, String)].collect()
-      .sortBy { case (_, id, es, t) => (es, if (t == "click") 0 else 1, id) }
-    val mem = MemoryStream[(Long, Long, Long, String)](s)
-    val src = mem.toDF().toDF("user_id", "event_id", "es_us", "event_type")
-      .withColumn("ts", timestamp_micros(col("es_us")))
+    val files = eventChunks(s, dir, "sasof", base)
+    val (streamDir, rawSrc) = StreamChunks.source(s, base.schema)
+    val src = rawSrc.withColumn("ts", timestamp_micros(col("es_us")))
     val enriched = graft.streaming.StreamingSessions
       .asofEnrichStream(src, "click", "purchase")
     val sink = "graft_sasof_" +
@@ -412,13 +397,7 @@ object EventQueries {
     withShufflePartitions(s, 8) {
       val q = enriched.writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
-      try {
-        evs.grouped(math.max(1, evs.length / 4 + 1)).map(_.toSeq)
-          .foreach { chunk =>
-            mem.addData(chunk)
-            q.processAllAvailable()
-          }
-      } finally q.stop()
+      StreamChunks.drive(q, streamDir, files)
     }
     s.table(sink)
       .select("event_id", "user_id", "es", "src_id", "src_es")

@@ -635,26 +635,44 @@ object PipelineQueries {
        |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
        |FROM t ORDER BY doc_id LIMIT 50""".stripMargin
 
-  /** Streaming dedup gate: the documents table fed through the
-    * MemoryStream pipeline in 4 chunks; the stateful stream must emit
-    * EXACTLY one keeper per distinct fingerprint across all chunks
-    * (state must dedup across micro-batches, not just within one).
-    * Output is group-level (fp, n_kept) — which member of a duplicate
-    * group wins within a micro-batch is shuffle-order dependent, but
-    * the fingerprint PARTITION is deterministic and the oracle
-    * recomputes it in SQL. Null texts are excluded (a null fingerprint
-    * has no long key). */
-  private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Non-null (doc_id, text) rows plus their 4-way doc_id-range chunk
+    * files — the shared FILE-source feed of the document streaming
+    * gates (no driver materialization of the stream input; only the
+    * min/max(doc_id) aggregate reaches the driver). */
+  private def docChunks(s: SparkSession, dir: String)
+      : (DataFrame, Seq[java.io.File], Long) = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.streaming.OutputMode
-    val docs = Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .where(col("text").isNotNull)
-      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
-    val mem = MemoryStream[(Long, String)](s)
+      .select(col("doc_id"), col("text"))
+    val (minId, maxId) = base.agg(min("doc_id"), max("doc_id"))
+      .as[(Long, Long)].head()
+    val width = (maxId - minId) / 4 + 1
+    val chunkRoot = AnnQueries.artifactDir("sdocs", dir, "documents")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 4).map { c => () =>
+        base.where(col("doc_id") >= minId + c * width &&
+          col("doc_id") < minId + (c + 1) * width)
+      })
+    (base, files, maxId)
+  }
+
+  /** Streaming dedup gate: the documents table fed through the FILE
+    * source as 4 doc_id-range parquet chunk files (`readStream` +
+    * `maxFilesPerTrigger 1` — no driver materialization of the stream
+    * input); the stateful stream must emit EXACTLY one keeper per
+    * distinct fingerprint across all chunks (state must dedup across
+    * micro-batches, not just within one). Output is group-level
+    * (fp, n_kept) — which member of a duplicate group wins within a
+    * micro-batch is shuffle-order dependent, but the fingerprint
+    * PARTITION is deterministic and the oracle recomputes it in SQL.
+    * Null texts are excluded (a null fingerprint has no long key). */
+  private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val (base, files, _) = docChunks(s, dir)
+    val (streamDir, src) = StreamChunks.source(s, base.schema)
     val deduped = graft.streaming.StreamingDedup.dropSeenDuplicates(
-      mem.toDF().toDF("doc_id", "text"), "text",
-      TextAnalysis.docFingerprintSql)
+      src, "text", TextAnalysis.docFingerprintSql)
     // fresh sink table per invocation — Bench reps re-run the query in
     // one session and a shared name would accumulate rows
     val sink = "graft_sdedup_" +
@@ -662,12 +680,7 @@ object PipelineQueries {
     withShufflePartitions(s, 8) {
       val q = deduped.writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
-      try {
-        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      StreamChunks.drive(q, streamDir, files)
     }
     s.table(sink)
       .select(TextAnalysis.docFingerprintSql(col("text")).as("fp"))
@@ -683,14 +696,10 @@ object PipelineQueries {
     * Spark's own; the gate pins OUR fingerprint plumbing + the
     * expiry-window contract. */
   private def streamingDedupTtl(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
-    val docs = Tables.documents(s, dir)
-      .where(col("text").isNotNull)
-      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
-    val mem = MemoryStream[(Long, String)](s)
-    val src = mem.toDF().toDF("doc_id", "text")
+    val (base, files, _) = docChunks(s, dir)
+    val (streamDir, rawSrc) = StreamChunks.source(s, base.schema)
+    val src = rawSrc
       .withColumn("ts", timestamp_seconds(col("doc_id") + sqBase))
     val deduped = graft.streaming.StreamingDedup.dropDuplicatesWithinDelay(
       src, "text", "ts", "3 hours", TextAnalysis.docFingerprintSql)
@@ -699,12 +708,7 @@ object PipelineQueries {
     withShufflePartitions(s, 8) {
       val q = deduped.writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
-      try {
-        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      StreamChunks.drive(q, streamDir, files)
     }
     s.table(sink)
       .select(TextAnalysis.docFingerprintSql(col("text")).as("fp"))
@@ -724,8 +728,8 @@ object PipelineQueries {
 
   /** Watermarked windowed-quality monitoring gate: documents ride a
     * synthetic event time (`base + doc_id` seconds, so windows are
-    * pure integer arithmetic the oracle replays), fed through
-    * MemoryStream in 4 chunks with APPEND output — windows only emit
+    * pure integer arithmetic the oracle replays), fed through the
+    * FILE source in 4 chunk files with APPEND output — windows only emit
     * once the watermark passes them, which two far-future flush rows
     * force for the tail (their own windows sit past the cutoff and
     * are filtered). The per-window mean is computed over 1e-4
@@ -735,14 +739,17 @@ object PipelineQueries {
 
   private def streamingQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
-    val docs = Tables.documents(s, dir)
-      .where(col("text").isNotNull)
-      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
-    val maxId = docs.map(_._1).max
-    val mem = MemoryStream[(Long, String)](s)
-    val src = mem.toDF().toDF("doc_id", "text")
+    val (base, docFiles, maxId) = docChunks(s, dir)
+    // watermark only finalizes a window in a LATER batch: two flush
+    // files a day past the stream push every real window out (their
+    // own windows sit past the cutoff and are filtered)
+    val flushRoot = AnnQueries.artifactDir("squalflush", dir, "documents")
+    val flushFiles = StreamChunks.materialize(flushRoot, Seq(
+      () => Seq((maxId + 86400L, "flush")).toDF("doc_id", "text"),
+      () => Seq((maxId + 86400L + 600L, "flush")).toDF("doc_id", "text")))
+    val (streamDir, rawSrc) = StreamChunks.source(s, base.schema)
+    val src = rawSrc
       .withColumn("ts", timestamp_seconds(col("doc_id") + sqBase))
     val agg = graft.streaming.StreamingDedup.qualityByWindow(
       src, "ts", "text", "1 minute", "2 minutes")
@@ -753,18 +760,7 @@ object PipelineQueries {
     withShufflePartitions(s, 8) {
       val q = agg.writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
-      try {
-        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-        // watermark only finalizes a window in a LATER batch: two flush
-        // batches a day past the stream push every real window out
-        mem.addData(Seq((maxId + 86400L, "flush")))
-        q.processAllAvailable()
-        mem.addData(Seq((maxId + 86400L + 600L, "flush")))
-        q.processAllAvailable()
-      } finally q.stop()
+      StreamChunks.drive(q, streamDir, docFiles ++ flushFiles)
     }
     val cutoff = (sqBase + maxId) / 60L * 60L
     s.table(sink)

@@ -244,6 +244,77 @@ object PqAnnIndex {
       .take(k)
   }
 
+  /** Batch PQ search — the kNN-JOIN (LATERAL) path for the in-graph
+    * PQ kind, output-compatible with [[AnnIndex.searchMany]]
+    * (query_id, neighbor_id, dist, rank ≤ k): all queries broadcast
+    * once, ONE pass over the code shards, each task building every
+    * query's LUT against its local codebook and answering all queries
+    * in that pass. With `rerank` (float source) the per-query LUT
+    * top-`max(ef, 4k)` pool re-ranks by exact l2sq over the TABLE's
+    * true floats in one broadcast join-back ([[searchRerank]]'s
+    * contract, batched).
+    */
+  def searchMany(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      ef: Int = 64,
+      rerank: Option[(DataFrame, String, String)] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val p = new Path(path, GraphDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
+      .map(_.getPath.toString).sorted.toSeq
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val qB = spark.sparkContext.broadcast(queries.toArray)
+    val pool =
+      if (rerank.isDefined) math.max(ef, 4 * k) else math.max(ef, k)
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val shard = load(f, sconf.value)
+        val codes = shard.codes
+        qB.value.iterator.flatMap { case (qid, q) =>
+          val lut = shard.cb.l2sqLut(q)
+          val nd = (n: Int) => {
+            val cs = codes(n)
+            var s = 0; var d = 0.0
+            while (s < cs.length) { d += lut(s)(cs(s) & 0xFF); s += 1 }
+            d
+          }
+          shard.graph.searchNodesWith(nd, pool, pool).iterator
+            .map { case (n, d) => Row(qid, shard.graph.label(n), d) }
+        }
+      }
+    val local = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("dist", DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    rerank match {
+      case None =>
+        local.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      case Some((src, srcId, srcVec)) =>
+        val cands = local.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= pool)
+          .select("query_id", "neighbor_id")
+        val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("query_id", "__q")
+        src.select(col(srcId).cast(LongType).as("neighbor_id"),
+            col(srcVec).as("__v"))
+          .join(broadcast(cands), Seq("neighbor_id"))
+          .join(broadcast(qDf), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.l2sq_dist(col("__v"), col("__q")).as("dist"))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+  }
+
   /** Top-k under the asymmetric LUT distance (nearest-first). */
   def search(
       spark: SparkSession,

@@ -413,7 +413,15 @@ case class AnnKnnJoinExec(
     val rows = buf.toArray
     val queries = rows.iterator.zipWithIndex
       .filterNot { case (r, _) => r.isNullAt(qIdx) }
-      .map { case (r, i) => (i.toLong, r.getArray(qIdx).toFloatArray) }
+      .map { case (r, i) =>
+        // hamming probes are the table's b1-packed array<int>; the
+        // graph shards store 16-bit word floats, so repack per probe
+        val q =
+          if (metric == "hamming")
+            Metric.b1ToWords(r.getArray(qIdx).toIntArray())
+          else r.getArray(qIdx).toFloatArray
+        (i.toLong, q)
+      }
       .toSeq
     // per-kind batched search, all sharing searchMany's output contract
     // (query_id, neighbor_id, dist, rank)
@@ -425,6 +433,10 @@ case class AnnKnnJoinExec(
         val rr = table.map(t => (GraftSqlShim.ofRows(session, t), idCol, vecCol))
         graft.ann.IvfPqIndex.searchMany(session, artifact, queries, k,
           nprobe = math.max(1, nprobe), ef = ef, rerank = rr)
+      case "pq" =>
+        val rr = table.map(t => (GraftSqlShim.ofRows(session, t), idCol, vecCol))
+        graft.ann.PqAnnIndex.searchMany(session, artifact, queries, k,
+          ef = ef, rerank = rr)
       case _ =>
         AnnIndex.searchMany(session, artifact, queries, k, ef)
     }
@@ -795,12 +807,12 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * plan test, lantern_hnsw/test/sql/hnsw_select.sql:66-69). Without a
   * registered index the SQL keeps failing analysis, mirroring the
   * reference where the lateral form is only ever answered by an index
-  * scan. Kinds: hnsw float metrics (batched graph search), ivf (one
-  * partition-pruned pass over the union of probed lists), and ivfpq
-  * (batched residual-LUT scoring + exact rerank against the table's
-  * floats). Hamming stays out: its graphs store repacked words, not
-  * the table's b1 arrays, so the outer probe column wouldn't match
-  * shard layout.
+  * scan. The full kind matrix: hnsw (batched graph search; hamming
+  * probes are the table's b1 array<int>, word-packed per probe to
+  * match shard layout), ivf (one partition-pruned pass over the union
+  * of probed lists), pq (batched per-query LUT graph search + exact
+  * rerank against the table's floats), and ivfpq (batched
+  * residual-LUT scoring + the same exact rerank).
   */
 class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.Cross
@@ -819,6 +831,10 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(("inner", a, o))
     case UnaryMinus(InnerProduct(OuterReference(o: AttributeReference), a: AttributeReference), _) =>
       Some(("inner", a, o))
+    case HammingDist(a: AttributeReference, OuterReference(o: AttributeReference)) =>
+      Some(("hamming", a, o))
+    case HammingDist(OuterReference(o: AttributeReference), a: AttributeReference) =>
+      Some(("hamming", a, o))
     case _ => None
   }
 
@@ -869,15 +885,19 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (k, s @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, schild, _)) <- candidate
       (metric, vecAttr, outerAttr) <- matchDistOuter(sortExpr)
       if lj.left.outputSet.contains(outerAttr)
+      // probe column type per metric: float metrics take array<float>,
+      // hamming takes the table's b1-packed array<int>
       if (outerAttr.dataType match {
-        case ArrayType(FloatType, _) => true
+        case ArrayType(FloatType, _) => metric != "hamming"
+        case ArrayType(IntegerType, _) => metric == "hamming"
         case _ => false
       })
       (rel, paths) <- findRel(schild)
       if rel.outputSet.contains(vecAttr)
       meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
-      if (meta.kind == "hnsw" && meta.metric != "hamming") ||
+      if meta.kind == "hnsw" ||
         meta.kind == "ivf" ||
+        meta.kind == "pq" ||
         (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric))
       idAttr <- rel.output.find(_.name == meta.idCol)
       // the subquery must emit exactly the table's id column
@@ -886,7 +906,7 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       meta.artifact, k, math.max(meta.ef, k), metric,
       meta.kind,
       if (meta.kind == "ivf" || meta.kind == "ivfpq") meta.effectiveNprobe else 0,
-      if (meta.kind == "ivfpq") Some(rel) else None,
+      if (meta.kind == "ivfpq" || meta.kind == "pq") Some(rel) else None,
       meta.idCol, meta.vecCol)
   }
 }

@@ -418,6 +418,94 @@ object AnnQueries {
       view = "graft_kjp_ivfpq")
   }
 
+  /** Lateral kNN join through an in-graph PQ index: batched per-query
+    * LUT graph search in one pass over the code shards, pool
+    * exact-reranked against the table's true floats. */
+  private def knnJoinPqPlanner(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.{AnnParams, PqAnnIndex}
+    import graft.pq.ProductQuantizer
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("pqann", dir, "embeddings")
+    cached(path) {
+      val cb = ProductQuantizer.trainCodebook(
+        e, "embedding", subvectors = 8, clusters = 64)
+      PqAnnIndex.build(e, "vec_id", "embedding", path, cb,
+        AnnParams(m = 16, efConstruction = 128, ef = 128, numPartitions = 4))
+    }
+    lateralGateFor(s, dir,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 256, kind = "pq"),
+      view = "graft_kjp_pq")
+  }
+
+  /** Lateral kNN join under the HAMMING metric: probes carry the
+    * table's b1-packed array<int>, the rule word-packs each probe to
+    * match shard layout, and — as in `knn_hamming_ann` — the tie-robust
+    * criterion is the per-probe sorted DISTANCE multiset matching the
+    * exact top-k exactly (64-bit signatures tie massively, so id
+    * recall is not well-defined). */
+  private def knnJoinHammingPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{AnnIndex, AnnParams}
+    import graft.functions.hamming_dist
+    import graft.pq.ScalarQuantizer
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    // materialize the b1 table as parquet — AnnCatalog registration and
+    // the lateral SQL both address a storage path
+    val tblRoot = artifactDir("hamtbl", dir, "embeddings")
+    cached(tblRoot) {
+      e.select(col("vec_id"),
+          ScalarQuantizer.quantize_b1(col("embedding")).as("bits"))
+        .write.mode("overwrite").parquet(s"$tblRoot/tbl")
+    }
+    val tablePath = s"$tblRoot/tbl"
+    val b1 = s.read.parquet(tablePath)
+    val path = artifactDir("annh", dir, "embeddings")
+    cached(path) {
+      AnnIndex.build(b1, "vec_id", "bits", path,
+        AnnParams(m = 16, efConstruction = 128, ef = 128,
+          metric = "hamming", numPartitions = 4))
+    }
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "bits", "hamming", ef = 128))
+    val view = "graft_kjp_ham"
+    b1.createOrReplaceTempView(view)
+    try {
+      val q = s.sql(
+        s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
+           |FROM (SELECT vec_id, bits FROM $view WHERE vec_id < 5) p,
+           |LATERAL (
+           |  SELECT vec_id FROM $view
+           |  ORDER BY hamming_dist(bits, p.bits) LIMIT 3
+           |) t""".stripMargin)
+      val planned = q.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AnnKnnJoinLogical if a.metric == "hamming" => a
+      }.nonEmpty
+      val ann = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val bitsById = b1.select("vec_id", "bits").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      def hd(a: Array[Int], b: Array[Int]): Int =
+        a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      val annDists = ann.groupBy(_._1).view.mapValues(_.map { case (qid, nid) =>
+        hd(bitsById(qid), bitsById(nid))
+      }.sorted.toSeq).toMap
+      val probes = (0L until 5L).toSeq
+      val exactDists = probes.map { qid =>
+        qid -> b1
+          .withColumn("hd", hamming_dist(col("bits"), lit(bitsById(qid))))
+          .orderBy(col("hd"), col("vec_id")).limit(3)
+          .select(col("hd").cast("int")).collect().map(_.getInt(0)).sorted.toSeq
+      }.toMap
+      if (planned && annDists == exactDists) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally {
+      AnnCatalog.unregister(s, tablePath)
+      s.catalog.dropTempView(view)
+      ()
+    }
+  }
+
   /** Autotune gate (`autotune-index`, index_autotune/mod.rs:280-526):
     * a deterministic run (hash-sampled queries, fixed build seeds)
     * over the reference's six-variant grid, persisted as a report. A
@@ -757,6 +845,9 @@ object AnnQueries {
     QueryDef("knn_join_planner", Some("SELECT 1 AS ok"), knnJoinPlanner),
     QueryDef("knn_join_ivf_planner", Some("SELECT 1 AS ok"), knnJoinIvfPlanner),
     QueryDef("knn_join_ivfpq_planner", Some("SELECT 1 AS ok"), knnJoinIvfPqPlanner),
+    QueryDef("knn_join_pq_planner", Some("SELECT 1 AS ok"), knnJoinPqPlanner),
+    QueryDef("knn_join_hamming_planner", Some("SELECT 1 AS ok"),
+      knnJoinHammingPlanner),
     QueryDef("autotune_pick", Some("SELECT 1 AS ok"), autotunePick),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),

@@ -211,6 +211,94 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
+  test("lateral kNN join routes through ivf, pq and hamming index kinds") {
+    import graft.ann.{AnnIndex, AnnParams, IvfIndex, PqAnnIndex}
+    import graft.pq.{ProductQuantizer, ScalarQuantizer}
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-latk").toFile
+    val tablePath = s"$dir/embeddings.parquet"
+    spark.read.parquet(tablePath).createOrReplaceTempView("emb_latk")
+    val sql =
+      """SELECT p.vec_id AS qid, t.vec_id AS nid
+        |FROM (SELECT vec_id, embedding FROM emb_latk WHERE vec_id < 3) p,
+        |LATERAL (
+        |  SELECT vec_id FROM emb_latk
+        |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 2
+        |) t""".stripMargin
+    def checkKind(kind: String): Unit = {
+      val q = spark.sql(sql)
+      val nodes = q.queryExecution.optimizedPlan.collect {
+        case a: AnnKnnJoinLogical => a
+      }
+      assert(nodes.nonEmpty && nodes.head.kind == kind, s"$kind: ${nodes.map(_.kind)}")
+      val byQ = q.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      assert(byQ.keySet == Set(0L, 1L, 2L), s"$kind: ${byQ.keySet}")
+      assert(byQ.values.forall(_.length == 2), s"$kind")
+      // self is its own nearest neighbor under l2sq
+      assert(byQ.forall { case (qid, ns) => ns.map(_._2).contains(qid) }, s"$kind")
+    }
+    // ivf
+    val ivfPath = new java.io.File(tmp, "ivf").toString
+    IvfIndex.build(e, "vec_id", "embedding", ivfPath, nlists = 8)
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(ivfPath, "vec_id", "embedding", "l2sq", ef = 64,
+        kind = "ivf", nprobe = 4))
+    try checkKind("ivf") finally AnnCatalog.unregister(spark, tablePath)
+    // pq (LUT search + exact rerank against the table's floats)
+    val pqPath = new java.io.File(tmp, "pq").toString
+    val cb = ProductQuantizer.trainCodebook(
+      e, "embedding", subvectors = 8, clusters = 16)
+    PqAnnIndex.build(e, "vec_id", "embedding", pqPath, cb,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(pqPath, "vec_id", "embedding", "l2sq", ef = 256,
+        kind = "pq"))
+    try checkKind("pq") finally AnnCatalog.unregister(spark, tablePath)
+    // hamming: probes are b1 array<int>, repacked per probe by the exec
+    val b1Tbl = new java.io.File(tmp, "b1tbl").toString
+    e.select(col("vec_id"),
+        ScalarQuantizer.quantize_b1(col("embedding")).as("bits"))
+      .write.parquet(b1Tbl)
+    val b1 = spark.read.parquet(b1Tbl)
+    b1.createOrReplaceTempView("emb_lath")
+    val hamPath = new java.io.File(tmp, "ham").toString
+    AnnIndex.build(b1, "vec_id", "bits", hamPath,
+      AnnParams(m = 8, efConstruction = 64, ef = 128,
+        metric = "hamming", numPartitions = 2))
+    AnnCatalog.register(spark, b1Tbl,
+      AnnCatalog.IndexMeta(hamPath, "vec_id", "bits", "hamming", ef = 128))
+    try {
+      val q = spark.sql(
+        """SELECT p.vec_id AS qid, t.vec_id AS nid
+          |FROM (SELECT vec_id, bits FROM emb_lath WHERE vec_id < 3) p,
+          |LATERAL (
+          |  SELECT vec_id FROM emb_lath
+          |  ORDER BY hamming_dist(bits, p.bits) LIMIT 2
+          |) t""".stripMargin)
+      val nodes = q.queryExecution.optimizedPlan.collect {
+        case a: AnnKnnJoinLogical => a
+      }
+      assert(nodes.nonEmpty && nodes.head.metric == "hamming",
+        nodes.map(n => (n.kind, n.metric)).toString)
+      val byQ = q.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      assert(byQ.keySet == Set(0L, 1L, 2L))
+      assert(byQ.values.forall(_.length == 2))
+      // distance-multiset criterion (hamming ties massively): each
+      // probe's 2 neighbors must sit at the exact top-2 distances
+      val bitsById = b1.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      def hd(a: Array[Int], b: Array[Int]): Int =
+        a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      byQ.foreach { case (qid, ns) =>
+        val got = ns.map(n => hd(bitsById(qid), bitsById(n._2))).sorted.toSeq
+        val exact = bitsById.values
+          .map(v => hd(bitsById(qid), v)).toSeq.sorted.take(2)
+        assert(got == exact, s"qid=$qid got=$got exact=$exact")
+      }
+    } finally AnnCatalog.unregister(spark, b1Tbl)
+  }
+
   test("weighted ORDER BY w1*dist+w2*dist routes through WeightedAnnIds") {
     import graft.ann.{AnnIndex, AnnParams}
     val dir = sf("sf0.001")

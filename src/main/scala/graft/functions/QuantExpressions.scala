@@ -133,6 +133,41 @@ object MatVecProject {
   }
 }
 
+/** Squared L2 norm of an `array<double>` — the reduction half of the
+  * projected-space distance `‖(M·v − b) − q_p‖²` once the affine
+  * kernel has folded `q_p` into its bias: `SqNormD(MatVecProject(v,
+  * M, b + q_p))` stays one codegen'd pipeline end-to-end (higher-order
+  * `aggregate`/`zip_with` would fall out of whole-stage codegen). */
+case class SqNormD(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_norm_d"
+
+  override def nullSafeEval(v: Any): Any =
+    SqNormD.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SqNormD.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SqNormD =
+    copy(child = newChild)
+}
+
+object SqNormD {
+  def compute(a: ArrayData): Double = {
+    val v = a.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  }
+}
+
 /** Index of the nearest (squared-l2) centroid in a broadcast-style
   * centroid matrix riding the expression as a reference object — the
   * IVF coarse assignment without a per-row UDF. */

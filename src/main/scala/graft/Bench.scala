@@ -123,11 +123,16 @@ object Bench {
     // per-query JSONL is ALSO persisted to a repo file: the driver's
     // stdout tail buffer is smaller than the final summary map, so
     // printed per-query lines get cut (r8/r9 each recovered only ~half
-    // the timings) — a committed file survives any capture window
+    // the timings) — a committed file survives any capture window.
+    // Lines stream into a .tmp sibling and rename over the final name
+    // only on completion: a crashed run leaves the previous complete
+    // record intact (plus its own partial .tmp), instead of truncating
+    // it at start.
     val jsonlPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_JSONL", "bench_last_run.jsonl")
+    val jsonlTmp = jsonlPath + ".tmp"
     val jsonl = new java.io.PrintWriter(
-      new java.io.FileWriter(jsonlPath, /*append=*/ false))
+      new java.io.FileWriter(jsonlTmp, /*append=*/ false))
     def emit(line: String): Unit = {
       println(line)
       jsonl.println(line)
@@ -167,6 +172,9 @@ object Bench {
         s""""serial_end":$calibSerial1,"parallel_end":$calibParallel1}"""
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"sf":"$sfDir"}""")
     jsonl.close()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(jsonlTmp), java.nio.file.Paths.get(jsonlPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

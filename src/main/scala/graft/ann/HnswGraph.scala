@@ -10,6 +10,21 @@ object Metric {
   val Cos = 1
   val Inner = 2
 
+  /** Unit-normalize `q` when `metric == "cos"` (zero-norm vectors pass
+    * through), else return it unchanged — the ONE query-side
+    * normalization every cos-metric index search path must share:
+    * cos-built artifacts store normalized vectors, so a copy of this
+    * logic drifting (precision, zero handling) would silently diverge
+    * batch vs single-query rankings. */
+  def normalizeIfCos(q: Array[Float], metric: String): Array[Float] =
+    if (metric != "cos") q
+    else {
+      var s = 0.0
+      q.foreach(x => s += x.toDouble * x)
+      val n = math.sqrt(s)
+      if (n == 0.0) q else q.map(x => (x / n).toFloat)
+    }
+
   /** Asymmetric distance: f32 query vs i8-coded node, reconstructing
     * each element exactly as [[graft.pq.ScalarQuantizer.dequantizeI8]]
     * would (`(lo + (c+128)·scale).toFloat`) so compact i8 graphs score

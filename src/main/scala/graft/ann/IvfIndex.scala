@@ -117,11 +117,7 @@ object IvfIndex {
       spark: SparkSession, path: String, query: Array[Float], nprobe: Int)
       : (DataFrame, Array[Float], String) = {
     val (centroids, metric) = loadCentroids(spark, path)
-    val q = if (metric == "cos") {
-      var s = 0.0; query.foreach(x => s += x.toDouble * x)
-      val n = math.sqrt(s)
-      if (n == 0.0) query else query.map(x => (x / n).toFloat)
-    } else query
+    val q = Metric.normalizeIfCos(query, metric)
     // list assignment always uses l2 k-means (the faiss IVF-IP shape);
     // probe ORDER follows the metric: max-inner-product queries visit
     // the lists whose centroids score highest by dot product
@@ -185,15 +181,10 @@ object IvfIndex {
     val (centroids, metric) = loadCentroids(spark, path)
     val np = math.min(math.max(nprobe, 1), centroids.length)
     val qn = queries.map { case (qid, q0) =>
-      val q = if (metric == "cos") {
-        var s = 0.0; q0.foreach(x => s += x.toDouble * x)
-        val n = math.sqrt(s)
-        if (n == 0.0) q0 else q0.map(x => (x / n).toFloat)
-      } else q0
-      (qid, q)
+      (qid, Metric.normalizeIfCos(q0, metric))
     }
     // per-query probe lists, same metric-aware ordering as probedScan
-    val probed = qn.flatMap { case (qid, q) =>
+    val pairs = qn.flatMap { case (qid, q) =>
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         if (metric == "inner") {
@@ -202,10 +193,15 @@ object IvfIndex {
           while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
         }
         (i, d)
-      }.sortBy(_._2).take(np).map { case (l, _) => (qid, q.toSeq, l) }
+      }.sortBy(_._2).take(np).map { case (l, _) => (qid, l) }
     }
-    val allLists = probed.map(_._3).distinct
-    val qDf = probed.toDF("query_id", "__q", "list_id")
+    val allLists = pairs.map(_._2).distinct
+    // (query_id, list_id) pairs and ONE vector row per query — joining
+    // the pair table alone on list_id keeps the broadcast and the
+    // scan-side join width at one vector copy per query, not nprobe
+    val pairDf = pairs.toDF("query_id", "list_id")
+    val qVecDf = qn.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "__q")
     val base = spark.read.parquet(s"$path/$DataDir")
       .where(col("list_id").isin(allLists: _*))
     val scan = tombstones(spark, path) match {
@@ -213,7 +209,8 @@ object IvfIndex {
       case None => base
     }
     val distMetric = if (metric == "inner") "inner" else "l2sq"
-    val local = scan.join(broadcast(qDf), Seq("list_id"))
+    val local = scan.join(broadcast(pairDf), Seq("list_id"))
+      .join(broadcast(qVecDf), Seq("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         VectorSearch.distance(distMetric, col("vec"), col("__q")).as("dist"))
     val w = Window.partitionBy(col("query_id"))

@@ -176,11 +176,7 @@ object IvfPqIndex {
       nprobe: Int): (DataFrame, Array[Array[Float]], PqCodebook, Array[Float], String) = {
     val (centroids, metric) = loadCentroids(spark, path)
     val cb = loadCodebook(spark, path)
-    val q = if (metric == "cos") {
-      var s = 0.0; query.foreach(x => s += x.toDouble * x)
-      val n = math.sqrt(s)
-      if (n == 0.0) query else query.map(x => (x / n).toFloat)
-    } else query
+    val q = Metric.normalizeIfCos(query, metric)
     val probes = centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0; var j = 0
@@ -270,12 +266,7 @@ object IvfPqIndex {
     val cb = loadCodebook(spark, path)
     val np = math.min(math.max(nprobe, 1), centroids.length)
     val qn: Array[(Long, Array[Float])] = queries.iterator.map { case (qid, q0) =>
-      val q = if (metric == "cos") {
-        var s = 0.0; q0.foreach(x => s += x.toDouble * x)
-        val n = math.sqrt(s)
-        if (n == 0.0) q0 else q0.map(x => (x / n).toFloat)
-      } else q0
-      (qid, q)
+      (qid, Metric.normalizeIfCos(q0, metric))
     }.toArray
     // list → indexes into qn of the queries probing it (driver-side:
     // centroids are already resident, queries are budget-bounded)
@@ -325,27 +316,14 @@ object IvfPqIndex {
       StructField("query_id", LongType),
       StructField("neighbor_id", LongType),
       StructField("dist", DoubleType))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
     rerank match {
       case None =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))
         local.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       case Some((src, srcId, srcVec)) =>
-        val pool = math.max(ef, 4 * k)
-        val cands = local.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= pool)
-          .select("query_id", "neighbor_id")
-        val qDf = qn.toSeq.map { case (qid, q) => (qid, q.toSeq) }
-          .toDF("query_id", "__q")
-        val srcVecCol =
-          if (metric == "cos") unitNorm(col(srcVec)) else col(srcVec)
-        val exact = src
-          .select(col(srcId).cast(LongType).as("neighbor_id"), srcVecCol.as("__v"))
-          .join(broadcast(cands), Seq("neighbor_id"))
-          .join(broadcast(qDf), Seq("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            graft.functions.l2sq_dist(col("__v"), col("__q")).as("dist"))
-        exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        AnnBatch.rerankPool(local, src, srcId, srcVec, qn.toSeq, k,
+          pool = math.max(ef, 4 * k), unitNormSrc = metric == "cos")
     }
   }
 

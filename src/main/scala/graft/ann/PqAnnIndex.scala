@@ -294,24 +294,14 @@ object PqAnnIndex {
       StructField("query_id", LongType),
       StructField("neighbor_id", LongType),
       StructField("dist", DoubleType))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
     rerank match {
       case None =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))
         local.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       case Some((src, srcId, srcVec)) =>
-        val cands = local.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= pool)
-          .select("query_id", "neighbor_id")
-        val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
-          .toDF("query_id", "__q")
-        src.select(col(srcId).cast(LongType).as("neighbor_id"),
-            col(srcVec).as("__v"))
-          .join(broadcast(cands), Seq("neighbor_id"))
-          .join(broadcast(qDf), Seq("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            graft.functions.l2sq_dist(col("__v"), col("__q")).as("dist"))
-          .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        AnnBatch.rerankPool(local, src, srcId, srcVec, queries, k,
+          pool = pool, unitNormSrc = false)
     }
   }
 

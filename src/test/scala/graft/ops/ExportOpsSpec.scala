@@ -244,6 +244,26 @@ class ExportOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ZOrder.zorderKeyN(Seq($"a" -> 31, $"b" -> 31, $"c" -> 2))
     }
+    // randomized parity sweep vs the model, several budget shapes in
+    // one Spark action
+    val rnd = new scala.util.Random(31)
+    val shapes = Seq(Seq(4, 4), Seq(5, 3, 2), Seq(1, 1, 1, 1), Seq(10, 2, 6, 1))
+    val rows = (0 until 20).map { _ =>
+      val vs = shapes.map(bs => bs.map(b => math.abs(rnd.nextLong()) % (1L << b)))
+      (vs(0), vs(1), vs(2), vs(3))
+    }
+    val rdf = rows.toDF("v0", "v1", "v2", "v3")
+    val keyed = rdf.select(shapes.zipWithIndex.map { case (bs, i) =>
+      ZOrder.zorderKeyN(bs.zipWithIndex.map { case (b, j) =>
+        element_at(col(s"v$i"), j + 1) -> b
+      }).as(s"z$i")
+    }: _*).collect()
+    rows.zip(keyed).foreach { case ((a0, a1, a2, a3), got) =>
+      Seq(a0, a1, a2, a3).zip(shapes).zipWithIndex.foreach {
+        case ((vs, bs), i) =>
+          assert(got.getLong(i) == mortonN(vs, bs), s"shape=$bs vs=$vs")
+      }
+    }
   }
 
   test("runningTotal matches a sequential scan regardless of bucket count") {

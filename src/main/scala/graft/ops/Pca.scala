@@ -44,9 +44,19 @@ object Pca {
       eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
   }
 
-  /** One-pass covariance fit + driver-side eigendecomposition. */
-  def fit(df: DataFrame, vecCol: String, dimOut: Int): PcaModel = {
-    val parts = df.select(col(vecCol)).na.drop().rdd
+  /** One-pass covariance fit + driver-side eigendecomposition.
+    * `sampleLimit > 0` fits on a deterministic hash-sample of ~that
+    * many rows instead of the full column — at 100 TB the covariance
+    * stabilizes long before the corpus is exhausted, and the sample
+    * bound makes fit cost independent of corpus size (the same knob
+    * [[graft.ann.IvfIndex.build]] exposes for its k-means). */
+  def fit(df: DataFrame, vecCol: String, dimOut: Int,
+      sampleLimit: Int = 0): PcaModel = {
+    val src =
+      if (sampleLimit > 0)
+        graft.util.Sampling.hashSample(df.select(col(vecCol)), sampleLimit, col(vecCol))
+      else df
+    val parts = src.select(col(vecCol)).na.drop().rdd
       .mapPartitionsWithIndex { (idx, it) =>
         var n = 0L
         var sum: Array[Double] = null

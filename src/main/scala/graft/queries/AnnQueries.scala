@@ -66,15 +66,17 @@ object AnnQueries {
   }
 
   /** Streaming ingestion into a live index — build from the first half
-    * of the table, stream the second half through `foreachBatch` →
-    * `AnnIndex.append` (the daemon's aminsert path, delta shards per
-    * micro-batch), then recall-gate a search over the COMPLETE corpus:
-    * streamed rows must be as findable as built rows. Fresh artifact
-    * per invocation (appends mutate it — a cached artifact would
-    * double-append under bench reps). */
+    * of the table, stream the second half through the FILE source
+    * (3 vec_id-range parquet chunk files, `readStream` +
+    * `maxFilesPerTrigger 1` — no driver materialization of the stream
+    * input) into `foreachBatch` → `AnnIndex.append` (the daemon's
+    * aminsert path, delta shards per micro-batch), then recall-gate a
+    * search over the COMPLETE corpus: streamed rows must be as
+    * findable as built rows. Fresh artifact per invocation (appends
+    * mutate it — a cached artifact would double-append under bench
+    * reps). */
   private def streamingAnnInsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val e = Tables.embeddings(s, dir)
     val path = java.nio.file.Files
       .createTempDirectory("graft-sann").toString + "/idx"
@@ -82,22 +84,23 @@ object AnnQueries {
     AnnIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id", "embedding",
       path, AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
 
-    val rest = e.where(col("vec_id") > maxId / 2)
-      .select("vec_id", "embedding")
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val mem = MemoryStream[(Long, Array[Float])](s)
-    val q = mem.toDF().toDF("vec_id", "embedding")
-      .writeStream
+    val base = e.where(col("vec_id") > maxId / 2)
+      .select(col("vec_id"), col("embedding"))
+    val lo = maxId / 2 + 1
+    val width = (maxId - lo) / 3 + 1
+    val chunkRoot = artifactDir("sannins", dir, "embeddings")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 3).map { c => () =>
+        base.where(col("vec_id") >= lo + c * width &&
+          col("vec_id") < lo + (c + 1) * width)
+      })
+    val (streamDir, src) = StreamChunks.source(s, base.schema)
+    val q = src.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) AnnIndex.append(b, "vec_id", "embedding", path)
       }
       .start()
-    try {
-      rest.grouped(math.max(1, rest.length / 3 + 1)).foreach { chunk =>
-        mem.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    StreamChunks.drive(q, streamDir, files)
 
     val qv = e.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray

@@ -70,6 +70,19 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("sampleLimit fit: deterministic, approximates the full-column fit") {
+    val df = fitData(2000).toDF("id", "v")
+    val full = Pca.fit(df, "v", 3)
+    val sampled = Pca.fit(df, "v", 3, sampleLimit = 600)
+    val again = Pca.fit(df, "v", 3, sampleLimit = 600)
+    assert(sampled.components.flatten.toSeq == again.components.flatten.toSeq)
+    // dominant direction agrees with the full fit (sign-normalized)
+    val dot = sampled.components(0).zip(full.components(0))
+      .map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.95, s"top-component dot $dot")
+    assert(sampled.eigenvalues(0) > sampled.eigenvalues(1))
+  }
+
   test("projection is codegen'd (no ScalaUDF) over a real scan") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
     val m = Pca.fit(e, "embedding", 4)

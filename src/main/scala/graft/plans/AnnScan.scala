@@ -78,6 +78,61 @@ object AnnCatalog {
 
   def anyFor(rootPaths: Seq[Path]): Boolean =
     rootPaths.exists(p => registry.contains(p.toString))
+
+  // ------------------------------------------------- catalog persistence
+
+  /** Persist every registration as one JSON file — the session analog
+    * of the reference's index metadata living in the PostgreSQL
+    * catalog: a restarted cluster calls [[load]] once and the planner
+    * rules see the same indexes without per-table re-registration.
+    * Registrations are tiny (strings + ints), so one driver-written
+    * file is the right shape at any scale. */
+  def save(spark: SparkSession, path: String): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines = registry.readOnlySnapshot().toSeq.sortBy(_._1).flatMap {
+      case (table, metas) => metas.map { m =>
+        s"""{"table":"${esc(table)}","artifact":"${esc(m.artifact)}",""" +
+          s""""idCol":"${esc(m.idCol)}","vecCol":"${esc(m.vecCol)}",""" +
+          s""""metric":"${m.metric}","ef":${m.ef},"kind":"${m.kind}",""" +
+          s""""nprobe":${m.nprobe}}"""
+      }
+    }
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Re-register every entry of a [[save]]d catalog file. Table paths
+    * were persisted fully qualified, so they go straight into the
+    * registry (no re-qualification against the current FS). */
+  def load(spark: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def str(json: String, k: String): String =
+      s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(json).get.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    def num(json: String, k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+    val entries = text.linesIterator.filter(_.trim.nonEmpty).toSeq
+    entries.foreach { line =>
+      val meta = IndexMeta(str(line, "artifact"), str(line, "idCol"),
+        str(line, "vecCol"), str(line, "metric"), num(line, "ef"),
+        str(line, "kind"), num(line, "nprobe"))
+      val key = str(line, "table")
+      registry.updateWith(key) {
+        case Some(ms) => Some(ms.filterNot(m =>
+          m.vecCol == meta.vecCol && m.metric == meta.metric) :+ meta)
+        case None => Some(Seq(meta))
+      }
+    }
+    entries.size
+  }
 }
 
 /** Logical leaf producing the ANN candidate set (id, vec) for one query.

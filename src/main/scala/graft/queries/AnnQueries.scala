@@ -509,6 +509,50 @@ object AnnQueries {
     }
   }
 
+  /** Catalog persistence gate: registrations survive a save → clear →
+    * load cycle (the reference's index metadata lives in the PG
+    * catalog and survives restarts; our registry is session state, so
+    * the persisted file is the restart story). Emits its row only when
+    * the cleared catalog stops the planner rewrite AND the loaded one
+    * restores it with recall intact. */
+  private def catalogPersist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ann", dir, "embeddings")
+    cached(path) {
+      AnnIndex.build(e, "vec_id", "embedding", path,
+        AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
+    }
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val tablePath = s"$dir/embeddings.parquet"
+    val catFile = java.nio.file.Files
+      .createTempDirectory("graft-catp").toString + "/catalog.json"
+    try {
+      AnnCatalog.register(s, tablePath,
+        AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+      AnnCatalog.save(s, catFile)
+      AnnCatalog.unregister(s, tablePath)
+      def knn = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      def planned = knn.queryExecution.optimizedPlan.collect {
+        case a: AnnScanLogical => a
+      }.nonEmpty
+      val offWhileCleared = !planned
+      val loaded = AnnCatalog.load(s, catFile) == 1
+      val onAfterLoad = planned
+      val ann = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = ann.intersect(exact).size.toDouble / exact.size
+      if (offWhileCleared && loaded && onAfterLoad && recall >= 0.8)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   /** Autotune gate (`autotune-index`, index_autotune/mod.rs:280-526):
     * a deterministic run (hash-sampled queries, fixed build seeds)
     * over the reference's six-variant grid, persisted as a report. A
@@ -852,6 +896,7 @@ object AnnQueries {
     QueryDef("knn_join_hamming_planner", Some("SELECT 1 AS ok"),
       knnJoinHammingPlanner),
     QueryDef("autotune_pick", Some("SELECT 1 AS ok"), autotunePick),
+    QueryDef("catalog_persist", Some("SELECT 1 AS ok"), catalogPersist),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),

@@ -299,6 +299,47 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, b1Tbl)
   }
 
+  test("lateral rule guards: wrong output shape or oversized k keep failing analysis") {
+    import graft.ann.{AnnIndex, AnnParams}
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-latneg").toFile, "idx").toString
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
+    val tablePath = s"$dir/embeddings.parquet"
+    spark.read.parquet(tablePath).createOrReplaceTempView("emb_latneg")
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      def lateral(select: String, limit: Int) =
+        s"""SELECT p.vec_id AS qid FROM
+           |(SELECT vec_id, embedding FROM emb_latneg WHERE vec_id < 2) p,
+           |LATERAL (
+           |  SELECT $select FROM emb_latneg
+           |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT $limit
+           |) t""".stripMargin
+      // the guarded shape works
+      assert(spark.sql(lateral("vec_id", 2)).collect().nonEmpty)
+      // extra output column → rule must NOT fire → vanilla rejection
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(lateral("vec_id, label", 2)).collect()
+      }
+      // non-id output column → same
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(lateral("label", 2)).collect()
+      }
+      // k beyond the planner bound → same
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(lateral("vec_id", 5000)).collect()
+      }
+    } finally {
+      AnnCatalog.unregister(spark, tablePath)
+      spark.catalog.dropTempView("emb_latneg")
+      ()
+    }
+  }
+
   test("weighted ORDER BY w1*dist+w2*dist routes through WeightedAnnIds") {
     import graft.ann.{AnnIndex, AnnParams}
     val dir = sf("sf0.001")

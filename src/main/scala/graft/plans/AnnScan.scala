@@ -565,6 +565,12 @@ object AnnStrategy extends SparkStrategy {
   */
 class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Runtime search width: the session GUC (`SET spark.graft.ann.ef`,
+    * the reference's `SET lantern_hnsw.ef` — runtime-tunable per
+    * options.h:44-45) overrides the registration-time default. */
+  private def efRuntime(meta: AnnCatalog.IndexMeta): Int =
+    spark.conf.getOption(graft.GraftConf.AnnEf).map(_.toInt).getOrElse(meta.ef)
+
   /** (metric, vecAttr, query) from a distance sort expression. */
   private def matchDist(e: Expression): Option[(String, AttributeReference, Array[Float])] = {
     def vec(l: Literal): Array[Float] =
@@ -724,7 +730,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // candidate-pool width plus its own coarse probe count.
         val searchParam =
           if (meta.kind == "ivf") meta.effectiveNprobe
-          else math.max(meta.ef, k)
+          else math.max(efRuntime(meta), k)
         val scanNprobe =
           if (meta.kind == "ivfpq") meta.effectiveNprobe else 0
         val newSource: LogicalPlan = predOpt match {
@@ -818,7 +824,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val ids = WeightedAnnIdsLogical(cid,
           terms.zip(metas).map { case ((_, _, _, q), metaOpt) =>
             val meta = metaOpt.get
-            (meta.artifact, q.toSeq, math.max(meta.ef, k))
+            (meta.artifact, q.toSeq, math.max(efRuntime(meta), k))
           })
         // join-back (heap-fetch) + the ORIGINAL Sort+Limit re-ranking by
         // the exact joint metric over the candidate union
@@ -958,7 +964,10 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the subquery must emit exactly the table's id column
       if subOut.map(_.exprId) == Seq(idAttr.exprId)
     } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
-      meta.artifact, k, math.max(meta.ef, k), metric,
+      meta.artifact, k,
+      math.max(spark.conf.getOption(graft.GraftConf.AnnEf)
+        .map(_.toInt).getOrElse(meta.ef), k),
+      metric,
       meta.kind,
       if (meta.kind == "ivf" || meta.kind == "ivfpq") meta.effectiveNprobe else 0,
       if (meta.kind == "ivfpq" || meta.kind == "pq") Some(rel) else None,

@@ -299,6 +299,32 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, b1Tbl)
   }
 
+  test("SET spark.graft.ann.ef overrides the planner search width at runtime") {
+    import graft.ann.{AnnIndex, AnnParams}
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-efguc").toFile, "idx").toString
+    AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      val q = e.select("embedding").head().getSeq[Float](0).toArray
+      def scanEf = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(5)
+        .queryExecution.optimizedPlan.collect {
+          case a: AnnScanLogical => a.ef
+        }.head
+      assert(scanEf == 64) // registration default
+      spark.conf.set(graft.GraftConf.AnnEf, "97")
+      try assert(scanEf == 97) // the GUC reaches the plan, like SET lantern_hnsw.ef
+      finally spark.conf.unset(graft.GraftConf.AnnEf)
+      assert(scanEf == 64)
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("lateral rule guards: wrong output shape or oversized k keep failing analysis") {
     import graft.ann.{AnnIndex, AnnParams}
     val dir = sf("sf0.001")

@@ -70,6 +70,14 @@ object GraftConf {
     * is given (GUC `lantern_hnsw.init_k`, default 10, max 1000). */
   def annInitK(s: SparkSession): Int = math.min(int(s, AnnInitK, 10), 1000)
 
+  val AnnNprobe = "spark.graft.ann.nprobe"
+
+  /** Runtime coarse-probe override for the ivf/ivfpq PLANNER paths —
+    * the nprobe counterpart of the runtime `ef` GUC (`SET
+    * spark.graft.ann.nprobe`); 0/unset keeps each registration's own
+    * value. */
+  def annNprobe(s: SparkSession): Int = int(s, AnnNprobe, 0)
+
   val AnnConsolidateShards = "spark.graft.ann.consolidateShards"
 
   /** Shard-count threshold past which an append-heavy index is

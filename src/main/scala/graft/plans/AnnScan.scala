@@ -571,6 +571,13 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def efRuntime(meta: AnnCatalog.IndexMeta): Int =
     spark.conf.getOption(graft.GraftConf.AnnEf).map(_.toInt).getOrElse(meta.ef)
 
+  /** Runtime coarse-probe width (`SET spark.graft.ann.nprobe`) for the
+    * ivf/ivfpq forms — the nprobe counterpart of [[efRuntime]]. */
+  private def nprobeRuntime(meta: AnnCatalog.IndexMeta): Int = {
+    val c = graft.GraftConf.annNprobe(spark)
+    if (c > 0) c else meta.effectiveNprobe
+  }
+
   /** (metric, vecAttr, query) from a distance sort expression. */
   private def matchDist(e: Expression): Option[(String, AttributeReference, Array[Float])] = {
     def vec(l: Literal): Array[Float] =
@@ -729,10 +736,10 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // IndexMeta.nprobe). IVF-PQ needs BOTH: ef as the residual-LUT
         // candidate-pool width plus its own coarse probe count.
         val searchParam =
-          if (meta.kind == "ivf") meta.effectiveNprobe
+          if (meta.kind == "ivf") nprobeRuntime(meta)
           else math.max(efRuntime(meta), k)
         val scanNprobe =
-          if (meta.kind == "ivfpq") meta.effectiveNprobe else 0
+          if (meta.kind == "ivfpq") nprobeRuntime(meta) else 0
         val newSource: LogicalPlan = predOpt match {
           case Some(pred) =>
             // filtered form: ids from the adaptive over-fetch + exact
@@ -969,7 +976,10 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(_.toInt).getOrElse(meta.ef), k),
       metric,
       meta.kind,
-      if (meta.kind == "ivf" || meta.kind == "ivfpq") meta.effectiveNprobe else 0,
+      if (meta.kind == "ivf" || meta.kind == "ivfpq") {
+        val c = graft.GraftConf.annNprobe(spark)
+        if (c > 0) c else meta.effectiveNprobe
+      } else 0,
       if (meta.kind == "ivfpq" || meta.kind == "pq") Some(rel) else None,
       meta.idCol, meta.vecCol)
   }

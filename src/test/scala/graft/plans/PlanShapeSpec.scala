@@ -323,6 +323,28 @@ class PlanShapeSpec extends SparkTestBase {
       finally spark.conf.unset(graft.GraftConf.AnnEf)
       assert(scanEf == 64)
     } finally AnnCatalog.unregister(spark, tablePath)
+
+    // and the coarse-probe counterpart for the ivf kind
+    import graft.ann.IvfIndex
+    val ivfPath = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-npguc").toFile, "idx").toString
+    IvfIndex.build(e, "vec_id", "embedding", ivfPath, nlists = 8)
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(ivfPath, "vec_id", "embedding", "l2sq", ef = 64,
+        kind = "ivf", nprobe = 2))
+    try {
+      val q = e.select("embedding").head().getSeq[Float](0).toArray
+      def scanNp = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(5)
+        .queryExecution.optimizedPlan.collect {
+          case a: AnnScanLogical => a.ef // ivf routes nprobe through ef
+        }.head
+      assert(scanNp == 2)
+      spark.conf.set(graft.GraftConf.AnnNprobe, "6")
+      try assert(scanNp == 6)
+      finally spark.conf.unset(graft.GraftConf.AnnNprobe)
+      assert(scanNp == 2)
+    } finally AnnCatalog.unregister(spark, tablePath)
   }
 
   test("lateral rule guards: wrong output shape or oversized k keep failing analysis") {

@@ -806,3 +806,51 @@ object PolyHash31 {
     h
   }
 }
+
+/** Deflate compression ratio `compressed_bytes / utf8_bytes` — the
+  * gzip-ratio quality signal large-scale pipelines filter on (Dolma,
+  * RefinedWeb: highly repetitive or template text compresses far
+  * below ~0.4; high-entropy garbage sits near or above 1.0 after
+  * header overhead). One native codegen'd pass per row — the zlib
+  * call dominates, so there is nothing to gain from SQL built-ins,
+  * and no SQL engine replays DEFLATE: the gate is self-verifying on
+  * invariants instead of oracle-hashed. Empty input → 0.0.
+  */
+case class DeflateRatioExpr(child: Expression, level: Int = 6)
+    extends UnaryExpression {
+  require(level >= 1 && level <= 9, s"graft: deflate level in [1,9], got $level")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio expects string, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(v: Any): Any =
+    DeflateRatioExpr.compute(v.asInstanceOf[UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DeflateRatioExpr.compute($c, $level)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
+}
+
+object DeflateRatioExpr {
+  def compute(s: UTF8String, level: Int): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 0.0
+    val d = new java.util.zip.Deflater(level, /*nowrap=*/ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+}

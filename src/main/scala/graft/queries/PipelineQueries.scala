@@ -791,6 +791,48 @@ object PipelineQueries {
        |FROM w GROUP BY ws ORDER BY ws""".stripMargin
   }
 
+  /** Deflate-ratio quality signal gate (the Dolma/RefinedWeb gzip
+    * filter). No SQL engine replays DEFLATE, so the gate is
+    * SELF-VERIFYING on the signal's defining invariants over the whole
+    * documents table (recall-gate pattern):
+    *  1. bounds — every non-empty doc's ratio is finite in (0, 1.5];
+    *  2. repetition sensitivity — doubling a doc (`text ‖ text`) must
+    *     compress proportionally BETTER for every doc ≥ 100 chars
+    *     (the back-reference covers the second copy);
+    *  3. extremes — a pure repeat compresses under 0.1 while a
+    *     high-entropy hex string stays above 0.5 (both derived
+    *     in-plan, no literals shipped from the driver). */
+  private def compressionRatioGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = TextAnalysis.compressionRatio(col("text"))
+    val docs = Tables.documents(s, dir)
+      .where(col("text").isNotNull && length(col("text")) > 0)
+    val stats = docs.select(
+        r.as("r"),
+        TextAnalysis.compressionRatio(concat(col("text"), col("text"))).as("r2"),
+        length(col("text")).as("len"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("r") > 0 && col("r") <= 1.5 && !isnan(col("r")), 1)
+          .otherwise(0)).as("bounded"),
+        sum(when(col("len") >= 100 &&
+            col("r2") >= col("r") * 0.75 + 0.05, 1).otherwise(0)).as("bad2"),
+        sum(when(col("len") >= 100, 1).otherwise(0)).as("n100"))
+      .head()
+    val extremes = docs.limit(1).select(
+        TextAnalysis.compressionRatio(
+          concat_ws("", array_repeat(lit("the quick brown fox "), 100))).as("rep"),
+        TextAnalysis.compressionRatio(
+          concat_ws("", (0 until 40).map(i =>
+            sha2(concat(col("text"), lit(i.toString)), 256)): _*)).as("rnd"))
+      .head()
+    val ok = stats.getLong(0) > 0 &&
+      stats.getLong(1) == stats.getLong(0) &&
+      stats.getLong(2) == 0 && stats.getLong(3) > 0 &&
+      extremes.getDouble(0) < 0.1 && extremes.getDouble(1) > 0.5
+    if (ok) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+  }
+
   /** Winnowing fingerprints (SIGMOD'03), polynomial-gram-hash variant
     * so the full k-gram → window-min → distinct pipeline is replayed by
     * the oracle; emitted space-joined (array columns are unhashable
@@ -1269,5 +1311,6 @@ object PipelineQueries {
     QueryDef("winnow_fingerprint", Some(winnowOracle), winnow),
     QueryDef("punct_ratio", Some(punctRatioOracle), punctRatio),
     QueryDef("repetition_quality", Some(repetitionQualityOracle), repetitionQuality),
+    QueryDef("compression_ratio", Some("SELECT 1 AS ok"), compressionRatioGate),
   )
 }

@@ -205,6 +205,16 @@ object TextAnalysis {
       length(regexp_replace(text, "[\\w\\s]", "")).cast("double") / n)
   }
 
+  /** Deflate compression ratio — the gzip-ratio quality filter of the
+    * Dolma/RefinedWeb pipelines: repetitive or templated text
+    * compresses far below ~0.4; near-random text sits near 1.0. One
+    * native codegen'd pass; see
+    * [[graft.functions.DeflateRatioExpr]]. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.DeflateRatioExpr(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(text), level))
+
   /** PII detection/redaction for training corpora (emails, IPv4
     * addresses, international-format phone numbers) — the standard
     * pre-training scrub step (e.g. the C4/Dolma pipelines); not in the

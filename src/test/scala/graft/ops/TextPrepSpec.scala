@@ -69,4 +69,34 @@ class TextPrepSpec extends SparkTestBase {
     assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("only a fragment"))
     assert(out.filter(_._1 == 1L).map(_._2).toSeq == (0 until 5))
   }
+
+  test("compressionRatio: bounds, repetition sensitivity, codegen, null/empty") {
+    import graft.text.TextAnalysis
+    val df = Seq(
+      ("a" * 1000, "repeat"),
+      ("The quick brown fox jumps over the lazy dog. " * 30, "template"),
+      (java.util.UUID.randomUUID().toString * 20, "mixed"),
+      ("", "empty")).toDF("text", "tag")
+    val rows = df.select($"tag", TextAnalysis.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("empty") == 0.0)
+    assert(rows("repeat") < 0.05, s"repeat ${rows("repeat")}")
+    assert(rows("repeat") < rows("template"), rows.toString)
+    assert(rows("template") < rows("mixed"), rows.toString)
+    assert(rows.values.forall(r => r >= 0.0 && r <= 1.5))
+    // high-entropy input stays near/above 1 (deflate adds overhead)
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(4096)((rnd.nextInt(94) + 33).toChar).mkString
+    val rNoise = Seq(Tuple1(noise)).toDF("text")
+      .select(TextAnalysis.compressionRatio($"text")).head().getDouble(0)
+    assert(rNoise > 0.8, s"noise $rNoise")
+    // null-safe and codegen'd (no ScalaUDF; starred Project)
+    val withNull = Seq(Some("abc"), None).map(Tuple1(_)).toDF("text")
+      .select(TextAnalysis.compressionRatio($"text").as("r"))
+    assert(withNull.collect().map(r => r.isNullAt(0)).toSeq == Seq(false, true))
+    val plan = graft.ops.MaskedExplain.explain(
+      graft.Tables.documents(spark, sf("sf0.001"))
+        .select(TextAnalysis.compressionRatio($"text")), "formatted")
+    assert(plan.contains("* Project"), plan.take(400))
+  }
 }

@@ -193,12 +193,17 @@ object IvfPqIndex {
       while (j < q.length) { r(j) = q(j) - c(j); j += 1 }
       l -> cb.l2sqLut(r)
     }.toMap
-    val adc = udf { (codes: Seq[Short], listId: Int) =>
-      val lut = luts(listId)
-      var s = 0; var d = 0.0
-      while (s < codes.length) { d += lut(s)(codes(s).toInt); s += 1 }
-      d
-    }
+    // ADC scoring as a codegen'd expression keyed by list_id — the
+    // probed-list scan stays inside whole-stage codegen (a Scala UDF
+    // here pays per-row ser/de exactly where cost grows with corpus)
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val adcLuts = graft.functions.PqAdc.Keyed(
+      luts.map { case (l, lut) => (l.toLong, lut) })
+    def adc(codes: org.apache.spark.sql.Column,
+        listId: org.apache.spark.sql.Column) =
+      GraftSqlShim.column(graft.functions.PqAdcDistKeyed(
+        GraftSqlShim.expression(codes), GraftSqlShim.expression(listId),
+        adcLuts))
     val base = spark.read.parquet(s"$path/$DataDir")
       .where(col("list_id").isin(probes.toIndexedSeq: _*))
     val scan = tombstones(spark, path) match {

@@ -350,3 +350,123 @@ object QuantExprs {
   def b1Words(a: ArrayData): ArrayData =
     ArrayData.toArrayData(graft.ann.Metric.b1ToWords(a.toIntArray()))
 }
+
+/** Asymmetric-distance (ADC) PQ scan kernel as a codegen'd expression:
+  * `dist = Σ_s lut[s][codes_s]` over a flat per-query LUT riding the
+  * expression as a reference object (reference scan-time LUT,
+  * lantern_hnsw/src/hnsw/pqtable.c:194-333). Replaces the per-row
+  * Scala UDF in the PQ search hot path — a UDF pays catalyst→scala
+  * ser/de per scanned code row and blocks whole-stage codegen, which
+  * dominates once the probed-list scan grows with the corpus. */
+case class PqAdcDistFixed(child: Expression, table: PqAdc.Flat)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ShortType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dist expects array<smallint> codes, got ${t.simpleString}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dist"
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<lut(${table.flat.length / table.clusters}x${table.clusters})>")
+
+  override def nullSafeEval(v: Any): Any =
+    PqAdc.compute(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcLut", table, "graft.functions.PqAdc.Flat")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqAdc.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcDistFixed =
+    copy(child = newChild)
+}
+
+/** Keyed ADC: the LUT is selected per row by an integral key column —
+  * `list_id` for the IVF-PQ probed-list scan (per-list residual LUTs)
+  * or `query_id` for batched multi-query PQ scans. The LUT table rides
+  * as one reference object (probed-lists × m × clusters doubles —
+  * bounded by the probe budget, never the corpus). */
+case class PqAdcDistKeyed(codes: Expression, key: Expression,
+    table: PqAdc.Keyed) extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = key
+  override def checkInputDataTypes(): TypeCheckResult = (codes.dataType, key.dataType) match {
+    case (ArrayType(ShortType, _), IntegerType | LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (c, k) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dist_keyed expects (array<smallint>, int|bigint), got " +
+        s"(${c.simpleString}, ${k.simpleString})")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dist_keyed"
+  override def stringArgs: Iterator[Any] =
+    Iterator(codes, key, s"<luts(${table.luts.size()} keys)>")
+
+  override def nullSafeEval(c: Any, k: Any): Any = {
+    val kk = k match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case other => other.asInstanceOf[Number].longValue()
+    }
+    PqAdc.computeKeyed(c.asInstanceOf[ArrayData], kk, table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcLuts", table, "graft.functions.PqAdc.Keyed")
+    defineCodeGen(ctx, ev,
+      (c, k) => s"graft.functions.PqAdc.computeKeyed($c, (long)$k, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDistKeyed =
+    copy(codes = newLeft, key = newRight)
+}
+
+object PqAdc {
+  /** One flat LUT: `flat(s * clusters + code)`. */
+  final case class Flat(flat: Array[Double], clusters: Int)
+  object Flat {
+    def apply(lut: Array[Array[Double]]): Flat = {
+      val clusters = lut(0).length
+      val flat = new Array[Double](lut.length * clusters)
+      var s = 0
+      while (s < lut.length) {
+        require(lut(s).length == clusters, "graft: ragged ADC LUT")
+        System.arraycopy(lut(s), 0, flat, s * clusters, clusters)
+        s += 1
+      }
+      Flat(flat, clusters)
+    }
+  }
+
+  /** Keyed flat LUTs (java HashMap: fast lookup, java-serializable). */
+  final case class Keyed(luts: java.util.HashMap[java.lang.Long, Flat])
+  object Keyed {
+    def apply(m: Iterable[(Long, Array[Array[Double]])]): Keyed = {
+      val h = new java.util.HashMap[java.lang.Long, Flat]()
+      m.foreach { case (k, lut) => h.put(k, Flat(lut)) }
+      Keyed(h)
+    }
+  }
+
+  def compute(a: ArrayData, t: Flat): Double = {
+    val n = a.numElements()
+    var s = 0
+    var d = 0.0
+    while (s < n) {
+      d += t.flat(s * t.clusters + a.getShort(s))
+      s += 1
+    }
+    d
+  }
+
+  def computeKeyed(a: ArrayData, key: Long, t: Keyed): Double = {
+    val lut = t.luts.get(key)
+    if (lut == null) throw new IllegalStateException(
+      s"graft: ADC scan saw key $key with no LUT (probed-list/query set mismatch)")
+    compute(a, lut)
+  }
+}

@@ -73,4 +73,56 @@ object ProjectedSearch {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  /** Batched two-stage projected kNN — output-compatible with
+    * [[graft.ann.AnnIndex.searchMany]] (query_id, neighbor_id, dist,
+    * rank ≤ k). The table is projected ONCE (codegen'd `M·v − bias`
+    * kernel, f32 images: stage 1 is a pre-rank, so f32 precision is
+    * part of its approximation budget), the tiny projected-query set
+    * cross-joins in (broadcast), and both per-query ranks are rank
+    * windows — Spark 4 plans them as partial WindowGroupLimits, so
+    * each task pre-prunes to pool/k rows before its single shuffle.
+    * Stage 2 re-ranks each query's pool by exact full-dimension l2sq
+    * against the true vector column. */
+  def topKMany(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      matrix: Array[Array[Double]],
+      bias: Array[Double],
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      pool: Int): DataFrame = {
+    require(pool >= k, s"graft: pool ($pool) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qProj = queries.map { case (qid, q) =>
+      (qid, projectQuery(matrix, bias, q).map(_.toFloat).toSeq)
+    }.toDF("query_id", "__qp")
+    val projected = df.select(
+      col(idCol).cast("long").as("neighbor_id"), col(vecCol),
+      GraftSqlShim.column(graft.functions.MatVecProject(
+        GraftSqlShim.expression(col(vecCol)), matrix, bias))
+        .cast(ArrayType(FloatType)).as("__proj"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pd"), col("neighbor_id"))
+    val poolRows = projected
+      .crossJoin(broadcast(qProj))
+      .select(col("query_id"), col("neighbor_id"), col(vecCol),
+        graft.functions.l2sq_dist(col("__proj"), col("__qp")).as("__pd"))
+      .withColumn("__pr", row_number().over(wp))
+      .where(col("__pr") <= pool)
+    val qVecs = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "__qv")
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    poolRows
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.l2sq_dist(col(vecCol), col("__qv")).as("dist"))
+      .withColumn("rank", row_number().over(we))
+      .where(col("rank") <= k)
+  }
 }

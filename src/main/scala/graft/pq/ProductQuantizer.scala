@@ -304,20 +304,21 @@ object ProductQuantizer {
       k: Int,
       rerankCol: Option[String] = None,
       ef: Int = 64): DataFrame = {
-    val lut = cb.l2sqLut(query)
-    val distUdf = udf { codes: Seq[Short] =>
-      var s = 0; var d = 0.0
-      while (s < codes.length) { d += lut(s)(codes(s).toInt); s += 1 }
-      d
-    }
+    // ADC as a codegen'd expression (PqAdcDistFixed) — the full-table
+    // code scan is the hot path and must stay in whole-stage codegen
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val lutFlat = graft.functions.PqAdc.Flat(cb.l2sqLut(query))
+    def adcDist(codes: Column) =
+      GraftSqlShim.column(graft.functions.PqAdcDistFixed(
+        GraftSqlShim.expression(codes), lutFlat))
     rerankCol match {
       case None =>
-        df.select(col(idCol), distUdf(col(pqCol)).as("dist"))
+        df.select(col(idCol), adcDist(col(pqCol)).as("dist"))
           .orderBy(col("dist"), col(idCol))
           .limit(k)
       case Some(vc) =>
         val nCand = math.max(ef, 4 * k)
-        val cands = df.select(col(idCol), distUdf(col(pqCol)).as("lut_dist"))
+        val cands = df.select(col(idCol), adcDist(col(pqCol)).as("lut_dist"))
           .orderBy(col("lut_dist"), col(idCol))
           .limit(nCand)
           .select(col(idCol))
@@ -327,6 +328,67 @@ object ProductQuantizer {
             graft.functions.l2sq_dist(col(vc), lit(query)).as("dist"))
           .orderBy(col("dist"), col(idCol))
           .limit(k)
+    }
+  }
+
+  /** Batched multi-query asymmetric PQ search — output-compatible with
+    * [[graft.ann.AnnIndex.searchMany]] (query_id, neighbor_id, dist,
+    * rank ≤ k). ONE pass over the code table: the tiny query-id set
+    * cross-joins in (broadcast), every row is scored against its
+    * query's LUT by the codegen'd keyed ADC kernel, and the per-query
+    * top-k is a rank window — which Spark 4 plans as a partial
+    * WindowGroupLimit, so each task pre-prunes to k before the single
+    * shuffle (no N×Q rows ever move). With `rerankCol` the per-query
+    * LUT top-`max(ef, 4k)` pool joins back to the true float column
+    * and the exact metric ranks the final k. */
+  def searchPqMany(
+      df: DataFrame,
+      idCol: String,
+      pqCol: String,
+      cb: PqCodebook,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      rerankCol: Option[String] = None,
+      ef: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val spark = df.sparkSession
+    import spark.implicits._
+    val luts = graft.functions.PqAdc.Keyed(
+      queries.map { case (qid, q) => (qid, cb.l2sqLut(q)) })
+    def adcDist(codes: Column, qid: Column) =
+      GraftSqlShim.column(graft.functions.PqAdcDistKeyed(
+        GraftSqlShim.expression(codes), GraftSqlShim.expression(qid), luts))
+    val qIds = queries.map(_._1).toDF("query_id")
+    val scored = df
+      .select(col(idCol).cast("long").as("neighbor_id"), col(pqCol))
+      .crossJoin(broadcast(qIds))
+      .select(col("query_id"), col("neighbor_id"),
+        adcDist(col(pqCol), col("query_id")).as("lut_dist"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("lut_dist"), col("neighbor_id"))
+    rerankCol match {
+      case None =>
+        scored.withColumn("rank", row_number().over(wl))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"),
+            col("lut_dist").as("dist"), col("rank"))
+      case Some(vc) =>
+        val nCand = math.max(ef, 4 * k)
+        val cands = scored.withColumn("__r", row_number().over(wl))
+          .where(col("__r") <= nCand)
+          .select(col("query_id"), col("neighbor_id"))
+        val qVecs = queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("query_id", "__qv")
+        val we = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))
+        df.select(col(idCol).cast("long").as("neighbor_id"), col(vc).as("__v"))
+          .join(broadcast(cands), Seq("neighbor_id"))
+          .join(broadcast(qVecs), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.l2sq_dist(col("__v"), col("__qv")).as("dist"))
+          .withColumn("rank", row_number().over(we))
+          .where(col("rank") <= k)
     }
   }
 }

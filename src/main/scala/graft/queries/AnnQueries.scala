@@ -45,24 +45,27 @@ object AnnQueries {
     }
   }
 
+  /** Flagship HNSW recall gate, multi-query protocol
+    * ([[RecallProtocol]]): the index is built over the base with the
+    * first [[RecallProtocol.QueryCount]] vectors HELD OUT as the query
+    * set (the reference's separate `sift_query1k` fixture,
+    * calculate_recall.sql:1-48), all queries answered in ONE
+    * `searchMany` pass over the shards, and the gate is the MEAN
+    * recall@10 ≥ 0.8 vs the exact per-query top-10 (one window join). */
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val path = artifactDir("ann", dir, "embeddings")
+    val h = RecallProtocol.holdout(e)
+    val path = artifactDir("annmq", dir, "embeddings")
     cached(path) {
-      AnnIndex.build(e, "vec_id", "embedding", path,
+      AnnIndex.build(h.base, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val ann = AnnIndex.search(s, path, q, 10).map(_._1).toSet
-    val exact = e
-      .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val recall = ann.intersect(exact).size.toDouble / exact.size
-    if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+    val ann = RecallProtocol.perQueryDf(
+      AnnIndex.searchMany(s, path, h.queries.toSeq, k = 10, efOverride = 64))
+    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
   }
 
   /** Streaming ingestion into a live index — build from the first half
@@ -102,18 +105,27 @@ object AnnQueries {
       .start()
     StreamChunks.drive(q, streamDir, files)
 
-    val qv = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val ann = AnnIndex.search(s, path, qv, 10).map(_._1).toSet
-    val exact = e
-      .withColumn("d", l2sq_dist(col("embedding"), lit(qv)))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val recall = ann.intersect(exact).size.toDouble / exact.size
-    // streamed rows must actually surface: at least one of the exact
-    // top-10 has to come from the streamed id range
-    val streamedFound = ann.exists(_ > maxId / 2) || exact.forall(_ <= maxId / 2)
-    if (recall >= 0.8 && streamedFound) Seq(1).toDF("ok")
+    // multi-query recall over the COMPLETE corpus (built + streamed):
+    // the 50 lowest-id vectors (all in the built half) are the query
+    // set, answered in one searchMany batch — RecallProtocol, but with
+    // in-table queries because the gate's subject is the post-append
+    // index over the full table, not graph quality on a holdout
+    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ann = RecallProtocol.perQueryDf(
+      AnnIndex.searchMany(s, path, qs.toSeq, k = 10, efOverride = 64))
+    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    // streamed rows must actually surface: wherever the exact top-10
+    // contains streamed-range ids, the ANN answers must include some
+    val annIds = ann.values.flatten.toSet
+    val exactIds = exact.values.flatten.toSet
+    val streamedFound = annIds.exists(_ > maxId / 2) ||
+      !exactIds.exists(_ > maxId / 2)
+    if (RecallProtocol.meanRecallOk(ann, exact) && streamedFound)
+      Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
 
@@ -133,25 +145,55 @@ object AnnQueries {
       AnnIndex.build(e, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
     val tablePath = s"$dir/embeddings.parquet"
     AnnCatalog.register(s, tablePath,
       AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
     try {
-      val knn = e.select(col("vec_id"), col("embedding"))
-        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
-      val usedIndex = knn.queryExecution.optimizedPlan.collect {
-        case a: AnnScanLogical => a
-      }.nonEmpty
-      val ann = knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = ann.intersect(exact).size.toDouble / exact.size
-      if (usedIndex && recall >= 0.8) Seq(1).toDF("ok")
+      // multi-query planner protocol: the scalar ORDER-BY form admits
+      // one literal vector per plan, so a PlannerSample-sized holdout
+      // subsample runs through the optimizer per query (every plan must
+      // rewrite), while the exact truth is ONE batched window join
+      val qs = plannerSample(e)
+      var allPlanned = true
+      val ann = qs.map { case (qid, q) =>
+        val knn = e.select(col("vec_id"), col("embedding"))
+          .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+          case a: AnnScanLogical => a
+        }.nonEmpty
+        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      val exact = plannerTruth(e, qs)
+      if (allPlanned && RecallProtocol.meanRecallOk(ann, exact))
+        Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tablePath)
+  }
+
+  /** Query subsample for PLANNER-form gates: the scalar rewrite takes
+    * one literal vector per plan, so these gates loop a smaller sample
+    * (each iteration is a full optimize + execute) — graph-quality
+    * evidence at QueryCount scale lives in the searchMany gates over
+    * the same graphs. In-table vectors, evenly spread ids. */
+  private[queries] val PlannerSample = 10
+
+  private[queries] def plannerSample(e: DataFrame,
+      vecCol: String = "embedding"): Seq[(Long, Array[Float])] = {
+    val ids = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    ids.grouped(RecallProtocol.QueryCount / PlannerSample)
+      .map(_.head).toSeq
+  }
+
+  /** One batched exact truth for a planner sample over the FULL table
+    * (planner gates answer against the registered table itself). */
+  private[queries] def plannerTruth(e: DataFrame,
+      qs: Seq[(Long, Array[Float])], k: Int = 10,
+      metric: String = "l2sq"): Map[Long, Set[Long]] = {
+    import e.sparkSession.implicits._
+    val qDf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("query_id", "qv")
+    RecallProtocol.truth(qDf, e, "vec_id", "embedding", k, metric)
   }
 
   /** Filtered-search gate (`WHERE pred ORDER BY dist LIMIT k` through
@@ -171,27 +213,33 @@ object AnnQueries {
       AnnIndex.build(e, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-
+    // multi-query filtered recall: searchFiltered is a per-query
+    // adaptive operator, so the PlannerSample subsample loops through
+    // it while the exact FILTERED truth is one batched window join
+    val qs = plannerSample(e)
     val pred = col("vec_id") % 3 === 0
-    val got = AnnIndex
-      .searchFiltered(e, "vec_id", "embedding", path, q, 10, pred)
-      .map(_._1).toSet
-    val exact = e.where(pred)
-      .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val recall = got.intersect(exact).size.toDouble / exact.size
+    val ann = qs.map { case (qid, q) =>
+      qid -> AnnIndex
+        .searchFiltered(e, "vec_id", "embedding", path, q, 10, pred)
+        .map(_._1).toSet
+    }.toMap
+    val exact = {
+      import s.implicits._
+      val qDf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("query_id", "qv")
+      RecallProtocol.truth(qDf, e.where(pred), "vec_id", "embedding")
+    }
+    val filteredOk = ann.valuesIterator.forall(_.forall(_ % 3 == 0)) &&
+      RecallProtocol.meanRecallOk(ann, exact)
 
+    val q0 = qs.head._2
     val starvingPred = col("vec_id") < 3 // < k survivors
     val gotStarved = AnnIndex
-      .searchFiltered(e, "vec_id", "embedding", path, q, 10, starvingPred)
+      .searchFiltered(e, "vec_id", "embedding", path, q0, 10, starvingPred)
       .map(_._1).toSet
     val allSurvivors = e.where(starvingPred)
       .select("vec_id").collect().map(_.getLong(0)).toSet
 
-    if (recall >= 0.8 && gotStarved == allSurvivors) Seq(1).toDF("ok")
+    if (filteredOk && gotStarved == allSurvivors) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
 
@@ -204,44 +252,63 @@ object AnnQueries {
     * rows for a starving predicate via the execution-time exact
     * fallback. */
   private def annFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
     val e = Tables.embeddings(s, dir)
     val path = artifactDir("ann", dir, "embeddings")
     cached(path) {
       AnnIndex.build(e, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
+    filteredPlannerGate(s, dir, e,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 64),
+      expectKind = "hnsw")
+  }
+
+  /** Shared body of the filtered PLANNER gates (hnsw / ivf / ivfpq):
+    * multi-query protocol — a PlannerSample subsample of query vectors
+    * each runs the plain `where(pred).orderBy(dist).limit(k)` form
+    * through the optimizer (EVERY plan must route through
+    * AnnFilteredIdsLogical with the registered kind), the exact
+    * FILTERED truth is one batched window join, micro recall@10 ≥ 0.8,
+    * and the starving predicate stays exact via the execution-time
+    * fallback. */
+  private def filteredPlannerGate(s: SparkSession, dir: String, e: DataFrame,
+      meta: graft.plans.AnnCatalog.IndexMeta, expectKind: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
     val tablePath = s"$dir/embeddings.parquet"
-    AnnCatalog.register(s, tablePath,
-      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64))
+    AnnCatalog.register(s, tablePath, meta)
     try {
       def usesIndex(df: DataFrame): Boolean =
         df.queryExecution.optimizedPlan.collect {
-          case a: AnnFilteredIdsLogical => a
+          case a: AnnFilteredIdsLogical if a.kind == expectKind => a
         }.nonEmpty
 
+      val qs = plannerSample(e)
       val pred = col("vec_id") % 3 === 0
-      val knn = e.where(pred)
-        .orderBy(graft.functions.l2sq_dist(col("embedding"), lit(q))).limit(10)
-      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = e.where(pred)
-        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = got.intersect(exact).size.toDouble / exact.size
+      var allPlanned = true
+      val ann = qs.map { case (qid, q) =>
+        val knn = e.where(pred)
+          .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        allPlanned &&= usesIndex(knn)
+        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      val exact = {
+        val qDf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("query_id", "qv")
+        RecallProtocol.truth(qDf, e.where(pred), "vec_id", "embedding")
+      }
 
+      val q0 = qs.head._2
       val starvingPred = col("vec_id") < 3
       val sknn = e.where(starvingPred)
-        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        .orderBy(l2sq_dist(col("embedding"), lit(q0))).limit(10)
       val sGot = sknn.select("vec_id").collect().map(_.getLong(0)).toSet
       val survivors = e.where(starvingPred)
         .select("vec_id").collect().map(_.getLong(0)).toSet
 
-      if (usesIndex(knn) && usesIndex(sknn) &&
-          got.forall(_ % 3 == 0) && recall >= 0.8 && sGot == survivors)
+      if (allPlanned && usesIndex(sknn) &&
+          ann.valuesIterator.forall(_.forall(_ % 3 == 0)) &&
+          RecallProtocol.meanRecallOk(ann, exact) && sGot == survivors)
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tablePath)
@@ -255,33 +322,29 @@ object AnnQueries {
   private def knnJoinAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val data = e.where(col("vec_id") >= 5)
-    val path = artifactDir("annjoin", dir, "embeddings")
+    val data = e.where(col("vec_id") >= LateralProbes)
+    val path = artifactDir("annjoin25", dir, "embeddings")
     cached(path) {
       AnnIndex.build(data, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-    val queries = e.where(col("vec_id") < 5)
+    val queries = e.where(col("vec_id") < LateralProbes)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    def perQuery(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
-      rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ann = perQuery(AnnIndex
-      .searchMany(s, path, queries, k = 3, efOverride = 64)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))))
-    val exact = perQuery(graft.ops.VectorSearch.knnJoinExact(
-        e.where(col("vec_id") < 5), "vec_id", "embedding",
-        data, "vec_id", "embedding", k = 3)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))))
-    val recalls = exact.map { case (qid, ex) =>
-      ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
-    }
-    val meanRecall = recalls.sum / recalls.size
-    if (ann.keySet == exact.keySet && meanRecall >= 0.8) Seq(1).toDF("ok")
+    val ann = RecallProtocol.perQueryDf(AnnIndex
+      .searchMany(s, path, queries, k = 3, efOverride = 64))
+    val exact = RecallProtocol.perQueryDf(graft.ops.VectorSearch.knnJoinExact(
+      e.where(col("vec_id") < LateralProbes), "vec_id", "embedding",
+      data, "vec_id", "embedding", k = 3))
+    if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
+
+  /** Outer-row count for the lateral/kNN-join gates: 25 probes × k=3 =
+    * 75 gated results per kind — multi-query evidence through the
+    * batched join path (probes ride ONE searchMany pass, so the count
+    * is nearly free). */
+  private[queries] val LateralProbes = 25
 
   /** Planner-level lateral kNN-join gate: the reference's LATERAL SQL
     * form (test/sql/hnsw_select.sql:66-69) — which vanilla Spark
@@ -307,7 +370,8 @@ object AnnQueries {
     try {
       val q = s.sql(
         s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
-           |FROM (SELECT vec_id, embedding FROM $view WHERE vec_id < 5) p,
+           |FROM (SELECT vec_id, embedding FROM $view
+           |      WHERE vec_id < $LateralProbes) p,
            |LATERAL (
            |  SELECT vec_id FROM $view
            |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 3
@@ -315,20 +379,12 @@ object AnnQueries {
       val planned = q.queryExecution.optimizedPlan.collect {
         case a: graft.plans.AnnKnnJoinLogical => a
       }.nonEmpty
-      def perQuery(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
-        rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val ann = perQuery(q.collect()
+      val ann = RecallProtocol.perQuery(q.collect()
         .map(r => (r.getLong(0), r.getLong(1))))
-      val exact = perQuery(graft.ops.VectorSearch.knnJoinExact(
-          e.where(col("vec_id") < 5), "vec_id", "embedding",
-          e, "vec_id", "embedding", k = 3)
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))))
-      val recalls = exact.map { case (qid, ex) =>
-        ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
-      }
-      val meanRecall = recalls.sum / recalls.size
-      if (planned && ann.keySet == exact.keySet && meanRecall >= 0.8)
+      val exact = RecallProtocol.perQueryDf(graft.ops.VectorSearch.knnJoinExact(
+        e.where(col("vec_id") < LateralProbes), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 3))
+      if (planned && RecallProtocol.meanRecallOk(ann, exact))
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally {
@@ -354,7 +410,8 @@ object AnnQueries {
     try {
       val q = s.sql(
         s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
-           |FROM (SELECT vec_id, embedding FROM $view WHERE vec_id < 5) p,
+           |FROM (SELECT vec_id, embedding FROM $view
+           |      WHERE vec_id < $LateralProbes) p,
            |LATERAL (
            |  SELECT vec_id FROM $view
            |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 3
@@ -362,22 +419,12 @@ object AnnQueries {
       val planned = q.queryExecution.optimizedPlan.collect {
         case a: graft.plans.AnnKnnJoinLogical if a.kind == meta.kind => a
       }.nonEmpty
-      def perQuery(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
-        rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val ann = perQuery(q.collect().map(r => (r.getLong(0), r.getLong(1))))
-      val exact = perQuery(graft.ops.VectorSearch.knnJoinExact(
-          e.where(col("vec_id") < 5), "vec_id", "embedding",
-          e, "vec_id", "embedding", k = 3)
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))))
-      // micro-averaged (integer hits / integer total): per-query double
-      // sums can land a true 12/15 = 0.8 at 0.7999999999999999
-      val hits = exact.iterator.map { case (qid, ex) =>
-        ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size
-      }.sum
-      val total = exact.valuesIterator.map(_.size).sum
-      if (planned && ann.keySet == exact.keySet &&
-          hits.toDouble >= 0.8 * total)
+      val ann = RecallProtocol.perQuery(
+        q.collect().map(r => (r.getLong(0), r.getLong(1))))
+      val exact = RecallProtocol.perQueryDf(graft.ops.VectorSearch.knnJoinExact(
+        e.where(col("vec_id") < LateralProbes), "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 3))
+      if (planned && RecallProtocol.meanRecallOk(ann, exact))
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally {
@@ -477,7 +524,8 @@ object AnnQueries {
     try {
       val q = s.sql(
         s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
-           |FROM (SELECT vec_id, bits FROM $view WHERE vec_id < 5) p,
+           |FROM (SELECT vec_id, bits FROM $view
+           |      WHERE vec_id < $LateralProbes) p,
            |LATERAL (
            |  SELECT vec_id FROM $view
            |  ORDER BY hamming_dist(bits, p.bits) LIMIT 3
@@ -493,13 +541,16 @@ object AnnQueries {
       val annDists = ann.groupBy(_._1).view.mapValues(_.map { case (qid, nid) =>
         hd(bitsById(qid), bitsById(nid))
       }.sorted.toSeq).toMap
-      val probes = (0L until 5L).toSeq
-      val exactDists = probes.map { qid =>
-        qid -> b1
-          .withColumn("hd", hamming_dist(col("bits"), lit(bitsById(qid))))
-          .orderBy(col("hd"), col("vec_id")).limit(3)
-          .select(col("hd").cast("int")).collect().map(_.getInt(0)).sorted.toSeq
-      }.toMap
+      // exact per-probe distance multisets in ONE hamming window join
+      // (RecallProtocol.truth's join shape), not a per-probe scan loop
+      val probesDf = b1.where(col("vec_id") < LateralProbes)
+        .select(col("vec_id").as("query_id"), col("bits").as("qv"))
+      val exactDists = graft.ops.VectorSearch.knnJoinExact(
+          probesDf, "query_id", "qv", b1, "vec_id", "bits",
+          k = 3, metric = "hamming")
+        .select("query_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1).toInt))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
       if (planned && annDists == exactDists) Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally {
@@ -542,12 +593,16 @@ object AnnQueries {
       val offWhileCleared = !planned
       val loaded = AnnCatalog.load(s, catFile) == 1
       val onAfterLoad = planned
-      val ann = knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = ann.intersect(exact).size.toDouble / exact.size
-      if (offWhileCleared && loaded && onAfterLoad && recall >= 0.8)
+      // recall through the RELOADED registration over the planner
+      // sample (multi-query protocol, planner form)
+      val qs = plannerSample(e)
+      val ann = qs.map { case (qid, qv) =>
+        qid -> e.select(col("vec_id"), col("embedding"))
+          .orderBy(l2sq_dist(col("embedding"), lit(qv))).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      val recallOk = RecallProtocol.meanRecallOk(ann, plannerTruth(e, qs))
+      if (offWhileCleared && loaded && onAfterLoad && recallOk)
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tablePath)
@@ -603,19 +658,19 @@ object AnnQueries {
     import s.implicits._
     import graft.ann.IvfIndex
     val e = Tables.embeddings(s, dir)
-    val path = artifactDir("ivf", dir, "embeddings")
+    val h = RecallProtocol.holdout(e)
+    val path = artifactDir("ivfmq", dir, "embeddings")
     cached(path) {
-      IvfIndex.build(e, "vec_id", "embedding", path, nlists = 16)
+      IvfIndex.build(h.base, "vec_id", "embedding", path, nlists = 16)
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val got = IvfIndex.search(s, path, q, 10, nprobe = 8)
-      .select("id").collect().map(_.getLong(0)).toSet
-    val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val recall = got.intersect(exact).size.toDouble / exact.size
-    if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+    // nprobe 12/16: the multi-query protocol exposed what the old
+    // single-query gate hid — nprobe=8 measures 0.78 MEAN recall at
+    // sf0.1 (the lucky vec_id=0 passed 0.8); 12 measures 0.938
+    val ann = RecallProtocol.perQueryDf(
+      IvfIndex.searchMany(s, path, h.queries.toSeq, k = 10, nprobe = 12))
+    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
   }
 
   /** Planner-level FILTERED IVF: `WHERE pred ORDER BY dist LIMIT k`
@@ -625,48 +680,16 @@ object AnnQueries {
     * predicate starves the limit — the same contract as the hnsw
     * `knn_ann_filtered_planner` gate, for the coarse-list kind. */
   private def ivfFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import graft.ann.IvfIndex
-    import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
     val e = Tables.embeddings(s, dir)
     val path = artifactDir("ivf", dir, "embeddings")
     cached(path) {
       IvfIndex.build(e, "vec_id", "embedding", path, nlists = 16)
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val tablePath = s"$dir/embeddings.parquet"
-    AnnCatalog.register(s, tablePath,
-      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 64,
-        kind = "ivf", nprobe = 8))
-    try {
-      def usesIndex(df: DataFrame): Boolean =
-        df.queryExecution.optimizedPlan.collect {
-          case a: AnnFilteredIdsLogical if a.kind == "ivf" => a
-        }.nonEmpty
-
-      val pred = col("vec_id") % 3 === 0
-      val knn = e.where(pred)
-        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
-      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = e.where(pred)
-        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = got.intersect(exact).size.toDouble / exact.size
-
-      val starvingPred = col("vec_id") < 3
-      val sknn = e.where(starvingPred)
-        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
-      val sGot = sknn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val survivors = e.where(starvingPred)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-
-      if (usesIndex(knn) && usesIndex(sknn) &&
-          got.forall(_ % 3 == 0) && recall >= 0.8 && sGot == survivors)
-        Seq(1).toDF("ok")
-      else Seq.empty[Int].toDF("ok")
-    } finally AnnCatalog.unregister(s, tablePath)
+    filteredPlannerGate(s, dir, e,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 64, kind = "ivf", nprobe = 8),
+      expectKind = "ivf")
   }
 
   /** Planner-level FILTERED IVF-PQ: same contract as the hnsw/ivf
@@ -674,49 +697,17 @@ object AnnQueries {
     * the residual-LUT search, survivors re-ranked on the TABLE's true
     * floats inside the exec, widened ×4 per round, exact fallback. */
   private def ivfpqFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import graft.ann.IvfPqIndex
-    import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
     val e = Tables.embeddings(s, dir)
     val path = artifactDir("ivfpq", dir, "embeddings")
     cached(path) {
       IvfPqIndex.build(e, "vec_id", "embedding", path,
         nlists = 16, subvectors = 8, clusters = 64)
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val tablePath = s"$dir/embeddings.parquet"
-    AnnCatalog.register(s, tablePath,
-      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 256,
-        kind = "ivfpq", nprobe = 8))
-    try {
-      def usesIndex(df: DataFrame): Boolean =
-        df.queryExecution.optimizedPlan.collect {
-          case a: AnnFilteredIdsLogical if a.kind == "ivfpq" => a
-        }.nonEmpty
-
-      val pred = col("vec_id") % 3 === 0
-      val knn = e.where(pred)
-        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
-      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = e.where(pred)
-        .withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = got.intersect(exact).size.toDouble / exact.size
-
-      val starvingPred = col("vec_id") < 3
-      val sknn = e.where(starvingPred)
-        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
-      val sGot = sknn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val survivors = e.where(starvingPred)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-
-      if (usesIndex(knn) && usesIndex(sknn) &&
-          got.forall(_ % 3 == 0) && recall >= 0.8 && sGot == survivors)
-        Seq(1).toDF("ok")
-      else Seq.empty[Int].toDF("ok")
-    } finally AnnCatalog.unregister(s, tablePath)
+    filteredPlannerGate(s, dir, e,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 256, kind = "ivfpq", nprobe = 8),
+      expectKind = "ivfpq")
   }
 
   /** IVF-PQ gate (the faiss `IVFPQ` layout — coarse lists + PQ
@@ -730,33 +721,31 @@ object AnnQueries {
     import s.implicits._
     import graft.ann.IvfPqIndex
     val e = Tables.embeddings(s, dir)
-    val path = artifactDir("ivfpq", dir, "embeddings")
+    val h = RecallProtocol.holdout(e)
+    val path = artifactDir("ivfpqmq", dir, "embeddings")
     cached(path) {
-      IvfPqIndex.build(e, "vec_id", "embedding", path,
+      IvfPqIndex.build(h.base, "vec_id", "embedding", path,
         nlists = 16, subvectors = 8, clusters = 64)
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    // rerank pool ef=256: 48-bit PQ codes on near-random data carry
-    // real ADC noise, so the exact join-back re-ranks a deeper pool
-    // (still k·P-scale rows, never a float scan)
-    val got = IvfPqIndex.search(s, path, q, 10, nprobe = 8,
-        rerank = Some((e, "vec_id", "embedding")), ef = 256)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select("vec_id", "d").collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
-    val recall = got.map(_._1).toSet.intersect(exact.map(_._1).toSet)
-      .size.toDouble / exact.length
-    val exactById = exact.toMap
-    val distsTrue = got.forall { case (id, d) =>
-      exactById.get(id).forall(ed => math.abs(d - ed) < 1e-9)
-    }
+    // nprobe=12, rerank pool ef=512: 48-bit PQ codes on near-random
+    // data carry real ADC noise, so the exact join-back re-ranks a
+    // deeper pool (still bounded rows, never a float scan). The
+    // multi-query protocol measures 0.774 MEAN recall at the old
+    // (nprobe=8, ef=256) and 0.936 here — the single-query gate was
+    // passing on a lucky vector
+    val annDf = IvfPqIndex.searchMany(s, path, h.queries.toSeq, k = 10,
+      nprobe = 12, ef = 512, rerank = Some((h.base, "vec_id", "embedding")))
+    val ann = RecallProtocol.perQueryDf(annDf)
+    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    // every reranked distance must equal the TRUE l2sq distance — one
+    // batched join-back, no per-query loop
+    val distsTrue = RecallProtocol.distsTrue(
+      annDf, h.queriesDf, h.base, "vec_id", "embedding")
     val codesRow = s.read.parquet(s"$path/data").head()
     val codesCompact =
       codesRow.getSeq[Short](codesRow.fieldIndex("codes")).length == 8
-    if (recall >= 0.8 && distsTrue && codesCompact) Seq(1).toDF("ok")
+    if (RecallProtocol.meanRecallOk(ann, exact) && distsTrue && codesCompact)
+      Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
 
@@ -772,25 +761,46 @@ object AnnQueries {
     */
   private def hammingAnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.hamming_dist
+    import graft.ann.Metric
     import graft.pq.ScalarQuantizer
     val e = Tables.embeddings(s, dir)
     def b1 = e.select(col("vec_id"),
       ScalarQuantizer.quantize_b1(col("embedding")).as("bits"))
-    val path = artifactDir("annh", dir, "embeddings")
+    // multi-query holdout on the b1 table: 50 lowest-id signatures are
+    // the query set, the index is built over the rest
+    val qRows = b1.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("bits")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+    val maxQ = qRows.map(_._1).max
+    val base = b1.where(col("vec_id") > maxQ)
+    val path = artifactDir("annhmq", dir, "embeddings")
     cached(path) {
-      AnnIndex.build(b1, "vec_id", "bits", path,
+      AnnIndex.build(base, "vec_id", "bits", path,
         AnnParams(m = 16, efConstruction = 128, ef = 128,
           metric = "hamming", numPartitions = 4))
     }
-    val q = b1.where(col("vec_id") === 0).select("bits")
-      .head().getSeq[Int](0).toArray
-    val ann = AnnIndex.searchHamming(s, path, q, 10, efOverride = 128)
-      .map(_._2).toSeq
-    val exact = b1.withColumn("hd", hamming_dist(col("bits"), lit(q)))
-      .orderBy(col("hd"), col("vec_id")).limit(10)
-      .select(col("hd").cast("double")).collect().map(_.getDouble(0)).toSeq
-    if (ann == exact) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+    // ONE searchMany pass (queries word-packed to shard layout), dists
+    // are exact bit counts
+    val wq = qRows.map { case (qid, bits) => (qid, Metric.b1ToWords(bits)) }
+    val annDists = AnnIndex.searchMany(s, path, wq.toSeq, k = 10,
+        efOverride = 128)
+      .select("query_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // exact per-query distance multisets in one hamming window join —
+    // with 64-bit signatures the top-10 ID SET is not unique (massive
+    // tie groups), so the sorted distance multiset is the tie-robust
+    // criterion, strictly stronger than 0.8 id-recall under ties
+    val qDf = b1.where(col("vec_id") <= maxQ)
+      .select(col("vec_id").as("query_id"), col("bits").as("qv"))
+    val exactDists = graft.ops.VectorSearch.knnJoinExact(
+        qDf, "query_id", "qv", base, "vec_id", "bits",
+        k = 10, metric = "hamming")
+      .select("query_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    if (annDists == exactDists) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
   }
 
   /** Inner-product (MIPS) metric across the whole index surface in one
@@ -805,40 +815,56 @@ object AnnQueries {
     import graft.ann.IvfIndex
     import graft.plans.{AnnCatalog, AnnScanLogical}
     val e = Tables.embeddings(s, dir)
-    val hPath = artifactDir("anni", dir, "embeddings")
+    // multi-query holdout under the inner metric: HNSW and IVF built
+    // over the base, all 50 queries answered in one searchMany batch
+    // per kind, exact max-inner-product truth in one window join
+    val h = RecallProtocol.holdout(e)
+    val hPath = artifactDir("annimq", dir, "embeddings")
     cached(hPath) {
-      AnnIndex.build(e, "vec_id", "embedding", hPath,
+      AnnIndex.build(h.base, "vec_id", "embedding", hPath,
         AnnParams(m = 16, efConstruction = 128, ef = 64,
           metric = "inner", numPartitions = 4))
     }
-    val iPath = artifactDir("ivfi", dir, "embeddings")
+    val iPath = artifactDir("ivfimq", dir, "embeddings")
     cached(iPath) {
-      IvfIndex.build(e, "vec_id", "embedding", iPath, nlists = 16, metric = "inner")
+      IvfIndex.build(h.base, "vec_id", "embedding", iPath,
+        nlists = 16, metric = "inner")
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val exact = e
-      .withColumn("d", -inner_product(col("embedding"), lit(q)))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    def recallOf(ids: Set[Long]): Double =
-      ids.intersect(exact).size.toDouble / exact.size
-    val hnswOk = recallOf(AnnIndex.search(s, hPath, q, 10).map(_._1).toSet) >= 0.8
+    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding",
+      metric = "inner")
+    val hnswOk = RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(
+      AnnIndex.searchMany(s, hPath, h.queries.toSeq, k = 10, efOverride = 64)),
+      exact)
     // MIPS needs more probes than l2 at equal recall: high-inner-product
     // vectors are magnitude-driven and spread across l2-kmeans lists
-    // (nprobe 8/16 measures 0.7 recall here, 12/16 measures 0.9)
-    val ivfOk = recallOf(IvfIndex.search(s, iPath, q, 10, nprobe = 12)
-      .select("id").collect().map(_.getLong(0)).toSet) >= 0.8
+    val ivfOk = RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(
+      IvfIndex.searchMany(s, iPath, h.queries.toSeq, k = 10, nprobe = 12)),
+      exact)
+    // planner routing: a PlannerSample subsample of the scalar
+    // `orderBy(-inner_product).limit(k)` form over the FULL table —
+    // every plan must rewrite to AnnScan
+    val fPath = artifactDir("anni", dir, "embeddings")
+    cached(fPath) {
+      AnnIndex.build(e, "vec_id", "embedding", fPath,
+        AnnParams(m = 16, efConstruction = 128, ef = 64,
+          metric = "inner", numPartitions = 4))
+    }
     val tablePath = s"$dir/embeddings.parquet"
     AnnCatalog.register(s, tablePath,
-      AnnCatalog.IndexMeta(hPath, "vec_id", "embedding", "inner", ef = 64))
+      AnnCatalog.IndexMeta(fPath, "vec_id", "embedding", "inner", ef = 64))
     val plannerOk = try {
-      val knn = e.select(col("vec_id"), col("embedding"))
-        .orderBy(-inner_product(col("embedding"), lit(q))).limit(10)
-      val usedIndex = knn.queryExecution.optimizedPlan.collect {
-        case a: AnnScanLogical => a
-      }.nonEmpty
-      usedIndex && recallOf(knn.select("vec_id").collect().map(_.getLong(0)).toSet) >= 0.8
+      val qs = plannerSample(e)
+      var allPlanned = true
+      val ann = qs.map { case (qid, q) =>
+        val knn = e.select(col("vec_id"), col("embedding"))
+          .orderBy(-inner_product(col("embedding"), lit(q))).limit(10)
+        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+          case a: AnnScanLogical => a
+        }.nonEmpty
+        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      allPlanned && RecallProtocol.meanRecallOk(ann,
+        plannerTruth(e, qs, metric = "inner"))
     } finally AnnCatalog.unregister(s, tablePath)
     if (hnswOk && ivfOk && plannerOk) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
@@ -854,30 +880,46 @@ object AnnQueries {
   private def i8AnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val f32Path = artifactDir("ann", dir, "embeddings")
+    val h = RecallProtocol.holdout(e)
+    // f32 baseline = the annmq artifact (same base, same params) — the
+    // size comparison is apples-to-apples on the holdout base
+    val f32Path = artifactDir("annmq", dir, "embeddings")
     cached(f32Path) {
-      AnnIndex.build(e, "vec_id", "embedding", f32Path,
+      AnnIndex.build(h.base, "vec_id", "embedding", f32Path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-    val i8Path = artifactDir("anni8", dir, "embeddings")
+    val i8Path = artifactDir("anni8mq", dir, "embeddings")
     cached(i8Path) {
-      AnnIndex.build(e, "vec_id", "embedding", i8Path,
+      AnnIndex.build(h.base, "vec_id", "embedding", i8Path,
         AnnParams(m = 16, efConstruction = 128, ef = 64,
           numPartitions = 4, quant = "i8"))
     }
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    def recallOf(ids: Set[Long]): Double =
-      ids.intersect(exact).size.toDouble / exact.size
-    val plain = recallOf(AnnIndex.search(s, i8Path, q, 10).map(_._1).toSet)
-    val reranked = recallOf(
-      AnnIndex.searchRerank(e, "vec_id", "embedding", i8Path, q, 10).map(_._1).toSet)
+    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    // (a) quantized-distance search alone ≥ 0.8, all queries batched
+    val plainOk = RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(
+      AnnIndex.searchMany(s, i8Path, h.queries.toSeq, k = 10,
+        efOverride = 64)), exact)
+    // (b) exact float re-rank ≥ 0.9: batched — the quantized graph
+    // pre-selects 4k candidates per query in one searchMany pass, the
+    // true float column joins back and an exact window rank keeps 10
+    // (searchRerank's contract, distributively)
+    import org.apache.spark.sql.expressions.Window
+    val cands = AnnIndex.searchMany(s, i8Path, h.queries.toSeq, k = 40,
+      efOverride = 64)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("neighbor_id"))
+    val reranked = RecallProtocol.perQueryDf(cands
+      .select("query_id", "neighbor_id")
+      .join(h.base.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__nv")), Seq("neighbor_id"))
+      .join(broadcast(h.queriesDf), Seq("query_id"))
+      .withColumn("__d", l2sq_dist(col("__nv"), col("qv")))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= 10))
+    val rerankOk = RecallProtocol.meanRecall(reranked, exact) >= 0.9
     val sizeOk =
       AnnIndex.graphBytes(s, i8Path) * 2 <= AnnIndex.graphBytes(s, f32Path)
-    if (plain >= 0.8 && reranked >= 0.9 && sizeOk) Seq(1).toDF("ok")
+    if (plainOk && rerankOk && sizeOk) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
 

@@ -197,26 +197,30 @@ object ClusterQueries {
     * 10/10 at these settings) is real headroom. */
   private def projectedKnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.l2sq_dist
     val e = Tables.embeddings(s, dir)
     val m = fittedPca(s, dir, 32)
-    val probes = e.where(col("vec_id") < 3)
+    // multi-query protocol (RecallProtocol): all 50 query vectors ride
+    // ONE batched two-stage pass (topKMany — projected pre-rank + exact
+    // rerank, both per-query rank windows with partial group limits),
+    // exact truth from one window join, mean recall@10 ≥ 0.8
+    val qs = e.orderBy(col("vec_id"))
+      .limit(RecallProtocol.QueryCount)
       .select("vec_id", "embedding").collect()
-      .map(r => r.getSeq[Float](1).toArray)
-    var hits = 0
-    var planOk = true
-    probes.foreach { q =>
-      val knn = graft.ops.ProjectedSearch.topK(
-        e, "vec_id", "embedding", m.components, m.bias, q, k = 10, pool = 256)
-      planOk &&= graft.ops.MaskedExplain.explain(knn, "formatted")
-        .contains("TakeOrderedAndProject")
-      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      hits += got.intersect(exact).size
-    }
-    if (planOk && hits >= (0.8 * probes.length * 10).ceil.toInt)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ann = RecallProtocol.perQueryDf(graft.ops.ProjectedSearch.topKMany(
+      e, "vec_id", "embedding", m.components, m.bias, qs.toSeq,
+      k = 10, pool = 256))
+    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    // the single-query form's plan contract still holds: both stages
+    // TakeOrderedAndProject (per-partition heaps, no global sort)
+    val knn1 = graft.ops.ProjectedSearch.topK(
+      e, "vec_id", "embedding", m.components, m.bias, qs.head._2,
+      k = 10, pool = 256)
+    val planOk = graft.ops.MaskedExplain.explain(knn1, "formatted")
+      .contains("TakeOrderedAndProject")
+    if (planOk && RecallProtocol.meanRecallOk(ann, exact))
       Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }

@@ -55,24 +55,26 @@ object PqQueries {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  /** Multi-query recall protocol ([[RecallProtocol]], the reference's
+    * calculate_table_recall run with 100 queries at hnsw_pq.sql:83-86):
+    * codebook trained on the base with the query set HELD OUT, all 50
+    * queries answered in ONE batched `searchPqMany` pass (codegen'd
+    * keyed ADC + exact rerank), mean recall@10 ≥ 0.8 vs the exact
+    * per-query top-10 from one window join. */
   private def recallGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir).cache()
     try {
+      val h = RecallProtocol.holdout(e)
       val cb = ProductQuantizer.trainCodebook(
-        e, "embedding", clusters = 64, subvectors = 32, seed = 7)
-      val pq = ProductQuantizer.quantizeTable(e, "embedding", cb)
-      val q = e.where(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0).toArray
-      val exact = e.withColumn("d", l2sq_dist(col("embedding"), lit(q)))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val approx = ProductQuantizer
-        .searchPq(pq, "vec_id", "embedding_pq", cb, q, 10,
-          rerankCol = Some("embedding"), ef = 100)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = exact.intersect(approx).size.toDouble / exact.size
-      if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+        h.base, "embedding", clusters = 64, subvectors = 32, seed = 7)
+      val pq = ProductQuantizer.quantizeTable(h.base, "embedding", cb)
+      val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+      val approx = RecallProtocol.perQueryDf(ProductQuantizer
+        .searchPqMany(pq, "vec_id", "embedding_pq", cb, h.queries.toSeq, 10,
+          rerankCol = Some("embedding"), ef = 100))
+      if (RecallProtocol.meanRecallOk(approx, exact)) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
     } finally { e.unpersist(); () }
   }
 

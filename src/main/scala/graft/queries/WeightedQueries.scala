@@ -47,36 +47,54 @@ object WeightedQueries {
     * joint-metric re-rank must reach recall@10 ≥ 0.8 vs the exact
     * weighted top-10 — the same contract as `knn_ann_recall`, per
     * search column. */
+  /** Weighted query pairs for the multi-query protocol: each sample
+    * vector contributes (q, reverse(q)) — a joint metric is a per-pair
+    * construct, so these gates loop a small sample (each iteration is
+    * TWO index probes + a joint re-rank) while the per-kind 50-query
+    * graph-quality evidence lives in the AnnQueries searchMany gates. */
+  private val WeightedSample = 5
+
+  private def weightedSamples(e: DataFrame): Seq[(Long, Array[Float])] =
+    e.orderBy(col("vec_id")).limit(WeightedSample)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
   private def weightedKnnAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ann.{AnnIndex, AnnParams}
     val e = Tables.embeddings(s, dir)
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val q2 = q.reverse
-    val df = e.where(col("vec_id") =!= 0)
-      .withColumn("emb2", reverse(col("embedding")))
+    val df = e.withColumn("emb2", reverse(col("embedding")))
     val p1 = AnnQueries.artifactDir("ann", dir, "embeddings")
     AnnQueries.cached(p1) {
       AnnIndex.build(e, "vec_id", "embedding", p1,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-    val p2 = AnnQueries.artifactDir("annw2", dir, "embeddings")
+    val p2 = AnnQueries.artifactDir("annw2full", dir, "embeddings")
     AnnQueries.cached(p2) {
       AnnIndex.build(df, "vec_id", "emb2", p2,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
-    val terms = Seq(
-      WeightedSearch.Term(0.7, "embedding", q),
-      WeightedSearch.Term(0.3, "emb2", q2))
-    val ann = WeightedSearch
-      .ann(s, df, "vec_id", Seq(terms(0) -> p1, terms(1) -> p2), k = 10, ef = 64)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val exact = WeightedSearch
-      .exact(df, terms, 10, tieBreak = Seq(col("vec_id")))
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val recall = ann.intersect(exact).size.toDouble / exact.size
-    if (recall >= 0.8) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+    // multi-query: WeightedSample (q, reverse q) pairs, each through
+    // the per-column-ANN → union → joint re-rank path vs its exact
+    // weighted top-10 — micro-averaged recall ≥ 0.8
+    var hits = 0
+    var total = 0
+    weightedSamples(e).foreach { case (_, q) =>
+      val q2 = q.reverse
+      val terms = Seq(
+        WeightedSearch.Term(0.7, "embedding", q),
+        WeightedSearch.Term(0.3, "emb2", q2))
+      val ann = WeightedSearch
+        .ann(s, df, "vec_id", Seq(terms(0) -> p1, terms(1) -> p2), k = 10, ef = 64)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = WeightedSearch
+        .exact(df, terms, 10, tieBreak = Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      hits += ann.intersect(exact).size
+      total += exact.size
+    }
+    if (hits.toDouble >= 0.8 * total) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
   }
 
   /** Planner-level weighted search: the SQL/DataFrame form
@@ -91,10 +109,6 @@ object WeightedQueries {
     import graft.ann.{AnnIndex, AnnParams}
     import graft.plans.AnnCatalog
     val e = Tables.embeddings(s, dir)
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val q2 = e.where(col("vec_id") === 1).select("embedding")
-      .head().getSeq[Float](0).toArray
     val p1 = AnnQueries.artifactDir("ann", dir, "embeddings")
     AnnQueries.cached(p1) {
       AnnIndex.build(e, "vec_id", "embedding", p1,
@@ -112,18 +126,30 @@ object WeightedQueries {
     AnnCatalog.register(s, tablePath,
       AnnCatalog.IndexMeta(pCos, "vec_id", "embedding", "cos", ef = 64))
     try {
-      val joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
-        lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
-      val knn = e.orderBy(joint).limit(10)
-      val planned = knn.queryExecution.optimizedPlan.collect {
-        case w: graft.plans.WeightedAnnIdsLogical => w
-      }.nonEmpty
-      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      val exact = e.withColumn("d", joint)
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = got.intersect(exact).size.toDouble / exact.size
-      if (planned && recall >= 0.8) Seq(1).toDF("ok")
+      // multi-query: WeightedSample (q, q2) pairs — q2 is the NEXT
+      // sample vector (two distinct literal queries per joint metric);
+      // EVERY pair's plan must rewrite, micro recall ≥ 0.8
+      val qs = weightedSamples(e)
+      var allPlanned = true
+      var hits = 0
+      var total = 0
+      qs.indices.foreach { i =>
+        val q = qs(i)._2
+        val q2 = qs((i + 1) % qs.size)._2
+        val joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
+          lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
+        val knn = e.orderBy(joint).limit(10)
+        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+          case w: graft.plans.WeightedAnnIdsLogical => w
+        }.nonEmpty
+        val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = e.withColumn("d", joint)
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        hits += got.intersect(exact).size
+        total += exact.size
+      }
+      if (allPlanned && hits.toDouble >= 0.8 * total) Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tablePath)
   }
@@ -142,10 +168,6 @@ object WeightedQueries {
     import graft.ann.{AnnIndex, AnnParams}
     import graft.plans.AnnCatalog
     val e = Tables.embeddings(s, dir)
-    val q = e.where(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val q2 = e.where(col("vec_id") === 1).select("embedding")
-      .head().getSeq[Float](0).toArray
     val p1 = AnnQueries.artifactDir("ann", dir, "embeddings")
     AnnQueries.cached(p1) {
       AnnIndex.build(e, "vec_id", "embedding", p1,
@@ -163,30 +185,45 @@ object WeightedQueries {
     AnnCatalog.register(s, tablePath,
       AnnCatalog.IndexMeta(pCos, "vec_id", "embedding", "cos", ef = 64))
     try {
-      def joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
-        lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
-      // md = the 20th smallest joint distance: ~19 rows pass, so the
-      // filter genuinely cuts while the LIMIT 10 stays satisfiable
-      val md = e.withColumn("d", joint).orderBy(col("d"))
-        .limit(20).agg(max(col("d"))).head().getDouble(0)
       def planned(df: DataFrame): Boolean =
         df.queryExecution.optimizedPlan.collect {
           case w: graft.plans.WeightedAnnIdsLogical => w
         }.nonEmpty
-      val knn = e.where(joint < md).orderBy(joint).limit(10)
-      val got = knn.select("vec_id", "embedding").collect()
-      val gotIds = got.map(_.getLong(0)).toSet
-      val exact = e.withColumn("d", joint).where(col("d") < md)
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      val recall = gotIds.intersect(exact).size.toDouble / exact.size
-      val allUnder = e.withColumn("d", joint)
-        .where(col("vec_id").isin(gotIds.toSeq: _*))
-        .select("d").collect().forall(_.getDouble(0) < md)
-      // a general predicate must NOT fire the weighted rewrite
-      val general = e.where(col("vec_id") % 3 === 0)
-        .orderBy(joint).limit(10)
-      if (planned(knn) && !planned(general) && allUnder && recall >= 0.8)
+      // multi-query: 3 (q, q2) pairs (each pair pays an md probe + an
+      // allUnder audit on top of the search), micro recall ≥ 0.8,
+      // EVERY max_dist plan must rewrite
+      val qs = weightedSamples(e).take(3)
+      var allPlanned = true
+      var allUnder = true
+      var hits = 0
+      var total = 0
+      var generalStaysExact = true
+      qs.indices.foreach { i =>
+        val q = qs(i)._2
+        val q2 = qs((i + 1) % qs.size)._2
+        def joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
+          lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
+        // md = the 20th smallest joint distance: ~19 rows pass, so the
+        // filter genuinely cuts while the LIMIT 10 stays satisfiable
+        val md = e.withColumn("d", joint).orderBy(col("d"))
+          .limit(20).agg(max(col("d"))).head().getDouble(0)
+        val knn = e.where(joint < md).orderBy(joint).limit(10)
+        allPlanned &&= planned(knn)
+        val gotIds = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = e.withColumn("d", joint).where(col("d") < md)
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        hits += gotIds.intersect(exact).size
+        total += exact.size
+        allUnder &&= e.withColumn("d", joint)
+          .where(col("vec_id").isin(gotIds.toSeq: _*))
+          .select("d").collect().forall(_.getDouble(0) < md)
+        // a general predicate must NOT fire the weighted rewrite
+        if (i == 0) generalStaysExact = !planned(
+          e.where(col("vec_id") % 3 === 0).orderBy(joint).limit(10))
+      }
+      if (allPlanned && generalStaysExact && allUnder &&
+          hits.toDouble >= 0.8 * total)
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tablePath)

@@ -44,6 +44,13 @@ object Pca {
       eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
   }
 
+  /** Merge-tree fan-in for the co-moment reduction: each merge task
+    * holds at most this many d(d+1)/2 triangles (~128 MB at the
+    * reference's max dim 2000, options.h:15), and so does the driver's
+    * final fold. With P ≤ fan-in partitions no tree level runs and the
+    * arithmetic is the original sorted sequential fold. */
+  private[ops] val MergeFanIn = 8
+
   /** One-pass covariance fit + driver-side eigendecomposition.
     * `sampleLimit > 0` fits on a deterministic hash-sample of ~that
     * many rows instead of the full column — at 100 TB the covariance
@@ -56,7 +63,7 @@ object Pca {
       if (sampleLimit > 0)
         graft.util.Sampling.hashSample(df.select(col(vecCol)), sampleLimit, col(vecCol))
       else df
-    val parts = src.select(col(vecCol)).na.drop().rdd
+    val partials = src.select(col(vecCol)).na.drop().rdd
       .mapPartitionsWithIndex { (idx, it) =>
         var n = 0L
         var sum: Array[Double] = null
@@ -76,30 +83,56 @@ object Pca {
             i += 1
           }
         }
-        if (n == 0) Iterator.empty else Iterator.single((idx, n, sum, co))
+        if (n == 0) Iterator.empty else Iterator.single((idx, (n, sum, co)))
       }
-      .collect()
-      .sortBy(_._1) // deterministic double-merge order
+    // deterministic TREE merge of the co-moment partials: at P
+    // partitions a flat collect would hold P × d(d+1)/2 doubles on the
+    // driver (~4 GB at d=2000, P=256); instead each level groups
+    // MergeFanIn consecutive partition indexes onto one task, merges
+    // them in SORTED index order (fixed grouping + fixed in-group
+    // order + left-associative fold ⇒ bit-identical doubles on every
+    // run over the same partitioning), and the driver only ever
+    // collects the final ≤ MergeFanIn partials — O(d²) residency
+    // regardless of P.
+    def merge(a: (Long, Array[Double], Array[Double]),
+        b: (Long, Array[Double], Array[Double])): (Long, Array[Double], Array[Double]) = {
+      val (na, sa, ca) = a
+      val (nb, sb, cb) = b
+      // partitions that are each internally consistent but disagree
+      // with each other would otherwise merge co-moment triangles of
+      // different layouts
+      require(sa.length == sb.length,
+        s"graft: pca fit saw ragged vectors across partitions " +
+          s"(dims ${sa.length} vs ${sb.length})")
+      val s = new Array[Double](sa.length)
+      val c = new Array[Double](ca.length)
+      var i = 0
+      while (i < s.length) { s(i) = sa(i) + sb(i); i += 1 }
+      i = 0
+      while (i < c.length) { c(i) = ca(i) + cb(i); i += 1 }
+      (na + nb, s, c)
+    }
+    var cur = partials
+    var span = math.max(cur.getNumPartitions, 1)
+    while (span > MergeFanIn) {
+      val groups = math.max((span + MergeFanIn - 1) / MergeFanIn, 1)
+      cur = cur
+        .map { case (i, p) => (i / MergeFanIn, (i, p)) }
+        .groupByKey(groups)
+        .map { case (g, it) =>
+          (g, it.toArray.sortBy(_._1).map(_._2).reduce(merge))
+        }
+      span = groups
+    }
+    val parts = cur.collect().sortBy(_._1).map(_._2)
     require(parts.nonEmpty, "graft: pca fit on an empty column")
-    val d = parts.head._3.length
-    // the per-partition guard only sees its own rows — partitions that
-    // are each internally consistent but disagree with each other
-    // would otherwise merge co-moment triangles of different layouts
-    require(parts.forall(_._3.length == d),
+    val d = parts.head._2.length
+    require(parts.forall(_._2.length == d),
       s"graft: pca fit saw ragged vectors across partitions " +
-        s"(dims ${parts.map(_._3.length).distinct.mkString(", ")})")
+        s"(dims ${parts.map(_._2.length).distinct.mkString(", ")})")
     require(dimOut >= 1 && dimOut <= d,
       s"graft: pca dimOut must be in [1, $d], got $dimOut")
-    var n = 0L
-    val sum = new Array[Double](d)
-    val co = new Array[Double](d * (d + 1) / 2)
-    parts.foreach { case (_, pn, ps, pc) =>
-      n += pn
-      var i = 0
-      while (i < d) { sum(i) += ps(i); i += 1 }
-      i = 0
-      while (i < co.length) { co(i) += pc(i); i += 1 }
-    }
+    val (n, sum, co) = parts.reduce(merge)
     val mean = sum.map(_ / n)
     val cov = Array.ofDim[Double](d, d)
     var i = 0; var t = 0

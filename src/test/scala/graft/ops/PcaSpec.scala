@@ -83,6 +83,30 @@ class PcaSpec extends SparkTestBase {
     assert(sampled.eigenvalues(0) > sampled.eigenvalues(1))
   }
 
+  test("tree-merged many-partition fit: deterministic, matches the sequential fit") {
+    val df = fitData(2000).toDF("id", "v")
+    // 37 partitions > MergeFanIn ⇒ the tree levels actually run; the
+    // driver never holds more than MergeFanIn co-moment triangles
+    val wide = df.repartition(37, col("id"))
+    val tree = Pca.fit(wide, "v", 3)
+    val again = Pca.fit(wide, "v", 3)
+    // determinism: fixed grouping + sorted in-group order + left fold
+    assert(tree.components.flatten.toSeq == again.components.flatten.toSeq)
+    assert(tree.eigenvalues.toSeq == again.eigenvalues.toSeq)
+    assert(tree.mean.toSeq == again.mean.toSeq)
+    // model equality with the narrow (≤ fan-in, sequential-fold) path:
+    // association differs so doubles can differ in the last ulps, but
+    // the MODEL must agree far beyond estimation noise
+    val seq = Pca.fit(df.coalesce(2), "v", 3)
+    tree.mean.zip(seq.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"mean $a vs $b") }
+    tree.eigenvalues.zip(seq.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"eigenvalue $a vs $b") }
+    tree.components.flatten.toSeq.zip(seq.components.flatten.toSeq)
+      .foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"component $a vs $b") }
+  }
+
   test("projection is codegen'd (no ScalaUDF) over a real scan") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
     val m = Pca.fit(e, "embedding", 4)

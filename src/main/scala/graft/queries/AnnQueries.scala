@@ -560,6 +560,68 @@ object AnnQueries {
     }
   }
 
+  /** SCALAR hamming planner gate (the reference's `dist_hamming_ops`
+    * opclass, lantern_hnsw/sql/lantern.sql:63-155): plain
+    * `ORDER BY hamming_dist(bits, lit) LIMIT k` over a
+    * hamming-registered b1 table must rewrite to the ANN scan (the
+    * join-back form — hamming shards store word floats, never emitted
+    * as the table's array<int> column) for EVERY query in the planner
+    * sample, and each result's sorted distance multiset must equal the
+    * exact top-k multiset (tie-robust under 64-bit signatures). */
+  private def hammingPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.hamming_dist
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    import graft.pq.ScalarQuantizer
+    val e = Tables.embeddings(s, dir)
+    val tblRoot = artifactDir("hamtbl", dir, "embeddings")
+    cached(tblRoot) {
+      e.select(col("vec_id"),
+          ScalarQuantizer.quantize_b1(col("embedding")).as("bits"))
+        .write.mode("overwrite").parquet(s"$tblRoot/tbl")
+    }
+    val tablePath = s"$tblRoot/tbl"
+    val b1 = s.read.parquet(tablePath)
+    val path = artifactDir("annh", dir, "embeddings")
+    cached(path) {
+      AnnIndex.build(b1, "vec_id", "bits", path,
+        AnnParams(m = 16, efConstruction = 128, ef = 128,
+          metric = "hamming", numPartitions = 4))
+    }
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "bits", "hamming", ef = 128))
+    try {
+      val qs = b1.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+        .select(col("vec_id"), col("bits")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+        .grouped(RecallProtocol.QueryCount / PlannerSample).map(_.head).toSeq
+      val bitsById = b1.select("vec_id", "bits").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      def hd(a: Array[Int], b: Array[Int]): Int =
+        a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      var allPlanned = true
+      val annDists = qs.map { case (qid, qbits) =>
+        val knn = b1.select(col("vec_id"), col("bits"))
+          .orderBy(hamming_dist(col("bits"), lit(qbits))).limit(10)
+        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+          case a: AnnScanLogical => a
+        }.nonEmpty
+        qid -> knn.select("vec_id").collect()
+          .map(r => hd(bitsById(r.getLong(0)), qbits)).sorted.toSeq
+      }.toMap
+      val qDf = qs.map { case (qid, qbits) => (qid, qbits.toSeq) }
+        .toDF("query_id", "qv")
+      val exactDists = graft.ops.VectorSearch.knnJoinExact(
+          qDf, "query_id", "qv", b1, "vec_id", "bits",
+          k = 10, metric = "hamming")
+        .select("query_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1).toInt))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      if (allPlanned && annDists == exactDists) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   /** Catalog persistence gate: registrations survive a save → clear →
     * load cycle (the reference's index metadata lives in the PG
     * catalog and survives restarts; our registry is session state, so
@@ -944,6 +1006,7 @@ object AnnQueries {
     QueryDef("ivf_recall_gate", Some("SELECT 1 AS ok"), ivfRecall),
     QueryDef("ivfpq_recall_gate", Some("SELECT 1 AS ok"), ivfPqRecall),
     QueryDef("knn_hamming_ann", Some("SELECT 1 AS ok"), hammingAnnRecall),
+    QueryDef("knn_hamming_planner", Some("SELECT 1 AS ok"), hammingPlanner),
     QueryDef("knn_inner_ann", Some("SELECT 1 AS ok"), innerAnnRecall),
   )
 }

@@ -60,6 +60,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("* Project"), p.take(600))
   }
 
+  test("PQ / IVF-PQ asymmetric-distance search plans: codegen'd ADC, no ScalaUDF") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    def noUdf(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val udfs = df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+      assert(udfs.isEmpty, s"ScalaUDF in $tag plan: $udfs")
+    }
+    val q = e.select("embedding").head().getSeq[Float](0).toArray
+    // full-table PQ scan (PqAdcDistFixed)
+    val cb = graft.pq.ProductQuantizer.trainCodebook(
+      e, "embedding", subvectors = 8, clusters = 16, seed = 3)
+    val pq = graft.pq.ProductQuantizer.quantizeTable(e, "embedding", cb)
+    val lutOnly = graft.pq.ProductQuantizer
+      .searchPq(pq, "vec_id", "embedding_pq", cb, q, 5)
+    noUdf(lutOnly, "searchPq")
+    // ADC parity with a driver-side LUT sum on one row
+    val lut = cb.l2sqLut(q)
+    val r0 = pq.orderBy("vec_id").select("vec_id", "embedding_pq").head()
+    val expect = r0.getSeq[Short](1).zipWithIndex
+      .map { case (c, s) => lut(s)(c.toInt) }.sum
+    val got = graft.pq.ProductQuantizer
+      .searchPq(pq.where(col("vec_id") === r0.getLong(0)),
+        "vec_id", "embedding_pq", cb, q, 1)
+      .head().getDouble(1)
+    assert(math.abs(got - expect) < 1e-12, s"$got vs $expect")
+    // batched multi-query scan (PqAdcDistKeyed by query_id)
+    val queries = e.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    noUdf(graft.pq.ProductQuantizer
+      .searchPqMany(pq, "vec_id", "embedding_pq", cb, queries, 5), "searchPqMany")
+    // IVF-PQ probed-list scan (PqAdcDistKeyed by list_id)
+    val dir = java.nio.file.Files.createTempDirectory("graft-psadc").toString + "/idx"
+    graft.ann.IvfPqIndex.build(e, "vec_id", "embedding", dir,
+      nlists = 4, subvectors = 8, clusters = 16)
+    noUdf(graft.ann.IvfPqIndex.search(spark, dir, q, 5, nprobe = 2), "ivfpq lut")
+    noUdf(graft.ann.IvfPqIndex.search(spark, dir, q, 5, nprobe = 2,
+      rerank = Some((e, "vec_id", "embedding"))), "ivfpq rerank")
+  }
+
   test("IVF assignment + scalar quant columns stay codegen — no ScalaUDF") {
     import org.apache.spark.sql.graftshim.GraftSqlShim
     val e = Tables.embeddings(spark, sf("sf0.001"))

@@ -444,43 +444,11 @@ case class AnnKnnJoinExec(
   override protected def withNewChildInternal(c: SparkPlan): AnnKnnJoinExec =
     copy(child = c)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val qIdx = child.output.indexWhere(_.exprId == queryAttr.exprId)
-    val budget = graft.GraftConf.knnJoinBroadcastBytes(session)
-    // collect INCREMENTALLY (partition-at-a-time iterator) with a
-    // running byte estimate so an over-budget probe side aborts while
-    // draining, instead of only after the whole side sat on the driver
-    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var bytes = 0L
-    val it = child.executeToIterator()
-    while (it.hasNext) {
-      val r = it.next().copy()
-      val vecBytes =
-        if (r.isNullAt(qIdx)) 0L else 4L * r.getArray(qIdx).numElements()
-      bytes += vecBytes + 16L
-      if (bytes > budget) throw new IllegalArgumentException(
-        s"graft: lateral kNN join probe side exceeds ~$budget bytes " +
-          s"(${graft.GraftConf.KnnJoinBroadcastBytes}; ${buf.size + 1} rows " +
-          "drained so far) — call graft.ann.AnnIndex.searchMany or " +
-          "ops.VectorSearch.knnJoin* directly for large probe sides")
-      buf += r
-    }
-    val rows = buf.toArray
-    val queries = rows.iterator.zipWithIndex
-      .filterNot { case (r, _) => r.isNullAt(qIdx) }
-      .map { case (r, i) =>
-        // hamming probes are the table's b1-packed array<int>; the
-        // graph shards store 16-bit word floats, so repack per probe
-        val q =
-          if (metric == "hamming")
-            Metric.b1ToWords(r.getArray(qIdx).toIntArray())
-          else r.getArray(qIdx).toFloatArray
-        (i.toLong, q)
-      }
-      .toSeq
-    // per-kind batched search, all sharing searchMany's output contract
-    // (query_id, neighbor_id, dist, rank)
-    val resultDf = kind match {
+  /** One batched per-kind search, all kinds sharing searchMany's output
+    * contract (query_id, neighbor_id, dist, rank). */
+  private def searchManyFor(
+      queries: Seq[(Long, Array[Float])]): org.apache.spark.sql.DataFrame =
+    kind match {
       case "ivf" =>
         graft.ann.IvfIndex.searchMany(session, artifact, queries, k,
           nprobe = math.max(1, nprobe))
@@ -495,6 +463,44 @@ case class AnnKnnJoinExec(
       case _ =>
         AnnIndex.searchMany(session, artifact, queries, k, ef)
     }
+
+  /** hamming probes are the table's b1-packed array<int>; the graph
+    * shards store 16-bit word floats, so repack per probe. */
+  private def packQuery(a: ArrayData): Array[Float] =
+    if (metric == "hamming") Metric.b1ToWords(a.toIntArray())
+    else a.toFloatArray
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val qIdx = child.output.indexWhere(_.exprId == queryAttr.exprId)
+    val budget = graft.GraftConf.knnJoinBroadcastBytes(session)
+    // collect INCREMENTALLY (partition-at-a-time iterator) with a
+    // running byte estimate: an UNDER-budget probe side takes the
+    // broadcast fast path (one searchMany, map-side fanout); the moment
+    // the estimate exceeds the budget, draining stops and the exec
+    // auto-routes to the distributed chunked path instead — the driver
+    // never holds more than the budget either way
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var bytes = 0L
+    var overBudget = false
+    val it = child.executeToIterator()
+    while (!overBudget && it.hasNext) {
+      val r = it.next().copy()
+      val vecBytes =
+        if (r.isNullAt(qIdx)) 0L else 4L * r.getArray(qIdx).numElements()
+      bytes += vecBytes + 16L
+      if (bytes > budget) overBudget = true
+      else buf += r
+    }
+    if (overBudget) {
+      buf.clear()
+      return distributedJoin(qIdx, budget)
+    }
+    val rows = buf.toArray
+    val queries = rows.iterator.zipWithIndex
+      .filterNot { case (r, _) => r.isNullAt(qIdx) }
+      .map { case (r, i) => (i.toLong, packQuery(r.getArray(qIdx))) }
+      .toSeq
+    val resultDf = searchManyFor(queries)
     val byQ = resultDf
       .select("query_id", "neighbor_id", "rank")
       .collect()
@@ -519,6 +525,68 @@ case class AnnKnnJoinExec(
             proj(InternalRow.fromSeq(
               types.indices.map(j => r.get(j, types(j))) :+ nid)).copy()
           }
+        }
+      }
+  }
+
+  /** Distributed path for over-budget probe sides: the probe rows
+    * STAY on the cluster (persisted with stable zipWithIndex ids), only
+    * the (id, query-vector) pairs stream through the driver one
+    * partition at a time, grouped into budget-sized chunks — each chunk
+    * is one batched `searchManyFor` pass over the index, so driver
+    * residency is bounded by the budget at every moment. The per-chunk
+    * neighbor DataFrames stay lazy; their union RDD-joins back to the
+    * persisted probe rows on the probe id (an ordinary shuffle join —
+    * the probe×k fanout is built reduce-side, never on the driver). */
+  private def distributedJoin(qIdx: Int, budget: Long): RDD[InternalRow] = {
+    import org.apache.spark.storage.StorageLevel
+    val probes = child.execute()
+      .mapPartitions(_.map(_.copy()))
+      .zipWithIndex()
+      .map { case (r, i) => (i, r) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vecs = probes.mapPartitions(_.map { case (pid, r) =>
+      (pid, if (r.isNullAt(qIdx)) null else packQuery(r.getArray(qIdx)))
+    })
+    val chunkResults = scala.collection.mutable.ArrayBuffer
+      .empty[RDD[(Long, Long)]]
+    val chunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var bytes = 0L
+    def flush(): Unit = if (chunk.nonEmpty) {
+      // materialize the chunk's neighbors NOW (≤ chunk-queries × k id
+      // pairs, cached executor-side): once the job ran, the chunk's
+      // internal query broadcast is unreferenced and the ContextCleaner
+      // reclaims it — lazy chunks would instead accumulate every
+      // chunk's broadcast until the final join executed
+      val r = searchManyFor(chunk.toSeq)
+        .select("query_id", "neighbor_id").rdd
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      chunkResults += r
+      chunk.clear()
+      bytes = 0L
+    }
+    vecs.toLocalIterator.foreach { case (pid, v) =>
+      if (v != null) {
+        chunk += ((pid, v))
+        bytes += 4L * v.length + 16L
+        if (bytes > budget) flush()
+      }
+    }
+    flush()
+    val neighbors: RDD[(Long, Long)] = chunkResults
+      .reduceOption(_ union _)
+      .getOrElse(sparkContext.emptyRDD[(Long, Long)])
+    val schema = StructType(output.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+    val types = child.output.map(_.dataType)
+    probes.join(neighbors)
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(schema)
+        it.map { case (_, (r, nid)) =>
+          proj(InternalRow.fromSeq(
+            types.indices.map(j => r.get(j, types(j))) :+ nid)).copy()
         }
       }
   }

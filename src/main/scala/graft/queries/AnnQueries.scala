@@ -368,14 +368,15 @@ object AnnQueries {
     val view = "graft_kjp_emb"
     e.createOrReplaceTempView(view)
     try {
-      val q = s.sql(
+      val sqlText =
         s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
            |FROM (SELECT vec_id, embedding FROM $view
            |      WHERE vec_id < $LateralProbes) p,
            |LATERAL (
            |  SELECT vec_id FROM $view
            |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 3
-           |) t""".stripMargin)
+           |) t""".stripMargin
+      val q = s.sql(sqlText)
       val planned = q.queryExecution.optimizedPlan.collect {
         case a: graft.plans.AnnKnnJoinLogical => a
       }.nonEmpty
@@ -384,7 +385,17 @@ object AnnQueries {
       val exact = RecallProtocol.perQueryDf(graft.ops.VectorSearch.knnJoinExact(
         e.where(col("vec_id") < LateralProbes), "vec_id", "embedding",
         e, "vec_id", "embedding", k = 3))
-      if (planned && RecallProtocol.meanRecallOk(ann, exact))
+      // over-budget probe sides must AUTO-ROUTE to the distributed
+      // chunked path and return the same join, not error: re-issue the
+      // SAME lateral SQL under a deliberately tiny ingest budget (a
+      // fresh DataFrame — the budget is read when the exec first runs)
+      val budgetKey = graft.GraftConf.KnnJoinBroadcastBytes
+      s.conf.set(budgetKey, "4096")
+      val distributedSame = try {
+        RecallProtocol.perQuery(s.sql(sqlText).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))) == ann
+      } finally s.conf.unset(budgetKey)
+      if (planned && distributedSame && RecallProtocol.meanRecallOk(ann, exact))
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally {

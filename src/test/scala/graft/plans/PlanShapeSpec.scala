@@ -239,15 +239,18 @@ class PlanShapeSpec extends SparkTestBase {
       // indexed table)
       assert(byQ.forall { case (qid, ns) => ns.map(_._2).contains(qid) })
 
-      // the probe-side broadcast is byte-budget-gated: an over-budget
-      // outer side must raise the guiding error, not silently collect
+      // the probe-side ingest is byte-budget-gated: an over-budget
+      // outer side must AUTO-ROUTE to the distributed chunked path
+      // (probe rows persisted on the cluster, budget-sized searchMany
+      // chunks, RDD join-back) and return the SAME rows — no error,
+      // and a budget of 8 bytes forces one chunk per probe
       val budgetKey = graft.GraftConf.KnnJoinBroadcastBytes
       spark.conf.set(budgetKey, "8")
       try {
-        val e2 = intercept[Exception] { spark.sql(sql).collect() }
-        def msgs(x: Throwable): Seq[String] =
-          if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-        assert(msgs(e2).exists(_.contains("searchMany")), e2.toString)
+        val distributed = spark.sql(sql).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(distributed == rows.sorted.toSeq,
+          s"distributed path diverged: $distributed vs ${rows.sorted.toSeq}")
       } finally spark.conf.unset(budgetKey)
     } finally AnnCatalog.unregister(spark, tablePath)
   }

@@ -37,10 +37,21 @@ object PqAnnIndex {
       path: String,
       cb: PqCodebook,
       params: AnnParams = AnnParams()): Unit = {
-    require(params.metric == "l2sq", "graft: PQ index supports l2sq only")
+    // cos rides the l2sq machinery over UNIT-NORMALIZED vectors (the
+    // standard cosine-as-l2sq reduction): the artifact stays a plain
+    // l2sq PQ graph; callers searching a cos index normalize the query
+    // (searchMany's metric param / the planner rule do this). Train
+    // the codebook on the normalized column for best codes.
+    require(params.metric == "l2sq" || params.metric == "cos",
+      s"graft: PQ index supports l2sq|cos, got '${params.metric}'")
     require(cb.clusters <= 256, "graft: PQ codes must fit one byte")
     val spark = df.sparkSession
-    val data = df.select(col(idCol).cast(LongType), col(vecCol))
+    val rawVec =
+      if (params.metric == "cos")
+        GraftSqlShim.column(graft.functions.UnitNormalize(
+          GraftSqlShim.expression(col(vecCol))))
+      else col(vecCol)
+    val data = df.select(col(idCol).cast(LongType), rawVec.as(vecCol))
     val parted =
       if (params.numPartitions > 0) data.repartition(params.numPartitions, col(idCol))
       else data
@@ -260,7 +271,8 @@ object PqAnnIndex {
       queries: Seq[(Long, Array[Float])],
       k: Int,
       ef: Int = 64,
-      rerank: Option[(DataFrame, String, String)] = None): DataFrame = {
+      rerank: Option[(DataFrame, String, String)] = None,
+      metric: String = "l2sq"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
@@ -270,7 +282,12 @@ object PqAnnIndex {
     val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
       .map(_.getPath.toString).sorted.toSeq
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
-    val qB = spark.sparkContext.broadcast(queries.toArray)
+    // a cos index is an l2sq graph over unit vectors — normalize the
+    // queries so the LUT measures the cosine-equivalent geometry
+    val qn = queries.iterator
+      .map { case (qid, q) => (qid, Metric.normalizeIfCos(q, metric)) }
+      .toArray
+    val qB = spark.sparkContext.broadcast(qn)
     val pool =
       if (rerank.isDefined) math.max(ef, 4 * k) else math.max(ef, k)
     val rdd = spark.sparkContext
@@ -300,8 +317,10 @@ object PqAnnIndex {
           .orderBy(col("dist"), col("neighbor_id"))
         local.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       case Some((src, srcId, srcVec)) =>
-        AnnBatch.rerankPool(local, src, srcId, srcVec, queries, k,
-          pool = pool, unitNormSrc = false)
+        // cos: rank by l2sq over unit-normalized source vs the
+        // normalized query — cosine ordering, same as IvfPq's rerank
+        AnnBatch.rerankPool(local, src, srcId, srcVec, qn.toSeq, k,
+          pool = pool, unitNormSrc = metric == "cos")
     }
   }
 

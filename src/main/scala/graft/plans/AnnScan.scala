@@ -459,7 +459,7 @@ case class AnnKnnJoinExec(
       case "pq" =>
         val rr = table.map(t => (GraftSqlShim.ofRows(session, t), idCol, vecCol))
         graft.ann.PqAnnIndex.searchMany(session, artifact, queries, k,
-          ef = ef, rerank = rr)
+          ef = ef, rerank = rr, metric = metric)
       case _ =>
         AnnIndex.searchMany(session, artifact, queries, k, ef)
     }
@@ -789,16 +789,22 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // the filtered form defers to searchFiltered, which needs an
         // hnsw graph artifact, an exact-rankable metric, and a
         // predicate Spark can evaluate against the table alone
-        // filtered-form kind/metric support: hnsw + ivf fully; pq's
-        // LUT is l2sq-only; ivfpq reranks via l2sq-on-(unit)vectors,
-        // sound for l2sq and cos ordering but not inner
+        // filtered-form kind/metric support: hnsw + ivf fully; pq and
+        // ivfpq rerank via l2sq-on-(unit)vectors, sound for l2sq and
+        // cos ordering but not inner
         if predOpt.forall(p =>
           ((meta.kind == "hnsw" && meta.metric != "hamming") ||
             meta.kind == "ivf" ||
-            (meta.kind == "pq" && meta.metric == "l2sq") ||
+            (meta.kind == "pq" && Set("l2sq", "cos")(meta.metric)) ||
             (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric))) &&
             p.deterministic && p.references.subsetOf(rel.outputSet))
       } yield {
+        // a cos PQ index is an l2sq graph over unit vectors — the
+        // query normalizes HERE so the exec's LUT measures the
+        // cosine-equivalent geometry (cos_dist itself is query-scale
+        // invariant, so the exact re-rank is unaffected)
+        val qq =
+          if (meta.kind == "pq") Metric.normalizeIfCos(q, meta.metric) else q
         // ef drives graph/LUT search width; IVF instead takes a probe
         // count (ef would degenerate to probing every list — see
         // IndexMeta.nprobe). IVF-PQ needs BOTH: ef as the residual-LUT
@@ -815,14 +821,14 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // Filter stays above and re-applies pred over ≤ k rows
             val cid = AttributeReference("__graft_cand_id", LongType)()
             val ids = AnnFilteredIdsLogical(cid, rel, pred, meta.idCol,
-              meta.vecCol, meta.artifact, q.toSeq, k, searchParam, meta.kind,
+              meta.vecCol, meta.artifact, qq.toSeq, k, searchParam, meta.kind,
               meta.metric)
             Project(rel.output,
               Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
                 JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
           case None =>
             val ann = AnnScanLogical(
-              idAttr, vecAttr, meta.artifact, q.toSeq, k,
+              idAttr, vecAttr, meta.artifact, qq.toSeq, k,
               searchParam, meta.kind, scanNprobe)
             // narrow form is safe only when (a) everything the sort's child
             // produces fits the ANN leaf — anything above references at most
@@ -844,7 +850,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val cid = AttributeReference("__graft_cand_id", LongType)()
               val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
               val candidates = Project(Seq(cid),
-                AnnScanLogical(cid, cvec, meta.artifact, q.toSeq, k,
+                AnnScanLogical(cid, cvec, meta.artifact, qq.toSeq, k,
                   searchParam, meta.kind, scanNprobe))
               Project(rel.output,
                 Join(rel, candidates, Inner,
@@ -1031,9 +1037,13 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (rel, paths) <- findRel(schild)
       if rel.outputSet.contains(vecAttr)
       meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
+      // hamming graphs exist only as hnsw; a mislabeled ivf/pq
+      // registration with metric=hamming would silently score l2sq
+      // over word floats, so the kind filter pins it to hnsw
+      if meta.metric != "hamming" || meta.kind == "hnsw"
       if meta.kind == "hnsw" ||
         meta.kind == "ivf" ||
-        meta.kind == "pq" ||
+        (meta.kind == "pq" && Set("l2sq", "cos")(meta.metric)) ||
         (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric))
       idAttr <- rel.output.find(_.name == meta.idCol)
       // the subquery must emit exactly the table's id column

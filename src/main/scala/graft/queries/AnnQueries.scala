@@ -278,6 +278,10 @@ object AnnQueries {
     import graft.plans.{AnnCatalog, AnnFilteredIdsLogical}
     val tablePath = s"$dir/embeddings.parquet"
     AnnCatalog.register(s, tablePath, meta)
+    def dist(q: Array[Float]) = meta.metric match {
+      case "cos" => graft.functions.cos_dist(col("embedding"), lit(q))
+      case _ => l2sq_dist(col("embedding"), lit(q))
+    }
     try {
       def usesIndex(df: DataFrame): Boolean =
         df.queryExecution.optimizedPlan.collect {
@@ -288,20 +292,19 @@ object AnnQueries {
       val pred = col("vec_id") % 3 === 0
       var allPlanned = true
       val ann = qs.map { case (qid, q) =>
-        val knn = e.where(pred)
-          .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        val knn = e.where(pred).orderBy(dist(q)).limit(10)
         allPlanned &&= usesIndex(knn)
         qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
       }.toMap
       val exact = {
         val qDf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("query_id", "qv")
-        RecallProtocol.truth(qDf, e.where(pred), "vec_id", "embedding")
+        RecallProtocol.truth(qDf, e.where(pred), "vec_id", "embedding",
+          metric = meta.metric)
       }
 
       val q0 = qs.head._2
       val starvingPred = col("vec_id") < 3
-      val sknn = e.where(starvingPred)
-        .orderBy(l2sq_dist(col("embedding"), lit(q0))).limit(10)
+      val sknn = e.where(starvingPred).orderBy(dist(q0)).limit(10)
       val sGot = sknn.select("vec_id").collect().map(_.getLong(0)).toSet
       val survivors = e.where(starvingPred)
         .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -418,6 +421,7 @@ object AnnQueries {
     val tablePath = s"$dir/embeddings.parquet"
     AnnCatalog.register(s, tablePath, meta)
     e.createOrReplaceTempView(view)
+    val distFn = if (meta.metric == "cos") "cos_dist" else "l2sq_dist"
     try {
       val q = s.sql(
         s"""SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
@@ -425,7 +429,7 @@ object AnnQueries {
            |      WHERE vec_id < $LateralProbes) p,
            |LATERAL (
            |  SELECT vec_id FROM $view
-           |  ORDER BY l2sq_dist(embedding, p.embedding) LIMIT 3
+           |  ORDER BY $distFn(embedding, p.embedding) LIMIT 3
            |) t""".stripMargin)
       val planned = q.queryExecution.optimizedPlan.collect {
         case a: graft.plans.AnnKnnJoinLogical if a.kind == meta.kind => a
@@ -434,7 +438,7 @@ object AnnQueries {
         q.collect().map(r => (r.getLong(0), r.getLong(1))))
       val exact = RecallProtocol.perQueryDf(graft.ops.VectorSearch.knnJoinExact(
         e.where(col("vec_id") < LateralProbes), "vec_id", "embedding",
-        e, "vec_id", "embedding", k = 3))
+        e, "vec_id", "embedding", k = 3, metric = meta.metric))
       if (planned && RecallProtocol.meanRecallOk(ann, exact))
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
@@ -631,6 +635,53 @@ object AnnQueries {
       if (allPlanned && annDists == exactDists) Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tablePath)
+  }
+
+  /** Filtered PLANNER gate through a COS-metric PQ index (planner
+    * metric corner): `where(pred).orderBy(cos_dist).limit(k)` over a
+    * pq/cos registration must route through AnnFilteredIdsLogical with
+    * the normalized-query LUT + cos re-rank, same recall/starvation
+    * contract as the l2sq filtered gates. The codebook trains on the
+    * unit-normalized column (the geometry the cos graph stores). */
+  private def pqFilteredCosPlanner(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.{AnnParams, PqAnnIndex}
+    import graft.pq.ProductQuantizer
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("pqanncos", dir, "embeddings")
+    cached(path) {
+      import org.apache.spark.sql.graftshim.GraftSqlShim
+      val unit = e.select(col("vec_id"),
+        GraftSqlShim.column(graft.functions.UnitNormalize(
+          GraftSqlShim.expression(col("embedding")))).as("embedding"))
+      val cb = ProductQuantizer.trainCodebook(
+        unit, "embedding", subvectors = 8, clusters = 64)
+      PqAnnIndex.build(e, "vec_id", "embedding", path, cb,
+        AnnParams(m = 16, efConstruction = 128, ef = 128,
+          metric = "cos", numPartitions = 4))
+    }
+    filteredPlannerGate(s, dir, e,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "cos",
+        ef = 256, kind = "pq"),
+      expectKind = "pq")
+  }
+
+  /** Lateral kNN join through a COS-metric IVF-PQ index (planner metric
+    * corner): the LATERAL ORDER BY cos_dist form must plan through
+    * AnnKnnJoinLogical(kind=ivfpq, metric=cos) — normalized residual
+    * LUTs + unit-normalized exact rerank — and hold the recall
+    * contract vs the exact cos kNN join. */
+  private def knnJoinIvfPqCosPlanner(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.IvfPqIndex
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("ivfpqcos", dir, "embeddings")
+    cached(path) {
+      IvfPqIndex.build(e, "vec_id", "embedding", path,
+        nlists = 16, subvectors = 8, clusters = 64, metric = "cos")
+    }
+    lateralGateFor(s, dir,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "cos",
+        ef = 256, kind = "ivfpq", nprobe = 12),
+      view = "graft_kjp_ivfpqc")
   }
 
   /** Catalog persistence gate: registrations survive a save → clear →
@@ -1018,6 +1069,10 @@ object AnnQueries {
     QueryDef("ivfpq_recall_gate", Some("SELECT 1 AS ok"), ivfPqRecall),
     QueryDef("knn_hamming_ann", Some("SELECT 1 AS ok"), hammingAnnRecall),
     QueryDef("knn_hamming_planner", Some("SELECT 1 AS ok"), hammingPlanner),
+    QueryDef("knn_pq_filtered_cos_planner", Some("SELECT 1 AS ok"),
+      pqFilteredCosPlanner),
+    QueryDef("knn_join_ivfpq_cos_planner", Some("SELECT 1 AS ok"),
+      knnJoinIvfPqCosPlanner),
     QueryDef("knn_inner_ann", Some("SELECT 1 AS ok"), innerAnnRecall),
   )
 }

@@ -145,18 +145,29 @@ object Bench {
     }.toMap
     val results = ordered.map { case (name, fn) =>
       val (b1, e1) = pass1(name)
-      val (best, err) =
-        if (e1.isDefined) (0.0, e1)
+      val (best, err, pass2Err) =
+        if (e1.isDefined) (0.0, e1, None)
         else {
           // pass 2: everything is JIT'd now; 1 rep usually suffices,
-          // extend only while still beating the cross-pass best.
-          // A transient pass-2 error does NOT void the query: pass 1
-          // completed and its minimum is a valid measurement.
+          // extend only while still beating the cross-pass best. A
+          // pass-2 error gets ONE retry (transient blips happen); a
+          // PERSISTENT pass-2 failure keeps the valid pass-1 timing
+          // but is recorded as a failure — a query that breaks only on
+          // re-execution (artifact mutation / state accumulation
+          // across reps) must not read as a clean pass.
           val (b2, e2) = adaptiveBest(fn, 1, 3, b1)
-          if (e2.isDefined) (b1, None) else (math.min(b1, b2), None)
+          if (e2.isEmpty) (math.min(b1, b2), None, None)
+          else {
+            val (b3, e3) = adaptiveBest(fn, 1, 1, b1)
+            if (e3.isEmpty) (math.min(b1, b3), None, None)
+            else (b1, None, e3)
+          }
         }
-      emit(s"""{"q":"$name","sec":${if (err.isEmpty) best else 0.0}${err.map(e => s""","failed":"$e"""").getOrElse("")}}""")
-      (name, if (err.isEmpty) best else 0.0, err)
+      val marker = err.map(e => s""","failed":"$e"""")
+        .orElse(pass2Err.map(e => s""","pass2_failed":"$e""""))
+        .getOrElse("")
+      emit(s"""{"q":"$name","sec":${if (err.isEmpty) best else 0.0}$marker}""")
+      (name, if (err.isEmpty) best else 0.0, err.orElse(pass2Err))
     }
 
     val calibSerial1 = calibrateSerial()

@@ -20,10 +20,24 @@ object GraftConf {
   val AnnEf = "spark.graft.ann.ef"
   val AnnInitK = "spark.graft.ann.initK"
 
+  // non-numeric values raise a CONFIG error naming the key — a bare
+  // NumberFormatException from inside an optimizer rule would surface
+  // as an opaque planning failure (the reference's GUC layer likewise
+  // validates at SET time)
   private def dbl(s: SparkSession, key: String, dflt: Double): Double =
-    s.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
+    s.conf.getOption(key).map { v =>
+      v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+        s"graft: $key must be a number, got '$v'"))
+    }.getOrElse(dflt)
   private def int(s: SparkSession, key: String, dflt: Int): Int =
-    s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+    s.conf.getOption(key).map { v =>
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft: $key must be an integer, got '$v'"))
+    }.getOrElse(dflt)
+
+  /** Runtime search-width override reaching the planner rewrites
+    * (`lantern_hnsw.ef` analog); 0 = unset → per-index metadata. */
+  def annEf(s: SparkSession): Int = int(s, AnnEf, 0)
 
   def bm25K1(s: SparkSession): Double = dbl(s, Bm25K1, 1.2)
   def bm25B(s: SparkSession): Double = dbl(s, Bm25B, 0.75)

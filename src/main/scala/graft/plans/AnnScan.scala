@@ -115,16 +115,35 @@ object AnnCatalog {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     def str(json: String, k: String): String =
-      s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(json).get.group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
+      s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(
+          s"missing string field '$k'"))
+        .group(1).replace("\\\"", "\"").replace("\\\\", "\\")
     def num(json: String, k: String): Int =
-      s""""$k":(\\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(
+          s"missing numeric field '$k'"))
+        .group(1).toInt
     val entries = text.linesIterator.filter(_.trim.nonEmpty).toSeq
-    entries.foreach { line =>
-      val meta = IndexMeta(str(line, "artifact"), str(line, "idCol"),
-        str(line, "vecCol"), str(line, "metric"), num(line, "ef"),
-        str(line, "kind"), num(line, "nprobe"))
-      val key = str(line, "table")
+    entries.zipWithIndex.foreach { case (line, i) =>
+      // a corrupt / truncated / hand-edited entry must name the file
+      // and line, not surface as a bare NoSuchElementException
+      val meta =
+        try IndexMeta(str(line, "artifact"), str(line, "idCol"),
+          str(line, "vecCol"), str(line, "metric"), num(line, "ef"),
+          str(line, "kind"), num(line, "nprobe"))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"graft: bad catalog entry at $path:${i + 1} " +
+              s"(${e.getMessage}): $line", e)
+        }
+      val key =
+        try str(line, "table")
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"graft: bad catalog entry at $path:${i + 1} " +
+              s"(${e.getMessage}): $line", e)
+        }
       registry.updateWith(key) {
         case Some(ms) => Some(ms.filterNot(m =>
           m.vecCol == meta.vecCol && m.metric == meta.metric) :+ meta)
@@ -512,7 +531,13 @@ case class AnnKnnJoinExec(
     // expand the k-fanout DISTRIBUTIVELY: driver residency stays at the
     // ingest budget (probe rows) + the neighbor-id map (≤ probes·k
     // longs); the probe×k joined rows are built map-side from the
-    // broadcast result map, never materialized on the driver
+    // broadcast result map, never materialized on the driver.
+    // Broadcast lifetimes: searchMany's internal query/tombstone
+    // broadcasts are unreferenced once the collect above returns, and
+    // byQB once the result RDD is dropped — both reclaimed by Spark's
+    // ContextCleaner (destroy()ing byQB here would break the RDD);
+    // the distributed path instead materializes each chunk eagerly so
+    // its broadcasts never accumulate across chunks
     val byQB = sparkContext.broadcast(byQ)
     val nParts = math.max(1, math.min(rows.length,
       sparkContext.defaultParallelism))
@@ -636,8 +661,10 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Runtime search width: the session GUC (`SET spark.graft.ann.ef`,
     * the reference's `SET lantern_hnsw.ef` — runtime-tunable per
     * options.h:44-45) overrides the registration-time default. */
-  private def efRuntime(meta: AnnCatalog.IndexMeta): Int =
-    spark.conf.getOption(graft.GraftConf.AnnEf).map(_.toInt).getOrElse(meta.ef)
+  private def efRuntime(meta: AnnCatalog.IndexMeta): Int = {
+    val c = graft.GraftConf.annEf(spark)
+    if (c > 0) c else meta.ef
+  }
 
   /** Runtime coarse-probe width (`SET spark.graft.ann.nprobe`) for the
     * ivf/ivfpq forms — the nprobe counterpart of [[efRuntime]]. */
@@ -1050,8 +1077,10 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if subOut.map(_.exprId) == Seq(idAttr.exprId)
     } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
       meta.artifact, k,
-      math.max(spark.conf.getOption(graft.GraftConf.AnnEf)
-        .map(_.toInt).getOrElse(meta.ef), k),
+      math.max({
+        val c = graft.GraftConf.annEf(spark)
+        if (c > 0) c else meta.ef
+      }, k),
       metric,
       meta.kind,
       if (meta.kind == "ivf" || meta.kind == "ivfpq") {

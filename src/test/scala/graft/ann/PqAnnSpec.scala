@@ -113,13 +113,54 @@ class PqAnnSpec extends SparkTestBase {
     } finally { e.unpersist(); () }
   }
 
-  test("PQ index rejects non-l2sq metrics and wide codebooks") {
+  test("PQ index rejects unsupported metrics (l2sq|cos only)") {
     import spark.implicits._
     val df = Seq((1L, Array(0f, 0f))).toDF("id", "vec")
     val cb = graft.pq.PqCodebook(2, Array(Array(Array(0f), Array(1f)),
       Array(Array(0f), Array(1f))))
     intercept[IllegalArgumentException] {
-      PqAnnIndex.build(df, "id", "vec", "/tmp/x", cb, AnnParams(metric = "cos"))
+      PqAnnIndex.build(df, "id", "vec", "/tmp/x", cb,
+        AnnParams(metric = "hamming"))
     }
+    intercept[IllegalArgumentException] {
+      PqAnnIndex.build(df, "id", "vec", "/tmp/x", cb,
+        AnnParams(metric = "inner"))
+    }
+  }
+
+  test("cos PQ index: normalized geometry, searchMany cos ordering matches exact") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val unit = e.select(col("vec_id"),
+      org.apache.spark.sql.graftshim.GraftSqlShim.column(
+        graft.functions.UnitNormalize(
+          org.apache.spark.sql.graftshim.GraftSqlShim.expression(
+            col("embedding")))).as("embedding"))
+    val cb = graft.pq.ProductQuantizer.trainCodebook(
+      unit, "embedding", subvectors = 8, clusters = 32, seed = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcos")
+      .toString + "/idx"
+    PqAnnIndex.build(e, "vec_id", "embedding", dir, cb,
+      AnnParams(m = 16, efConstruction = 128, ef = 128,
+        metric = "cos", numPartitions = 2))
+    val queries = e.orderBy("vec_id").limit(5)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val ann = PqAnnIndex.searchMany(spark, dir, queries, k = 5, ef = 256,
+        rerank = Some((e, "vec_id", "embedding")), metric = "cos")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qDf = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qv")
+    val exact = graft.ops.VectorSearch.knnJoinExact(
+        qDf, "query_id", "qv", e, "vec_id", "embedding", 5, metric = "cos")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.map { case (qid, ex) =>
+      ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size
+    }.sum
+    assert(hits >= (0.8 * 25).ceil.toInt, s"cos PQ recall $hits/25")
   }
 }

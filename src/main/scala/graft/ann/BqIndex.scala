@@ -1,0 +1,90 @@
+package graft.ann
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+
+import graft.ops.BqSearch
+
+/** Binary-quantization index artifact — the planner-integrated form of
+  * [[graft.ops.BqSearch]] (the retrieval use of the reference's 1-bit
+  * scalar kind, `quant_bits = 1`, lantern_hnsw/src/hnsw/options.c:137-158).
+  * The artifact stores ONLY the sign-bit signatures (dim/32 ints per
+  * row — a 32× reduction of the scanned bytes) plus the per-dimension
+  * centering vector that is part of the codec. A `kind = "bq"`
+  * [[graft.plans.AnnCatalog]] registration makes `ORDER BY
+  * l2sq_dist(v, q) LIMIT k` (or cos/inner) rewrite to: hamming
+  * pre-rank over this artifact → broadcast join-back to the table's
+  * TRUE float rows → the ORIGINAL Sort+Limit, which therefore IS the
+  * exact rescore stage. `ef` plays the rescore-pool role (the
+  * recall/latency serving knob, like graph-search ef).
+  *
+  * Deliberately flat: no graph, no lists — stage 1 is a codegen'd
+  * hamming scan with a per-partition top-pool heap
+  * (TakeOrderedAndProject), embarrassingly parallel and shuffle-free
+  * up to the pool-row merge, which is what a 1-bit pre-rank should be
+  * at 100 TB. The scalar ORDER-BY rewrite is the only planner form:
+  * the exact rescore needs the table's float rows, which the lateral
+  * `searchMany` kinds source from their own artifacts — duplicating
+  * floats into this artifact would defeat the 32× compression that is
+  * BQ's point, so the lateral rule does not match `bq` (use
+  * [[BqSearch.topKManyPrepacked]] for batched probes).
+  */
+object BqIndex {
+
+  private val BitsDir = "bits"
+  private val CenterDir = "center"
+
+  /** Fit the centering vector over `df` and write the packed artifact. */
+  def build(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = BqSearch.fitCenter(df, vecCol)
+    Seq(c.toSeq).toDF("center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$CenterDir")
+    df.select(col(idCol).cast("long").as("id"),
+        BqSearch.pack(col(vecCol), c).as("bits"))
+      .write.mode("overwrite").parquet(s"$path/$BitsDir")
+  }
+
+  def center(spark: SparkSession, path: String): Array[Float] =
+    spark.read.parquet(s"$path/$CenterDir")
+      .head().getSeq[Float](0).toArray
+
+  /** The packed signatures as a DataFrame (id: long, bits: array<int>). */
+  def bits(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/$BitsDir")
+
+  /** `aminsert` analog: pack the new rows with the PERSISTED center —
+    * the codec is fixed at build time (signatures must stay mutually
+    * comparable; a drifting center would silently re-key the corpus) —
+    * and append them as new parquet files. Parquet append is the
+    * natural streaming shape: each micro-batch lands as its own files,
+    * no rewrite of existing data, and the candidate scan sees them on
+    * its next read. */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val c = center(df.sparkSession, path)
+    df.select(col(idCol).cast("long").as("id"),
+        BqSearch.pack(col(vecCol), c).as("bits"))
+      .write.mode("append").parquet(s"$path/$BitsDir")
+  }
+
+  /** Top-`pool` candidate ids by hamming distance to `query` — the
+    * stage-1 pre-rank the planner splices under its join-back. The
+    * vec column is NULL by design: this index never stores floats, the
+    * join-back fetches the true rows. */
+  def candidateRows(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      pool: Int): RDD[InternalRow] = {
+    val qb = BqSearch.packQuery(query, center(spark, path))
+    spark.read.parquet(s"$path/$BitsDir")
+      .orderBy(
+        graft.functions.hamming_dist(col("bits"), lit(qb)), col("id"))
+      .limit(math.max(1, pool))
+      .selectExpr("id", "CAST(NULL AS ARRAY<FLOAT>) AS vec")
+      .queryExecution.toRdd
+  }
+}

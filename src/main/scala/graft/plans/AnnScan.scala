@@ -28,10 +28,13 @@ import graft.functions.{CosDist, HammingDist, InnerProduct, L2SqDist}
   */
 object AnnCatalog {
   /** `kind`: "hnsw" (float graph shards), "ivf" (partition-pruned
-    * lists), or "pq" (code shards searched via LUT, candidates emitted
-    * as dequantized vectors). A table may carry several indexes
-    * (different columns/metrics), like multiple lantern indexes on one
-    * table — the rule picks the one matching the sort expression.
+    * lists), "pq" (code shards searched via LUT, candidates emitted
+    * as dequantized vectors), "ivfpq" (coarse lists of residual
+    * codes), or "bq" (sign-bit signatures; hamming pre-rank + exact
+    * rescore via the join-back — `ef` is the rescore pool). A table
+    * may carry several indexes (different columns/metrics), like
+    * multiple lantern indexes on one table — the rule picks the one
+    * matching the sort expression.
     */
   /** `nprobe` applies to the coarse-list kinds (`"ivf"`, `"ivfpq"`)
     * only: number of coarse lists to probe (clamped to nlists by the
@@ -41,7 +44,7 @@ object AnnCatalog {
     * (`ef` still applies to "ivfpq" as the LUT candidate-pool width.) */
   case class IndexMeta(artifact: String, idCol: String, vecCol: String,
       metric: String, ef: Int, kind: String = "hnsw", nprobe: Int = 0) {
-    require(Set("hnsw", "ivf", "pq", "ivfpq").contains(kind),
+    require(Set("hnsw", "ivf", "pq", "ivfpq", "bq").contains(kind),
       s"graft: unknown index kind '$kind'")
     require(nprobe >= 0, s"graft: nprobe must be >= 0, got $nprobe")
     /** Probe count the planner hands an IVF scan. */
@@ -211,6 +214,13 @@ case class AnnScanExec(
       graft.ann.IvfPqIndex.candidateRows(
         session, artifact, query.toArray, k, math.max(ef, k),
         math.max(1, nprobe))
+    case "bq" =>
+      // sign-bit hamming pre-rank over the bits artifact (ef = rescore
+      // pool); vec is NULL — bq never passes storesTrueVectors, so the
+      // join-back fetches the true floats and the Sort+Limit above IS
+      // the exact rescore stage ([[graft.ann.BqIndex]])
+      graft.ann.BqIndex.candidateRows(
+        session, artifact, query.toArray, math.max(ef, k))
   }
 
   private def hnswCandidates(): RDD[InternalRow] = {

@@ -170,6 +170,52 @@ object AnnQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** Binary-quantization PLANNER gate ([[graft.ann.BqIndex]]): a
+    * `kind = "bq"` registration makes the plain scalar form `ORDER BY
+    * l2sq_dist(v, q) LIMIT k` rewrite to hamming pre-rank over the
+    * sign-bit artifact (ef = the rescore pool, runtime-tunable via the
+    * `spark.graft.ann.ef` GUC like graph ef) → broadcast join-back to
+    * the TRUE float rows → the original Sort+Limit as the exact
+    * rescore. Asserts per query: the optimized plan contains the
+    * `kind = "bq"` ANN leaf AND a join (the rescore fetch — bq never
+    * takes the narrow form since the artifact stores no floats); gate:
+    * mean recall@10 ≥ 0.8 vs the exact truth (measured ~0.99 at
+    * sf0.01, ~0.91 at sf0.1 with pool 384 on near-random embeddings —
+    * BQ's worst case). */
+  private def bqPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("bqp", dir, "embeddings")
+    cached(path) {
+      graft.ann.BqIndex.build(e, "vec_id", "embedding", path)
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 384,
+        kind = "bq"))
+    try {
+      val qs = plannerSample(e)
+      var allPlanned = true
+      val ann = qs.map { case (qid, q) =>
+        val knn = e.select(col("vec_id"), col("embedding"))
+          .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        val opt = knn.queryExecution.optimizedPlan
+        allPlanned &&= opt.collect {
+          case a: AnnScanLogical if a.kind == "bq" => a
+        }.nonEmpty
+        allPlanned &&= opt.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty
+        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      val exact = plannerTruth(e, qs)
+      if (allPlanned && RecallProtocol.meanRecallOk(ann, exact))
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   /** Query subsample for PLANNER-form gates: the scalar rewrite takes
     * one literal vector per plan, so these gates loop a smaller sample
     * (each iteration is a full optimize + execute) — graph-quality
@@ -1069,6 +1115,7 @@ object AnnQueries {
     QueryDef("ivfpq_recall_gate", Some("SELECT 1 AS ok"), ivfPqRecall),
     QueryDef("knn_hamming_ann", Some("SELECT 1 AS ok"), hammingAnnRecall),
     QueryDef("knn_hamming_planner", Some("SELECT 1 AS ok"), hammingPlanner),
+    QueryDef("knn_bq_planner", Some("SELECT 1 AS ok"), bqPlanner),
     QueryDef("knn_pq_filtered_cos_planner", Some("SELECT 1 AS ok"),
       pqFilteredCosPlanner),
     QueryDef("knn_join_ivfpq_cos_planner", Some("SELECT 1 AS ok"),

@@ -225,11 +225,42 @@ object ClusterQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Matryoshka (prefix-truncated) two-stage gate
+    * ([[graft.ops.MrlSearch]]): stage 1 ranks by l2sq over the FIRST
+    * 32 of 64 dims, stage 2 exact-reranks a 256-pool. Multi-query
+    * protocol ([[RecallProtocol]]): 50 held-out queries, mean
+    * recall@10 ≥ 0.8 vs the exact full-dimension top-10 (measured
+    * 0.99 at sf0.01 / 0.90 at sf0.1 — the synthetic embeddings are
+    * i.i.d. random, so the prefix carries exactly m/dim of the signal:
+    * the generic-embedding WORST case for matryoshka truncation; MRL-
+    * trained embeddings concentrate signal in the prefix and only do
+    * better), rescored distances equal to the TRUE l2sq, and both
+    * stages planned as partial WindowGroupLimits with no ScalaUDF. */
+  private def mrlKnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val h = RecallProtocol.holdout(e)
+    val annDf = graft.ops.MrlSearch.topKMany(
+      h.base, "vec_id", "embedding", h.queries.toSeq,
+      k = 10, pool = 256, m = 32)
+    val plan = graft.ops.MaskedExplain.explain(annDf, "formatted")
+    val planOk = plan.contains("WindowGroupLimit") &&
+      !plan.contains("ScalaUDF")
+    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    val distOk = RecallProtocol.distsTrue(
+      annDf, h.queriesDf, h.base, "vec_id", "embedding")
+    if (planOk && distOk &&
+        RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(annDf), exact))
+      Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("cluster_embeddings", Some(clusterOracle), clusterEmbeddings),
     QueryDef("semdedup_keepers", Some(semdedupOracle), semdedupKeepers),
     QueryDef("random_projection", Some(randomProjectionOracle), randomProjection),
     QueryDef("pca_whiten", Some(pcaWhitenOracle), pcaWhiten),
     QueryDef("projected_knn_recall", Some("SELECT 1 AS ok"), projectedKnnRecall),
+    QueryDef("mrl_knn_recall", Some("SELECT 1 AS ok"), mrlKnnRecall),
   )
 }

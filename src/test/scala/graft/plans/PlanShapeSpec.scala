@@ -391,6 +391,46 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
+  test("bq kind: scalar rewrite = hamming pre-rank + join-back exact rescore") {
+    import graft.ann.BqIndex
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-bq").toFile, "idx").toString
+    BqIndex.build(e, "vec_id", "embedding", path)
+    val tablePath = s"$dir/embeddings.parquet"
+    val n = e.count().toInt
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = n,
+        kind = "bq"))
+    try {
+      val q = e.where(col("vec_id") === 3).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val knn = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val opt = knn.queryExecution.optimizedPlan
+      // the ANN leaf is the bq artifact scan ...
+      assert(opt.collect {
+        case a: AnnScanLogical if a.kind == "bq" => a
+      }.nonEmpty, opt.toString.take(800))
+      // ... always behind the join-back (bq stores no floats)
+      assert(opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty, opt.toString.take(800))
+      // pool = corpus ⇒ the rescore returns the EXACT top-10
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSeq
+      val exact = e.orderBy(l2sq_dist(col("embedding"), lit(q)), col("vec_id"))
+        .limit(10).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got.toSet == exact.toSet)
+      // filtered form must NOT gamble on bq: predicate keeps the exact plan
+      val filtered = e.where(col("label") > 2)
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      assert(filtered.queryExecution.optimizedPlan.collect {
+        case a: AnnScanLogical => a
+      }.isEmpty)
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("lateral rule guards: wrong output shape or oversized k keep failing analysis") {
     import graft.ann.{AnnIndex, AnnParams}
     val dir = sf("sf0.001")

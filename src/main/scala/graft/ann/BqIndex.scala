@@ -35,6 +35,7 @@ object BqIndex {
 
   private val BitsDir = "bits"
   private val CenterDir = "center"
+  private val TombDir = "tombstones"
 
   /** Fit the centering vector over `df` and write the packed artifact. */
   def build(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
@@ -70,6 +71,26 @@ object BqIndex {
       .write.mode("append").parquet(s"$path/$BitsDir")
   }
 
+  /** `ambulkdelete` analog: tombstoned ids append to their own parquet
+    * dir; [[liveBits]] masks them with one LEFT ANTI join BEFORE the
+    * top-pool heap — EXACT delete semantics at any delete count (the
+    * anti join broadcasts small sets and shuffles huge ones; no bloom
+    * haircut needed because unlike an in-graph walk, a flat scan can
+    * mask rows declaratively). */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("append").parquet(s"$path/$TombDir")
+  }
+
+  /** The signatures minus tombstones — what every search scans. */
+  def liveBits(spark: SparkSession, path: String): DataFrame = {
+    val b = bits(spark, path)
+    val t = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) b.join(spark.read.parquet(t.toString), Seq("id"), "left_anti")
+    else b
+  }
+
   /** Top-`pool` candidate ids by hamming distance to `query` — the
     * stage-1 pre-rank the planner splices under its join-back. The
     * vec column is NULL by design: this index never stores floats, the
@@ -80,7 +101,7 @@ object BqIndex {
       query: Array[Float],
       pool: Int): RDD[InternalRow] = {
     val qb = BqSearch.packQuery(query, center(spark, path))
-    spark.read.parquet(s"$path/$BitsDir")
+    liveBits(spark, path)
       .orderBy(
         graft.functions.hamming_dist(col("bits"), lit(qb)), col("id"))
       .limit(math.max(1, pool))

@@ -124,7 +124,7 @@ object ScalarQuantQueries {
     val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val ann = RecallProtocol.perQueryDf(BqSearch.topKManyPrepacked(
-      BqIndex.bits(s, path), "id", "bits",
+      BqIndex.liveBits(s, path), "id", "bits",
       e.select(col("vec_id").as("id"), col("embedding")), "embedding",
       qs.toSeq, k = 10, pool = 384, center = BqIndex.center(s, path)))
     val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")

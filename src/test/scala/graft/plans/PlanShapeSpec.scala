@@ -428,6 +428,15 @@ class PlanShapeSpec extends SparkTestBase {
       assert(filtered.queryExecution.optimizedPlan.collect {
         case a: AnnScanLogical => a
       }.isEmpty)
+      // ambulkdelete analog: tombstoned ids vanish from the planner
+      // answers (EXACT masking — anti-join, no bloom haircut)
+      val victim = exact.head
+      graft.ann.BqIndex.delete(spark, path, Seq(victim))
+      val after = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(!after.contains(victim))
+      assert((exact.toSet - victim).subsetOf(after)) // pool = corpus: rest intact
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 

@@ -91,6 +91,22 @@ object BqIndex {
     else b
   }
 
+  /** Driver-side top-`pool` candidate ids — the proposal function of
+    * the FILTERED planner form's adaptive loop (pool quadruples per
+    * round there, so a wide registration `ef` is the first round). */
+  def candidateIds(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      pool: Int): Array[Long] = {
+    val qb = BqSearch.packQuery(query, center(spark, path))
+    liveBits(spark, path)
+      .orderBy(
+        graft.functions.hamming_dist(col("bits"), lit(qb)), col("id"))
+      .limit(math.max(1, pool))
+      .select("id").collect().map(_.getLong(0))
+  }
+
   /** Top-`pool` candidate ids by hamming distance to `query` — the
     * stage-1 pre-rank the planner splices under its join-back. The
     * vec column is NULL by design: this index never stores floats, the

@@ -367,6 +367,10 @@ case class AnnFilteredIdsExec(
           graft.ann.IvfPqIndex.search(session, artifact, query.toArray,
             pool, nprobe = np, ef = math.max(ef, pool))
             .select("id").collect().map(_.getLong(0)))
+      case "bq" =>
+        filteredViaCandidates(df, (pool, _) =>
+          graft.ann.BqIndex.candidateIds(session, artifact,
+            query.toArray, pool))
       case _ =>
         AnnIndex.searchFiltered(df, idCol, vecCol, artifact,
           query.toArray, k, GraftSqlShim.column(pred), efOverride = ef)
@@ -826,14 +830,15 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // the filtered form defers to searchFiltered, which needs an
         // hnsw graph artifact, an exact-rankable metric, and a
         // predicate Spark can evaluate against the table alone
-        // filtered-form kind/metric support: hnsw + ivf fully; pq and
-        // ivfpq rerank via l2sq-on-(unit)vectors, sound for l2sq and
-        // cos ordering but not inner
+        // filtered-form kind/metric support: hnsw + ivf fully; pq,
+        // ivfpq and bq rerank via l2sq-on-(unit)vectors, sound for
+        // l2sq and cos ordering but not inner
         if predOpt.forall(p =>
           ((meta.kind == "hnsw" && meta.metric != "hamming") ||
             meta.kind == "ivf" ||
             (meta.kind == "pq" && Set("l2sq", "cos")(meta.metric)) ||
-            (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric))) &&
+            (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric)) ||
+            (meta.kind == "bq" && Set("l2sq", "cos")(meta.metric))) &&
             p.deterministic && p.references.subsetOf(rel.outputSet))
       } yield {
         // a cos PQ index is an l2sq graph over unit vectors — the

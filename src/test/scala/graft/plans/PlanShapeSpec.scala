@@ -422,12 +422,18 @@ class PlanShapeSpec extends SparkTestBase {
       val exact = e.orderBy(l2sq_dist(col("embedding"), lit(q)), col("vec_id"))
         .limit(10).select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(got.toSet == exact.toSet)
-      // filtered form must NOT gamble on bq: predicate keeps the exact plan
+      // filtered form fires into the adaptive AnnFilteredIds loop —
+      // and with pool = corpus its answers are the EXACT filtered top-k
       val filtered = e.where(col("label") > 2)
         .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
       assert(filtered.queryExecution.optimizedPlan.collect {
-        case a: AnnScanLogical => a
-      }.isEmpty)
+        case a: AnnFilteredIdsLogical if a.kind == "bq" => a
+      }.nonEmpty)
+      val fGot = filtered.select("vec_id").collect().map(_.getLong(0)).toSet
+      val fExact = e.where(col("label") > 2)
+        .orderBy(l2sq_dist(col("embedding"), lit(q)), col("vec_id"))
+        .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(fGot == fExact)
       // ambulkdelete analog: tombstoned ids vanish from the planner
       // answers (EXACT masking — anti-join, no bloom haircut)
       val victim = exact.head

@@ -24,12 +24,13 @@ import graft.ops.BqSearch
   * hamming scan with a per-partition top-pool heap
   * (TakeOrderedAndProject), embarrassingly parallel and shuffle-free
   * up to the pool-row merge, which is what a 1-bit pre-rank should be
-  * at 100 TB. The scalar ORDER-BY rewrite is the only planner form:
-  * the exact rescore needs the table's float rows, which the lateral
-  * `searchMany` kinds source from their own artifacts — duplicating
-  * floats into this artifact would defeat the 32× compression that is
-  * BQ's point, so the lateral rule does not match `bq` (use
-  * [[BqSearch.topKManyPrepacked]] for batched probes).
+  * at 100 TB. The artifact never stores floats (duplicating them would
+  * defeat the 32× compression that is BQ's point): every planner form
+  * sources the exact-rescore floats from the TABLE — the scalar
+  * ORDER-BY rewrite through its join-back, the filtered form through
+  * the shared adaptive candidate loop, and the LATERAL kNN-join form
+  * through [[graft.ops.BqSearch.topKManyPrepacked]] against the
+  * relation the rule captured.
   */
 object BqIndex {
 

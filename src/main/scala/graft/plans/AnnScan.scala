@@ -493,6 +493,18 @@ case class AnnKnnJoinExec(
         val rr = table.map(t => (GraftSqlShim.ofRows(session, t), idCol, vecCol))
         graft.ann.PqAnnIndex.searchMany(session, artifact, queries, k,
           ef = ef, rerank = rr, metric = metric)
+      case "bq" =>
+        // batched BQ rescore: hamming pre-rank over the bits artifact
+        // (pool = ef), exact rerank against the TABLE's float rows —
+        // the floats come from the relation the rule captured, so the
+        // artifact stays signature-only
+        val t = GraftSqlShim.ofRows(session, table.get)
+        import org.apache.spark.sql.functions.col
+        graft.ops.BqSearch.topKManyPrepacked(
+          graft.ann.BqIndex.liveBits(session, artifact), "id", "bits",
+          t.select(col(idCol).cast("long").as("id"), col(vecCol)), vecCol,
+          queries, k, pool = math.max(ef, k), metric = metric,
+          center = graft.ann.BqIndex.center(session, artifact))
       case _ =>
         AnnIndex.searchMany(session, artifact, queries, k, ef)
     }
@@ -1086,7 +1098,8 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if meta.kind == "hnsw" ||
         meta.kind == "ivf" ||
         (meta.kind == "pq" && Set("l2sq", "cos")(meta.metric)) ||
-        (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric))
+        (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric)) ||
+        (meta.kind == "bq" && Set("l2sq", "cos")(meta.metric))
       idAttr <- rel.output.find(_.name == meta.idCol)
       // the subquery must emit exactly the table's id column
       if subOut.map(_.exprId) == Seq(idAttr.exprId)
@@ -1102,7 +1115,9 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val c = graft.GraftConf.annNprobe(spark)
         if (c > 0) c else meta.effectiveNprobe
       } else 0,
-      if (meta.kind == "ivfpq" || meta.kind == "pq") Some(rel) else None,
+      if (meta.kind == "ivfpq" || meta.kind == "pq" || meta.kind == "bq")
+        Some(rel)
+      else None,
       meta.idCol, meta.vecCol)
   }
 }

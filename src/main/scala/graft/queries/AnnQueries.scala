@@ -216,6 +216,24 @@ object AnnQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** Lateral kNN join through the bq kind (completing the full kind
+    * matrix: hnsw/ivf/pq/ivfpq/bq): the LATERAL ORDER BY form plans
+    * through AnnKnnJoinLogical(kind=bq) — one batched hamming pre-rank
+    * over the bits artifact for ALL probes, exact rescore against the
+    * captured relation's float rows — and holds the standard recall
+    * contract vs the exact kNN join. */
+  private def knnJoinBqPlanner(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("bqkj", dir, "embeddings")
+    cached(path) {
+      graft.ann.BqIndex.build(e, "vec_id", "embedding", path)
+    }
+    lateralGateFor(s, dir,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 384, kind = "bq"),
+      view = "graft_kjp_bq")
+  }
+
   /** FILTERED planner form through the bq kind: `WHERE pred ORDER BY
     * l2sq_dist LIMIT k` over a bq-registered table runs the adaptive
     * candidate loop with [[graft.ann.BqIndex.candidateIds]] as the
@@ -1141,6 +1159,8 @@ object AnnQueries {
     QueryDef("knn_bq_planner", Some("SELECT 1 AS ok"), bqPlanner),
     QueryDef("knn_bq_filtered_planner", Some("SELECT 1 AS ok"),
       bqFilteredPlanner),
+    QueryDef("knn_join_bq_planner", Some("SELECT 1 AS ok"),
+      knnJoinBqPlanner),
     QueryDef("knn_pq_filtered_cos_planner", Some("SELECT 1 AS ok"),
       pqFilteredCosPlanner),
     QueryDef("knn_join_ivfpq_cos_planner", Some("SELECT 1 AS ok"),

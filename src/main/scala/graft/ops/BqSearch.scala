@@ -133,7 +133,12 @@ object BqSearch {
 
   /** Stage 2: exact rescore of the pool — the (queries × pool)-row
     * pool set is the BROADCAST side against the big vector table, then
-    * one per-query rank window cuts to k. */
+    * one per-query rank window cuts to k. Broadcast sizing: the pool
+    * set is queries × pool longs (50 × 384 ≈ 150 KB at gate scale);
+    * callers batching MANY queries bound it by chunking the query set
+    * — the lateral planner path inherits exactly that from the
+    * kNN-join exec's byte-budget chunking, so the broadcast never
+    * scales with the corpus, only with the bounded probe chunk. */
   private def rescore(
       poolIds: DataFrame,
       vecs: DataFrame,

@@ -255,7 +255,7 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
-  test("lateral kNN join routes through ivf, pq and hamming index kinds") {
+  test("lateral kNN join routes through ivf, pq, bq and hamming index kinds") {
     import graft.ann.{AnnIndex, AnnParams, IvfIndex, PqAnnIndex}
     import graft.pq.{ProductQuantizer, ScalarQuantizer}
     val dir = sf("sf0.001")
@@ -299,6 +299,13 @@ class PlanShapeSpec extends SparkTestBase {
       AnnCatalog.IndexMeta(pqPath, "vec_id", "embedding", "l2sq", ef = 256,
         kind = "pq"))
     try checkKind("pq") finally AnnCatalog.unregister(spark, tablePath)
+    // bq (batched hamming pre-rank + exact rescore against the table)
+    val bqPath = new java.io.File(tmp, "bq").toString
+    graft.ann.BqIndex.build(e, "vec_id", "embedding", bqPath)
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(bqPath, "vec_id", "embedding", "l2sq",
+        ef = e.count().toInt, kind = "bq"))
+    try checkKind("bq") finally AnnCatalog.unregister(spark, tablePath)
     // hamming: probes are b1 array<int>, repacked per probe by the exec
     val b1Tbl = new java.io.File(tmp, "b1tbl").toString
     e.select(col("vec_id"),

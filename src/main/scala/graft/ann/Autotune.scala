@@ -256,4 +256,86 @@ object Autotune {
       ()
     }
   }
+
+  // ---------------------------------------------------------------- BQ
+
+  case class BqResult(pool: Int, recall: Double, avgSearchMs: Double)
+  case class BqReport(buildSecs: Double, results: Seq[BqResult],
+      picked: Option[BqResult])
+
+  /** Same protocol for the binary-quantization rescore path: the bits
+    * artifact is built ONCE (the signatures are parameter-free), and
+    * `pool` — the rescore width, the knob `kind = "bq"` registrations
+    * expose as `ef` — is swept ascending (pool IS the cost: stage-2
+    * distance work and float-row fetches scale linearly with it).
+    * Every pool is measured with ONE batched
+    * [[graft.ops.BqSearch.topKManyPrepacked]] pass over all sample
+    * queries; picked = the smallest pool meeting the target recall.
+    * Register the winner as `IndexMeta(ef = picked.pool, kind = "bq")`.
+    */
+  def autotuneBq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      pools: Seq[Int] = Seq(64, 128, 256, 512, 1024),
+      metric: String = "l2sq",
+      workDir: String = null): BqReport = {
+    val spark = df.sparkSession
+    val ownsWorkDir = workDir == null
+    val base = Option(workDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-bqtune").toString)
+    val queries = graft.util.Sampling
+      .hashSample(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        queryCount, col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(queries.nonEmpty, "graft: autotune needs at least one sample row")
+    val truth = queries.map { case (_, q) =>
+      VectorSearch.exact(df, col(vecCol), q, k, metric,
+        tieBreak = Seq(col(idCol)))
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    }
+
+    val path = s"$base/bq"
+    val t0 = System.nanoTime()
+    BqIndex.build(df, idCol, vecCol, path)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    val bits = BqIndex.liveBits(spark, path)
+    val c = BqIndex.center(spark, path)
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol))
+
+    val results = pools.sorted.map { pool =>
+      val t1 = System.nanoTime()
+      val got = graft.ops.BqSearch.topKManyPrepacked(
+          bits, "id", "bits", vecs, vecCol, queries.toSeq, k, pool,
+          metric, c)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      val avgMs = (System.nanoTime() - t1) / 1e6 / queries.length
+      var hits = 0; var total = 0
+      queries.zip(truth).foreach { case ((qid, _), expected) =>
+        hits += got.getOrElse(qid, Set.empty).intersect(expected).size
+        total += expected.size
+      }
+      BqResult(pool, hits.toDouble / total, avgMs)
+    }
+    if (ownsWorkDir) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    BqReport(buildSecs, results, results.find(_.recall >= targetRecall))
+  }
+
+  /** BQ report as a DataFrame (same persistence shape as [[reportDf]]). */
+  def bqReportDf(spark: SparkSession, report: BqReport): DataFrame = {
+    import spark.implicits._
+    report.results
+      .map(r => (r.pool, r.recall, r.avgSearchMs, report.buildSecs,
+        report.picked.contains(r)))
+      .toDF("pool", "recall", "avg_search_ms", "build_secs", "picked")
+  }
 }

@@ -862,6 +862,47 @@ object AnnQueries {
     if (ruleOk && served) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** BQ pool autotune gate ([[graft.ann.Autotune.autotuneBq]] — the
+    * `autotune-index` protocol applied to the rescore-pool knob, the
+    * one `kind = "bq"` registrations expose as `ef`): one bits build,
+    * every pool measured by one batched prepacked pass. Recorded-spec
+    * check: the persisted report must contain every grid pool, pick
+    * exactly the FIRST pool meeting the target with all cheaper pools
+    * below it, and recall must be non-decreasing in pool — a
+    * deterministic property of BQ rescore (candidate sets nest as the
+    * pool widens and stage 2 is exact), so a violation means the sweep
+    * is broken, not the data. */
+  private def bqAutotune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.Autotune
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val target = 0.9
+    val pools = Seq(64, 128, 256, 512, 1024)
+    val reportPath = artifactDir("bqtune", dir, "embeddings")
+    cached(reportPath) {
+      val rep = Autotune.autotuneBq(e, "vec_id", "embedding",
+        queryCount = 5, targetRecall = target, pools = pools)
+      Autotune.bqReportDf(s, rep)
+        .write.mode("overwrite").parquet(s"$reportPath/report")
+    }
+    val rows = s.read.parquet(s"$reportPath/report").collect()
+      .map(r => (r.getAs[Int]("pool"), r.getAs[Double]("recall"),
+        r.getAs[Boolean]("picked")))
+      .sortBy(_._1)
+    val ruleOk = rows.map(_._1).toSeq == pools && {
+      val recalls = rows.map(_._2).toSeq
+      val picks = rows.map(_._3).toSeq
+      val firstQualifying = recalls.indexWhere(_ >= target)
+      firstQualifying >= 0 && picks.count(identity) == 1 &&
+        picks(firstQualifying) &&
+        recalls.take(firstQualifying).forall(_ < target)
+    }
+    val monotone = rows.map(_._2).toSeq.sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9)
+    if (ruleOk && monotone) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** IVF recall gate: coarse-quantized partition-pruned search must
     * reach recall@10 ≥ 0.8 vs the exact oracle with half the lists
     * probed. */
@@ -1149,6 +1190,7 @@ object AnnQueries {
     QueryDef("knn_join_hamming_planner", Some("SELECT 1 AS ok"),
       knnJoinHammingPlanner),
     QueryDef("autotune_pick", Some("SELECT 1 AS ok"), autotunePick),
+    QueryDef("autotune_bq", Some("SELECT 1 AS ok"), bqAutotune),
     QueryDef("catalog_persist", Some("SELECT 1 AS ok"), catalogPersist),
     QueryDef("knn_ann_i8", Some("SELECT 1 AS ok"), i8AnnRecall),
     QueryDef("knn_ann_planner", Some("SELECT 1 AS ok"), annPlanner),

@@ -41,6 +41,27 @@ class AutotuneSpec extends SparkTestBase {
     assert(report.results.take(idx).forall(_.recall < 0.7))
   }
 
+  test("BQ autotune: one build, nested pools, monotone recall, cheapest pick") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val n = e.count().toInt
+    val report = Autotune.autotuneBq(
+      e, "vec_id", "embedding", k = 10, queryCount = 5,
+      targetRecall = 0.9, pools = Seq(10, 20, n))
+    assert(report.results.map(_.pool) == Seq(10, 20, n))
+    assert(report.buildSecs > 0)
+    // candidate sets nest as the pool widens and stage 2 is exact, so
+    // recall is non-decreasing — and pool = corpus is EXACT
+    assert(report.results.map(_.recall).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9))
+    assert(report.results.last.recall == 1.0)
+    assert(report.picked.isDefined)
+    val idx = report.results.indexOf(report.picked.get)
+    assert(report.results.take(idx).forall(_.recall < 0.9))
+    val df = Autotune.bqReportDf(spark, report)
+    assert(df.count() === 3)
+    assert(df.where(org.apache.spark.sql.functions.col("picked")).count() === 1)
+  }
+
   test("autotuneCreate promotes the winning trial to the target path and it searches") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf("sf0.001"))

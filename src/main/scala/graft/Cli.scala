@@ -24,6 +24,7 @@ object Cli {
       |  show-runtimes
       |  measure-model-speed [--runtime hash-mock] [--model mock/tiny]
       |  create-index       --src P --id-col C --vec-col C --index P
+      |                     [--kind hnsw|bq]
       |                     [--m 16] [--ef-construction 128] [--ef 64]
       |                     [--metric l2sq] [--quant f32] [--partitions 0]
       |  autotune-index     --src P --id-col C --vec-col C
@@ -60,7 +61,7 @@ object Cli {
     "measure-model-speed" -> Set("runtime", "model"),
     "create-embeddings" -> Set("src", "id-col", "text-col", "out", "runtime", "model"),
     "create-index" -> Set("src", "id-col", "vec-col", "index", "m",
-      "ef-construction", "ef", "metric", "quant", "partitions"),
+      "ef-construction", "ef", "metric", "quant", "partitions", "kind"),
     "autotune-index" -> Set("src", "id-col", "vec-col", "metric", "k",
       "target-recall", "index"),
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
@@ -132,16 +133,25 @@ object Cli {
         val (src, idCol, vecCol, idxP) =
           (req(opts, "src"), req(opts, "id-col"), req(opts, "vec-col"), req(opts, "index"))
         val spark = session()
-        val h = ann.AnnIndex.build(
-          spark.read.parquet(src), idCol, vecCol, idxP,
-          ann.AnnParams(
-            m = opts.getOrElse("m", "16").toInt,
-            efConstruction = opts.getOrElse("ef-construction", "128").toInt,
-            ef = opts.getOrElse("ef", "64").toInt,
-            metric = opts.getOrElse("metric", "l2sq"),
-            numPartitions = opts.getOrElse("partitions", "0").toInt,
-            quant = opts.getOrElse("quant", "f32")))
-        println(s"built $idxP (dim=${h.dim}, metric=${h.metric}, quant=${h.quant})")
+        opts.getOrElse("kind", "hnsw") match {
+          case "bq" =>
+            ann.BqIndex.build(spark.read.parquet(src), idCol, vecCol, idxP)
+            println(s"built $idxP (kind=bq: sign-bit signatures + center)")
+          case "hnsw" =>
+            val h = ann.AnnIndex.build(
+              spark.read.parquet(src), idCol, vecCol, idxP,
+              ann.AnnParams(
+                m = opts.getOrElse("m", "16").toInt,
+                efConstruction = opts.getOrElse("ef-construction", "128").toInt,
+                ef = opts.getOrElse("ef", "64").toInt,
+                metric = opts.getOrElse("metric", "l2sq"),
+                numPartitions = opts.getOrElse("partitions", "0").toInt,
+                quant = opts.getOrElse("quant", "f32")))
+            println(s"built $idxP (dim=${h.dim}, metric=${h.metric}, quant=${h.quant})")
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown index kind '$other' (expected hnsw|bq)")
+        }
 
       case "autotune-index" =>
         val (srcP, idCol, vecCol) =

@@ -54,6 +54,15 @@ object BqIndex {
     spark.read.parquet(s"$path/$CenterDir")
       .head().getSeq[Float](0).toArray
 
+  /** Artifact sniff for serving layers that route by layout (the HTTP
+    * façade's search path): a bq artifact is the bits + center pair. */
+  def isBq(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/$BitsDir")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$CenterDir"))
+  }
+
   /** The packed signatures as a DataFrame (id: long, bits: array<int>). */
   def bits(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$BitsDir")

@@ -291,7 +291,20 @@ final class HttpFacade(
     // request)
     val idx = idxPath(s"$name-$column")
     val hits =
-      if (fs.exists(idx) &&
+      if (fs.exists(idx) && graft.ann.BqIndex.isBq(spark, idx.toString)) {
+        // BQ rescore path: hamming pre-rank over the bits artifact
+        // (pool = the ef knob), exact rescore over the pool's true rows
+        // — valid for the angular/l2 family only
+        require(Set("l2sq", "cos")(metric),
+          s"bq index on '$column' serves l2sq/cos, not '$metric'")
+        val base = graft.GraftConf.annParams(spark)
+        val pool = math.max(if (ef > 0) ef else base.ef, 4 * k)
+        val cand = graft.ann.BqIndex.candidateIds(
+          spark, idx.toString, query, pool)
+        VectorSearch.exact(
+          df.where(col("id").isin(cand.toIndexedSeq: _*)), col(column),
+          query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
+      } else if (fs.exists(idx) &&
           AnnIndex.readHeader(spark, idx.toString).metric == metric) {
         val ids = AnnIndex.search(spark, idx.toString, query, k,
           efOverride = ef).map(_._1)
@@ -317,16 +330,30 @@ final class HttpFacade(
       case "cosine" => "cos"
       case m => m
     }
-    val base = graft.GraftConf.annParams(spark)
-    val params = AnnParams(
-      m = intOpt(b, "m", base.m),
-      efConstruction = intOpt(b, "ef_construction", base.efConstruction),
-      ef = intOpt(b, "ef", base.ef),
-      metric = metric,
-      quant = Option(b.get("quant")).map(_.asText()).getOrElse("f32"))
     val idx = s"$name-$column"
-    AnnIndex.build(df.where(col(column).isNotNull), "id", column,
-      idxPath(idx).toString, params)
+    Option(b.get("kind")).map(_.asText()).getOrElse("hnsw") match {
+      case "bq" =>
+        // binary-quantization artifact (index.rs kind analog): sign-bit
+        // signatures + persisted center; served by the BQ rescore path
+        require(Set("l2sq", "cos")(metric),
+          s"bq indexes serve l2sq/cos, not '$metric'")
+        graft.ann.BqIndex.build(df.where(col(column).isNotNull), "id",
+          column, idxPath(idx).toString)
+      case "hnsw" =>
+        val base = graft.GraftConf.annParams(spark)
+        val params = AnnParams(
+          m = intOpt(b, "m", base.m),
+          efConstruction = intOpt(b, "ef_construction", base.efConstruction),
+          ef = intOpt(b, "ef", base.ef),
+          metric = metric,
+          quant = Option(b.get("quant")).map(_.asText()).getOrElse("f32"))
+        AnnIndex.build(df.where(col(column).isNotNull), "id", column,
+          idxPath(idx).toString, params)
+        ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown index kind '$other' (expected hnsw|bq)")
+    }
     respond(ex, 200, s"""{"index":"$idx"}""")
   }
 

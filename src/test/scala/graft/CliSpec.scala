@@ -54,6 +54,20 @@ class CliSpec extends SparkTestBase {
     assert(h.quant == "i8" && h.dim == 8)
     val got = graft.ann.AnnIndex.search(spark, idx, v, 3).map(_._1)
     assert(got.contains(7L), got.toSeq.toString)
+
+    // --kind bq builds the sign-bit artifact; pool = corpus serves exact
+    val bqIdx = tmp("bqidx")
+    Cli.run("create-index", Map(
+      "src" -> vecs, "id-col" -> "id", "vec-col" -> "vec",
+      "index" -> bqIdx, "kind" -> "bq"))
+    assert(graft.ann.BqIndex.isBq(spark, bqIdx))
+    val cand = graft.ann.BqIndex.candidateIds(spark, bqIdx, v, 50)
+    assert(cand.length == 50 && cand.contains(7L))
+    intercept[IllegalArgumentException] {
+      Cli.run("create-index", Map(
+        "src" -> vecs, "id-col" -> "id", "vec-col" -> "vec",
+        "index" -> tmp("bad"), "kind" -> "nope"))
+    }
   }
 
   test("start-daemon --once runs queued jobs and exits") {

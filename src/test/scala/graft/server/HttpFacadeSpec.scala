@@ -123,6 +123,34 @@ class HttpFacadeSpec extends SparkTestBase
     assert(req("DELETE", "/collections/docs")._1 == 200)
   }
 
+  test("bq index kind: create routes search through BQ rescore; inner rejected") {
+    assert(req("POST", "/collections", """{"name":"bqc"}""")._1 == 200)
+    def rowsJson(ids: Range): String = ids.map { i =>
+      s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"doc-$i"}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    assert(req("PUT", "/collections/bqc", rowsJson(0 until 40))._1 == 200)
+
+    // unknown kind is a 400; bq under inner is a 400
+    assert(req("POST", "/collections/bqc/index",
+      """{"column":"vector","kind":"nope"}""")._1 == 400)
+    assert(req("POST", "/collections/bqc/index",
+      """{"column":"vector","kind":"bq","metric":"inner"}""")._1 == 400)
+
+    // build bq; search with ef >= corpus is the EXACT rescore
+    assert(req("POST", "/collections/bqc/index",
+      """{"column":"vector","kind":"bq"}""")._1 == 200)
+    val (sc, sb) = req("POST", "/collections/bqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"ef":40,"select":"id"}""")
+    assert(sc == 200, sb)
+    assert(sb.startsWith("""{"rows":[{"id":5}"""), sb)
+    // cosine rides the same artifact; inner falls to a 400 (no silent l2)
+    assert(req("POST", "/collections/bqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(7))},"metric":"cosine","k":1,"ef":40}""")._1 == 200)
+    assert(req("POST", "/collections/bqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(7))},"metric":"inner","k":1}""")._1 == 400)
+    assert(req("DELETE", "/collections/bqc")._1 == 200)
+  }
+
   test("errors: unknown collection, bad body, missing fields") {
     assert(req("POST", "/collections/nope/search",
       """{"column":"vector","query_vector":[1]}""")._1 == 400)

@@ -135,6 +135,14 @@ object Cli {
         val spark = session()
         opts.getOrElse("kind", "hnsw") match {
           case "bq" =>
+            // the bq codec is parameter-free — silently dropping hnsw
+            // tuning flags would let a user believe they built a tuned
+            // index, so explicit flags are an error here
+            val hnswOnly = Seq("m", "ef-construction", "ef", "metric",
+              "quant", "partitions").filter(opts.contains)
+            require(hnswOnly.isEmpty,
+              s"--kind bq takes no hnsw tuning flags " +
+                s"(got: ${hnswOnly.map("--" + _).mkString(", ")})")
             ann.BqIndex.build(spark.read.parquet(src), idCol, vecCol, idxP)
             println(s"built $idxP (kind=bq: sign-bit signatures + center)")
           case "hnsw" =>

@@ -74,6 +74,7 @@ object BqSearch {
       pool: Int,
       metric: String = "l2sq",
       center: Array[Float] = null): DataFrame = {
+    require(pool >= k, s"graft: pool ($pool) must be >= k ($k)")
     val bits = df.select(
       col(idCol).cast("long").as("neighbor_id"),
       pack(col(vecCol), center).as("__bits"))
@@ -98,6 +99,7 @@ object BqSearch {
       pool: Int,
       metric: String = "l2sq",
       center: Array[Float] = null): DataFrame = {
+    require(pool >= k, s"graft: pool ($pool) must be >= k ($k)")
     val b = bits.select(
       col(idCol).cast("long").as("neighbor_id"), col(bitsCol).as("__bits"))
     rescore(

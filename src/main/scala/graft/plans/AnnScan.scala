@@ -477,6 +477,15 @@ case class AnnKnnJoinExec(
   override protected def withNewChildInternal(c: SparkPlan): AnnKnnJoinExec =
     copy(child = c)
 
+  /** The bq artifact's invariant parts, read ONCE per exec — the
+    * distributed path calls [[searchManyFor]] once per budget chunk,
+    * and re-reading the center parquet / re-deriving the tombstone
+    * anti-join every chunk would be N redundant driver round-trips. */
+  private lazy val bqArtifact
+      : (org.apache.spark.sql.DataFrame, Array[Float]) =
+    (graft.ann.BqIndex.liveBits(session, artifact),
+      graft.ann.BqIndex.center(session, artifact))
+
   /** One batched per-kind search, all kinds sharing searchMany's output
     * contract (query_id, neighbor_id, dist, rank). */
   private def searchManyFor(
@@ -500,11 +509,12 @@ case class AnnKnnJoinExec(
         // artifact stays signature-only
         val t = GraftSqlShim.ofRows(session, table.get)
         import org.apache.spark.sql.functions.col
+        val (bits, center) = bqArtifact
         graft.ops.BqSearch.topKManyPrepacked(
-          graft.ann.BqIndex.liveBits(session, artifact), "id", "bits",
+          bits, "id", "bits",
           t.select(col(idCol).cast("long").as("id"), col(vecCol)), vecCol,
           queries, k, pool = math.max(ef, k), metric = metric,
-          center = graft.ann.BqIndex.center(session, artifact))
+          center = center)
       case _ =>
         AnnIndex.searchMany(session, artifact, queries, k, ef)
     }
@@ -591,11 +601,18 @@ case class AnnKnnJoinExec(
     * the probe×k fanout is built reduce-side, never on the driver). */
   private def distributedJoin(qIdx: Int, budget: Long): RDD[InternalRow] = {
     import org.apache.spark.storage.StorageLevel
-    val probes = child.execute()
+    // persist BEFORE zipWithIndex: zipWithIndex eagerly runs a count
+    // job over its parent, so an un-persisted parent would compute the
+    // (deliberately large) probe subtree one extra full time just to
+    // number it. The zipped view itself needs no second persist — its
+    // partition offsets are computed once at construction, and re-
+    // deriving it from the cached rows is a map.
+    val rows = child.execute()
       .mapPartitions(_.map(_.copy()))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probes = rows
       .zipWithIndex()
       .map { case (r, i) => (i, r) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val vecs = probes.mapPartitions(_.map { case (pid, r) =>
       (pid, if (r.isNullAt(qIdx)) null else packQuery(r.getArray(qIdx)))
     })
@@ -838,6 +855,14 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (predOpt, rel, paths) <- findFilteredRelation(child)
         (metric, vecAttr, q) <- matchDist(resolveThroughProject(sortExpr, child))
         meta <- AnnCatalog.lookup(paths, vecAttr.name, metric)
+        // registration metadata is an unchecked user claim: a hamming
+        // registration only has a real artifact behind it as hnsw
+        // (builds reject the rest — scoring word floats as l2sq would
+        // be silently wrong, same guard as the lateral rule), and a bq
+        // artifact pre-ranks sign bits of FLOAT vectors, meaningful
+        // for the l2/angular family only
+        if meta.metric != "hamming" || meta.kind == "hnsw"
+        if meta.kind != "bq" || Set("l2sq", "cos")(meta.metric)
         idAttr <- rel.output.find(_.name == meta.idCol)
         // the filtered form defers to searchFiltered, which needs an
         // hnsw graph artifact, an exact-rankable metric, and a

@@ -186,6 +186,9 @@ object AnnQueries {
     import s.implicits._
     import graft.plans.{AnnCatalog, AnnScanLogical}
     val e = Tables.embeddings(s, dir)
+    // ONE artifact for all three bq planner gates (scalar, filtered,
+    // lateral): the bits+center build is parameter-free — pool/ef
+    // differences live in the registration, not the artifact
     val path = artifactDir("bqp", dir, "embeddings")
     cached(path) {
       graft.ann.BqIndex.build(e, "vec_id", "embedding", path)
@@ -224,7 +227,7 @@ object AnnQueries {
     * contract vs the exact kNN join. */
   private def knnJoinBqPlanner(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val path = artifactDir("bqkj", dir, "embeddings")
+    val path = artifactDir("bqp", dir, "embeddings")
     cached(path) {
       graft.ann.BqIndex.build(e, "vec_id", "embedding", path)
     }
@@ -247,7 +250,7 @@ object AnnQueries {
     * starvation returns exactly the survivors. */
   private def bqFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val path = artifactDir("bqfp", dir, "embeddings")
+    val path = artifactDir("bqp", dir, "embeddings")
     cached(path) {
       graft.ann.BqIndex.build(e, "vec_id", "embedding", path)
     }

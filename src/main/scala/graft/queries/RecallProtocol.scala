@@ -95,12 +95,15 @@ object RecallProtocol {
       tol: Double = 1e-9): Boolean = {
     val b = base.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("__nv"))
-    annDf.select(col("query_id"), col("neighbor_id"), col("dist"))
+    val r = annDf.select(col("query_id"), col("neighbor_id"), col("dist"))
       .join(b, Seq("neighbor_id"))
       .join(broadcast(queriesDf), Seq("query_id"))
       .select((abs(col("dist") -
         graft.ops.VectorSearch.distance(metric, col("__nv"), col("qv"))) <= tol)
         .as("ok"))
-      .agg(min(col("ok"))).head().getBoolean(0)
+      .agg(min(col("ok"))).head()
+    // min over ZERO rows is NULL — an empty ANN result (broken/empty
+    // artifact) must fail the contract, not NPE
+    !r.isNullAt(0) && r.getBoolean(0)
   }
 }

@@ -291,12 +291,13 @@ final class HttpFacade(
     // request)
     val idx = idxPath(s"$name-$column")
     val hits =
-      if (fs.exists(idx) && graft.ann.BqIndex.isBq(spark, idx.toString)) {
+      if (fs.exists(idx) && graft.ann.BqIndex.isBq(spark, idx.toString) &&
+          Set("l2sq", "cos")(metric)) {
         // BQ rescore path: hamming pre-rank over the bits artifact
         // (pool = the ef knob), exact rescore over the pool's true rows
-        // — valid for the angular/l2 family only
-        require(Set("l2sq", "cos")(metric),
-          s"bq index on '$column' serves l2sq/cos, not '$metric'")
+        // — valid for the angular/l2 family only; other metrics fall
+        // through to the exact scan below, same mismatch policy as an
+        // hnsw artifact under a foreign metric
         val base = graft.GraftConf.annParams(spark)
         val pool = math.max(if (ef > 0) ef else base.ef, 4 * k)
         val cand = graft.ann.BqIndex.candidateIds(
@@ -305,6 +306,7 @@ final class HttpFacade(
           df.where(col("id").isin(cand.toIndexedSeq: _*)), col(column),
           query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
       } else if (fs.exists(idx) &&
+          !graft.ann.BqIndex.isBq(spark, idx.toString) &&
           AnnIndex.readHeader(spark, idx.toString).metric == metric) {
         val ids = AnnIndex.search(spark, idx.toString, query, k,
           efOverride = ef).map(_._1)

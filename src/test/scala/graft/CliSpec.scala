@@ -68,6 +68,12 @@ class CliSpec extends SparkTestBase {
         "src" -> vecs, "id-col" -> "id", "vec-col" -> "vec",
         "index" -> tmp("bad"), "kind" -> "nope"))
     }
+    // hnsw tuning flags with --kind bq are an error, not silently dropped
+    intercept[IllegalArgumentException] {
+      Cli.run("create-index", Map(
+        "src" -> vecs, "id-col" -> "id", "vec-col" -> "vec",
+        "index" -> tmp("bad2"), "kind" -> "bq", "ef" -> "256"))
+    }
   }
 
   test("start-daemon --once runs queued jobs and exits") {

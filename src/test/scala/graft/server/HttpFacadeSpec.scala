@@ -143,11 +143,15 @@ class HttpFacadeSpec extends SparkTestBase
       s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"ef":40,"select":"id"}""")
     assert(sc == 200, sb)
     assert(sb.startsWith("""{"rows":[{"id":5}"""), sb)
-    // cosine rides the same artifact; inner falls to a 400 (no silent l2)
+    // cosine rides the same artifact; inner falls back to the EXACT
+    // scan (same mismatch policy as hnsw under a foreign metric —
+    // never a silently wrong metric, never an error)
     assert(req("POST", "/collections/bqc/search",
       s"""{"column":"vector","query_vector":${vecJson(vec(7))},"metric":"cosine","k":1,"ef":40}""")._1 == 200)
-    assert(req("POST", "/collections/bqc/search",
-      s"""{"column":"vector","query_vector":${vecJson(vec(7))},"metric":"inner","k":1}""")._1 == 400)
+    val (ic, ib) = req("POST", "/collections/bqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(7))},"metric":"inner","k":1,"select":"id"}""")
+    assert(ic == 200, ib)
+    assert(ib.contains("\"id\":"), ib)
     assert(req("DELETE", "/collections/bqc")._1 == 200)
   }
 

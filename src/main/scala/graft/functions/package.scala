@@ -23,6 +23,10 @@ package object functions {
   def inner_product(a: Column, b: Column): Column = col(InnerProduct(ex(a), ex(b)))
   /** Euclidean norm. */
   def vector_norm(a: Column): Column = col(L2Norm(ex(a)))
+  /** Dot product of two sparse vectors — each a
+    * `struct<indices: array<int>, values: array<float>>` with sorted
+    * indices (sorted-merge over shared coordinates). */
+  def sparse_dot(a: Column, b: Column): Column = col(SparseDot(ex(a), ex(b)))
 
   // ---------------------------------------------------------------- text
 

@@ -1177,6 +1177,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("hamming_dist", "packed-bit hamming distance (lantern <+>)")(
         es => HammingDist(es(0), es(1))),
       fn("inner_product", "dot product")(es => InnerProduct(es(0), es(1))),
+      fn("sparse_dot", "sparse-vector dot product (sorted-merge)")(
+        es => graft.functions.SparseDot(es(0), es(1))),
       fn("vector_norm", "euclidean norm")(es => L2Norm(es(0))),
       fn("stem", "Porter2 English stem of one token")(es => StemWord(es(0))),
       fn("tokenize", "lowercase letter/number tokens")(

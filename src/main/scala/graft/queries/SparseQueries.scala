@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.sparse_dot
+import graft.ops.SparseSearch
+
+/** Driver-checkable queries for the learned-sparse retrieval surface
+  * ([[graft.ops.SparseSearch]] — SPLADE-style impact vectors, the
+  * sparse sibling of the §2.1 dense-distance gates).
+  *
+  * Both gates sparsify the embeddings table by ReLU threshold
+  * `tau = 0.125` (exactly representable in binary, so the engine's
+  * float comparison and the oracle's double comparison agree
+  * bit-for-bit), score against the sparsified `vec_id = 0` row, and
+  * cut the top-10 on the ROUNDED score over the complete scored set
+  * (the same no-raw-pool-boundary protocol as the bm25/hybrid gates).
+  * The two gates share one oracle: exact and inverted paths must
+  * produce identical rows.
+  */
+object SparseQueries {
+
+  private val Tau = 0.125f
+
+  private def scoredExact(s: SparkSession, dir: String): DataFrame =
+    scoredArm(Tables.embeddings(s, dir)).limit(10)
+
+  private def scoredInverted(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val qRow = e.where(col("vec_id") === 0)
+      .select(SparseSearch.sparsify(col("embedding"), Tau).as("qv"))
+      .head().getStruct(0)
+    val qIdx = qRow.getSeq[Int](0)
+    val qVal = qRow.getSeq[Float](1)
+    val post = SparseSearch.postings(
+      e.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), SparseSearch.sparsify(col("embedding"), Tau).as("sv")),
+      "vec_id", col("sv"))
+    // k above any test sf's matched-doc count → the floored cut below is
+    // over the COMPLETE scored set (hybrid_rrf protocol)
+    SparseSearch.invertedTopK(post, "vec_id", qIdx, qVal, k = 1000000)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id", "score")
+  }
+
+  /** Shared oracle: the thresholded masked dot replayed densely in SQL.
+    * Matched products accumulate in ascending-index order on both sides
+    * (the zero CASE terms don't perturb a double sum), so the unrounded
+    * scores are bit-identical and the rounded cut is exact. */
+  private val sparseOracle: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sc AS (
+      |  SELECT e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0.125
+      |                 AND CAST(p[2] AS DOUBLE) >= 0.125
+      |        THEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |        ELSE 0.0 END)) AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0)
+      |SELECT vec_id, round(s, 4) AS score
+      |FROM sc WHERE s > 0
+      |ORDER BY score DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Sparse + dense RRF hybrid: the SPLADE-era production combiner
+    * (sparse impact top-20 fused with dense l2sq top-20 by reciprocal
+    * rank — [[graft.ops.HybridSearch]]); both arms cut on rounded
+    * scores over their complete scored sets, ranks fuse over ≤40 rows. */
+  private def hybridSparseDense(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HybridSearch
+    val e = Tables.embeddings(s, dir)
+    val sparseTop = scoredArm(e).limit(20)
+    val sparseRanked = HybridSearch.ranked(
+      sparseTop, "vec_id", Seq(col("score").desc, col("vec_id")))
+    val qDense = e.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val denseTop = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(graft.functions.l2sq_dist(col("embedding"), lit(qDense)), 4).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(20)
+    val denseRanked = HybridSearch.ranked(
+      denseTop, "vec_id", Seq(col("d"), col("vec_id")))
+    HybridSearch.rrf(Seq(sparseRanked, denseRanked), n = 10)
+      .select(col("id"),
+        (floor(col("rrf_score") * 1e6 + 0.5) / 1e6).as("rrf"))
+  }
+
+  /** The complete (vec_id, rounded score) sparse arm, descending. */
+  private def scoredArm(e: DataFrame): DataFrame = {
+    val q = broadcast(e.where(col("vec_id") === 0)
+      .select(SparseSearch.sparsify(col("embedding"), Tau).as("qv")))
+    e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), SparseSearch.sparsify(col("embedding"), Tau).as("sv"))
+      .crossJoin(q)
+      .withColumn("s", sparse_dot(col("sv"), col("qv")))
+      .where(col("s") > 0)
+      .withColumn("score", round(col("s"), 4))
+      .orderBy(col("score").desc, col("vec_id"))
+      .select("vec_id", "score")
+  }
+
+  private val hybridSparseDenseOracle: String = {
+    val l2 =
+      "list_sum(list_transform(list_zip(e.embedding, qr.q2), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |sc AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+       |      p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0.125
+       |                 AND CAST(p[2] AS DOUBLE) >= 0.125
+       |        THEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+       |        ELSE 0.0 END)) AS s
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> 0),
+       |sp AS (
+       |  SELECT vec_id, round(s, 4) AS score FROM sc WHERE s > 0
+       |  ORDER BY score DESC, vec_id LIMIT 20),
+       |spr AS (
+       |  SELECT vec_id AS id,
+       |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+       |  FROM sp),
+       |vec AS (
+       |  SELECT e.vec_id, round($l2, 4) AS d
+       |  FROM embeddings e,
+       |    (SELECT embedding AS q2 FROM embeddings WHERE vec_id = 0) qr
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY d, e.vec_id LIMIT 20),
+       |vr AS (
+       |  SELECT vec_id AS id,
+       |    row_number() OVER (ORDER BY d, vec_id) AS rank
+       |  FROM vec),
+       |u AS (
+       |  SELECT id, 1.0 / (60.0 + rank) AS c FROM spr
+       |  UNION ALL
+       |  SELECT id, 1.0 / (60.0 + rank) AS c FROM vr)
+       |SELECT id, floor(sum(c) * 1e6 + 0.5) / 1e6 AS rrf
+       |FROM u GROUP BY id
+       |ORDER BY sum(c) DESC, id LIMIT 10""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("sparse_knn_exact", Some(sparseOracle), scoredExact),
+    QueryDef("sparse_knn_inverted", Some(sparseOracle), scoredInverted),
+    QueryDef("hybrid_sparse_dense", Some(hybridSparseDenseOracle), hybridSparseDense),
+  )
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.sparse_dot
+
+/** Learned-sparse retrieval: sparsify shape, sorted-merge dot
+  * semantics, exact == inverted path equality, and plan hygiene. */
+class SparseSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dense(rows: (Long, Seq[Float])*) =
+    rows.toDF("id", "v").select($"id", $"v".cast("array<float>").as("v"))
+
+  test("sparsify keeps >= tau coordinates with ascending indices") {
+    val df = dense(1L -> Seq(0.5f, 0.01f, 0.125f, -0.9f, 0.2f))
+      .select($"id", SparseSearch.sparsify($"v", 0.125f).as("sv"))
+    val r = df.select($"sv.indices", $"sv.values").head()
+    assert(r.getSeq[Int](0) == Seq(0, 2, 4))
+    assert(r.getSeq[Float](1) == Seq(0.5f, 0.125f, 0.2f))
+  }
+
+  test("sparse_dot merges shared indices only; disjoint vectors score 0") {
+    val a = SparseSearch.queryLit(Seq(1, 3, 7), Seq(2f, 3f, 5f))
+    val b = SparseSearch.queryLit(Seq(0, 3, 7, 9), Seq(10f, 4f, 0.5f, 1f))
+    val c = SparseSearch.queryLit(Seq(2, 4), Seq(1f, 1f))
+    val r = spark.range(1)
+      .select(sparse_dot(a, b).as("ab"), sparse_dot(a, c).as("ac"))
+      .head()
+    assert(r.getDouble(0) == 3.0 * 4.0 + 5.0 * 0.5)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("sparse_dot equals the dense dot on sparsified real vectors") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(50)
+    val q = e.where($"vec_id" === 0)
+      .select(SparseSearch.sparsify($"embedding", 0.125f).as("qv"))
+    val sparse = e.crossJoin(broadcast(q))
+      .select($"vec_id",
+        sparse_dot(SparseSearch.sparsify($"embedding", 0.125f), $"qv").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qDense = e.where($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0)
+    val expected = e.select($"vec_id", $"embedding").collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val s = v.indices.foldLeft(0.0) { (acc, i) =>
+        if (v(i) >= 0.125f && qDense(i) >= 0.125f)
+          acc + v(i).toDouble * qDense(i).toDouble
+        else acc
+      }
+      r.getLong(0) -> s
+    }.toMap
+    assert(sparse == expected)
+  }
+
+  test("all-pass sparsify reduces sparse_dot to the dense inner_product") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(30)
+    val q = e.where($"vec_id" === 0)
+      .select($"embedding".as("qd"),
+        SparseSearch.sparsify($"embedding", Float.MinValue).as("qv"))
+    val rows = e.crossJoin(broadcast(q))
+      .select(
+        sparse_dot(SparseSearch.sparsify($"embedding", Float.MinValue), $"qv").as("s"),
+        graft.functions.inner_product($"embedding", $"qd").as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("queryLit and SparseDot validate their inputs") {
+    intercept[IllegalArgumentException] {
+      SparseSearch.queryLit(Seq(1, 2), Seq(1f))
+    }
+    intercept[IllegalArgumentException] {
+      SparseSearch.queryLit(Seq(3, 2), Seq(1f, 1f))
+    }
+    val bad = struct(typedlit(Seq(1, 2)).as("indices"),
+      typedlit(Seq(1f)).as("values"))
+    val ex = intercept[Exception] {
+      spark.range(1).select(sparse_dot(bad, bad)).collect()
+    }
+    assert(ex.getMessage.contains("length mismatch") ||
+      ex.getCause.getMessage.contains("length mismatch"))
+  }
+
+  test("inverted path is bit-identical to the exact path") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val sv = e.where($"vec_id" =!= 0)
+      .select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))
+    val qRow = e.where($"vec_id" === 0)
+      .select(SparseSearch.sparsify($"embedding", 0.125f).as("qv"))
+      .head().getStruct(0)
+    val qIdx = qRow.getSeq[Int](0)
+    val qVal = qRow.getSeq[Float](1)
+    val exact = SparseSearch.topK(sv, "vec_id", $"sv",
+        SparseSearch.queryLit(qIdx, qVal), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val post = SparseSearch.postings(sv, "vec_id", $"sv")
+    val inv = SparseSearch.invertedTopK(post, "vec_id", qIdx, qVal, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact.nonEmpty)
+    assert(exact == inv) // same docs, same order, bit-identical doubles
+  }
+
+  test("plan hygiene: no ScalaUDF; exact path reduces via TakeOrderedAndProject") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val sv = e.select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))
+    val q = SparseSearch.queryLit(Seq(0, 3), Seq(0.2f, 0.3f))
+    val exactPlan = SparseSearch.topK(sv, "vec_id", $"sv", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("TakeOrderedAndProject"), exactPlan)
+    assert(!exactPlan.contains("ScalaUDF"), exactPlan)
+    val invPlan = SparseSearch.invertedTopK(
+        SparseSearch.postings(sv, "vec_id", $"sv"), "vec_id",
+        Seq(0, 3), Seq(0.2f, 0.3f), 10)
+      .queryExecution.executedPlan.toString
+    assert(!invPlan.contains("ScalaUDF"), invPlan)
+  }
+
+  test("sparse_dot is registered for SQL") {
+    spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))
+      .createOrReplaceTempView("sparse_docs")
+    val n = spark.sql(
+      """SELECT count(*) FROM sparse_docs a JOIN sparse_docs b ON a.vec_id = 0
+        |WHERE sparse_dot(a.sv, b.sv) > 0""".stripMargin).head().getLong(0)
+    assert(n > 0)
+  }
+}

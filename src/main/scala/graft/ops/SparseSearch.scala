@@ -93,6 +93,27 @@ object SparseSearch {
       .select(col("term"), col(idCol),
         element_at(col("__tv"), col("__p") + 1).as("w"))
 
+  /** Materialize the postings table PARTITIONED BY TERM — the
+    * inverted-index layout on disk. A query then prunes the listing to
+    * its own terms' directories ([[readPostings]]) and reads nothing
+    * else: search I/O is proportional to the query's terms' posting
+    * lists, not the corpus (the on-disk analog of an impact-sorted
+    * inverted file; partition count = live vocabulary size). */
+  def writePostings(post: DataFrame, path: String): Unit =
+    post.write.partitionBy("term").mode("overwrite").parquet(path)
+
+  /** Partition-pruned read of a [[writePostings]] table: the `isin`
+    * predicate on the partition column prunes at FILE-LISTING time
+    * (`PartitionFilters` in the scan), so only the query's terms'
+    * directories are touched. */
+  def readPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      qIdx: Seq[Int]): DataFrame = {
+    require(qIdx.nonEmpty, "graft: readPostings needs at least one query term")
+    spark.read.parquet(path).where(col("term").isin(qIdx: _*))
+  }
+
   /** Inverted-index top-k: broadcast the query's (term, weight) rows
     * against the postings, sum per doc, cut top-k. The per-doc fold
     * runs over the matched postings sorted by term — ascending-index

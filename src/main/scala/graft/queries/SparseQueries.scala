@@ -27,24 +27,45 @@ object SparseQueries {
   private def scoredExact(s: SparkSession, dir: String): DataFrame =
     scoredArm(Tables.embeddings(s, dir)).limit(10)
 
-  private def scoredInverted(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  /** The sparsified query row's (indices, values), driver-side. */
+  private def queryArrays(e: DataFrame): (Seq[Int], Seq[Float]) = {
     val qRow = e.where(col("vec_id") === 0)
       .select(SparseSearch.sparsify(col("embedding"), Tau).as("qv"))
       .head().getStruct(0)
-    val qIdx = qRow.getSeq[Int](0)
-    val qVal = qRow.getSeq[Float](1)
-    val post = SparseSearch.postings(
-      e.where(col("vec_id") =!= 0)
-        .select(col("vec_id"), SparseSearch.sparsify(col("embedding"), Tau).as("sv")),
-      "vec_id", col("sv"))
-    // k above any test sf's matched-doc count → the floored cut below is
-    // over the COMPLETE scored set (hybrid_rrf protocol)
+    (qRow.getSeq[Int](0), qRow.getSeq[Float](1))
+  }
+
+  private def sparseDocs(e: DataFrame): DataFrame =
+    e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), SparseSearch.sparsify(col("embedding"), Tau).as("sv"))
+
+  /** Top-10 cut on the rounded score over the COMPLETE scored set —
+    * `k` above any test sf's matched-doc count (hybrid_rrf protocol). */
+  private def invertedCut(post: DataFrame, qIdx: Seq[Int], qVal: Seq[Float]): DataFrame =
     SparseSearch.invertedTopK(post, "vec_id", qIdx, qVal, k = 1000000)
       .withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)
       .select("vec_id", "score")
+
+  private def scoredInverted(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (qIdx, qVal) = queryArrays(e)
+    invertedCut(SparseSearch.postings(sparseDocs(e), "vec_id", col("sv")), qIdx, qVal)
+  }
+
+  /** Third physical path, same oracle: postings materialized
+    * partitioned-by-term, the query read PRUNED to its own terms'
+    * directories — the on-disk inverted-file shape for 100 TB. */
+  private def scoredPruned(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (qIdx, qVal) = queryArrays(e)
+    val path = AnnQueries.artifactDir("sparsepost", dir, "embeddings")
+    AnnQueries.cached(path) {
+      SparseSearch.writePostings(
+        SparseSearch.postings(sparseDocs(e), "vec_id", col("sv")), path)
+    }
+    invertedCut(SparseSearch.readPostings(s, path, qIdx), qIdx, qVal)
   }
 
   /** Shared oracle: the thresholded masked dot replayed densely in SQL.
@@ -146,6 +167,7 @@ object SparseQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("sparse_knn_exact", Some(sparseOracle), scoredExact),
     QueryDef("sparse_knn_inverted", Some(sparseOracle), scoredInverted),
+    QueryDef("sparse_knn_pruned", Some(sparseOracle), scoredPruned),
     QueryDef("hybrid_sparse_dense", Some(hybridSparseDenseOracle), hybridSparseDense),
   )
 }

@@ -103,6 +103,37 @@ class SparseSearchSpec extends SparkTestBase {
     assert(exact == inv) // same docs, same order, bit-identical doubles
   }
 
+  test("partitioned postings prune the scan to the query's terms") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val sv = e.select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))
+    val post = SparseSearch.postings(sv, "vec_id", $"sv")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sparse").toString + "/post"
+    SparseSearch.writePostings(post, dir)
+    val qIdx = Seq(0, 5, 9)
+    val pruned = SparseSearch.readPostings(spark, dir, qIdx)
+    // pruning happens at file-listing time: PartitionFilters on term,
+    // and the executed scan reads ONLY the query terms' files
+    val qe = pruned.queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term"), plan)
+    pruned.collect()
+    val scan = qe.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val totalParts = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("term="))
+    assert(scan.metrics("numFiles").value <= qIdx.size.toLong)
+    assert(totalParts > qIdx.size, s"only $totalParts partitions on disk")
+    // and the pruned read scores identically to the in-memory postings
+    val qVal = Seq(0.3f, 0.2f, 0.4f)
+    val full = SparseSearch.invertedTopK(
+        post.where($"term".isin(qIdx: _*)), "vec_id", qIdx, qVal, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaDisk = SparseSearch.invertedTopK(pruned, "vec_id", qIdx, qVal, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full.nonEmpty && full == viaDisk)
+  }
+
   test("plan hygiene: no ScalaUDF; exact path reduces via TakeOrderedAndProject") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val sv = e.select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))

@@ -102,6 +102,14 @@ object SparseSearch {
   def writePostings(post: DataFrame, path: String): Unit =
     post.write.partitionBy("term").mode("overwrite").parquet(path)
 
+  /** Append new documents' postings to an existing [[writePostings]]
+    * table (the `aminsert` analog for the inverted file): new files
+    * land inside the term directories; scoring folds per-doc postings
+    * in TERM order, so results are file-order-independent and
+    * bit-identical to a from-scratch build over the union. */
+  def appendPostings(post: DataFrame, path: String): Unit =
+    post.write.partitionBy("term").mode("append").parquet(path)
+
   /** Partition-pruned read of a [[writePostings]] table: the `isin`
     * predicate on the partition column prunes at FILE-LISTING time
     * (`PartitionFilters` in the scan), so only the query's terms'

@@ -88,6 +88,58 @@ object SparseQueries {
       |ORDER BY score DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** Streaming twin: the inverted file maintained INCREMENTALLY — base
+    * postings written once, the remaining docs arriving as file-source
+    * micro-batches whose postings APPEND into the term directories
+    * ([[graft.ops.SparseSearch.appendPostings]], the `aminsert` analog).
+    * Because the per-doc fold is term-ordered (file-order-independent),
+    * the streamed table must score BIT-IDENTICALLY to a from-scratch
+    * build — so this gate hash-matches the same full-SQL oracle as the
+    * batch paths, a stronger check than the recall-style streaming
+    * gates, with a doc-count fail-fast against silently dropped
+    * batches. */
+  private def streamingSparseInsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val docs = e.where(col("vec_id") =!= 0)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ssp").toString + "/post"
+    SparseSearch.writePostings(
+      SparseSearch.postings(sparseDocs(e.where(col("vec_id") <= maxId / 2)),
+        "vec_id", col("sv")), path)
+    val rest = docs.where(col("vec_id") > maxId / 2)
+      .select(col("vec_id"), col("embedding"))
+    val lo = maxId / 2 + 1
+    val width = (maxId - lo) / 3 + 1
+    val chunkRoot = AnnQueries.artifactDir("sspins", dir, "embeddings")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 3).map { c => () =>
+        rest.where(col("vec_id") >= lo + c * width &&
+          col("vec_id") < lo + (c + 1) * width)
+      })
+    val (streamDir, src) = StreamChunks.source(s, rest.schema)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) SparseSearch.appendPostings(
+          SparseSearch.postings(sparseDocs(b), "vec_id", col("sv")), path)
+      }
+      .start()
+    StreamChunks.drive(q, streamDir, files)
+
+    val streamed = s.read.parquet(path)
+    val nDocs = streamed.select("vec_id").distinct().count()
+    val nKept = sparseDocs(docs)
+      .where(size(col("sv.indices")) > 0).count()
+    if (nDocs != nKept) {
+      // a dropped micro-batch must fail the hash compare loudly
+      import s.implicits._
+      Seq.empty[(Long, Double)].toDF("vec_id", "score")
+    } else {
+      val (qIdx, qVal) = queryArrays(e)
+      invertedCut(SparseSearch.readPostings(s, path, qIdx), qIdx, qVal)
+    }
+  }
+
   /** Sparse + dense RRF hybrid: the SPLADE-era production combiner
     * (sparse impact top-20 fused with dense l2sq top-20 by reciprocal
     * rank — [[graft.ops.HybridSearch]]); both arms cut on rounded
@@ -168,6 +220,7 @@ object SparseQueries {
     QueryDef("sparse_knn_exact", Some(sparseOracle), scoredExact),
     QueryDef("sparse_knn_inverted", Some(sparseOracle), scoredInverted),
     QueryDef("sparse_knn_pruned", Some(sparseOracle), scoredPruned),
+    QueryDef("streaming_sparse_insert", Some(sparseOracle), streamingSparseInsert),
     QueryDef("hybrid_sparse_dense", Some(hybridSparseDenseOracle), hybridSparseDense),
   )
 }

@@ -31,6 +31,12 @@ object SparseExpressions {
   def dot(a: InternalRow, b: InternalRow): Double = {
     val ia = a.getArray(0); val va = a.getArray(1)
     val ib = b.getArray(0); val vb = b.getArray(1)
+    if (ia == null || va == null || ib == null || vb == null) {
+      // e.g. sparsify(NULL) — a non-null struct wrapping null arrays
+      throw new IllegalArgumentException(
+        "graft: sparse vector has null indices/values arrays " +
+          "(was the dense input NULL?)")
+    }
     val na = ia.numElements(); val nb = ib.numElements()
     if (na != va.numElements() || nb != vb.numElements()) {
       throw new IllegalArgumentException(

@@ -82,6 +82,15 @@ class SparseSearchSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("length mismatch") ||
       ex.getCause.getMessage.contains("length mismatch"))
+    // sparsify(NULL dense) wraps null arrays in a non-null struct — a
+    // crisp error, not an NPE
+    val nullSv = SparseSearch.sparsify(lit(null).cast("array<float>"), 0f)
+    val ex2 = intercept[Exception] {
+      spark.range(1).select(sparse_dot(nullSv, nullSv)).collect()
+    }
+    assert(ex2.getMessage.contains("null indices") ||
+      (ex2.getCause != null && ex2.getCause.getMessage.contains("null indices")),
+      ex2.toString)
   }
 
   test("inverted path is bit-identical to the exact path") {

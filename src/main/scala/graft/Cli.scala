@@ -36,6 +36,10 @@ object Cli {
       |                     [--autotune-jobs P] [--autotune-status P]
       |                     [--autotune-results P] [--once]
       |  start-server       --root P [--port 8080]
+      |  sparse-postings    --src P --id-col C --vec-col C --out P
+      |                     [--tau 0.125]
+      |  sparse-search      --postings P --id-col C --terms 1,5,9
+      |                     --weights 0.2,0.3,0.1 [--k 10]
       |""".stripMargin
 
   /** `--key value` pairs plus bare boolean flags (`--once`): an option
@@ -67,7 +71,9 @@ object Cli {
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
-    "start-server" -> Set("root", "port"))
+    "start-server" -> Set("root", "port"),
+    "sparse-postings" -> Set("src", "id-col", "vec-col", "out", "tau"),
+    "sparse-search" -> Set("postings", "id-col", "terms", "weights", "k"))
 
   private def req(opts: Map[String, String], k: String): String =
     opts.getOrElse(k, throw new IllegalArgumentException(s"graft: missing --$k"))
@@ -218,6 +224,29 @@ object Cli {
         if (once) { q.awaitTermination(); aq.foreach(_.awaitTermination()) }
         else if (aq.isDefined) spark.streams.awaitAnyTermination()
         else q.awaitTermination()
+
+      case "sparse-postings" =>
+        val (srcP, idCol, vecCol, outP) =
+          (req(opts, "src"), req(opts, "id-col"), req(opts, "vec-col"), req(opts, "out"))
+        val tau = opts.getOrElse("tau", "0.125").toFloat
+        val spark = session()
+        import org.apache.spark.sql.functions.col
+        val sv = spark.read.parquet(srcP).select(col(idCol),
+          ops.SparseSearch.sparsify(col(vecCol), tau).as("sv"))
+        ops.SparseSearch.writePostings(
+          ops.SparseSearch.postings(sv, idCol, col("sv")), outP)
+        println(s"wrote $outP (term-partitioned postings, tau=$tau)")
+
+      case "sparse-search" =>
+        val (postP, idCol) = (req(opts, "postings"), req(opts, "id-col"))
+        val qIdx = req(opts, "terms").split(",").map(_.trim.toInt).toSeq
+        val qVal = req(opts, "weights").split(",").map(_.trim.toFloat).toSeq
+        val k = opts.getOrElse("k", "10").toInt
+        val spark = session()
+        ops.SparseSearch.invertedTopK(
+            ops.SparseSearch.readPostings(spark, postP, qIdx),
+            idCol, qIdx, qVal, k)
+          .show(k, truncate = false)
 
       case "start-server" =>
         val rootP = req(opts, "root")

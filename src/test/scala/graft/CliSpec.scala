@@ -27,6 +27,22 @@ class CliSpec extends SparkTestBase {
     assert(e.getMessage.contains("--target_recall"), e.getMessage)
   }
 
+  test("sparse-postings and sparse-search subcommands") {
+    spark // force shared session so Cli's getOrCreate reuses it
+    val out = tmp("post")
+    Cli.run("sparse-postings", Map(
+      "src" -> (sf("sf0.001") + "/embeddings.parquet"),
+      "id-col" -> "vec_id", "vec-col" -> "embedding", "out" -> out))
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("term=")))
+    // search over the written postings: pruned read + inverted top-k
+    Cli.run("sparse-search", Map("postings" -> out, "id-col" -> "vec_id",
+      "terms" -> "0,5,9", "weights" -> "0.3,0.2,0.4", "k" -> "5"))
+    intercept[IllegalArgumentException] {
+      Cli.run("sparse-search", Map("postings" -> out, "id-col" -> "vec_id",
+        "terms" -> "0,5,9", "weights" -> "0.3,0.2,0.4", "kk" -> "5"))
+    }
+  }
+
   test("create-embeddings and create-index subcommands produce real artifacts") {
     spark // force shared session so Cli's getOrCreate reuses it
     val src = tmp("src")

@@ -40,6 +40,11 @@ object Cli {
       |                     [--tau 0.125]
       |  sparse-search      --postings P --id-col C --terms 1,5,9
       |                     --weights 0.2,0.3,0.1 [--k 10]
+      |  multivec-index     --src P --id-col C --vec-col C --out P
+      |                     [--toks-per-doc 4] [--nlists 64]
+      |  multivec-search    --index P --src P --id-col C --vec-col C
+      |                     --query-doc N [--toks-per-doc 4] [--k 10]
+      |                     [--nprobe 16] [--cand 64]
       |""".stripMargin
 
   /** `--key value` pairs plus bare boolean flags (`--once`): an option
@@ -73,7 +78,11 @@ object Cli {
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
     "start-server" -> Set("root", "port"),
     "sparse-postings" -> Set("src", "id-col", "vec-col", "out", "tau"),
-    "sparse-search" -> Set("postings", "id-col", "terms", "weights", "k"))
+    "sparse-search" -> Set("postings", "id-col", "terms", "weights", "k"),
+    "multivec-index" -> Set("src", "id-col", "vec-col", "out", "toks-per-doc",
+      "nlists"),
+    "multivec-search" -> Set("index", "src", "id-col", "vec-col", "query-doc",
+      "toks-per-doc", "k", "nprobe", "cand"))
 
   private def req(opts: Map[String, String], k: String): String =
     opts.getOrElse(k, throw new IllegalArgumentException(s"graft: missing --$k"))
@@ -246,6 +255,32 @@ object Cli {
         ops.SparseSearch.invertedTopK(
             ops.SparseSearch.readPostings(spark, postP, qIdx),
             idCol, qIdx, qVal, k)
+          .show(k, truncate = false)
+
+      case "multivec-index" =>
+        val (srcP, idCol, vecCol, outP) =
+          (req(opts, "src"), req(opts, "id-col"), req(opts, "vec-col"), req(opts, "out"))
+        val tpd = opts.getOrElse("toks-per-doc", "4").toInt
+        val nlists = opts.getOrElse("nlists", "64").toInt
+        val spark = session()
+        ops.MultiVec.writeIndex(
+          ops.MultiVec.tokens(spark.read.parquet(srcP), idCol, vecCol, tpd),
+          outP, nlists)
+        println(s"wrote $outP (multivec index, nlists=$nlists, toksPerDoc=$tpd)")
+
+      case "multivec-search" =>
+        val (idxP, srcP, idCol, vecCol) = (req(opts, "index"), req(opts, "src"),
+          req(opts, "id-col"), req(opts, "vec-col"))
+        val qDoc = req(opts, "query-doc").toLong
+        val tpd = opts.getOrElse("toks-per-doc", "4").toInt
+        val k = opts.getOrElse("k", "10").toInt
+        val spark = session()
+        val qToks = ops.MultiVec.queryToks(
+          ops.MultiVec.tokens(spark.read.parquet(srcP), idCol, vecCol, tpd),
+          Seq(qDoc))
+        ops.MultiVec.searchIndex(spark, idxP, qToks, k,
+            nprobe = opts.getOrElse("nprobe", "16").toInt,
+            candPerQuery = opts.getOrElse("cand", "64").toInt)
           .show(k, truncate = false)
 
       case "start-server" =>

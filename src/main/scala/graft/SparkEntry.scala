@@ -14,7 +14,8 @@ object SparkEntry {
       EmbedQueries.all ++ SourceQueries.all ++ ScalarQuantQueries.all ++
       MultimodalQueries.all ++ HttpQueries.all ++ ExportQueries.all ++
       SelectionQueries.all ++ TextPrepQueries.all ++ ClusterQueries.all ++
-      TfIdfQueries.all ++ EventQueries.all ++ SparseQueries.all
+      TfIdfQueries.all ++ EventQueries.all ++ SparseQueries.all ++
+      MultiVecQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own hello-world: ORDER BY v <-> q LIMIT k. */

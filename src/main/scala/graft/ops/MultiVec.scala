@@ -1,0 +1,351 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSqlShim
+
+import graft.functions.{MatVecProject, MaxSimScore, NearestCentroid}
+
+/** Late-interaction multi-vector retrieval — ColBERT MaxSim scoring
+  * with a PLAID-style centroid-pruned scale path (Khattab & Zaharia
+  * SIGIR 2020; Santhanam et al., "PLAID: An Efficient Engine for Late
+  * Interaction Retrieval", CIKM 2022). The multi-vector sibling of the
+  * engine's dense-kNN and learned-sparse surfaces: a document is a SET
+  * of token vectors, relevance is the sum over query tokens of the
+  * best-matching document token's dot product.
+  *
+  * Three physical shapes, deterministically consistent:
+  *
+  *  - [[scoreFlat]] — the token-table form: one codegen'd
+  *    [[MatVecProject]] per token row computes ALL query-token dots at
+  *    once, then two partial-aggregated shuffles (max per (doc, query
+  *    token), ordered sum per doc) produce every (doc, query) score.
+  *    This is the 100 TB shape: tokens are never grouped into per-doc
+  *    arrays, the shuffle carries |docs|·|query tokens| partial-maxed
+  *    rows, and any number of queries batch through ONE corpus pass.
+  *  - [[scoreDocs]] — the per-document form: token arrays scored by
+  *    one codegen'd [[MaxSimScore]] pass, `TakeOrderedAndProject`
+  *    reduction. The rerank kernel: no shuffle at all when the doc
+  *    arrays are already materialized.
+  *  - [[plaidSearch]] / the [[writeTokenPostings]] on-disk variant —
+  *    PLAID's two-stage pruning: every token is assigned its nearest
+  *    coarse centroid (map-side codegen'd argmin, an IVF over TOKENS
+  *    rather than documents); a query probes its tokens' `nprobe`
+  *    nearest centroids, approximates every probed doc's MaxSim from
+  *    the probed tokens' SCALAR-QUANTIZED i8 codes (1 byte/dim — the
+  *    compressed-residual stage; float vectors are never read in
+  *    stage 1), cuts the top `candPerQuery` docs per query, and
+  *    reranks just those exactly. On disk the assignment is
+  *    materialized `partitionBy(cent)`, so stage 1 prunes at
+  *    file-listing time to the probed centroids' directories and at
+  *    column level to `(mdoc, tok_i8)` — I/O proportional to the
+  *    probed lists at a quarter of the vector bytes, not the corpus.
+  *
+  * Determinism contract: per-token dots accumulate sequentially in
+  * double ascending the vector (MatVecProject's loop = the oracle's
+  * `list_sum(list_transform(list_zip(...)))`), `max` is
+  * order-independent, and the per-doc sum folds in ascending
+  * query-token order on every path — scores are bit-identical across
+  * the three shapes and to the DuckDB replay.
+  */
+object MultiVec {
+
+  /** Derive the token table `(mdoc, t_idx, tok)` from a flat vector
+    * table by grouping `toksPerDoc` consecutive ids into one document
+    * (the deterministic multi-vector fixture over a single-vector
+    * corpus; ids must be non-negative). */
+  def tokens(e: DataFrame, idCol: String, vecCol: String,
+      toksPerDoc: Int): DataFrame = {
+    require(toksPerDoc >= 1, s"graft: toksPerDoc must be >= 1, got $toksPerDoc")
+    e.select(
+      expr(s"$idCol div $toksPerDoc").as("mdoc"),
+      (col(idCol) % toksPerDoc).cast("int").as("t_idx"),
+      col(vecCol).as("tok"))
+  }
+
+  /** Driver-side query token rows `(q_mdoc, q_t, vec)` for a set of
+    * query documents, ordered by (q_mdoc, q_t) — the stacking order of
+    * the flat path's projection matrix and the fold order of every
+    * score. */
+  def queryToks(toks: DataFrame, qDocs: Seq[Long]): Array[(Long, Int, Array[Float])] = {
+    require(qDocs.nonEmpty, "graft: queryToks needs at least one query doc")
+    toks.where(col("mdoc").isin(qDocs: _*))
+      .orderBy(col("mdoc"), col("t_idx"))
+      .select(col("mdoc"), col("t_idx"), col("tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+  }
+
+  /** Shared MaxSim fold: from per-token query-dot arrays
+    * `(mdoc, __qdots [, extra carried cols])` to `(mdoc, q_mdoc,
+    * score)` — `posexplode`, partial-aggregated max per (doc, query
+    * token), ordered sum per (doc, query). `mask` (optional) filters
+    * the exploded rows BEFORE the max — the probed-centroid
+    * restriction of the approximate stage. */
+  private def foldQDots(dots: DataFrame,
+      qToks: Array[(Long, Int, Array[Float])],
+      mask: DataFrame => DataFrame = identity): DataFrame = {
+    val qDocIds = qToks.map(_._1)
+    val qTIdx = qToks.map(_._2)
+    val carried = dots.columns.filter(c => c != "mdoc" && c != "__qdots")
+      .map(col).toSeq
+    mask(dots
+      .select((col("mdoc") +: posexplode(col("__qdots")).as(Seq("__r", "__dot")) +:
+        carried): _*)
+      .select((col("mdoc") +:
+        element_at(typedlit(qDocIds), col("__r") + 1).as("q_mdoc") +:
+        element_at(typedlit(qTIdx), col("__r") + 1).as("__qt") +:
+        col("__dot") +: carried): _*))
+      .groupBy(col("mdoc"), col("q_mdoc"), col("__qt"))
+      .agg(max(col("__dot")).as("__m"))
+      .groupBy(col("mdoc"), col("q_mdoc"))
+      .agg(collect_list(struct(col("__qt"), col("__m"))).as("__ms"))
+      .select(col("mdoc"), col("q_mdoc"),
+        aggregate(array_sort(col("__ms")), lit(0.0d),
+          (acc, x) => acc + x.getField("__m")).as("score"))
+  }
+
+  /** All (document, query) MaxSim scores in ONE corpus pass: the
+    * stacked query matrix rides a single [[MatVecProject]] (array of
+    * every query token's dot per token row), `posexplode` +
+    * partial-aggregated max per (doc, query token), then an ordered
+    * fold per (doc, query). Output: `(mdoc, q_mdoc, score: double)`.
+    */
+  def scoreFlat(docToks: DataFrame,
+      qToks: Array[(Long, Int, Array[Float])]): DataFrame = {
+    require(qToks.nonEmpty, "graft: scoreFlat needs query tokens")
+    val matrix = qToks.map(_._3.map(_.toDouble))
+    foldQDots(
+      docToks.select(col("mdoc"),
+        GraftSqlShim.column(MatVecProject(
+          GraftSqlShim.expression(col("tok")), matrix)).as("__qdots")),
+      qToks)
+  }
+
+  /** Group a token table into per-document ordered token arrays
+    * `(mdoc, toks: array<array<float>>)` — the rerank-side layout. */
+  def docArrays(docToks: DataFrame): DataFrame =
+    docToks
+      .groupBy(col("mdoc"))
+      .agg(collect_list(struct(col("t_idx"), col("tok"))).as("__ts"))
+      .select(col("mdoc"),
+        transform(array_sort(col("__ts")), t => t.getField("tok")).as("toks"))
+
+  /** MaxSim score column over a doc-array table for ONE query doc's
+    * token matrix — one codegen'd pass, no shuffle. */
+  def scoreDocs(docs: DataFrame, qMatrix: Array[Array[Float]]): DataFrame =
+    docs.select(col("mdoc"),
+      GraftSqlShim.column(MaxSimScore(
+        GraftSqlShim.expression(col("toks")),
+        qMatrix.map(_.map(_.toDouble)))).as("score"))
+
+  /** Coarse token centroids: deterministic hash-sample + seeded
+    * k-means++ over ALL documents' token vectors (queries included —
+    * assignment must see the same space the probes are computed in). */
+  def trainCentroids(toks: DataFrame, k: Int, sampleLimit: Int = 16384,
+      seed: Long = 42L): Array[Array[Float]] = {
+    val sample = graft.util.Sampling
+      .hashSample(toks.select(col("tok")), sampleLimit, col("tok"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "graft: empty sample for token centroids")
+    graft.pq.ProductQuantizer.kmeansLocalPublic(
+      sample, math.min(k, sample.length), maxIter = 20, tol = 0.1, seed = seed)
+  }
+
+  /** Token table + map-side codegen'd nearest-centroid assignment and
+    * the stage-1 compressed code column (`cent: int`,
+    * `tok_i8: array<tinyint>`) — one projection, no shuffle. */
+  def assign(docToks: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    docToks
+      .withColumn("cent",
+        GraftSqlShim.column(NearestCentroid(
+          GraftSqlShim.expression(col("tok")), centroids)))
+      .withColumn("tok_i8",
+        GraftSqlShim.column(graft.functions.QuantizeI8Expr(
+          GraftSqlShim.expression(col("tok")), I8Lo, I8Hi)))
+
+  /** Per-query-doc probed centroid set: each query token probes its
+    * `nprobe` nearest centroids (l2; driver math over k×dim floats),
+    * the query doc's set is the union. */
+  def probeSets(qToks: Array[(Long, Int, Array[Float])],
+      centroids: Array[Array[Float]], nprobe: Int): Map[Long, Set[Int]] = {
+    require(nprobe >= 1, s"graft: nprobe must be >= 1, got $nprobe")
+    def nearest(v: Array[Float]): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { val x = v(j) - c(j); s += x * x; j += 1 }
+        (s, i)
+      }.sortBy(p => (p._1, p._2)).take(math.min(nprobe, centroids.length))
+        .map(_._2).toSeq
+    qToks.groupBy(_._1).view
+      .mapValues(_.flatMap(t => nearest(t._3)).toSet).toMap
+  }
+
+  /** Tiny (q_mdoc, cent) probe table from [[probeSets]]'s driver map. */
+  private def probeDf(s: SparkSession, probes: Map[Long, Set[Int]]): DataFrame = {
+    import s.implicits._
+    probes.toSeq
+      .flatMap { case (q, cs) => cs.toSeq.sorted.map(c => (q, c)) }
+      .toDF("q_mdoc", "cent")
+  }
+
+  /** The i8 quantization range of the compressed stage-1 codes:
+    * ±0.625 brackets typical embedding coordinates with an exactly
+    * representable power-of-two fraction (finer steps than ±1 at the
+    * same byte cost; out-of-range coordinates clamp). */
+  val I8Lo: Float = -0.625f
+  val I8Hi: Float = 0.625f
+
+  /** PLAID stage 1 — compressed approximate scores: probed tokens are
+    * scored from their SCALAR-QUANTIZED i8 codes (1 byte/dim — the
+    * ColBERTv2/PLAID compressed-residual stage, Santhanam et al. CIKM
+    * 2022 §4), never the float vectors, so the stage-1 scan reads a
+    * quarter of the vector bytes and (on disk) prunes to the probed
+    * centroids' partitions. A token contributes to a query's
+    * approximation only when its centroid is in that query's probed
+    * set (the broadcast mask) — PLAID's probed-list semantics. Output:
+    * `(mdoc, q_mdoc, score)` — approximate, defined only for docs with
+    * ≥1 probed token. */
+  def approxScores(assigned: DataFrame,
+      qToks: Array[(Long, Int, Array[Float])],
+      probes: Map[Long, Set[Int]]): DataFrame = {
+    require(qToks.nonEmpty, "graft: approxScores needs query tokens")
+    val s = assigned.sparkSession
+    val matrix = qToks.map(_._3.map(_.toDouble))
+    val pf = broadcast(probeDf(s, probes))
+    foldQDots(
+      assigned.select(col("mdoc"), col("cent"),
+        GraftSqlShim.column(MatVecProject(
+          graft.functions.DequantizeI8Expr(
+            GraftSqlShim.expression(col("tok_i8")), I8Lo, I8Hi),
+          matrix)).as("__qdots")),
+      qToks,
+      mask = _.join(pf, Seq("q_mdoc", "cent")).drop("cent"))
+  }
+
+  /** Stage-1 candidate cut: top `c` docs per query by approximate
+    * score (raw doubles, doc-id tiebreak — internal, never surfaced). */
+  def candidatePairs(approx: DataFrame, c: Int): DataFrame = {
+    require(c >= 1, s"graft: candidatePairs needs c >= 1, got $c")
+    val w = Window.partitionBy(col("q_mdoc"))
+      .orderBy(col("score").desc, col("mdoc"))
+    approx
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= c)
+      .select(col("mdoc"), col("q_mdoc"))
+  }
+
+  /** PLAID search: probed-centroid approximate scoring (vectors never
+    * read), top-`candPerQuery` candidate cut, exact MaxSim rerank of
+    * the candidates only — batched over every query doc. Returns exact
+    * scores of candidate pairs: `(mdoc, q_mdoc, score)`. `assigned`
+    * must be [[assign]]'s output over the CORPUS tokens (query docs
+    * excluded). */
+  def plaidSearch(assigned: DataFrame,
+      qToks: Array[(Long, Int, Array[Float])],
+      probes: Map[Long, Set[Int]],
+      candPerQuery: Int): DataFrame = {
+    val pairs = candidatePairs(
+      approxScores(assigned, qToks, probes), candPerQuery)
+    rerank(assigned, qToks, pairs)
+  }
+
+  /** Exact MaxSim over the candidate pairs only: the corpus scan drops
+    * non-candidate docs at the broadcast semi-join before any vector
+    * arithmetic or shuffle. */
+  def rerank(docToks: DataFrame,
+      qToks: Array[(Long, Int, Array[Float])],
+      pairs: DataFrame): DataFrame = {
+    val candDocs = pairs.select("mdoc").distinct()
+    scoreFlat(docToks.join(broadcast(candDocs), "mdoc")
+        .select("mdoc", "t_idx", "tok"), qToks)
+      .join(broadcast(pairs), Seq("mdoc", "q_mdoc"))
+  }
+
+  /** Materialize the assigned token table PARTITIONED BY CENTROID —
+    * the on-disk PLAID inverted file. Stage 1 then prunes the listing
+    * to the probed centroids' directories and reads only the
+    * `(mdoc, tok_i8)` columns; the float vectors live in the same
+    * files but are touched only by the candidate rerank. */
+  def writeTokenPostings(assigned: DataFrame, path: String): Unit =
+    assigned.select(col("mdoc"), col("t_idx"), col("tok"), col("tok_i8"),
+        col("cent"))
+      // hash-cluster rows by centroid before the partitioned write so
+      // each list directory holds one file per writing task, not one
+      // per (task × list) — the small-files guard at any scale
+      .repartition(col("cent"))
+      .write.partitionBy("cent").mode("overwrite").parquet(path)
+
+  /** Partition-pruned read of a [[writeTokenPostings]] table: the
+    * `isin` predicate on the partition column prunes at file-listing
+    * time (`PartitionFilters` on `cent`). */
+  def readTokenPostings(spark: SparkSession, path: String,
+      cents: Seq[Int]): DataFrame = {
+    require(cents.nonEmpty, "graft: readTokenPostings needs probed centroids")
+    spark.read.parquet(path).where(col("cent").isin(cents: _*))
+  }
+
+  /** On-disk PLAID search: stage 1 runs over the PRUNED postings read
+    * — partition pruning cuts the listing to the probed centroids'
+    * directories AND column pruning drops the float vector column (the
+    * scan reads doc ids and i8 codes only); stage 2 reranks candidates
+    * from the full table behind a broadcast semi-join. Scores are
+    * bit-identical to [[plaidSearch]] under the same probes. */
+  def plaidSearchOnDisk(spark: SparkSession, path: String,
+      qToks: Array[(Long, Int, Array[Float])],
+      probes: Map[Long, Set[Int]],
+      candPerQuery: Int): DataFrame = {
+    val allCents = probes.valuesIterator.flatten.toSeq.distinct.sorted
+    val pruned = readTokenPostings(spark, path, allCents)
+      .select("mdoc", "cent", "tok_i8")
+    val pairs = candidatePairs(
+      approxScores(pruned, qToks, probes), candPerQuery)
+    rerank(spark.read.parquet(path), qToks, pairs)
+  }
+
+  /** Materialize a complete multi-vector index under `path`: the
+    * seeded coarse centroids (`centroids/`, tiny) plus the
+    * centroid-partitioned token postings (`postings/`) — the layout
+    * [[searchIndex]] serves from. */
+  def writeIndex(toks: DataFrame, path: String, nlists: Int,
+      sampleLimit: Int = 16384, seed: Long = 42L): Unit = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val cents = trainCentroids(toks, nlists, sampleLimit, seed)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cent", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeTokenPostings(assign(toks, cents), s"$path/postings")
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cent")).select(col("vec"))
+      .collect().map(_.getSeq[Float](0).toArray)
+
+  /** PLAID search against a [[writeIndex]] layout: resolve probes from
+    * the persisted centroids, stage-1 over the pruned postings read,
+    * exact rerank — per-query top-k rows `(q_mdoc, mdoc, score)`. */
+  def searchIndex(spark: SparkSession, path: String,
+      qToks: Array[(Long, Int, Array[Float])], k: Int,
+      nprobe: Int, candPerQuery: Int): DataFrame = {
+    val cents = loadCentroids(spark, path)
+    val probes = probeSets(qToks, cents, nprobe)
+    topKPerQuery(
+      plaidSearchOnDisk(spark, s"$path/postings", qToks, probes, candPerQuery), k)
+  }
+
+  /** Per-query top-k cut on the ROUNDED score (descending, doc-id
+    * tiebreak) — the gate-side boundary protocol. */
+  def topKPerQuery(scored: DataFrame, k: Int, dp: Int = 4): DataFrame = {
+    require(k >= 1, s"graft: topKPerQuery needs k >= 1, got $k")
+    val w = Window.partitionBy(col("q_mdoc"))
+      .orderBy(col("score").desc, col("mdoc"))
+    scored
+      .withColumn("score", round(col("score"), dp))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("q_mdoc"), col("mdoc"), col("score"))
+  }
+}

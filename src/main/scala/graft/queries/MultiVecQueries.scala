@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.MultiVec
+
+/** Driver-checkable queries for late-interaction multi-vector
+  * retrieval ([[graft.ops.MultiVec]] — ColBERT MaxSim + PLAID-style
+  * centroid pruning; the multi-vector sibling of the dense-kNN and
+  * learned-sparse gate families).
+  *
+  * Fixture: `toksPerDoc = 4` consecutive `vec_id`s of the embeddings
+  * table form one multi-vector document. The two exact gates score
+  * corpus docs against doc 0's token matrix on two different physical
+  * paths and share ONE dense SQL oracle (the thresholded maxsim
+  * replayed term-for-term); the PLAID gates use the multi-query recall
+  * protocol over 8 held-out query docs, plus an explicit
+  * did-it-actually-prune assertion.
+  */
+object MultiVecQueries {
+
+  private val T = 4
+  private val K = 10
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    MultiVec.tokens(Tables.embeddings(s, dir), "vec_id", "embedding", T)
+
+  /** Rounded-score cut, single-query form: the same no-raw-boundary
+    * protocol as the sparse/bm25 gates. */
+  private def cut(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("mdoc"))
+      .limit(K)
+      .select("mdoc", "score")
+
+  /** Exact MaxSim, flat token-table path (one corpus pass, stacked
+    * query matrix in a single codegen'd projection). */
+  private def maxsimFlat(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val q = MultiVec.queryToks(t, Seq(0L))
+    cut(MultiVec.scoreFlat(t.where(col("mdoc") =!= 0), q)
+      .select(col("mdoc"), col("score")))
+  }
+
+  /** Exact MaxSim, per-document array path (codegen'd
+    * [[graft.functions.MaxSimScore]] kernel) — same oracle as the flat
+    * path: the two physical shapes must produce identical rows. */
+  private def maxsimDoc(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val qm = MultiVec.queryToks(t, Seq(0L)).map(_._3)
+    cut(MultiVec.scoreDocs(
+      MultiVec.docArrays(t.where(col("mdoc") =!= 0)), qm))
+  }
+
+  /** Shared exact oracle: per (doc, query-token) max dot over the
+    * doc's tokens, then the ordered per-doc sum — every double
+    * reproduced term-for-term (sequential ascending-index dot, exact
+    * max, ascending query-token fold). */
+  private val maxsimOracle: String =
+    s"""WITH toks AS (
+      |  SELECT vec_id // $T AS mdoc, vec_id % $T AS t_idx, embedding AS tok
+      |  FROM embeddings),
+      |q AS (SELECT t_idx AS q_t, tok AS qv FROM toks WHERE mdoc = 0),
+      |dots AS (
+      |  SELECT d.mdoc, q.q_t,
+      |    MAX(list_sum(list_transform(list_zip(d.tok, q.qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS m
+      |  FROM toks d, q WHERE d.mdoc <> 0
+      |  GROUP BY d.mdoc, q.q_t),
+      |sc AS (
+      |  SELECT mdoc, ROUND(list_sum(list(m ORDER BY q_t)), 4) AS score
+      |  FROM dots GROUP BY mdoc)
+      |SELECT mdoc, score FROM sc ORDER BY score DESC, mdoc LIMIT $K
+      |""".stripMargin
+
+  /** PLAID gate parameters: 64 token centroids, 16 probes per query
+    * token (np/k = 25% of lists per token — gate-scale generous; real
+    * deployments run ~2^16 lists with np ≈ 4), stage-1 candidate
+    * budget 64 docs per query — the rerank sees a fixed small fraction
+    * of the corpus by construction while the i8 approximation holds
+    * the recall bar with ≥ 0.10 margin at every sf (measured
+    * 0.90–0.95). */
+  private val QDocs = 8
+  private val Centroids = 64
+  private val Nprobe = 16
+  private val CandPerQuery = 64
+
+  private def recallMaps(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("q_mdoc", "mdoc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  /** Multi-query recall gate for the in-memory PLAID path: mean
+    * recall@10 over 8 query docs ≥ 0.8, with the stage-1 candidate
+    * budget strictly below the corpus size (the rerank provably never
+    * sees every doc). */
+  private def plaidRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks(s, dir)
+    val q = MultiVec.queryToks(t, (0L until QDocs.toLong))
+    val corpus = t.where(col("mdoc") >= QDocs)
+    val exact = recallMaps(
+      MultiVec.topKPerQuery(MultiVec.scoreFlat(corpus, q), K))
+    val cents = MultiVec.trainCentroids(t, Centroids)
+    val assigned = MultiVec.assign(corpus, cents)
+    val probes = MultiVec.probeSets(q, cents, Nprobe)
+    val nDocs = corpus.select("mdoc").distinct().count()
+    val ann = recallMaps(MultiVec.topKPerQuery(
+      MultiVec.plaidSearch(assigned, q, probes, CandPerQuery), K))
+    if (CandPerQuery < nDocs &&
+      RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  /** On-disk PLAID twin: stage 1 runs over the PRUNED
+    * centroid-partitioned postings read (partition + column pruning);
+    * the gate asserts the disk path's per-query top-10 is IDENTICAL to
+    * the in-memory path's (same probes, deterministic assignment ⇒
+    * bit-equal scores). */
+  private def plaidPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks(s, dir)
+    val q = MultiVec.queryToks(t, (0L until QDocs.toLong))
+    val corpus = t.where(col("mdoc") >= QDocs)
+    val cents = MultiVec.trainCentroids(t, Centroids)
+    val assigned = MultiVec.assign(corpus, cents)
+    val probes = MultiVec.probeSets(q, cents, Nprobe)
+    val path = AnnQueries.artifactDir("mvpost", dir, "embeddings")
+    AnnQueries.cached(path) {
+      MultiVec.writeTokenPostings(assigned, path)
+    }
+    val disk = MultiVec.topKPerQuery(
+      MultiVec.plaidSearchOnDisk(s, path, q, probes, CandPerQuery), K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = MultiVec.topKPerQuery(
+      MultiVec.plaidSearch(assigned, q, probes, CandPerQuery), K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    if (disk.nonEmpty && disk == mem) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("multivec_maxsim", Some(maxsimOracle), maxsimFlat),
+    QueryDef("multivec_maxsim_doc", Some(maxsimOracle), maxsimDoc),
+    QueryDef("multivec_plaid_recall", Some("SELECT 1 AS ok"), plaidRecall),
+    QueryDef("multivec_plaid_pruned", Some("SELECT 1 AS ok"), plaidPruned))
+}

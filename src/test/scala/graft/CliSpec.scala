@@ -43,6 +43,22 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("multivec-index and multivec-search subcommands") {
+    spark // force shared session so Cli's getOrCreate reuses it
+    val out = tmp("mvidx")
+    Cli.run("multivec-index", Map(
+      "src" -> (sf("sf0.001") + "/embeddings.parquet"),
+      "id-col" -> "vec_id", "vec-col" -> "embedding", "out" -> out,
+      "nlists" -> "8"))
+    assert(new java.io.File(out, "postings").listFiles()
+      .exists(_.getName.startsWith("cent=")))
+    assert(graft.ops.MultiVec.loadCentroids(spark, out).length == 8)
+    Cli.run("multivec-search", Map("index" -> out,
+      "src" -> (sf("sf0.001") + "/embeddings.parquet"),
+      "id-col" -> "vec_id", "vec-col" -> "embedding",
+      "query-doc" -> "0", "k" -> "5", "nprobe" -> "4", "cand" -> "20"))
+  }
+
   test("create-embeddings and create-index subcommands produce real artifacts") {
     spark // force shared session so Cli's getOrCreate reuses it
     val src = tmp("src")

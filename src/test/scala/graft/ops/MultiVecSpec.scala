@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.{MatVecProject, MaxSimScore}
+import org.apache.spark.sql.graftshim.GraftSqlShim
+
+class MultiVecSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  /** Deterministic little corpus: nDocs docs × tpd tokens × dim floats. */
+  private def corpus(nDocs: Int, tpd: Int, dim: Int, seed: Long = 7L) = {
+    val r = rng(seed)
+    (0 until nDocs).flatMap { d =>
+      (0 until tpd).map { t =>
+        (d.toLong, t, Array.fill(dim)(r.nextFloat() * 2f - 1f))
+      }
+    }
+  }
+
+  private def naiveMaxSim(doc: Seq[Array[Float]], q: Seq[Array[Float]]): Double =
+    q.map { qv =>
+      doc.map { tv =>
+        var s = 0.0; var j = 0
+        while (j < qv.length) { s += qv(j).toDouble * tv(j); j += 1 }
+        s
+      }.max
+    }.sum
+
+  test("MaxSimScore matches the naive definition") {
+    val r = rng(1L)
+    val doc = Seq.fill(5)(Array.fill(8)(r.nextFloat() - 0.5f))
+    val q = Seq.fill(3)(Array.fill(8)(r.nextFloat() - 0.5f))
+    val got = spark.createDataset(Seq(doc.map(_.toSeq)))
+      .select(GraftSqlShim.column(MaxSimScore(
+        GraftSqlShim.expression(col("value").cast("array<array<float>>")),
+        q.map(_.map(_.toDouble)).toArray)).as("s"))
+      .head().getDouble(0)
+    assert(got === naiveMaxSim(doc, q))
+  }
+
+  test("flat path and doc-array path produce bit-identical scores") {
+    val rows = corpus(nDocs = 12, tpd = 4, dim = 16)
+    val toks = rows.map { case (d, t, v) => (d, t, v.toSeq) }
+      .toDF("mdoc", "t_idx", "tok")
+      .withColumn("tok", col("tok").cast("array<float>"))
+    val qToks = rows.filter(_._1 == 0L).sortBy(_._2)
+      .map { case (d, t, v) => (d, t, v) }.toArray
+    val docs = toks.where(col("mdoc") =!= 0)
+    val flat = MultiVec.scoreFlat(docs, qToks)
+      .select("mdoc", "score").as[(Long, Double)].collect().toMap
+    val viaArrays = MultiVec.scoreDocs(
+        MultiVec.docArrays(docs), qToks.map(_._3))
+      .select("mdoc", "score").as[(Long, Double)].collect().toMap
+    assert(flat === viaArrays)
+    // and both match the naive definition exactly
+    val byDoc = rows.filter(_._1 != 0L).groupBy(_._1)
+    byDoc.foreach { case (d, ts) =>
+      assert(flat(d) === naiveMaxSim(ts.sortBy(_._2).map(_._3), qToks.map(_._3)))
+    }
+  }
+
+  test("MaxSimScore raises on empty docs and mismatched dims") {
+    val q = Array(Array(1.0, 2.0))
+    val empty = intercept[Exception] {
+      spark.createDataset(Seq(Seq.empty[Seq[Float]]))
+        .select(GraftSqlShim.column(MaxSimScore(
+          GraftSqlShim.expression(col("value").cast("array<array<float>>")), q)))
+        .collect()
+    }
+    assert(empty.getMessage.contains("empty document token array"))
+    val mismatch = intercept[Exception] {
+      spark.createDataset(Seq(Seq(Seq(1f, 2f, 3f))))
+        .select(GraftSqlShim.column(MaxSimScore(
+          GraftSqlShim.expression(col("value").cast("array<array<float>>")), q)))
+        .collect()
+    }
+    assert(mismatch.getMessage.toLowerCase.contains("dim"))
+  }
+
+  test("plaid with every centroid probed and a full candidate budget is exact") {
+    val rows = corpus(nDocs = 20, tpd = 4, dim = 16, seed = 3L)
+    val toks = rows.map { case (d, t, v) => (d, t, v.toSeq) }
+      .toDF("mdoc", "t_idx", "tok")
+      .withColumn("tok", col("tok").cast("array<float>"))
+    val qToks = rows.filter(_._1 <= 1L).sortBy(t => (t._1, t._2)).toArray
+    val docs = toks.where(col("mdoc") > 1)
+    val cents = MultiVec.trainCentroids(toks, 4, seed = 5L)
+    val assigned = MultiVec.assign(docs, cents)
+    // probe everything: stage-1 approximation sees every token, so the
+    // candidate ORDER may differ slightly (i8 rounding) but a full
+    // budget forwards every doc to the exact rerank
+    val probes = Map(0L -> cents.indices.toSet, 1L -> cents.indices.toSet)
+    val got = MultiVec.topKPerQuery(
+      MultiVec.plaidSearch(assigned, qToks, probes, candPerQuery = 100), 5)
+    val want = MultiVec.topKPerQuery(MultiVec.scoreFlat(docs, qToks), 5)
+    assert(got.collect().toSet === want.collect().toSet)
+  }
+
+  test("on-disk postings prune to probed centroids and skip the vector column") {
+    val rows = corpus(nDocs = 20, tpd = 4, dim = 16, seed = 9L)
+    val toks = rows.map { case (d, t, v) => (d, t, v.toSeq) }
+      .toDF("mdoc", "t_idx", "tok")
+      .withColumn("tok", col("tok").cast("array<float>"))
+    val cents = MultiVec.trainCentroids(toks, 4, seed = 5L)
+    val assigned = MultiVec.assign(toks, cents)
+    val dir = java.nio.file.Files.createTempDirectory("mv-post").toString + "/p"
+    MultiVec.writeTokenPostings(assigned, dir)
+
+    val pruned = MultiVec.readTokenPostings(spark, dir, Seq(0, 2))
+      .select("mdoc", "cent", "tok_i8")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cent"), plan)
+    assert(!plan.contains("tok#") || plan.contains("tok_i8"), plan)
+    // the stage-1 scan must not read the float vector column
+    assert(!plan.contains("ReadSchema") ||
+      !plan.split("ReadSchema")(1).takeWhile(_ != '\n').contains("tok:"), plan)
+    assert(pruned.select("cent").distinct().as[Int].collect().toSet === Set(0, 2))
+
+    // disk path == in-memory path, bit-for-bit
+    val qToks = rows.filter(_._1 == 0L).sortBy(_._2).toArray
+    val corpusOnly = assigned.where(col("mdoc") =!= 0)
+    val dirC = java.nio.file.Files.createTempDirectory("mv-post").toString + "/c"
+    MultiVec.writeTokenPostings(corpusOnly, dirC)
+    val probes = MultiVec.probeSets(qToks, cents, 2)
+    val disk = MultiVec.topKPerQuery(
+      MultiVec.plaidSearchOnDisk(spark, dirC, qToks, probes, 8), 5).collect().toSet
+    val mem = MultiVec.topKPerQuery(
+      MultiVec.plaidSearch(corpusOnly, qToks, probes, 8), 5).collect().toSet
+    assert(disk === mem && disk.nonEmpty)
+  }
+
+  test("tokens derives doc/position ids by integral division") {
+    val e = Seq((0L, Seq(1f)), (3L, Seq(2f)), (4L, Seq(3f)), (7L, Seq(4f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = MultiVec.tokens(e, "vec_id", "embedding", 4)
+      .select("mdoc", "t_idx").as[(Long, Int)].collect().toSet
+    assert(got === Set((0L, 0), (0L, 3), (1L, 0), (1L, 3)))
+  }
+}

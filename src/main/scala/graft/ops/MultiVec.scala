@@ -277,6 +277,20 @@ object MultiVec {
       .repartition(col("cent"))
       .write.partitionBy("cent").mode("overwrite").parquet(path)
 
+  /** Append new documents' assigned tokens to an existing
+    * [[writeTokenPostings]] table (the `aminsert` analog for the
+    * multi-vector inverted file): new files land inside the centroid
+    * directories. Stage-1 max and the ascending-query fold are both
+    * file-order-independent, so post-append scores are bit-identical
+    * to a from-scratch build over the union. Incoming tokens must be
+    * assigned with the INDEX's centroids ([[loadCentroids]]), not
+    * retrained ones. */
+  def appendTokenPostings(assigned: DataFrame, path: String): Unit =
+    assigned.select(col("mdoc"), col("t_idx"), col("tok"), col("tok_i8"),
+        col("cent"))
+      .repartition(col("cent"))
+      .write.partitionBy("cent").mode("append").parquet(path)
+
   /** Partition-pruned read of a [[writeTokenPostings]] table: the
     * `isin` predicate on the partition column prunes at file-listing
     * time (`PartitionFilters` on `cent`). */
@@ -295,13 +309,14 @@ object MultiVec {
   def plaidSearchOnDisk(spark: SparkSession, path: String,
       qToks: Array[(Long, Int, Array[Float])],
       probes: Map[Long, Set[Int]],
-      candPerQuery: Int): DataFrame = {
+      candPerQuery: Int,
+      mask: DataFrame => DataFrame = identity): DataFrame = {
     val allCents = probes.valuesIterator.flatten.toSeq.distinct.sorted
-    val pruned = readTokenPostings(spark, path, allCents)
+    val pruned = mask(readTokenPostings(spark, path, allCents))
       .select("mdoc", "cent", "tok_i8")
     val pairs = candidatePairs(
       approxScores(pruned, qToks, probes), candPerQuery)
-    rerank(spark.read.parquet(path), qToks, pairs)
+    rerank(mask(spark.read.parquet(path)), qToks, pairs)
   }
 
   /** Materialize a complete multi-vector index under `path`: the
@@ -324,16 +339,43 @@ object MultiVec {
       .orderBy(col("cent")).select(col("vec"))
       .collect().map(_.getSeq[Float](0).toArray)
 
+  /** Append new documents into a [[writeIndex]] layout: assign with
+    * the PERSISTED centroids and append into the postings directories
+    * — the daemon-side incremental path. */
+  def appendToIndex(spark: SparkSession, path: String, toks: DataFrame): Unit =
+    appendTokenPostings(
+      assign(toks, loadCentroids(spark, path)), s"$path/postings")
+
+  /** `ambulkdelete` analog: tombstoned doc ids append to their own
+    * parquet dir; every [[searchIndex]] masks them with one anti-join
+    * before scoring. Physical postings stay immutable. */
+  def deleteDocs(spark: SparkSession, path: String, mdocs: Seq[Long]): Unit = {
+    import spark.implicits._
+    mdocs.toDF("mdoc").write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def maskTombstones(spark: SparkSession, path: String,
+      post: DataFrame): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t))
+      post.join(broadcast(spark.read.parquet(t.toString).distinct()),
+        Seq("mdoc"), "left_anti")
+    else post
+  }
+
   /** PLAID search against a [[writeIndex]] layout: resolve probes from
-    * the persisted centroids, stage-1 over the pruned postings read,
-    * exact rerank — per-query top-k rows `(q_mdoc, mdoc, score)`. */
+    * the persisted centroids, mask tombstoned docs, stage-1 over the
+    * pruned postings read, exact rerank — per-query top-k rows
+    * `(q_mdoc, mdoc, score)`. */
   def searchIndex(spark: SparkSession, path: String,
       qToks: Array[(Long, Int, Array[Float])], k: Int,
       nprobe: Int, candPerQuery: Int): DataFrame = {
     val cents = loadCentroids(spark, path)
     val probes = probeSets(qToks, cents, nprobe)
     topKPerQuery(
-      plaidSearchOnDisk(spark, s"$path/postings", qToks, probes, candPerQuery), k)
+      plaidSearchOnDisk(spark, s"$path/postings", qToks, probes, candPerQuery,
+        mask = maskTombstones(spark, path, _)), k)
   }
 
   /** Per-query top-k cut on the ROUNDED score (descending, doc-id

@@ -142,9 +142,71 @@ object MultiVecQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Streaming twin: the multi-vector inverted file maintained
+    * INCREMENTALLY — index built over the first half of the corpus
+    * docs (centroids trained once there), the remaining docs arriving
+    * as file-source micro-batches whose tokens are assigned with the
+    * PERSISTED centroids and appended into the centroid directories
+    * ([[graft.ops.MultiVec.appendToIndex]], the `aminsert` analog).
+    * Stage-1 max and the ascending-query fold are file-order-
+    * independent, so exact MaxSim over the streamed postings must
+    * hash-match the SAME full-SQL oracle as the batch paths — with a
+    * token-count fail-fast against silently dropped batches. */
+  private def streamingMultivecInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val t = toks(s, dir)
+    val corpusToks = t.where(col("mdoc") =!= 0)
+    val maxDoc = t.agg(max(col("mdoc"))).head().getLong(0)
+    val half = maxDoc / 2
+    // 16 lists: the gate's contract is exact post-append scoring, so
+    // the directory fan-out only costs write/listing time here
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-mvins").toString + "/idx"
+    MultiVec.writeIndex(
+      corpusToks.where(col("mdoc") <= half), idxPath, nlists = 16)
+    // the daemon shape: centroids loaded once, reused every micro-batch
+    val cents = MultiVec.loadCentroids(s, idxPath)
+
+    // stream the raw embedding rows of docs (half, maxDoc] in three
+    // vec_id-range chunks — chunk boundaries need not align to doc
+    // boundaries: appends accumulate per-token
+    val lo = (half + 1) * T
+    val hi = (maxDoc + 1) * T
+    val rest = e.where(col("vec_id") >= lo && col("vec_id") < hi)
+    val width = (hi - lo) / 3 + 1
+    val chunkRoot = AnnQueries.artifactDir("mvins", dir, "embeddings")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 3).map { c => () =>
+        rest.where(col("vec_id") >= lo + c * width &&
+          col("vec_id") < lo + (c + 1) * width)
+      })
+    val (streamDir, src) = StreamChunks.source(s, rest.schema)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) MultiVec.appendTokenPostings(
+          MultiVec.assign(
+            MultiVec.tokens(b, "vec_id", "embedding", T), cents),
+          s"$idxPath/postings")
+      }
+      .start()
+    StreamChunks.drive(q, streamDir, files)
+
+    val post = s.read.parquet(s"$idxPath/postings")
+    if (post.count() != corpusToks.count()) {
+      // a dropped micro-batch must fail the hash compare loudly
+      Seq.empty[(Long, Double)].toDF("mdoc", "score")
+    } else {
+      cut(MultiVec.scoreFlat(post.select("mdoc", "t_idx", "tok"),
+        MultiVec.queryToks(t, Seq(0L))))
+    }
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("multivec_maxsim", Some(maxsimOracle), maxsimFlat),
     QueryDef("multivec_maxsim_doc", Some(maxsimOracle), maxsimDoc),
     QueryDef("multivec_plaid_recall", Some("SELECT 1 AS ok"), plaidRecall),
-    QueryDef("multivec_plaid_pruned", Some("SELECT 1 AS ok"), plaidPruned))
+    QueryDef("multivec_plaid_pruned", Some("SELECT 1 AS ok"), plaidPruned),
+    QueryDef("streaming_multivec_insert", Some(maxsimOracle),
+      streamingMultivecInsert))
 }

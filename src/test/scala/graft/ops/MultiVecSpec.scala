@@ -134,6 +134,37 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     assert(disk === mem && disk.nonEmpty)
   }
 
+  test("appendToIndex extends the index; deleteDocs masks search results") {
+    val rows = corpus(nDocs = 16, tpd = 4, dim = 16, seed = 11L)
+    def toksOf(p: Long => Boolean) =
+      rows.filter(r => p(r._1)).map { case (d, t, v) => (d, t, v.toSeq) }
+        .toDF("mdoc", "t_idx", "tok")
+        .withColumn("tok", col("tok").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("mv-idx").toString + "/i"
+    MultiVec.writeIndex(toksOf(d => d >= 1 && d <= 8), dir, nlists = 4, seed = 5L)
+    MultiVec.appendToIndex(spark, dir, toksOf(d => d > 8))
+    val qToks = rows.filter(_._1 == 0L).sortBy(_._2).toArray
+    // appended postings score bit-identically to one-shot exact scoring
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.count() == 15 * 4)
+    val viaIndex = MultiVec.scoreFlat(post.select("mdoc", "t_idx", "tok"), qToks)
+      .select("mdoc", "score").as[(Long, Double)].collect().toMap
+    val direct = MultiVec.scoreFlat(toksOf(_ != 0L), qToks)
+      .select("mdoc", "score").as[(Long, Double)].collect().toMap
+    assert(viaIndex === direct)
+    // streamed docs are findable through the index search
+    val got = MultiVec.searchIndex(spark, dir, qToks, k = 15,
+      nprobe = 4, candPerQuery = 20)
+    assert(got.count() == 15)
+    // tombstone the current best doc: it must vanish from results
+    val best = got.orderBy(col("score").desc).head().getLong(1)
+    MultiVec.deleteDocs(spark, dir, Seq(best))
+    val after = MultiVec.searchIndex(spark, dir, qToks, k = 15,
+      nprobe = 4, candPerQuery = 20)
+      .select("mdoc").as[Long].collect().toSet
+    assert(!after.contains(best) && after.nonEmpty)
+  }
+
   test("tokens derives doc/position ids by integral division") {
     val e = Seq((0L, Seq(1f)), (3L, Seq(2f)), (4L, Seq(3f)), (7L, Seq(4f)))
       .toDF("vec_id", "embedding")

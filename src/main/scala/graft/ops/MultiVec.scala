@@ -70,11 +70,16 @@ object MultiVec {
     * score. */
   def queryToks(toks: DataFrame, qDocs: Seq[Long]): Array[(Long, Int, Array[Float])] = {
     require(qDocs.nonEmpty, "graft: queryToks needs at least one query doc")
-    toks.where(col("mdoc").isin(qDocs: _*))
+    val out = toks.where(col("mdoc").isin(qDocs: _*))
       .orderBy(col("mdoc"), col("t_idx"))
       .select(col("mdoc"), col("t_idx"), col("tok"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val missing = qDocs.toSet -- out.iterator.map(_._1).toSet
+    require(missing.isEmpty,
+      s"graft: query docs not found in the token table: " +
+        missing.toSeq.sorted.mkString(", "))
+    out
   }
 
   /** Shared MaxSim fold: from per-token query-dot arrays
@@ -214,12 +219,18 @@ object MultiVec {
     val s = assigned.sparkSession
     val matrix = qToks.map(_._3.map(_.toDouble))
     val pf = broadcast(probeDf(s, probes))
+    // pre-filter to the UNION of probed lists before the projection —
+    // the in-memory analog of the on-disk PartitionFilters prune, so
+    // non-probed tokens never reach the dequantize+dot kernel (the
+    // per-query (q_mdoc, cent) mask still applies after the explode)
+    val union = probes.valuesIterator.flatten.toSeq.distinct.sorted
     foldQDots(
-      assigned.select(col("mdoc"), col("cent"),
-        GraftSqlShim.column(MatVecProject(
-          graft.functions.DequantizeI8Expr(
-            GraftSqlShim.expression(col("tok_i8")), I8Lo, I8Hi),
-          matrix)).as("__qdots")),
+      assigned.where(col("cent").isin(union: _*))
+        .select(col("mdoc"), col("cent"),
+          GraftSqlShim.column(MatVecProject(
+            graft.functions.DequantizeI8Expr(
+              GraftSqlShim.expression(col("tok_i8")), I8Lo, I8Hi),
+            matrix)).as("__qdots")),
       qToks,
       mask = _.join(pf, Seq("q_mdoc", "cent")).drop("cent"))
   }
@@ -327,6 +338,11 @@ object MultiVec {
       sampleLimit: Int = 16384, seed: Long = 42L): Unit = {
     val s = toks.sparkSession
     import s.implicits._
+    // a REBUILD starts clean: stale tombstones from a previous
+    // generation must not mask the fresh postings
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
     val cents = trainCentroids(toks, nlists, sampleLimit, seed)
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cent", "vec")
@@ -354,14 +370,16 @@ object MultiVec {
     mdocs.toDF("mdoc").write.mode("append").parquet(s"$path/tombstones")
   }
 
-  private def maskTombstones(spark: SparkSession, path: String,
-      post: DataFrame): DataFrame = {
+  /** Resolve the tombstone mask ONCE per search: one fs.exists, one
+    * read; the returned function anti-joins it into both scans. */
+  private def tombstoneMask(spark: SparkSession,
+      path: String): DataFrame => DataFrame = {
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(t))
-      post.join(broadcast(spark.read.parquet(t.toString).distinct()),
-        Seq("mdoc"), "left_anti")
-    else post
+    if (fs.exists(t)) {
+      val tomb = broadcast(spark.read.parquet(t.toString).distinct())
+      post => post.join(tomb, Seq("mdoc"), "left_anti")
+    } else identity
   }
 
   /** PLAID search against a [[writeIndex]] layout: resolve probes from
@@ -375,7 +393,7 @@ object MultiVec {
     val probes = probeSets(qToks, cents, nprobe)
     topKPerQuery(
       plaidSearchOnDisk(spark, s"$path/postings", qToks, probes, candPerQuery,
-        mask = maskTombstones(spark, path, _)), k)
+        mask = tombstoneMask(spark, path)), k)
   }
 
   /** Per-query top-k cut on the ROUNDED score (descending, doc-id

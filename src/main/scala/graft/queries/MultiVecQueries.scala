@@ -89,9 +89,8 @@ object MultiVecQueries {
   private val CandPerQuery = 64
 
   private def recallMaps(df: DataFrame): Map[Long, Set[Long]] =
-    df.select("q_mdoc", "mdoc").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    RecallProtocol.perQuery(df.select("q_mdoc", "mdoc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
 
   /** Multi-query recall gate for the in-memory PLAID path: mean
     * recall@10 over 8 query docs ≥ 0.8, with the stage-1 candidate

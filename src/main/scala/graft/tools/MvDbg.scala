@@ -29,9 +29,10 @@ object MvDbg {
       val toks = MultiVec.tokens(Tables.embeddings(spark, dir), "vec_id", "embedding", 4)
       val q = MultiVec.queryToks(toks, (0L until 8L))
       val corpus = toks.where(col("mdoc") >= 8).cache()
-      val exact = t("exact") { MultiVec.topKPerQuery(MultiVec.scoreFlat(corpus, q), 10)
-        .select("q_mdoc", "mdoc").collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap }
+      val exact = t("exact") { RecallProtocol.perQuery(
+        MultiVec.topKPerQuery(MultiVec.scoreFlat(corpus, q), 10)
+          .select("q_mdoc", "mdoc").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))) }
       val nDocs = corpus.select("mdoc").distinct().count()
       val cents = t("kmeans") { MultiVec.trainCentroids(toks, 64) }
       val assigned = MultiVec.assign(corpus, cents)
@@ -46,7 +47,10 @@ object MvDbg {
       t("write") { MultiVec.writeTokenPostings(assigned, dirOut) }
       val disk = t("disk-plaid") { MultiVec.topKPerQuery(
         MultiVec.plaidSearchOnDisk(spark, dirOut, q, probes, 64), 10).collect() }
-      println(s"[mvdbg] $dir approxRows=$approx pairs=$pairs " +
+      val ann = RecallProtocol.perQuery(
+        mem.map(r => (r.getLong(0), r.getLong(1))))
+      println(f"[mvdbg] $dir recall=${RecallProtocol.meanRecall(ann, exact)}%.4f " +
+        f"candFrac=${pairs.toDouble / (nDocs * 8)}%.3f approxRows=$approx " +
         s"mem=${mem.length} disk=${disk.length} eq=${mem.toSet == disk.toSet}")
       corpus.unpersist()
     }

@@ -163,6 +163,13 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
       nprobe = 4, candPerQuery = 20)
       .select("mdoc").as[Long].collect().toSet
     assert(!after.contains(best) && after.nonEmpty)
+    // a full rebuild starts clean: stale tombstones must not mask the
+    // fresh postings
+    MultiVec.writeIndex(toksOf(_ != 0L), dir, nlists = 4, seed = 5L)
+    val rebuilt = MultiVec.searchIndex(spark, dir, qToks, k = 15,
+      nprobe = 4, candPerQuery = 20)
+      .select("mdoc").as[Long].collect().toSet
+    assert(rebuilt.contains(best))
   }
 
   test("tokens derives doc/position ids by integral division") {

@@ -338,4 +338,87 @@ object Autotune {
         report.picked.contains(r)))
       .toDF("pool", "recall", "avg_search_ms", "build_secs", "picked")
   }
+
+  // -------------------------------------------------- multivec (PLAID)
+
+  case class MvVariant(nprobe: Int, cand: Int)
+  case class MvResult(variant: MvVariant, recall: Double, avgSearchMs: Double)
+  case class MvReport(buildSecs: Double, results: Seq[MvResult],
+      picked: Option[MvResult])
+
+  /** Default (nprobe, candPerQuery) sweep, cheapest-first: nprobe
+    * scales stage-1 probed-list I/O, cand scales the exact rerank. */
+  val DefaultMvGrid: Seq[MvVariant] = Seq(
+    MvVariant(4, 16), MvVariant(4, 64), MvVariant(8, 64),
+    MvVariant(16, 16), MvVariant(16, 64))
+
+  /** The `autotune-index` protocol applied to the PLAID serving knobs:
+    * the index is built ONCE (centroids + postings are independent of
+    * the swept parameters), sample query docs are answered exactly
+    * (one batched [[graft.ops.MultiVec.scoreFlat]] pass) for ground
+    * truth, and every (nprobe, candPerQuery) variant is measured by
+    * one batched [[graft.ops.MultiVec.searchIndex]]; picked = the
+    * first variant meeting the target micro-averaged recall@k. At
+    * fixed nprobe, recall is non-decreasing in cand by construction
+    * (nested candidate sets under an exact rerank). */
+  def autotuneMultivec(
+      toks: DataFrame,
+      k: Int = 10,
+      queryCount: Int = 5,
+      targetRecall: Double = 0.9,
+      grid: Seq[MvVariant] = DefaultMvGrid,
+      nlists: Int = 64,
+      workDir: String = null): MvReport = {
+    import graft.ops.MultiVec
+    val spark = toks.sparkSession
+    val ownsWorkDir = workDir == null
+    val base = Option(workDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-mvtune").toString)
+
+    val qDocs = graft.util.Sampling
+      .hashSample(toks.select(col("mdoc")).distinct(), queryCount, col("mdoc"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    require(qDocs.nonEmpty, "graft: autotune needs at least one sample doc")
+    val qToks = MultiVec.queryToks(toks, qDocs)
+
+    def perQuery(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("q_mdoc", "mdoc").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = perQuery(
+      MultiVec.topKPerQuery(MultiVec.scoreFlat(toks, qToks), k))
+
+    val path = s"$base/mv"
+    val t0 = System.nanoTime()
+    MultiVec.writeIndex(toks, path, nlists)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+
+    val results = grid.map { v =>
+      val t1 = System.nanoTime()
+      val got = perQuery(
+        MultiVec.searchIndex(spark, path, qToks, k, v.nprobe, v.cand))
+      val avgMs = (System.nanoTime() - t1) / 1e6 / qDocs.length
+      var hits = 0; var total = 0
+      truth.foreach { case (qid, expected) =>
+        hits += got.getOrElse(qid, Set.empty).intersect(expected).size
+        total += expected.size
+      }
+      MvResult(v, hits.toDouble / total, avgMs)
+    }
+    if (ownsWorkDir) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    MvReport(buildSecs, results, results.find(_.recall >= targetRecall))
+  }
+
+  /** Multivec report as a DataFrame (same persistence shape). */
+  def mvReportDf(spark: SparkSession, report: MvReport): DataFrame = {
+    import spark.implicits._
+    report.results
+      .map(r => (r.variant.nprobe, r.variant.cand, r.recall, r.avgSearchMs,
+        report.buildSecs, report.picked.contains(r)))
+      .toDF("nprobe", "cand", "recall", "avg_search_ms", "build_secs", "picked")
+  }
 }

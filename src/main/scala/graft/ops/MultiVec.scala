@@ -370,6 +370,32 @@ object MultiVec {
     mdocs.toDF("mdoc").write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** Consolidate a [[writeIndex]] layout (the `consolidate`/VACUUM
+    * analog): rewrite the append-accumulated postings back to one file
+    * per centroid directory and apply tombstones PHYSICALLY — masked
+    * docs leave the postings and the tombstone dir resets. Scores are
+    * unchanged by construction (stage-1 max and the ordered query fold
+    * are file-order-independent), so a search before == after, minus
+    * the deleted docs. */
+  def consolidateIndex(spark: SparkSession, path: String): Unit = {
+    val live = tombstoneMask(spark, path)(
+      spark.read.parquet(s"$path/postings"))
+    val compact = new org.apache.hadoop.fs.Path(s"$path/postings_compact")
+    val fs = compact.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    live.select(col("mdoc"), col("t_idx"), col("tok"), col("tok_i8"),
+        col("cent"))
+      .repartition(col("cent"))
+      .write.partitionBy("cent").mode("overwrite").parquet(compact.toString)
+    val post = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val old = new org.apache.hadoop.fs.Path(s"$path/postings_old")
+    require(fs.rename(post, old) && fs.rename(compact, post),
+      s"graft: consolidate swap failed under $path")
+    fs.delete(old, true)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+    ()
+  }
+
   /** Resolve the tombstone mask ONCE per search: one fs.exists, one
     * read; the returned function anti-joins it into both scans. */
   private def tombstoneMask(spark: SparkSession,

@@ -201,11 +201,111 @@ object MultiVecQueries {
     }
   }
 
+  /** Consolidation gate — the full maintenance lifecycle in one pass:
+    * build over the first half, APPEND the second half, DELETE docs
+    * 1–3 (tombstones), CONSOLIDATE (compaction + physical delete +
+    * tombstone reset), then exact MaxSim over the compacted postings
+    * must hash-match the oracle over the corpus MINUS the deleted docs
+    * — with structural fail-fasts that compaction actually landed (one
+    * file per centroid directory, tombstone dir gone). */
+  private val Deleted = Seq(1L, 2L, 3L)
+
+  private def multivecConsolidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks(s, dir)
+    val corpusToks = t.where(col("mdoc") =!= 0)
+    val half = t.agg(max(col("mdoc"))).head().getLong(0) / 2
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-mvcons").toString + "/idx"
+    MultiVec.writeIndex(
+      corpusToks.where(col("mdoc") <= half), idxPath, nlists = 16)
+    MultiVec.appendToIndex(s, idxPath, corpusToks.where(col("mdoc") > half))
+    MultiVec.deleteDocs(s, idxPath, Deleted)
+    MultiVec.consolidateIndex(s, idxPath)
+
+    val centDirs = new java.io.File(s"$idxPath/postings").listFiles()
+      .filter(_.getName.startsWith("cent="))
+    val compacted = centDirs.nonEmpty && centDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")) == 1)
+    val tombGone = !new java.io.File(s"$idxPath/tombstones").exists()
+    if (!compacted || !tombGone) {
+      Seq.empty[(Long, Double)].toDF("mdoc", "score")
+    } else {
+      cut(MultiVec.scoreFlat(
+        s.read.parquet(s"$idxPath/postings").select("mdoc", "t_idx", "tok"),
+        MultiVec.queryToks(t, Seq(0L))))
+    }
+  }
+
+  private val consolidateOracle: String =
+    s"""WITH toks AS (
+      |  SELECT vec_id // $T AS mdoc, vec_id % $T AS t_idx, embedding AS tok
+      |  FROM embeddings),
+      |q AS (SELECT t_idx AS q_t, tok AS qv FROM toks WHERE mdoc = 0),
+      |dots AS (
+      |  SELECT d.mdoc, q.q_t,
+      |    MAX(list_sum(list_transform(list_zip(d.tok, q.qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS m
+      |  FROM toks d, q WHERE d.mdoc <> 0 AND d.mdoc NOT IN (1, 2, 3)
+      |  GROUP BY d.mdoc, q.q_t),
+      |sc AS (
+      |  SELECT mdoc, ROUND(list_sum(list(m ORDER BY q_t)), 4) AS score
+      |  FROM dots GROUP BY mdoc)
+      |SELECT mdoc, score FROM sc ORDER BY score DESC, mdoc LIMIT $K
+      |""".stripMargin
+
+  /** PLAID serving-knob autotune gate
+    * ([[graft.ann.Autotune.autotuneMultivec]]): one index build, every
+    * (nprobe, cand) variant measured by one batched searchIndex.
+    * Recorded-spec check mirroring `autotune_bq`: the persisted report
+    * must contain the whole grid, pick exactly the FIRST variant
+    * meeting the target with all cheaper variants below it, and at
+    * fixed nprobe recall must be non-decreasing in cand — a
+    * deterministic property (nested candidate sets under an exact
+    * rerank), so a violation means the sweep is broken. */
+  private def multivecAutotune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.Autotune
+    val target = 0.9
+    val grid = Autotune.DefaultMvGrid
+    val reportPath = AnnQueries.artifactDir("mvtune", dir, "embeddings")
+    AnnQueries.cached(reportPath) {
+      val rep = Autotune.autotuneMultivec(toks(s, dir),
+        queryCount = 5, targetRecall = target, grid = grid)
+      Autotune.mvReportDf(s, rep)
+        .write.mode("overwrite").parquet(s"$reportPath/report")
+    }
+    val rows = s.read.parquet(s"$reportPath/report").collect()
+      .map(r => (Autotune.MvVariant(r.getAs[Int]("nprobe"), r.getAs[Int]("cand")),
+        r.getAs[Double]("recall"), r.getAs[Boolean]("picked")))
+    val byVariant = rows.map(v => v._1 -> v).toMap
+    val ordered = grid.map(byVariant.get).flatten
+    val ruleOk = ordered.length == grid.length && {
+      val recalls = ordered.map(_._2)
+      val picks = ordered.map(_._3)
+      val firstQualifying = recalls.indexWhere(_ >= target)
+      firstQualifying >= 0 && picks.count(identity) == 1 &&
+        picks(firstQualifying) &&
+        recalls.take(firstQualifying).forall(_ < target)
+    }
+    val candMonotone = ordered.groupBy(_._1.nprobe).values.forall { g =>
+      g.sortBy(_._1.cand).map(_._2).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9)
+    }
+    if (ruleOk && candMonotone) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("multivec_maxsim", Some(maxsimOracle), maxsimFlat),
     QueryDef("multivec_maxsim_doc", Some(maxsimOracle), maxsimDoc),
     QueryDef("multivec_plaid_recall", Some("SELECT 1 AS ok"), plaidRecall),
     QueryDef("multivec_plaid_pruned", Some("SELECT 1 AS ok"), plaidPruned),
     QueryDef("streaming_multivec_insert", Some(maxsimOracle),
-      streamingMultivecInsert))
+      streamingMultivecInsert),
+    QueryDef("multivec_consolidate", Some(consolidateOracle),
+      multivecConsolidate),
+    QueryDef("autotune_multivec", Some("SELECT 1 AS ok"),
+      multivecAutotune))
 }

@@ -172,6 +172,34 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt.contains(best))
   }
 
+  test("consolidateIndex compacts files, applies tombstones, resets them") {
+    val rows = corpus(nDocs = 12, tpd = 4, dim = 16, seed = 13L)
+    def toksOf(p: Long => Boolean) =
+      rows.filter(r => p(r._1)).map { case (d, t, v) => (d, t, v.toSeq) }
+        .toDF("mdoc", "t_idx", "tok")
+        .withColumn("tok", col("tok").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("mv-cons").toString + "/i"
+    MultiVec.writeIndex(toksOf(d => d >= 1 && d <= 6), dir, nlists = 4, seed = 5L)
+    MultiVec.appendToIndex(spark, dir, toksOf(_ > 6))
+    MultiVec.deleteDocs(spark, dir, Seq(2L))
+    MultiVec.consolidateIndex(spark, dir)
+    // one file per centroid directory, tombstones gone
+    val centDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cent="))
+    assert(centDirs.nonEmpty && centDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")) == 1))
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // compacted postings score bit-identically to the live docs
+    val qToks = rows.filter(_._1 == 0L).sortBy(_._2).toArray
+    val got = MultiVec.scoreFlat(
+        spark.read.parquet(s"$dir/postings").select("mdoc", "t_idx", "tok"), qToks)
+      .select("mdoc", "score").as[(Long, Double)].collect().toMap
+    val want = MultiVec.scoreFlat(toksOf(d => d != 0L && d != 2L), qToks)
+      .select("mdoc", "score").as[(Long, Double)].collect().toMap
+    assert(got === want && !got.contains(2L))
+  }
+
   test("tokens derives doc/position ids by integral division") {
     val e = Seq((0L, Seq(1f)), (3L, Seq(2f)), (4L, Seq(3f)), (7L, Seq(4f)))
       .toDF("vec_id", "embedding")

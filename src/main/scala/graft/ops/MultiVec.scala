@@ -54,14 +54,21 @@ object MultiVec {
   /** Derive the token table `(mdoc, t_idx, tok)` from a flat vector
     * table by grouping `toksPerDoc` consecutive ids into one document
     * (the deterministic multi-vector fixture over a single-vector
-    * corpus; ids must be non-negative). */
+    * corpus; ids must be non-negative). `normalize = true` unit-norms
+    * every token (codegen'd [[graft.functions.UnitNormalize]]), making
+    * the MaxSim dot a cosine — ColBERT's own convention (the encoder
+    * L2-normalizes token embeddings, Khattab & Zaharia SIGIR 2020 §3.1). */
   def tokens(e: DataFrame, idCol: String, vecCol: String,
-      toksPerDoc: Int): DataFrame = {
+      toksPerDoc: Int, normalize: Boolean = false): DataFrame = {
     require(toksPerDoc >= 1, s"graft: toksPerDoc must be >= 1, got $toksPerDoc")
+    val tok =
+      if (normalize) GraftSqlShim.column(graft.functions.UnitNormalize(
+        GraftSqlShim.expression(col(vecCol))))
+      else col(vecCol)
     e.select(
       expr(s"$idCol div $toksPerDoc").as("mdoc"),
       (col(idCol) % toksPerDoc).cast("int").as("t_idx"),
-      col(vecCol).as("tok"))
+      tok.as("tok"))
   }
 
   /** Driver-side query token rows `(q_mdoc, q_t, vec)` for a set of

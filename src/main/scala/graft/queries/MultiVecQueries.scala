@@ -76,6 +76,39 @@ object MultiVecQueries {
       |SELECT mdoc, score FROM sc ORDER BY score DESC, mdoc LIMIT $K
       |""".stripMargin
 
+  /** Cosine MaxSim — ColBERT's own convention: tokens unit-normalized
+    * at derivation (codegen'd kernel), so the dot IS the cosine. Same
+    * flat physical path; the oracle replays the normalization
+    * term-for-term (sequential double norm, double divide, float
+    * round-trip) before the max-dot CTE. */
+  private def maxsimCos(s: SparkSession, dir: String): DataFrame = {
+    val t = MultiVec.tokens(Tables.embeddings(s, dir), "vec_id", "embedding",
+      T, normalize = true)
+    val q = MultiVec.queryToks(t, Seq(0L))
+    cut(MultiVec.scoreFlat(t.where(col("mdoc") =!= 0), q)
+      .select(col("mdoc"), col("score")))
+  }
+
+  private val maxsimCosOracle: String =
+    s"""WITH toks AS (
+      |  SELECT vec_id // $T AS mdoc, vec_id % $T AS t_idx,
+      |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+      |      sqrt(list_sum(list_transform(embedding,
+      |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS FLOAT)) AS tok
+      |  FROM embeddings),
+      |q AS (SELECT t_idx AS q_t, tok AS qv FROM toks WHERE mdoc = 0),
+      |dots AS (
+      |  SELECT d.mdoc, q.q_t,
+      |    MAX(list_sum(list_transform(list_zip(d.tok, q.qv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS m
+      |  FROM toks d, q WHERE d.mdoc <> 0
+      |  GROUP BY d.mdoc, q.q_t),
+      |sc AS (
+      |  SELECT mdoc, ROUND(list_sum(list(m ORDER BY q_t)), 4) AS score
+      |  FROM dots GROUP BY mdoc)
+      |SELECT mdoc, score FROM sc ORDER BY score DESC, mdoc LIMIT $K
+      |""".stripMargin
+
   /** PLAID gate parameters: 64 token centroids, 16 probes per query
     * token (np/k = 25% of lists per token — gate-scale generous; real
     * deployments run ~2^16 lists with np ≈ 4), stage-1 candidate
@@ -300,6 +333,7 @@ object MultiVecQueries {
   def all: Seq[QueryDef] = Seq(
     QueryDef("multivec_maxsim", Some(maxsimOracle), maxsimFlat),
     QueryDef("multivec_maxsim_doc", Some(maxsimOracle), maxsimDoc),
+    QueryDef("multivec_maxsim_cos", Some(maxsimCosOracle), maxsimCos),
     QueryDef("multivec_plaid_recall", Some("SELECT 1 AS ok"), plaidRecall),
     QueryDef("multivec_plaid_pruned", Some("SELECT 1 AS ok"), plaidPruned),
     QueryDef("streaming_multivec_insert", Some(maxsimOracle),

@@ -200,6 +200,33 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want && !got.contains(2L))
   }
 
+  test("hot-path plans carry no Scala UDFs; normalize yields unit tokens") {
+    val rows = corpus(nDocs = 10, tpd = 4, dim = 16, seed = 17L)
+    val toks = rows.map { case (d, t, v) => (d, t, v.toSeq) }
+      .toDF("mdoc", "t_idx", "tok")
+      .withColumn("tok", col("tok").cast("array<float>"))
+    val qToks = rows.filter(_._1 == 0L).sortBy(_._2).toArray
+    val cents = MultiVec.trainCentroids(toks, 4, seed = 5L)
+    val assigned = MultiVec.assign(toks.where(col("mdoc") =!= 0), cents)
+    val probes = MultiVec.probeSets(qToks, cents, 2)
+    for (df <- Seq(
+        MultiVec.scoreFlat(toks.where(col("mdoc") =!= 0), qToks),
+        MultiVec.approxScores(assigned, qToks, probes),
+        MultiVec.plaidSearch(assigned, qToks, probes, 8))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), plan.take(2000))
+    }
+    // normalize = true unit-norms every token (the cosine convention)
+    val e = rows.take(4).map { case (d, t, v) => (d * 4 + t, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    MultiVec.tokens(e, "vec_id", "embedding", 4, normalize = true)
+      .select("tok").collect().foreach { r =>
+        val n = math.sqrt(r.getSeq[Float](0).map(x => x.toDouble * x).sum)
+        assert(math.abs(n - 1.0) < 1e-5, s"norm $n")
+      }
+  }
+
   test("tokens derives doc/position ids by integral division") {
     val e = Seq((0L, Seq(1f)), (3L, Seq(2f)), (4L, Seq(3f)), (7L, Seq(4f)))
       .toDF("vec_id", "embedding")

@@ -377,6 +377,38 @@ object MultiVec {
     mdocs.toDF("mdoc").write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** `validate_index` analog for a [[writeIndex]] layout: structural
+    * invariants checked distributively — centroid ids form a dense
+    * [0, k) range, every posting's `cent` IS the nearest centroid of
+    * its token, every `tok_i8` re-derives from its token, and
+    * (mdoc, t_idx) is unique. Throws with the first violated invariant
+    * named; returns the live posting count on success. */
+  def validateIndex(spark: SparkSession, path: String): Long = {
+    val cents = loadCentroids(spark, path)
+    val ids = spark.read.parquet(s"$path/centroids")
+      .select(col("cent")).collect().map(_.getInt(0)).sorted
+    require(ids.toSeq == cents.indices.toSeq,
+      s"graft: centroid ids not dense [0, ${cents.length}): " +
+        ids.take(8).mkString(", "))
+    val post = spark.read.parquet(s"$path/postings")
+    val reassigned = post.withColumn("__cent",
+        GraftSqlShim.column(NearestCentroid(
+          GraftSqlShim.expression(col("tok")), cents)))
+      .withColumn("__i8",
+        GraftSqlShim.column(graft.functions.QuantizeI8Expr(
+          GraftSqlShim.expression(col("tok")), I8Lo, I8Hi)))
+    val badCent = reassigned.where(col("cent") =!= col("__cent")).count()
+    require(badCent == 0,
+      s"graft: $badCent postings filed under a non-nearest centroid")
+    val badI8 = reassigned.where(col("tok_i8") =!= col("__i8")).count()
+    require(badI8 == 0,
+      s"graft: $badI8 postings with stale i8 codes")
+    val dup = post.groupBy(col("mdoc"), col("t_idx")).count()
+      .where(col("count") > 1).count()
+    require(dup == 0, s"graft: $dup duplicate (mdoc, t_idx) postings")
+    post.count()
+  }
+
   /** Consolidate a [[writeIndex]] layout (the `consolidate`/VACUUM
     * analog): rewrite the append-accumulated postings back to one file
     * per centroid directory and apply tombstones PHYSICALLY — masked

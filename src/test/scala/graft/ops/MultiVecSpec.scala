@@ -200,6 +200,30 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want && !got.contains(2L))
   }
 
+  test("validateIndex passes on fresh/appended/consolidated; rejects corruption") {
+    val rows = corpus(nDocs = 10, tpd = 4, dim = 16, seed = 19L)
+    def toksOf(p: Long => Boolean) =
+      rows.filter(r => p(r._1)).map { case (d, t, v) => (d, t, v.toSeq) }
+        .toDF("mdoc", "t_idx", "tok")
+        .withColumn("tok", col("tok").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("mv-val").toString + "/i"
+    MultiVec.writeIndex(toksOf(d => d >= 1 && d <= 5), dir, nlists = 4, seed = 5L)
+    assert(MultiVec.validateIndex(spark, dir) == 5 * 4)
+    MultiVec.appendToIndex(spark, dir, toksOf(_ > 5))
+    MultiVec.deleteDocs(spark, dir, Seq(3L))
+    MultiVec.consolidateIndex(spark, dir)
+    assert(MultiVec.validateIndex(spark, dir) == 8 * 4)
+    // corruption: a posting filed under the wrong centroid (a duplicate
+    // (mdoc, t_idx) with a foreign cent) must be named in the error
+    val cents = MultiVec.loadCentroids(spark, dir)
+    val one = spark.read.parquet(s"$dir/postings").limit(1)
+    val corrupt = MultiVec.assign(one.select("mdoc", "t_idx", "tok"), cents)
+      .withColumn("cent", (col("cent") + 1) % cents.length)
+    MultiVec.appendTokenPostings(corrupt, s"$dir/postings")
+    val e = intercept[Exception] { MultiVec.validateIndex(spark, dir) }
+    assert(e.getMessage.contains("non-nearest centroid"), e.getMessage)
+  }
+
   test("hot-path plans carry no Scala UDFs; normalize yields unit tokens") {
     val rows = corpus(nDocs = 10, tpd = 4, dim = 16, seed = 17L)
     val toks = rows.map { case (d, t, v) => (d, t, v.toSeq) }

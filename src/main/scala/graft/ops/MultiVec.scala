@@ -144,13 +144,19 @@ object MultiVec {
       .select(col("mdoc"),
         transform(array_sort(col("__ts")), t => t.getField("tok")).as("toks"))
 
+  /** MaxSim scoring column over a doc-array column for a query token
+    * matrix — also the sort expression the planner form matches:
+    * `docs.orderBy(maxsimCol(col("toks"), Q).desc).limit(k)` over a
+    * table registered with `kind = "multivec"` rewrites to PLAID
+    * stage-1 candidates + exact join-back rescore. */
+  def maxsimCol(toksCol: Column, qMatrix: Array[Array[Float]]): Column =
+    GraftSqlShim.column(MaxSimScore(
+      GraftSqlShim.expression(toksCol), qMatrix.map(_.map(_.toDouble))))
+
   /** MaxSim score column over a doc-array table for ONE query doc's
     * token matrix — one codegen'd pass, no shuffle. */
   def scoreDocs(docs: DataFrame, qMatrix: Array[Array[Float]]): DataFrame =
-    docs.select(col("mdoc"),
-      GraftSqlShim.column(MaxSimScore(
-        GraftSqlShim.expression(col("toks")),
-        qMatrix.map(_.map(_.toDouble)))).as("score"))
+    docs.select(col("mdoc"), maxsimCol(col("toks"), qMatrix).as("score"))
 
   /** Coarse token centroids: deterministic hash-sample + seeded
     * k-means++ over ALL documents' token vectors (queries included —

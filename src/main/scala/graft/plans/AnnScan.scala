@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.ann.{AnnIndex, GraphCache, Metric}
-import graft.functions.{CosDist, HammingDist, InnerProduct, L2SqDist}
+import graft.functions.{CosDist, HammingDist, InnerProduct, L2SqDist, MaxSimScore}
 
 /** Registry mapping a table's storage root path → its ANN index artifact.
   * The Spark analog of "this column has a lantern_hnsw index": the
@@ -42,9 +42,13 @@ object AnnCatalog {
     * inherit `ef`: a graph-search ef like 64 on a 16-list index would
     * probe every list — a full table scan wearing an index costume.
     * (`ef` still applies to "ivfpq" as the LUT candidate-pool width.) */
+  /** `kind = "multivec"`: a [[graft.ops.MultiVec.writeIndex]] layout
+    * over a doc-array column (`array<array<float>>`), registered under
+    * `metric = "maxsim"` — `ef` is the stage-1 candidate budget per
+    * query, `nprobe` the per-query-token probed-list count. */
   case class IndexMeta(artifact: String, idCol: String, vecCol: String,
       metric: String, ef: Int, kind: String = "hnsw", nprobe: Int = 0) {
-    require(Set("hnsw", "ivf", "pq", "ivfpq", "bq").contains(kind),
+    require(Set("hnsw", "ivf", "pq", "ivfpq", "bq", "multivec").contains(kind),
       s"graft: unknown index kind '$kind'")
     require(nprobe >= 0, s"graft: nprobe must be >= 0, got $nprobe")
     /** Probe count the planner hands an IVF scan. */
@@ -415,6 +419,56 @@ case class WeightedAnnIdsExec(
   }
 }
 
+/** Logical candidate-id leaf for the MAXSIM planner form
+  * (`ORDER BY maxsim_score(toks, Q) DESC LIMIT k` over a table whose
+  * doc-array column carries a `kind = "multivec"` registration): PLAID
+  * stage 1 proposes `cand` doc ids, and the ORIGINAL Sort+Limit above
+  * the join-back re-scores them with the exact codegen'd MaxSim — the
+  * same pre-rank → heap-fetch → exact-rescore shape as the bq form. */
+case class MaxSimIdsLogical(
+    candAttr: Attribute,
+    artifact: String,
+    query: Seq[Seq[Float]],
+    k: Int,
+    cand: Int,
+    nprobe: Int) extends LeafNode {
+  override def output: Seq[Attribute] = Seq(candAttr)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = 1L + 8L * math.max(cand, k))
+}
+
+case class MaxSimIdsExec(
+    candAttr: Attribute,
+    artifact: String,
+    query: Seq[Seq[Float]],
+    k: Int,
+    cand: Int,
+    nprobe: Int) extends LeafExecNode {
+  override def output: Seq[Attribute] = Seq(candAttr)
+  override protected def doExecute(): RDD[InternalRow] = {
+    import graft.ops.MultiVec
+    val qToks = query.zipWithIndex
+      .map { case (v, i) => (0L, i, v.toArray) }.toArray
+    val cents = MultiVec.loadCentroids(session, artifact)
+    val probes = MultiVec.probeSets(qToks, cents, nprobe)
+    val allCents = probes.valuesIterator.flatten.toSeq.distinct.sorted
+    // stage 1 reads only (mdoc, cent, tok_i8) from the probed
+    // partitions; the exact rescore happens ABOVE the join-back, on
+    // the table's own rows, by the original Sort+Limit
+    val pruned = MultiVec
+      .readTokenPostings(session, s"$artifact/postings", allCents)
+      .select("mdoc", "cent", "tok_i8")
+    val ids = MultiVec.candidatePairs(
+        MultiVec.approxScores(pruned, qToks, probes), math.max(cand, k))
+      .select("mdoc").collect().map(_.getLong(0))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    sparkContext.parallelize(ids.toSeq, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map(id => proj(InternalRow(id)).copy())
+    }
+  }
+}
+
 /** Logical per-outer-row kNN join — what a correlated LATERAL
   * `(SELECT id FROM t ORDER BY dist(vec, outer.qvec) LIMIT k)` means.
   * Vanilla Spark REJECTS that SQL outright
@@ -672,6 +726,8 @@ object AnnStrategy extends SparkStrategy {
         kind, nprobe, table, idCol, vecCol, planLater(left)) :: Nil
     case WeightedAnnIdsLogical(cid, terms) =>
       WeightedAnnIdsExec(cid, terms) :: Nil
+    case MaxSimIdsLogical(cid, artifact, q, k, cand, nprobe) =>
+      MaxSimIdsExec(cid, artifact, q, k, cand, nprobe) :: Nil
     case _ => Nil
   }
 }
@@ -1013,7 +1069,44 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         gl.copy(child = ll.copy(child = newBody))
       }
-      rewritten.orElse(weightedRewritten).getOrElse(gl)
+      // MaxSim planner form: `ORDER BY maxsim_score(toks, Q) DESC
+      // LIMIT k` over a table whose doc-array column carries a
+      // `kind = "multivec"` registration → PLAID stage-1 candidate ids
+      // + join-back; the ORIGINAL Sort+Limit re-scores candidates with
+      // the exact codegen'd MaxSim (the bq pre-rank/rescore shape,
+      // inverted order because bigger MaxSim is better). Scalar form
+      // only — a predicate keeps the exact plan.
+      lazy val maxsimRewritten = for {
+        ms @ Sort(Seq(SortOrder(sortExpr, Descending, _, _)), true, child, _) <- sortOpt
+        (predOpt, rel, paths) <- findFilteredRelation(child)
+        if predOpt.isEmpty
+        (vecAttr, qm) <- (resolveThroughProject(sortExpr, child) match {
+          case MaxSimScore(a: AttributeReference, q) => Some((a, q))
+          case _ => None
+        })
+        meta <- AnnCatalog.lookup(paths, vecAttr.name, "maxsim")
+        if meta.kind == "multivec"
+        idAttr <- rel.output.find(_.name == meta.idCol)
+      } yield {
+        val cid = AttributeReference("__graft_mvcand_id", LongType)()
+        val ids = MaxSimIdsLogical(cid, meta.artifact,
+          qm.map(_.map(_.toFloat).toSeq).toSeq, k,
+          cand = math.max(efRuntime(meta), k),
+          nprobe = nprobeRuntime(meta))
+        val newSource = Project(rel.output,
+          Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
+            JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
+        val newChild = child match {
+          case p: Project => p.copy(child = newSource)
+          case _ => newSource
+        }
+        val newBody: LogicalPlan = {
+          val newSort = ms.copy(child = newChild)
+          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
+        }
+        gl.copy(child = ll.copy(child = newBody))
+      }
+      rewritten.orElse(weightedRewritten).orElse(maxsimRewritten).getOrElse(gl)
   }
 }
 

@@ -234,6 +234,52 @@ object MultiVecQueries {
     }
   }
 
+  /** MaxSim PLANNER gate — the scalar ORDER-BY form: a doc-array table
+    * registered `kind = "multivec"` answers
+    * `orderBy(maxsim_score(toks, Q).desc).limit(k)` through PLAID
+    * stage-1 candidates + exact join-back rescore (the bq
+    * pre-rank/rescore shape, descending). Multi-query protocol: all 8
+    * held-out query docs run the FULL optimizer round-trip; the gate is
+    * the plan assertion on every query plus mean recall@10 ≥ 0.8 vs the
+    * exact batched truth. */
+  private def maxsimPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val t = toks(s, dir)
+    val q = MultiVec.queryToks(t, (0L until QDocs.toLong))
+    val corpus = t.where(col("mdoc") >= QDocs)
+    val exact = recallMaps(
+      MultiVec.topKPerQuery(MultiVec.scoreFlat(corpus, q), K))
+
+    val idxPath = AnnQueries.artifactDir("mvpidx", dir, "embeddings")
+    AnnQueries.cached(idxPath) {
+      MultiVec.writeIndex(corpus, s"$idxPath/idx", Centroids)
+    }
+    val docsPath = AnnQueries.artifactDir("mvdocs", dir, "embeddings")
+    AnnQueries.cached(docsPath) {
+      MultiVec.docArrays(corpus).write.mode("overwrite")
+        .parquet(s"$docsPath/docs")
+    }
+    AnnCatalog.register(s, s"$docsPath/docs", AnnCatalog.IndexMeta(
+      s"$idxPath/idx", "mdoc", "toks", "maxsim",
+      ef = CandPerQuery, kind = "multivec", nprobe = Nprobe))
+
+    val docs = s.read.parquet(s"$docsPath/docs")
+    val byQ = q.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val ann = (0L until QDocs.toLong).map { qd =>
+      val top = docs
+        .orderBy(MultiVec.maxsimCol(col("toks"), byQ(qd)).desc)
+        .limit(K)
+      // every round-trip must serve through the index rewrite
+      if (!top.queryExecution.optimizedPlan.toString.contains("MaxSimIds"))
+        qd -> Set.empty[Long]
+      else qd -> top.select("mdoc").collect().map(_.getLong(0)).toSet
+    }.toMap
+    if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** Consolidation gate — the full maintenance lifecycle in one pass:
     * build over the first half, APPEND the second half, DELETE docs
     * 1–3 (tombstones), CONSOLIDATE (compaction + physical delete +
@@ -341,5 +387,6 @@ object MultiVecQueries {
     QueryDef("multivec_consolidate", Some(consolidateOracle),
       multivecConsolidate),
     QueryDef("autotune_multivec", Some("SELECT 1 AS ok"),
-      multivecAutotune))
+      multivecAutotune),
+    QueryDef("knn_maxsim_planner", Some("SELECT 1 AS ok"), maxsimPlanner))
 }

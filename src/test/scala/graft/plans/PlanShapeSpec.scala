@@ -453,6 +453,52 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
+  test("multivec kind: maxsim DESC rewrite = PLAID pre-rank + exact join-back rescore") {
+    import graft.ops.MultiVec
+    val dir = sf("sf0.001")
+    val toks = MultiVec.tokens(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", 4)
+    val base = java.nio.file.Files.createTempDirectory("graft-mvp").toString
+    MultiVec.writeIndex(toks.where(col("mdoc") =!= 0), s"$base/idx", nlists = 8)
+    MultiVec.docArrays(toks.where(col("mdoc") =!= 0))
+      .write.parquet(s"$base/docs")
+    val qm = MultiVec.queryToks(toks, Seq(0L)).map(_._3)
+    val docs = spark.read.parquet(s"$base/docs")
+    val nDocs = docs.count().toInt
+    AnnCatalog.register(spark, s"$base/docs", AnnCatalog.IndexMeta(
+      s"$base/idx", "mdoc", "toks", "maxsim",
+      ef = nDocs, kind = "multivec", nprobe = 8))
+    try {
+      val knn = docs
+        .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc).limit(5)
+      val opt = knn.queryExecution.optimizedPlan
+      assert(opt.collect { case m: MaxSimIdsLogical => m }.nonEmpty,
+        opt.toString.take(800))
+      assert(opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty, opt.toString.take(800))
+      // candidate budget = corpus + every list probed ⇒ EXACT top-5
+      val got = knn.select("mdoc").collect().map(_.getLong(0)).toSeq
+      val exact = MultiVec.scoreDocs(docs, qm)
+        .orderBy(col("score").desc, col("mdoc")).limit(5)
+        .select("mdoc").collect().map(_.getLong(0)).toSeq
+      assert(got.toSet == exact.toSet, s"$got vs $exact")
+      // guards: ascending order and a predicate both keep the exact plan
+      val asc = docs.orderBy(MultiVec.maxsimCol(col("toks"), qm)).limit(5)
+      assert(asc.queryExecution.optimizedPlan.collect {
+        case m: MaxSimIdsLogical => m }.isEmpty)
+      val filtered = docs.where(col("mdoc") > 2)
+        .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc).limit(5)
+      assert(filtered.queryExecution.optimizedPlan.collect {
+        case m: MaxSimIdsLogical => m }.isEmpty)
+    } finally AnnCatalog.unregister(spark, s"$base/docs")
+    // unregistered tables never rewrite
+    val un = spark.read.parquet(s"$base/docs")
+      .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc).limit(5)
+    assert(un.queryExecution.optimizedPlan.collect {
+      case m: MaxSimIdsLogical => m }.isEmpty)
+  }
+
   test("lateral rule guards: wrong output shape or oversized k keep failing analysis") {
     import graft.ann.{AnnIndex, AnnParams}
     val dir = sf("sf0.001")

@@ -330,16 +330,43 @@ object MultiVec {
     * scan reads doc ids and i8 codes only); stage 2 reranks candidates
     * from the full table behind a broadcast semi-join. Scores are
     * bit-identical to [[plaidSearch]] under the same probes. */
+  /** Stage-1 candidate pairs from an on-disk postings table: pruned
+    * masked read of the probed centroids' `(mdoc, cent, tok_i8)`
+    * columns → approximate scores → top-`cand` cut. The ONE
+    * implementation behind both the library search path and the
+    * planner exec, so the two can never drift. */
+  private[graft] def stage1PairsOnDisk(spark: SparkSession,
+      postingsPath: String,
+      qToks: Array[(Long, Int, Array[Float])],
+      probes: Map[Long, Set[Int]],
+      candPerQuery: Int,
+      mask: DataFrame => DataFrame): DataFrame = {
+    val allCents = probes.valuesIterator.flatten.toSeq.distinct.sorted
+    val pruned = mask(readTokenPostings(spark, postingsPath, allCents))
+      .select("mdoc", "cent", "tok_i8")
+    candidatePairs(approxScores(pruned, qToks, probes), candPerQuery)
+  }
+
+  /** Stage-1 candidate doc ids against a [[writeIndex]] layout for ONE
+    * query's token matrix — tombstones masked; the planner form's
+    * proposal function ([[graft.plans]] MaxSimIdsExec). */
+  def candidateIdsOnDisk(spark: SparkSession, path: String,
+      qMatrix: Array[Array[Float]], nprobe: Int, cand: Int): Array[Long] = {
+    val qToks = qMatrix.zipWithIndex.map { case (v, i) => (0L, i, v) }
+    val cents = loadCentroids(spark, path)
+    val probes = probeSets(qToks, cents, nprobe)
+    stage1PairsOnDisk(spark, s"$path/postings", qToks, probes, cand,
+        tombstoneMask(spark, path))
+      .select("mdoc").collect().map(_.getLong(0))
+  }
+
   def plaidSearchOnDisk(spark: SparkSession, path: String,
       qToks: Array[(Long, Int, Array[Float])],
       probes: Map[Long, Set[Int]],
       candPerQuery: Int,
       mask: DataFrame => DataFrame = identity): DataFrame = {
-    val allCents = probes.valuesIterator.flatten.toSeq.distinct.sorted
-    val pruned = mask(readTokenPostings(spark, path, allCents))
-      .select("mdoc", "cent", "tok_i8")
-    val pairs = candidatePairs(
-      approxScores(pruned, qToks, probes), candPerQuery)
+    val pairs = stage1PairsOnDisk(spark, path, qToks, probes,
+      candPerQuery, mask)
     rerank(mask(spark.read.parquet(path)), qToks, pairs)
   }
 
@@ -387,32 +414,40 @@ object MultiVec {
     * invariants checked distributively — centroid ids form a dense
     * [0, k) range, every posting's `cent` IS the nearest centroid of
     * its token, every `tok_i8` re-derives from its token, and
-    * (mdoc, t_idx) is unique. Throws with the first violated invariant
-    * named; returns the live posting count on success. */
+    * (mdoc, t_idx) is unique. Checks cover every PHYSICAL posting
+    * (tombstone-masked rows included — corruption is corruption) and
+    * run as ONE aggregation pass over the postings; throws with the
+    * first violated invariant named, returns the physical posting
+    * count on success (equals the live count once tombstones have been
+    * consolidated). */
   def validateIndex(spark: SparkSession, path: String): Long = {
-    val cents = loadCentroids(spark, path)
-    val ids = spark.read.parquet(s"$path/centroids")
-      .select(col("cent")).collect().map(_.getInt(0)).sorted
-    require(ids.toSeq == cents.indices.toSeq,
-      s"graft: centroid ids not dense [0, ${cents.length}): " +
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cent")).select(col("cent"), col("vec")).collect()
+    val ids = centRows.map(_.getInt(0))
+    require(ids.toSeq == ids.indices.toSeq,
+      s"graft: centroid ids not dense [0, ${ids.length}): " +
         ids.take(8).mkString(", "))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
     val post = spark.read.parquet(s"$path/postings")
-    val reassigned = post.withColumn("__cent",
-        GraftSqlShim.column(NearestCentroid(
-          GraftSqlShim.expression(col("tok")), cents)))
-      .withColumn("__i8",
-        GraftSqlShim.column(graft.functions.QuantizeI8Expr(
-          GraftSqlShim.expression(col("tok")), I8Lo, I8Hi)))
-    val badCent = reassigned.where(col("cent") =!= col("__cent")).count()
+    val flag = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val r = post
+      .withColumn("__cent", GraftSqlShim.column(NearestCentroid(
+        GraftSqlShim.expression(col("tok")), cents)))
+      .withColumn("__i8", GraftSqlShim.column(graft.functions.QuantizeI8Expr(
+        GraftSqlShim.expression(col("tok")), I8Lo, I8Hi)))
+      .agg(
+        flag(col("cent") =!= col("__cent")).as("badCent"),
+        flag(col("tok_i8") =!= col("__i8")).as("badI8"),
+        count(lit(1)).as("n"),
+        countDistinct(col("mdoc"), col("t_idx")).as("keys"))
+      .head()
+    val (badCent, badI8, n, keys) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     require(badCent == 0,
       s"graft: $badCent postings filed under a non-nearest centroid")
-    val badI8 = reassigned.where(col("tok_i8") =!= col("__i8")).count()
-    require(badI8 == 0,
-      s"graft: $badI8 postings with stale i8 codes")
-    val dup = post.groupBy(col("mdoc"), col("t_idx")).count()
-      .where(col("count") > 1).count()
-    require(dup == 0, s"graft: $dup duplicate (mdoc, t_idx) postings")
-    post.count()
+    require(badI8 == 0, s"graft: $badI8 postings with stale i8 codes")
+    require(n == keys, s"graft: ${n - keys} duplicate (mdoc, t_idx) postings")
+    n
   }
 
   /** Consolidate a [[writeIndex]] layout (the `consolidate`/VACUUM
@@ -421,20 +456,37 @@ object MultiVec {
     * docs leave the postings and the tombstone dir resets. Scores are
     * unchanged by construction (stage-1 max and the ordered query fold
     * are file-order-independent), so a search before == after, minus
-    * the deleted docs. */
+    * the deleted docs. A MAINTENANCE operation, single-writer like
+    * `writeIndex`: the compacted table is written fully before the
+    * directory swap, and a failed swap rolls the original back, but a
+    * reader racing the two renames themselves can observe a missing
+    * postings dir on stores without atomic directory rename. Refuses
+    * to consolidate an index whose every doc is tombstoned — that
+    * would leave no readable postings (drop and rebuild instead). */
   def consolidateIndex(spark: SparkSession, path: String): Unit = {
     val live = tombstoneMask(spark, path)(
       spark.read.parquet(s"$path/postings"))
+    require(!live.isEmpty,
+      s"graft: consolidate would leave an empty index under $path " +
+        "(every doc tombstoned) — drop and rebuild instead")
     val compact = new org.apache.hadoop.fs.Path(s"$path/postings_compact")
     val fs = compact.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
     live.select(col("mdoc"), col("t_idx"), col("tok"), col("tok_i8"),
         col("cent"))
       .repartition(col("cent"))
       .write.partitionBy("cent").mode("overwrite").parquet(compact.toString)
     val post = new org.apache.hadoop.fs.Path(s"$path/postings")
     val old = new org.apache.hadoop.fs.Path(s"$path/postings_old")
-    require(fs.rename(post, old) && fs.rename(compact, post),
-      s"graft: consolidate swap failed under $path")
+    if (fs.exists(old)) fs.delete(old, true) // stale prior attempt
+    require(fs.rename(post, old),
+      s"graft: consolidate could not move $post aside")
+    if (!fs.rename(compact, post)) {
+      // roll the original back so the index never loses its postings
+      fs.rename(old, post)
+      throw new IllegalStateException(
+        s"graft: consolidate swap failed under $path — original restored")
+    }
     fs.delete(old, true)
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (fs.exists(tomb)) fs.delete(tomb, true)

@@ -446,21 +446,12 @@ case class MaxSimIdsExec(
     nprobe: Int) extends LeafExecNode {
   override def output: Seq[Attribute] = Seq(candAttr)
   override protected def doExecute(): RDD[InternalRow] = {
-    import graft.ops.MultiVec
-    val qToks = query.zipWithIndex
-      .map { case (v, i) => (0L, i, v.toArray) }.toArray
-    val cents = MultiVec.loadCentroids(session, artifact)
-    val probes = MultiVec.probeSets(qToks, cents, nprobe)
-    val allCents = probes.valuesIterator.flatten.toSeq.distinct.sorted
     // stage 1 reads only (mdoc, cent, tok_i8) from the probed
-    // partitions; the exact rescore happens ABOVE the join-back, on
-    // the table's own rows, by the original Sort+Limit
-    val pruned = MultiVec
-      .readTokenPostings(session, s"$artifact/postings", allCents)
-      .select("mdoc", "cent", "tok_i8")
-    val ids = MultiVec.candidatePairs(
-        MultiVec.approxScores(pruned, qToks, probes), math.max(cand, k))
-      .select("mdoc").collect().map(_.getLong(0))
+    // partitions, tombstones masked — the SAME proposal function the
+    // library search path uses; the exact rescore happens ABOVE the
+    // join-back, on the table's own rows, by the original Sort+Limit
+    val ids = graft.ops.MultiVec.candidateIdsOnDisk(session, artifact,
+      query.map(_.toArray).toArray, nprobe, cand)
     val schema = StructType(Seq(StructField("id", LongType)))
     sparkContext.parallelize(ids.toSeq, 1).mapPartitions { it =>
       val proj = UnsafeProjection.create(schema)
@@ -1076,8 +1067,12 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the exact codegen'd MaxSim (the bq pre-rank/rescore shape,
       // inverted order because bigger MaxSim is better). Scalar form
       // only — a predicate keeps the exact plan.
+      // NullsLast only (the Descending default): stage-1 can never
+      // propose a NULL-toks row, so a nulls-FIRST sort would lose the
+      // rows the exact plan ranks first — decline rather than alter
+      // output
       lazy val maxsimRewritten = for {
-        ms @ Sort(Seq(SortOrder(sortExpr, Descending, _, _)), true, child, _) <- sortOpt
+        ms @ Sort(Seq(SortOrder(sortExpr, Descending, NullsLast, _)), true, child, _) <- sortOpt
         (predOpt, rel, paths) <- findFilteredRelation(child)
         if predOpt.isEmpty
         (vecAttr, qm) <- (resolveThroughProject(sortExpr, child) match {

@@ -80,7 +80,10 @@ object MultiVecQueries {
     * at derivation (codegen'd kernel), so the dot IS the cosine. Same
     * flat physical path; the oracle replays the normalization
     * term-for-term (sequential double norm, double divide, float
-    * round-trip) before the max-dot CTE. */
+    * round-trip) before the max-dot CTE. Zero-norm tokens are outside
+    * the replay contract: the kernel passes them through unchanged
+    * while SQL's x/sqrt(0) is NULL — the test fixtures contain none
+    * (a mismatch would surface as a loud hash failure, not silence). */
   private def maxsimCos(s: SparkSession, dir: String): DataFrame = {
     val t = MultiVec.tokens(Tables.embeddings(s, dir), "vec_id", "embedding",
       T, normalize = true)

@@ -483,6 +483,12 @@ class PlanShapeSpec extends SparkTestBase {
         .orderBy(col("score").desc, col("mdoc")).limit(5)
         .select("mdoc").collect().map(_.getLong(0)).toSeq
       assert(got.toSet == exact.toSet, s"$got vs $exact")
+      // tombstoned docs never surface through the planner path either
+      MultiVec.deleteDocs(spark, s"$base/idx", Seq(got.head))
+      val afterDel = docs
+        .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc).limit(5)
+        .select("mdoc").collect().map(_.getLong(0)).toSet
+      assert(!afterDel.contains(got.head) && afterDel.nonEmpty)
       // guards: ascending order and a predicate both keep the exact plan
       val asc = docs.orderBy(MultiVec.maxsimCol(col("toks"), qm)).limit(5)
       assert(asc.queryExecution.optimizedPlan.collect {

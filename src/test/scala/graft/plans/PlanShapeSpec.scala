@@ -396,6 +396,35 @@ class PlanShapeSpec extends SparkTestBase {
       finally spark.conf.unset(graft.GraftConf.AnnNprobe)
       assert(scanNp == 2)
     } finally AnnCatalog.unregister(spark, tablePath)
+
+    // and the multivec kind: ef drives the stage-1 candidate budget,
+    // nprobe the per-query-token probed-list count
+    import graft.ops.MultiVec
+    val toks = MultiVec.tokens(e, "vec_id", "embedding", 4)
+    val base = java.nio.file.Files.createTempDirectory("graft-mvguc").toString
+    MultiVec.writeIndex(toks, s"$base/idx", nlists = 8)
+    MultiVec.docArrays(toks).write.parquet(s"$base/docs")
+    AnnCatalog.register(spark, s"$base/docs", AnnCatalog.IndexMeta(
+      s"$base/idx", "mdoc", "toks", "maxsim", ef = 24, kind = "multivec",
+      nprobe = 3))
+    try {
+      val qm = MultiVec.queryToks(toks, Seq(0L)).map(_._3)
+      val docs = spark.read.parquet(s"$base/docs")
+      def knobs = docs
+        .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc).limit(5)
+        .queryExecution.optimizedPlan.collect {
+          case m: MaxSimIdsLogical => (m.cand, m.nprobe)
+        }.head
+      assert(knobs == ((24, 3)))
+      spark.conf.set(graft.GraftConf.AnnEf, "40")
+      spark.conf.set(graft.GraftConf.AnnNprobe, "5")
+      try assert(knobs == ((40, 5)))
+      finally {
+        spark.conf.unset(graft.GraftConf.AnnEf)
+        spark.conf.unset(graft.GraftConf.AnnNprobe)
+      }
+      assert(knobs == ((24, 3)))
+    } finally AnnCatalog.unregister(spark, s"$base/docs")
   }
 
   test("bq kind: scalar rewrite = hamming pre-rank + join-back exact rescore") {

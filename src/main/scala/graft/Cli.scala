@@ -37,7 +37,7 @@ object Cli {
       |                     [--autotune-results P] [--once]
       |  start-server       --root P [--port 8080]
       |  sparse-postings    --src P --id-col C --vec-col C --out P
-      |                     [--tau 0.125]
+      |                     [--tau 0.125] [--buckets 64]
       |  sparse-search      --postings P --id-col C --terms 1,5,9
       |                     --weights 0.2,0.3,0.1 [--k 10]
       |  multivec-index     --src P --id-col C --vec-col C --out P
@@ -77,7 +77,7 @@ object Cli {
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
     "start-server" -> Set("root", "port"),
-    "sparse-postings" -> Set("src", "id-col", "vec-col", "out", "tau"),
+    "sparse-postings" -> Set("src", "id-col", "vec-col", "out", "tau", "buckets"),
     "sparse-search" -> Set("postings", "id-col", "terms", "weights", "k"),
     "multivec-index" -> Set("src", "id-col", "vec-col", "out", "toks-per-doc",
       "nlists"),
@@ -242,9 +242,11 @@ object Cli {
         import org.apache.spark.sql.functions.col
         val sv = spark.read.parquet(srcP).select(col(idCol),
           ops.SparseSearch.sparsify(col(vecCol), tau).as("sv"))
+        val buckets = opts.getOrElse("buckets",
+          ops.SparseSearch.DefaultBuckets.toString).toInt
         ops.SparseSearch.writePostings(
-          ops.SparseSearch.postings(sv, idCol, col("sv")), outP)
-        println(s"wrote $outP (term-partitioned postings, tau=$tau)")
+          ops.SparseSearch.postings(sv, idCol, col("sv")), outP, buckets)
+        println(s"wrote $outP (term-bucketed postings, tau=$tau, buckets=$buckets)")
 
       case "sparse-search" =>
         val (postP, idCol) = (req(opts, "postings"), req(opts, "id-col"))

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.sparse_dot
@@ -25,20 +26,50 @@ import graft.functions.sparse_dot
   *    sparse column is already materialized row-wise.
   *  - [[postings]] + [[invertedTopK]] — the inverted-index form: the
   *    corpus explodes ONCE into a (term, doc, weight) postings table
-  *    (at scale: written out partitioned/bucketed BY TERM, so a query
-  *    prunes to its own terms' partitions and reads nothing else);
-  *    search is a broadcast join of the tiny query-term table against
-  *    the postings, a per-doc sum, and a top-k. Matched postings per
-  *    doc are bounded by the QUERY's nnz, so the per-group state is
-  *    O(|q|) regardless of corpus size.
+  *    (at scale: written out hash-bucketed BY TERM, so a query prunes
+  *    to its own terms' buckets and reads nothing else); search is a
+  *    broadcast join of the tiny query-term table against the
+  *    postings, a per-doc sum, and a top-k. Matched postings per doc
+  *    are bounded by the QUERY's nnz, so the per-group state is O(|q|)
+  *    regardless of corpus size.
   *
-  * Determinism contract: both paths accumulate matched products in
-  * ascending-index order in double (the merge in `SparseDot`; a
+  * On-disk layout ([[writePostings]]): the postings are partitioned by
+  * `tb = term mod buckets` — a BOUNDED directory fan-out (a SPLADE
+  * vocabulary is 30k+ live terms; partition-per-term would make the
+  * directory count itself a listing/metadata scale-killer) — and
+  * hash-clustered by bucket before the write so each bucket directory
+  * holds one file per write, not one per (task × bucket). A query
+  * still prunes at FILE-LISTING time: its terms map to a bucket set,
+  * `PartitionFilters` on `tb` cuts the listing to those directories,
+  * and the residual `term IN (...)` predicate pushes into the parquet
+  * row-group scan. Bucket count and the id column name persist in a
+  * metadata file inside the table, so readers never re-guess them.
+  *
+  * Lifecycle (the `ambulkdelete` / `consolidate_bm25_table` analog —
+  * reference semantics lantern_hnsw/src/hnsw/delete.c:15-73,
+  * lantern_extras/src/bm25_api.sql:108-165): [[deletePostings]]
+  * appends tombstoned doc ids under an underscore-prefixed directory
+  * (invisible to the parquet scan); every [[readPostings]] masks them
+  * with one broadcast anti-join; [[consolidatePostings]] compacts the
+  * append-accumulated files back to one per bucket, applies tombstones
+  * physically, and swaps directories — preserving any tombstone files
+  * appended concurrently with the compaction.
+  *
+  * Determinism contract: both search paths accumulate matched products
+  * in ascending-index order in double (the merge in `SparseDot`; a
   * sorted-struct fold in [[invertedTopK]]), so their scores are
   * bit-identical to each other and to a SQL replay — the same
   * oracle-matchability contract as the dense distance expressions.
   */
 object SparseSearch {
+
+  /** Default term-bucket count for the on-disk layout: 64 directories
+    * bound the listing at any vocabulary size while a typical query
+    * (nnz 5–50) still prunes to well under the full set. */
+  val DefaultBuckets = 64
+
+  private val MetaFile = "_graft_sparse_meta.json"
+  private val TombDir = "_tombstones"
 
   /** Sparse struct column from a dense vector: keep coordinates with
     * activation ≥ `tau` (ReLU threshold — non-negative impacts only),
@@ -81,9 +112,8 @@ object SparseSearch {
   }
 
   /** Explode a sparse column into the postings form
-    * `(term: int, <idCol>, w: float)`. At scale, write this out
-    * `partitionBy("term")` (or bucketed by term) once; queries then
-    * touch only their own terms' files. */
+    * `(term: int, <idCol>, w: float)` — [[writePostings]] materializes
+    * it term-bucketed so queries touch only their own terms' buckets. */
   def postings(docs: DataFrame, idCol: String, sv: Column): DataFrame =
     docs
       .select(col(idCol), sv.getField("indices").as("__ti"),
@@ -93,34 +123,215 @@ object SparseSearch {
       .select(col("term"), col(idCol),
         element_at(col("__tv"), col("__p") + 1).as("w"))
 
-  /** Materialize the postings table PARTITIONED BY TERM — the
-    * inverted-index layout on disk. A query then prunes the listing to
-    * its own terms' directories ([[readPostings]]) and reads nothing
-    * else: search I/O is proportional to the query's terms' posting
-    * lists, not the corpus (the on-disk analog of an impact-sorted
-    * inverted file; partition count = live vocabulary size). */
-  def writePostings(post: DataFrame, path: String): Unit =
-    post.write.partitionBy("term").mode("overwrite").parquet(path)
+  // ------------------------------------------------------------- meta
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, path: String,
+      buckets: Int, idCol: String): Unit = {
+    val p = new Path(path, MetaFile)
+    val out = fsFor(spark, path).create(p, true)
+    try out.write(
+      s"""{"buckets":$buckets,"idCol":"$idCol"}\n""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (buckets, idCol) of a [[writePostings]] table — the layout
+    * parameters every reader and appender must share; trusting a
+    * caller-resupplied value instead would silently mis-bucket. */
+  def readMeta(spark: SparkSession, path: String): (Int, String) = {
+    val p = new Path(path, MetaFile)
+    val fs = fsFor(spark, path)
+    require(fs.exists(p),
+      s"graft: $path has no $MetaFile — not a sparse postings table")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val b = """"buckets":(\d+)""".r.findFirstMatchIn(text)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: $p is missing the buckets field")).group(1).toInt
+    val id = """"idCol":"([^"]+)"""".r.findFirstMatchIn(text)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: $p is missing the idCol field")).group(1)
+    (b, id)
+  }
+
+  private def idColOf(post: DataFrame): String = {
+    val rest = post.columns.filterNot(Set("term", "w"))
+    require(rest.length == 1,
+      s"graft: postings must be (term, <id>, w), got " +
+        post.columns.mkString(", "))
+    rest.head
+  }
+
+  // ------------------------------------------------------------ write
+
+  /** Materialize the postings table hash-bucketed by term — the
+    * bounded inverted-index layout on disk. `pmod(term, buckets)` is
+    * the partition column: the directory count is `buckets` regardless
+    * of vocabulary size, a query prunes the listing to its terms'
+    * bucket set ([[readPostings]]), and the `repartition` clusters
+    * rows so each bucket directory receives ONE file per write instead
+    * of one per writing task — the small-files guard at any scale. */
+  def writePostings(post: DataFrame, path: String,
+      buckets: Int = DefaultBuckets): Unit = {
+    require(buckets >= 1, s"graft: buckets must be >= 1, got $buckets")
+    val idCol = idColOf(post)
+    post.withColumn("tb", pmod(col("term"), lit(buckets)))
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(path)
+    // after the table write: overwrite mode clears the directory first
+    writeMeta(post.sparkSession, path, buckets, idCol)
+  }
 
   /** Append new documents' postings to an existing [[writePostings]]
-    * table (the `aminsert` analog for the inverted file): new files
-    * land inside the term directories; scoring folds per-doc postings
-    * in TERM order, so results are file-order-independent and
-    * bit-identical to a from-scratch build over the union. */
-  def appendPostings(post: DataFrame, path: String): Unit =
-    post.write.partitionBy("term").mode("append").parquet(path)
+    * table (the `aminsert` analog for the inverted file): rows bucket
+    * with the TABLE's persisted bucket count (a resupplied one could
+    * silently mis-bucket), cluster per bucket (one new file per bucket
+    * per append), and land inside the bucket directories. Scoring
+    * folds per-doc postings in TERM order, so results are
+    * file-order-independent and bit-identical to a from-scratch build
+    * over the union. */
+  def appendPostings(post: DataFrame, path: String): Unit = {
+    val (buckets, idCol) = readMeta(post.sparkSession, path)
+    require(idColOf(post) == idCol,
+      s"graft: append id column '${idColOf(post)}' != table's '$idCol'")
+    post.withColumn("tb", pmod(col("term"), lit(buckets)))
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("append").parquet(path)
+  }
 
-  /** Partition-pruned read of a [[writePostings]] table: the `isin`
-    * predicate on the partition column prunes at FILE-LISTING time
-    * (`PartitionFilters` in the scan), so only the query's terms'
-    * directories are touched. */
+  // ------------------------------------------------------------- read
+
+  /** Bucket-pruned, tombstone-masked read of a [[writePostings]]
+    * table, restricted to the query's terms: the `isin` predicate on
+    * the bucket partition column prunes at FILE-LISTING time
+    * (`PartitionFilters` in the scan — I/O proportional to the query
+    * terms' buckets, not the corpus), the residual `term IN (...)`
+    * pushes into the parquet row-group scan, and tombstoned docs drop
+    * behind one broadcast anti-join. Output columns: (term, <id>, w). */
   def readPostings(
-      spark: org.apache.spark.sql.SparkSession,
+      spark: SparkSession,
       path: String,
       qIdx: Seq[Int]): DataFrame = {
     require(qIdx.nonEmpty, "graft: readPostings needs at least one query term")
-    spark.read.parquet(path).where(col("term").isin(qIdx: _*))
+    val (buckets, idCol) = readMeta(spark, path)
+    val tbs = qIdx.map(i => math.floorMod(i, buckets)).distinct.sorted
+    val pruned = spark.read.parquet(path)
+      .where(col("tb").isin(tbs: _*) && col("term").isin(qIdx: _*))
+      .select(col("term"), col(idCol), col("w"))
+    tombstoneMask(spark, path, idCol)(pruned)
   }
+
+  // -------------------------------------------------------- lifecycle
+
+  /** `ambulkdelete` analog: tombstoned doc ids append to an
+    * underscore-prefixed directory inside the table (invisible to the
+    * parquet scan); every [[readPostings]] masks them with one
+    * broadcast anti-join. Physical postings stay immutable until
+    * [[consolidatePostings]]. */
+  def deletePostings(spark: SparkSession, path: String,
+      ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    val (_, idCol) = readMeta(spark, path)
+    ids.toDF(idCol).write.mode("append").parquet(s"$path/$TombDir")
+  }
+
+  /** Resolve the tombstone mask ONCE per read: one fs.exists, one
+    * read; the returned function anti-joins it into the scan. */
+  private def tombstoneMask(spark: SparkSession, path: String,
+      idCol: String): DataFrame => DataFrame = {
+    val t = new Path(s"$path/$TombDir")
+    if (fsFor(spark, path).exists(t)) {
+      val tomb = broadcast(spark.read.parquet(t.toString).distinct())
+      post => post.join(tomb, Seq(idCol), "left_anti")
+    } else identity
+  }
+
+  /** Consolidate a [[writePostings]] table (the `consolidate`/VACUUM
+    * analog): rewrite the append-accumulated files back to ONE per
+    * bucket directory and apply tombstones PHYSICALLY — masked docs
+    * leave the postings. Scores are unchanged by construction (the
+    * per-doc fold is term-ordered, file-order-independent), so a
+    * search before == after, minus the deleted docs.
+    *
+    * A MAINTENANCE operation, single-writer for the POSTINGS (like
+    * every index build here) — but [[deletePostings]] is a lightweight
+    * call a user may issue concurrently, so the tombstone directory
+    * gets race-safe handling: the tombstone FILES are snapshotted
+    * before compaction, only the snapshot is applied and discarded,
+    * and any tombstone file that appeared while the compaction ran is
+    * carried into the new generation, still masking its docs. The
+    * directory swap itself is two renames; a reader racing them can
+    * observe a missing table on stores without atomic rename. */
+  def consolidatePostings(spark: SparkSession, path: String): Unit =
+    consolidatePostings(spark, path, () => ())
+
+  /** Test seam: `afterCompact` runs once the compacted table is fully
+    * written, before the directory swap — the window a concurrent
+    * [[deletePostings]] could land in. */
+  private[ops] def consolidatePostings(spark: SparkSession, path: String,
+      afterCompact: () => Unit): Unit = {
+    val (buckets, idCol) = readMeta(spark, path)
+    val fs = fsFor(spark, path)
+    val tombPath = new Path(s"$path/$TombDir")
+    // snapshot the tombstone file list NOW: these (and only these) are
+    // applied physically and retired; later arrivals survive the swap
+    val snapshot: Seq[Path] =
+      if (fs.exists(tombPath))
+        fs.listStatus(tombPath).filter(_.isFile).map(_.getPath).toSeq
+      else Seq.empty
+    val snapNames = snapshot.map(_.getName).toSet
+    val snapParquet = snapshot.filter(_.getName.endsWith(".parquet"))
+    val masked: DataFrame => DataFrame =
+      if (snapParquet.nonEmpty) {
+        val tomb = broadcast(
+          spark.read.parquet(snapParquet.map(_.toString): _*).distinct())
+        df => df.join(tomb, Seq(idCol), "left_anti")
+      } else identity
+    val live = masked(spark.read.parquet(path))
+    require(!live.isEmpty,
+      s"graft: consolidate would leave an empty postings table under " +
+        s"$path (every doc tombstoned) — drop and rebuild instead")
+    val compact = new Path(path + "__compact")
+    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
+    live.select(col("term"), col(idCol), col("w"), col("tb"))
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(compact.toString)
+    writeMeta(spark, compact.toString, buckets, idCol)
+    afterCompact()
+    val cur = new Path(path)
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true) // stale prior attempt
+    require(fs.rename(cur, old),
+      s"graft: consolidate could not move $cur aside")
+    if (!fs.rename(compact, cur)) {
+      // roll the original back so the table never loses its postings
+      fs.rename(old, cur)
+      throw new IllegalStateException(
+        s"graft: consolidate swap failed under $path — original restored")
+    }
+    // tombstone files appended DURING the compaction (present in the
+    // old generation, absent from the snapshot) keep masking: move
+    // them into the new generation's tombstone dir before dropping old
+    val oldTomb = new Path(s"${old.toString}/$TombDir")
+    if (fs.exists(oldTomb)) {
+      val late = fs.listStatus(oldTomb)
+        .filter(st => st.isFile && !snapNames.contains(st.getPath.getName))
+      if (late.nonEmpty) {
+        val newTomb = new Path(s"$path/$TombDir")
+        fs.mkdirs(newTomb)
+        late.foreach(st =>
+          fs.rename(st.getPath, new Path(newTomb, st.getPath.getName)))
+      }
+    }
+    fs.delete(old, true)
+    ()
+  }
+
+  // ------------------------------------------------------------ score
 
   /** Inverted-index top-k: broadcast the query's (term, weight) rows
     * against the postings, sum per doc, cut top-k. The per-doc fold

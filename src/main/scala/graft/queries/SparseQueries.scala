@@ -55,12 +55,13 @@ object SparseQueries {
   }
 
   /** Third physical path, same oracle: postings materialized
-    * partitioned-by-term, the query read PRUNED to its own terms'
-    * directories — the on-disk inverted-file shape for 100 TB. */
+    * hash-bucketed by term (bounded directory fan-out), the query read
+    * PRUNED to its own terms' buckets — the on-disk inverted-file
+    * shape for 100 TB. */
   private def scoredPruned(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val (qIdx, qVal) = queryArrays(e)
-    val path = AnnQueries.artifactDir("sparsepost", dir, "embeddings")
+    val path = AnnQueries.artifactDir("sparsepostb", dir, "embeddings")
     AnnQueries.cached(path) {
       SparseSearch.writePostings(
         SparseSearch.postings(sparseDocs(e), "vec_id", col("sv")), path)
@@ -139,6 +140,65 @@ object SparseQueries {
       invertedCut(SparseSearch.readPostings(s, path, qIdx), qIdx, qVal)
     }
   }
+
+  /** Lifecycle gate — the full maintenance chain in one pass
+    * ([[graft.ops.SparseSearch.deletePostings]] /
+    * [[graft.ops.SparseSearch.consolidatePostings]], the
+    * `ambulkdelete` + `consolidate_bm25_table` analogs): build the
+    * inverted file over the first half of the corpus, APPEND the
+    * second half, DELETE docs 1–3 (tombstones — masked by every read),
+    * CONSOLIDATE (compaction + physical delete + tombstone retirement),
+    * then the pruned-read score must hash-match the oracle over the
+    * corpus MINUS the deleted docs — with structural fail-fasts that
+    * compaction actually landed (exactly one file per bucket
+    * directory, tombstone dir gone). */
+  private val Deleted = Seq(1L, 2L, 3L)
+
+  private def sparseConsolidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val (qIdx, qVal) = queryArrays(e)
+    val docs = sparseDocs(e)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-scons").toString + "/post"
+    SparseSearch.writePostings(
+      SparseSearch.postings(docs.where(col("vec_id") <= maxId / 2),
+        "vec_id", col("sv")), path, buckets = 16)
+    SparseSearch.appendPostings(
+      SparseSearch.postings(docs.where(col("vec_id") > maxId / 2),
+        "vec_id", col("sv")), path)
+    SparseSearch.deletePostings(s, path, Deleted)
+    SparseSearch.consolidatePostings(s, path)
+
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("tb="))
+    val compacted = bucketDirs.nonEmpty && bucketDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")) == 1)
+    val tombGone = !new java.io.File(s"$path/_tombstones").exists()
+    if (!compacted || !tombGone) {
+      Seq.empty[(Long, Double)].toDF("vec_id", "score")
+    } else {
+      invertedCut(SparseSearch.readPostings(s, path, qIdx), qIdx, qVal)
+    }
+  }
+
+  private val sparseConsolidateOracle: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sc AS (
+      |  SELECT e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0.125
+      |                 AND CAST(p[2] AS DOUBLE) >= 0.125
+      |        THEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |        ELSE 0.0 END)) AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0 AND e.vec_id NOT IN (1, 2, 3))
+      |SELECT vec_id, round(s, 4) AS score
+      |FROM sc WHERE s > 0
+      |ORDER BY score DESC, vec_id
+      |LIMIT 10""".stripMargin
 
   /** Sparse + dense RRF hybrid: the SPLADE-era production combiner
     * (sparse impact top-20 fused with dense l2sq top-20 by reciprocal
@@ -221,6 +281,7 @@ object SparseQueries {
     QueryDef("sparse_knn_inverted", Some(sparseOracle), scoredInverted),
     QueryDef("sparse_knn_pruned", Some(sparseOracle), scoredPruned),
     QueryDef("streaming_sparse_insert", Some(sparseOracle), streamingSparseInsert),
+    QueryDef("sparse_consolidate", Some(sparseConsolidateOracle), sparseConsolidate),
     QueryDef("hybrid_sparse_dense", Some(hybridSparseDenseOracle), hybridSparseDense),
   )
 }

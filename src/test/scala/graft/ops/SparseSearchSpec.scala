@@ -112,27 +112,41 @@ class SparseSearchSpec extends SparkTestBase {
     assert(exact == inv) // same docs, same order, bit-identical doubles
   }
 
-  test("partitioned postings prune the scan to the query's terms") {
+  test("bucketed postings prune the scan to the query terms' buckets") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val sv = e.select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))
     val post = SparseSearch.postings(sv, "vec_id", $"sv")
     val dir = java.nio.file.Files.createTempDirectory("graft-sparse").toString + "/post"
-    SparseSearch.writePostings(post, dir)
+    val buckets = 16
+    SparseSearch.writePostings(post, dir, buckets)
+    // terms 0/5/9 land in buckets 0/5/9 at buckets=16
     val qIdx = Seq(0, 5, 9)
     val pruned = SparseSearch.readPostings(spark, dir, qIdx)
-    // pruning happens at file-listing time: PartitionFilters on term,
-    // and the executed scan reads ONLY the query terms' files
+    // pruning happens at file-listing time: PartitionFilters on the
+    // bucket column; the executed scan reads ONLY the query buckets'
+    // files, while the residual term predicate pushes into parquet
     val qe = pruned.queryExecution
     val plan = qe.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("term"), plan)
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains("term"), plan)
     pruned.collect()
     val scan = qe.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.get
-    val totalParts = new java.io.File(dir).listFiles()
-      .count(_.getName.startsWith("term="))
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("tb="))
+    // directory fan-out is BOUNDED by the bucket count (never the
+    // vocabulary size), one file per bucket per write, and the pruned
+    // read touches only the query's buckets
+    assert(bucketDirs <= buckets, s"$bucketDirs dirs > $buckets buckets")
+    assert(bucketDirs > qIdx.size, s"only $bucketDirs buckets on disk")
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("tb=")).foreach { d =>
+        val n = d.listFiles().count(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        assert(n == 1, s"${d.getName} holds $n files after one write")
+      }
     assert(scan.metrics("numFiles").value <= qIdx.size.toLong)
-    assert(totalParts > qIdx.size, s"only $totalParts partitions on disk")
     // and the pruned read scores identically to the in-memory postings
     val qVal = Seq(0.3f, 0.2f, 0.4f)
     val full = SparseSearch.invertedTopK(
@@ -141,6 +155,80 @@ class SparseSearchSpec extends SparkTestBase {
     val viaDisk = SparseSearch.invertedTopK(pruned, "vec_id", qIdx, qVal, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full.nonEmpty && full == viaDisk)
+  }
+
+  test("append adds one file per bucket; delete masks; consolidate compacts") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val sv = e.where($"vec_id" =!= 0)
+      .select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-slc").toString + "/post"
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv.where($"vec_id" <= maxId / 2), "vec_id", $"sv"),
+      dir, buckets = 8)
+    SparseSearch.appendPostings(
+      SparseSearch.postings(sv.where($"vec_id" > maxId / 2), "vec_id", $"sv"), dir)
+    // after one write + one append: at most two files per bucket dir
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("tb=")).foreach { d =>
+        val n = d.listFiles().count(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        assert(n <= 2, s"${d.getName} holds $n files after write+append")
+      }
+    val qRow = e.where($"vec_id" === 0)
+      .select(SparseSearch.sparsify($"embedding", 0.125f).as("qv"))
+      .head().getStruct(0)
+    val qIdx = qRow.getSeq[Int](0)
+    val qVal = qRow.getSeq[Float](1)
+    val before = SparseSearch.invertedTopK(
+        SparseSearch.readPostings(spark, dir, qIdx), "vec_id", qIdx, qVal, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.nonEmpty)
+    // tombstone the current top hit: the masked read must drop it
+    SparseSearch.deletePostings(spark, dir, Seq(before.head))
+    val afterDel = SparseSearch.invertedTopK(
+        SparseSearch.readPostings(spark, dir, qIdx), "vec_id", qIdx, qVal, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!afterDel.contains(before.head))
+    // consolidate: physical delete + back to one file per bucket,
+    // tombstones retired, scores unchanged
+    SparseSearch.consolidatePostings(spark, dir)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("tb=")).foreach { d =>
+        val n = d.listFiles().count(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        assert(n == 1, s"${d.getName} holds $n files after consolidate")
+      }
+    assert(spark.read.parquet(dir)
+      .where($"vec_id" === before.head).count() == 0)
+    val afterCons = SparseSearch.invertedTopK(
+        SparseSearch.readPostings(spark, dir, qIdx), "vec_id", qIdx, qVal, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterCons == afterDel)
+  }
+
+  test("consolidate preserves tombstone files appended during compaction") {
+    // the race: a deletePostings lands AFTER the snapshot/compaction
+    // but BEFORE the swap — the test seam injects it right there; the
+    // late tombstone must survive into the new generation and keep
+    // masking its doc
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(40)
+    val sv = e.select($"vec_id", SparseSearch.sparsify($"embedding", Float.MinValue).as("sv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-srace").toString + "/post"
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", $"sv"), dir, buckets = 4)
+    SparseSearch.deletePostings(spark, dir, Seq(1L))
+    SparseSearch.consolidatePostings(spark, dir,
+      () => SparseSearch.deletePostings(spark, dir, Seq(2L)))
+    // doc 1 physically gone (snapshot applied); doc 2's LATE tombstone
+    // carried into the new generation — still present, still masking
+    assert(spark.read.parquet(dir).where($"vec_id" === 1L).count() == 0)
+    assert(new java.io.File(s"$dir/_tombstones").exists())
+    assert(spark.read.parquet(dir).where($"vec_id" === 2L).count() > 0)
+    val ids = SparseSearch.readPostings(spark, dir, Seq(0))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L) && !ids.contains(2L) && ids.nonEmpty)
   }
 
   test("plan hygiene: no ScalaUDF; exact path reduces via TakeOrderedAndProject") {

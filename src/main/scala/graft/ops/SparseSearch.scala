@@ -239,6 +239,13 @@ object SparseSearch {
     ids.toDF(idCol).write.mode("append").parquet(s"$path/$TombDir")
   }
 
+  /** Anti-join `df` against `path`'s tombstones on `idCol` (no-op when
+    * none exist) — for callers that score OUTSIDE [[readPostings]],
+    * like the planner form's starvation fallback: a doc deleted from
+    * the postings must not resurface through a table-side scan. */
+  def maskTombstones(df: DataFrame, path: String, idCol: String): DataFrame =
+    tombstoneMask(df.sparkSession, path, idCol)(df)
+
   /** Resolve the tombstone mask ONCE per read: one fs.exists, one
     * read; the returned function anti-joins it into the scan. */
   private def tombstoneMask(spark: SparkSession, path: String,

@@ -46,9 +46,17 @@ object AnnCatalog {
     * over a doc-array column (`array<array<float>>`), registered under
     * `metric = "maxsim"` — `ef` is the stage-1 candidate budget per
     * query, `nprobe` the per-query-token probed-list count. */
+  /** `kind = "sparse"`: a [[graft.ops.SparseSearch.writePostings]]
+    * term-bucketed inverted file over a sparse struct column
+    * (`struct<indices: array<int>, values: array<float>>`), registered
+    * under `metric = "sparsedot"` — `ef` is the candidate width of the
+    * pruned inverted pre-rank (the rescore above the join-back is the
+    * SAME exact score, so results are bit-equal to the exact plan). */
   case class IndexMeta(artifact: String, idCol: String, vecCol: String,
       metric: String, ef: Int, kind: String = "hnsw", nprobe: Int = 0) {
-    require(Set("hnsw", "ivf", "pq", "ivfpq", "bq", "multivec").contains(kind),
+    require(
+      Set("hnsw", "ivf", "pq", "ivfpq", "bq", "multivec", "sparse")
+        .contains(kind),
       s"graft: unknown index kind '$kind'")
     require(nprobe >= 0, s"graft: nprobe must be >= 0, got $nprobe")
     /** Probe count the planner hands an IVF scan. */
@@ -460,6 +468,81 @@ case class MaxSimIdsExec(
   }
 }
 
+/** Logical candidate-id leaf for the SPARSE planner form
+  * (`ORDER BY sparse_dot(sv, Q) DESC LIMIT k` over a table whose
+  * sparse struct column carries a `kind = "sparse"` registration): the
+  * bucket-pruned inverted file proposes the exact top-`ef` positive-
+  * score ids, and the ORIGINAL Sort+Limit above the join-back
+  * re-scores them with the SAME codegen'd SparseDot — so within the
+  * candidate set the rewrite is EXACT, not approximate (the inverted
+  * fold is bit-identical to the row-wise merge). `table` is a captured
+  * fragment for the starvation fallback: when fewer than k docs score
+  * > 0, the exact plan fills with zero-overlap rows the postings can't
+  * see, so the node falls back to the exact scan rather than alter
+  * output. */
+case class SparseAnnIdsLogical(
+    candAttr: Attribute,
+    table: LogicalPlan,
+    idCol: String,
+    vecCol: String,
+    artifact: String,
+    qIdx: Seq[Int],
+    qVal: Seq[Float],
+    k: Int,
+    ef: Int) extends LeafNode {
+  override def output: Seq[Attribute] = Seq(candAttr)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = 1L + 8L * math.max(ef, k))
+}
+
+case class SparseAnnIdsExec(
+    candAttr: Attribute,
+    // driver-only (starvation fallback); @transient keeps the captured
+    // relation (non-serializable file index) out of task closures when
+    // the canonicalized join subtree rides along with codegen'd tasks
+    @transient table: LogicalPlan,
+    idCol: String,
+    vecCol: String,
+    artifact: String,
+    qIdx: Seq[Int],
+    qVal: Seq[Float],
+    k: Int,
+    ef: Int) extends LeafExecNode {
+  override def output: Seq[Attribute] = Seq(candAttr)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.functions.col
+    val pool = math.max(ef, k)
+    val hits = graft.ops.SparseSearch.invertedTopK(
+        graft.ops.SparseSearch.readPostings(session, artifact, qIdx),
+        idCol, qIdx, qVal, pool)
+      .select(col(idCol).cast(LongType))
+      .collect().map(_.getLong(0))
+    val ids =
+      if (hits.length >= k) hits.toSeq
+      else {
+        // positive-score starvation: the exact plan ranks zero-overlap
+        // docs (score 0) after the matches — those rows never enter the
+        // postings join, so fill from the exact scan over the table,
+        // masking tombstoned ids so a deleted doc can't resurface
+        // through the fallback that the pruned path correctly hides
+        val df = graft.ops.SparseSearch.maskTombstones(
+          GraftSqlShim.ofRows(session, table), artifact, idCol)
+        df.select(col(idCol).cast(LongType).as("__id"),
+            graft.functions.sparse_dot(col(vecCol),
+              graft.ops.SparseSearch.queryLit(qIdx, qVal)).as("__s"))
+          .orderBy(col("__s").desc, col("__id"))
+          .limit(k)
+          .collect().map(_.getLong(0)).toSeq
+      }
+    val schema = StructType(Seq(StructField("id", LongType)))
+    sparkContext.parallelize(ids, 1).mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      it.map(id => proj(InternalRow(id)).copy())
+    }
+  }
+}
+
 /** Logical per-outer-row kNN join — what a correlated LATERAL
   * `(SELECT id FROM t ORDER BY dist(vec, outer.qvec) LIMIT k)` means.
   * Vanilla Spark REJECTS that SQL outright
@@ -719,6 +802,8 @@ object AnnStrategy extends SparkStrategy {
       WeightedAnnIdsExec(cid, terms) :: Nil
     case MaxSimIdsLogical(cid, artifact, q, k, cand, nprobe) =>
       MaxSimIdsExec(cid, artifact, q, k, cand, nprobe) :: Nil
+    case SparseAnnIdsLogical(cid, table, idCol, vecCol, artifact, qi, qv, k, ef) =>
+      SparseAnnIdsExec(cid, table, idCol, vecCol, artifact, qi, qv, k, ef) :: Nil
     case _ => Nil
   }
 }
@@ -788,6 +873,38 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def bits(l: Literal): Array[Float] =
     Metric.b1ToWords(l.value.asInstanceOf[ArrayData].toIntArray())
+
+  /** (sparseAttr, query indices, query values) from a
+    * `sparse_dot(column, literal-struct)` sort expression. By this
+    * rule's run ConstantFolding has collapsed
+    * `struct(typedlit(idx), typedlit(vals))` into one struct Literal;
+    * an unfolded CreateNamedStruct of literals is matched too. */
+  private def matchSparse(e: Expression)
+      : Option[(AttributeReference, Seq[Int], Seq[Float])] = {
+    def isSparseType(t: DataType): Boolean = t match {
+      case StructType(Array(f0, f1)) =>
+        (f0.dataType, f1.dataType) match {
+          case (ArrayType(IntegerType, _), ArrayType(FloatType, _)) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    def query(q: Expression): Option[(Seq[Int], Seq[Float])] = q match {
+      case Literal(row: InternalRow, t) if isSparseType(t) =>
+        Some((row.getArray(0).toIntArray().toSeq,
+          row.getArray(1).toFloatArray().toSeq))
+      case cns: CreateNamedStruct if cns.foldable && isSparseType(cns.dataType) =>
+        query(Literal.create(cns.eval(InternalRow.empty), cns.dataType))
+      case _ => None
+    }
+    e match {
+      case graft.functions.SparseDot(a: AttributeReference, q) =>
+        query(q).map { case (i, v) => (a, i, v) }
+      case graft.functions.SparseDot(q, a: AttributeReference) =>
+        query(q).map { case (i, v) => (a, i, v) }
+      case _ => None
+    }
+  }
 
   /** Decompose `w1·dist(c1,q1) + w2·dist(c2,q2) + …` — the
     * `weighted_vector_search` sort form (sql/lantern.sql:673-819).
@@ -1101,7 +1218,51 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         gl.copy(child = ll.copy(child = newBody))
       }
-      rewritten.orElse(weightedRewritten).orElse(maxsimRewritten).getOrElse(gl)
+      // Sparse planner form: `ORDER BY sparse_dot(sv, Q) DESC [, id]
+      // LIMIT k` over a table whose sparse column carries a
+      // `kind = "sparse"` registration → bucket-pruned inverted
+      // candidates + join-back; the ORIGINAL Sort+Limit re-scores with
+      // the same exact SparseDot, so the rewrite is bit-equal to the
+      // exact plan (candidates are the exact top-ef by the same score;
+      // starvation falls back to the exact scan inside the exec). An
+      // optional second sort key is accepted when it is exactly the
+      // table's id column ascending — the deterministic tiebreak the
+      // gates use. NullsLast only, same guard as maxsim. Scalar form
+      // only — a predicate keeps the exact plan.
+      lazy val sparseRewritten = for {
+        sp @ Sort(orders, true, child, _) <- sortOpt
+        SortOrder(sortExpr, Descending, NullsLast, _) <- orders.headOption
+        (predOpt, rel, paths) <- findFilteredRelation(child)
+        if predOpt.isEmpty
+        (svAttr, qi, qv) <- matchSparse(resolveThroughProject(sortExpr, child))
+        if qi.nonEmpty
+        meta <- AnnCatalog.lookup(paths, svAttr.name, "sparsedot")
+        if meta.kind == "sparse"
+        idAttr <- rel.output.find(_.name == meta.idCol)
+        if orders.tail.isEmpty || (orders.tail match {
+          case Seq(SortOrder(a: AttributeReference, Ascending, _, _)) =>
+            a.exprId == idAttr.exprId
+          case _ => false
+        })
+      } yield {
+        val cid = AttributeReference("__graft_spcand_id", LongType)()
+        val ids = SparseAnnIdsLogical(cid, rel, meta.idCol, meta.vecCol,
+          meta.artifact, qi, qv, k, math.max(efRuntime(meta), k))
+        val newSource = Project(rel.output,
+          Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
+            JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
+        val newChild = child match {
+          case p: Project => p.copy(child = newSource)
+          case _ => newSource
+        }
+        val newBody: LogicalPlan = {
+          val newSort = sp.copy(child = newChild)
+          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
+        }
+        gl.copy(child = ll.copy(child = newBody))
+      }
+      rewritten.orElse(weightedRewritten).orElse(maxsimRewritten)
+        .orElse(sparseRewritten).getOrElse(gl)
   }
 }
 

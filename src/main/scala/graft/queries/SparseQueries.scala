@@ -200,6 +200,64 @@ object SparseQueries {
       |ORDER BY score DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** Sparse PLANNER gate — the scalar ORDER-BY form: a materialized
+    * sparse table registered `kind = "sparse"` answers
+    * `orderBy(sparse_dot(sv, Q).desc, id).limit(k)` through
+    * bucket-pruned inverted candidates + exact join-back rescore
+    * ([[graft.plans.SparseAnnIdsLogical]]). Because the inverted fold
+    * is bit-identical to the row-wise merge, the bar is FULL
+    * bit-equality to the exact plan, not recall: the gate hash-matches
+    * a raw-order oracle cut (the plan's own boundary — raw score desc,
+    * id tiebreak — then rounded for display). A plan assertion fails
+    * the gate loudly if the rewrite didn't fire. */
+  private def sparsePlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val (qIdx, qVal) = queryArrays(e)
+    val docsPath = AnnQueries.artifactDir("sdocs", dir, "embeddings")
+    AnnQueries.cached(docsPath) {
+      sparseDocs(e).write.mode("overwrite").parquet(s"$docsPath/docs")
+    }
+    val postPath = AnnQueries.artifactDir("sparsepostb", dir, "embeddings")
+    AnnQueries.cached(postPath) {
+      SparseSearch.writePostings(
+        SparseSearch.postings(sparseDocs(e), "vec_id", col("sv")), postPath)
+    }
+    val tablePath = s"$docsPath/docs"
+    AnnCatalog.register(s, tablePath, AnnCatalog.IndexMeta(
+      postPath, "vec_id", "sv", "sparsedot", ef = 64, kind = "sparse"))
+    try {
+      val docs = s.read.parquet(tablePath)
+      val q = SparseSearch.queryLit(qIdx, qVal)
+      val top = docs
+        .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id"))
+        .limit(10)
+      if (!top.queryExecution.optimizedPlan.toString.contains("SparseAnnIds"))
+        Seq.empty[(Long, Double)].toDF("vec_id", "score")
+      else top.select(col("vec_id"),
+        round(sparse_dot(col("sv"), q), 4).as("score"))
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
+  /** Raw-order oracle for the planner gate: the cut happens on the RAW
+    * double (the exact plan's own sort boundary), the output rounds. */
+  private val sparsePlannerOracle: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sc AS (
+      |  SELECT e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0.125
+      |                 AND CAST(p[2] AS DOUBLE) >= 0.125
+      |        THEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |        ELSE 0.0 END)) AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0)
+      |SELECT vec_id, round(s, 4) AS score
+      |FROM sc
+      |ORDER BY s DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   /** Sparse + dense RRF hybrid: the SPLADE-era production combiner
     * (sparse impact top-20 fused with dense l2sq top-20 by reciprocal
     * rank — [[graft.ops.HybridSearch]]); both arms cut on rounded
@@ -282,6 +340,7 @@ object SparseQueries {
     QueryDef("sparse_knn_pruned", Some(sparseOracle), scoredPruned),
     QueryDef("streaming_sparse_insert", Some(sparseOracle), streamingSparseInsert),
     QueryDef("sparse_consolidate", Some(sparseConsolidateOracle), sparseConsolidate),
+    QueryDef("knn_sparse_planner", Some(sparsePlannerOracle), sparsePlanner),
     QueryDef("hybrid_sparse_dense", Some(hybridSparseDenseOracle), hybridSparseDense),
   )
 }

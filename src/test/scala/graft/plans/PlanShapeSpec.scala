@@ -534,6 +534,81 @@ class PlanShapeSpec extends SparkTestBase {
       case m: MaxSimIdsLogical => m }.isEmpty)
   }
 
+  test("sparse kind: sparse_dot DESC rewrite = pruned inverted pre-rank, bit-equal") {
+    import graft.ops.SparseSearch
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val sv = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), SparseSearch.sparsify(col("embedding"), 0.125f).as("sv"))
+    val base = java.nio.file.Files.createTempDirectory("graft-spp").toString
+    sv.write.parquet(s"$base/docs")
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", col("sv")), s"$base/post", buckets = 8)
+    val qRow = e.where(col("vec_id") === 0)
+      .select(SparseSearch.sparsify(col("embedding"), 0.125f).as("qv"))
+      .head().getStruct(0)
+    val q = SparseSearch.queryLit(qRow.getSeq[Int](0), qRow.getSeq[Float](1))
+    val docs = spark.read.parquet(s"$base/docs")
+    AnnCatalog.register(spark, s"$base/docs", AnnCatalog.IndexMeta(
+      s"$base/post", "vec_id", "sv", "sparsedot", ef = 32, kind = "sparse"))
+    try {
+      val knn = docs
+        .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id")).limit(5)
+      val opt = knn.queryExecution.optimizedPlan
+      assert(opt.collect { case m: SparseAnnIdsLogical => m }.nonEmpty,
+        opt.toString.take(800))
+      // the rescore is the same exact score ⇒ full equality, same order
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSeq
+      val exact = SparseSearch.topK(docs, "vec_id", col("sv"), q, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == exact, s"$got vs $exact")
+      // tombstoned docs never surface through the planner path either
+      SparseSearch.deletePostings(spark, s"$base/post", Seq(got.head))
+      val afterDel = docs
+        .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id")).limit(5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(!afterDel.contains(got.head) && afterDel.nonEmpty)
+      // single-order form (no id tiebreak) rewrites too
+      val single = docs.orderBy(sparse_dot(col("sv"), q).desc).limit(5)
+      assert(single.queryExecution.optimizedPlan.collect {
+        case m: SparseAnnIdsLogical => m }.nonEmpty)
+      // guards: ascending order, a predicate, and a non-id second sort
+      // key all keep the exact plan
+      val asc = docs.orderBy(sparse_dot(col("sv"), q)).limit(5)
+      assert(asc.queryExecution.optimizedPlan.collect {
+        case m: SparseAnnIdsLogical => m }.isEmpty)
+      val filtered = docs.where(col("vec_id") > 2)
+        .orderBy(sparse_dot(col("sv"), q).desc).limit(5)
+      assert(filtered.queryExecution.optimizedPlan.collect {
+        case m: SparseAnnIdsLogical => m }.isEmpty)
+      val badTie = docs
+        .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id").desc).limit(5)
+      assert(badTie.queryExecution.optimizedPlan.collect {
+        case m: SparseAnnIdsLogical => m }.isEmpty)
+      // starvation: k above the positive-score count falls back to the
+      // exact scan — zero-overlap rows fill (minus the one doc
+      // tombstoned above, which the fallback must keep masking)
+      val nPos = docs.select(sparse_dot(col("sv"), q).as("s"))
+        .where(col("s") > 0).count()
+      val n = docs.count()
+      if (n > nPos) {
+        val kAll = math.min(n, 1000).toInt
+        val all = docs
+          .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id")).limit(kAll)
+        assert(all.queryExecution.optimizedPlan.collect {
+          case m: SparseAnnIdsLogical => m }.nonEmpty)
+        assert(all.count() == kAll - 1) // all live docs, tombstone masked
+        assert(!all.select("vec_id").collect().map(_.getLong(0))
+          .contains(got.head))
+      }
+    } finally AnnCatalog.unregister(spark, s"$base/docs")
+    // unregistered tables never rewrite
+    val un = spark.read.parquet(s"$base/docs")
+      .orderBy(sparse_dot(col("sv"), q).desc).limit(5)
+    assert(un.queryExecution.optimizedPlan.collect {
+      case m: SparseAnnIdsLogical => m }.isEmpty)
+  }
+
   test("lateral rule guards: wrong output shape or oversized k keep failing analysis") {
     import graft.ann.{AnnIndex, AnnParams}
     val dir = sf("sf0.001")

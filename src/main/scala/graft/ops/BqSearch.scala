@@ -140,8 +140,10 @@ object BqSearch {
     * callers batching MANY queries bound it by chunking the query set
     * — the lateral planner path inherits exactly that from the
     * kNN-join exec's byte-budget chunking, so the broadcast never
-    * scales with the corpus, only with the bounded probe chunk. */
-  private def rescore(
+    * scales with the corpus, only with the bounded probe chunk.
+    * Shared with [[MrlSearch]] — every two-stage searcher here rescores
+    * through the same pool-id join-back. */
+  private[ops] def rescore(
       poolIds: DataFrame,
       vecs: DataFrame,
       idCol: String,

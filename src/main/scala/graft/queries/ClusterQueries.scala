@@ -246,10 +246,32 @@ object ClusterQueries {
     val plan = graft.ops.MaskedExplain.explain(annDf, "formatted")
     val planOk = plan.contains("WindowGroupLimit") &&
       !plan.contains("ScalaUDF")
+    // prepacked twin: the materialized-prefix table serves stage 1 —
+    // its scan must read (id, prefix) ONLY (m/dim of the bytes; the
+    // full vectors are touched by the rescore join-back alone), and
+    // results must be IDENTICAL to the inline path (same kernels, same
+    // tiebreaks, same pool)
+    val prefPath = AnnQueries.artifactDir("mrlpref", dir, "embeddings")
+    AnnQueries.cached(prefPath) {
+      h.base.select(col("vec_id"),
+          graft.ops.MrlSearch.prefix(col("embedding"), 32).as("pref"))
+        .write.mode("overwrite").parquet(s"$prefPath/pref")
+    }
+    val packedDf = graft.ops.MrlSearch.topKManyPrepacked(
+      s.read.parquet(s"$prefPath/pref"), "vec_id", "pref",
+      h.base, "embedding", h.queries.toSeq, k = 10, pool = 256, m = 32)
+    val packedPlan = graft.ops.MaskedExplain.explain(packedDf, "formatted")
+    val prefScanOk = packedPlan.linesIterator
+      .filter(_.contains("ReadSchema")).exists(l =>
+        l.contains("pref") && !l.contains("embedding"))
+    def rows(df: DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val samePaths = rows(annDf) == rows(packedDf)
     val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
     val distOk = RecallProtocol.distsTrue(
       annDf, h.queriesDf, h.base, "vec_id", "embedding")
-    if (planOk && distOk &&
+    if (planOk && prefScanOk && samePaths && distOk &&
         RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(annDf), exact))
       Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")

@@ -57,6 +57,29 @@ class MrlSearchSpec extends SparkTestBase {
     assert(udfs.isEmpty)
   }
 
+  test("prepacked path: identical results, stage-1 scan excludes the vector") {
+    val qs = queries(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrlp").toString
+    e.select(col("vec_id"), MrlSearch.prefix(col("embedding"), 16).as("pref"))
+      .write.parquet(s"$dir/pref")
+    val pre = spark.read.parquet(s"$dir/pref")
+    val inline = MrlSearch.topKMany(
+      e, "vec_id", "embedding", qs, k = 5, pool = 32, m = 16)
+    val packed = MrlSearch.topKManyPrepacked(
+      pre, "vec_id", "pref", e, "embedding", qs, k = 5, pool = 32, m = 16)
+    assert(asTriples(inline) == asTriples(packed))
+    // the prefix table's scan reads (vec_id, pref) only — the full
+    // vector column appears in the rescore join-back scan alone
+    val p = MaskedExplain.explain(packed, "formatted")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(l => l.contains("pref") && !l.contains("embedding")),
+      schemas.mkString("\n"))
+    // stage-1's shuffle carries id pairs, not vectors: no Exchange
+    // input schema contains the prefix or vector columns above the
+    // window — proxy assert: the window runs over (query_id, id, dist)
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("prefix column is a slice: bytes scanned scale with m") {
     val rows = e.limit(5)
       .select(col("embedding"), MrlSearch.prefix(col("embedding"), 7))

@@ -403,22 +403,62 @@ case class AnnFilteredIdsExec(
   * Sort+Limit above the join-back re-ranks by the exact joint metric —
   * the reference's CTE UNION ALL + DISTINCT ON(id) shape, exact within
   * the candidate set. */
+/** One term of a weighted rewrite: which index proposes this term's
+  * candidates and how wide. `ef` is the per-term candidate width; for
+  * the coarse-list kinds `nprobe` is the probe count. The query is
+  * already kind-adjusted (pq/cos queries pre-normalized, like the
+  * scalar form). */
+case class WeightedTerm(artifact: String, query: Seq[Float], ef: Int,
+    kind: String, nprobe: Int, metric: String)
+
 case class WeightedAnnIdsLogical(
     candAttr: Attribute,
-    terms: Seq[(String, Seq[Float], Int)]) extends LeafNode {
+    terms: Seq[WeightedTerm]) extends LeafNode {
   override def output: Seq[Attribute] = Seq(candAttr)
   override def computeStats(): Statistics =
-    Statistics(sizeInBytes = 1L + 8L * terms.map(_._3.toLong).sum)
+    Statistics(sizeInBytes = 1L + 8L * terms.map(_.ef.toLong).sum)
 }
 
 case class WeightedAnnIdsExec(
     candAttr: Attribute,
-    terms: Seq[(String, Seq[Float], Int)]) extends LeafExecNode {
+    terms: Seq[WeightedTerm]) extends LeafExecNode {
   override def output: Seq[Attribute] = Seq(candAttr)
+
+  /** Per-kind nearest-id proposal — each term's candidates come from
+    * its OWN index kind's search path (the same proposal functions the
+    * scalar forms use), the union dedupes, and the exact joint metric
+    * above the join-back re-ranks. */
+  private def termIds(t: WeightedTerm): Seq[Long] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val q = t.query.toArray
+    t.kind match {
+      case "ivf" =>
+        val (scan, _, _) = graft.ann.IvfIndex.probedScan(
+          session, t.artifact, q, nprobe = math.max(1, t.nprobe))
+        // cos-IVF lists store unit vectors; cos_dist is normalization-
+        // invariant, so ranking the probed rows by the registered
+        // metric is sound for both metrics
+        scan.select(col("id"),
+            graft.ops.VectorSearch.distance(t.metric, col("vec"), lit(q))
+              .as("__d"))
+          .orderBy(col("__d"), col("id")).limit(t.ef)
+          .collect().map(_.getLong(0)).toSeq
+      case "pq" =>
+        graft.ann.PqAnnIndex.search(session, t.artifact, q, t.ef, t.ef)
+          .map(_._1).toSeq
+      case "ivfpq" =>
+        graft.ann.IvfPqIndex.search(session, t.artifact, q, t.ef,
+            nprobe = math.max(1, t.nprobe), ef = t.ef)
+          .select("id").collect().map(_.getLong(0)).toSeq
+      case "bq" =>
+        graft.ann.BqIndex.candidateIds(session, t.artifact, q, t.ef).toSeq
+      case _ =>
+        AnnIndex.search(session, t.artifact, q, t.ef, t.ef).map(_._1).toSeq
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val ids = terms.flatMap { case (artifact, q, ef) =>
-      AnnIndex.search(session, artifact, q.toArray, ef, ef).map(_._1)
-    }.distinct
+    val ids = terms.flatMap(termIds).distinct
     val schema = StructType(Seq(StructField("id", LongType)))
     sparkContext.parallelize(ids, 1).mapPartitions { it =>
       val proj = UnsafeProjection.create(schema)
@@ -1140,7 +1180,15 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if terms.forall { case (w, _, a, _) => w > 0 && rel.outputSet.contains(a) }
         if predOpt.forall(p => isMaxDistPred(p, terms, child))
         metas = terms.map { case (_, m, a, _) => AnnCatalog.lookup(paths, a.name, m) }
-        if metas.forall(_.exists(mm => mm.kind == "hnsw" && mm.metric != "hamming"))
+        // per-term kind matrix, mirroring the scalar form's guards:
+        // hnsw (non-hamming — the joint metric needs float vectors),
+        // ivf, and the candidate-id kinds pq/ivfpq/bq for the
+        // l2/angular family (their pre-ranks are meaningful there only)
+        if metas.forall(_.exists(mm =>
+          (mm.kind == "hnsw" && mm.metric != "hamming") ||
+            mm.kind == "ivf" ||
+            (Set("pq", "ivfpq", "bq")(mm.kind) &&
+              Set("l2sq", "cos")(mm.metric))))
         if metas.flatten.map(_.idCol).distinct.size == 1
         idAttr <- rel.output.find(_.name == metas.head.get.idCol)
       } yield {
@@ -1148,7 +1196,17 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val ids = WeightedAnnIdsLogical(cid,
           terms.zip(metas).map { case ((_, _, _, q), metaOpt) =>
             val meta = metaOpt.get
-            (meta.artifact, q.toSeq, math.max(efRuntime(meta), k))
+            // a cos PQ index is an l2sq graph over unit vectors — the
+            // query normalizes here, as in the scalar form
+            val qq =
+              if (meta.kind == "pq") Metric.normalizeIfCos(q, meta.metric)
+              else q
+            WeightedTerm(meta.artifact, qq.toSeq,
+              math.max(efRuntime(meta), k), meta.kind,
+              if (meta.kind == "ivf" || meta.kind == "ivfpq")
+                nprobeRuntime(meta)
+              else 0,
+              meta.metric)
           })
         // join-back (heap-fetch) + the ORIGINAL Sort+Limit re-ranking by
         // the exact joint metric over the candidate union

@@ -229,6 +229,64 @@ object WeightedQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** Mixed-kind weighted planner: one joint sort whose terms are
+    * backed by DIFFERENT index kinds — the l2sq term by a bq (sign-
+    * bit) index, the cos term by an hnsw graph. The rewrite must still
+    * fire ([[graft.plans.WeightedAnnIdsLogical]]), each term's
+    * candidates must come from its OWN kind's proposal function (the
+    * captured terms name both kinds), and the joint re-rank must hold
+    * recall@10 ≥ 0.8 vs the exact weighted top-10. */
+  private def weightedKnnMixedPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{AnnIndex, AnnParams}
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val pBq = AnnQueries.artifactDir("bqp", dir, "embeddings")
+    AnnQueries.cached(pBq) {
+      graft.ann.BqIndex.build(e, "vec_id", "embedding", pBq)
+    }
+    val pCos = AnnQueries.artifactDir("anncosw", dir, "embeddings")
+    AnnQueries.cached(pCos) {
+      AnnIndex.build(e, "vec_id", "embedding", pCos,
+        AnnParams(m = 16, efConstruction = 128, ef = 64,
+          metric = "cos", numPartitions = 4))
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath, AnnCatalog.IndexMeta(
+      pBq, "vec_id", "embedding", "l2sq", ef = 384, kind = "bq"))
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(pCos, "vec_id", "embedding", "cos", ef = 64))
+    try {
+      val qs = weightedSamples(e)
+      var allPlanned = true
+      var kindsOk = true
+      var hits = 0
+      var total = 0
+      qs.indices.foreach { i =>
+        val q = qs(i)._2
+        val q2 = qs((i + 1) % qs.size)._2
+        val joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
+          lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
+        val knn = e.orderBy(joint).limit(10)
+        val ws = knn.queryExecution.optimizedPlan.collect {
+          case w: graft.plans.WeightedAnnIdsLogical => w
+        }
+        allPlanned &&= ws.nonEmpty
+        kindsOk &&= ws.headOption.exists(
+          _.terms.map(_.kind).toSet == Set("bq", "hnsw"))
+        val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = e.withColumn("d", joint)
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        hits += got.intersect(exact).size
+        total += exact.size
+      }
+      if (allPlanned && kindsOk && hits.toDouble >= 0.8 * total)
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   // ------------------------------------------------------------- MMR
 
   private val mmrK = 5
@@ -292,6 +350,8 @@ object WeightedQueries {
     QueryDef("weighted_knn_planner", Some("SELECT 1 AS ok"), weightedKnnPlanner),
     QueryDef("weighted_knn_maxdist_planner", Some("SELECT 1 AS ok"),
       weightedKnnMaxdistPlanner),
+    QueryDef("weighted_knn_mixed_planner", Some("SELECT 1 AS ok"),
+      weightedKnnMixedPlanner),
     QueryDef("mmr_rerank", Some(mmrOracle), mmrRerank),
   )
 }

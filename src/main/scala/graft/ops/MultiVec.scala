@@ -519,6 +519,38 @@ object MultiVec {
         mask = tombstoneMask(spark, path)), k)
   }
 
+  /** Batched PLAID search against a [[writeIndex]] layout with
+    * searchMany's output contract — the lateral/kNN-join serving path
+    * ([[graft.plans]] AnnKnnJoinExec, kind = "multivec"): ALL queries'
+    * tokens ride one probe-set resolution, one pruned stage-1 pass and
+    * one candidate rerank; output `(query_id, neighbor_id, dist,
+    * rank ≤ k)` where `dist` is the EXACT MaxSim score and rank orders
+    * DESCENDING by it (doc-id tiebreak) — bigger is better, unlike the
+    * distance kinds, but the rank column carries the same
+    * best-first contract every consumer sorts by. */
+  def searchManyOnDisk(spark: SparkSession, path: String,
+      queries: Seq[(Long, Array[Array[Float]])], k: Int,
+      nprobe: Int, candPerQuery: Int): DataFrame = {
+    require(queries.nonEmpty, "graft: searchManyOnDisk needs queries")
+    require(k >= 1, s"graft: searchManyOnDisk needs k >= 1, got $k")
+    val qToks: Array[(Long, Int, Array[Float])] = queries.toArray.flatMap {
+      case (qid, m) =>
+        require(m.nonEmpty, s"graft: query $qid has an empty token matrix")
+        m.zipWithIndex.map { case (v, i) => (qid, i, v) }
+    }
+    val cents = loadCentroids(spark, path)
+    val probes = probeSets(qToks, cents, nprobe)
+    val scored = plaidSearchOnDisk(spark, s"$path/postings", qToks, probes,
+      candPerQuery, mask = tombstoneMask(spark, path))
+    val w = Window.partitionBy(col("q_mdoc"))
+      .orderBy(col("score").desc, col("mdoc"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_mdoc").as("query_id"), col("mdoc").as("neighbor_id"),
+        col("score").as("dist"), col("rank"))
+  }
+
   /** Per-query top-k cut on the ROUNDED score (descending, doc-id
     * tiebreak) — the gate-side boundary protocol. */
   def topKPerQuery(scored: DataFrame, k: Int, dp: Int = 4): DataFrame = {

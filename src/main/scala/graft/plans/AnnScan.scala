@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.ann.{AnnIndex, GraphCache, Metric}
-import graft.functions.{CosDist, HammingDist, InnerProduct, L2SqDist, MaxSimScore}
+import graft.functions.{CosDist, HammingDist, InnerProduct, L2SqDist, MaxSimScore, MaxSimScoreCol}
 
 /** Registry mapping a table's storage root path → its ANN index artifact.
   * The Spark analog of "this column has a lantern_hnsw index": the
@@ -654,11 +654,28 @@ case class AnnKnnJoinExec(
     (graft.ann.BqIndex.liveBits(session, artifact),
       graft.ann.BqIndex.center(session, artifact))
 
+  /** Token dim of a multivec artifact — from its persisted centroids;
+    * used to reshape the flattened probe matrices back to token rows. */
+  private lazy val mvTokDim: Int =
+    graft.ops.MultiVec.loadCentroids(session, artifact).head.length
+
   /** One batched per-kind search, all kinds sharing searchMany's output
     * contract (query_id, neighbor_id, dist, rank). */
   private def searchManyFor(
       queries: Seq[(Long, Array[Float])]): org.apache.spark.sql.DataFrame =
     kind match {
+      case "multivec" =>
+        // probes were flattened token matrices ([[packQuery]]); reshape
+        // with the artifact's token dim and run ONE batched PLAID pass
+        val dim = mvTokDim
+        val mats = queries.map { case (qid, flat) =>
+          require(flat.length % dim == 0,
+            s"graft: probe matrix for query $qid has ${flat.length} floats, " +
+              s"not a multiple of token dim $dim")
+          (qid, flat.grouped(dim).toArray)
+        }
+        graft.ops.MultiVec.searchManyOnDisk(session, artifact, mats, k,
+          nprobe = math.max(1, nprobe), candPerQuery = math.max(ef, k))
       case "ivf" =>
         graft.ann.IvfIndex.searchMany(session, artifact, queries, k,
           nprobe = math.max(1, nprobe))
@@ -688,10 +705,22 @@ case class AnnKnnJoinExec(
     }
 
   /** hamming probes are the table's b1-packed array<int>; the graph
-    * shards store 16-bit word floats, so repack per probe. */
+    * shards store 16-bit word floats, so repack per probe. multivec
+    * probes are token MATRICES (array<array<float>>) — flattened here,
+    * reshaped by [[searchManyFor]] with the artifact's token dim. */
   private def packQuery(a: ArrayData): Array[Float] =
-    if (metric == "hamming") Metric.b1ToWords(a.toIntArray())
-    else a.toFloatArray
+    AnnKnnJoinExec.pack(a, metric == "hamming", kind == "multivec")
+
+  /** Probe payload bytes for the ingest budget — nested matrices count
+    * their inner floats, not just the outer element count. */
+  private def probeBytes(a: ArrayData): Long =
+    if (kind == "multivec") {
+      var b = 0L; var i = 0
+      while (i < a.numElements()) {
+        b += 4L * a.getArray(i).numElements() + 8L; i += 1
+      }
+      b
+    } else 4L * a.numElements()
 
   override protected def doExecute(): RDD[InternalRow] = {
     val qIdx = child.output.indexWhere(_.exprId == queryAttr.exprId)
@@ -709,7 +738,7 @@ case class AnnKnnJoinExec(
     while (!overBudget && it.hasNext) {
       val r = it.next().copy()
       val vecBytes =
-        if (r.isNullAt(qIdx)) 0L else 4L * r.getArray(qIdx).numElements()
+        if (r.isNullAt(qIdx)) 0L else probeBytes(r.getArray(qIdx))
       bytes += vecBytes + 16L
       if (bytes > budget) overBudget = true
       else buf += r
@@ -781,8 +810,15 @@ case class AnnKnnJoinExec(
     val probes = rows
       .zipWithIndex()
       .map { case (r, i) => (i, r) }
+    // executor-side packing goes through the STATIC helper with local
+    // flags: an instance-method call would drag the whole exec node
+    // (and its captured, non-serializable relation) into the closure
+    val isHamming = metric == "hamming"
+    val isMv = kind == "multivec"
     val vecs = probes.mapPartitions(_.map { case (pid, r) =>
-      (pid, if (r.isNullAt(qIdx)) null else packQuery(r.getArray(qIdx)))
+      (pid,
+        if (r.isNullAt(qIdx)) null
+        else AnnKnnJoinExec.pack(r.getArray(qIdx), isHamming, isMv))
     })
     val chunkResults = scala.collection.mutable.ArrayBuffer
       .empty[RDD[(Long, Long)]]
@@ -826,6 +862,36 @@ case class AnnKnnJoinExec(
         }
       }
   }
+}
+
+object AnnKnnJoinExec {
+  /** Probe packing, executor-safe (a static call captures no plan
+    * node): hamming probes repack b1 ints to word floats; multivec
+    * token matrices flatten row-major (reshaped at search time with
+    * the artifact's token dim); float vectors pass through. */
+  def pack(a: ArrayData, hamming: Boolean, multivec: Boolean): Array[Float] =
+    if (hamming) Metric.b1ToWords(a.toIntArray())
+    else if (multivec) {
+      val n = a.numElements()
+      val parts = new Array[Array[Float]](n)
+      var total = 0
+      var i = 0
+      while (i < n) {
+        parts(i) = a.getArray(i).toFloatArray(); total += parts(i).length
+        i += 1
+      }
+      val out = new Array[Float](total)
+      var off = 0
+      i = 0
+      while (i < n) {
+        System.arraycopy(parts(i), 0, out, off, parts(i).length)
+        off += parts(i).length; i += 1
+      }
+      out
+    } else a.toFloatArray
+
+  /** The kinds whose rescore needs the captured relation. */
+  private[plans] val TableKinds = Set("ivfpq", "pq", "bq")
 }
 
 object AnnStrategy extends SparkStrategy {
@@ -1409,7 +1475,42 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         sortOpt.map(s => (k, s))
       case _ => None
     }
-    for {
+    // MaxSim lateral form: `ORDER BY maxsim_score(toks, p.qtoks) DESC
+    // LIMIT k` with the query token matrix an OUTER column — batches
+    // every probe through ONE PLAID stage-1 + rerank pass
+    // (MultiVec.searchManyOnDisk), the multivec sibling of the
+    // distance kinds below. NullsLast only, same reasoning as the
+    // scalar maxsim form.
+    lazy val maxsimForm = for {
+      (k, Sort(Seq(SortOrder(
+        MaxSimScoreCol(vecAttr: AttributeReference,
+          OuterReference(outerAttr: AttributeReference)),
+        Descending, NullsLast, _)), true, schild, _)) <- candidate
+      if lj.left.outputSet.contains(outerAttr)
+      if (outerAttr.dataType match {
+        case ArrayType(ArrayType(FloatType, _), _) => true
+        case _ => false
+      })
+      (rel, paths) <- findRel(schild)
+      if rel.outputSet.contains(vecAttr)
+      meta <- AnnCatalog.lookup(paths, vecAttr.name, "maxsim")
+      if meta.kind == "multivec"
+      idAttr <- rel.output.find(_.name == meta.idCol)
+      if subOut.map(_.exprId) == Seq(idAttr.exprId)
+    } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
+      meta.artifact, k,
+      math.max({
+        val c = graft.GraftConf.annEf(spark)
+        if (c > 0) c else meta.ef
+      }, k),
+      "maxsim",
+      "multivec",
+      {
+        val c = graft.GraftConf.annNprobe(spark)
+        if (c > 0) c else meta.effectiveNprobe
+      },
+      None, meta.idCol, meta.vecCol)
+    val distanceForm = for {
       (k, s @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, schild, _)) <- candidate
       (metric, vecAttr, outerAttr) <- matchDistOuter(sortExpr)
       if lj.left.outputSet.contains(outerAttr)
@@ -1451,6 +1552,7 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(rel)
       else None,
       meta.idCol, meta.vecCol)
+    distanceForm.orElse(maxsimForm)
   }
 }
 
@@ -1486,6 +1588,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("inner_product", "dot product")(es => InnerProduct(es(0), es(1))),
       fn("sparse_dot", "sparse-vector dot product (sorted-merge)")(
         es => graft.functions.SparseDot(es(0), es(1))),
+      fn("maxsim_score", "ColBERT MaxSim late-interaction score")(
+        es => MaxSimScoreCol(es(0), es(1))),
       fn("vector_norm", "euclidean norm")(es => L2Norm(es(0))),
       fn("stem", "Porter2 English stem of one token")(es => StemWord(es(0))),
       fn("tokenize", "lowercase letter/number tokens")(

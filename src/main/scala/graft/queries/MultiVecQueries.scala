@@ -283,6 +283,65 @@ object MultiVecQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** MaxSim LATERAL planner gate — the correlated kNN-join form:
+    * `FROM probes p, LATERAL (SELECT mdoc FROM docs ORDER BY
+    * maxsim_score(toks, p.qtoks) DESC LIMIT k)` (which vanilla Spark
+    * rejects at analysis) must rewrite through
+    * [[graft.plans.AnnKnnJoinLogical]] with `kind = "multivec"` — ALL
+    * probe docs batched through ONE PLAID stage-1 + rerank pass
+    * ([[graft.ops.MultiVec.searchManyOnDisk]]) — and hold mean
+    * per-probe recall@10 ≥ 0.8 vs the exact batched MaxSim truth. */
+  private def maxsimJoinPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val t = toks(s, dir)
+    val q = MultiVec.queryToks(t, (0L until QDocs.toLong))
+    val corpus = t.where(col("mdoc") >= QDocs)
+    val exact = recallMaps(
+      MultiVec.topKPerQuery(MultiVec.scoreFlat(corpus, q), K))
+    // shared artifacts with the scalar maxsim planner gate
+    val idxPath = AnnQueries.artifactDir("mvpidx", dir, "embeddings")
+    AnnQueries.cached(idxPath) {
+      MultiVec.writeIndex(corpus, s"$idxPath/idx", Centroids)
+    }
+    val docsPath = AnnQueries.artifactDir("mvdocs", dir, "embeddings")
+    AnnQueries.cached(docsPath) {
+      MultiVec.docArrays(corpus).write.mode("overwrite")
+        .parquet(s"$docsPath/docs")
+    }
+    AnnCatalog.register(s, s"$docsPath/docs", AnnCatalog.IndexMeta(
+      s"$idxPath/idx", "mdoc", "toks", "maxsim",
+      ef = CandPerQuery, kind = "multivec", nprobe = Nprobe))
+    val probesView = "graft_mvjp_probes"
+    val docsView = "graft_mvjp_docs"
+    try {
+      MultiVec.docArrays(t.where(col("mdoc") < QDocs))
+        .select(col("mdoc").as("q_mdoc"), col("toks").as("qtoks"))
+        .createOrReplaceTempView(probesView)
+      s.read.parquet(s"$docsPath/docs").createOrReplaceTempView(docsView)
+      val qdf = s.sql(
+        s"""SELECT p.q_mdoc AS query_id, t.mdoc AS neighbor_id
+           |FROM $probesView p,
+           |LATERAL (
+           |  SELECT mdoc FROM $docsView
+           |  ORDER BY maxsim_score(toks, p.qtoks) DESC LIMIT $K
+           |) t""".stripMargin)
+      val planned = qdf.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AnnKnnJoinLogical if a.kind == "multivec" => a
+      }.nonEmpty
+      val ann = RecallProtocol.perQuery(
+        qdf.collect().map(r => (r.getLong(0), r.getLong(1))))
+      if (planned && RecallProtocol.meanRecallOk(ann, exact))
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally {
+      AnnCatalog.unregister(s, s"$docsPath/docs")
+      s.catalog.dropTempView(probesView)
+      s.catalog.dropTempView(docsView)
+      ()
+    }
+  }
+
   /** Consolidation gate — the full maintenance lifecycle in one pass:
     * build over the first half, APPEND the second half, DELETE docs
     * 1–3 (tombstones), CONSOLIDATE (compaction + physical delete +
@@ -391,5 +450,7 @@ object MultiVecQueries {
       multivecConsolidate),
     QueryDef("autotune_multivec", Some("SELECT 1 AS ok"),
       multivecAutotune),
-    QueryDef("knn_maxsim_planner", Some("SELECT 1 AS ok"), maxsimPlanner))
+    QueryDef("knn_maxsim_planner", Some("SELECT 1 AS ok"), maxsimPlanner),
+    QueryDef("knn_join_maxsim_planner", Some("SELECT 1 AS ok"),
+      maxsimJoinPlanner))
 }

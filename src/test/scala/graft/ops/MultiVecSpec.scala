@@ -43,6 +43,30 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     assert(got === naiveMaxSim(doc, q))
   }
 
+  test("MaxSimScoreCol (column query) is bit-identical to the literal form") {
+    val r = rng(2L)
+    val doc = Seq.fill(6)(Array.fill(8)(r.nextFloat() - 0.5f))
+    val q = Seq.fill(4)(Array.fill(8)(r.nextFloat() - 0.5f))
+    val df = spark.createDataset(Seq((doc.map(_.toSeq), q.map(_.toSeq))))
+      .select(col("_1").cast("array<array<float>>").as("toks"),
+        col("_2").cast("array<array<float>>").as("qtoks"))
+    val viaCol = df.select(GraftSqlShim.column(graft.functions.MaxSimScoreCol(
+        GraftSqlShim.expression(col("toks")),
+        GraftSqlShim.expression(col("qtoks")))).as("s"))
+      .head().getDouble(0)
+    val viaLit = df.select(GraftSqlShim.column(MaxSimScore(
+        GraftSqlShim.expression(col("toks")),
+        q.map(_.map(_.toDouble)).toArray)).as("s"))
+      .head().getDouble(0)
+    assert(viaCol == viaLit && viaCol == naiveMaxSim(doc, q))
+    // and through the SQL registration
+    df.createOrReplaceTempView("graft_mvcol")
+    val viaSql = spark.sql(
+      "SELECT maxsim_score(toks, qtoks) AS s FROM graft_mvcol")
+      .head().getDouble(0)
+    assert(viaSql == viaLit)
+  }
+
   test("flat path and doc-array path produce bit-identical scores") {
     val rows = corpus(nDocs = 12, tpd = 4, dim = 16)
     val toks = rows.map { case (d, t, v) => (d, t, v.toSeq) }

@@ -534,6 +534,63 @@ class PlanShapeSpec extends SparkTestBase {
       case m: MaxSimIdsLogical => m }.isEmpty)
   }
 
+  test("lateral maxsim joins through AnnKnnJoin kind=multivec; distributed path same") {
+    import graft.ops.MultiVec
+    val dir = sf("sf0.001")
+    val toks = MultiVec.tokens(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", 4)
+    val base = java.nio.file.Files.createTempDirectory("graft-mvlj").toString
+    val corpus = toks.where(col("mdoc") >= 3)
+    MultiVec.writeIndex(corpus, s"$base/idx", nlists = 8)
+    MultiVec.docArrays(corpus).write.parquet(s"$base/docs")
+    val docs = spark.read.parquet(s"$base/docs")
+    val nDocs = docs.count().toInt
+    // every list probed + candidate budget = corpus ⇒ EXACT answers
+    AnnCatalog.register(spark, s"$base/docs", AnnCatalog.IndexMeta(
+      s"$base/idx", "mdoc", "toks", "maxsim",
+      ef = nDocs, kind = "multivec", nprobe = 8))
+    MultiVec.docArrays(toks.where(col("mdoc") < 3))
+      .select(col("mdoc").as("q_mdoc"), col("toks").as("qtoks"))
+      .createOrReplaceTempView("graft_mvlj_probes")
+    docs.createOrReplaceTempView("graft_mvlj_docs")
+    try {
+      val sqlText =
+        """SELECT p.q_mdoc AS query_id, t.mdoc AS neighbor_id
+          |FROM graft_mvlj_probes p,
+          |LATERAL (
+          |  SELECT mdoc FROM graft_mvlj_docs
+          |  ORDER BY maxsim_score(toks, p.qtoks) DESC LIMIT 5
+          |) t""".stripMargin
+      val q = spark.sql(sqlText)
+      assert(q.queryExecution.optimizedPlan.collect {
+        case a: AnnKnnJoinLogical if a.kind == "multivec" => a
+      }.nonEmpty)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact per-probe truth via the doc-array kernel
+      val exact = (0L until 3L).flatMap { qd =>
+        val qm = MultiVec.queryToks(toks, Seq(qd)).map(_._3)
+        MultiVec.scoreDocs(docs, qm)
+          .orderBy(col("score").desc, col("mdoc")).limit(5)
+          .select("mdoc").collect().map(r => (qd, r.getLong(0)))
+      }.toSet
+      assert(got == exact, s"got $got vs $exact")
+      // over-budget probe side auto-routes to the distributed chunked
+      // path (matrix probes packed executor-side) and returns the same
+      val budgetKey = graft.GraftConf.KnnJoinBroadcastBytes
+      spark.conf.set(budgetKey, "512")
+      try {
+        val distGot = spark.sql(sqlText).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(distGot == exact, s"distributed $distGot vs $exact")
+      } finally spark.conf.unset(budgetKey)
+    } finally {
+      AnnCatalog.unregister(spark, s"$base/docs")
+      spark.catalog.dropTempView("graft_mvlj_probes")
+      spark.catalog.dropTempView("graft_mvlj_docs")
+      ()
+    }
+  }
+
   test("sparse kind: sparse_dot DESC rewrite = pruned inverted pre-rank, bit-equal") {
     import graft.ops.SparseSearch
     val dir = sf("sf0.001")

@@ -267,16 +267,30 @@ object Cli {
         val spark = session()
         ops.MultiVec.writeIndex(
           ops.MultiVec.tokens(spark.read.parquet(srcP), idCol, vecCol, tpd),
-          outP, nlists)
+          outP, nlists, toksPerDoc = tpd)
         println(s"wrote $outP (multivec index, nlists=$nlists, toksPerDoc=$tpd)")
 
       case "multivec-search" =>
         val (idxP, srcP, idCol, vecCol) = (req(opts, "index"), req(opts, "src"),
           req(opts, "id-col"), req(opts, "vec-col"))
         val qDoc = req(opts, "query-doc").toLong
-        val tpd = opts.getOrElse("toks-per-doc", "4").toInt
-        val k = opts.getOrElse("k", "10").toInt
         val spark = session()
+        // toksPerDoc comes from the INDEX's own metadata — a resupplied
+        // flag that disagrees with build time would slice query docs
+        // wrong at the same token dim (garbage scores, no error), so a
+        // mismatch is rejected and the flag is only a fallback for
+        // pre-metadata indexes
+        val (metaTpd, _) = ops.MultiVec.readIndexMeta(spark, idxP)
+        val tpd = (opts.get("toks-per-doc").map(_.toInt), metaTpd) match {
+          case (Some(f), m) if m > 0 && f != m =>
+            throw new IllegalArgumentException(
+              s"graft: --toks-per-doc $f conflicts with the index's " +
+                s"recorded toksPerDoc $m ($idxP/meta.json) — drop the flag")
+          case (_, m) if m > 0 => m
+          case (Some(f), _) => f
+          case (None, _) => 4
+        }
+        val k = opts.getOrElse("k", "10").toInt
         val qToks = ops.MultiVec.queryToks(
           ops.MultiVec.tokens(spark.read.parquet(srcP), idCol, vecCol, tpd),
           Seq(qDoc))

@@ -97,6 +97,11 @@ case class MatVecProject(
 }
 
 object MatVecProject {
+  /** Codegen reference object for the projection kernels. `bias` and
+    * `scale` are NULLABLE BY CONTRACT — [[compute]] (and every other
+    * consumer) must null-check them before use; [[MaxSimScore]] builds
+    * bias-free tables, so a consumer that assumes non-null would NPE
+    * on a perfectly valid table. */
   final case class Table(flat: Array[Double], rows: Int, dim: Int,
       bias: Array[Double], scale: Array[Double])
   object Table {

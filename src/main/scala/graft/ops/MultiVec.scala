@@ -371,11 +371,17 @@ object MultiVec {
   }
 
   /** Materialize a complete multi-vector index under `path`: the
-    * seeded coarse centroids (`centroids/`, tiny) plus the
+    * seeded coarse centroids (`centroids/`, tiny), the
     * centroid-partitioned token postings (`postings/`) — the layout
-    * [[searchIndex]] serves from. */
+    * [[searchIndex]] serves from — and a metadata file recording the
+    * token dim plus (when fixed) `toksPerDoc`, so serving layers
+    * derive query tokens from the INDEX's own parameters instead of
+    * trusting a user-resupplied flag (a mismatched toksPerDoc slices
+    * query docs wrong at the same token dim — silently garbage scores,
+    * no error to catch it). `toksPerDoc = 0` records "variable". */
   def writeIndex(toks: DataFrame, path: String, nlists: Int,
-      sampleLimit: Int = 16384, seed: Long = 42L): Unit = {
+      sampleLimit: Int = 16384, seed: Long = 42L,
+      toksPerDoc: Int = 0): Unit = {
     val s = toks.sparkSession
     import s.implicits._
     // a REBUILD starts clean: stale tombstones from a previous
@@ -388,6 +394,30 @@ object MultiVec {
       .toDF("cent", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeTokenPostings(assign(toks, cents), s"$path/postings")
+    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"toksPerDoc":$toksPerDoc,"dim":${cents.head.length}}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (toksPerDoc, token dim) recorded by [[writeIndex]] —
+    * (0, centroid dim) for indexes written before the meta file
+    * existed or with variable document lengths. */
+  def readIndexMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0, loadCentroids(spark, path).head.length)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def num(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: $p is missing the $k field")).group(1).toInt
+    (num("toksPerDoc"), num("dim"))
   }
 
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
@@ -456,16 +486,43 @@ object MultiVec {
     * docs leave the postings and the tombstone dir resets. Scores are
     * unchanged by construction (stage-1 max and the ordered query fold
     * are file-order-independent), so a search before == after, minus
-    * the deleted docs. A MAINTENANCE operation, single-writer like
-    * `writeIndex`: the compacted table is written fully before the
-    * directory swap, and a failed swap rolls the original back, but a
-    * reader racing the two renames themselves can observe a missing
-    * postings dir on stores without atomic directory rename. Refuses
+    * the deleted docs. A MAINTENANCE operation, single-writer for the
+    * POSTINGS like `writeIndex` — but [[deleteDocs]] may race it
+    * safely: tombstone files are snapshotted up front, only the
+    * snapshot is applied and retired, and files appended during the
+    * compaction survive and keep masking. The compacted table is
+    * written fully before the directory swap, and a failed swap rolls
+    * the original back, but a reader racing the two renames themselves
+    * can observe a missing postings dir on stores without atomic
+    * directory rename. Refuses
     * to consolidate an index whose every doc is tombstoned — that
     * would leave no readable postings (drop and rebuild instead). */
-  def consolidateIndex(spark: SparkSession, path: String): Unit = {
-    val live = tombstoneMask(spark, path)(
-      spark.read.parquet(s"$path/postings"))
+  def consolidateIndex(spark: SparkSession, path: String): Unit =
+    consolidateIndex(spark, path, () => ())
+
+  /** Test seam: `afterCompact` runs once the compacted postings are
+    * fully written, before the directory swap — the window a
+    * concurrent [[deleteDocs]] could land in. */
+  private[ops] def consolidateIndex(spark: SparkSession, path: String,
+      afterCompact: () => Unit): Unit = {
+    // snapshot the tombstone FILES first: only the snapshot is applied
+    // physically and retired, so a deleteDocs racing the compaction
+    // (a lightweight call users needn't treat as a writer) keeps its
+    // tombstones — they survive the swap and keep masking
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tfs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot: Seq[org.apache.hadoop.fs.Path] =
+      if (tfs.exists(tombDir))
+        tfs.listStatus(tombDir).filter(_.isFile).map(_.getPath).toSeq
+      else Seq.empty
+    val snapParquet = snapshot.filter(_.getName.endsWith(".parquet"))
+    val masked: DataFrame => DataFrame =
+      if (snapParquet.nonEmpty) {
+        val tomb = broadcast(
+          spark.read.parquet(snapParquet.map(_.toString): _*).distinct())
+        df => df.join(tomb, Seq("mdoc"), "left_anti")
+      } else identity
+    val live = masked(spark.read.parquet(s"$path/postings"))
     require(!live.isEmpty,
       s"graft: consolidate would leave an empty index under $path " +
         "(every doc tombstoned) — drop and rebuild instead")
@@ -476,6 +533,7 @@ object MultiVec {
         col("cent"))
       .repartition(col("cent"))
       .write.partitionBy("cent").mode("overwrite").parquet(compact.toString)
+    afterCompact()
     val post = new org.apache.hadoop.fs.Path(s"$path/postings")
     val old = new org.apache.hadoop.fs.Path(s"$path/postings_old")
     if (fs.exists(old)) fs.delete(old, true) // stale prior attempt
@@ -488,8 +546,14 @@ object MultiVec {
         s"graft: consolidate swap failed under $path — original restored")
     }
     fs.delete(old, true)
-    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (fs.exists(tomb)) fs.delete(tomb, true)
+    // retire ONLY the snapshotted tombstone files; files appended
+    // during the compaction stay and keep masking their (still
+    // physically present) docs until the next consolidation
+    snapshot.foreach(p => tfs.delete(p, false))
+    if (tfs.exists(tombDir) &&
+        tfs.listStatus(tombDir).forall(st =>
+          st.isFile && !st.getPath.getName.endsWith(".parquet")))
+      tfs.delete(tombDir, true) // only write markers left — dir is spent
     ()
   }
 

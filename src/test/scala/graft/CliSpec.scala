@@ -33,7 +33,7 @@ class CliSpec extends SparkTestBase {
     Cli.run("sparse-postings", Map(
       "src" -> (sf("sf0.001") + "/embeddings.parquet"),
       "id-col" -> "vec_id", "vec-col" -> "embedding", "out" -> out))
-    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("term=")))
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("tb=")))
     // search over the written postings: pruned read + inverted top-k
     Cli.run("sparse-search", Map("postings" -> out, "id-col" -> "vec_id",
       "terms" -> "0,5,9", "weights" -> "0.3,0.2,0.4", "k" -> "5"))
@@ -57,6 +57,16 @@ class CliSpec extends SparkTestBase {
       "src" -> (sf("sf0.001") + "/embeddings.parquet"),
       "id-col" -> "vec_id", "vec-col" -> "embedding",
       "query-doc" -> "0", "k" -> "5", "nprobe" -> "4", "cand" -> "20"))
+    // the index records toksPerDoc + dim; a conflicting flag is
+    // rejected instead of silently mis-slicing the query doc
+    assert(graft.ops.MultiVec.readIndexMeta(spark, out) == (4, 64))
+    val ex = intercept[IllegalArgumentException] {
+      Cli.run("multivec-search", Map("index" -> out,
+        "src" -> (sf("sf0.001") + "/embeddings.parquet"),
+        "id-col" -> "vec_id", "vec-col" -> "embedding",
+        "query-doc" -> "0", "toks-per-doc" -> "5", "k" -> "5"))
+    }
+    assert(ex.getMessage.contains("toks-per-doc"))
   }
 
   test("create-embeddings and create-index subcommands produce real artifacts") {

@@ -224,6 +224,36 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want && !got.contains(2L))
   }
 
+  test("consolidateIndex preserves tombstones appended during compaction") {
+    val rows = corpus(nDocs = 10, tpd = 4, dim = 16, seed = 17L)
+    def toksOf(p: Long => Boolean) =
+      rows.filter(r => p(r._1)).map { case (d, t, v) => (d, t, v.toSeq) }
+        .toDF("mdoc", "t_idx", "tok")
+        .withColumn("tok", col("tok").cast("array<float>"))
+    val dir = java.nio.file.Files.createTempDirectory("mv-race").toString + "/i"
+    MultiVec.writeIndex(toksOf(_ >= 1), dir, nlists = 4, seed = 5L)
+    MultiVec.deleteDocs(spark, dir, Seq(2L))
+    // a deleteDocs lands AFTER the snapshot/compaction, BEFORE the swap
+    MultiVec.consolidateIndex(spark, dir,
+      () => MultiVec.deleteDocs(spark, dir, Seq(3L)))
+    // doc 2 physically gone (snapshot applied); doc 3's LATE tombstone
+    // survived — physically present but still masked in every search
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.where(col("mdoc") === 2L).count() == 0)
+    assert(post.where(col("mdoc") === 3L).count() > 0)
+    assert(new java.io.File(s"$dir/tombstones").exists())
+    val qToks = rows.filter(_._1 == 0L).sortBy(_._2).toArray
+    val ids = MultiVec.searchIndex(spark, dir, qToks, k = 10,
+        nprobe = 4, candPerQuery = 20)
+      .select("mdoc").as[Long].collect().toSet
+    assert(!ids.contains(2L) && !ids.contains(3L) && ids.nonEmpty)
+    // the NEXT consolidation retires it physically too
+    MultiVec.consolidateIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings")
+      .where(col("mdoc") === 3L).count() == 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+  }
+
   test("validateIndex passes on fresh/appended/consolidated; rejects corruption") {
     val rows = corpus(nDocs = 10, tpd = 4, dim = 16, seed = 19L)
     def toksOf(p: Long => Boolean) =

@@ -35,6 +35,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** 1-minute host load average — sampled per query into the JSONL so
+    * a co-tenant load spike is visible NEXT TO the timing it distorted
+    * (the r11 record had 2-4x inflations on unchanged code that only
+    * cross-record forensics could attribute; the calibration probes
+    * bracket the run's ends but can't see mid-run sustained load). */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -141,10 +153,13 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq
     val pass1 = ordered.map { case (name, fn) =>
-      name -> adaptiveBest(fn, reps, maxReps, Double.MaxValue)
+      val l0 = loadAvg()
+      val (b, e) = adaptiveBest(fn, reps, maxReps, Double.MaxValue)
+      name -> (b, e, l0)
     }.toMap
     val results = ordered.map { case (name, fn) =>
-      val (b1, e1) = pass1(name)
+      val (b1, e1, load1) = pass1(name)
+      val load2 = loadAvg()
       val (best, err, pass2Err) =
         if (e1.isDefined) (0.0, e1, None)
         else {
@@ -166,21 +181,30 @@ object Bench {
       val marker = err.map(e => s""","failed":"$e"""")
         .orElse(pass2Err.map(e => s""","pass2_failed":"$e""""))
         .getOrElse("")
-      emit(s"""{"q":"$name","sec":${if (err.isEmpty) best else 0.0}$marker}""")
+      // the WORSE of the two per-pass samples: a quiet record shows the
+      // baseline (~0 idle), a contended one flags exactly which timings
+      // to distrust
+      val load = math.max(load1, load2)
+      emit(s"""{"q":"$name","sec":${if (err.isEmpty) best else 0.0},"load":$load$marker}""")
       (name, if (err.isEmpty) best else 0.0, err.orElse(pass2Err))
     }
 
     val calibSerial1 = calibrateSerial()
     val calibParallel1 = calibrateParallel(spark, cpus.toInt)
+    val loadEnd = loadAvg()
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val loads = results.map { case (n, _, _) => pass1(n)._3 }
+      .filter(_ >= 0)
+    val loadMax = if (loads.isEmpty) -1.0 else loads.max
     val calib =
       s"""{"serial_start":$calibSerial0,"parallel_start":$calibParallel0,""" +
-        s""""serial_end":$calibSerial1,"parallel_end":$calibParallel1}"""
+        s""""serial_end":$calibSerial1,"parallel_end":$calibParallel1,""" +
+        s""""load_end":$loadEnd,"load_max":$loadMax}"""
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"sf":"$sfDir"}""")
     jsonl.close()
     java.nio.file.Files.move(

@@ -888,7 +888,7 @@ object AnnKnnJoinExec {
         off += parts(i).length; i += 1
       }
       out
-    } else a.toFloatArray
+    } else a.toFloatArray()
 
   /** The kinds whose rescore needs the captured relation. */
   private[plans] val TableKinds = Set("ivfpq", "pq", "bq")

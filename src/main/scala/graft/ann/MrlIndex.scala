@@ -1,0 +1,139 @@
+package graft.ann
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+
+import graft.ops.MrlSearch
+
+/** Matryoshka prefix index artifact — the planner-integrated form of
+  * [[graft.ops.MrlSearch]] (Kusupati et al., "Matryoshka
+  * Representation Learning", NeurIPS 2022): the artifact stores ONLY
+  * the first-`m`-dimensions prefix of each vector (m/dim of the scan
+  * bytes) plus a metadata file recording `m` — no training pass, no
+  * graph, no codebook, making this the cheapest-to-build member of the
+  * two-stage index family ([[BqIndex]] trades a centering pass for
+  * 1-bit signatures; PQ/IVF train codebooks/centroids).
+  *
+  * A `kind = "mrl"` [[graft.plans.AnnCatalog]] registration makes
+  * `ORDER BY l2sq_dist(v, q) LIMIT k` (or cos) rewrite to: prefix-
+  * distance pre-rank over this artifact → broadcast join-back to the
+  * table's full rows → the ORIGINAL Sort+Limit as the exact
+  * full-dimension rescore. `ef` plays the rescore-pool role. The
+  * artifact never stores full vectors; every planner form sources the
+  * exact-rescore floats from the TABLE — scalar through the join-back,
+  * filtered through the shared adaptive candidate loop, LATERAL
+  * through [[graft.ops.MrlSearch.topKManyPrepacked]] against the
+  * captured relation.
+  *
+  * Deletion story: the prefix table is a pure projection of the base
+  * table, so tombstones follow the same shape as [[BqIndex]] —
+  * [[delete]] appends ids, [[livePrefixes]] masks them with one anti
+  * join before the top-pool heap.
+  */
+object MrlIndex {
+
+  private val PrefixDir = "prefix"
+  private val TombDir = "tombstones"
+  private val MetaFile = "meta.json"
+
+  /** Slice the prefix column and write the artifact. For
+    * matryoshka-trained embeddings small `m` preserves recall; for
+    * generic embeddings the pool (`ef`) is the recall knob. */
+  def build(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      path: String): Unit = {
+    require(m >= 1, s"graft: prefix dim m ($m) must be >= 1")
+    val spark = df.sparkSession
+    df.select(col(idCol).cast("long").as("id"),
+        MrlSearch.prefix(col(vecCol), m).as("pref"))
+      .write.mode("overwrite").parquet(s"$path/$PrefixDir")
+    val p = new Path(s"$path/$MetaFile")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(s"""{"m":$m}\n""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The prefix length recorded at [[build]] time — the codec
+    * parameter every query must share. */
+  def m(spark: SparkSession, path: String): Int = {
+    val p = new Path(s"$path/$MetaFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"graft: $path has no $MetaFile — not an mrl index")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"m":(\d+)""".r.findFirstMatchIn(text)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: $p is missing the m field")).group(1).toInt
+  }
+
+  /** `aminsert` analog: slice new rows with the PERSISTED m and append
+    * them as new parquet files — the natural streaming shape. */
+  def append(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val mm = m(df.sparkSession, path)
+    df.select(col(idCol).cast("long").as("id"),
+        MrlSearch.prefix(col(vecCol), mm).as("pref"))
+      .write.mode("append").parquet(s"$path/$PrefixDir")
+  }
+
+  /** `ambulkdelete` analog — ids append to a tombstone dir, masked by
+    * one anti join in every scan. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("append").parquet(s"$path/$TombDir")
+  }
+
+  /** The prefixes minus tombstones — what every search scans. */
+  def livePrefixes(spark: SparkSession, path: String): DataFrame = {
+    val b = spark.read.parquet(s"$path/$PrefixDir")
+    val t = new Path(s"$path/$TombDir")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t))
+      b.join(spark.read.parquet(t.toString), Seq("id"), "left_anti")
+    else b
+  }
+
+  /** Driver-side top-`pool` candidate ids by prefix distance — the
+    * proposal function of the FILTERED planner form's adaptive loop
+    * and the weighted union. One TakeOrderedAndProject over the
+    * m/dim-sized scan. */
+  def candidateIds(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      pool: Int,
+      metric: String = "l2sq"): Array[Long] = {
+    val qp = query.take(m(spark, path))
+    livePrefixes(spark, path)
+      .orderBy(
+        graft.ops.VectorSearch.distance(metric, col("pref"), lit(qp)),
+        col("id"))
+      .limit(math.max(1, pool))
+      .select("id").collect().map(_.getLong(0))
+  }
+
+  /** Top-`pool` candidate rows for the scalar planner form — the vec
+    * column is NULL by design (the artifact stores prefixes only), so
+    * the join-back fetches the true rows and the Sort+Limit above IS
+    * the exact full-dimension rescore. */
+  def candidateRows(
+      spark: SparkSession,
+      path: String,
+      query: Array[Float],
+      pool: Int,
+      metric: String = "l2sq"): RDD[InternalRow] = {
+    val qp = query.take(m(spark, path))
+    livePrefixes(spark, path)
+      .orderBy(
+        graft.ops.VectorSearch.distance(metric, col("pref"), lit(qp)),
+        col("id"))
+      .limit(math.max(1, pool))
+      .selectExpr("id", "CAST(NULL AS ARRAY<FLOAT>) AS vec")
+      .queryExecution.toRdd
+  }
+}

@@ -46,6 +46,10 @@ object AnnCatalog {
     * over a doc-array column (`array<array<float>>`), registered under
     * `metric = "maxsim"` — `ef` is the stage-1 candidate budget per
     * query, `nprobe` the per-query-token probed-list count. */
+  /** `kind = "mrl"`: a [[graft.ann.MrlIndex]] prefix artifact —
+    * matryoshka prefix-distance pre-rank + exact rescore via the
+    * join-back (`ef` is the rescore pool, like "bq"); the cheapest
+    * index to build (a column slice, no training pass). */
   /** `kind = "sparse"`: a [[graft.ops.SparseSearch.writePostings]]
     * term-bucketed inverted file over a sparse struct column
     * (`struct<indices: array<int>, values: array<float>>`), registered
@@ -55,7 +59,7 @@ object AnnCatalog {
   case class IndexMeta(artifact: String, idCol: String, vecCol: String,
       metric: String, ef: Int, kind: String = "hnsw", nprobe: Int = 0) {
     require(
-      Set("hnsw", "ivf", "pq", "ivfpq", "bq", "multivec", "sparse")
+      Set("hnsw", "ivf", "pq", "ivfpq", "bq", "multivec", "sparse", "mrl")
         .contains(kind),
       s"graft: unknown index kind '$kind'")
     require(nprobe >= 0, s"graft: nprobe must be >= 0, got $nprobe")
@@ -181,7 +185,8 @@ case class AnnScanLogical(
     k: Int,
     ef: Int,
     kind: String = "hnsw",
-    nprobe: Int = 0) extends LeafNode {
+    nprobe: Int = 0,
+    metric: String = "l2sq") extends LeafNode {
   override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = 1L + k.toLong * (8 + 4 * query.size))
@@ -201,7 +206,8 @@ case class AnnScanExec(
     k: Int,
     ef: Int,
     kind: String = "hnsw",
-    nprobe: Int = 0) extends LeafExecNode {
+    nprobe: Int = 0,
+    metric: String = "l2sq") extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq(idAttr, vecAttr)
 
@@ -233,6 +239,12 @@ case class AnnScanExec(
       // the exact rescore stage ([[graft.ann.BqIndex]])
       graft.ann.BqIndex.candidateRows(
         session, artifact, query.toArray, math.max(ef, k))
+    case "mrl" =>
+      // matryoshka prefix pre-rank over the m/dim-sized prefix table
+      // (ef = rescore pool); vec NULL like bq — the join-back + the
+      // Sort+Limit above are the exact full-dimension rescore
+      graft.ann.MrlIndex.candidateRows(
+        session, artifact, query.toArray, math.max(ef, k), metric)
   }
 
   private def hnswCandidates(): RDD[InternalRow] = {
@@ -383,6 +395,10 @@ case class AnnFilteredIdsExec(
         filteredViaCandidates(df, (pool, _) =>
           graft.ann.BqIndex.candidateIds(session, artifact,
             query.toArray, pool))
+      case "mrl" =>
+        filteredViaCandidates(df, (pool, _) =>
+          graft.ann.MrlIndex.candidateIds(session, artifact,
+            query.toArray, pool, metric))
       case _ =>
         AnnIndex.searchFiltered(df, idCol, vecCol, artifact,
           query.toArray, k, GraftSqlShim.column(pred), efOverride = ef)
@@ -452,6 +468,9 @@ case class WeightedAnnIdsExec(
           .select("id").collect().map(_.getLong(0)).toSeq
       case "bq" =>
         graft.ann.BqIndex.candidateIds(session, t.artifact, q, t.ef).toSeq
+      case "mrl" =>
+        graft.ann.MrlIndex.candidateIds(session, t.artifact, q, t.ef,
+          t.metric).toSeq
       case _ =>
         AnnIndex.search(session, t.artifact, q, t.ef, t.ef).map(_._1).toSeq
     }
@@ -700,6 +719,17 @@ case class AnnKnnJoinExec(
           t.select(col(idCol).cast("long").as("id"), col(vecCol)), vecCol,
           queries, k, pool = math.max(ef, k), metric = metric,
           center = center)
+      case "mrl" =>
+        // batched matryoshka rescore: prefix pre-rank over the m/dim
+        // prefix table, exact full-dim rerank against the captured
+        // relation's float rows (MrlSearch's prepacked path)
+        val t = GraftSqlShim.ofRows(session, table.get)
+        import org.apache.spark.sql.functions.col
+        graft.ops.MrlSearch.topKManyPrepacked(
+          graft.ann.MrlIndex.livePrefixes(session, artifact), "id", "pref",
+          t.select(col(idCol).cast("long").as("id"), col(vecCol)), vecCol,
+          queries, k, pool = math.max(ef, k),
+          m = graft.ann.MrlIndex.m(session, artifact), metric = metric)
       case _ =>
         AnnIndex.searchMany(session, artifact, queries, k, ef)
     }
@@ -890,14 +920,15 @@ object AnnKnnJoinExec {
       out
     } else a.toFloatArray()
 
-  /** The kinds whose rescore needs the captured relation. */
-  private[plans] val TableKinds = Set("ivfpq", "pq", "bq")
+  /** The kinds whose rescore needs the captured relation (their
+    * artifacts store codes/bits/prefixes, never the true floats). */
+  private[plans] val TableKinds = Set("ivfpq", "pq", "bq", "mrl")
 }
 
 object AnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AnnScanLogical(id, vec, artifact, q, k, ef, kind, nprobe) =>
-      AnnScanExec(id, vec, artifact, q, k, ef, kind, nprobe) :: Nil
+    case AnnScanLogical(id, vec, artifact, q, k, ef, kind, nprobe, metric) =>
+      AnnScanExec(id, vec, artifact, q, k, ef, kind, nprobe, metric) :: Nil
     case AnnFilteredIdsLogical(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) =>
       AnnFilteredIdsExec(cid, table, pred, idCol, vecCol, artifact, q, k, ef, kind, metric) :: Nil
     case AnnKnnJoinLogical(left, qAttr, outAttr, artifact, k, ef, metric,
@@ -1132,7 +1163,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // artifact pre-ranks sign bits of FLOAT vectors, meaningful
         // for the l2/angular family only
         if meta.metric != "hamming" || meta.kind == "hnsw"
-        if meta.kind != "bq" || Set("l2sq", "cos")(meta.metric)
+        if !Set("bq", "mrl")(meta.kind) || Set("l2sq", "cos")(meta.metric)
         idAttr <- rel.output.find(_.name == meta.idCol)
         // the filtered form defers to searchFiltered, which needs an
         // hnsw graph artifact, an exact-rankable metric, and a
@@ -1145,7 +1176,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             meta.kind == "ivf" ||
             (meta.kind == "pq" && Set("l2sq", "cos")(meta.metric)) ||
             (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric)) ||
-            (meta.kind == "bq" && Set("l2sq", "cos")(meta.metric))) &&
+            (meta.kind == "bq" && Set("l2sq", "cos")(meta.metric)) ||
+            (meta.kind == "mrl" && Set("l2sq", "cos")(meta.metric))) &&
             p.deterministic && p.references.subsetOf(rel.outputSet))
       } yield {
         // a cos PQ index is an l2sq graph over unit vectors — the
@@ -1178,7 +1210,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None =>
             val ann = AnnScanLogical(
               idAttr, vecAttr, meta.artifact, qq.toSeq, k,
-              searchParam, meta.kind, scanNprobe)
+              searchParam, meta.kind, scanNprobe, meta.metric)
             // narrow form is safe only when (a) everything the sort's child
             // produces fits the ANN leaf — anything above references at most
             // child.output — and (b) the index stores the TRUE vector values:
@@ -1200,7 +1232,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val cvec = AttributeReference("__graft_cand_vec", ArrayType(FloatType))()
               val candidates = Project(Seq(cid),
                 AnnScanLogical(cid, cvec, meta.artifact, qq.toSeq, k,
-                  searchParam, meta.kind, scanNprobe))
+                  searchParam, meta.kind, scanNprobe, meta.metric))
               Project(rel.output,
                 Join(rel, candidates, Inner,
                   Some(EqualTo(idAttr, cid)),
@@ -1253,7 +1285,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if metas.forall(_.exists(mm =>
           (mm.kind == "hnsw" && mm.metric != "hamming") ||
             mm.kind == "ivf" ||
-            (Set("pq", "ivfpq", "bq")(mm.kind) &&
+            (Set("pq", "ivfpq", "bq", "mrl")(mm.kind) &&
               Set("l2sq", "cos")(mm.metric))))
         if metas.flatten.map(_.idCol).distinct.size == 1
         idAttr <- rel.output.find(_.name == metas.head.get.idCol)
@@ -1532,7 +1564,8 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         meta.kind == "ivf" ||
         (meta.kind == "pq" && Set("l2sq", "cos")(meta.metric)) ||
         (meta.kind == "ivfpq" && Set("l2sq", "cos")(meta.metric)) ||
-        (meta.kind == "bq" && Set("l2sq", "cos")(meta.metric))
+        (meta.kind == "bq" && Set("l2sq", "cos")(meta.metric)) ||
+        (meta.kind == "mrl" && Set("l2sq", "cos")(meta.metric))
       idAttr <- rel.output.find(_.name == meta.idCol)
       // the subquery must emit exactly the table's id column
       if subOut.map(_.exprId) == Seq(idAttr.exprId)
@@ -1548,7 +1581,7 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val c = graft.GraftConf.annNprobe(spark)
         if (c > 0) c else meta.effectiveNprobe
       } else 0,
-      if (meta.kind == "ivfpq" || meta.kind == "pq" || meta.kind == "bq")
+      if (AnnKnnJoinExec.TableKinds(meta.kind))
         Some(rel)
       else None,
       meta.idCol, meta.vecCol)

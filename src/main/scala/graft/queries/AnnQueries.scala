@@ -260,6 +260,83 @@ object AnnQueries {
       expectKind = "bq")
   }
 
+  /** Scalar planner form through the mrl kind
+    * ([[graft.ann.MrlIndex]] — matryoshka prefix artifact, the
+    * zero-training member of the two-stage family): `ORDER BY
+    * l2sq_dist LIMIT k` over an mrl-registered table must rewrite to
+    * AnnScanLogical(kind=mrl) — prefix-distance pre-rank over the
+    * m/dim-sized prefix table, join-back, the ORIGINAL Sort+Limit as
+    * the exact full-dimension rescore — and hold the standard recall
+    * contract. Registration ef = 256, m = 32 (the mrl_knn_recall
+    * settings: measured 0.99 at sf0.01 / 0.90 at sf0.1 on the
+    * worst-case i.i.d. fixture). */
+  private def mrlPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("mrlidx", dir, "embeddings")
+    cached(path) {
+      graft.ann.MrlIndex.build(e, "vec_id", "embedding", m = 32, path)
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = 256,
+        kind = "mrl"))
+    try {
+      val qs = plannerSample(e)
+      var allPlanned = true
+      val ann = qs.map { case (qid, q) =>
+        val knn = e.select(col("vec_id"), col("embedding"))
+          .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        val opt = knn.queryExecution.optimizedPlan
+        allPlanned &&= opt.collect {
+          case a: AnnScanLogical if a.kind == "mrl" => a
+        }.nonEmpty
+        allPlanned &&= opt.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.nonEmpty
+        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      val exact = plannerTruth(e, qs)
+      if (allPlanned && RecallProtocol.meanRecallOk(ann, exact))
+        Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
+  /** FILTERED planner form through the mrl kind: the adaptive
+    * candidate loop with [[graft.ann.MrlIndex.candidateIds]] as the
+    * proposal function — wider pool (512) because the 1-in-3
+    * predicate thins it, same contract as every filtered gate. */
+  private def mrlFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("mrlidx", dir, "embeddings")
+    cached(path) {
+      graft.ann.MrlIndex.build(e, "vec_id", "embedding", m = 32, path)
+    }
+    filteredPlannerGate(s, dir, e,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 512, kind = "mrl"),
+      expectKind = "mrl")
+  }
+
+  /** Lateral kNN join through the mrl kind (completing the full kind
+    * matrix: hnsw/ivf/pq/ivfpq/bq/mrl): one batched prefix pre-rank
+    * over the prefix table for ALL probes, exact full-dimension rerank
+    * against the captured relation's float rows
+    * ([[graft.ops.MrlSearch.topKManyPrepacked]]). */
+  private def knnJoinMrlPlanner(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val path = artifactDir("mrlidx", dir, "embeddings")
+    cached(path) {
+      graft.ann.MrlIndex.build(e, "vec_id", "embedding", m = 32, path)
+    }
+    lateralGateFor(s, dir,
+      graft.plans.AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 256, kind = "mrl"),
+      view = "graft_kjp_mrl")
+  }
+
   /** Query subsample for PLANNER-form gates: the scalar rewrite takes
     * one literal vector per plan, so these gates loop a smaller sample
     * (each iteration is a full optimize + execute) — graph-quality
@@ -1206,6 +1283,11 @@ object AnnQueries {
       bqFilteredPlanner),
     QueryDef("knn_join_bq_planner", Some("SELECT 1 AS ok"),
       knnJoinBqPlanner),
+    QueryDef("knn_mrl_planner", Some("SELECT 1 AS ok"), mrlPlanner),
+    QueryDef("knn_mrl_filtered_planner", Some("SELECT 1 AS ok"),
+      mrlFilteredPlanner),
+    QueryDef("knn_join_mrl_planner", Some("SELECT 1 AS ok"),
+      knnJoinMrlPlanner),
     QueryDef("knn_pq_filtered_cos_planner", Some("SELECT 1 AS ok"),
       pqFilteredCosPlanner),
     QueryDef("knn_join_ivfpq_cos_planner", Some("SELECT 1 AS ok"),

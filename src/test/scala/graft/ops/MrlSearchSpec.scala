@@ -80,6 +80,45 @@ class MrlSearchSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("MrlIndex lifecycle + full-pool scalar rewrite is exact; delete masks") {
+    import graft.ann.MrlIndex
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrlidx").toString
+    val n = e.count()
+    val half = n / 2
+    // build over the first half, append the rest — same artifact as a
+    // one-shot build (the prefix is a pure projection)
+    MrlIndex.build(e.where(col("vec_id") < half), "vec_id", "embedding",
+      m = 16, dir)
+    assert(MrlIndex.m(spark, dir) == 16)
+    MrlIndex.append(e.where(col("vec_id") >= half), "vec_id", "embedding", dir)
+    assert(MrlIndex.livePrefixes(spark, dir).count() == n)
+    val tablePath = sf("sf0.001") + "/embeddings.parquet"
+    AnnCatalog.register(spark, tablePath, AnnCatalog.IndexMeta(
+      dir, "vec_id", "embedding", "l2sq", ef = n.toInt, kind = "mrl"))
+    try {
+      val q = e.where(col("vec_id") === 3).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val knn = e.orderBy(graft.functions.l2sq_dist(col("embedding"), lit(q)))
+        .limit(5)
+      assert(knn.queryExecution.optimizedPlan.collect {
+        case a: AnnScanLogical if a.kind == "mrl" => a }.nonEmpty)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSeq
+      // pool = corpus ⇒ the rescore sees every row ⇒ exact top-5
+      val exact = asTriples(VectorSearch.knnJoinExact(
+        Seq((0L, q.toSeq)).toDF("query_id", "qv"), "query_id", "qv",
+        e, "vec_id", "embedding", 5, "l2sq"))
+        .toSeq.sortBy(_._3).map(_._2)
+      assert(got.toSet == exact.toSet, s"$got vs $exact")
+      // tombstoned ids never surface through the planner path
+      MrlIndex.delete(spark, dir, Seq(got.head))
+      val after = e
+        .orderBy(graft.functions.l2sq_dist(col("embedding"), lit(q)))
+        .limit(5).select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(!after.contains(got.head) && after.nonEmpty)
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("prefix column is a slice: bytes scanned scale with m") {
     val rows = e.limit(5)
       .select(col("embedding"), MrlSearch.prefix(col("embedding"), 7))

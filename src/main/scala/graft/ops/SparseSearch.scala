@@ -371,4 +371,62 @@ object SparseSearch {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Batched multi-query inverted top-k — N queries in ONE postings
+    * pass: every query's (query_id, term, qw) rows broadcast against
+    * the postings together, the per-(doc, query) fold runs term-
+    * ordered exactly like [[invertedTopK]] (so scores are bit-equal to
+    * a per-query loop), and a per-query rank window cuts to k (Spark 4
+    * plans it as a partial WindowGroupLimit). Postings I/O is
+    * independent of the query count — the searchMany contract every
+    * index family here serves. Output: `(query_id, neighbor_id,
+    * score, rank ≤ k)`, rank descending by score, id tiebreak. */
+  def searchMany(
+      post: DataFrame,
+      idCol: String,
+      queries: Seq[(Long, Seq[Int], Seq[Float])],
+      k: Int): DataFrame = {
+    require(k >= 1, s"graft: sparse searchMany needs k >= 1, got $k")
+    require(queries.nonEmpty, "graft: sparse searchMany needs queries")
+    queries.foreach { case (qid, is, vs) =>
+      require(is.length == vs.length,
+        s"graft: query $qid indices/values length mismatch: " +
+          s"${is.length} vs ${vs.length}")
+    }
+    val s = post.sparkSession
+    import s.implicits._
+    val q = queries
+      .flatMap { case (qid, is, vs) => is.zip(vs).map(p => (qid, p._1, p._2)) }
+      .toDF("query_id", "term", "qw")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    post
+      .join(broadcast(q), "term")
+      .select(col("query_id"), col(idCol).cast("long").as("neighbor_id"),
+        struct(col("term"),
+          (col("w").cast("double") * col("qw").cast("double")).as("prod"))
+          .as("tp"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(sort_array(collect_list(col("tp"))), lit(0.0),
+        (acc, x) => acc + x.getField("prod")).as("score"))
+      .where(col("score") > 0)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** [[searchMany]] against a [[writePostings]] table: ONE pruned read
+    * of the UNION of every query's terms' buckets (tombstones masked),
+    * then the batched fold — the on-disk lateral/kNN-join serving
+    * shape. */
+  def searchManyOnDisk(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Seq[Int], Seq[Float])],
+      k: Int): DataFrame = {
+    require(queries.nonEmpty, "graft: sparse searchManyOnDisk needs queries")
+    val (_, idCol) = readMeta(spark, path)
+    val allTerms = queries.flatMap(_._2).distinct
+    searchMany(readPostings(spark, path, allTerms), idCol, queries, k)
+  }
 }

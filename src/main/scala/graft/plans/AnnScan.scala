@@ -683,6 +683,24 @@ case class AnnKnnJoinExec(
   private def searchManyFor(
       queries: Seq[(Long, Array[Float])]): org.apache.spark.sql.DataFrame =
     kind match {
+      case "sparse" =>
+        // probes were flattened (count, indices, values) triples
+        // ([[AnnKnnJoinExec.pack]]); the batched inverted fold is
+        // EXACT, so no rescore pool is involved — one pruned postings
+        // pass answers every probe
+        val qs = queries.flatMap { case (qid, flat) =>
+          val n = if (flat.isEmpty) 0 else flat(0).toInt
+          if (n == 0) None // empty sparse probe matches nothing
+          else Some((qid,
+            (0 until n).map(i => flat(1 + i).toInt),
+            (0 until n).map(i => flat(1 + n + i))))
+        }
+        if (qs.isEmpty) {
+          import session.implicits._
+          Seq.empty[(Long, Long, Double, Int)]
+            .toDF("query_id", "neighbor_id", "score", "rank")
+        } else graft.ops.SparseSearch.searchManyOnDisk(
+          session, artifact, qs, k)
       case "multivec" =>
         // probes were flattened token matrices ([[packQuery]]); reshape
         // with the artifact's token dim and run ONE batched PLAID pass
@@ -734,23 +752,33 @@ case class AnnKnnJoinExec(
         AnnIndex.searchMany(session, artifact, queries, k, ef)
     }
 
-  /** hamming probes are the table's b1-packed array<int>; the graph
-    * shards store 16-bit word floats, so repack per probe. multivec
-    * probes are token MATRICES (array<array<float>>) — flattened here,
-    * reshaped by [[searchManyFor]] with the artifact's token dim. */
-  private def packQuery(a: ArrayData): Array[Float] =
-    AnnKnnJoinExec.pack(a, metric == "hamming", kind == "multivec")
+  /** Probe extraction per kind: hamming probes are the table's
+    * b1-packed array<int> (repacked to the shards' word floats);
+    * multivec probes are token MATRICES (array<array<float>>),
+    * flattened and reshaped by [[searchManyFor]] with the artifact's
+    * token dim; sparse probes are (indices, values) STRUCTS, flattened
+    * as (count, indices-as-floats, values); float vectors pass
+    * through. Null probe → null (joins to nothing). */
+  private def packQuery(r: InternalRow, qIdx: Int): Array[Float] =
+    AnnKnnJoinExec.packProbe(r, qIdx, kind, metric)
 
-  /** Probe payload bytes for the ingest budget — nested matrices count
-    * their inner floats, not just the outer element count. */
-  private def probeBytes(a: ArrayData): Long =
-    if (kind == "multivec") {
+  /** Probe payload bytes for the ingest budget — nested matrices and
+    * sparse structs count their actual floats, not just the outer
+    * element count. */
+  private def probeBytes(r: InternalRow, qIdx: Int): Long =
+    if (r.isNullAt(qIdx)) 0L
+    else if (kind == "sparse") {
+      val st = r.getStruct(qIdx, 2)
+      val ia = st.getArray(0)
+      4L * (1 + 2 * (if (ia == null) 0 else ia.numElements()))
+    } else if (kind == "multivec") {
+      val a = r.getArray(qIdx)
       var b = 0L; var i = 0
       while (i < a.numElements()) {
         b += 4L * a.getArray(i).numElements() + 8L; i += 1
       }
       b
-    } else 4L * a.numElements()
+    } else 4L * r.getArray(qIdx).numElements()
 
   override protected def doExecute(): RDD[InternalRow] = {
     val qIdx = child.output.indexWhere(_.exprId == queryAttr.exprId)
@@ -767,9 +795,7 @@ case class AnnKnnJoinExec(
     val it = child.executeToIterator()
     while (!overBudget && it.hasNext) {
       val r = it.next().copy()
-      val vecBytes =
-        if (r.isNullAt(qIdx)) 0L else probeBytes(r.getArray(qIdx))
-      bytes += vecBytes + 16L
+      bytes += probeBytes(r, qIdx) + 16L
       if (bytes > budget) overBudget = true
       else buf += r
     }
@@ -780,7 +806,7 @@ case class AnnKnnJoinExec(
     val rows = buf.toArray
     val queries = rows.iterator.zipWithIndex
       .filterNot { case (r, _) => r.isNullAt(qIdx) }
-      .map { case (r, i) => (i.toLong, packQuery(r.getArray(qIdx))) }
+      .map { case (r, i) => (i.toLong, packQuery(r, qIdx)) }
       .toSeq
     val resultDf = searchManyFor(queries)
     val byQ = resultDf
@@ -843,12 +869,10 @@ case class AnnKnnJoinExec(
     // executor-side packing goes through the STATIC helper with local
     // flags: an instance-method call would drag the whole exec node
     // (and its captured, non-serializable relation) into the closure
-    val isHamming = metric == "hamming"
-    val isMv = kind == "multivec"
+    val kindL = kind
+    val metricL = metric
     val vecs = probes.mapPartitions(_.map { case (pid, r) =>
-      (pid,
-        if (r.isNullAt(qIdx)) null
-        else AnnKnnJoinExec.pack(r.getArray(qIdx), isHamming, isMv))
+      (pid, AnnKnnJoinExec.packProbe(r, qIdx, kindL, metricL))
     })
     val chunkResults = scala.collection.mutable.ArrayBuffer
       .empty[RDD[(Long, Long)]]
@@ -895,6 +919,38 @@ case class AnnKnnJoinExec(
 }
 
 object AnnKnnJoinExec {
+  /** Row-level probe packing, executor-safe (a static call captures no
+    * plan node). Sparse probes are STRUCTS — flattened as (count,
+    * indices-as-floats, values); exact because term indices are ints
+    * below 2^24 (any real vocabulary). Everything else is array-typed
+    * and routes through [[pack]]. */
+  def packProbe(r: InternalRow, qIdx: Int, kind: String,
+      metric: String): Array[Float] =
+    if (r.isNullAt(qIdx)) null
+    else if (kind == "sparse") {
+      val st = r.getStruct(qIdx, 2)
+      val ia = st.getArray(0)
+      val va = st.getArray(1)
+      require(ia != null && va != null,
+        "graft: sparse probe has null indices/values arrays")
+      val n = ia.numElements()
+      require(va.numElements() == n,
+        s"graft: sparse probe indices/values length mismatch: " +
+          s"$n vs ${va.numElements()}")
+      val out = new Array[Float](1 + 2 * n)
+      out(0) = n.toFloat
+      var i = 0
+      while (i < n) {
+        val t = ia.getInt(i)
+        require(t >= 0 && t < (1 << 24),
+          s"graft: sparse probe term $t outside the exact float range")
+        out(1 + i) = t.toFloat
+        out(1 + n + i) = va.getFloat(i)
+        i += 1
+      }
+      out
+    } else pack(r.getArray(qIdx), metric == "hamming", kind == "multivec")
+
   /** Probe packing, executor-safe (a static call captures no plan
     * node): hamming probes repack b1 ints to word floats; multivec
     * token matrices flatten row-major (reshaped at search time with
@@ -1542,6 +1598,43 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (c > 0) c else meta.effectiveNprobe
       },
       None, meta.idCol, meta.vecCol)
+    // Sparse lateral form: `ORDER BY sparse_dot(sv, p.qsv) DESC
+    // LIMIT k` with the probe's sparse struct an OUTER column — every
+    // probe batched through ONE pruned inverted-file pass
+    // (SparseSearch.searchManyOnDisk); the batched fold is EXACT, so
+    // no rescore stage is needed.
+    lazy val sparseForm = {
+      def sparseType(t: org.apache.spark.sql.types.DataType): Boolean =
+        t match {
+          case StructType(Array(f0, f1)) =>
+            (f0.dataType, f1.dataType) match {
+              case (ArrayType(IntegerType, _), ArrayType(FloatType, _)) => true
+              case _ => false
+            }
+          case _ => false
+        }
+      for {
+        (k, Sort(Seq(SortOrder(sortExpr, Descending, NullsLast, _)),
+          true, schild, _)) <- candidate
+        (vecAttr, outerAttr) <- (sortExpr match {
+          case graft.functions.SparseDot(a: AttributeReference,
+              OuterReference(o: AttributeReference)) => Some((a, o))
+          case graft.functions.SparseDot(OuterReference(o: AttributeReference),
+              a: AttributeReference) => Some((a, o))
+          case _ => None
+        })
+        if lj.left.outputSet.contains(outerAttr)
+        if sparseType(outerAttr.dataType)
+        (rel, paths) <- findRel(schild)
+        if rel.outputSet.contains(vecAttr)
+        meta <- AnnCatalog.lookup(paths, vecAttr.name, "sparsedot")
+        if meta.kind == "sparse"
+        idAttr <- rel.output.find(_.name == meta.idCol)
+        if subOut.map(_.exprId) == Seq(idAttr.exprId)
+      } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
+        meta.artifact, k, math.max(meta.ef, k), "sparsedot", "sparse", 0,
+        None, meta.idCol, meta.vecCol)
+    }
     val distanceForm = for {
       (k, s @ Sort(Seq(SortOrder(sortExpr, Ascending, _, _)), true, schild, _)) <- candidate
       (metric, vecAttr, outerAttr) <- matchDistOuter(sortExpr)
@@ -1585,7 +1678,7 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(rel)
       else None,
       meta.idCol, meta.vecCol)
-    distanceForm.orElse(maxsimForm)
+    distanceForm.orElse(maxsimForm).orElse(sparseForm)
   }
 }
 

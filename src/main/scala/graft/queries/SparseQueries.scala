@@ -258,6 +258,133 @@ object SparseQueries {
       |ORDER BY s DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** Batched multi-query gate ([[graft.ops.SparseSearch.searchMany]]
+    * — the searchMany contract for the sparse family): THREE query
+    * docs ride one pruned postings pass, and every (query, doc, score,
+    * rank) row must hash-match a full per-query SQL replay — exact,
+    * not recall-style, because the batched fold is term-ordered like
+    * the single-query path. The rank window cuts on the RAW score
+    * (id tiebreak), the output rounds. */
+  private val ManyQueries = 3
+
+  private def sparseMany(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val docs = sparseDocs(e.where(col("vec_id") >= ManyQueries))
+    val qs = e.where(col("vec_id") < ManyQueries)
+      .select(col("vec_id"), SparseSearch.sparsify(col("embedding"), Tau).as("qv"))
+      .collect()
+      .map { r =>
+        val st = r.getStruct(1)
+        (r.getLong(0), st.getSeq[Int](0), st.getSeq[Float](1))
+      }.toSeq.sortBy(_._1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-smany").toString + "/post"
+    SparseSearch.writePostings(
+      SparseSearch.postings(docs, "vec_id", col("sv")), path, buckets = 16)
+    SparseSearch.searchManyOnDisk(s, path, qs, k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 4).as("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sparseManyOracle: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < $ManyQueries),
+      |sc AS (
+      |  SELECT q.qid, e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0.125
+      |                 AND CAST(p[2] AS DOUBLE) >= 0.125
+      |        THEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |        ELSE 0.0 END)) AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id >= $ManyQueries),
+      |r AS (
+      |  SELECT qid, vec_id, s,
+      |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+      |      AS rank
+      |  FROM sc WHERE s > 0)
+      |SELECT qid AS query_id, vec_id AS neighbor_id,
+      |  round(s, 4) AS score, rank
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Sparse LATERAL planner gate: `FROM probes p, LATERAL (SELECT id
+    * FROM docs ORDER BY sparse_dot(sv, p.qsv) DESC LIMIT k)` — which
+    * vanilla Spark rejects at analysis — must rewrite through
+    * [[graft.plans.AnnKnnJoinLogical]] with `kind = "sparse"` (every
+    * probe batched through ONE pruned inverted-file pass), and because
+    * the batched fold is exact, the bar is FULL hash-equality to the
+    * per-query SQL replay, not recall. */
+  private def sparseJoinPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val docsPath = AnnQueries.artifactDir("sdocs", dir, "embeddings")
+    AnnQueries.cached(docsPath) {
+      sparseDocs(e).write.mode("overwrite").parquet(s"$docsPath/docs")
+    }
+    val postPath = AnnQueries.artifactDir("sparsepostb", dir, "embeddings")
+    AnnQueries.cached(postPath) {
+      SparseSearch.writePostings(
+        SparseSearch.postings(sparseDocs(e), "vec_id", col("sv")), postPath)
+    }
+    val tablePath = s"$docsPath/docs"
+    AnnCatalog.register(s, tablePath, AnnCatalog.IndexMeta(
+      postPath, "vec_id", "sv", "sparsedot", ef = 64, kind = "sparse"))
+    val probesView = "graft_sjp_probes"
+    val docsView = "graft_sjp_docs"
+    try {
+      e.where(col("vec_id") < ManyQueries)
+        .select(col("vec_id").as("q_id"),
+          SparseSearch.sparsify(col("embedding"), Tau).as("qsv"))
+        .createOrReplaceTempView(probesView)
+      s.read.parquet(tablePath).createOrReplaceTempView(docsView)
+      val qdf = s.sql(
+        s"""SELECT p.q_id AS query_id, t.vec_id AS neighbor_id
+           |FROM $probesView p,
+           |LATERAL (
+           |  SELECT vec_id FROM $docsView
+           |  ORDER BY sparse_dot(sv, p.qsv) DESC LIMIT 10
+           |) t""".stripMargin)
+      val planned = qdf.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AnnKnnJoinLogical if a.kind == "sparse" => a
+      }.nonEmpty
+      if (!planned) Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+      else qdf.orderBy(col("query_id"), col("neighbor_id"))
+    } finally {
+      AnnCatalog.unregister(s, tablePath)
+      s.catalog.dropTempView(probesView)
+      s.catalog.dropTempView(docsView)
+      ()
+    }
+  }
+
+  /** Per-query replay of the lateral's exact semantics: top-10 per
+    * probe by (raw score desc, id), rows ordered (query_id, id). */
+  private val sparseJoinPlannerOracle: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < $ManyQueries),
+      |sc AS (
+      |  SELECT q.qid, e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0.125
+      |                 AND CAST(p[2] AS DOUBLE) >= 0.125
+      |        THEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |        ELSE 0.0 END)) AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0),
+      |r AS (
+      |  SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+      |      AS rank
+      |  FROM sc WHERE s > 0)
+      |SELECT qid AS query_id, vec_id AS neighbor_id
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   /** Sparse + dense RRF hybrid: the SPLADE-era production combiner
     * (sparse impact top-20 fused with dense l2sq top-20 by reciprocal
     * rank — [[graft.ops.HybridSearch]]); both arms cut on rounded
@@ -341,6 +468,9 @@ object SparseQueries {
     QueryDef("streaming_sparse_insert", Some(sparseOracle), streamingSparseInsert),
     QueryDef("sparse_consolidate", Some(sparseConsolidateOracle), sparseConsolidate),
     QueryDef("knn_sparse_planner", Some(sparsePlannerOracle), sparsePlanner),
+    QueryDef("sparse_knn_many", Some(sparseManyOracle), sparseMany),
+    QueryDef("knn_join_sparse_planner", Some(sparseJoinPlannerOracle),
+      sparseJoinPlanner),
     QueryDef("hybrid_sparse_dense", Some(hybridSparseDenseOracle), hybridSparseDense),
   )
 }

@@ -591,6 +591,64 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("lateral sparse joins through AnnKnnJoin kind=sparse; distributed path same") {
+    import graft.ops.SparseSearch
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val sv = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), SparseSearch.sparsify(col("embedding"), 0.125f).as("sv"))
+    val base = java.nio.file.Files.createTempDirectory("graft-splj").toString
+    sv.write.parquet(s"$base/docs")
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", col("sv")), s"$base/post", buckets = 8)
+    AnnCatalog.register(spark, s"$base/docs", AnnCatalog.IndexMeta(
+      s"$base/post", "vec_id", "sv", "sparsedot", ef = 32, kind = "sparse"))
+    e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"),
+        SparseSearch.sparsify(col("embedding"), 0.125f).as("qsv"))
+      .createOrReplaceTempView("graft_splj_probes")
+    spark.read.parquet(s"$base/docs").createOrReplaceTempView("graft_splj_docs")
+    try {
+      val sqlText =
+        """SELECT p.q_id AS query_id, t.vec_id AS neighbor_id
+          |FROM graft_splj_probes p,
+          |LATERAL (
+          |  SELECT vec_id FROM graft_splj_docs
+          |  ORDER BY sparse_dot(sv, p.qsv) DESC LIMIT 5
+          |) t""".stripMargin
+      val q = spark.sql(sqlText)
+      assert(q.queryExecution.optimizedPlan.collect {
+        case a: AnnKnnJoinLogical if a.kind == "sparse" => a
+      }.nonEmpty)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact per-probe truth via the row-wise exact path
+      val exact = (0L until 3L).flatMap { qd =>
+        val qRow = e.where(col("vec_id") === qd)
+          .select(SparseSearch.sparsify(col("embedding"), 0.125f))
+          .head().getStruct(0)
+        val ql = SparseSearch.queryLit(qRow.getSeq[Int](0), qRow.getSeq[Float](1))
+        SparseSearch.topK(spark.read.parquet(s"$base/docs"), "vec_id",
+            col("sv"), ql, 5)
+          .select("vec_id").collect().map(r => (qd, r.getLong(0)))
+      }.toSet
+      assert(got == exact, s"got $got vs $exact")
+      // over-budget probe sides pack the STRUCT probes executor-side
+      // on the distributed chunked path and return the same join
+      val budgetKey = graft.GraftConf.KnnJoinBroadcastBytes
+      spark.conf.set(budgetKey, "64")
+      try {
+        val distGot = spark.sql(sqlText).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(distGot == exact, s"distributed $distGot vs $exact")
+      } finally spark.conf.unset(budgetKey)
+    } finally {
+      AnnCatalog.unregister(spark, s"$base/docs")
+      spark.catalog.dropTempView("graft_splj_probes")
+      spark.catalog.dropTempView("graft_splj_docs")
+      ()
+    }
+  }
+
   test("sparse kind: sparse_dot DESC rewrite = pruned inverted pre-rank, bit-equal") {
     import graft.ops.SparseSearch
     val dir = sf("sf0.001")

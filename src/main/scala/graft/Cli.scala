@@ -24,9 +24,10 @@ object Cli {
       |  show-runtimes
       |  measure-model-speed [--runtime hash-mock] [--model mock/tiny]
       |  create-index       --src P --id-col C --vec-col C --index P
-      |                     [--kind hnsw|bq]
+      |                     [--kind hnsw|bq|mrl]
       |                     [--m 16] [--ef-construction 128] [--ef 64]
       |                     [--metric l2sq] [--quant f32] [--partitions 0]
+      |                     (mrl: --m is the prefix dim; bq: no flags)
       |  autotune-index     --src P --id-col C --vec-col C
       |                     [--metric l2sq] [--k 10] [--target-recall 0.9]
       |                     [--index P]   (promotes the winner when set)
@@ -160,6 +161,17 @@ object Cli {
                 s"(got: ${hnswOnly.map("--" + _).mkString(", ")})")
             ann.BqIndex.build(spark.read.parquet(src), idCol, vecCol, idxP)
             println(s"built $idxP (kind=bq: sign-bit signatures + center)")
+          case "mrl" =>
+            // mrl's one parameter is the prefix dim; it reuses --m (the
+            // other hnsw flags make no sense here and are rejected)
+            val hnswOnly = Seq("ef-construction", "ef", "metric",
+              "quant", "partitions").filter(opts.contains)
+            require(hnswOnly.isEmpty,
+              s"--kind mrl takes only --m (prefix dim) " +
+                s"(got: ${hnswOnly.map("--" + _).mkString(", ")})")
+            val m = opts.getOrElse("m", "32").toInt
+            ann.MrlIndex.build(spark.read.parquet(src), idCol, vecCol, m, idxP)
+            println(s"built $idxP (kind=mrl: first-$m-dims prefix table)")
           case "hnsw" =>
             val h = ann.AnnIndex.build(
               spark.read.parquet(src), idCol, vecCol, idxP,
@@ -173,7 +185,7 @@ object Cli {
             println(s"built $idxP (dim=${h.dim}, metric=${h.metric}, quant=${h.quant})")
           case other =>
             throw new IllegalArgumentException(
-              s"unknown index kind '$other' (expected hnsw|bq)")
+              s"unknown index kind '$other' (expected hnsw|bq|mrl)")
         }
 
       case "autotune-index" =>

@@ -56,6 +56,16 @@ object MrlIndex {
     finally out.close()
   }
 
+  /** Artifact sniff for serving layers that route by layout (the HTTP
+    * façade's search/insert paths): an mrl artifact is the prefix
+    * table + its recorded m. */
+  def isMrl(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$path/$PrefixDir")) &&
+      fs.exists(new Path(s"$path/$MetaFile"))
+  }
+
   /** The prefix length recorded at [[build]] time — the codec
     * parameter every query must share. */
   def m(spark: SparkSession, path: String): Int = {

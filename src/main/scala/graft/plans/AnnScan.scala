@@ -321,7 +321,10 @@ case class AnnFilteredIdsLogical(
   */
 case class AnnFilteredIdsExec(
     candAttr: Attribute,
-    table: LogicalPlan,
+    // driver-only; @transient keeps the captured relation's
+    // (non-serializable) file index out of task closures when the
+    // canonicalized join subtree rides along with codegen'd tasks
+    @transient table: LogicalPlan,
     pred: Expression,
     idCol: String,
     vecCol: String,
@@ -654,7 +657,9 @@ case class AnnKnnJoinExec(
     metric: String,
     kind: String,
     nprobe: Int,
-    table: Option[LogicalPlan],
+    // driver-only rescore source; @transient for the same reason as
+    // AnnFilteredIdsExec.table
+    @transient table: Option[LogicalPlan],
     idCol: String,
     vecCol: String,
     child: SparkPlan) extends org.apache.spark.sql.execution.UnaryExecNode {

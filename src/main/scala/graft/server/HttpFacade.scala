@@ -211,20 +211,30 @@ final class HttpFacade(
       val withVec = batch.where(col(column).isNotNull)
       if (!withVec.isEmpty) {
         val idx = idxPath(idxName).toString
-        AnnIndex.append(withVec, "id", column, idx)
-        // each append adds delta shards and search fans out one task
-        // per shard — a row-at-a-time inserter would otherwise get one
-        // graph file per row and linearly growing search latency;
-        // compact once the count crosses the conf threshold. Target
-        // shard count is sized from row volume (~1M rows ≈ 0.5 GB per
-        // shard at 128 dims — the build-time guidance); consolidate's
-        // default keeps the current partitioning, i.e. would rebuild
-        // the same shard count and never compact
-        if (AnnIndex.shardCount(spark, idx) >
-            graft.GraftConf.annConsolidateShards(spark)) {
-          val rows = spark.read.parquet(colPath(name).toString).count()
-          AnnIndex.consolidate(spark, idx,
-            numPartitions = math.max(1, math.ceil(rows / 1e6).toInt))
+        // append per ARTIFACT LAYOUT — an hnsw-shaped append onto a
+        // bq/mrl artifact would corrupt it (their layouts are bits/
+        // prefix parquet, not graph shards)
+        if (graft.ann.BqIndex.isBq(spark, idx)) {
+          graft.ann.BqIndex.append(withVec, "id", column, idx)
+        } else if (graft.ann.MrlIndex.isMrl(spark, idx)) {
+          graft.ann.MrlIndex.append(withVec, "id", column, idx)
+        } else {
+          AnnIndex.append(withVec, "id", column, idx)
+          // each append adds delta shards and search fans out one task
+          // per shard — a row-at-a-time inserter would otherwise get
+          // one graph file per row and linearly growing search
+          // latency; compact once the count crosses the conf
+          // threshold. Target shard count is sized from row volume
+          // (~1M rows ≈ 0.5 GB per shard at 128 dims — the build-time
+          // guidance); consolidate's default keeps the current
+          // partitioning, i.e. would rebuild the same shard count and
+          // never compact
+          if (AnnIndex.shardCount(spark, idx) >
+              graft.GraftConf.annConsolidateShards(spark)) {
+            val rows = spark.read.parquet(colPath(name).toString).count()
+            AnnIndex.consolidate(spark, idx,
+              numPartitions = math.max(1, math.ceil(rows / 1e6).toInt))
+          }
         }
       }
     }
@@ -306,7 +316,22 @@ final class HttpFacade(
           df.where(col("id").isin(cand.toIndexedSeq: _*)), col(column),
           query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
       } else if (fs.exists(idx) &&
+          graft.ann.MrlIndex.isMrl(spark, idx.toString) &&
+          Set("l2sq", "cos")(metric)) {
+        // matryoshka rescore path: prefix pre-rank over the m/dim
+        // prefix table (pool = the ef knob), exact full-dimension
+        // rescore over the pool's true rows — same angular/l2-only
+        // policy as the bq route
+        val base = graft.GraftConf.annParams(spark)
+        val pool = math.max(if (ef > 0) ef else base.ef, 4 * k)
+        val cand = graft.ann.MrlIndex.candidateIds(
+          spark, idx.toString, query, pool, metric)
+        VectorSearch.exact(
+          df.where(col("id").isin(cand.toIndexedSeq: _*)), col(column),
+          query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
+      } else if (fs.exists(idx) &&
           !graft.ann.BqIndex.isBq(spark, idx.toString) &&
+          !graft.ann.MrlIndex.isMrl(spark, idx.toString) &&
           AnnIndex.readHeader(spark, idx.toString).metric == metric) {
         val ids = AnnIndex.search(spark, idx.toString, query, k,
           efOverride = ef).map(_._1)
@@ -341,6 +366,13 @@ final class HttpFacade(
           s"bq indexes serve l2sq/cos, not '$metric'")
         graft.ann.BqIndex.build(df.where(col(column).isNotNull), "id",
           column, idxPath(idx).toString)
+      case "mrl" =>
+        // matryoshka prefix artifact: zero training, `m` = prefix dim
+        // (the codec parameter; served by the prefix rescore path)
+        require(Set("l2sq", "cos")(metric),
+          s"mrl indexes serve l2sq/cos, not '$metric'")
+        graft.ann.MrlIndex.build(df.where(col(column).isNotNull), "id",
+          column, m = intOpt(b, "m", 32), idxPath(idx).toString)
       case "hnsw" =>
         val base = graft.GraftConf.annParams(spark)
         val params = AnnParams(
@@ -354,7 +386,7 @@ final class HttpFacade(
         ()
       case other =>
         throw new IllegalArgumentException(
-          s"unknown index kind '$other' (expected hnsw|bq)")
+          s"unknown index kind '$other' (expected hnsw|bq|mrl)")
     }
     respond(ex, 200, s"""{"index":"$idx"}""")
   }

@@ -69,6 +69,26 @@ class CliSpec extends SparkTestBase {
     assert(ex.getMessage.contains("toks-per-doc"))
   }
 
+  test("create-index --kind mrl builds a prefix artifact; stray flags rejected") {
+    spark // force shared session so Cli's getOrCreate reuses it
+    val out = tmp("mrlidx")
+    Cli.run("create-index", Map(
+      "src" -> (sf("sf0.001") + "/embeddings.parquet"),
+      "id-col" -> "vec_id", "vec-col" -> "embedding", "index" -> out,
+      "kind" -> "mrl", "m" -> "8"))
+    assert(graft.ann.MrlIndex.isMrl(spark, out))
+    assert(graft.ann.MrlIndex.m(spark, out) == 8)
+    assert(graft.ann.MrlIndex.livePrefixes(spark, out)
+      .head().getSeq[Float](1).length == 8)
+    // hnsw-only tuning flags are an error under mrl, like bq
+    intercept[IllegalArgumentException] {
+      Cli.run("create-index", Map(
+        "src" -> (sf("sf0.001") + "/embeddings.parquet"),
+        "id-col" -> "vec_id", "vec-col" -> "embedding", "index" -> tmp("x"),
+        "kind" -> "mrl", "ef" -> "64"))
+    }
+  }
+
   test("create-embeddings and create-index subcommands produce real artifacts") {
     spark // force shared session so Cli's getOrCreate reuses it
     val src = tmp("src")

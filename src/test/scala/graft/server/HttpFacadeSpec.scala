@@ -152,7 +152,44 @@ class HttpFacadeSpec extends SparkTestBase
       s"""{"column":"vector","query_vector":${vecJson(vec(7))},"metric":"inner","k":1,"select":"id"}""")
     assert(ic == 200, ib)
     assert(ib.contains("\"id\":"), ib)
+    // an INSERT after the index exists appends per the bq LAYOUT
+    // (sign-bit packing with the persisted center, not graph shards)
+    // and the new row is immediately searchable
+    assert(req("PUT", "/collections/bqc",
+      s"""{"rows":[{"id":99,"vector":${vecJson(vec(99))},"data":"fresh"}]}""")._1 == 200)
+    val (nc, nb) = req("POST", "/collections/bqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(99))},"k":1,"ef":64,"select":"id,data"}""")
+    assert(nc == 200, nb)
+    assert(nb.contains("\"data\":\"fresh\""), nb)
     assert(req("DELETE", "/collections/bqc")._1 == 200)
+  }
+
+  test("mrl index kind: prefix rescore route; inserts append per layout") {
+    assert(req("POST", "/collections", """{"name":"mrlc"}""")._1 == 200)
+    def rowsJson(ids: Range): String = ids.map { i =>
+      s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"doc-$i"}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    assert(req("PUT", "/collections/mrlc", rowsJson(0 until 40))._1 == 200)
+    // mrl under inner is a 400 (prefix pre-rank serves l2/angular only)
+    assert(req("POST", "/collections/mrlc/index",
+      """{"column":"vector","kind":"mrl","metric":"inner"}""")._1 == 400)
+    assert(req("POST", "/collections/mrlc/index",
+      """{"column":"vector","kind":"mrl","m":4}""")._1 == 200)
+    // search with ef >= corpus is the EXACT rescore
+    val (sc, sb) = req("POST", "/collections/mrlc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"ef":40,"select":"id"}""")
+    assert(sc == 200, sb)
+    assert(sb.startsWith("""{"rows":[{"id":5}"""), sb)
+    // an INSERT after the index exists appends per the mrl LAYOUT
+    // (an hnsw-shaped append would corrupt the prefix artifact) and
+    // the new row is immediately searchable through the index route
+    assert(req("PUT", "/collections/mrlc",
+      s"""{"rows":[{"id":99,"vector":${vecJson(vec(99))},"data":"fresh"}]}""")._1 == 200)
+    val (nc, nb) = req("POST", "/collections/mrlc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(99))},"k":1,"ef":64,"select":"id,data"}""")
+    assert(nc == 200, nb)
+    assert(nb.contains("\"data\":\"fresh\""), nb)
+    assert(req("DELETE", "/collections/mrlc")._1 == 200)
   }
 
   test("errors: unknown collection, bad body, missing fields") {

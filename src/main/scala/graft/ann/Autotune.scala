@@ -339,6 +339,75 @@ object Autotune {
       .toDF("pool", "recall", "avg_search_ms", "build_secs", "picked")
   }
 
+  // --------------------------------------------------- matryoshka (MRL)
+
+  case class MrlVariant(m: Int, pool: Int)
+  case class MrlResult(variant: MrlVariant, recall: Double,
+      avgSearchMs: Double)
+  case class MrlReport(results: Seq[MrlResult], picked: Option[MrlResult])
+
+  /** Default (prefix dim, rescore pool) sweep, cheapest-first: `m`
+    * scales stage-1 scan bytes and distance arithmetic, `pool` the
+    * exact full-dimension rerank. */
+  val DefaultMrlGrid: Seq[MrlVariant] = Seq(
+    MrlVariant(8, 64), MrlVariant(8, 256), MrlVariant(16, 64),
+    MrlVariant(16, 256), MrlVariant(32, 64), MrlVariant(32, 256))
+
+  /** `autotune-index` protocol for the matryoshka two-stage search
+    * ([[graft.ops.MrlSearch]]): sample a query set, compute the exact
+    * truth once, measure every (m, pool) variant with one batched
+    * [[graft.ops.MrlSearch.topKMany]] pass each (zero index build —
+    * the "index" is a column slice, so the sweep's only cost is the
+    * searches), pick the FIRST grid variant meeting the target. At
+    * fixed m, recall is non-decreasing in pool by construction (nested
+    * candidate pools under an exact rerank). */
+  def autotuneMrl(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      grid: Seq[MrlVariant] = DefaultMrlGrid,
+      metric: String = "l2sq"): MrlReport = {
+    val queries = graft.util.Sampling
+      .hashSample(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        queryCount, col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(queries.nonEmpty, "graft: autotune needs at least one sample row")
+    val truth = queries.map { case (_, q) =>
+      VectorSearch.exact(df, col(vecCol), q, k, metric,
+        tieBreak = Seq(col(idCol)))
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    }
+    val results = grid.map { v =>
+      val t1 = System.nanoTime()
+      val got = graft.ops.MrlSearch.topKMany(
+          df, idCol, vecCol, queries.toSeq, k, pool = v.pool, m = v.m,
+          metric = metric)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      val avgMs = (System.nanoTime() - t1) / 1e6 / queries.length
+      var hits = 0; var total = 0
+      queries.zip(truth).foreach { case ((qid, _), expected) =>
+        hits += got.getOrElse(qid, Set.empty).intersect(expected).size
+        total += expected.size
+      }
+      MrlResult(v, hits.toDouble / total, avgMs)
+    }
+    MrlReport(results, results.find(_.recall >= targetRecall))
+  }
+
+  /** MRL report as a DataFrame (same persistence shape as the rest). */
+  def mrlReportDf(spark: SparkSession, report: MrlReport): DataFrame = {
+    import spark.implicits._
+    report.results
+      .map(r => (r.variant.m, r.variant.pool, r.recall, r.avgSearchMs,
+        report.picked.contains(r)))
+      .toDF("m", "pool", "recall", "avg_search_ms", "picked")
+  }
+
   // -------------------------------------------------- multivec (PLAID)
 
   case class MvVariant(nprobe: Int, cand: Int)

@@ -277,6 +277,50 @@ object ClusterQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** MRL serving-knob autotune gate
+    * ([[graft.ann.Autotune.autotuneMrl]]): the (m, pool) grid measured
+    * against one exact truth, recorded-spec check mirroring
+    * `autotune_bq`: the persisted report must contain the whole grid,
+    * pick exactly the FIRST variant meeting the target with all
+    * cheaper variants below it, and at fixed m recall must be
+    * non-decreasing in pool — deterministic (nested candidate pools
+    * under an exact rerank), so a violation means the sweep is
+    * broken. */
+  private def mrlAutotune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.Autotune
+    val target = 0.9
+    val grid = Autotune.DefaultMrlGrid
+    val reportPath = AnnQueries.artifactDir("mrltune", dir, "embeddings")
+    AnnQueries.cached(reportPath) {
+      val rep = Autotune.autotuneMrl(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", queryCount = 5, targetRecall = target,
+        grid = grid)
+      Autotune.mrlReportDf(s, rep)
+        .write.mode("overwrite").parquet(s"$reportPath/report")
+    }
+    val rows = s.read.parquet(s"$reportPath/report").collect()
+      .map(r => (Autotune.MrlVariant(r.getAs[Int]("m"), r.getAs[Int]("pool")),
+        r.getAs[Double]("recall"), r.getAs[Boolean]("picked")))
+    val byVariant = rows.map(v => v._1 -> v).toMap
+    val ordered = grid.flatMap(byVariant.get)
+    val ruleOk = ordered.length == grid.length && {
+      val recalls = ordered.map(_._2)
+      val picks = ordered.map(_._3)
+      val firstQualifying = recalls.indexWhere(_ >= target)
+      firstQualifying >= 0 && picks.count(identity) == 1 &&
+        picks(firstQualifying) &&
+        recalls.take(firstQualifying).forall(_ < target)
+    }
+    val poolMonotone = ordered.groupBy(_._1.m).values.forall { g =>
+      g.sortBy(_._1.pool).map(_._2).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9)
+    }
+    if (ruleOk && poolMonotone) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("cluster_embeddings", Some(clusterOracle), clusterEmbeddings),
     QueryDef("semdedup_keepers", Some(semdedupOracle), semdedupKeepers),
@@ -284,5 +328,6 @@ object ClusterQueries {
     QueryDef("pca_whiten", Some(pcaWhitenOracle), pcaWhiten),
     QueryDef("projected_knn_recall", Some("SELECT 1 AS ok"), projectedKnnRecall),
     QueryDef("mrl_knn_recall", Some("SELECT 1 AS ok"), mrlKnnRecall),
+    QueryDef("autotune_mrl", Some("SELECT 1 AS ok"), mrlAutotune),
   )
 }

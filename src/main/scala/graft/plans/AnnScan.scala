@@ -1637,7 +1637,12 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         idAttr <- rel.output.find(_.name == meta.idCol)
         if subOut.map(_.exprId) == Seq(idAttr.exprId)
       } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
-        meta.artifact, k, math.max(meta.ef, k), "sparsedot", "sparse", 0,
+        meta.artifact, k,
+        math.max({
+          val c = graft.GraftConf.annEf(spark)
+          if (c > 0) c else meta.ef
+        }, k),
+        "sparsedot", "sparse", 0,
         None, meta.idCol, meta.vecCol)
     }
     val distanceForm = for {

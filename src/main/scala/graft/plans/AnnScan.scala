@@ -501,7 +501,17 @@ case class MaxSimIdsLogical(
     query: Seq[Seq[Float]],
     k: Int,
     cand: Int,
-    nprobe: Int) extends LeafNode {
+    nprobe: Int,
+    // FILTERED form only: the captured relation + predicate + its
+    // id/toks columns, so the exec can run the adaptive over-fetch
+    // loop (stage-1 candidates are approximate, so a selective
+    // predicate can starve the limit — same contract as
+    // AnnFilteredIdsExec, with the exact filtered MaxSim scan as the
+    // terminal guarantee)
+    table: Option[LogicalPlan] = None,
+    pred: Option[Expression] = None,
+    idCol: String = "",
+    vecCol: String = "") extends LeafNode {
   override def output: Seq[Attribute] = Seq(candAttr)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = 1L + 8L * math.max(cand, k))
@@ -513,17 +523,62 @@ case class MaxSimIdsExec(
     query: Seq[Seq[Float]],
     k: Int,
     cand: Int,
-    nprobe: Int) extends LeafExecNode {
+    nprobe: Int,
+    // driver-only; @transient for the same reason as the other
+    // candidate execs
+    @transient table: Option[LogicalPlan] = None,
+    pred: Option[Expression] = None,
+    idCol: String = "",
+    vecCol: String = "") extends LeafExecNode {
   override def output: Seq[Attribute] = Seq(candAttr)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    // stage 1 reads only (mdoc, cent, tok_i8) from the probed
-    // partitions, tombstones masked — the SAME proposal function the
-    // library search path uses; the exact rescore happens ABOVE the
-    // join-back, on the table's own rows, by the original Sort+Limit
-    val ids = graft.ops.MultiVec.candidateIdsOnDisk(session, artifact,
-      query.map(_.toArray).toArray, nprobe, cand)
+    val qm = query.map(_.toArray).toArray
+    val ids: Seq[Long] = pred match {
+      case None =>
+        // stage 1 reads only (mdoc, cent, tok_i8) from the probed
+        // partitions, tombstones masked — the SAME proposal function
+        // the library search path uses; the exact rescore happens
+        // ABOVE the join-back, on the table's own rows, by the
+        // original Sort+Limit
+        graft.ops.MultiVec.candidateIdsOnDisk(session, artifact,
+          qm, nprobe, cand).toSeq
+      case Some(p) =>
+        // adaptive over-fetch: the candidate budget quadruples until
+        // the predicate's survivors fill k, with the exact filtered
+        // MaxSim scan as the terminal guarantee
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val spark = session
+        import spark.implicits._
+        val df = GraftSqlShim.ofRows(session, table.get)
+        val filtered = df.where(GraftSqlShim.column(p))
+        val scoreCol = graft.ops.MultiVec.maxsimCol(col(vecCol), qm)
+        var c = math.max(cand, 4 * k)
+        var round = 0
+        var out: Seq[Long] = null
+        while (out == null && round < 3) {
+          val cs = graft.ops.MultiVec.candidateIdsOnDisk(session, artifact,
+            qm, nprobe, c)
+          val surv = filtered
+            .join(broadcast(cs.toSeq.toDF("__mvcand")),
+              col(idCol) === col("__mvcand"))
+            .select(col(idCol).cast(LongType).as("__id"),
+              scoreCol.as("__s"))
+            .orderBy(col("__s").desc, col("__id"))
+            .limit(k)
+            .collect().map(_.getLong(0)).toSeq
+          if (surv.length >= k) out = surv
+          else { c *= 4; round += 1 }
+        }
+        if (out != null) out
+        else filtered
+          .select(col(idCol).cast(LongType).as("__id"), scoreCol.as("__s"))
+          .orderBy(col("__s").desc, col("__id"))
+          .limit(k)
+          .collect().map(_.getLong(0)).toSeq
+    }
     val schema = StructType(Seq(StructField("id", LongType)))
-    sparkContext.parallelize(ids.toSeq, 1).mapPartitions { it =>
+    sparkContext.parallelize(ids, 1).mapPartitions { it =>
       val proj = UnsafeProjection.create(schema)
       it.map(id => proj(InternalRow(id)).copy())
     }
@@ -551,7 +606,8 @@ case class SparseAnnIdsLogical(
     qIdx: Seq[Int],
     qVal: Seq[Float],
     k: Int,
-    ef: Int) extends LeafNode {
+    ef: Int,
+    pred: Option[Expression] = None) extends LeafNode {
   override def output: Seq[Attribute] = Seq(candAttr)
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = 1L + 8L * math.max(ef, k))
@@ -559,9 +615,10 @@ case class SparseAnnIdsLogical(
 
 case class SparseAnnIdsExec(
     candAttr: Attribute,
-    // driver-only (starvation fallback); @transient keeps the captured
-    // relation (non-serializable file index) out of task closures when
-    // the canonicalized join subtree rides along with codegen'd tasks
+    // driver-only (filtered semi-join + starvation fallback);
+    // @transient keeps the captured relation (non-serializable file
+    // index) out of task closures when the canonicalized join subtree
+    // rides along with codegen'd tasks
     @transient table: LogicalPlan,
     idCol: String,
     vecCol: String,
@@ -569,15 +626,30 @@ case class SparseAnnIdsExec(
     qIdx: Seq[Int],
     qVal: Seq[Float],
     k: Int,
-    ef: Int) extends LeafExecNode {
+    ef: Int,
+    pred: Option[Expression] = None) extends LeafExecNode {
   override def output: Seq[Attribute] = Seq(candAttr)
 
   override protected def doExecute(): RDD[InternalRow] = {
     import org.apache.spark.sql.functions.col
     val pool = math.max(ef, k)
-    val hits = graft.ops.SparseSearch.invertedTopK(
-        graft.ops.SparseSearch.readPostings(session, artifact, qIdx),
-        idCol, qIdx, qVal, pool)
+    // FILTERED form stays exact without any adaptive loop: unlike a
+    // graph pre-rank, the inverted file is complete — joining the
+    // pruned postings against the predicate's surviving ids BEFORE the
+    // fold yields the exact filtered top-k directly (the join is
+    // declarative; Spark broadcasts a small survivor set and shuffles
+    // a huge one)
+    val base = graft.ops.SparseSearch.readPostings(session, artifact, qIdx)
+    val post = pred match {
+      case Some(p) =>
+        val survivors = GraftSqlShim.ofRows(session, table)
+          .where(GraftSqlShim.column(p))
+          .select(col(idCol))
+        base.join(survivors, idCol)
+      case None => base
+    }
+    val hits = graft.ops.SparseSearch.invertedTopK(post, idCol, qIdx, qVal,
+        pool)
       .select(col(idCol).cast(LongType))
       .collect().map(_.getLong(0))
     val ids =
@@ -585,11 +657,14 @@ case class SparseAnnIdsExec(
       else {
         // positive-score starvation: the exact plan ranks zero-overlap
         // docs (score 0) after the matches — those rows never enter the
-        // postings join, so fill from the exact scan over the table,
-        // masking tombstoned ids so a deleted doc can't resurface
-        // through the fallback that the pruned path correctly hides
+        // postings join, so fill from the exact scan over the table
+        // (predicate re-applied), masking tombstoned ids so a deleted
+        // doc can't resurface through the fallback that the pruned
+        // path correctly hides
+        val raw = GraftSqlShim.ofRows(session, table)
         val df = graft.ops.SparseSearch.maskTombstones(
-          GraftSqlShim.ofRows(session, table), artifact, idCol)
+          pred.map(p => raw.where(GraftSqlShim.column(p))).getOrElse(raw),
+          artifact, idCol)
         df.select(col(idCol).cast(LongType).as("__id"),
             graft.functions.sparse_dot(col(vecCol),
               graft.ops.SparseSearch.queryLit(qIdx, qVal)).as("__s"))
@@ -998,10 +1073,10 @@ object AnnStrategy extends SparkStrategy {
         kind, nprobe, table, idCol, vecCol, planLater(left)) :: Nil
     case WeightedAnnIdsLogical(cid, terms) =>
       WeightedAnnIdsExec(cid, terms) :: Nil
-    case MaxSimIdsLogical(cid, artifact, q, k, cand, nprobe) =>
-      MaxSimIdsExec(cid, artifact, q, k, cand, nprobe) :: Nil
-    case SparseAnnIdsLogical(cid, table, idCol, vecCol, artifact, qi, qv, k, ef) =>
-      SparseAnnIdsExec(cid, table, idCol, vecCol, artifact, qi, qv, k, ef) :: Nil
+    case MaxSimIdsLogical(cid, artifact, q, k, cand, nprobe, table, pred, idCol, vecCol) =>
+      MaxSimIdsExec(cid, artifact, q, k, cand, nprobe, table, pred, idCol, vecCol) :: Nil
+    case SparseAnnIdsLogical(cid, table, idCol, vecCol, artifact, qi, qv, k, ef, pred) =>
+      SparseAnnIdsExec(cid, table, idCol, vecCol, artifact, qi, qv, k, ef, pred) :: Nil
     case _ => Nil
   }
 }
@@ -1406,9 +1481,14 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // rows the exact plan ranks first — decline rather than alter
       // output
       lazy val maxsimRewritten = for {
-        ms @ Sort(Seq(SortOrder(sortExpr, Descending, NullsLast, _)), true, child, _) <- sortOpt
+        ms @ Sort(orders, true, child, _) <- sortOpt
+        SortOrder(sortExpr, Descending, NullsLast, _) <- orders.headOption
         (predOpt, rel, paths) <- findFilteredRelation(child)
-        if predOpt.isEmpty
+        // a deterministic single-table predicate routes through the
+        // adaptive over-fetch loop in the exec (exact filtered scan as
+        // fallback); anything else keeps the exact plan
+        if predOpt.forall(p =>
+          p.deterministic && p.references.subsetOf(rel.outputSet))
         (vecAttr, qm) <- (resolveThroughProject(sortExpr, child) match {
           case MaxSimScore(a: AttributeReference, q) => Some((a, q))
           case _ => None
@@ -1416,18 +1496,41 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         meta <- AnnCatalog.lookup(paths, vecAttr.name, "maxsim")
         if meta.kind == "multivec"
         idAttr <- rel.output.find(_.name == meta.idCol)
+        // an optional second sort key is accepted when it is exactly
+        // the table's id column ascending (the deterministic tiebreak)
+        if orders.tail.isEmpty || (orders.tail match {
+          case Seq(SortOrder(a: AttributeReference, Ascending, _, _)) =>
+            a.exprId == idAttr.exprId
+          case _ => false
+        })
       } yield {
         val cid = AttributeReference("__graft_mvcand_id", LongType)()
         val ids = MaxSimIdsLogical(cid, meta.artifact,
           qm.map(_.map(_.toFloat).toSeq).toSeq, k,
           cand = math.max(efRuntime(meta), k),
-          nprobe = nprobeRuntime(meta))
+          nprobe = nprobeRuntime(meta),
+          table = predOpt.map(_ => rel),
+          pred = predOpt,
+          idCol = meta.idCol,
+          vecCol = meta.vecCol)
         val newSource = Project(rel.output,
           Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
             JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
-        val newChild = child match {
-          case p: Project => p.copy(child = newSource)
-          case _ => newSource
+        val newChild = predOpt match {
+          case Some(_) =>
+            // splice the join-back where the relation leaf sat; the
+            // Filter stays above and re-applies over <= k rows
+            def splice(p: LogicalPlan): LogicalPlan = p match {
+              case lr: LogicalRelation if lr eq rel => newSource
+              case pr: Project => pr.copy(child = splice(pr.child))
+              case f: Filter => f.copy(child = splice(f.child))
+              case other => other
+            }
+            splice(child)
+          case None => child match {
+            case p: Project => p.copy(child = newSource)
+            case _ => newSource
+          }
         }
         val newBody: LogicalPlan = {
           val newSort = ms.copy(child = newChild)
@@ -1450,7 +1553,13 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         sp @ Sort(orders, true, child, _) <- sortOpt
         SortOrder(sortExpr, Descending, NullsLast, _) <- orders.headOption
         (predOpt, rel, paths) <- findFilteredRelation(child)
-        if predOpt.isEmpty
+        // a deterministic single-table predicate is accepted — the
+        // FILTERED sparse form stays exact (the inverted file is
+        // complete, so the survivor semi-join before the fold is the
+        // exact filtered ranking, no adaptive loop); anything else
+        // keeps the exact plan
+        if predOpt.forall(p =>
+          p.deterministic && p.references.subsetOf(rel.outputSet))
         (svAttr, qi, qv) <- matchSparse(resolveThroughProject(sortExpr, child))
         if qi.nonEmpty
         meta <- AnnCatalog.lookup(paths, svAttr.name, "sparsedot")
@@ -1464,13 +1573,25 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield {
         val cid = AttributeReference("__graft_spcand_id", LongType)()
         val ids = SparseAnnIdsLogical(cid, rel, meta.idCol, meta.vecCol,
-          meta.artifact, qi, qv, k, math.max(efRuntime(meta), k))
+          meta.artifact, qi, qv, k, math.max(efRuntime(meta), k), predOpt)
         val newSource = Project(rel.output,
           Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
             JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
-        val newChild = child match {
-          case p: Project => p.copy(child = newSource)
-          case _ => newSource
+        val newChild = predOpt match {
+          case Some(_) =>
+            // splice the join-back where the relation leaf sat; the
+            // Filter stays above and re-applies over <= k rows
+            def splice(p: LogicalPlan): LogicalPlan = p match {
+              case lr: LogicalRelation if lr eq rel => newSource
+              case pr: Project => pr.copy(child = splice(pr.child))
+              case f: Filter => f.copy(child = splice(f.child))
+              case other => other
+            }
+            splice(child)
+          case None => child match {
+            case p: Project => p.copy(child = newSource)
+            case _ => newSource
+          }
         }
         val newBody: LogicalPlan = {
           val newSort = sp.copy(child = newChild)

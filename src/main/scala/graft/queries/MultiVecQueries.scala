@@ -283,6 +283,54 @@ object MultiVecQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** FILTERED maxsim planner gate: `WHERE pred ORDER BY maxsim DESC
+    * LIMIT k` over the same registration routes through
+    * [[graft.plans.MaxSimIdsLogical]] with the captured predicate —
+    * the adaptive over-fetch loop (candidate budget quadruples until
+    * the 1-in-3 predicate's survivors fill k, exact filtered scan as
+    * the terminal guarantee). Same multi-query contract as the scalar
+    * form, against the exact FILTERED truth. */
+  private def maxsimFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val t = toks(s, dir)
+    val q = MultiVec.queryToks(t, (0L until QDocs.toLong))
+    val corpus = t.where(col("mdoc") >= QDocs)
+    val exact = recallMaps(MultiVec.topKPerQuery(
+      MultiVec.scoreFlat(corpus.where(col("mdoc") % 3 === 1), q), K))
+    val idxPath = AnnQueries.artifactDir("mvpidx", dir, "embeddings")
+    AnnQueries.cached(idxPath) {
+      MultiVec.writeIndex(corpus, s"$idxPath/idx", Centroids)
+    }
+    val docsPath = AnnQueries.artifactDir("mvdocs", dir, "embeddings")
+    AnnQueries.cached(docsPath) {
+      MultiVec.docArrays(corpus).write.mode("overwrite")
+        .parquet(s"$docsPath/docs")
+    }
+    AnnCatalog.register(s, s"$docsPath/docs", AnnCatalog.IndexMeta(
+      s"$idxPath/idx", "mdoc", "toks", "maxsim",
+      ef = CandPerQuery, kind = "multivec", nprobe = Nprobe))
+    try {
+      val docs = s.read.parquet(s"$docsPath/docs")
+      val byQ = q.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3)).toMap
+      val ann = (0L until QDocs.toLong).map { qd =>
+        val top = docs
+          .where(col("mdoc") % 3 === 1)
+          .orderBy(MultiVec.maxsimCol(col("toks"), byQ(qd)).desc,
+            col("mdoc"))
+          .limit(K)
+        val fired = top.queryExecution.optimizedPlan.collect {
+          case m: graft.plans.MaxSimIdsLogical if m.pred.isDefined => m
+        }.nonEmpty
+        if (!fired) qd -> Set.empty[Long]
+        else qd -> top.select("mdoc").collect().map(_.getLong(0)).toSet
+      }.toMap
+      if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, s"$docsPath/docs")
+  }
+
   /** MaxSim LATERAL planner gate — the correlated kNN-join form:
     * `FROM probes p, LATERAL (SELECT mdoc FROM docs ORDER BY
     * maxsim_score(toks, p.qtoks) DESC LIMIT k)` (which vanilla Spark
@@ -452,5 +500,7 @@ object MultiVecQueries {
       multivecAutotune),
     QueryDef("knn_maxsim_planner", Some("SELECT 1 AS ok"), maxsimPlanner),
     QueryDef("knn_join_maxsim_planner", Some("SELECT 1 AS ok"),
-      maxsimJoinPlanner))
+      maxsimJoinPlanner),
+    QueryDef("knn_maxsim_filtered_planner", Some("SELECT 1 AS ok"),
+      maxsimFilteredPlanner))
 }

@@ -240,6 +240,61 @@ object SparseQueries {
     } finally AnnCatalog.unregister(s, tablePath)
   }
 
+  /** FILTERED sparse planner gate: `WHERE pred ORDER BY sparse_dot
+    * DESC, id LIMIT k` over the same registration must still rewrite
+    * ([[graft.plans.SparseAnnIdsLogical]] with the captured predicate)
+    * — and because the survivor semi-join runs BEFORE the inverted
+    * fold, the filtered form is exact like the scalar one: the bar is
+    * full hash-equality to the filtered SQL replay. */
+  private def sparseFilteredPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.AnnCatalog
+    val e = Tables.embeddings(s, dir)
+    val (qIdx, qVal) = queryArrays(e)
+    val docsPath = AnnQueries.artifactDir("sdocs", dir, "embeddings")
+    AnnQueries.cached(docsPath) {
+      sparseDocs(e).write.mode("overwrite").parquet(s"$docsPath/docs")
+    }
+    val postPath = AnnQueries.artifactDir("sparsepostb", dir, "embeddings")
+    AnnQueries.cached(postPath) {
+      SparseSearch.writePostings(
+        SparseSearch.postings(sparseDocs(e), "vec_id", col("sv")), postPath)
+    }
+    val tablePath = s"$docsPath/docs"
+    AnnCatalog.register(s, tablePath, AnnCatalog.IndexMeta(
+      postPath, "vec_id", "sv", "sparsedot", ef = 64, kind = "sparse"))
+    try {
+      val docs = s.read.parquet(tablePath)
+      val q = SparseSearch.queryLit(qIdx, qVal)
+      val top = docs
+        .where(col("vec_id") % 3 === 1)
+        .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id"))
+        .limit(10)
+      val fired = top.queryExecution.optimizedPlan.collect {
+        case m: graft.plans.SparseAnnIdsLogical if m.pred.isDefined => m
+      }.nonEmpty
+      if (!fired) Seq.empty[(Long, Double)].toDF("vec_id", "score")
+      else top.select(col("vec_id"),
+        round(sparse_dot(col("sv"), q), 4).as("score"))
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
+  private val sparseFilteredPlannerOracle: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |sc AS (
+      |  SELECT e.vec_id,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0.125
+      |                 AND CAST(p[2] AS DOUBLE) >= 0.125
+      |        THEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+      |        ELSE 0.0 END)) AS s
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0 AND e.vec_id % 3 = 1)
+      |SELECT vec_id, round(s, 4) AS score
+      |FROM sc
+      |ORDER BY s DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   /** Raw-order oracle for the planner gate: the cut happens on the RAW
     * double (the exact plan's own sort boundary), the output rounds. */
   private val sparsePlannerOracle: String =
@@ -471,6 +526,8 @@ object SparseQueries {
     QueryDef("sparse_knn_many", Some(sparseManyOracle), sparseMany),
     QueryDef("knn_join_sparse_planner", Some(sparseJoinPlannerOracle),
       sparseJoinPlanner),
+    QueryDef("knn_sparse_filtered_planner", Some(sparseFilteredPlannerOracle),
+      sparseFilteredPlanner),
     QueryDef("hybrid_sparse_dense", Some(hybridSparseDenseOracle), hybridSparseDense),
   )
 }

@@ -518,13 +518,27 @@ class PlanShapeSpec extends SparkTestBase {
         .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc).limit(5)
         .select("mdoc").collect().map(_.getLong(0)).toSet
       assert(!afterDel.contains(got.head) && afterDel.nonEmpty)
-      // guards: ascending order and a predicate both keep the exact plan
+      // FILTERED form fires (adaptive over-fetch; full budget here ⇒
+      // exact), with the tombstoned doc excluded on both sides
+      val filtered = docs.where(col("mdoc") % 3 === 1)
+        .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc, col("mdoc"))
+        .limit(5)
+      assert(filtered.queryExecution.optimizedPlan.collect {
+        case m: MaxSimIdsLogical if m.pred.isDefined => m }.nonEmpty)
+      val fGot = filtered.select("mdoc").collect().map(_.getLong(0)).toSeq
+      val fExact = MultiVec.scoreDocs(
+          docs.where(col("mdoc") % 3 === 1 && col("mdoc") =!= got.head), qm)
+        .orderBy(col("score").desc, col("mdoc")).limit(5)
+        .select("mdoc").collect().map(_.getLong(0)).toSeq
+      assert(fGot == fExact, s"$fGot vs $fExact")
+      // guards: ascending order and a non-deterministic predicate keep
+      // the exact plan
       val asc = docs.orderBy(MultiVec.maxsimCol(col("toks"), qm)).limit(5)
       assert(asc.queryExecution.optimizedPlan.collect {
         case m: MaxSimIdsLogical => m }.isEmpty)
-      val filtered = docs.where(col("mdoc") > 2)
+      val nondet = docs.where(rand(3) > 0.5)
         .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc).limit(5)
-      assert(filtered.queryExecution.optimizedPlan.collect {
+      assert(nondet.queryExecution.optimizedPlan.collect {
         case m: MaxSimIdsLogical => m }.isEmpty)
     } finally AnnCatalog.unregister(spark, s"$base/docs")
     // unregistered tables never rewrite
@@ -687,14 +701,27 @@ class PlanShapeSpec extends SparkTestBase {
       val single = docs.orderBy(sparse_dot(col("sv"), q).desc).limit(5)
       assert(single.queryExecution.optimizedPlan.collect {
         case m: SparseAnnIdsLogical => m }.nonEmpty)
-      // guards: ascending order, a predicate, and a non-id second sort
-      // key all keep the exact plan
+      // FILTERED form fires too and stays exact: the survivor
+      // semi-join before the fold IS the exact filtered ranking
+      val filtered = docs.where(col("vec_id") % 3 === 1)
+        .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id")).limit(5)
+      assert(filtered.queryExecution.optimizedPlan.collect {
+        case m: SparseAnnIdsLogical if m.pred.isDefined => m }.nonEmpty)
+      val fGot = filtered.select("vec_id").collect().map(_.getLong(0)).toSeq
+      // (got.head was tombstoned above — exclude it from the truth too)
+      val fExact = SparseSearch.topK(
+          docs.where(col("vec_id") % 3 === 1 && col("vec_id") =!= got.head),
+          "vec_id", col("sv"), q, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(fGot == fExact, s"$fGot vs $fExact")
+      // guards: ascending order, a non-deterministic predicate, and a
+      // non-id second sort key all keep the exact plan
       val asc = docs.orderBy(sparse_dot(col("sv"), q)).limit(5)
       assert(asc.queryExecution.optimizedPlan.collect {
         case m: SparseAnnIdsLogical => m }.isEmpty)
-      val filtered = docs.where(col("vec_id") > 2)
+      val nondet = docs.where(rand(7) > 0.5)
         .orderBy(sparse_dot(col("sv"), q).desc).limit(5)
-      assert(filtered.queryExecution.optimizedPlan.collect {
+      assert(nondet.queryExecution.optimizedPlan.collect {
         case m: SparseAnnIdsLogical => m }.isEmpty)
       val badTie = docs
         .orderBy(sparse_dot(col("sv"), q).desc, col("vec_id").desc).limit(5)

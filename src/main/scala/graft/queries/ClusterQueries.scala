@@ -277,6 +277,63 @@ object ClusterQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Streaming `aminsert` twin for the mrl artifact: the prefix table
+    * is built over the lower half of the corpus, the upper half
+    * arrives through a genuine parquet FILE source in three
+    * micro-batches, each sliced with the PERSISTED m and appended as
+    * new parquet files. Because the prefix is a PURE PROJECTION of the
+    * vector column, the streamed artifact must serve BIT-IDENTICALLY
+    * to the inline path over the full corpus — a full-equality gate,
+    * not recall — with a row-count fail-fast against dropped
+    * batches. */
+  private def streamingMrlInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.MrlIndex
+    val e = Tables.embeddings(s, dir)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-smrl").toString + "/idx"
+    MrlIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id",
+      "embedding", m = 32, path)
+    val base = e.where(col("vec_id") > maxId / 2)
+      .select(col("vec_id"), col("embedding"))
+    val lo = maxId / 2 + 1
+    val width = (maxId - lo) / 3 + 1
+    val chunkRoot = AnnQueries.artifactDir("smrlins", dir, "embeddings")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 3).map { c => () =>
+        base.where(col("vec_id") >= lo + c * width &&
+          col("vec_id") < lo + (c + 1) * width)
+      })
+    val (streamDir, src) = StreamChunks.source(s, base.schema)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) MrlIndex.append(b, "vec_id", "embedding", path)
+      }
+      .start()
+    StreamChunks.drive(q, streamDir, files)
+
+    val pre = MrlIndex.livePrefixes(s, path)
+    if (pre.count() != e.count()) {
+      // a dropped micro-batch must fail loudly
+      Seq.empty[Int].toDF("ok")
+    } else {
+      val qs = e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val vecs = e.select(col("vec_id").as("id"), col("embedding"))
+      def triples(df: DataFrame) = df
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val streamed = triples(graft.ops.MrlSearch.topKManyPrepacked(
+        pre, "id", "pref", vecs, "embedding", qs, k = 10, pool = 64, m = 32))
+      val inline = triples(graft.ops.MrlSearch.topKMany(
+        vecs, "id", "embedding", qs, k = 10, pool = 64, m = 32))
+      if (streamed.nonEmpty && streamed == inline) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    }
+  }
+
   /** MRL serving-knob autotune gate
     * ([[graft.ann.Autotune.autotuneMrl]]): the (m, pool) grid measured
     * against one exact truth, recorded-spec check mirroring
@@ -329,5 +386,7 @@ object ClusterQueries {
     QueryDef("projected_knn_recall", Some("SELECT 1 AS ok"), projectedKnnRecall),
     QueryDef("mrl_knn_recall", Some("SELECT 1 AS ok"), mrlKnnRecall),
     QueryDef("autotune_mrl", Some("SELECT 1 AS ok"), mrlAutotune),
+    QueryDef("streaming_mrl_insert", Some("SELECT 1 AS ok"),
+      streamingMrlInsert),
   )
 }

@@ -186,20 +186,21 @@ object Bench {
       // to distrust
       val load = math.max(load1, load2)
       emit(s"""{"q":"$name","sec":${if (err.isEmpty) best else 0.0},"load":$load$marker}""")
-      (name, if (err.isEmpty) best else 0.0, err.orElse(pass2Err))
+      (name, if (err.isEmpty) best else 0.0, err.orElse(pass2Err), load)
     }
 
     val calibSerial1 = calibrateSerial()
     val calibParallel1 = calibrateParallel(spark, cpus.toInt)
     val loadEnd = loadAvg()
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, Some(_), _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val loads = results.map { case (n, _, _) => pass1(n)._3 }
-      .filter(_ >= 0)
+    // per-query max over BOTH passes — a pass-2-only spike must not
+    // read as a quiet record
+    val loads = results.map(_._4).filter(_ >= 0)
     val loadMax = if (loads.isEmpty) -1.0 else loads.max
     val calib =
       s"""{"serial_start":$calibSerial0,"parallel_start":$calibParallel0,""" +

@@ -101,6 +101,73 @@ object BqIndex {
     else b
   }
 
+  /** Parquet file count of the bits table — the append-accumulation
+    * measure serving layers compact on (each append/micro-batch lands
+    * new files; a row-at-a-time inserter grows this linearly). */
+  def fileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$BitsDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Compact the append-accumulated bits files back to `numPartitions`
+    * and apply tombstones PHYSICALLY (the consolidate/VACUUM analog
+    * for the flat bits layout): tombstone files are snapshotted first
+    * — only the snapshot is applied and retired, so a concurrent
+    * [[delete]] keeps masking — and the table swaps by rename (the
+    * compacted table is complete before the swap; single-writer for
+    * the bits, like every maintenance op here). */
+  def consolidate(spark: SparkSession, path: String,
+      numPartitions: Int = 1): Unit = {
+    require(numPartitions >= 1,
+      s"graft: consolidate needs numPartitions >= 1, got $numPartitions")
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot =
+      if (fs.exists(tombDir))
+        fs.listStatus(tombDir).filter(_.isFile).map(_.getPath).toSeq
+      else Seq.empty
+    val snapParquet = snapshot.filter(_.getName.endsWith(".parquet"))
+    val b = bits(spark, path)
+    val live =
+      if (snapParquet.nonEmpty)
+        b.join(spark.read.parquet(snapParquet.map(_.toString): _*),
+          Seq("id"), "left_anti")
+      else b
+    require(!live.isEmpty,
+      s"graft: consolidate would leave an empty bits table under $path " +
+        "(every row tombstoned) — drop and rebuild instead")
+    val cur = new org.apache.hadoop.fs.Path(s"$path/$BitsDir")
+    val compact = new org.apache.hadoop.fs.Path(s"$path/${BitsDir}__compact")
+    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
+    live.coalesce(numPartitions)
+      .write.mode("overwrite").parquet(compact.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$path/${BitsDir}__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(cur, old),
+      s"graft: consolidate could not move $cur aside")
+    if (!fs.rename(compact, cur)) {
+      fs.rename(old, cur)
+      throw new IllegalStateException(
+        s"graft: consolidate swap failed under $path — original restored")
+    }
+    fs.delete(old, true)
+    // retire ONLY the snapshotted tombstone files; the dir falls with
+    // a non-recursive delete so a late arrival survives harmlessly
+    snapshot.foreach(p => fs.delete(p, false))
+    if (fs.exists(tombDir)) {
+      val leftovers = fs.listStatus(tombDir).filter(_.isFile)
+      if (leftovers.forall(st => !st.getPath.getName.endsWith(".parquet"))) {
+        leftovers.foreach(st => fs.delete(st.getPath, false))
+        try { fs.delete(tombDir, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    ()
+  }
+
   /** Driver-side top-`pool` candidate ids — the proposal function of
     * the FILTERED planner form's adaptive loop (pool quadruples per
     * round there, so a wide registration `ef` is the first round). */

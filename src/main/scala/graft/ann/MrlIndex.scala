@@ -49,11 +49,7 @@ object MrlIndex {
     df.select(col(idCol).cast("long").as("id"),
         MrlSearch.prefix(col(vecCol), m).as("pref"))
       .write.mode("overwrite").parquet(s"$path/$PrefixDir")
-    val p = new Path(s"$path/$MetaFile")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(p, true)
-    try out.write(s"""{"m":$m}\n""".getBytes("UTF-8"))
-    finally out.close()
+    graft.util.MetaJson.write(spark, s"$path/$MetaFile", s"""{"m":$m}""")
   }
 
   /** Artifact sniff for serving layers that route by layout (the HTTP
@@ -69,16 +65,10 @@ object MrlIndex {
   /** The prefix length recorded at [[build]] time — the codec
     * parameter every query must share. */
   def m(spark: SparkSession, path: String): Int = {
-    val p = new Path(s"$path/$MetaFile")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"graft: $path has no $MetaFile — not an mrl index")
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    """"m":(\d+)""".r.findFirstMatchIn(text)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft: $p is missing the m field")).group(1).toInt
+    val f = s"$path/$MetaFile"
+    graft.util.MetaJson.intField(
+      graft.util.MetaJson.readRequired(spark, f, "not an mrl index"),
+      "m", f)
   }
 
   /** `aminsert` analog: slice new rows with the PERSISTED m and append
@@ -106,6 +96,68 @@ object MrlIndex {
     if (fs.exists(t))
       b.join(spark.read.parquet(t.toString), Seq("id"), "left_anti")
     else b
+  }
+
+  /** Parquet file count of the prefix table — the append-accumulation
+    * measure serving layers compact on. */
+  def fileCount(spark: SparkSession, path: String): Int = {
+    val p = new Path(s"$path/$PrefixDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Compact the append-accumulated prefix files back to
+    * `numPartitions` and apply tombstones PHYSICALLY — the
+    * consolidate/VACUUM analog, same snapshot-preserving tombstone
+    * protocol as [[BqIndex.consolidate]]: a concurrent [[delete]]
+    * keeps masking, the table swaps by rename. */
+  def consolidate(spark: SparkSession, path: String,
+      numPartitions: Int = 1): Unit = {
+    require(numPartitions >= 1,
+      s"graft: consolidate needs numPartitions >= 1, got $numPartitions")
+    val tombDir = new Path(s"$path/$TombDir")
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot =
+      if (fs.exists(tombDir))
+        fs.listStatus(tombDir).filter(_.isFile).map(_.getPath).toSeq
+      else Seq.empty
+    val snapParquet = snapshot.filter(_.getName.endsWith(".parquet"))
+    val b = spark.read.parquet(s"$path/$PrefixDir")
+    val live =
+      if (snapParquet.nonEmpty)
+        b.join(spark.read.parquet(snapParquet.map(_.toString): _*),
+          Seq("id"), "left_anti")
+      else b
+    require(!live.isEmpty,
+      s"graft: consolidate would leave an empty prefix table under $path " +
+        "(every row tombstoned) — drop and rebuild instead")
+    val cur = new Path(s"$path/$PrefixDir")
+    val compact = new Path(s"$path/${PrefixDir}__compact")
+    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
+    live.coalesce(numPartitions)
+      .write.mode("overwrite").parquet(compact.toString)
+    val old = new Path(s"$path/${PrefixDir}__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(cur, old),
+      s"graft: consolidate could not move $cur aside")
+    if (!fs.rename(compact, cur)) {
+      fs.rename(old, cur)
+      throw new IllegalStateException(
+        s"graft: consolidate swap failed under $path — original restored")
+    }
+    fs.delete(old, true)
+    snapshot.foreach(p => fs.delete(p, false))
+    if (fs.exists(tombDir)) {
+      val leftovers = fs.listStatus(tombDir).filter(_.isFile)
+      if (leftovers.forall(st => !st.getPath.getName.endsWith(".parquet"))) {
+        leftovers.foreach(st => fs.delete(st.getPath, false))
+        try { fs.delete(tombDir, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    ()
   }
 
   /** Driver-side top-`pool` candidate ids by prefix distance — the

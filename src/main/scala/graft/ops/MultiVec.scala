@@ -394,30 +394,21 @@ object MultiVec {
       .toDF("cent", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeTokenPostings(assign(toks, cents), s"$path/postings")
-    val metaP = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val out = fs.create(metaP, true)
-    try out.write(
-      s"""{"toksPerDoc":$toksPerDoc,"dim":${cents.head.length}}\n"""
-        .getBytes("UTF-8"))
-    finally out.close()
+    graft.util.MetaJson.write(s, s"$path/meta.json",
+      s"""{"toksPerDoc":$toksPerDoc,"dim":${cents.head.length}}""")
   }
 
   /** (toksPerDoc, token dim) recorded by [[writeIndex]] —
     * (0, centroid dim) for indexes written before the meta file
     * existed or with variable document lengths. */
   def readIndexMeta(spark: SparkSession, path: String): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return (0, loadCentroids(spark, path).head.length)
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def num(k: String): Int =
-      s""""$k":(\\d+)""".r.findFirstMatchIn(text)
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft: $p is missing the $k field")).group(1).toInt
-    (num("toksPerDoc"), num("dim"))
+    val f = s"$path/meta.json"
+    graft.util.MetaJson.read(spark, f) match {
+      case None => (0, loadCentroids(spark, path).head.length)
+      case Some(text) =>
+        (graft.util.MetaJson.intField(text, "toksPerDoc", f),
+          graft.util.MetaJson.intField(text, "dim", f))
+    }
   }
 
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
@@ -548,12 +539,21 @@ object MultiVec {
     fs.delete(old, true)
     // retire ONLY the snapshotted tombstone files; files appended
     // during the compaction stay and keep masking their (still
-    // physically present) docs until the next consolidation
+    // physically present) docs until the next consolidation. The
+    // directory itself is removed with a NON-recursive delete of the
+    // listed leftovers + the dir: a tombstone parquet landing between
+    // the list and the delete makes the final rmdir fail harmlessly
+    // (the dir stays, the late file keeps masking) instead of being
+    // wiped recursively
     snapshot.foreach(p => tfs.delete(p, false))
-    if (tfs.exists(tombDir) &&
-        tfs.listStatus(tombDir).forall(st =>
-          st.isFile && !st.getPath.getName.endsWith(".parquet")))
-      tfs.delete(tombDir, true) // only write markers left — dir is spent
+    if (tfs.exists(tombDir)) {
+      val leftovers = tfs.listStatus(tombDir).filter(_.isFile)
+      if (leftovers.forall(st => !st.getPath.getName.endsWith(".parquet"))) {
+        leftovers.foreach(st => tfs.delete(st.getPath, false))
+        try { tfs.delete(tombDir, false); () }
+        catch { case _: java.io.IOException => () } // late arrival — keep
+      }
+    }
     ()
   }
 

@@ -129,33 +129,19 @@ object SparseSearch {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeMeta(spark: SparkSession, path: String,
-      buckets: Int, idCol: String): Unit = {
-    val p = new Path(path, MetaFile)
-    val out = fsFor(spark, path).create(p, true)
-    try out.write(
-      s"""{"buckets":$buckets,"idCol":"$idCol"}\n""".getBytes("UTF-8"))
-    finally out.close()
-  }
+      buckets: Int, idCol: String): Unit =
+    graft.util.MetaJson.write(spark, s"$path/$MetaFile",
+      s"""{"buckets":$buckets,"idCol":"$idCol"}""")
 
   /** (buckets, idCol) of a [[writePostings]] table — the layout
     * parameters every reader and appender must share; trusting a
     * caller-resupplied value instead would silently mis-bucket. */
   def readMeta(spark: SparkSession, path: String): (Int, String) = {
-    val p = new Path(path, MetaFile)
-    val fs = fsFor(spark, path)
-    require(fs.exists(p),
-      s"graft: $path has no $MetaFile — not a sparse postings table")
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val b = """"buckets":(\d+)""".r.findFirstMatchIn(text)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft: $p is missing the buckets field")).group(1).toInt
-    val id = """"idCol":"([^"]+)"""".r.findFirstMatchIn(text)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft: $p is missing the idCol field")).group(1)
-    (b, id)
+    val f = s"$path/$MetaFile"
+    val text = graft.util.MetaJson.readRequired(spark, f,
+      "not a sparse postings table")
+    (graft.util.MetaJson.intField(text, "buckets", f),
+      graft.util.MetaJson.strField(text, "idCol", f))
   }
 
   private def idColOf(post: DataFrame): String = {

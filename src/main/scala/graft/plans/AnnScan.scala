@@ -556,7 +556,8 @@ case class MaxSimIdsExec(
         var c = math.max(cand, 4 * k)
         var round = 0
         var out: Seq[Long] = null
-        while (out == null && round < 3) {
+        var exhausted = false
+        while (out == null && !exhausted && round < 3) {
           val cs = graft.ops.MultiVec.candidateIdsOnDisk(session, artifact,
             qm, nprobe, c)
           val surv = filtered
@@ -568,6 +569,7 @@ case class MaxSimIdsExec(
             .limit(k)
             .collect().map(_.getLong(0)).toSeq
           if (surv.length >= k) out = surv
+          else if (cs.length < c) exhausted = true // pool = whole index
           else { c *= 4; round += 1 }
         }
         if (out != null) out
@@ -783,16 +785,24 @@ case class AnnKnnJoinExec(
           session, artifact, qs, k)
       case "multivec" =>
         // probes were flattened token matrices ([[packQuery]]); reshape
-        // with the artifact's token dim and run ONE batched PLAID pass
-        val dim = mvTokDim
-        val mats = queries.map { case (qid, flat) =>
-          require(flat.length % dim == 0,
-            s"graft: probe matrix for query $qid has ${flat.length} floats, " +
-              s"not a multiple of token dim $dim")
-          (qid, flat.grouped(dim).toArray)
+        // with the artifact's token dim and run ONE batched PLAID pass.
+        // An empty probe side (or all-NULL probes) joins to nothing —
+        // same unanswerable-probe semantics as every other kind
+        if (queries.isEmpty) {
+          import session.implicits._
+          Seq.empty[(Long, Long, Double, Int)]
+            .toDF("query_id", "neighbor_id", "dist", "rank")
+        } else {
+          val dim = mvTokDim
+          val mats = queries.map { case (qid, flat) =>
+            require(flat.length % dim == 0,
+              s"graft: probe matrix for query $qid has ${flat.length} floats, " +
+                s"not a multiple of token dim $dim")
+            (qid, flat.grouped(dim).toArray)
+          }
+          graft.ops.MultiVec.searchManyOnDisk(session, artifact, mats, k,
+            nprobe = math.max(1, nprobe), candPerQuery = math.max(ef, k))
         }
-        graft.ops.MultiVec.searchManyOnDisk(session, artifact, mats, k,
-          nprobe = math.max(1, nprobe), candPerQuery = math.max(ef, k))
       case "ivf" =>
         graft.ann.IvfIndex.searchMany(session, artifact, queries, k,
           nprobe = math.max(1, nprobe))
@@ -855,7 +865,9 @@ case class AnnKnnJoinExec(
       val a = r.getArray(qIdx)
       var b = 0L; var i = 0
       while (i < a.numElements()) {
-        b += 4L * a.getArray(i).numElements() + 8L; i += 1
+        val inner = a.getArray(i)
+        b += 4L * (if (inner == null) 0 else inner.numElements()) + 8L
+        i += 1
       }
       b
     } else 4L * r.getArray(qIdx).numElements()
@@ -1043,7 +1055,10 @@ object AnnKnnJoinExec {
       var total = 0
       var i = 0
       while (i < n) {
-        parts(i) = a.getArray(i).toFloatArray(); total += parts(i).length
+        val inner = a.getArray(i)
+        require(inner != null,
+          s"graft: multivec probe has a null token row at position $i")
+        parts(i) = inner.toFloatArray(); total += parts(i).length
         i += 1
       }
       val out = new Array[Float](total)
@@ -1243,6 +1258,35 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       })
   }
 
+  /** Reassemble the rewritten subtree shared by every scalar form:
+    * splice `newSource` (the candidate join-back) where the relation
+    * leaf sat — keeping every Project and the Filter intact when a
+    * predicate was captured, so the output schema and
+    * filter-then-top-k semantics are unchanged — and rebuild
+    * Sort/Project/Limit above it. */
+  private def rebuilt(gl: GlobalLimit, ll: LocalLimit, sortNode: Sort,
+      projAbove: Option[Project], child: LogicalPlan,
+      rel: LogicalRelation, newSource: LogicalPlan,
+      hasPred: Boolean): LogicalPlan = {
+    val newChild =
+      if (hasPred) {
+        def splice(p: LogicalPlan): LogicalPlan = p match {
+          case lr: LogicalRelation if lr eq rel => newSource
+          case pr: Project => pr.copy(child = splice(pr.child))
+          case f: Filter => f.copy(child = splice(f.child))
+          case other => other
+        }
+        splice(child)
+      } else child match {
+        case p: Project => p.copy(child = newSource)
+        case _ => newSource
+      }
+    val newSort = sortNode.copy(child = newChild)
+    val newBody = projAbove
+      .map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
+    gl.copy(child = ll.copy(child = newBody))
+  }
+
   /** Resolve a sort expression through one Project level of aliases. */
   private def resolveThroughProject(e: Expression, child: LogicalPlan): Expression =
     child match {
@@ -1375,28 +1419,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
             }
         }
-        val newChild = predOpt match {
-          case Some(_) =>
-            // splice the join-back where the relation leaf sat, keeping
-            // every Project and the Filter intact — output schema (and
-            // filter-then-top-k semantics) unchanged
-            def splice(p: LogicalPlan): LogicalPlan = p match {
-              case lr: LogicalRelation if lr eq rel => newSource
-              case pr: Project => pr.copy(child = splice(pr.child))
-              case f: Filter => f.copy(child = splice(f.child))
-              case other => other
-            }
-            splice(child)
-          case None => child match {
-            case p: Project => p.copy(child = newSource)
-            case _ => newSource
-          }
-        }
-        val newBody: LogicalPlan = {
-          val newSort = s.copy(child = newChild)
-          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
-        }
-        gl.copy(child = ll.copy(child = newBody))
+        rebuilt(gl, ll, s, projAbove, child, rel, newSource,
+          predOpt.isDefined)
       }
       // weighted multi-term form: only when the single-distance form
       // didn't match, every term indexed on the same table. A predicate
@@ -1447,27 +1471,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val newSource = Project(rel.output,
           Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
             JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
-        val newChild = predOpt match {
-          case Some(_) =>
-            // splice the join-back where the relation sat; the Filter
-            // (max_dist) stays and re-applies over the candidates
-            def splice(p: LogicalPlan): LogicalPlan = p match {
-              case lr: LogicalRelation if lr eq rel => newSource
-              case pr: Project => pr.copy(child = splice(pr.child))
-              case f: Filter => f.copy(child = splice(f.child))
-              case other => other
-            }
-            splice(child)
-          case None => child match {
-            case p: Project => p.copy(child = newSource)
-            case _ => newSource
-          }
-        }
-        val newBody: LogicalPlan = {
-          val newSort = ws.copy(child = newChild)
-          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
-        }
-        gl.copy(child = ll.copy(child = newBody))
+        rebuilt(gl, ll, ws, projAbove, child, rel, newSource,
+          predOpt.isDefined)
       }
       // MaxSim planner form: `ORDER BY maxsim_score(toks, Q) DESC
       // LIMIT k` over a table whose doc-array column carries a
@@ -1516,27 +1521,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val newSource = Project(rel.output,
           Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
             JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
-        val newChild = predOpt match {
-          case Some(_) =>
-            // splice the join-back where the relation leaf sat; the
-            // Filter stays above and re-applies over <= k rows
-            def splice(p: LogicalPlan): LogicalPlan = p match {
-              case lr: LogicalRelation if lr eq rel => newSource
-              case pr: Project => pr.copy(child = splice(pr.child))
-              case f: Filter => f.copy(child = splice(f.child))
-              case other => other
-            }
-            splice(child)
-          case None => child match {
-            case p: Project => p.copy(child = newSource)
-            case _ => newSource
-          }
-        }
-        val newBody: LogicalPlan = {
-          val newSort = ms.copy(child = newChild)
-          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
-        }
-        gl.copy(child = ll.copy(child = newBody))
+        rebuilt(gl, ll, ms, projAbove, child, rel, newSource,
+          predOpt.isDefined)
       }
       // Sparse planner form: `ORDER BY sparse_dot(sv, Q) DESC [, id]
       // LIMIT k` over a table whose sparse column carries a
@@ -1577,27 +1563,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val newSource = Project(rel.output,
           Join(rel, ids, Inner, Some(EqualTo(idAttr, cid)),
             JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))))
-        val newChild = predOpt match {
-          case Some(_) =>
-            // splice the join-back where the relation leaf sat; the
-            // Filter stays above and re-applies over <= k rows
-            def splice(p: LogicalPlan): LogicalPlan = p match {
-              case lr: LogicalRelation if lr eq rel => newSource
-              case pr: Project => pr.copy(child = splice(pr.child))
-              case f: Filter => f.copy(child = splice(f.child))
-              case other => other
-            }
-            splice(child)
-          case None => child match {
-            case p: Project => p.copy(child = newSource)
-            case _ => newSource
-          }
-        }
-        val newBody: LogicalPlan = {
-          val newSort = sp.copy(child = newChild)
-          projAbove.map(p => p.copy(child = newSort): LogicalPlan).getOrElse(newSort)
-        }
-        gl.copy(child = ll.copy(child = newBody))
+        rebuilt(gl, ll, sp, projAbove, child, rel, newSource,
+          predOpt.isDefined)
       }
       rewritten.orElse(weightedRewritten).orElse(maxsimRewritten)
         .orElse(sparseRewritten).getOrElse(gl)
@@ -1624,6 +1591,20 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   */
 class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.Cross
+
+  /** Runtime search width (ef GUC over registration default), floored
+    * at k — shared by every lateral form. */
+  private def efRuntime(meta: AnnCatalog.IndexMeta, k: Int): Int =
+    math.max({
+      val c = graft.GraftConf.annEf(spark)
+      if (c > 0) c else meta.ef
+    }, k)
+
+  /** Runtime coarse-probe width (nprobe GUC over registration). */
+  private def nprobeRuntime(meta: AnnCatalog.IndexMeta): Int = {
+    val c = graft.GraftConf.annNprobe(spark)
+    if (c > 0) c else meta.effectiveNprobe
+  }
 
   private def matchDistOuter(e: Expression)
       : Option[(String, AttributeReference, AttributeReference)] = e match {
@@ -1712,23 +1693,20 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       idAttr <- rel.output.find(_.name == meta.idCol)
       if subOut.map(_.exprId) == Seq(idAttr.exprId)
     } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
-      meta.artifact, k,
-      math.max({
-        val c = graft.GraftConf.annEf(spark)
-        if (c > 0) c else meta.ef
-      }, k),
-      "maxsim",
-      "multivec",
-      {
-        val c = graft.GraftConf.annNprobe(spark)
-        if (c > 0) c else meta.effectiveNprobe
-      },
-      None, meta.idCol, meta.vecCol)
+      meta.artifact, k, efRuntime(meta, k), "maxsim", "multivec",
+      nprobeRuntime(meta), None, meta.idCol, meta.vecCol)
     // Sparse lateral form: `ORDER BY sparse_dot(sv, p.qsv) DESC
     // LIMIT k` with the probe's sparse struct an OUTER column — every
     // probe batched through ONE pruned inverted-file pass
-    // (SparseSearch.searchManyOnDisk); the batched fold is EXACT, so
-    // no rescore stage is needed.
+    // (SparseSearch.searchManyOnDisk); the batched fold is EXACT over
+    // the positive-score matches, so no rescore stage is needed.
+    // Semantics note: a probe answers with its positive-score matches
+    // ONLY (min(k, matches) rows; an empty/zero-overlap probe joins to
+    // nothing) — the inner-join unanswerable-probe semantics every
+    // lateral kind here shares, deliberately NOT padded with
+    // zero-score rows (the scalar form's starvation fallback serves
+    // single-query exactness; a per-probe exact fallback would defeat
+    // the one-pass batching this form exists for).
     lazy val sparseForm = {
       def sparseType(t: org.apache.spark.sql.types.DataType): Boolean =
         t match {
@@ -1758,12 +1736,7 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
         idAttr <- rel.output.find(_.name == meta.idCol)
         if subOut.map(_.exprId) == Seq(idAttr.exprId)
       } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
-        meta.artifact, k,
-        math.max({
-          val c = graft.GraftConf.annEf(spark)
-          if (c > 0) c else meta.ef
-        }, k),
-        "sparsedot", "sparse", 0,
+        meta.artifact, k, efRuntime(meta, k), "sparsedot", "sparse", 0,
         None, meta.idCol, meta.vecCol)
     }
     val distanceForm = for {
@@ -1794,17 +1767,9 @@ class AnnLateralKnnRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the subquery must emit exactly the table's id column
       if subOut.map(_.exprId) == Seq(idAttr.exprId)
     } yield AnnKnnJoinLogical(lj.left, outerAttr, subOut.head,
-      meta.artifact, k,
-      math.max({
-        val c = graft.GraftConf.annEf(spark)
-        if (c > 0) c else meta.ef
-      }, k),
-      metric,
-      meta.kind,
-      if (meta.kind == "ivf" || meta.kind == "ivfpq") {
-        val c = graft.GraftConf.annNprobe(spark)
-        if (c > 0) c else meta.effectiveNprobe
-      } else 0,
+      meta.artifact, k, efRuntime(meta, k), metric, meta.kind,
+      if (meta.kind == "ivf" || meta.kind == "ivfpq") nprobeRuntime(meta)
+      else 0,
       if (AnnKnnJoinExec.TableKinds(meta.kind))
         Some(rel)
       else None,

@@ -216,8 +216,17 @@ final class HttpFacade(
         // prefix parquet, not graph shards)
         if (graft.ann.BqIndex.isBq(spark, idx)) {
           graft.ann.BqIndex.append(withVec, "id", column, idx)
+          // flat layouts accumulate one file per append — compact past
+          // the same threshold the hnsw branch uses, for the same
+          // reason (listing/open cost grows linearly with PUT batches)
+          if (graft.ann.BqIndex.fileCount(spark, idx) >
+              graft.GraftConf.annConsolidateShards(spark))
+            graft.ann.BqIndex.consolidate(spark, idx)
         } else if (graft.ann.MrlIndex.isMrl(spark, idx)) {
           graft.ann.MrlIndex.append(withVec, "id", column, idx)
+          if (graft.ann.MrlIndex.fileCount(spark, idx) >
+              graft.GraftConf.annConsolidateShards(spark))
+            graft.ann.MrlIndex.consolidate(spark, idx)
         } else {
           AnnIndex.append(withVec, "id", column, idx)
           // each append adds delta shards and search fans out one task

@@ -87,6 +87,26 @@ class BqSearchSpec extends SparkTestBase {
     assert(udfs.isEmpty)
   }
 
+  test("BqIndex consolidate: compacts append files, applies tombstones") {
+    import graft.ann.BqIndex
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bqcons").toString
+    BqIndex.build(e.where($"vec_id" < 30), "vec_id", "embedding", dir)
+    BqIndex.append(e.where($"vec_id" >= 30), "vec_id", "embedding", dir)
+    assert(BqIndex.fileCount(spark, dir) >= 2)
+    BqIndex.delete(spark, dir, Seq(5L))
+    val q = e.where($"vec_id" === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val before = BqIndex.candidateIds(spark, dir, q, 20).toSeq
+    assert(!before.contains(5L) && before.nonEmpty)
+    BqIndex.consolidate(spark, dir)
+    assert(BqIndex.fileCount(spark, dir) == 1)
+    assert(BqIndex.bits(spark, dir).where($"id" === 5L).count() == 0)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    // identical candidates after compaction (same bits, same center)
+    assert(BqIndex.candidateIds(spark, dir, q, 20).toSeq == before)
+  }
+
   test("cos rescore metric: dist column is the true cos_dist") {
     val qs = queries(2)
     val got = BqSearch.topKMany(

@@ -116,6 +116,16 @@ class MrlSearchSpec extends SparkTestBase {
         .orderBy(graft.functions.l2sq_dist(col("embedding"), lit(q)))
         .limit(5).select("vec_id").collect().map(_.getLong(0)).toSet
       assert(!after.contains(got.head) && after.nonEmpty)
+      // consolidate: physical delete, one file, tombstones retired,
+      // results unchanged
+      MrlIndex.consolidate(spark, dir)
+      assert(MrlIndex.fileCount(spark, dir) == 1)
+      assert(MrlIndex.livePrefixes(spark, dir).count() == n - 1)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      val afterCons = e
+        .orderBy(graft.functions.l2sq_dist(col("embedding"), lit(q)))
+        .limit(5).select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(afterCons == after)
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 

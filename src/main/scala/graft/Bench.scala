@@ -178,13 +178,16 @@ object Bench {
             else (b1, None, e3)
           }
         }
+      // a spike DURING the pass-2 reps themselves must land on this
+      // query's stamp, not the next one's pre-sample
+      val load3 = loadAvg()
       val marker = err.map(e => s""","failed":"$e"""")
         .orElse(pass2Err.map(e => s""","pass2_failed":"$e""""))
         .getOrElse("")
-      // the WORSE of the two per-pass samples: a quiet record shows the
-      // baseline (~0 idle), a contended one flags exactly which timings
-      // to distrust
-      val load = math.max(load1, load2)
+      // the WORST of the samples bracketing both passes: a quiet record
+      // shows the baseline (~0 idle), a contended one flags exactly
+      // which timings to distrust
+      val load = math.max(math.max(load1, load2), load3)
       emit(s"""{"q":"$name","sec":${if (err.isEmpty) best else 0.0},"load":$load$marker}""")
       (name, if (err.isEmpty) best else 0.0, err.orElse(pass2Err), load)
     }

@@ -36,7 +36,7 @@ object Cli {
       |  start-daemon       --jobs P --status P --results P --ckpt P
       |                     [--autotune-jobs P] [--autotune-status P]
       |                     [--autotune-results P] [--once]
-      |  start-server       --root P [--port 8080]
+      |  start-server       --root P [--port 8080] [--catalog F]
       |  sparse-postings    --src P --id-col C --vec-col C --out P
       |                     [--tau 0.125] [--buckets 64]
       |  sparse-search      --postings P --id-col C --terms 1,5,9
@@ -77,7 +77,7 @@ object Cli {
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
-    "start-server" -> Set("root", "port"),
+    "start-server" -> Set("root", "port", "catalog"),
     "sparse-postings" -> Set("src", "id-col", "vec-col", "out", "tau", "buckets"),
     "sparse-search" -> Set("postings", "id-col", "terms", "weights", "k"),
     "multivec-index" -> Set("src", "id-col", "vec-col", "out", "toks-per-doc",
@@ -314,8 +314,12 @@ object Cli {
       case "start-server" =>
         val rootP = req(opts, "root")
         val spark = session()
+        // --catalog F: load planner registrations on start (a restart
+        // keeps serving through its indexes), persist after
+        // create/drop-index routes
         val facade = new server.HttpFacade(spark, rootP,
-          opts.getOrElse("port", "8080").toInt).start()
+          opts.getOrElse("port", "8080").toInt,
+          catalogPath = opts.get("catalog")).start()
         println(s"graft http server on 127.0.0.1:${facade.port}")
         Thread.currentThread().join() // serve until killed
 

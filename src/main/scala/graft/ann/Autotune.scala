@@ -257,6 +257,107 @@ object Autotune {
     }
   }
 
+  /** IVF report as a DataFrame (same persistence shape as [[reportDf]]). */
+  def ivfReportDf(spark: SparkSession, report: IvfReport): DataFrame = {
+    import spark.implicits._
+    report.results
+      .map(r => (r.variant.nlists, r.variant.nprobe, r.recall,
+        r.avgSearchMs, r.buildSecs, report.picked.contains(r)))
+      .toDF("nlists", "nprobe", "recall", "avg_search_ms", "build_secs",
+        "picked")
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  case class IvfPqVariant(nprobe: Int, ef: Int)
+  case class IvfPqResult(variant: IvfPqVariant, recall: Double,
+      avgSearchMs: Double)
+  case class IvfPqReport(buildSecs: Double, results: Seq[IvfPqResult],
+      picked: Option[IvfPqResult])
+
+  /** Default (nprobe, rescore ef) sweep, cheapest-first: nprobe scales
+    * the probed-list code I/O, ef the exact float rerank. */
+  val DefaultIvfPqGrid: Seq[IvfPqVariant] = Seq(
+    IvfPqVariant(2, 64), IvfPqVariant(2, 256), IvfPqVariant(4, 64),
+    IvfPqVariant(4, 256), IvfPqVariant(8, 64), IvfPqVariant(8, 256))
+
+  /** `autotune-index` protocol for IVF-PQ's two serving knobs
+    * (reference grid semantics index_autotune/mod.rs:328-358): the
+    * index is built ONCE (nlists/subvectors/clusters are build
+    * parameters, not serving knobs), every (nprobe, ef) variant is
+    * measured with one batched [[IvfPqIndex.searchMany]] pass under
+    * the exact float rerank, picked = the FIRST grid variant meeting
+    * the target. At fixed nprobe, recall is non-decreasing in ef by
+    * construction (nested LUT pools under an exact rerank); across
+    * nprobe values the candidate sets are not nested, so no cross-
+    * probe ordering is promised. */
+  def autotuneIvfPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      grid: Seq[IvfPqVariant] = DefaultIvfPqGrid,
+      nlists: Int = 16,
+      subvectors: Int = 8,
+      clusters: Int = 64,
+      workDir: String = null): IvfPqReport = {
+    val spark = df.sparkSession
+    val ownsWorkDir = workDir == null
+    val base = Option(workDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-ivfpqtune").toString)
+    val queries = graft.util.Sampling
+      .hashSample(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        queryCount, col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(queries.nonEmpty, "graft: autotune needs at least one sample row")
+    val truth = queries.map { case (_, q) =>
+      VectorSearch.exact(df, col(vecCol), q, k, "l2sq",
+        tieBreak = Seq(col(idCol)))
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    }
+
+    val path = s"$base/ivfpq"
+    val t0 = System.nanoTime()
+    IvfPqIndex.build(df, idCol, vecCol, path, nlists = nlists,
+      subvectors = subvectors, clusters = clusters)
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+    val vecs = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
+
+    val results = grid.map { v =>
+      val t1 = System.nanoTime()
+      val got = IvfPqIndex.searchMany(spark, path, queries.toSeq, k,
+          nprobe = v.nprobe, ef = v.ef, rerank = Some((vecs, idCol, vecCol)))
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      val avgMs = (System.nanoTime() - t1) / 1e6 / queries.length
+      var hits = 0; var total = 0
+      queries.zip(truth).foreach { case ((qid, _), expected) =>
+        hits += got.getOrElse(qid, Set.empty).intersect(expected).size
+        total += expected.size
+      }
+      IvfPqResult(v, hits.toDouble / total, avgMs)
+    }
+    if (ownsWorkDir) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    IvfPqReport(buildSecs, results, results.find(_.recall >= targetRecall))
+  }
+
+  /** IVF-PQ report as a DataFrame (same persistence shape). */
+  def ivfPqReportDf(spark: SparkSession, report: IvfPqReport): DataFrame = {
+    import spark.implicits._
+    report.results
+      .map(r => (r.variant.nprobe, r.variant.ef, r.recall, r.avgSearchMs,
+        report.buildSecs, report.picked.contains(r)))
+      .toDF("nprobe", "ef", "recall", "avg_search_ms", "build_secs",
+        "picked")
+  }
+
   // ---------------------------------------------------------------- BQ
 
   case class BqResult(pool: Int, recall: Double, avgSearchMs: Double)

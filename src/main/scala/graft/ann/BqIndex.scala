@@ -123,49 +123,56 @@ object BqIndex {
       numPartitions: Int = 1): Unit = {
     require(numPartitions >= 1,
       s"graft: consolidate needs numPartitions >= 1, got $numPartitions")
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
-    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snapshot =
-      if (fs.exists(tombDir))
-        fs.listStatus(tombDir).filter(_.isFile).map(_.getPath).toSeq
-      else Seq.empty
-    val snapParquet = snapshot.filter(_.getName.endsWith(".parquet"))
-    val b = bits(spark, path)
-    val live =
-      if (snapParquet.nonEmpty)
-        b.join(spark.read.parquet(snapParquet.map(_.toString): _*),
-          Seq("id"), "left_anti")
-      else b
-    require(!live.isEmpty,
-      s"graft: consolidate would leave an empty bits table under $path " +
-        "(every row tombstoned) — drop and rebuild instead")
-    val cur = new org.apache.hadoop.fs.Path(s"$path/$BitsDir")
-    val compact = new org.apache.hadoop.fs.Path(s"$path/${BitsDir}__compact")
-    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
-    live.coalesce(numPartitions)
-      .write.mode("overwrite").parquet(compact.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$path/${BitsDir}__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(cur, old),
-      s"graft: consolidate could not move $cur aside")
-    if (!fs.rename(compact, cur)) {
-      fs.rename(old, cur)
-      throw new IllegalStateException(
-        s"graft: consolidate swap failed under $path — original restored")
-    }
-    fs.delete(old, true)
-    // retire ONLY the snapshotted tombstone files; the dir falls with
-    // a non-recursive delete so a late arrival survives harmlessly
-    snapshot.foreach(p => fs.delete(p, false))
-    if (fs.exists(tombDir)) {
-      val leftovers = fs.listStatus(tombDir).filter(_.isFile)
-      if (leftovers.forall(st => !st.getPath.getName.endsWith(".parquet"))) {
-        leftovers.foreach(st => fs.delete(st.getPath, false))
-        try { fs.delete(tombDir, false); () }
-        catch { case _: java.io.IOException => () }
-      }
-    }
-    ()
+    FlatArtifact.consolidateSubdir(spark, path, BitsDir, "bits",
+      (live, compact) => live.coalesce(numPartitions)
+        .write.mode("overwrite").parquet(compact))
+  }
+
+  /** `validate_index` analog for the bits artifact (reference
+    * validate_index.c:436-528): structural checks — consistent
+    * signature width (`ceil(dim/32)` words for the persisted center's
+    * dim), no duplicate or null ids — plus the codec check: every
+    * stored signature must RE-DERIVE from the persisted center and the
+    * source table's vector (a bit drift means the row is filed under a
+    * signature that no longer describes it — silent recall loss, or a
+    * stale center). `df` must hold the rows the index was built on.
+    * Throws [[IllegalStateException]] naming the FIRST violation;
+    * returns the validated row count. */
+  def validateIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Long = {
+    val spark = df.sparkSession
+    val c = center(spark, path)
+    val words = (c.length + 31) / 32
+    val stored = bits(spark, path)
+    val nullRow = stored.where(col("id").isNull || col("bits").isNull)
+      .limit(1).collect()
+    if (nullRow.nonEmpty) throw new IllegalStateException(
+      s"graft: bq index $path invalid — row with null id/bits")
+    val badLen = stored.where(size(col("bits")) =!= words)
+      .select(col("id"), size(col("bits"))).limit(1).collect()
+    if (badLen.nonEmpty) throw new IllegalStateException(
+      s"graft: bq index $path invalid — id ${badLen.head.getLong(0)} has " +
+        s"${badLen.head.getInt(1)} signature words, expected $words " +
+        s"for dim ${c.length}")
+    val dup = stored.groupBy("id").count().where(col("count") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft: bq index $path invalid — duplicate id ${dup.head.getLong(0)}")
+    val expected = df.select(col(idCol).cast("long").as("id"),
+      BqSearch.pack(col(vecCol), c).as("__exp"))
+    val orphan = stored.select("id")
+      .join(expected.select("id"), Seq("id"), "left_anti")
+      .limit(1).collect()
+    if (orphan.nonEmpty) throw new IllegalStateException(
+      s"graft: bq index $path invalid — id ${orphan.head.getLong(0)} " +
+        "has no source row to re-derive from")
+    val drift = stored.join(expected, Seq("id"))
+      .where(!(col("bits") <=> col("__exp")))
+      .select("id").limit(1).collect()
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"graft: bq index $path invalid — id ${drift.head.getLong(0)}'s " +
+        "bits do not re-derive from the persisted center")
+    stored.count()
   }
 
   /** Driver-side top-`pool` candidate ids — the proposal function of

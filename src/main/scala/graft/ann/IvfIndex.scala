@@ -96,9 +96,64 @@ object IvfIndex {
     (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
   }
 
+  /** The metric the index was built under (persisted with the
+    * centroids) — serving layers must not route a foreign-metric
+    * query through it. */
+  def metricOf(spark: SparkSession, path: String): String =
+    loadCentroids(spark, path)._2
+
+  /** Artifact sniff for serving layers that route by layout: an IVF
+    * artifact is centroids + list-partitioned data WITHOUT a codebook
+    * (the codebook dir is what distinguishes [[IvfPqIndex]]). */
+  def isIvf(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$path/$CentroidsDir")) &&
+      fs.exists(new Path(s"$path/$DataDir")) &&
+      !fs.exists(new Path(s"$path/codebook"))
+  }
+
+  /** `aminsert` analog: assign the new rows to the PERSISTED coarse
+    * centroids — the list geometry is the codec, fixed at build time
+    * (re-clustering would re-key the corpus) — and append them into
+    * their list partitions as new parquet files. Search sees them on
+    * its next read; the list assignment is bit-identical to a build
+    * with the same centroids, so a streamed index answers exactly like
+    * a batch-appended one. */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (centroids, metric) = loadCentroids(spark, path)
+    val data0 = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+    val data = if (metric == "cos") data0.withColumn("vec", normalized(col("vec")))
+      else data0
+    data.withColumn("list_id",
+        org.apache.spark.sql.graftshim.GraftSqlShim.column(
+          graft.functions.NearestCentroid(
+            org.apache.spark.sql.graftshim.GraftSqlShim.expression(col("vec")),
+            centroids)))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/$DataDir")
+  }
+
+  /** Leaf parquet file count across the list partitions — the
+    * append-accumulation measure serving layers compact on. */
+  def fileCount(spark: SparkSession, path: String): Int =
+    FlatArtifact.parquetFileCount(spark, s"$path/$DataDir")
+
+  /** Compact the append-accumulated list files back to one file per
+    * list and apply tombstones PHYSICALLY — same snapshot-preserving
+    * tombstone protocol as [[BqIndex.consolidate]] (a concurrent
+    * [[delete]] keeps masking; the data subdir swaps by rename). The
+    * `repartition(list_id)` clusters each list into exactly one task,
+    * so the rewrite emits one file per list — the bounded layout a
+    * partition-pruned probe wants. */
+  def consolidate(spark: SparkSession, path: String): Unit =
+    FlatArtifact.consolidateSubdir(spark, path, DataDir, "ivf data",
+      (live, compact) => live.repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(compact))
+
   /** Tombstone ids (`ambulkdelete` analog, same semantics as the HNSW
     * index): rows stay in their list partitions, masked at search;
-    * rebuild to compact. */
+    * [[consolidate]] applies them physically. */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
     ids.toDF("id").write.mode("append").parquet(s"$path/tombstones")
@@ -268,7 +323,16 @@ object IvfIndex {
       candK = candK * 4
       round += 1
     }
-    filtered
+    // fallback over the table MINUS tombstones — the adaptive path
+    // masks deletes in-index; without the anti-join a deleted row
+    // would resurrect exactly when the predicate starves
+    val live = tombstones(spark, path) match {
+      case Some(t) => filtered.join(
+        t.select(col("id").as("__tomb_id")),
+        col(idCol) === col("__tomb_id"), "left_anti")
+      case None => filtered
+    }
+    live
       .select(col(idCol).cast(LongType).as("id"), distC.as("__d"))
       .orderBy(col("__d"), col("id"))
       .limit(k)

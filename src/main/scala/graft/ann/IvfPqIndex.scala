@@ -107,8 +107,21 @@ object IvfPqIndex {
     cb.toDf(spark).coalesce(1).write.parquet(s"$path/$CodebookDir")
 
     // final encode pass: assign list, quantize the residual. One UDF
-    // carrying two small broadcast-size arrays — build-time only, the
-    // search scan never touches floats.
+    // carrying two small broadcast-size arrays — build/append only,
+    // the search scan never touches floats.
+    encoded(data, centroids, cb)
+      .write.partitionBy("list_id").parquet(s"$path/$DataDir")
+  }
+
+  /** (id, codes, list_id) for `data(id, vec)` under fixed coarse
+    * centroids + codebook — the shared encode of [[build]]'s final
+    * pass and [[append]] (fixed codec ⇒ identical encoding either
+    * way). */
+  private def encoded(
+      data: DataFrame,
+      centroids: Array[Array[Float]],
+      cb: PqCodebook): DataFrame = {
+    val spark = data.sparkSession
     val bcCents = spark.sparkContext.broadcast(centroids)
     val bcCb = spark.sparkContext.broadcast(cb)
     val encode = udf { v: Seq[Float] =>
@@ -124,8 +137,45 @@ object IvfPqIndex {
     data
       .withColumn("__enc", encode(col("vec")))
       .select(col("id"), col("__enc._2").as("codes"), col("__enc._1").as("list_id"))
-      .write.partitionBy("list_id").parquet(s"$path/$DataDir")
   }
+
+  /** Artifact sniff for serving layers that route by layout: IVF-PQ is
+    * the only artifact with centroids + codebook + list data. */
+  def isIvfPq(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$path/$CentroidsDir")) &&
+      fs.exists(new Path(s"$path/$CodebookDir")) &&
+      fs.exists(new Path(s"$path/$DataDir"))
+  }
+
+  /** `aminsert` analog: encode the new rows with the PERSISTED coarse
+    * centroids AND residual codebook — both are the codec, fixed at
+    * build time — and append into their list partitions. A streamed
+    * index scores bit-identically to a batch-appended one (same
+    * assignment, same codes, order-free LUT sums). */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (centroids, metric) = loadCentroids(spark, path)
+    val cb = loadCodebook(spark, path)
+    val data0 = df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+    val data = if (metric == "cos") data0.withColumn("vec", unitNorm(col("vec")))
+      else data0
+    encoded(data, centroids, cb)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/$DataDir")
+  }
+
+  /** Leaf parquet file count across the list partitions. */
+  def fileCount(spark: SparkSession, path: String): Int =
+    FlatArtifact.parquetFileCount(spark, s"$path/$DataDir")
+
+  /** Compact to one file per list + physical tombstone apply — same
+    * snapshot-preserving protocol and layout contract as
+    * [[IvfIndex.consolidate]]. */
+  def consolidate(spark: SparkSession, path: String): Unit =
+    FlatArtifact.consolidateSubdir(spark, path, DataDir, "ivfpq data",
+      (live, compact) => live.repartition(col("list_id"))
+        .write.partitionBy("list_id").mode("overwrite").parquet(compact))
 
   private def unitNorm(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.graftshim.GraftSqlShim.column(
@@ -138,6 +188,11 @@ object IvfPqIndex {
       .orderBy("list_id").collect()
     (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
   }
+
+  /** The metric the index was built under (persisted with the
+    * centroids). */
+  def metricOf(spark: SparkSession, path: String): String =
+    loadCentroids(spark, path)._2
 
   private def loadCodebook(spark: SparkSession, path: String): PqCodebook = {
     val df = spark.read.parquet(s"$path/$CodebookDir")

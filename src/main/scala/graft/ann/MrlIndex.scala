@@ -117,47 +117,54 @@ object MrlIndex {
       numPartitions: Int = 1): Unit = {
     require(numPartitions >= 1,
       s"graft: consolidate needs numPartitions >= 1, got $numPartitions")
-    val tombDir = new Path(s"$path/$TombDir")
-    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snapshot =
-      if (fs.exists(tombDir))
-        fs.listStatus(tombDir).filter(_.isFile).map(_.getPath).toSeq
-      else Seq.empty
-    val snapParquet = snapshot.filter(_.getName.endsWith(".parquet"))
-    val b = spark.read.parquet(s"$path/$PrefixDir")
-    val live =
-      if (snapParquet.nonEmpty)
-        b.join(spark.read.parquet(snapParquet.map(_.toString): _*),
-          Seq("id"), "left_anti")
-      else b
-    require(!live.isEmpty,
-      s"graft: consolidate would leave an empty prefix table under $path " +
-        "(every row tombstoned) — drop and rebuild instead")
-    val cur = new Path(s"$path/$PrefixDir")
-    val compact = new Path(s"$path/${PrefixDir}__compact")
-    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
-    live.coalesce(numPartitions)
-      .write.mode("overwrite").parquet(compact.toString)
-    val old = new Path(s"$path/${PrefixDir}__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(cur, old),
-      s"graft: consolidate could not move $cur aside")
-    if (!fs.rename(compact, cur)) {
-      fs.rename(old, cur)
-      throw new IllegalStateException(
-        s"graft: consolidate swap failed under $path — original restored")
+    FlatArtifact.consolidateSubdir(spark, path, PrefixDir, "prefix",
+      (live, compact) => live.coalesce(numPartitions)
+        .write.mode("overwrite").parquet(compact))
+  }
+
+  /** `validate_index` analog for the prefix artifact (reference
+    * validate_index.c:436-528): every stored prefix's length must
+    * equal the RECORDED m (a short prefix mis-scores stage 1; a long
+    * one means the meta lies about scan bytes), no null/duplicate ids;
+    * with `source` supplied, every prefix must additionally re-derive
+    * as the first-m slice of the source vector. Throws
+    * [[IllegalStateException]] naming the FIRST violation; returns the
+    * validated row count. */
+  def validateIndex(spark: SparkSession, path: String,
+      source: Option[(DataFrame, String, String)] = None): Long = {
+    val mm = m(spark, path)
+    val pre = spark.read.parquet(s"$path/$PrefixDir")
+    val nullRow = pre.where(col("id").isNull || col("pref").isNull)
+      .limit(1).collect()
+    if (nullRow.nonEmpty) throw new IllegalStateException(
+      s"graft: mrl index $path invalid — row with null id/pref")
+    val badLen = pre.where(size(col("pref")) =!= mm)
+      .select(col("id"), size(col("pref"))).limit(1).collect()
+    if (badLen.nonEmpty) throw new IllegalStateException(
+      s"graft: mrl index $path invalid — id ${badLen.head.getLong(0)} " +
+        s"has prefix length ${badLen.head.getInt(1)}, expected the " +
+        s"recorded m = $mm")
+    val dup = pre.groupBy("id").count().where(col("count") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft: mrl index $path invalid — duplicate id ${dup.head.getLong(0)}")
+    source.foreach { case (df, idCol, vecCol) =>
+      val expected = df.select(col(idCol).cast("long").as("id"),
+        MrlSearch.prefix(col(vecCol), mm).as("__exp"))
+      val orphan = pre.select("id")
+        .join(expected.select("id"), Seq("id"), "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalStateException(
+        s"graft: mrl index $path invalid — id ${orphan.head.getLong(0)} " +
+          "has no source row to re-derive from")
+      val drift = pre.join(expected, Seq("id"))
+        .where(!(col("pref") <=> col("__exp")))
+        .select("id").limit(1).collect()
+      if (drift.nonEmpty) throw new IllegalStateException(
+        s"graft: mrl index $path invalid — id ${drift.head.getLong(0)}'s " +
+          "prefix is not the first-m slice of its source vector")
     }
-    fs.delete(old, true)
-    snapshot.foreach(p => fs.delete(p, false))
-    if (fs.exists(tombDir)) {
-      val leftovers = fs.listStatus(tombDir).filter(_.isFile)
-      if (leftovers.forall(st => !st.getPath.getName.endsWith(".parquet"))) {
-        leftovers.foreach(st => fs.delete(st.getPath, false))
-        try { fs.delete(tombDir, false); () }
-        catch { case _: java.io.IOException => () }
-      }
-    }
-    ()
+    pre.count()
   }
 
   /** Driver-side top-`pool` candidate ids by prefix distance — the

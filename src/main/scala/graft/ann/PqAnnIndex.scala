@@ -60,11 +60,33 @@ object PqAnnIndex {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     fs.mkdirs(new Path(base, GraphDir))
+    // record the metric: a cos graph holds unit-normalized vectors —
+    // an append that didn't normalize would silently mis-key new rows
+    graft.util.MetaJson.write(spark, s"$path/meta.json",
+      s"""{"metric":"${params.metric}"}""")
+    writePqShards(parted, path, cb, params.m, params.efConstruction,
+      params.seed, runId = "base")
+  }
 
+  /** The metric recorded at [[build]] time; pre-meta artifacts (older
+    * builds) default to l2sq, the only metric they could carry. */
+  def metricOf(spark: SparkSession, path: String): String =
+    graft.util.MetaJson.read(spark, s"$path/meta.json") match {
+      case Some(n) => graft.util.MetaJson.strField(n, "metric", path)
+      case None => "l2sq"
+    }
+
+  /** Quantize + insert each partition's rows into a graph shard —
+    * shared by [[build]] (runId = "base") and [[append]] (delta
+    * shards). Every shard embeds the codebook, so shards from any
+    * write generation stay mutually searchable. */
+  private def writePqShards(
+      data: DataFrame, path: String, cb: PqCodebook,
+      m: Int, efc: Int, seed: Long, runId: String): Unit = {
+    val spark = data.sparkSession
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
     val cbB = spark.sparkContext.broadcast(cb)
-    val m = params.m; val efc = params.efConstruction; val seed = params.seed
-    val counts = parted.queryExecution.toRdd.mapPartitions { rows =>
+    val counts = data.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val codebook = cbB.value
       val g = new HnswGraph(codebook.dim, m, efc, Metric.L2Sq, seed = seed + pid)
@@ -79,7 +101,7 @@ object PqAnnIndex {
       }
       if (g.size == 0) Iterator.empty
       else {
-        val file = new Path(new Path(path, GraphDir), f"part-base-$pid%05d.pqhnsw")
+        val file = new Path(new Path(path, GraphDir), f"part-$runId-$pid%05d.pqhnsw")
         val out = new DataOutputStream(new BufferedOutputStream(
           file.getFileSystem(sconf.value).create(file, true), 1 << 20))
         try writeShard(out, g, codes.toArray, codebook) finally out.close()
@@ -87,6 +109,105 @@ object PqAnnIndex {
       }
     }.collect()
     require(counts.sum > 0, "graft: PQ ANN build saw no rows")
+  }
+
+  /** Artifact sniff for serving layers that route by layout: a pq
+    * artifact is a graphs dir holding `.pqhnsw` shards. */
+  def isPq(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, GraphDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".pqhnsw"))
+  }
+
+  /** Graph shard count — the append-accumulation measure (search fans
+    * out one task per shard). */
+  def shardCount(spark: SparkSession, path: String): Int =
+    listShards(spark, path).size
+
+  /** `aminsert` analog: quantize the new rows with the PERSISTED
+    * codebook — the codec is fixed at build time, and every existing
+    * shard embeds it — and build DELTA graph shards for them. Search
+    * covers base + delta shards transparently (per-shard k-merge). A
+    * `cos` index is an l2sq graph over unit vectors; pass the metric
+    * the index was built under so appends normalize identically. */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String,
+      metric: String = "l2sq", seed: Long = 42L): Unit = {
+    require(metric == "l2sq" || metric == "cos",
+      s"graft: PQ index supports l2sq|cos, got '$metric'")
+    val spark = df.sparkSession
+    val (cb, m, efc) = readCodec(spark, path)
+    val rawVec =
+      if (metric == "cos")
+        GraftSqlShim.column(graft.functions.UnitNormalize(
+          GraftSqlShim.expression(col(vecCol))))
+      else col(vecCol)
+    val data = df.select(col(idCol).cast(LongType), rawVec.as(vecCol))
+    writePqShards(data, path, cb, m, efc, seed,
+      runId = java.util.UUID.randomUUID().toString.take(8))
+  }
+
+  /** Codec + graph params, read from the first shard (shards are
+    * self-contained; build writes one codebook into each). */
+  private def readCodec(
+      spark: SparkSession, path: String): (PqCodebook, Int, Int) = {
+    val files = listShards(spark, path)
+    require(files.nonEmpty, s"graft: no PQ shards under $path")
+    val shard = load(files.head,
+      spark.sparkContext.hadoopConfiguration)
+    (shard.cb, shard.graph.m, shard.graph.efConstruction)
+  }
+
+  /** Every live (id, dequantized vector) row across the shards —
+    * tombstones masked exactly like [[AnnIndex.vectors]]. */
+  def vectors(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val files = listShards(spark, path)
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val bannedB = spark.sparkContext.broadcast(
+      AnnIndex.tombstoneMask(spark, path))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val shard = load(f, sconf.value)
+        val b = bannedB.value
+        (0 until shard.graph.size).iterator
+          .filterNot(n => b.banned(shard.graph.label(n)))
+          .map(n => Row(shard.graph.label(n),
+            shard.cb.dequantize(
+              shard.codes(n).map(x => (x & 0xFF).toShort)).toSeq))
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType)))))
+  }
+
+  /** Rebuild all shards into one fresh artifact, applying tombstones
+    * physically ([[AnnIndex.consolidate]]'s shape). The rebuild
+    * round-trips each row through its DEQUANTIZED vector — re-encoding
+    * is exact (every dequantized point is its own nearest centroid
+    * combination), so codes survive the rebuild bit-identically; only
+    * graph edges re-form. The recorded metric is preserved; the
+    * vectors are already in normalized space for a cos index, so the
+    * rebuild itself runs the l2sq machinery like the original build. */
+  def consolidate(spark: SparkSession, path: String,
+      numPartitions: Int = 0): Unit = {
+    val (cb, m, efc) = readCodec(spark, path)
+    val metric = metricOf(spark, path)
+    val live = vectors(spark, path)
+    require(!live.isEmpty,
+      s"graft: consolidate would leave an empty PQ index under $path " +
+        "(every row tombstoned) — drop and rebuild instead")
+    val tmp = path + ".consolidating"
+    build(live, "id", "vec", tmp, cb,
+      AnnParams(m, efc, metric = "l2sq", numPartitions = numPartitions))
+    graft.util.MetaJson.write(spark, s"$tmp/meta.json",
+      s"""{"metric":"$metric"}""")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+    ()
   }
 
   /** Topology + per-node codes + codebook; NO float vectors on disk. */
@@ -181,9 +302,29 @@ object PqAnnIndex {
     s
   }
 
+  private def listShards(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path, GraphDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** `ambulkdelete` analog, same semantics as [[AnnIndex.delete]]:
+    * tombstoned labels append to a parquet dir and every search path
+    * masks them in-walk (the graph is untouched, like the reference's
+    * label invalidation — delete.c:15-73); exact sets up to
+    * [[AnnIndex.ExactTombstoneLimit]], a distributed bloom beyond. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").write.mode("append").parquet(s"$path/tombstones")
+  }
+
   /** Candidate rows (id, dequantized vec) for the planner's AnnScanExec:
     * per-shard LUT search, vectors reconstructed from their codes so the
-    * exact re-rank above operates on the PQ approximation.
+    * exact re-rank above operates on the PQ approximation. Tombstoned
+    * labels are masked inside the walk — a deleted row can never ride
+    * a planner candidate path.
     */
   private[graft] def candidateRows(
       spark: SparkSession,
@@ -191,11 +332,10 @@ object PqAnnIndex {
       query: Array[Float],
       k: Int,
       ef: Int): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = new Path(path, GraphDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
-      .map(_.getPath.toString).sorted.toSeq
+    val files = listShards(spark, path)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val bannedB = spark.sparkContext.broadcast(
+      AnnIndex.tombstoneMask(spark, path))
     val qB = spark.sparkContext.broadcast(query)
     val kk = k; val eff = math.max(ef, k)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -216,13 +356,14 @@ object PqAnnIndex {
             while (s < cs.length) { d += lut(s)(cs(s) & 0xFF); s += 1 }
             d
           }
-          shard.graph.searchNodesWith(nd, kk, eff).iterator.map { case (n, _) =>
-            val deq = shard.cb.dequantize(codes(n).map(b => (b & 0xFF).toShort))
-            proj(org.apache.spark.sql.catalyst.InternalRow(
-              shard.graph.label(n),
-              org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-                .fromPrimitiveArray(deq))).copy()
-          }
+          shard.graph.searchNodesWith(nd, kk, eff, bannedB.value.banned)
+            .iterator.map { case (n, _) =>
+              val deq = shard.cb.dequantize(codes(n).map(b => (b & 0xFF).toShort))
+              proj(org.apache.spark.sql.catalyst.InternalRow(
+                shard.graph.label(n),
+                org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+                  .fromPrimitiveArray(deq))).copy()
+            }
         }
       }
   }
@@ -277,11 +418,10 @@ object PqAnnIndex {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     import spark.implicits._
-    val p = new Path(path, GraphDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
-      .map(_.getPath.toString).sorted.toSeq
+    val files = listShards(spark, path)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val bannedB = spark.sparkContext.broadcast(
+      AnnIndex.tombstoneMask(spark, path))
     // a cos index is an l2sq graph over unit vectors — normalize the
     // queries so the LUT measures the cosine-equivalent geometry
     val qn = queries.iterator
@@ -303,7 +443,8 @@ object PqAnnIndex {
             while (s < cs.length) { d += lut(s)(cs(s) & 0xFF); s += 1 }
             d
           }
-          shard.graph.searchNodesWith(nd, pool, pool).iterator
+          shard.graph.searchNodesWith(nd, pool, pool, bannedB.value.banned)
+            .iterator
             .map { case (n, d) => Row(qid, shard.graph.label(n), d) }
         }
       }
@@ -324,18 +465,18 @@ object PqAnnIndex {
     }
   }
 
-  /** Top-k under the asymmetric LUT distance (nearest-first). */
+  /** Top-k under the asymmetric LUT distance (nearest-first),
+    * tombstones masked in-walk. */
   def search(
       spark: SparkSession,
       path: String,
       query: Array[Float],
       k: Int,
       ef: Int = 64): Array[(Long, Double)] = {
-    val p = new Path(path, GraphDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".pqhnsw"))
-      .map(_.getPath.toString).sorted.toSeq
+    val files = listShards(spark, path)
     val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    val bannedB = spark.sparkContext.broadcast(
+      AnnIndex.tombstoneMask(spark, path))
     val qB = spark.sparkContext.broadcast(query)
     val kk = k; val eff = math.max(ef, k)
     spark.sparkContext
@@ -350,7 +491,8 @@ object PqAnnIndex {
           while (s < cs.length) { d += lut(s)(cs(s) & 0xFF); s += 1 }
           d
         }
-        shard.graph.searchNodesWith(nd, kk, eff).iterator
+        shard.graph.searchNodesWith(nd, kk, eff, bannedB.value.banned)
+          .iterator
           .map { case (n, dd) => (shard.graph.label(n), dd) }
       }
       .collect()

@@ -152,6 +152,50 @@ object SparseSearch {
     rest.head
   }
 
+  /** `validate_index` analog for the sparse inverted file (reference
+    * validate_index.c:436-528 validates every index it has): checks
+    * meta coherence, that EVERY posting is filed under
+    * `pmod(term, buckets)` (a mis-bucketed posting is invisible to the
+    * pruned read — silent recall loss), that no posting carries a
+    * null/negative term or null id/weight, and that no tombstone
+    * references an id absent from the postings (an orphan tombstone is
+    * a delete that never happened). Throws [[IllegalStateException]]
+    * naming the FIRST violation; returns the live posting count when
+    * valid. */
+  def validatePostings(spark: SparkSession, path: String): Long = {
+    val (buckets, idCol) = readMeta(spark, path)
+    if (buckets < 1) throw new IllegalStateException(
+      s"graft: sparse index $path invalid — meta buckets $buckets < 1")
+    val post = spark.read.parquet(path)
+    val cols = post.columns.toSet
+    for (c <- Seq("term", idCol, "w", "tb"))
+      if (!cols.contains(c)) throw new IllegalStateException(
+        s"graft: sparse index $path invalid — missing column '$c'")
+    val nullRow = post.where(col("term").isNull || col("term") < 0 ||
+        col(idCol).isNull || col("w").isNull).limit(1).collect()
+    if (nullRow.nonEmpty) throw new IllegalStateException(
+      s"graft: sparse index $path invalid — posting with null/negative " +
+        s"field: ${nullRow.head}")
+    val misfiled = post
+      .where(col("tb") =!= pmod(col("term"), lit(buckets)))
+      .select(col("term"), col("tb")).limit(1).collect()
+    if (misfiled.nonEmpty) throw new IllegalStateException(
+      s"graft: sparse index $path invalid — term ${misfiled.head.get(0)} " +
+        s"filed under bucket ${misfiled.head.get(1)}, expected " +
+        s"pmod(term, $buckets) = ${
+          ((misfiled.head.getInt(0) % buckets) + buckets) % buckets}")
+    val tombP = new Path(s"$path/$TombDir")
+    if (fsFor(spark, path).exists(tombP)) {
+      val orphan = spark.read.parquet(tombP.toString).distinct()
+        .join(post.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalStateException(
+        s"graft: sparse index $path invalid — tombstone id " +
+          s"${orphan.head.get(0)} references no posting (orphan delete)")
+    }
+    post.count()
+  }
+
   // ------------------------------------------------------------ write
 
   /** Materialize the postings table hash-bucketed by term — the
@@ -300,8 +344,31 @@ object SparseSearch {
     if (fs.exists(old)) fs.delete(old, true) // stale prior attempt
     require(fs.rename(cur, old),
       s"graft: consolidate could not move $cur aside")
-    if (!fs.rename(compact, cur)) {
+    // between the two renames a concurrent deletePostings RECREATES
+    // `cur` (its parquet write lands at $path/_tombstones), which
+    // would fail the swap rename — and nest the rollback rename. Carry
+    // any such late tombstones into the compacted generation (they
+    // must keep masking), clear the stub, and retry; bounded attempts
+    // because each retry closes one racing window.
+    var attempts = 0
+    var swapped = false
+    while (!swapped && attempts < 5) {
+      if (fs.exists(cur)) {
+        val stubTomb = new Path(s"${cur.toString}/$TombDir")
+        if (fs.exists(stubTomb)) {
+          val dstTomb = new Path(s"${compact.toString}/$TombDir")
+          fs.mkdirs(dstTomb)
+          fs.listStatus(stubTomb).filter(_.isFile).foreach(st =>
+            fs.rename(st.getPath, new Path(dstTomb, st.getPath.getName)))
+        }
+        fs.delete(cur, true)
+      }
+      swapped = fs.rename(compact, cur)
+      attempts += 1
+    }
+    if (!swapped) {
       // roll the original back so the table never loses its postings
+      if (fs.exists(cur)) fs.delete(cur, true)
       fs.rename(old, cur)
       throw new IllegalStateException(
         s"graft: consolidate swap failed under $path — original restored")

@@ -369,7 +369,19 @@ case class AnnFilteredIdsExec(
       if (surv.length >= k) return surv.take(k)
       pool *= 4; nprobe *= 4; round += 1
     }
-    filtered
+    // exact fallback over the table MINUS the artifact's tombstones —
+    // the candidate loop masks deletes in-index, and a fallback
+    // without the anti-join would resurrect deleted rows exactly when
+    // the predicate starves (AnnIndex.searchFiltered's contract)
+    val tomb = new Path(s"$artifact/tombstones")
+    val tfs = tomb.getFileSystem(session.sparkContext.hadoopConfiguration)
+    val live =
+      if (tfs.exists(tomb))
+        filtered.join(
+          spark.read.parquet(tomb.toString).select(col("id").as("__tomb_id")),
+          col(idCol) === col("__tomb_id"), "left_anti")
+      else filtered
+    live
       .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as("id"),
         distC.as("__d"))
       .orderBy(col("__d"), col("id"))
@@ -1023,8 +1035,10 @@ object AnnKnnJoinExec {
       val st = r.getStruct(qIdx, 2)
       val ia = st.getArray(0)
       val va = st.getArray(1)
-      require(ia != null && va != null,
-        "graft: sparse probe has null indices/values arrays")
+      // a struct with null inner arrays is as unanswerable as a null
+      // probe — joins to nothing, same as the documented null-probe
+      // semantics (probeBytes already counts it as 0 bytes)
+      if (ia == null || va == null) return null
       val n = ia.numElements()
       require(va.numElements() == n,
         s"graft: sparse probe indices/values length mismatch: " +
@@ -1287,6 +1301,39 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     gl.copy(child = ll.copy(child = newBody))
   }
 
+  /** Evaluate a FOLDABLE `array<array<float>>` token-matrix literal to
+    * the driver-side matrix the scalar maxsim rewrite carries. Declines
+    * (None) on null/empty rows — the exact plan stays, never a crash. */
+  private def foldTokMatrix(e: Expression): Option[Array[Array[Double]]] = {
+    val v = e.eval()
+    if (v == null) None
+    else {
+      val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = ad.numElements()
+      if (n == 0) None
+      else {
+        val out = new Array[Array[Double]](n)
+        var i = 0
+        while (i < n) {
+          if (ad.isNullAt(i)) return None
+          val row = ad.getArray(i)
+          val m = row.numElements()
+          if (m == 0) return None
+          val r = new Array[Double](m)
+          var j = 0
+          while (j < m) {
+            if (row.isNullAt(j)) return None
+            r(j) = row.getFloat(j).toDouble
+            j += 1
+          }
+          out(i) = r
+          i += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
   /** Resolve a sort expression through one Project level of aliases. */
   private def resolveThroughProject(e: Expression, child: LogicalPlan): Expression =
     child match {
@@ -1496,6 +1543,11 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           p.deterministic && p.references.subsetOf(rel.outputSet))
         (vecAttr, qm) <- (resolveThroughProject(sortExpr, child) match {
           case MaxSimScore(a: AttributeReference, q) => Some((a, q))
+          // SQL `maxsim_score(toks, <literal>)` parses to the
+          // column-form expression — fold the literal matrix so the
+          // scalar SQL query accelerates like the DataFrame form
+          case MaxSimScoreCol(a: AttributeReference, q) if q.foldable =>
+            foldTokMatrix(q).map(m => (a, m))
           case _ => None
         })
         meta <- AnnCatalog.lookup(paths, vecAttr.name, "maxsim")

@@ -35,7 +35,8 @@ final class HttpFacade(
     spark: SparkSession,
     rootDir: String,
     bindPort: Int = 0,
-    auth: Option[(String, String)] = None) {
+    auth: Option[(String, String)] = None,
+    catalogPath: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -48,12 +49,25 @@ final class HttpFacade(
   def port: Int = server.getAddress.getPort
 
   def start(): HttpFacade = {
+    // catalog persistence wired into serving (the reference's index
+    // metadata lives in the PG catalog and survives restarts): a
+    // restarted server re-loads its planner registrations instead of
+    // silently serving exact scans until someone re-registers by hand
+    catalogPath.foreach { cp =>
+      val p = new Path(cp)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        graft.plans.AnnCatalog.load(spark, cp)
+    }
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
     server.start()
     this
   }
+
+  /** Persist the planner catalog after any route that changed it. */
+  private def saveCatalog(): Unit =
+    catalogPath.foreach(cp => graft.plans.AnnCatalog.save(spark, cp))
 
   def stop(): Unit = if (server != null) server.stop(0)
 
@@ -218,15 +232,42 @@ final class HttpFacade(
           graft.ann.BqIndex.append(withVec, "id", column, idx)
           // flat layouts accumulate one file per append — compact past
           // the same threshold the hnsw branch uses, for the same
-          // reason (listing/open cost grows linearly with PUT batches)
+          // reason (listing/open cost grows linearly with PUT batches).
+          // Target file count sized from row volume like that branch —
+          // a fixed 1 would leave one giant file and a single-task
+          // stage-1 scan at scale
           if (graft.ann.BqIndex.fileCount(spark, idx) >
               graft.GraftConf.annConsolidateShards(spark))
-            graft.ann.BqIndex.consolidate(spark, idx)
+            graft.ann.BqIndex.consolidate(spark, idx,
+              numPartitions = compactTargetFiles(name))
         } else if (graft.ann.MrlIndex.isMrl(spark, idx)) {
           graft.ann.MrlIndex.append(withVec, "id", column, idx)
           if (graft.ann.MrlIndex.fileCount(spark, idx) >
               graft.GraftConf.annConsolidateShards(spark))
-            graft.ann.MrlIndex.consolidate(spark, idx)
+            graft.ann.MrlIndex.consolidate(spark, idx,
+              numPartitions = compactTargetFiles(name))
+        } else if (graft.ann.IvfPqIndex.isIvfPq(spark, idx)) {
+          // coarse-list layouts: new rows assign to the PERSISTED
+          // centroids (and codebook); compaction folds the per-append
+          // files back to one per list
+          graft.ann.IvfPqIndex.append(withVec, "id", column, idx)
+          if (graft.ann.IvfPqIndex.fileCount(spark, idx) >
+              graft.GraftConf.annConsolidateShards(spark))
+            graft.ann.IvfPqIndex.consolidate(spark, idx)
+        } else if (graft.ann.IvfIndex.isIvf(spark, idx)) {
+          graft.ann.IvfIndex.append(withVec, "id", column, idx)
+          if (graft.ann.IvfIndex.fileCount(spark, idx) >
+              graft.GraftConf.annConsolidateShards(spark))
+            graft.ann.IvfIndex.consolidate(spark, idx)
+        } else if (graft.ann.PqAnnIndex.isPq(spark, idx)) {
+          // delta graph shards under the persisted codebook; shard
+          // count is the compaction measure, like the hnsw branch
+          graft.ann.PqAnnIndex.append(withVec, "id", column, idx,
+            metric = graft.ann.PqAnnIndex.metricOf(spark, idx))
+          if (graft.ann.PqAnnIndex.shardCount(spark, idx) >
+              graft.GraftConf.annConsolidateShards(spark))
+            graft.ann.PqAnnIndex.consolidate(spark, idx,
+              numPartitions = compactTargetFiles(name))
         } else {
           AnnIndex.append(withVec, "id", column, idx)
           // each append adds delta shards and search fans out one task
@@ -250,6 +291,13 @@ final class HttpFacade(
     respond(ex, 200, s"""{"inserted":${rows.size()}}""")
   }
 
+  /** Compaction target file count sized from collection row volume
+    * (~1M rows per file, the hnsw branch's shard guidance). */
+  private def compactTargetFiles(name: String): Int = {
+    val rows = spark.read.parquet(colPath(name).toString).count()
+    math.max(1, math.ceil(rows / 1e6).toInt)
+  }
+
   /** This collection's existing index artifacts as (indexName, column).
     * Index names are exactly `<collection>-<column>` for a schema
     * column — enumerated by CONSTRUCTION, not by prefix scan: names may
@@ -268,6 +316,8 @@ final class HttpFacade(
       fs.delete(idxPath(idxName), true)
     }
     fs.delete(new Path(rootDir, s"pq/$name"), true)
+    graft.plans.AnnCatalog.unregister(spark, colPath(name).toString)
+    saveCatalog()
     respond(ex, 200, s"""{"deleted":"$name"}""")
   }
 
@@ -339,21 +389,65 @@ final class HttpFacade(
           df.where(col("id").isin(cand.toIndexedSeq: _*)), col(column),
           query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
       } else if (fs.exists(idx) &&
+          graft.ann.IvfPqIndex.isIvfPq(spark, idx.toString) &&
+          graft.ann.IvfPqIndex.metricOf(spark, idx.toString) == metric) {
+        // IVF-PQ: partition-pruned ADC scan + exact rerank against the
+        // collection's true floats (the search route's rerank arm)
+        val base = graft.GraftConf.annParams(spark)
+        val ids = graft.ann.IvfPqIndex.search(spark, idx.toString, query,
+          k, nprobe = intOpt(b, "nprobe", 8),
+          rerank = Some((df.where(col(column).isNotNull), "id", column)),
+          ef = math.max(if (ef > 0) ef else base.ef, 4 * k))
+          .orderBy(col("dist"), col("id"))
+          .select("id").collect().map(_.getLong(0))
+        rowsInOrder(df, ids)
+      } else if (fs.exists(idx) &&
+          graft.ann.IvfIndex.isIvf(spark, idx.toString) &&
+          graft.ann.IvfIndex.metricOf(spark, idx.toString) == metric) {
+        // IVF: partition-pruned probe of the nprobe nearest lists —
+        // exact distances within the probed lists, no rescore needed
+        val ids = graft.ann.IvfIndex.search(spark, idx.toString, query,
+          k, nprobe = intOpt(b, "nprobe", 8))
+          .orderBy(col("dist"), col("id"))
+          .select("id").collect().map(_.getLong(0))
+        rowsInOrder(df, ids)
+      } else if (fs.exists(idx) &&
+          graft.ann.PqAnnIndex.isPq(spark, idx.toString) &&
+          graft.ann.PqAnnIndex.metricOf(spark, idx.toString) == metric) {
+        // PQ: LUT graph pre-rank (pool = the ef knob) + exact rescore
+        // over the pool's true rows — the bq/mrl rescore shape
+        val base = graft.GraftConf.annParams(spark)
+        val pool = math.max(if (ef > 0) ef else base.ef, 4 * k)
+        val cand = graft.ann.PqAnnIndex.search(spark, idx.toString,
+          graft.ann.Metric.normalizeIfCos(query, metric), pool,
+          ef = pool).map(_._1)
+        VectorSearch.exact(
+          df.where(col("id").isin(cand.toIndexedSeq: _*)), col(column),
+          query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
+      } else if (fs.exists(idx) &&
           !graft.ann.BqIndex.isBq(spark, idx.toString) &&
           !graft.ann.MrlIndex.isMrl(spark, idx.toString) &&
+          !graft.ann.IvfPqIndex.isIvfPq(spark, idx.toString) &&
+          !graft.ann.IvfIndex.isIvf(spark, idx.toString) &&
+          !graft.ann.PqAnnIndex.isPq(spark, idx.toString) &&
           AnnIndex.readHeader(spark, idx.toString).metric == metric) {
-        val ids = AnnIndex.search(spark, idx.toString, query, k,
-          efOverride = ef).map(_._1)
-        val order = ids.zipWithIndex.toMap
-        val rows = df.where(col("id").isin(ids.toIndexedSeq: _*))
-          .collect().sortBy(r => order(r.getLong(0)))
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), CollectionSchema)
+        rowsInOrder(df, AnnIndex.search(spark, idx.toString, query, k,
+          efOverride = ef).map(_._1))
       } else {
         VectorSearch.exact(df.where(col(column).isNotNull), col(column),
           query, k, metric, tieBreak = Seq(col("id"))).drop("dist")
       }
     val json = hits.select(selectCols.map(col): _*).toJSON.collect()
     respond(ex, 200, json.mkString("""{"rows":[""", ",", "]}"))
+  }
+
+  /** The collection rows for `ids`, in the ids' (nearest-first)
+    * order — the fetch-back every index-served search ends with. */
+  private def rowsInOrder(df: DataFrame, ids: Array[Long]): DataFrame = {
+    val order = ids.zipWithIndex.toMap
+    val rows = df.where(col("id").isin(ids.toIndexedSeq: _*))
+      .collect().sortBy(r => order(r.getLong(0)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), CollectionSchema)
   }
 
   // ------------------------------------------------------------- index
@@ -382,6 +476,50 @@ final class HttpFacade(
           s"mrl indexes serve l2sq/cos, not '$metric'")
         graft.ann.MrlIndex.build(df.where(col(column).isNotNull), "id",
           column, m = intOpt(b, "m", 32), idxPath(idx).toString)
+      case "ivf" =>
+        // coarse-list artifact: persisted centroids + list-partitioned
+        // parquet; served by the probed-scan path, appends assign to
+        // the PERSISTED centroids
+        require(Set("l2sq", "cos", "inner")(metric),
+          s"ivf indexes serve l2sq/cos/inner, not '$metric'")
+        graft.ann.IvfIndex.build(df.where(col(column).isNotNull), "id",
+          column, idxPath(idx).toString,
+          nlists = intOpt(b, "nlists", 16), metric = metric)
+      case "ivfpq" =>
+        require(Set("l2sq", "cos")(metric),
+          s"ivfpq indexes serve l2sq/cos, not '$metric'")
+        graft.ann.IvfPqIndex.build(df.where(col(column).isNotNull), "id",
+          column, idxPath(idx).toString,
+          nlists = intOpt(b, "nlists", 16),
+          subvectors = intOpt(b, "splits", 8),
+          clusters = intOpt(b, "clusters", 256), metric = metric)
+      case "pq" =>
+        // in-graph PQ: codebook trained here (reference PQ index
+        // creation trains or reuses a codebook), codes in the shards,
+        // metric recorded in the artifact meta so appends re-encode
+        // identically
+        require(Set("l2sq", "cos")(metric),
+          s"pq indexes serve l2sq/cos, not '$metric'")
+        val src = df.where(col(column).isNotNull)
+        val trainSrc =
+          if (metric == "cos")
+            src.select(col("id"),
+              org.apache.spark.sql.graftshim.GraftSqlShim.column(
+                graft.functions.UnitNormalize(
+                  org.apache.spark.sql.graftshim.GraftSqlShim
+                    .expression(col(column)))).as(column))
+          else src
+        val cb = graft.pq.ProductQuantizer.trainCodebook(
+          trainSrc, column, clusters = intOpt(b, "clusters", 16),
+          subvectors = intOpt(b, "splits", 8))
+        val base = graft.GraftConf.annParams(spark)
+        graft.ann.PqAnnIndex.build(src, "id", column,
+          idxPath(idx).toString, cb,
+          AnnParams(
+            m = intOpt(b, "m", base.m),
+            efConstruction = intOpt(b, "ef_construction", base.efConstruction),
+            ef = intOpt(b, "ef", base.ef),
+            metric = metric))
       case "hnsw" =>
         val base = graft.GraftConf.annParams(spark)
         val params = AnnParams(
@@ -395,14 +533,32 @@ final class HttpFacade(
         ()
       case other =>
         throw new IllegalArgumentException(
-          s"unknown index kind '$other' (expected hnsw|bq|mrl)")
+          s"unknown index kind '$other' (expected hnsw|bq|mrl|ivf|ivfpq|pq)")
     }
+    // register in the planner catalog too, so `ORDER BY dist LIMIT k`
+    // DataFrame/SQL queries over this collection's parquet rewrite
+    // through the new artifact; persisted when the server has a
+    // catalog file
+    graft.plans.AnnCatalog.register(spark, colPath(name).toString,
+      graft.plans.AnnCatalog.IndexMeta(idxPath(idx).toString, "id", column,
+        metric, ef = graft.GraftConf.annParams(spark).ef,
+        kind = Option(b.get("kind")).map(_.asText()).getOrElse("hnsw")))
+    saveCatalog()
     respond(ex, 200, s"""{"index":"$idx"}""")
   }
 
   private def deleteIndex(ex: HttpExchange, idxName: String): Unit = {
     require(fs.exists(idxPath(idxName)), s"unknown index '$idxName'")
     fs.delete(idxPath(idxName), true)
+    // drop the planner registrations of the owning collection (index
+    // names are `<collection>-<column>` by construction)
+    CollectionSchema.fieldNames.toSeq
+      .find(c => idxName.endsWith(s"-$c"))
+      .map(c => idxName.dropRight(c.length + 1))
+      .foreach { coll =>
+        graft.plans.AnnCatalog.unregister(spark, colPath(coll).toString)
+        saveCatalog()
+      }
     respond(ex, 200, s"""{"deleted":"$idxName"}""")
   }
 

@@ -31,6 +31,10 @@ object Cli {
       |  autotune-index     --src P --id-col C --vec-col C
       |                     [--metric l2sq] [--k 10] [--target-recall 0.9]
       |                     [--index P]   (promotes the winner when set)
+      |  validate-index     --index P [--src P --id-col C --vec-col C]
+      |                     (layout auto-detected; with --src the codec
+      |                      re-derivation runs too — the reference's
+      |                      _validate_index analog)
       |  pq-table           --src P --vec-col C --out P
       |                     [--clusters 256] [--splits 8]
       |  start-daemon       --jobs P --status P --results P --ckpt P
@@ -74,6 +78,7 @@ object Cli {
       "ef-construction", "ef", "metric", "quant", "partitions", "kind"),
     "autotune-index" -> Set("src", "id-col", "vec-col", "metric", "k",
       "target-recall", "index"),
+    "validate-index" -> Set("index", "src", "id-col", "vec-col"),
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
@@ -205,6 +210,40 @@ object Cli {
               k = k, targetRecall = recall)
         }
         ann.Autotune.reportDf(spark, report).show(100, truncate = false)
+
+      case "validate-index" =>
+        // the reference's `_validate_index` as a CLI verb: sniff the
+        // artifact layout (same detection order the façade search
+        // route uses) and run that kind's validator; with --src the
+        // full codec re-derivation runs against the source table.
+        // Throws naming the first violation, exit 0 on a valid index.
+        val idxP = req(opts, "index")
+        val spark = session()
+        val source = opts.get("src").map(p =>
+          (spark.read.parquet(p), req(opts, "id-col"), req(opts, "vec-col")))
+        val (kind, n) =
+          if (ann.BqIndex.isBq(spark, idxP)) {
+            val (df, idCol, vecCol) = source.getOrElse(
+              throw new IllegalArgumentException(
+                "graft: bq validation re-derives signatures — " +
+                  "--src/--id-col/--vec-col are required"))
+            ("bq", ann.BqIndex.validateIndex(df, idCol, vecCol, idxP))
+          } else if (ann.MrlIndex.isMrl(spark, idxP))
+            ("mrl", ann.MrlIndex.validateIndex(spark, idxP, source))
+          else if (ann.IvfPqIndex.isIvfPq(spark, idxP))
+            ("ivfpq", ann.IvfPqIndex.validateIndex(spark, idxP, source))
+          else if (ann.IvfIndex.isIvf(spark, idxP))
+            ("ivf", ann.IvfIndex.validateIndex(spark, idxP, source))
+          else if (ann.PqAnnIndex.isPq(spark, idxP))
+            ("pq", ann.PqAnnIndex.validateIndex(spark, idxP, source))
+          else {
+            val issues = ann.AnnIndex.validate(spark, idxP)
+              .collect().map(_.mkString(": "))
+            require(issues.isEmpty,
+              s"graft: hnsw index $idxP invalid — ${issues.head}")
+            ("hnsw", ann.AnnIndex.vectors(spark, idxP).count())
+          }
+        println(s"valid $idxP (kind=$kind, rows=$n)")
 
       case "pq-table" =>
         val (srcP, vecCol, outP) =

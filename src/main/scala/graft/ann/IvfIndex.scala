@@ -196,6 +196,82 @@ object IvfIndex {
     (scan, q, metric)
   }
 
+  /** `validate_index` analog for the coarse-list artifact (the
+    * reference validates every index kind it has —
+    * lantern_hnsw/src/hnsw/validate_index.c:436-528): structural
+    * checks — no null/duplicate ids, a recognized recorded metric —
+    * plus the codec check that matters most for THIS layout: every
+    * stored row must be FILED UNDER the list its persisted-centroid
+    * assignment names (a mis-filed row is invisible to the pruned
+    * probe — silent recall loss). With `source` supplied the check is
+    * two-directional: every stored row re-derives from a source row
+    * (stored vector equal to the source vector under the recorded
+    * metric's normalization) AND every source row is stored (a missing
+    * row is corruption the stored→expected direction alone cannot
+    * see); tombstoned ids are excused from the missing-row direction
+    * only after [[consolidate]] removed them physically. Throws
+    * [[IllegalStateException]] naming the FIRST violation; returns the
+    * stored row count. */
+  def validateIndex(spark: SparkSession, path: String,
+      source: Option[(DataFrame, String, String)] = None): Long = {
+    val (centroids, metric) = loadCentroids(spark, path)
+    if (!Set("l2sq", "cos", "inner")(metric)) throw new IllegalStateException(
+      s"graft: ivf index $path invalid — unrecognized metric '$metric'")
+    if (centroids.isEmpty) throw new IllegalStateException(
+      s"graft: ivf index $path invalid — no centroids")
+    val stored = spark.read.parquet(s"$path/$DataDir")
+    val nullRow = stored.where(col("id").isNull || col("vec").isNull)
+      .limit(1).collect()
+    if (nullRow.nonEmpty) throw new IllegalStateException(
+      s"graft: ivf index $path invalid — row with null id/vec")
+    val dup = stored.groupBy("id").count().where(col("count") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft: ivf index $path invalid — duplicate id ${dup.head.getLong(0)}")
+    // the assignment re-derivation runs as the same codegen'd
+    // expression build/append used — bit-identical by construction, one
+    // distributed pass, no per-row UDF
+    val assigned = org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(col("vec")),
+        centroids))
+    val misfiled = stored.where(col("list_id") =!= assigned)
+      .select(col("id"), col("list_id"), assigned.as("__exp"))
+      .limit(1).collect()
+    if (misfiled.nonEmpty) throw new IllegalStateException(
+      s"graft: ivf index $path invalid — id ${misfiled.head.getLong(0)} " +
+        s"filed under list ${misfiled.head.get(1)}, persisted-centroid " +
+        s"assignment says ${misfiled.head.get(2)}")
+    source.foreach { case (df, idCol, vecCol) =>
+      val vecExpr =
+        if (metric == "cos") normalized(col(vecCol)) else col(vecCol)
+      val expected = df.select(col(idCol).cast(LongType).as("id"),
+        vecExpr.as("__exp"))
+      val orphan = stored.select("id")
+        .join(expected.select("id"), Seq("id"), "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalStateException(
+        s"graft: ivf index $path invalid — id ${orphan.head.getLong(0)} " +
+          "has no source row to re-derive from")
+      val missingBase = expected.select("id")
+        .join(stored.select("id"), Seq("id"), "left_anti")
+      val missing = (tombstones(spark, path) match {
+        case Some(t) => missingBase.join(t, Seq("id"), "left_anti")
+        case None => missingBase
+      }).limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft: ivf index $path invalid — source id " +
+          s"${missing.head.getLong(0)} is not stored (missing row)")
+      val drift = stored.join(expected, Seq("id"))
+        .where(!(col("vec") <=> col("__exp")))
+        .select("id").limit(1).collect()
+      if (drift.nonEmpty) throw new IllegalStateException(
+        s"graft: ivf index $path invalid — id ${drift.head.getLong(0)}'s " +
+          "stored vector does not re-derive from its source row")
+    }
+    stored.count()
+  }
+
   /** Top-k over the probed lists: partition-pruned scan + exact
     * distance + TakeOrderedAndProject. Returns (id, dist); for the
     * `inner` metric `dist` is the negative inner product (max inner

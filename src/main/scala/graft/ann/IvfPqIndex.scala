@@ -202,6 +202,74 @@ object IvfPqIndex {
     PqCodebook.fromDf(df, r.getInt(0) * r.getInt(1))
   }
 
+  /** `validate_index` analog for the coarse-list + residual-code
+    * artifact (reference validate_index.c:436-528): structural checks
+    * — no null/duplicate ids, a recognized metric, every stored code
+    * row exactly `subvectors` wide with every code inside the codebook
+    * range `[0, clusters)` (an out-of-range code would read garbage
+    * LUT cells) — plus the full codec re-derivation when `source` is
+    * supplied: every stored row's (list_id, codes) must equal the
+    * shared [[encoded]] pass over its source vector (fixed codec ⇒
+    * bit-identical), every stored id must have a source row, and every
+    * source row must be stored (tombstoned ids excused). Throws
+    * [[IllegalStateException]] naming the FIRST violation; returns the
+    * stored row count. */
+  def validateIndex(spark: SparkSession, path: String,
+      source: Option[(DataFrame, String, String)] = None): Long = {
+    val (centroids, metric) = loadCentroids(spark, path)
+    if (!Set("l2sq", "cos")(metric)) throw new IllegalStateException(
+      s"graft: ivfpq index $path invalid — unrecognized metric '$metric'")
+    val cb = loadCodebook(spark, path)
+    val stored = spark.read.parquet(s"$path/$DataDir")
+    val nullRow = stored.where(col("id").isNull || col("codes").isNull)
+      .limit(1).collect()
+    if (nullRow.nonEmpty) throw new IllegalStateException(
+      s"graft: ivfpq index $path invalid — row with null id/codes")
+    val badShape = stored.where(size(col("codes")) =!= cb.subvectors ||
+        exists(col("codes"), c => c < 0 || c >= cb.clusters))
+      .select("id").limit(1).collect()
+    if (badShape.nonEmpty) throw new IllegalStateException(
+      s"graft: ivfpq index $path invalid — id ${badShape.head.getLong(0)} " +
+        s"has codes outside ${cb.subvectors} subvectors × " +
+        s"[0, ${cb.clusters}) codebook range")
+    val dup = stored.groupBy("id").count().where(col("count") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft: ivfpq index $path invalid — duplicate id ${dup.head.getLong(0)}")
+    source.foreach { case (df, idCol, vecCol) =>
+      val data0 = df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).as("vec"))
+      val data = if (metric == "cos") data0.withColumn("vec", unitNorm(col("vec")))
+        else data0
+      val expected = encoded(data, centroids, cb)
+        .select(col("id"), col("codes").as("__codes"),
+          col("list_id").as("__list"))
+      val orphan = stored.select("id")
+        .join(expected.select("id"), Seq("id"), "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalStateException(
+        s"graft: ivfpq index $path invalid — id ${orphan.head.getLong(0)} " +
+          "has no source row to re-derive from")
+      val missingBase = expected.select("id")
+        .join(stored.select("id"), Seq("id"), "left_anti")
+      val missing = (tombstones(spark, path) match {
+        case Some(t) => missingBase.join(t, Seq("id"), "left_anti")
+        case None => missingBase
+      }).limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft: ivfpq index $path invalid — source id " +
+          s"${missing.head.getLong(0)} is not stored (missing row)")
+      val drift = stored.join(expected, Seq("id"))
+        .where(!(col("codes") <=> col("__codes")) ||
+          col("list_id") =!= col("__list"))
+        .select("id").limit(1).collect()
+      if (drift.nonEmpty) throw new IllegalStateException(
+        s"graft: ivfpq index $path invalid — id ${drift.head.getLong(0)}'s " +
+          "(list_id, codes) do not re-derive from the persisted codec")
+    }
+    stored.count()
+  }
+
   /** Tombstones, same semantics as [[IvfIndex.delete]]. */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._

@@ -157,6 +157,20 @@ object MrlIndex {
       if (orphan.nonEmpty) throw new IllegalStateException(
         s"graft: mrl index $path invalid — id ${orphan.head.getLong(0)} " +
           "has no source row to re-derive from")
+      // reverse direction: a source row absent from the prefix table
+      // silently never surfaces in stage 1 — corruption the stored→
+      // expected checks cannot see; tombstoned ids are excused
+      val missingBase = expected.select("id")
+        .join(pre.select("id"), Seq("id"), "left_anti")
+      val tombP = new Path(s"$path/$TombDir")
+      val missing = (if (tombP.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(tombP))
+        missingBase.join(spark.read.parquet(tombP.toString), Seq("id"),
+          "left_anti")
+      else missingBase).limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft: mrl index $path invalid — source id " +
+          s"${missing.head.getLong(0)} is not stored (missing row)")
       val drift = pre.join(expected, Seq("id"))
         .where(!(col("pref") <=> col("__exp")))
         .select("id").limit(1).collect()

@@ -320,11 +320,141 @@ object PqAnnIndex {
     ids.toDF("id").write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** `validate_index` analog for the PQ graph shards (reference
+    * lantern_hnsw/src/hnsw/validate_index.c:436-528): per-shard
+    * structure — every node carries exactly `subvectors` codes, the
+    * entry point and every neighbor index land inside the shard, the
+    * codebook fits one byte — plus cross-shard header coherence (all
+    * shards must agree on (dim, m, efConstruction, subvectors,
+    * clusters) AND carry the same codebook: a shard encoded under a
+    * drifted codebook scores garbage LUT distances). With `source`
+    * supplied, the codec re-derivation: every stored node's codes must
+    * equal `quantize(source vector)` under the recorded metric's
+    * normalization, every label must have a source row, and every
+    * source row must be stored (tombstoned ids excused). Byte codes
+    * are structurally within [0, 256); the range check against
+    * `clusters` therefore rides the re-derivation (quantize emits
+    * `< clusters` by construction). Throws [[IllegalStateException]]
+    * naming the FIRST violation; returns the stored node count. */
+  def validateIndex(spark: SparkSession, path: String,
+      source: Option[(DataFrame, String, String)] = None): Long = {
+    val files = listShards(spark, path)
+    if (files.isEmpty) throw new IllegalStateException(
+      s"graft: pq index $path invalid — no graph shards")
+    val sconf = GraftSqlShim.serializableConf(spark.sparkContext.hadoopConfiguration)
+    // one task per shard: structural issues come back as messages so
+    // the driver throws the FIRST (an executor throw would arrive
+    // wrapped in SparkException, breaking the validator contract);
+    // the header fingerprint folds the centroid bytes so codebook
+    // drift between write generations is caught, not just shape drift
+    val perShard = spark.sparkContext
+      .parallelize(files, files.size)
+      .map { f =>
+        val s = load(f, sconf.value)
+        val g = s.graph
+        var issue: String = null
+        if (s.cb.clusters > 256)
+          issue = s"shard $f codebook clusters ${s.cb.clusters} > 256"
+        else if (g.size > 0 && (g.entryPoint < 0 || g.entryPoint >= g.size))
+          issue = s"shard $f entry point ${g.entryPoint} outside [0, ${g.size})"
+        var n = 0
+        while (n < g.size && issue == null) {
+          if (s.codes(n).length != s.cb.subvectors)
+            issue = s"shard $f node $n carries ${s.codes(n).length} codes, " +
+              s"expected ${s.cb.subvectors}"
+          var l = 0
+          while (l <= g.nodeLevels(n) && issue == null) {
+            val nb = g.neighbors(n)(l)
+            var i = 0
+            while (i < nb.length && issue == null) {
+              if (nb(i) < 0 || nb(i) >= g.size)
+                issue = s"shard $f node $n level $l neighbor ${nb(i)} " +
+                  s"outside [0, ${g.size})"
+              i += 1
+            }
+            l += 1
+          }
+          n += 1
+        }
+        var cbHash = 17L
+        for (sv <- s.cb.centroids; c <- sv; j <- c)
+          cbHash = cbHash * 31 + java.lang.Float.floatToIntBits(j)
+        (f, (s.cb.dim, g.m, g.efConstruction, s.cb.subvectors,
+          s.cb.clusters, cbHash), Option(issue))
+      }.collect()
+    perShard.flatMap(_._3).headOption.foreach(i =>
+      throw new IllegalStateException(s"graft: pq index $path invalid — $i"))
+    val headers = perShard.map(_._2).distinct
+    if (headers.length > 1) throw new IllegalStateException(
+      s"graft: pq index $path invalid — shard headers disagree: " +
+        s"${perShard.head._1} says ${perShard.head._2}, " +
+        s"${perShard.find(_._2 != perShard.head._2).get._1} says " +
+        s"${perShard.find(_._2 != perShard.head._2).get._2}")
+    // label-level checks over one distributed (id, codes) projection
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val codesRdd = spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap { f =>
+        val s = load(f, sconf.value)
+        (0 until s.graph.size).iterator.map(n => Row(s.graph.label(n),
+          s.codes(n).map(b => (b & 0xFF).toShort).toSeq))
+      }
+    val stored = spark.createDataFrame(codesRdd, StructType(Seq(
+      StructField("id", LongType),
+      StructField("codes", ArrayType(ShortType)))))
+    val dup = stored.groupBy("id").count().where(col("count") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft: pq index $path invalid — duplicate label ${dup.head.getLong(0)}")
+    source.foreach { case (df, idCol, vecCol) =>
+      val metric = metricOf(spark, path)
+      val (cb, _, _) = readCodec(spark, path)
+      val rawVec =
+        if (metric == "cos")
+          GraftSqlShim.column(graft.functions.UnitNormalize(
+            GraftSqlShim.expression(col(vecCol))))
+        else col(vecCol)
+      val cbB = spark.sparkContext.broadcast(cb)
+      val quant = udf { v: Seq[Float] => cbB.value.quantize(v.toArray) }
+      val expected = df.select(col(idCol).cast(LongType).as("id"),
+        quant(rawVec).as("__exp"))
+      val orphan = stored.select("id")
+        .join(expected.select("id"), Seq("id"), "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalStateException(
+        s"graft: pq index $path invalid — label ${orphan.head.getLong(0)} " +
+          "has no source row to re-derive from")
+      val missingBase = expected.select("id")
+        .join(stored.select("id"), Seq("id"), "left_anti")
+      val tombP = new Path(s"$path/tombstones")
+      val missing = (if (tombP.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(tombP))
+        missingBase.join(spark.read.parquet(tombP.toString), Seq("id"),
+          "left_anti")
+      else missingBase).limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft: pq index $path invalid — source id " +
+          s"${missing.head.getLong(0)} is not stored (missing row)")
+      val drift = stored.join(expected, Seq("id"))
+        .where(!(col("codes") <=> col("__exp")))
+        .select("id").limit(1).collect()
+      if (drift.nonEmpty) throw new IllegalStateException(
+        s"graft: pq index $path invalid — label ${drift.head.getLong(0)}'s " +
+          "codes do not re-derive from the persisted codebook")
+    }
+    stored.count()
+  }
+
   /** Candidate rows (id, dequantized vec) for the planner's AnnScanExec:
-    * per-shard LUT search, vectors reconstructed from their codes so the
-    * exact re-rank above operates on the PQ approximation. Tombstoned
-    * labels are masked inside the walk — a deleted row can never ride
-    * a planner candidate path.
+    * per-shard LUT top-`max(ef, k)` pool (pq never passes
+    * storesTrueVectors, so the planner join-backs these ids to the
+    * TABLE's float rows and the Sort+Limit above is an EXACT rescore
+    * over the pool — `ef` is the recall knob, exactly like the bq/mrl
+    * rescore pools; narrowing to k per shard here would cap recall at
+    * whatever the 48-bit LUT ranking gets right). Tombstoned labels
+    * are masked inside the walk — a deleted row can never ride a
+    * planner candidate path.
     */
   private[graft] def candidateRows(
       spark: SparkSession,
@@ -337,7 +467,7 @@ object PqAnnIndex {
     val bannedB = spark.sparkContext.broadcast(
       AnnIndex.tombstoneMask(spark, path))
     val qB = spark.sparkContext.broadcast(query)
-    val kk = k; val eff = math.max(ef, k)
+    val eff = math.max(ef, k)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("vec",
@@ -356,7 +486,7 @@ object PqAnnIndex {
             while (s < cs.length) { d += lut(s)(cs(s) & 0xFF); s += 1 }
             d
           }
-          shard.graph.searchNodesWith(nd, kk, eff, bannedB.value.banned)
+          shard.graph.searchNodesWith(nd, eff, eff, bannedB.value.banned)
             .iterator.map { case (n, _) =>
               val deq = shard.cb.dequantize(codes(n).map(b => (b & 0xFF).toShort))
               proj(org.apache.spark.sql.catalyst.InternalRow(

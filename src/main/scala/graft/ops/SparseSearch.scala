@@ -306,11 +306,19 @@ object SparseSearch {
   def consolidatePostings(spark: SparkSession, path: String): Unit =
     consolidatePostings(spark, path, () => ())
 
-  /** Test seam: `afterCompact` runs once the compacted table is fully
-    * written, before the directory swap — the window a concurrent
-    * [[deletePostings]] could land in. */
+  /** Test seams, one per race window: `afterCompact` runs once the
+    * compacted table is fully written, before the original moves aside
+    * (a delete landing here rides the old generation and is harvested
+    * post-swap); `afterOldAside` runs between the move-aside and the
+    * swap — a delete landing here RECREATES the table path as a stub
+    * and forces the retry loop; `afterStubAside` runs inside that loop
+    * right after a racing stub has been renamed aside — the window
+    * where a list-then-recursive-delete would silently destroy a
+    * tombstone that landed between the listing and the delete. */
   private[ops] def consolidatePostings(spark: SparkSession, path: String,
-      afterCompact: () => Unit): Unit = {
+      afterCompact: () => Unit,
+      afterOldAside: () => Unit = () => (),
+      afterStubAside: () => Unit = () => ()): Unit = {
     val (buckets, idCol) = readMeta(spark, path)
     val fs = fsFor(spark, path)
     val tombPath = new Path(s"$path/$TombDir")
@@ -344,31 +352,62 @@ object SparseSearch {
     if (fs.exists(old)) fs.delete(old, true) // stale prior attempt
     require(fs.rename(cur, old),
       s"graft: consolidate could not move $cur aside")
+    afterOldAside()
     // between the two renames a concurrent deletePostings RECREATES
     // `cur` (its parquet write lands at $path/_tombstones), which
-    // would fail the swap rename — and nest the rollback rename. Carry
-    // any such late tombstones into the compacted generation (they
-    // must keep masking), clear the stub, and retry; bounded attempts
-    // because each retry closes one racing window.
+    // would fail the swap rename — and nest the rollback rename. Move
+    // any such stub ASIDE atomically, then harvest its tombstones into
+    // the compacted generation (they must keep masking). The rename —
+    // not a list-then-recursive-delete — is what closes the silent-
+    // loss window: a tombstone file landing between a listing and a
+    // delete of `cur` would be destroyed without ever masking (a
+    // delete that never happened); after the rename the stub path is
+    // gone, so a racing deletePostings recreates `cur` fresh and the
+    // NEXT attempt harvests that stub. Bounded attempts because each
+    // retry closes one racing window.
     var attempts = 0
     var swapped = false
     while (!swapped && attempts < 5) {
       if (fs.exists(cur)) {
-        val stubTomb = new Path(s"${cur.toString}/$TombDir")
-        if (fs.exists(stubTomb)) {
-          val dstTomb = new Path(s"${compact.toString}/$TombDir")
-          fs.mkdirs(dstTomb)
-          fs.listStatus(stubTomb).filter(_.isFile).foreach(st =>
-            fs.rename(st.getPath, new Path(dstTomb, st.getPath.getName)))
+        val stub = new Path(path + s"__stub$attempts")
+        if (fs.exists(stub)) fs.delete(stub, true) // stale prior run
+        if (fs.rename(cur, stub)) {
+          afterStubAside()
+          val stubTomb = new Path(stub, TombDir)
+          if (fs.exists(stubTomb)) {
+            val dstTomb = new Path(s"${compact.toString}/$TombDir")
+            fs.mkdirs(dstTomb)
+            fs.listStatus(stubTomb).filter(_.isFile).foreach(st =>
+              fs.rename(st.getPath, new Path(dstTomb, st.getPath.getName)))
+          }
+          fs.delete(stub, true)
         }
-        fs.delete(cur, true)
       }
-      swapped = fs.rename(compact, cur)
+      // guard the swap on cur's absence: Hadoop rename into an EXISTING
+      // directory nests src inside it instead of failing — the guard
+      // turns that corruption into one more bounded retry
+      swapped = !fs.exists(cur) && fs.rename(compact, cur)
       attempts += 1
     }
     if (!swapped) {
-      // roll the original back so the table never loses its postings
-      if (fs.exists(cur)) fs.delete(cur, true)
+      // roll the original back so the table never loses its postings;
+      // a racing stub goes aside by rename first (same no-silent-loss
+      // protocol as the loop) and its tombstones land in the restored
+      // generation — the failure is loud, the deletes still mask
+      if (fs.exists(cur)) {
+        val stub = new Path(path + "__stubrb")
+        if (fs.exists(stub)) fs.delete(stub, true)
+        if (fs.rename(cur, stub)) {
+          val stubTomb = new Path(stub, TombDir)
+          if (fs.exists(stubTomb)) {
+            val dstTomb = new Path(s"${old.toString}/$TombDir")
+            fs.mkdirs(dstTomb)
+            fs.listStatus(stubTomb).filter(_.isFile).foreach(st =>
+              fs.rename(st.getPath, new Path(dstTomb, st.getPath.getName)))
+          }
+          fs.delete(stub, true)
+        }
+      }
       fs.rename(old, cur)
       throw new IllegalStateException(
         s"graft: consolidate swap failed under $path — original restored")

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-checkable gates for the index MUTATION lifecycles of the
+  * coarse-list and PQ-graph kinds (SURVEY.md §2.2 `aminsert` /
+  * `ambulkdelete` / `autotune-index` applied to ivf, ivfpq, pq — the
+  * reference exercises every lifecycle op it ships:
+  * lantern_hnsw/src/hnsw/insert.c:51-262, delete.c:15-73,
+  * lantern_cli/src/index_autotune/mod.rs:328-358).
+  *
+  * The streaming-insert twins follow the `streaming_bq_insert` shape:
+  * build over the lower half, stream the upper half through a genuine
+  * parquet FILE source in three micro-batches into `append`, then gate
+  * BOTH the codec bit-identity (via the kind's `validateIndex` — every
+  * appended row must re-derive from the PERSISTED codec exactly as a
+  * batch build would have filed it) and serving (multi-query recall
+  * over the complete corpus with streamed rows provably surfacing).
+  */
+object LifecycleQueries {
+
+  /** Streaming `aminsert` twin for the IVF artifact: appends assign to
+    * the PERSISTED coarse centroids (the codec fixed at build time),
+    * so the streamed artifact must be BIT-IDENTICAL to a batch append
+    * of the same rows — certified by [[graft.ann.IvfIndex.validateIndex]]
+    * re-deriving every stored row's list assignment and vector from
+    * the source table (both directions: no orphans, no missing rows).
+    * Serving gate on top: mean recall@10 ≥ 0.8 over the COMPLETE
+    * corpus with streamed-range ids surfacing wherever the exact truth
+    * holds them. */
+  private def streamingIvfInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.IvfIndex
+    val e = Tables.embeddings(s, dir)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sivf").toString + "/idx"
+    IvfIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id",
+      "embedding", path, nlists = 16)
+    val base = e.where(col("vec_id") > maxId / 2)
+      .select(col("vec_id"), col("embedding"))
+    val lo = maxId / 2 + 1
+    val width = (maxId - lo) / 3 + 1
+    val chunkRoot = AnnQueries.artifactDir("sivfins", dir, "embeddings")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 3).map { c => () =>
+        base.where(col("vec_id") >= lo + c * width &&
+          col("vec_id") < lo + (c + 1) * width)
+      })
+    val (streamDir, src) = StreamChunks.source(s, base.schema)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) IvfIndex.append(b, "vec_id", "embedding", path)
+      }
+      .start()
+    StreamChunks.drive(q, streamDir, files)
+
+    // codec bit-identity over the FULL corpus: every streamed row must
+    // be filed exactly where the persisted centroids say, re-derive its
+    // stored vector from the source, and nothing may be missing
+    val validated = IvfIndex.validateIndex(s, path,
+      source = Some((e, "vec_id", "embedding")))
+    if (validated != e.count()) return Seq.empty[Int].toDF("ok")
+
+    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ann = RecallProtocol.perQueryDf(
+      IvfIndex.searchMany(s, path, qs.toSeq, k = 10, nprobe = 12))
+    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    val annIds = ann.values.flatten.toSet
+    val exactIds = exact.values.flatten.toSet
+    val streamedFound = annIds.exists(_ > maxId / 2) ||
+      !exactIds.exists(_ > maxId / 2)
+    if (RecallProtocol.meanRecallOk(ann, exact) && streamedFound)
+      Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  /** Streaming `aminsert` twin for IVF-PQ: appends encode with the
+    * PERSISTED centroids AND residual codebook, so the streamed
+    * artifact's (list_id, codes) must re-derive bit-identically —
+    * [[graft.ann.IvfPqIndex.validateIndex]] replays the shared encode
+    * pass over the source and compares. Serving gate: recall@10 ≥ 0.8
+    * under the exact float rerank over the complete corpus, streamed
+    * ids surfacing. */
+  private def streamingIvfPqInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.IvfPqIndex
+    val e = Tables.embeddings(s, dir)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sivfpq").toString + "/idx"
+    IvfPqIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id",
+      "embedding", path, nlists = 16, subvectors = 8, clusters = 64)
+    val base = e.where(col("vec_id") > maxId / 2)
+      .select(col("vec_id"), col("embedding"))
+    val lo = maxId / 2 + 1
+    val width = (maxId - lo) / 3 + 1
+    val chunkRoot = AnnQueries.artifactDir("sivfpqins", dir, "embeddings")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 3).map { c => () =>
+        base.where(col("vec_id") >= lo + c * width &&
+          col("vec_id") < lo + (c + 1) * width)
+      })
+    val (streamDir, src) = StreamChunks.source(s, base.schema)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) IvfPqIndex.append(b, "vec_id", "embedding", path)
+      }
+      .start()
+    StreamChunks.drive(q, streamDir, files)
+
+    val validated = IvfPqIndex.validateIndex(s, path,
+      source = Some((e, "vec_id", "embedding")))
+    if (validated != e.count()) return Seq.empty[Int].toDF("ok")
+
+    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ann = RecallProtocol.perQueryDf(
+      IvfPqIndex.searchMany(s, path, qs.toSeq, k = 10, nprobe = 12,
+        ef = 512, rerank = Some((e, "vec_id", "embedding"))))
+    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    val annIds = ann.values.flatten.toSet
+    val exactIds = exact.values.flatten.toSet
+    val streamedFound = annIds.exists(_ > maxId / 2) ||
+      !exactIds.exists(_ > maxId / 2)
+    if (RecallProtocol.meanRecallOk(ann, exact) && streamedFound)
+      Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  /** PQ mutation lifecycle gate (`aminsert` + `ambulkdelete` +
+    * consolidate for the in-graph PQ kind — reference insert.c:51-262,
+    * delete.c:15-73): build over the lower half, batch-`append` the
+    * upper half as delta shards (an appended row must be findable by
+    * its own vector), then tombstone a known row and require it to
+    * vanish through EVERY read path — [[graft.ann.PqAnnIndex.search]],
+    * the dequantized [[graft.ann.PqAnnIndex.vectors]] reader, AND the
+    * pq-registered PLANNER form (`ORDER BY l2sq_dist LIMIT k` routed
+    * through AnnScanLogical) with recall ≥ 0.8 vs the exact truth
+    * minus the deleted row. Consolidate then applies the tombstone
+    * physically: the row stays gone, the artifact passes
+    * [[graft.ann.PqAnnIndex.validateIndex]] against the surviving
+    * source rows, and the tombstone dir is retired. Fresh artifact per
+    * invocation (mutations would accumulate under bench reps). */
+  private def pqDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{AnnParams, PqAnnIndex}
+    import graft.plans.{AnnCatalog, AnnScanLogical}
+    import graft.pq.ProductQuantizer
+    val e = Tables.embeddings(s, dir)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqdel").toString + "/idx"
+    val lower = e.where(col("vec_id") <= maxId / 2)
+    val cb = ProductQuantizer.trainCodebook(
+      lower, "embedding", subvectors = 8, clusters = 64)
+    PqAnnIndex.build(lower, "vec_id", "embedding", path, cb,
+      AnnParams(m = 16, efConstruction = 128, ef = 128, numPartitions = 4))
+    PqAnnIndex.append(e.where(col("vec_id") > maxId / 2), "vec_id",
+      "embedding", path)
+
+    // an APPENDED row must be findable by its own vector (distance-0
+    // under the LUT after exact re-rank over the true floats)
+    val upId = maxId // highest id — guaranteed in the appended half
+    val upVec = e.where(col("vec_id") === upId).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val appendedFound = PqAnnIndex
+      .searchRerank(e, "vec_id", "embedding", path, upVec, k = 10, ef = 128)
+      .exists(_._1 == upId)
+
+    // tombstone a BUILT row and chase it through every read path
+    val victim = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).head()
+    val vid = victim.getLong(0)
+    val vvec = victim.getSeq[Float](1).toArray
+    val foundBefore = PqAnnIndex.search(s, path, vvec, k = 5, ef = 128)
+      .exists(_._1 == vid)
+    PqAnnIndex.delete(s, path, Seq(vid))
+    val searchAfter = PqAnnIndex.search(s, path, vvec, k = 5, ef = 128)
+    val goneFromSearch = searchAfter.nonEmpty && !searchAfter.exists(_._1 == vid)
+    val goneFromVectors = PqAnnIndex.vectors(s, path)
+      .where(col("id") === vid).isEmpty
+
+    // planner form: the tombstoned row must not ride a candidate path
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 512, kind = "pq"))
+    val (plannedOk, plannerGone, plannerRecallOk) = try {
+      val knn = e.orderBy(
+        graft.functions.l2sq_dist(col("embedding"), lit(vvec))).limit(10)
+      val planned = knn.queryExecution.optimizedPlan.collect {
+        case a: AnnScanLogical if a.kind == "pq" => a
+      }.nonEmpty
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
+      val truth = graft.ops.VectorSearch.exact(
+          e.where(col("vec_id") =!= vid), col("embedding"), vvec, 10,
+          "l2sq", tieBreak = Seq(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (planned, !got.contains(vid),
+        got.nonEmpty && got.intersect(truth).size >= 8)
+    } finally AnnCatalog.unregister(s, tablePath)
+
+    // physical apply: consolidate rebuilds without the tombstoned row,
+    // retires the tombstones, and the artifact re-validates against
+    // the surviving source rows
+    PqAnnIndex.consolidate(s, path, numPartitions = 4)
+    val searchCons = PqAnnIndex.search(s, path, vvec, k = 5, ef = 128)
+    val goneAfterCons = searchCons.nonEmpty && !searchCons.exists(_._1 == vid)
+    val survivors = e.where(col("vec_id") =!= vid)
+    val consValid = PqAnnIndex.validateIndex(s, path,
+      source = Some((survivors, "vec_id", "embedding"))) == survivors.count()
+
+    if (appendedFound && foundBefore && goneFromSearch && goneFromVectors &&
+        plannedOk && plannerGone && plannerRecallOk && goneAfterCons &&
+        consValid)
+      Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  /** IVF autotune gate ([[graft.ann.Autotune.autotuneIvf]] — the
+    * `autotune-index` protocol applied to the coarse-probe knob):
+    * single nlists=16 build, nprobe swept ascending — candidate sets
+    * NEST as nprobe widens and distances within the probed lists are
+    * exact, so recall is non-decreasing by construction and
+    * nprobe = nlists is the full exact scan (recall 1.0 — the grid
+    * always holds a qualifying variant). Recorded-spec check mirroring
+    * `autotune_bq`: all grid variants measured, exactly one picked,
+    * the pick is the FIRST (cheapest probe fraction) variant meeting
+    * the target with every cheaper variant below it, recall monotone
+    * non-decreasing in nprobe. */
+  private def ivfAutotune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.Autotune
+    val target = 0.9
+    val grid = Seq(
+      Autotune.IvfVariant(16, 1), Autotune.IvfVariant(16, 2),
+      Autotune.IvfVariant(16, 4), Autotune.IvfVariant(16, 8),
+      Autotune.IvfVariant(16, 12), Autotune.IvfVariant(16, 16))
+    val reportPath = AnnQueries.artifactDir("ivftune", dir, "embeddings")
+    AnnQueries.cached(reportPath) {
+      val rep = Autotune.autotuneIvf(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", queryCount = 5, targetRecall = target,
+        grid = grid)
+      Autotune.ivfReportDf(s, rep)
+        .write.mode("overwrite").parquet(s"$reportPath/report")
+    }
+    val rows = s.read.parquet(s"$reportPath/report").collect()
+      .map(r => (r.getAs[Int]("nlists"), r.getAs[Int]("nprobe"),
+        r.getAs[Double]("recall"), r.getAs[Boolean]("picked")))
+      .sortBy(_._2)
+    val ruleOk = rows.map(v => (v._1, v._2)).toSeq ==
+      grid.map(v => (v.nlists, v.nprobe)) && {
+        val recalls = rows.map(_._3).toSeq
+        val picks = rows.map(_._4).toSeq
+        val firstQualifying = recalls.indexWhere(_ >= target)
+        firstQualifying >= 0 && picks.count(identity) == 1 &&
+          picks(firstQualifying) &&
+          recalls.take(firstQualifying).forall(_ < target)
+      }
+    val monotone = rows.map(_._3).toSeq.sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9)
+    val exhaustiveExact = rows.last._3 >= 1.0 - 1e-9
+    if (ruleOk && monotone && exhaustiveExact) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  /** IVF-PQ autotune gate ([[graft.ann.Autotune.autotuneIvfPq]] — the
+    * two serving knobs (nprobe, rescore ef), reference grid semantics
+    * index_autotune/mod.rs:328-358): one build, every variant measured
+    * by one batched searchMany under the exact float rerank, grid
+    * ordered cheapest-first with a full-probe wide-rerank tail so a
+    * qualifying variant always exists. Recorded-spec check: all
+    * variants present, exactly one picked = the first qualifying with
+    * all cheaper ones below target; at FIXED nprobe recall must be
+    * non-decreasing in ef (nested LUT pools under an exact rerank —
+    * cross-probe ordering is not promised and not checked). */
+  private def ivfPqAutotune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.Autotune
+    val target = 0.9
+    val grid = Seq(
+      Autotune.IvfPqVariant(4, 64), Autotune.IvfPqVariant(4, 256),
+      Autotune.IvfPqVariant(8, 64), Autotune.IvfPqVariant(8, 256),
+      Autotune.IvfPqVariant(12, 512), Autotune.IvfPqVariant(16, 1024))
+    val reportPath = AnnQueries.artifactDir("ivfpqtune", dir, "embeddings")
+    AnnQueries.cached(reportPath) {
+      val rep = Autotune.autotuneIvfPq(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", queryCount = 5, targetRecall = target,
+        grid = grid, nlists = 16, subvectors = 8, clusters = 64)
+      Autotune.ivfPqReportDf(s, rep)
+        .write.mode("overwrite").parquet(s"$reportPath/report")
+    }
+    val rows = s.read.parquet(s"$reportPath/report").collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("ef"),
+        r.getAs[Double]("recall"), r.getAs[Boolean]("picked")))
+      .sortBy(v => (v._1, v._2))
+    val ruleOk = rows.map(v => (v._1, v._2)).toSeq ==
+      grid.map(v => (v.nprobe, v.ef)) && {
+        val recalls = rows.map(_._3).toSeq
+        val picks = rows.map(_._4).toSeq
+        val firstQualifying = recalls.indexWhere(_ >= target)
+        firstQualifying >= 0 && picks.count(identity) == 1 &&
+          picks(firstQualifying) &&
+          recalls.take(firstQualifying).forall(_ < target)
+      }
+    val efMonotone = rows.groupBy(_._1).values.forall { g =>
+      g.sortBy(_._2).map(_._3).toSeq.sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1) + 1e-9)
+    }
+    if (ruleOk && efMonotone) Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("streaming_ivf_insert", Some("SELECT 1 AS ok"),
+      streamingIvfInsert),
+    QueryDef("streaming_ivfpq_insert", Some("SELECT 1 AS ok"),
+      streamingIvfPqInsert),
+    QueryDef("pq_delete", Some("SELECT 1 AS ok"), pqDelete),
+    QueryDef("autotune_ivf", Some("SELECT 1 AS ok"), ivfAutotune),
+    QueryDef("autotune_ivfpq", Some("SELECT 1 AS ok"), ivfPqAutotune),
+  )
+}

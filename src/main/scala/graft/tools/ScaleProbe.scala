@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Scale probe for the planner gates' FIXED candidate budgets (bq
+  * rescore pool, sparse pre-rank ef, maxsim over-fetch, pq/ivfpq LUT
+  * pools): derives a 10× embeddings table from sf0.1 — copy 0 is the
+  * original, copies 1..9 shift ids and perturb every element with
+  * seeded hash noise (deterministic, distinct, same distribution) —
+  * then runs every `*planner*` gate against the derived directory.
+  * Each gate emits its row only when its plan-shape AND recall
+  * contracts hold, so PASS here means the budgets survive 10× rows.
+  * Results are pasted into COVERAGE.md ("sf1 scale probe").
+  *
+  * Usage: runMain graft.tools.ScaleProbe [srcSfDir] [outDir] [copies]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-sf1probe")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.util.Files.deleteRecursively(new java.io.File(outDir))
+    new java.io.File(outDir).mkdirs()
+    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val idOffset = 1L << 24 // far above any source vec_id
+    val replicas = (0 until copies).map { c =>
+      if (c == 0) e
+      else e
+        .withColumn("vec_id", col("vec_id") + lit(c * idOffset))
+        // seeded hash noise in [-0.05, 0.05) per element: distinct
+        // vectors, same scale/distribution as the source
+        .withColumn("embedding", expr(
+          s"""transform(embedding, (x, j) ->
+             |  CAST(x + (pmod(hash(vec_id, j, $c), 1000) / 1000.0 - 0.5)
+             |       * 0.1 AS FLOAT))""".stripMargin))
+    }
+    replicas.reduce(_ unionAll _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val rows = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"[probe] derived table: $rows rows at $outDir")
+
+    val gates = SparkEntry.queries.filter(_._1.contains("planner"))
+      .toSeq.sortBy(_._1)
+    val results = gates.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val outcome =
+        try { if (fn(spark, outDir).count() > 0) "PASS" else "FAIL(recall)" }
+        catch { case t: Throwable => s"ERR(${t.getClass.getSimpleName})" }
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-32s $outcome%-12s $secs%7.1f s")
+      (name, outcome, secs)
+    }
+    println(s"\n| planner gate | 10x outcome | wall (s) |")
+    println(s"|---|---|---|")
+    results.foreach { case (n, o, s) => println(f"| `$n` | $o | $s%.1f |") }
+    val bad = results.count(_._2 != "PASS")
+    println(s"\n[probe] ${results.size - bad}/${results.size} PASS")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -89,6 +89,33 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("validate-index sniffs the layout, passes valid artifacts, rejects drift") {
+    spark // force shared session so Cli's getOrCreate reuses it
+    val src = sf("sf0.001") + "/embeddings.parquet"
+    val srcOpts = Map("src" -> src, "id-col" -> "vec_id",
+      "vec-col" -> "embedding")
+    // mrl (structural-only arm: no --src needed)
+    val mrlOut = tmp("vcli-mrl")
+    Cli.run("create-index", srcOpts ++ Map("index" -> mrlOut,
+      "kind" -> "mrl", "m" -> "8"))
+    Cli.run("validate-index", Map("index" -> mrlOut))
+    Cli.run("validate-index", srcOpts ++ Map("index" -> mrlOut))
+    // bq REQUIRES the source (signatures re-derive from it)
+    val bqOut = tmp("vcli-bq")
+    Cli.run("create-index", srcOpts ++ Map("index" -> bqOut, "kind" -> "bq"))
+    Cli.run("validate-index", srcOpts ++ Map("index" -> bqOut))
+    intercept[IllegalArgumentException] {
+      Cli.run("validate-index", Map("index" -> bqOut))
+    }
+    // a drifted source is named as a violation, not a silent pass
+    val drifted = tmp("vcli-drift")
+    spark.read.parquet(src).limit(40).write.parquet(drifted)
+    intercept[IllegalStateException] {
+      Cli.run("validate-index", Map("index" -> bqOut, "src" -> drifted,
+        "id-col" -> "vec_id", "vec-col" -> "embedding"))
+    }
+  }
+
   test("create-embeddings and create-index subcommands produce real artifacts") {
     spark // force shared session so Cli's getOrCreate reuses it
     val src = tmp("src")

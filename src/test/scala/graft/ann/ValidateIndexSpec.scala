@@ -1,0 +1,305 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ops.SparseSearch
+
+/** Injected-violation coverage for every `validate_index` analog
+  * (reference lantern_hnsw/src/hnsw/validate_index.c:436-528 — the
+  * reference calls it from most tests, e.g. test/sql/hnsw_correct.sql):
+  * each validator must pass on a freshly built + appended artifact and
+  * THROW, naming the planted violation, when the artifact or its
+  * claimed source drifts. The corruption is injected the way real
+  * corruption arrives: foreign parquet rows appended into the artifact
+  * (a bad writer), or a source table that no longer matches (stale
+  * index). */
+class ValidateIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb: DataFrame =
+    spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+
+  /** `df` with one row's whole vector shifted +10 (data lives in
+    * ~[-1,1]) — the "stale index" source. The shift provably crosses
+    * every codec boundary: every bq sign bit goes to 1 (vs a center
+    * inside the data range, and no real row packs all-ones), and every
+    * pq/ivfpq subvector lands far from its original centroid. */
+  private def perturbed(df: DataFrame, id: Long): DataFrame =
+    df.withColumn("embedding",
+      when($"vec_id" === id,
+        transform($"embedding", x => x + lit(10.0f)))
+        .otherwise($"embedding"))
+
+  // ------------------------------------------------------------- bq
+
+  test("bq validateIndex: green on build+append; names planted violations") {
+    val e = emb
+    val dir = freshDir("vx-bq")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    BqIndex.build(e.where($"vec_id" <= maxId / 2), "vec_id", "embedding", dir)
+    BqIndex.append(e.where($"vec_id" > maxId / 2), "vec_id", "embedding", dir)
+    assert(BqIndex.validateIndex(e, "vec_id", "embedding", dir) == e.count())
+
+    // a tombstoned id is excused from the missing-row direction
+    BqIndex.delete(spark, dir, Seq(maxId))
+    assert(BqIndex.validateIndex(e, "vec_id", "embedding", dir) == e.count())
+
+    // bit drift: one source vector no longer matches its signature
+    val drift = intercept[IllegalStateException] {
+      BqIndex.validateIndex(perturbed(e, 3L), "vec_id", "embedding", dir)
+    }
+    assert(drift.getMessage.contains("do not re-derive") &&
+      drift.getMessage.contains("3"), drift.getMessage)
+
+    // wrong signature width: a planted row with one extra word
+    val words = spark.read.parquet(s"$dir/bits")
+      .select(size($"bits")).head().getInt(0)
+    Seq((2L, (0 to words).map(_ => 7)))
+      .toDF("id", "bits").write.mode("append").parquet(s"$dir/bits")
+    val badLen = intercept[IllegalStateException] {
+      BqIndex.validateIndex(e, "vec_id", "embedding", dir)
+    }
+    assert(badLen.getMessage.contains("signature words"), badLen.getMessage)
+  }
+
+  test("bq validateIndex: a MISSING source row is corruption (blind-spot check)") {
+    val e = emb
+    val dir = freshDir("vx-bqmiss")
+    BqIndex.build(e.where($"vec_id" =!= 5L), "vec_id", "embedding", dir)
+    val missing = intercept[IllegalStateException] {
+      BqIndex.validateIndex(e, "vec_id", "embedding", dir)
+    }
+    assert(missing.getMessage.contains("is not stored") &&
+      missing.getMessage.contains("5"), missing.getMessage)
+  }
+
+  // ------------------------------------------------------------- mrl
+
+  test("mrl validateIndex: green on build+append; names planted violations") {
+    val e = emb
+    val dir = freshDir("vx-mrl")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    MrlIndex.build(e.where($"vec_id" <= maxId / 2), "vec_id", "embedding",
+      m = 16, dir)
+    MrlIndex.append(e.where($"vec_id" > maxId / 2), "vec_id", "embedding", dir)
+    assert(MrlIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count())
+
+    // prefix drift: a source vector whose first-m slice changed
+    val drift = intercept[IllegalStateException] {
+      MrlIndex.validateIndex(spark, dir,
+        source = Some((e.withColumn("embedding",
+          when($"vec_id" === 4L,
+            concat(array(element_at($"embedding", 1) + lit(0.5f)),
+              slice($"embedding", 2, 63)))
+            .otherwise($"embedding")), "vec_id", "embedding")))
+    }
+    assert(drift.getMessage.contains("first-m slice") &&
+      drift.getMessage.contains("4"), drift.getMessage)
+
+    // missing source row
+    val dir2 = freshDir("vx-mrlmiss")
+    MrlIndex.build(e.where($"vec_id" =!= 6L), "vec_id", "embedding",
+      m = 16, dir2)
+    val missing = intercept[IllegalStateException] {
+      MrlIndex.validateIndex(spark, dir2,
+        source = Some((e, "vec_id", "embedding")))
+    }
+    assert(missing.getMessage.contains("is not stored") &&
+      missing.getMessage.contains("6"), missing.getMessage)
+
+    // wrong-length prefix: a planted short row (structural — no source
+    // needed, the recorded m is the contract)
+    Seq((7L, Seq(1.0f, 2.0f)))
+      .toDF("id", "pref").write.mode("append").parquet(s"$dir/prefix")
+    val badLen = intercept[IllegalStateException] {
+      MrlIndex.validateIndex(spark, dir)
+    }
+    assert(badLen.getMessage.contains("prefix length 2") &&
+      badLen.getMessage.contains("7"), badLen.getMessage)
+  }
+
+  // ---------------------------------------------------------- sparse
+
+  test("sparse validatePostings: green; mis-bucketed posting and orphan tombstone named") {
+    val e = emb.limit(40)
+    val sv = e.select($"vec_id",
+      SparseSearch.sparsify($"embedding", Float.MinValue).as("sv"))
+    val dir = freshDir("vx-sparse")
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", $"sv"), dir, buckets = 4)
+    val n = SparseSearch.validatePostings(spark, dir)
+    assert(n > 0)
+
+    // orphan tombstone: a delete referencing no posting
+    SparseSearch.deletePostings(spark, dir, Seq(999999L))
+    val orphan = intercept[IllegalStateException] {
+      SparseSearch.validatePostings(spark, dir)
+    }
+    assert(orphan.getMessage.contains("orphan delete") &&
+      orphan.getMessage.contains("999999"), orphan.getMessage)
+
+    // mis-bucketed posting: term filed under the wrong tb partition
+    val dir2 = freshDir("vx-sparsemis")
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", $"sv"), dir2, buckets = 4)
+    val one = spark.read.parquet(dir2)
+      .select($"term", $"vec_id", $"w", $"tb").limit(1).collect().head
+    Seq((one.getInt(0), one.getLong(1), one.getFloat(2),
+        (one.getInt(3) + 1) % 4))
+      .toDF("term", "vec_id", "w", "tb")
+      .write.partitionBy("tb").mode("append").parquet(dir2)
+    val misfiled = intercept[IllegalStateException] {
+      SparseSearch.validatePostings(spark, dir2)
+    }
+    assert(misfiled.getMessage.contains("filed under bucket"),
+      misfiled.getMessage)
+  }
+
+  // ------------------------------------------------------------- ivf
+
+  test("ivf validateIndex: green on build+append+delete; violations named") {
+    val e = emb
+    val dir = freshDir("vx-ivf")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    IvfIndex.build(e.where($"vec_id" <= maxId / 2), "vec_id", "embedding",
+      dir, nlists = 4)
+    IvfIndex.append(e.where($"vec_id" > maxId / 2), "vec_id", "embedding", dir)
+    assert(IvfIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count())
+
+    // a pending tombstone is excused from the missing-row direction;
+    // after consolidate the row is gone physically and the SURVIVORS
+    // validate clean
+    IvfIndex.delete(spark, dir, Seq(maxId))
+    assert(IvfIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count())
+    IvfIndex.consolidate(spark, dir)
+    val survivors = e.where($"vec_id" =!= maxId)
+    assert(IvfIndex.validateIndex(spark, dir,
+      source = Some((survivors, "vec_id", "embedding"))) == survivors.count())
+
+    // missing source row: the full table claims one more row than stored
+    val missing = intercept[IllegalStateException] {
+      IvfIndex.validateIndex(spark, dir,
+        source = Some((e, "vec_id", "embedding")))
+    }
+    assert(missing.getMessage.contains("is not stored"), missing.getMessage)
+
+    // mis-filed row: a planted row under a list its vector is not
+    // nearest to (foreign id — source-independent structural check)
+    val sample = spark.read.parquet(s"$dir/data")
+      .select($"id", $"vec", $"list_id").limit(1).collect().head
+    val wrongList = (sample.getInt(2) + 1) % 4
+    Seq((999999L, sample.getSeq[Float](1), wrongList))
+      .toDF("id", "vec", "list_id")
+      .write.partitionBy("list_id").mode("append").parquet(s"$dir/data")
+    val misfiled = intercept[IllegalStateException] {
+      IvfIndex.validateIndex(spark, dir)
+    }
+    assert(misfiled.getMessage.contains("filed under list") &&
+      misfiled.getMessage.contains("999999"), misfiled.getMessage)
+  }
+
+  // ----------------------------------------------------------- ivfpq
+
+  test("ivfpq validateIndex: green on build+append; violations named") {
+    val e = emb
+    val dir = freshDir("vx-ivfpq")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    IvfPqIndex.build(e.where($"vec_id" <= maxId / 2), "vec_id", "embedding",
+      dir, nlists = 4, subvectors = 8, clusters = 16)
+    IvfPqIndex.append(e.where($"vec_id" > maxId / 2), "vec_id", "embedding",
+      dir)
+    assert(IvfPqIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count())
+
+    // codec drift: a source vector whose codes no longer re-derive
+    val drift = intercept[IllegalStateException] {
+      IvfPqIndex.validateIndex(spark, dir,
+        source = Some((perturbed(e, 2L), "vec_id", "embedding")))
+    }
+    assert(drift.getMessage.contains("do not re-derive") &&
+      drift.getMessage.contains("2"), drift.getMessage)
+
+    // out-of-range code: reads garbage LUT cells — planted foreign row
+    val sample = spark.read.parquet(s"$dir/data")
+      .select($"id", $"codes", $"list_id").limit(1).collect().head
+    Seq((999999L, Seq.fill(8)(16.toShort), sample.getInt(2)))
+      .toDF("id", "codes", "list_id")
+      .write.partitionBy("list_id").mode("append").parquet(s"$dir/data")
+    val badCode = intercept[IllegalStateException] {
+      IvfPqIndex.validateIndex(spark, dir)
+    }
+    assert(badCode.getMessage.contains("codebook range") &&
+      badCode.getMessage.contains("999999"), badCode.getMessage)
+
+    // missing source row
+    val dir2 = freshDir("vx-ivfpqmiss")
+    IvfPqIndex.build(e.where($"vec_id" =!= 8L), "vec_id", "embedding",
+      dir2, nlists = 4, subvectors = 8, clusters = 16)
+    val missing = intercept[IllegalStateException] {
+      IvfPqIndex.validateIndex(spark, dir2,
+        source = Some((e, "vec_id", "embedding")))
+    }
+    assert(missing.getMessage.contains("is not stored") &&
+      missing.getMessage.contains("8"), missing.getMessage)
+  }
+
+  // -------------------------------------------------------------- pq
+
+  test("pq validateIndex: green on build+append; violations named") {
+    val e = emb
+    val dir = freshDir("vx-pq")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val cb = graft.pq.ProductQuantizer.trainCodebook(
+      e.where($"vec_id" <= maxId / 2), "embedding",
+      subvectors = 8, clusters = 16)
+    PqAnnIndex.build(e.where($"vec_id" <= maxId / 2), "vec_id", "embedding",
+      dir, cb, AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+    PqAnnIndex.append(e.where($"vec_id" > maxId / 2), "vec_id", "embedding",
+      dir)
+    assert(PqAnnIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count())
+
+    // codes drift: a source vector whose codes no longer re-derive
+    val drift = intercept[IllegalStateException] {
+      PqAnnIndex.validateIndex(spark, dir,
+        source = Some((perturbed(e, 1L), "vec_id", "embedding")))
+    }
+    assert(drift.getMessage.contains("do not re-derive") &&
+      drift.getMessage.contains("1"), drift.getMessage)
+
+    // duplicate label across shards: append the same rows again
+    val dir2 = freshDir("vx-pqdup")
+    PqAnnIndex.build(e.where($"vec_id" <= 10), "vec_id", "embedding",
+      dir2, cb, AnnParams(m = 8, efConstruction = 64, numPartitions = 1))
+    PqAnnIndex.append(e.where($"vec_id" === 3L), "vec_id", "embedding", dir2)
+    val dup = intercept[IllegalStateException] {
+      PqAnnIndex.validateIndex(spark, dir2)
+    }
+    assert(dup.getMessage.contains("duplicate label"), dup.getMessage)
+
+    // header incoherence: a shard from a FOREIGN codebook smuggled in
+    val dir3 = freshDir("vx-pqhdr")
+    val cb2 = graft.pq.ProductQuantizer.trainCodebook(
+      e.where($"vec_id" > maxId / 2), "embedding",
+      subvectors = 8, clusters = 8)
+    PqAnnIndex.build(e.where($"vec_id" > maxId / 2), "vec_id", "embedding",
+      dir3, cb2, AnnParams(m = 8, efConstruction = 64, numPartitions = 1))
+    val foreign = new java.io.File(s"$dir3/graphs").listFiles()
+      .filter(_.getName.endsWith(".pqhnsw")).head
+    java.nio.file.Files.copy(foreign.toPath,
+      java.nio.file.Paths.get(s"$dir/graphs/part-zzzz-00000.pqhnsw"))
+    val hdr = intercept[IllegalStateException] {
+      PqAnnIndex.validateIndex(spark, dir)
+    }
+    assert(hdr.getMessage.contains("headers disagree"), hdr.getMessage)
+  }
+}

@@ -231,6 +231,50 @@ class SparseSearchSpec extends SparkTestBase {
     assert(!ids.contains(1L) && !ids.contains(2L) && ids.nonEmpty)
   }
 
+  test("consolidate swap-retry cannot silently destroy a tombstone racing it") {
+    // TWO nested races: a deletePostings lands after the original
+    // moved aside (recreating the table path as a stub, forcing the
+    // retry loop), and ANOTHER lands right after that stub was renamed
+    // aside — the exact window where a list-then-recursive-delete
+    // would destroy the tombstone without it ever masking (a delete
+    // that silently never happened). Both must survive into the new
+    // generation and keep masking.
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(40)
+    val sv = e.select($"vec_id",
+      SparseSearch.sparsify($"embedding", Float.MinValue).as("sv"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-srace2").toString + "/post"
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", $"sv"), dir, buckets = 4)
+    // a real racing deletePostings reads the meta BEFORE the swap
+    // starts and its parquet write lands after — the injection is that
+    // write half alone (full deletePostings would re-read the meta at
+    // a path that is mid-rename)
+    def lateTombstone(id: Long): Unit =
+      Seq(id).toDF("vec_id").write.mode("append").parquet(s"$dir/_tombstones")
+    var injected = false
+    SparseSearch.consolidatePostings(spark, dir,
+      afterCompact = () => (),
+      afterOldAside = () => lateTombstone(2L),
+      afterStubAside = () => if (!injected) {
+        injected = true
+        lateTombstone(3L)
+      })
+    assert(injected) // the second window actually opened
+    val post = spark.read.parquet(dir)
+    // both racing deletes survived: physically present (they missed
+    // the snapshot), tombstoned, masked in every read
+    assert(new java.io.File(s"$dir/_tombstones").exists())
+    assert(post.where($"vec_id" === 2L).count() > 0)
+    assert(post.where($"vec_id" === 3L).count() > 0)
+    val ids = SparseSearch.readPostings(spark, dir, Seq(0))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && !ids.contains(3L) && ids.nonEmpty)
+    // the NEXT consolidation applies them physically
+    SparseSearch.consolidatePostings(spark, dir)
+    assert(spark.read.parquet(dir).where($"vec_id".isin(2L, 3L)).count() == 0)
+  }
+
   test("plan hygiene: no ScalaUDF; exact path reduces via TakeOrderedAndProject") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val sv = e.select($"vec_id", SparseSearch.sparsify($"embedding", 0.125f).as("sv"))

@@ -315,6 +315,159 @@ class HttpFacadeSpec extends SparkTestBase
     } finally spark.conf.unset(graft.GraftConf.AnnConsolidateShards)
   }
 
+  test("ivf index kind: probed-scan route; inserts append per layout") {
+    assert(req("POST", "/collections", """{"name":"ivfc"}""")._1 == 200)
+    def rowsJson(ids: Range): String = ids.map { i =>
+      s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"doc-$i"}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    assert(req("PUT", "/collections/ivfc", rowsJson(0 until 40))._1 == 200)
+    assert(req("POST", "/collections/ivfc/index",
+      """{"column":"vector","kind":"ivf","nlists":4}""")._1 == 200)
+    val idxDir = s"$root/indexes/ivfc-vector"
+    assert(graft.ann.IvfIndex.isIvf(spark, idxDir))
+    // nprobe >= nlists probes every list — the route is exact here
+    val (sc, sb) = req("POST", "/collections/ivfc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"nprobe":4,"select":"id"}""")
+    assert(sc == 200, sb)
+    assert(sb.startsWith("""{"rows":[{"id":5}"""), sb)
+    // INSERT after the index exists appends per the ivf LAYOUT (rows
+    // assigned to the PERSISTED centroids) and is immediately served;
+    // the artifact stays a valid ivf index afterwards
+    assert(req("PUT", "/collections/ivfc",
+      s"""{"rows":[{"id":99,"vector":${vecJson(vec(99))},"data":"fresh"}]}""")._1 == 200)
+    val (nc, nb) = req("POST", "/collections/ivfc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(99))},"k":1,"nprobe":4,"select":"id,data"}""")
+    assert(nc == 200, nb)
+    assert(nb.contains("\"data\":\"fresh\""), nb)
+    assert(graft.ann.IvfIndex.validateIndex(spark, idxDir) == 41)
+    // a foreign metric falls back to the exact scan, never an error
+    assert(req("POST", "/collections/ivfc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"metric":"cosine","k":1}""")._1 == 200)
+    assert(req("DELETE", "/collections/ivfc")._1 == 200)
+  }
+
+  test("ivfpq index kind: ADC + exact-rerank route; inserts append per layout") {
+    assert(req("POST", "/collections", """{"name":"ipqc"}""")._1 == 200)
+    def rowsJson(ids: Range): String = ids.map { i =>
+      s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"doc-$i"}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    assert(req("PUT", "/collections/ipqc", rowsJson(0 until 40))._1 == 200)
+    // inner is rejected for ivfpq (residual codes serve l2/angular)
+    assert(req("POST", "/collections/ipqc/index",
+      """{"column":"vector","kind":"ivfpq","metric":"inner"}""")._1 == 400)
+    assert(req("POST", "/collections/ipqc/index",
+      """{"column":"vector","kind":"ivfpq","nlists":4,"splits":4,"clusters":8}""")._1 == 200)
+    val idxDir = s"$root/indexes/ipqc-vector"
+    assert(graft.ann.IvfPqIndex.isIvfPq(spark, idxDir))
+    // full probe + wide rerank over the true floats → exact here
+    val (sc, sb) = req("POST", "/collections/ipqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"nprobe":4,"ef":64,"select":"id"}""")
+    assert(sc == 200, sb)
+    assert(sb.startsWith("""{"rows":[{"id":5}"""), sb)
+    // INSERT appends per the ivfpq LAYOUT (persisted centroids AND
+    // codebook encode the new rows) and is immediately served
+    assert(req("PUT", "/collections/ipqc",
+      s"""{"rows":[{"id":99,"vector":${vecJson(vec(99))},"data":"fresh"}]}""")._1 == 200)
+    val (nc, nb) = req("POST", "/collections/ipqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(99))},"k":1,"nprobe":4,"ef":64,"select":"id,data"}""")
+    assert(nc == 200, nb)
+    assert(nb.contains("\"data\":\"fresh\""), nb)
+    assert(graft.ann.IvfPqIndex.validateIndex(spark, idxDir) == 41)
+    assert(req("DELETE", "/collections/ipqc")._1 == 200)
+  }
+
+  test("pq index kind: LUT pre-rank + exact rescore route; inserts append per layout") {
+    assert(req("POST", "/collections", """{"name":"pqc"}""")._1 == 200)
+    def rowsJson(ids: Range): String = ids.map { i =>
+      s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"doc-$i"}"""
+    }.mkString("""{"rows":[""", ",", "]}")
+    assert(req("PUT", "/collections/pqc", rowsJson(0 until 40))._1 == 200)
+    assert(req("POST", "/collections/pqc/index",
+      """{"column":"vector","kind":"pq","splits":4,"clusters":8,"m":8,"ef_construction":64}""")._1 == 200)
+    val idxDir = s"$root/indexes/pqc-vector"
+    assert(graft.ann.PqAnnIndex.isPq(spark, idxDir))
+    // pool >= corpus → the exact rescore decides the order
+    val (sc, sb) = req("POST", "/collections/pqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":3,"ef":64,"select":"id"}""")
+    assert(sc == 200, sb)
+    assert(sb.startsWith("""{"rows":[{"id":5}"""), sb)
+    // INSERT appends per the pq LAYOUT (delta graph shards quantized
+    // with the PERSISTED codebook, under the recorded metric) and is
+    // immediately served
+    assert(req("PUT", "/collections/pqc",
+      s"""{"rows":[{"id":99,"vector":${vecJson(vec(99))},"data":"fresh"}]}""")._1 == 200)
+    val (nc, nb) = req("POST", "/collections/pqc/search",
+      s"""{"column":"vector","query_vector":${vecJson(vec(99))},"k":1,"ef":64,"select":"id,data"}""")
+    assert(nc == 200, nb)
+    assert(nb.contains("\"data\":\"fresh\""), nb)
+    assert(graft.ann.PqAnnIndex.validateIndex(spark, idxDir) == 41)
+    assert(req("DELETE", "/collections/pqc")._1 == 200)
+  }
+
+  test("catalog survives a server restart: planner rewrites resume from the file") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rroot = java.nio.file.Files
+      .createTempDirectory("graft-http-restart").toString
+    val catFile = s"$rroot/catalog.json"
+    val f1 = new HttpFacade(spark, rroot, catalogPath = Some(catFile)).start()
+    try {
+      assert(req2(f1, "POST", "/collections", """{"name":"persisted"}""")._1 == 200)
+      val rows = (0 until 40).map { i =>
+        s"""{"id":$i,"vector":${vecJson(vec(i))},"data":"doc-$i"}"""
+      }.mkString("""{"rows":[""", ",", "]}")
+      assert(req2(f1, "PUT", "/collections/persisted", rows)._1 == 200)
+      assert(req2(f1, "POST", "/collections/persisted/index",
+        """{"column":"vector","m":8,"ef_construction":64}""")._1 == 200)
+      assert(new java.io.File(catFile).exists(), "createIndex must persist")
+    } finally f1.stop()
+
+    // simulate the restart: the in-session registry forgets everything
+    val tablePath = s"$rroot/collections/persisted"
+    graft.plans.AnnCatalog.unregister(spark, tablePath)
+    def knn = spark.read.parquet(tablePath)
+      .orderBy(graft.functions.l2sq_dist(col("vector"), lit(vec(5).toArray)))
+      .limit(3)
+    def planned = knn.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AnnScanLogical => a
+    }.nonEmpty
+    assert(!planned, "cleared registry must stop the rewrite")
+
+    // a fresh server loading the same catalog file restores the
+    // registration — the planner rewrite AND the search route both work
+    val f2 = new HttpFacade(spark, rroot, catalogPath = Some(catFile)).start()
+    try {
+      assert(planned, "reloaded catalog must restore the rewrite")
+      assert(knn.select("id").collect().map(_.getLong(0)).headOption
+        .contains(5L))
+      val (sc, sb) = req2(f2, "POST", "/collections/persisted/search",
+        s"""{"column":"vector","query_vector":${vecJson(vec(5))},"k":1,"select":"id"}""")
+      assert(sc == 200, sb)
+      assert(sb.contains("\"id\":5"), sb)
+      // dropping the INDEX unregisters AND persists the removal
+      assert(req2(f2, "DELETE", "/index/persisted-vector")._1 == 200)
+      assert(!planned, "index drop must clear the registration")
+    } finally f2.stop()
+    // a THIRD server must not resurrect the dropped registration
+    val f3 = new HttpFacade(spark, rroot, catalogPath = Some(catFile)).start()
+    try {
+      assert(!planned, "dropped registration must stay dropped after reload")
+      assert(req2(f3, "DELETE", "/collections/persisted")._1 == 200)
+    } finally f3.stop()
+  }
+
+  /** `req` against an explicit facade (the restart test runs several). */
+  private def req2(f: HttpFacade, method: String, path: String,
+      body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${f.port}$path"))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
   test("deleting a collection leaves a dash-sharing sibling's index intact") {
     // "docs2" and "docs2-old": names may contain '-', so a prefix scan
     // for docs2's artifacts would also match docs2-old-vector

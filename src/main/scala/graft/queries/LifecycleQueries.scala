@@ -138,6 +138,67 @@ object LifecycleQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Streaming `aminsert` twin for the in-graph PQ kind — completes
+    * the streaming-insert matrix (hnsw/bq/mrl/sparse/multivec/ivf/
+    * ivfpq/pq all have file-source twins now): micro-batches quantize
+    * with the PERSISTED codebook into delta graph shards, so
+    * [[graft.ann.PqAnnIndex.validateIndex]]'s codes re-derivation
+    * certifies bit-identity with a batch append; serving gate: recall
+    * ≥ 0.8 under the exact float rerank over the complete corpus,
+    * streamed ids surfacing. */
+  private def streamingPqInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{AnnParams, PqAnnIndex}
+    import graft.pq.ProductQuantizer
+    val e = Tables.embeddings(s, dir)
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-spq").toString + "/idx"
+    val lower = e.where(col("vec_id") <= maxId / 2)
+    val cb = ProductQuantizer.trainCodebook(
+      lower, "embedding", subvectors = 8, clusters = 64)
+    PqAnnIndex.build(lower, "vec_id", "embedding", path, cb,
+      AnnParams(m = 16, efConstruction = 128, ef = 128, numPartitions = 4))
+    val base = e.where(col("vec_id") > maxId / 2)
+      .select(col("vec_id"), col("embedding"))
+    val lo = maxId / 2 + 1
+    val width = (maxId - lo) / 3 + 1
+    val chunkRoot = AnnQueries.artifactDir("spqins", dir, "embeddings")
+    val files = StreamChunks.materialize(chunkRoot,
+      (0 until 3).map { c => () =>
+        base.where(col("vec_id") >= lo + c * width &&
+          col("vec_id") < lo + (c + 1) * width)
+      })
+    val (streamDir, src) = StreamChunks.source(s, base.schema)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) PqAnnIndex.append(b, "vec_id", "embedding", path)
+      }
+      .start()
+    StreamChunks.drive(q, streamDir, files)
+
+    val validated = PqAnnIndex.validateIndex(s, path,
+      source = Some((e, "vec_id", "embedding")))
+    if (validated != e.count()) return Seq.empty[Int].toDF("ok")
+
+    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ann = RecallProtocol.perQueryDf(
+      PqAnnIndex.searchMany(s, path, qs.toSeq, k = 10, ef = 512,
+        rerank = Some((e, "vec_id", "embedding"))))
+    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    val annIds = ann.values.flatten.toSet
+    val exactIds = exact.values.flatten.toSet
+    val streamedFound = annIds.exists(_ > maxId / 2) ||
+      !exactIds.exists(_ > maxId / 2)
+    if (RecallProtocol.meanRecallOk(ann, exact) && streamedFound)
+      Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
   /** PQ mutation lifecycle gate (`aminsert` + `ambulkdelete` +
     * consolidate for the in-graph PQ kind — reference insert.c:51-262,
     * delete.c:15-73): build over the lower half, batch-`append` the
@@ -329,6 +390,8 @@ object LifecycleQueries {
       streamingIvfInsert),
     QueryDef("streaming_ivfpq_insert", Some("SELECT 1 AS ok"),
       streamingIvfPqInsert),
+    QueryDef("streaming_pq_insert", Some("SELECT 1 AS ok"),
+      streamingPqInsert),
     QueryDef("pq_delete", Some("SELECT 1 AS ok"), pqDelete),
     QueryDef("autotune_ivf", Some("SELECT 1 AS ok"), ivfAutotune),
     QueryDef("autotune_ivfpq", Some("SELECT 1 AS ok"), ivfPqAutotune),

@@ -220,10 +220,21 @@ class ValidateIndexSpec extends SparkTestBase {
     assert(IvfPqIndex.validateIndex(spark, dir,
       source = Some((e, "vec_id", "embedding"))) == e.count())
 
+    // pending tombstone excused; consolidate applies it physically and
+    // the SURVIVORS validate clean (one file per list afterwards)
+    IvfPqIndex.delete(spark, dir, Seq(maxId))
+    assert(IvfPqIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count())
+    IvfPqIndex.consolidate(spark, dir)
+    val survivors = e.where($"vec_id" =!= maxId)
+    assert(IvfPqIndex.validateIndex(spark, dir,
+      source = Some((survivors, "vec_id", "embedding"))) == survivors.count())
+    assert(IvfPqIndex.fileCount(spark, dir) <= 4) // one per list
+
     // codec drift: a source vector whose codes no longer re-derive
     val drift = intercept[IllegalStateException] {
       IvfPqIndex.validateIndex(spark, dir,
-        source = Some((perturbed(e, 2L), "vec_id", "embedding")))
+        source = Some((perturbed(survivors, 2L), "vec_id", "embedding")))
     }
     assert(drift.getMessage.contains("do not re-derive") &&
       drift.getMessage.contains("2"), drift.getMessage)

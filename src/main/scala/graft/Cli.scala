@@ -236,13 +236,8 @@ object Cli {
             ("ivf", ann.IvfIndex.validateIndex(spark, idxP, source))
           else if (ann.PqAnnIndex.isPq(spark, idxP))
             ("pq", ann.PqAnnIndex.validateIndex(spark, idxP, source))
-          else {
-            val issues = ann.AnnIndex.validate(spark, idxP)
-              .collect().map(_.mkString(": "))
-            require(issues.isEmpty,
-              s"graft: hnsw index $idxP invalid — ${issues.head}")
-            ("hnsw", ann.AnnIndex.vectors(spark, idxP).count())
-          }
+          else
+            ("hnsw", ann.AnnIndex.validateIndex(spark, idxP, source))
         println(s"valid $idxP (kind=$kind, rows=$n)")
 
       case "pq-table" =>

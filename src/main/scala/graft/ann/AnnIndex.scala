@@ -562,6 +562,50 @@ object AnnIndex {
       StructField("vec", ArrayType(FloatType)))))
   }
 
+  /** [[validate]] under the repo-wide validator convention the other
+    * kinds follow (throws [[IllegalStateException]] naming the FIRST
+    * violation; returns the live row count): the structural shard walk,
+    * plus — with `source` — both-way id completeness against the
+    * source table (tombstoned ids excused) and, for `f32` storage,
+    * exact vector re-derivation. Quantized storage (`f16|i8|b4|b2|b1`)
+    * holds codes, not the source floats, so only ids are checked
+    * there — the codec round-trip is covered by the quantizer specs. */
+  def validateIndex(spark: SparkSession, path: String,
+      source: Option[(DataFrame, String, String)] = None): Long = {
+    val issues = validate(spark, path).limit(1).collect()
+    if (issues.nonEmpty) throw new IllegalStateException(
+      s"graft: hnsw index $path invalid — shard " +
+        s"${issues.head.getString(0)}: ${issues.head.getString(1)}")
+    val live = vectors(spark, path)
+    source.foreach { case (df, idCol, vecCol) =>
+      val expected = df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).as("__exp"))
+      val orphan = live.select("id")
+        .join(expected.select("id"), Seq("id"), "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalStateException(
+        s"graft: hnsw index $path invalid — id ${orphan.head.getLong(0)} " +
+          "has no source row to re-derive from")
+      val missing = FlatArtifact.minusTombstones(spark, path,
+          expected.select("id")
+            .join(live.select("id"), Seq("id"), "left_anti"))
+        .limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft: hnsw index $path invalid — source id " +
+          s"${missing.head.getLong(0)} is not stored (missing row)")
+      if (readHeader(spark, path).quant == "f32") {
+        val drift = live.join(expected, Seq("id"))
+          .where(!(col("vec") <=> col("__exp")))
+          .select("id").limit(1).collect()
+        if (drift.nonEmpty) throw new IllegalStateException(
+          s"graft: hnsw index $path invalid — id " +
+            s"${drift.head.getLong(0)}'s stored vector does not " +
+            "re-derive from its source row")
+      }
+    }
+    live.count()
+  }
+
   /** `validate_index` analog: structural walk of every shard
     * (validate_index.c:436-528). Returns (shard, violation) rows;
     * empty = valid.

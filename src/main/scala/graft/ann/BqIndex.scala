@@ -168,16 +168,11 @@ object BqIndex {
         "has no source row to re-derive from")
     // the reverse direction too: a source row ABSENT from the bits
     // table is corruption the stored→expected checks cannot see (the
-    // row silently never surfaces in stage 1); tombstoned ids are
-    // excused — a pending delete legitimately precedes its consolidate
-    val missingBase = expected.select("id")
-      .join(stored.select("id"), Seq("id"), "left_anti")
-    val tombP = new org.apache.hadoop.fs.Path(s"$path/$TombDir")
-    val missing = (if (tombP.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(tombP))
-      missingBase.join(spark.read.parquet(tombP.toString), Seq("id"),
-        "left_anti")
-    else missingBase).limit(1).collect()
+    // row silently never surfaces in stage 1); tombstoned ids excused
+    val missing = FlatArtifact.minusTombstones(spark, path,
+        expected.select("id")
+          .join(stored.select("id"), Seq("id"), "left_anti"))
+      .limit(1).collect()
     if (missing.nonEmpty) throw new IllegalStateException(
       s"graft: bq index $path invalid — source id " +
         s"${missing.head.getLong(0)} is not stored (missing row)")

@@ -30,6 +30,19 @@ private[graft] object FlatArtifact {
     }
   }
 
+  /** `df` (keyed by an `id` column) minus the artifact's tombstoned
+    * ids; no-op without a tombstones dir. The missing-row excusal
+    * every validator's expected→stored direction shares: a pending
+    * delete legitimately precedes its consolidate. */
+  def minusTombstones(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val t = new Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t))
+      df.join(spark.read.parquet(t.toString), Seq("id"), "left_anti")
+    else df
+  }
+
   /** Compact `$path/$sub` applying tombstones PHYSICALLY, with the
     * snapshot-preserving protocol every flat artifact shares: the
     * tombstone FILES under `$path/tombstones` are snapshotted first —

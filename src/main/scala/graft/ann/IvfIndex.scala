@@ -214,11 +214,16 @@ object IvfIndex {
     * stored row count. */
   def validateIndex(spark: SparkSession, path: String,
       source: Option[(DataFrame, String, String)] = None): Long = {
-    val (centroids, metric) = loadCentroids(spark, path)
+    // loadCentroids dereferences rows.head — an empty centroids table
+    // must still surface as the validator's named violation
+    val (centroids, metric) =
+      try loadCentroids(spark, path)
+      catch { case _: NoSuchElementException =>
+        throw new IllegalStateException(
+          s"graft: ivf index $path invalid — no centroids")
+      }
     if (!Set("l2sq", "cos", "inner")(metric)) throw new IllegalStateException(
       s"graft: ivf index $path invalid — unrecognized metric '$metric'")
-    if (centroids.isEmpty) throw new IllegalStateException(
-      s"graft: ivf index $path invalid — no centroids")
     val stored = spark.read.parquet(s"$path/$DataDir")
     val nullRow = stored.where(col("id").isNull || col("vec").isNull)
       .limit(1).collect()
@@ -253,12 +258,10 @@ object IvfIndex {
       if (orphan.nonEmpty) throw new IllegalStateException(
         s"graft: ivf index $path invalid — id ${orphan.head.getLong(0)} " +
           "has no source row to re-derive from")
-      val missingBase = expected.select("id")
-        .join(stored.select("id"), Seq("id"), "left_anti")
-      val missing = (tombstones(spark, path) match {
-        case Some(t) => missingBase.join(t, Seq("id"), "left_anti")
-        case None => missingBase
-      }).limit(1).collect()
+      val missing = FlatArtifact.minusTombstones(spark, path,
+          expected.select("id")
+            .join(stored.select("id"), Seq("id"), "left_anti"))
+        .limit(1).collect()
       if (missing.nonEmpty) throw new IllegalStateException(
         s"graft: ivf index $path invalid — source id " +
           s"${missing.head.getLong(0)} is not stored (missing row)")

@@ -216,7 +216,12 @@ object IvfPqIndex {
     * stored row count. */
   def validateIndex(spark: SparkSession, path: String,
       source: Option[(DataFrame, String, String)] = None): Long = {
-    val (centroids, metric) = loadCentroids(spark, path)
+    val (centroids, metric) =
+      try loadCentroids(spark, path)
+      catch { case _: NoSuchElementException =>
+        throw new IllegalStateException(
+          s"graft: ivfpq index $path invalid — no centroids")
+      }
     if (!Set("l2sq", "cos")(metric)) throw new IllegalStateException(
       s"graft: ivfpq index $path invalid — unrecognized metric '$metric'")
     val cb = loadCodebook(spark, path)
@@ -232,6 +237,17 @@ object IvfPqIndex {
       s"graft: ivfpq index $path invalid — id ${badShape.head.getLong(0)} " +
         s"has codes outside ${cb.subvectors} subvectors × " +
         s"[0, ${cb.clusters}) codebook range")
+    // structural list range: a row filed under a list no probe can
+    // name is invisible to every partition-pruned scan (unlike ivf,
+    // the codes carry no vector to re-derive the assignment from
+    // without `source`, so the range check is the structural floor)
+    val badList = stored.where(col("list_id") < 0 ||
+        col("list_id") >= centroids.length)
+      .select(col("id"), col("list_id")).limit(1).collect()
+    if (badList.nonEmpty) throw new IllegalStateException(
+      s"graft: ivfpq index $path invalid — id ${badList.head.getLong(0)} " +
+        s"filed under list ${badList.head.get(1)} outside " +
+        s"[0, ${centroids.length})")
     val dup = stored.groupBy("id").count().where(col("count") > 1)
       .limit(1).collect()
     if (dup.nonEmpty) throw new IllegalStateException(
@@ -250,12 +266,10 @@ object IvfPqIndex {
       if (orphan.nonEmpty) throw new IllegalStateException(
         s"graft: ivfpq index $path invalid — id ${orphan.head.getLong(0)} " +
           "has no source row to re-derive from")
-      val missingBase = expected.select("id")
-        .join(stored.select("id"), Seq("id"), "left_anti")
-      val missing = (tombstones(spark, path) match {
-        case Some(t) => missingBase.join(t, Seq("id"), "left_anti")
-        case None => missingBase
-      }).limit(1).collect()
+      val missing = FlatArtifact.minusTombstones(spark, path,
+          expected.select("id")
+            .join(stored.select("id"), Seq("id"), "left_anti"))
+        .limit(1).collect()
       if (missing.nonEmpty) throw new IllegalStateException(
         s"graft: ivfpq index $path invalid — source id " +
           s"${missing.head.getLong(0)} is not stored (missing row)")

@@ -160,14 +160,10 @@ object MrlIndex {
       // reverse direction: a source row absent from the prefix table
       // silently never surfaces in stage 1 — corruption the stored→
       // expected checks cannot see; tombstoned ids are excused
-      val missingBase = expected.select("id")
-        .join(pre.select("id"), Seq("id"), "left_anti")
-      val tombP = new Path(s"$path/$TombDir")
-      val missing = (if (tombP.getFileSystem(
-          spark.sparkContext.hadoopConfiguration).exists(tombP))
-        missingBase.join(spark.read.parquet(tombP.toString), Seq("id"),
-          "left_anti")
-      else missingBase).limit(1).collect()
+      val missing = FlatArtifact.minusTombstones(spark, path,
+          expected.select("id")
+            .join(pre.select("id"), Seq("id"), "left_anti"))
+        .limit(1).collect()
       if (missing.nonEmpty) throw new IllegalStateException(
         s"graft: mrl index $path invalid — source id " +
           s"${missing.head.getLong(0)} is not stored (missing row)")

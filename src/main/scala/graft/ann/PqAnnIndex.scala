@@ -380,7 +380,7 @@ object PqAnnIndex {
         for (sv <- s.cb.centroids; c <- sv; j <- c)
           cbHash = cbHash * 31 + java.lang.Float.floatToIntBits(j)
         (f, (s.cb.dim, g.m, g.efConstruction, s.cb.subvectors,
-          s.cb.clusters, cbHash), Option(issue))
+          s.cb.clusters, cbHash), Option(issue), g.size.toLong)
       }.collect()
     perShard.flatMap(_._3).headOption.foreach(i =>
       throw new IllegalStateException(s"graft: pq index $path invalid — $i"))
@@ -425,14 +425,10 @@ object PqAnnIndex {
       if (orphan.nonEmpty) throw new IllegalStateException(
         s"graft: pq index $path invalid — label ${orphan.head.getLong(0)} " +
           "has no source row to re-derive from")
-      val missingBase = expected.select("id")
-        .join(stored.select("id"), Seq("id"), "left_anti")
-      val tombP = new Path(s"$path/tombstones")
-      val missing = (if (tombP.getFileSystem(
-          spark.sparkContext.hadoopConfiguration).exists(tombP))
-        missingBase.join(spark.read.parquet(tombP.toString), Seq("id"),
-          "left_anti")
-      else missingBase).limit(1).collect()
+      val missing = FlatArtifact.minusTombstones(spark, path,
+          expected.select("id")
+            .join(stored.select("id"), Seq("id"), "left_anti"))
+        .limit(1).collect()
       if (missing.nonEmpty) throw new IllegalStateException(
         s"graft: pq index $path invalid — source id " +
           s"${missing.head.getLong(0)} is not stored (missing row)")
@@ -443,18 +439,21 @@ object PqAnnIndex {
         s"graft: pq index $path invalid — label ${drift.head.getLong(0)}'s " +
           "codes do not re-derive from the persisted codebook")
     }
-    stored.count()
+    // node count already rode the header pass — no extra shard scan
+    perShard.map(_._4).sum
   }
 
-  /** Candidate rows (id, dequantized vec) for the planner's AnnScanExec:
-    * per-shard LUT top-`max(ef, k)` pool (pq never passes
-    * storesTrueVectors, so the planner join-backs these ids to the
-    * TABLE's float rows and the Sort+Limit above is an EXACT rescore
-    * over the pool — `ef` is the recall knob, exactly like the bq/mrl
-    * rescore pools; narrowing to k per shard here would cap recall at
-    * whatever the 48-bit LUT ranking gets right). Tombstoned labels
-    * are masked inside the walk — a deleted row can never ride a
-    * planner candidate path.
+  /** Candidate rows for the planner's AnnScanExec: per-shard LUT
+    * top-`max(ef, k)` pool (pq never passes storesTrueVectors, so the
+    * planner join-backs these ids to the TABLE's float rows and the
+    * Sort+Limit above is an EXACT rescore over the pool — `ef` is the
+    * recall knob, exactly like the bq/mrl rescore pools; narrowing to
+    * k per shard here would cap recall at whatever the 48-bit LUT
+    * ranking gets right). The vec column is NULL by design, like
+    * [[BqIndex.candidateRows]]: the join-back never reads it, and
+    * dequantizing ef × shards vectors only to drop them would pay the
+    * pool widening twice. Tombstoned labels are masked inside the
+    * walk — a deleted row can never ride a planner candidate path.
     */
   private[graft] def candidateRows(
       spark: SparkSession,
@@ -488,11 +487,8 @@ object PqAnnIndex {
           }
           shard.graph.searchNodesWith(nd, eff, eff, bannedB.value.banned)
             .iterator.map { case (n, _) =>
-              val deq = shard.cb.dequantize(codes(n).map(b => (b & 0xFF).toShort))
               proj(org.apache.spark.sql.catalyst.InternalRow(
-                shard.graph.label(n),
-                org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-                  .fromPrimitiveArray(deq))).copy()
+                shard.graph.label(n), null)).copy()
             }
         }
       }

@@ -383,10 +383,24 @@ object SparseSearch {
           fs.delete(stub, true)
         }
       }
-      // guard the swap on cur's absence: Hadoop rename into an EXISTING
-      // directory nests src inside it instead of failing — the guard
-      // turns that corruption into one more bounded retry
-      swapped = !fs.exists(cur) && fs.rename(compact, cur)
+      // guard the swap on cur's absence, then VERIFY it: Hadoop rename
+      // into an EXISTING directory nests src inside it and still
+      // returns true, so a deletePostings recreating `cur` between the
+      // exists() check and the rename would otherwise read as success
+      // with the postings buried at cur/<compactName>. The meta file
+      // is the witness — the compacted generation always carries it at
+      // its root; when it is missing after a "successful" rename, the
+      // nesting is unwound (the buried dir renames back out to the
+      // compact path) and the loop retries.
+      if (!fs.exists(cur) && fs.rename(compact, cur)) {
+        if (fs.exists(new Path(cur, MetaFile))) swapped = true
+        else {
+          val nested = new Path(cur, compact.getName)
+          require(fs.exists(nested) && fs.rename(nested, compact),
+            s"graft: consolidate swap nested under $cur and could not " +
+              "be unwound — manual repair required")
+        }
+      }
       attempts += 1
     }
     if (!swapped) {
@@ -408,9 +422,18 @@ object SparseSearch {
           fs.delete(stub, true)
         }
       }
-      fs.rename(old, cur)
+      // same guard-and-verify as the loop: renaming the original into
+      // a racing stub would bury it at cur/<oldName> while "restored"
+      val restored = !fs.exists(cur) && fs.rename(old, cur) &&
+        fs.exists(new Path(cur, MetaFile))
       throw new IllegalStateException(
-        s"graft: consolidate swap failed under $path — original restored")
+        if (restored)
+          s"graft: consolidate swap failed under $path — original restored"
+        else
+          s"graft: consolidate swap failed under $path AND the rollback " +
+            s"could not restore the original cleanly (a concurrent writer " +
+            s"kept recreating the path) — postings remain at $old or " +
+            s"nested beneath $cur")
     }
     // tombstone files appended DURING the compaction (present in the
     // old generation, absent from the snapshot) keep masking: move

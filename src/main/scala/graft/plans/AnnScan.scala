@@ -221,9 +221,11 @@ case class AnnScanExec(
         session, artifact, query.toArray, nprobe = math.max(1, ef))
       scan.selectExpr("id", "vec").queryExecution.toRdd
     case "pq" =>
-      // LUT-searched candidates emitted as DEQUANTIZED vectors: the
-      // exact re-rank above then measures against the PQ approximation
-      // (the reference's in-graph asymmetric search, scan.c:75-88)
+      // LUT-searched candidate ids, vec NULL: pq never passes
+      // storesTrueVectors, so the join-back fetches the TABLE's float
+      // rows and the Sort+Limit above is the exact rescore over the
+      // top-max(ef,k) LUT pool (stage 1 stays the reference's in-graph
+      // asymmetric search, scan.c:75-88; stage 2 the exact re-rank)
       graft.ann.PqAnnIndex.candidateRows(
         session, artifact, query.toArray, k, math.max(ef, k))
     case "ivfpq" =>

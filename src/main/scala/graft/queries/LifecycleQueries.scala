@@ -22,29 +22,35 @@ import graft.Tables
   */
 object LifecycleQueries {
 
-  /** Streaming `aminsert` twin for the IVF artifact: appends assign to
-    * the PERSISTED coarse centroids (the codec fixed at build time),
-    * so the streamed artifact must be BIT-IDENTICAL to a batch append
-    * of the same rows — certified by [[graft.ann.IvfIndex.validateIndex]]
-    * re-deriving every stored row's list assignment and vector from
-    * the source table (both directions: no orphans, no missing rows).
-    * Serving gate on top: mean recall@10 ≥ 0.8 over the COMPLETE
-    * corpus with streamed-range ids surfacing wherever the exact truth
-    * holds them. */
-  private def streamingIvfInsert(s: SparkSession, dir: String): DataFrame = {
+  /** Shared scaffold of the streaming `aminsert` twins (the
+    * `streaming_bq_insert` protocol, parameterized by the kind's
+    * build/append/validate/search): build over the lower half, stream
+    * the upper half through a genuine parquet FILE source in three
+    * micro-batches into `append`, then gate BOTH codec bit-identity —
+    * `validate(path, fullTable)` is the kind's `validateIndex`, whose
+    * re-derivation proves every streamed row is filed exactly as a
+    * batch build would have — and serving: mean recall@10 ≥ 0.8 over
+    * the COMPLETE corpus via `search(path, queries)` (searchMany
+    * output shape), with streamed-range ids surfacing wherever the
+    * exact truth holds them. Fresh artifact per invocation (appends
+    * mutate it — a cached one would double-append under bench reps). */
+  private def streamingInsertTwin(
+      s: SparkSession, dir: String, tag: String,
+      build: (DataFrame, String) => Unit,
+      append: (DataFrame, String) => Unit,
+      validate: (String, DataFrame) => Long,
+      search: (String, Seq[(Long, Array[Float])]) => DataFrame): DataFrame = {
     import s.implicits._
-    import graft.ann.IvfIndex
     val e = Tables.embeddings(s, dir)
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val path = java.nio.file.Files
-      .createTempDirectory("graft-sivf").toString + "/idx"
-    IvfIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id",
-      "embedding", path, nlists = 16)
+      .createTempDirectory(s"graft-$tag").toString + "/idx"
+    build(e.where(col("vec_id") <= maxId / 2), path)
     val base = e.where(col("vec_id") > maxId / 2)
       .select(col("vec_id"), col("embedding"))
     val lo = maxId / 2 + 1
     val width = (maxId - lo) / 3 + 1
-    val chunkRoot = AnnQueries.artifactDir("sivfins", dir, "embeddings")
+    val chunkRoot = AnnQueries.artifactDir(s"${tag}ins", dir, "embeddings")
     val files = StreamChunks.materialize(chunkRoot,
       (0 until 3).map { c => () =>
         base.where(col("vec_id") >= lo + c * width &&
@@ -53,25 +59,19 @@ object LifecycleQueries {
     val (streamDir, src) = StreamChunks.source(s, base.schema)
     val q = src.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty) IvfIndex.append(b, "vec_id", "embedding", path)
+        if (!b.isEmpty) append(b, path)
       }
       .start()
     StreamChunks.drive(q, streamDir, files)
 
-    // codec bit-identity over the FULL corpus: every streamed row must
-    // be filed exactly where the persisted centroids say, re-derive its
-    // stored vector from the source, and nothing may be missing
-    val validated = IvfIndex.validateIndex(s, path,
-      source = Some((e, "vec_id", "embedding")))
-    if (validated != e.count()) return Seq.empty[Int].toDF("ok")
+    if (validate(path, e) != e.count()) return Seq.empty[Int].toDF("ok")
 
     val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val ann = RecallProtocol.perQueryDf(
-      IvfIndex.searchMany(s, path, qs.toSeq, k = 10, nprobe = 12))
+    val ann = RecallProtocol.perQueryDf(search(path, qs.toSeq))
     val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
     val annIds = ann.values.flatten.toSet
     val exactIds = exact.values.flatten.toSet
@@ -82,121 +82,61 @@ object LifecycleQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
-  /** Streaming `aminsert` twin for IVF-PQ: appends encode with the
-    * PERSISTED centroids AND residual codebook, so the streamed
-    * artifact's (list_id, codes) must re-derive bit-identically —
-    * [[graft.ann.IvfPqIndex.validateIndex]] replays the shared encode
-    * pass over the source and compares. Serving gate: recall@10 ≥ 0.8
-    * under the exact float rerank over the complete corpus, streamed
-    * ids surfacing. */
+  /** IVF twin: appends assign to the PERSISTED coarse centroids (the
+    * codec fixed at build time), so the streamed artifact is
+    * bit-identical to a batch append — validateIndex re-derives every
+    * row's list assignment and vector, both directions. */
+  private def streamingIvfInsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.IvfIndex
+    streamingInsertTwin(s, dir, "sivf",
+      build = (lower, path) =>
+        IvfIndex.build(lower, "vec_id", "embedding", path, nlists = 16),
+      append = (b, path) => IvfIndex.append(b, "vec_id", "embedding", path),
+      validate = (path, full) => IvfIndex.validateIndex(s, path,
+        source = Some((full, "vec_id", "embedding"))),
+      search = (path, qs) =>
+        IvfIndex.searchMany(s, path, qs, k = 10, nprobe = 12))
+  }
+
+  /** IVF-PQ twin: appends encode with the PERSISTED centroids AND
+    * residual codebook — validateIndex replays the shared encode pass,
+    * so streamed (list_id, codes) must match bit-for-bit; serving goes
+    * through the exact float rerank. */
   private def streamingIvfPqInsert(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import graft.ann.IvfPqIndex
     val e = Tables.embeddings(s, dir)
-    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-sivfpq").toString + "/idx"
-    IvfPqIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id",
-      "embedding", path, nlists = 16, subvectors = 8, clusters = 64)
-    val base = e.where(col("vec_id") > maxId / 2)
-      .select(col("vec_id"), col("embedding"))
-    val lo = maxId / 2 + 1
-    val width = (maxId - lo) / 3 + 1
-    val chunkRoot = AnnQueries.artifactDir("sivfpqins", dir, "embeddings")
-    val files = StreamChunks.materialize(chunkRoot,
-      (0 until 3).map { c => () =>
-        base.where(col("vec_id") >= lo + c * width &&
-          col("vec_id") < lo + (c + 1) * width)
-      })
-    val (streamDir, src) = StreamChunks.source(s, base.schema)
-    val q = src.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty) IvfPqIndex.append(b, "vec_id", "embedding", path)
-      }
-      .start()
-    StreamChunks.drive(q, streamDir, files)
-
-    val validated = IvfPqIndex.validateIndex(s, path,
-      source = Some((e, "vec_id", "embedding")))
-    if (validated != e.count()) return Seq.empty[Int].toDF("ok")
-
-    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val ann = RecallProtocol.perQueryDf(
-      IvfPqIndex.searchMany(s, path, qs.toSeq, k = 10, nprobe = 12,
-        ef = 512, rerank = Some((e, "vec_id", "embedding"))))
-    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
-    val annIds = ann.values.flatten.toSet
-    val exactIds = exact.values.flatten.toSet
-    val streamedFound = annIds.exists(_ > maxId / 2) ||
-      !exactIds.exists(_ > maxId / 2)
-    if (RecallProtocol.meanRecallOk(ann, exact) && streamedFound)
-      Seq(1).toDF("ok")
-    else Seq.empty[Int].toDF("ok")
+    streamingInsertTwin(s, dir, "sivfpq",
+      build = (lower, path) => IvfPqIndex.build(lower, "vec_id", "embedding",
+        path, nlists = 16, subvectors = 8, clusters = 64),
+      append = (b, path) => IvfPqIndex.append(b, "vec_id", "embedding", path),
+      validate = (path, full) => IvfPqIndex.validateIndex(s, path,
+        source = Some((full, "vec_id", "embedding"))),
+      search = (path, qs) => IvfPqIndex.searchMany(s, path, qs, k = 10,
+        nprobe = 12, ef = 512, rerank = Some((e, "vec_id", "embedding"))))
   }
 
-  /** Streaming `aminsert` twin for the in-graph PQ kind — completes
-    * the streaming-insert matrix (hnsw/bq/mrl/sparse/multivec/ivf/
-    * ivfpq/pq all have file-source twins now): micro-batches quantize
-    * with the PERSISTED codebook into delta graph shards, so
-    * [[graft.ann.PqAnnIndex.validateIndex]]'s codes re-derivation
-    * certifies bit-identity with a batch append; serving gate: recall
-    * ≥ 0.8 under the exact float rerank over the complete corpus,
-    * streamed ids surfacing. */
+  /** In-graph PQ twin — completes the streaming-insert matrix
+    * (hnsw/bq/mrl/sparse/multivec/ivf/ivfpq/pq all have file-source
+    * twins): micro-batches quantize with the PERSISTED codebook into
+    * delta graph shards; validateIndex's codes re-derivation certifies
+    * bit-identity, serving goes through the exact float rerank. */
   private def streamingPqInsert(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     import graft.ann.{AnnParams, PqAnnIndex}
     import graft.pq.ProductQuantizer
     val e = Tables.embeddings(s, dir)
-    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-spq").toString + "/idx"
-    val lower = e.where(col("vec_id") <= maxId / 2)
-    val cb = ProductQuantizer.trainCodebook(
-      lower, "embedding", subvectors = 8, clusters = 64)
-    PqAnnIndex.build(lower, "vec_id", "embedding", path, cb,
-      AnnParams(m = 16, efConstruction = 128, ef = 128, numPartitions = 4))
-    val base = e.where(col("vec_id") > maxId / 2)
-      .select(col("vec_id"), col("embedding"))
-    val lo = maxId / 2 + 1
-    val width = (maxId - lo) / 3 + 1
-    val chunkRoot = AnnQueries.artifactDir("spqins", dir, "embeddings")
-    val files = StreamChunks.materialize(chunkRoot,
-      (0 until 3).map { c => () =>
-        base.where(col("vec_id") >= lo + c * width &&
-          col("vec_id") < lo + (c + 1) * width)
-      })
-    val (streamDir, src) = StreamChunks.source(s, base.schema)
-    val q = src.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty) PqAnnIndex.append(b, "vec_id", "embedding", path)
-      }
-      .start()
-    StreamChunks.drive(q, streamDir, files)
-
-    val validated = PqAnnIndex.validateIndex(s, path,
-      source = Some((e, "vec_id", "embedding")))
-    if (validated != e.count()) return Seq.empty[Int].toDF("ok")
-
-    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val ann = RecallProtocol.perQueryDf(
-      PqAnnIndex.searchMany(s, path, qs.toSeq, k = 10, ef = 512,
-        rerank = Some((e, "vec_id", "embedding"))))
-    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
-    val annIds = ann.values.flatten.toSet
-    val exactIds = exact.values.flatten.toSet
-    val streamedFound = annIds.exists(_ > maxId / 2) ||
-      !exactIds.exists(_ > maxId / 2)
-    if (RecallProtocol.meanRecallOk(ann, exact) && streamedFound)
-      Seq(1).toDF("ok")
-    else Seq.empty[Int].toDF("ok")
+    streamingInsertTwin(s, dir, "spq",
+      build = (lower, path) => {
+        val cb = ProductQuantizer.trainCodebook(
+          lower, "embedding", subvectors = 8, clusters = 64)
+        PqAnnIndex.build(lower, "vec_id", "embedding", path, cb,
+          AnnParams(m = 16, efConstruction = 128, ef = 128,
+            numPartitions = 4))
+      },
+      append = (b, path) => PqAnnIndex.append(b, "vec_id", "embedding", path),
+      validate = (path, full) => PqAnnIndex.validateIndex(s, path,
+        source = Some((full, "vec_id", "embedding"))),
+      search = (path, qs) => PqAnnIndex.searchMany(s, path, qs, k = 10,
+        ef = 512, rerank = Some((e, "vec_id", "embedding"))))
   }
 
   /** PQ mutation lifecycle gate (`aminsert` + `ambulkdelete` +

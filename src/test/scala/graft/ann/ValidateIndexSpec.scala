@@ -36,6 +36,44 @@ class ValidateIndexSpec extends SparkTestBase {
         transform($"embedding", x => x + lit(10.0f)))
         .otherwise($"embedding"))
 
+  // ------------------------------------------------------------ hnsw
+
+  test("hnsw validateIndex: green on build+append+delete; violations named") {
+    val e = emb
+    val dir = freshDir("vx-hnsw")
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    AnnIndex.build(e.where($"vec_id" <= maxId / 2), "vec_id", "embedding",
+      dir, AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+    AnnIndex.append(e.where($"vec_id" > maxId / 2), "vec_id", "embedding", dir)
+    assert(AnnIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count())
+
+    // a tombstoned id is excused from the missing-row direction (and
+    // absent from the live count — vectors() masks it)
+    AnnIndex.delete(spark, dir, Seq(maxId))
+    assert(AnnIndex.validateIndex(spark, dir,
+      source = Some((e, "vec_id", "embedding"))) == e.count() - 1)
+
+    // f32 storage: a drifted source vector is a named violation
+    val drift = intercept[IllegalStateException] {
+      AnnIndex.validateIndex(spark, dir,
+        source = Some((perturbed(e, 3L), "vec_id", "embedding")))
+    }
+    assert(drift.getMessage.contains("does not re-derive") &&
+      drift.getMessage.contains("3"), drift.getMessage)
+
+    // missing source row
+    val dir2 = freshDir("vx-hnswmiss")
+    AnnIndex.build(e.where($"vec_id" =!= 9L), "vec_id", "embedding",
+      dir2, AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+    val missing = intercept[IllegalStateException] {
+      AnnIndex.validateIndex(spark, dir2,
+        source = Some((e, "vec_id", "embedding")))
+    }
+    assert(missing.getMessage.contains("is not stored") &&
+      missing.getMessage.contains("9"), missing.getMessage)
+  }
+
   // ------------------------------------------------------------- bq
 
   test("bq validateIndex: green on build+append; names planted violations") {

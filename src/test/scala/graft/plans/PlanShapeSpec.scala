@@ -482,6 +482,57 @@ class PlanShapeSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tablePath)
   }
 
+  test("pq kind: scalar rewrite = LUT pre-rank + join-back exact rescore over the pool") {
+    import graft.ann.{AnnParams, PqAnnIndex}
+    import graft.pq.ProductQuantizer
+    val dir = sf("sf0.001")
+    val e = Tables.embeddings(spark, dir)
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-pqps").toFile, "idx").toString
+    val cb = ProductQuantizer.trainCodebook(
+      e, "embedding", subvectors = 8, clusters = 16)
+    PqAnnIndex.build(e, "vec_id", "embedding", path, cb,
+      AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+    val tablePath = s"$dir/embeddings.parquet"
+    val n = e.count().toInt
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq", ef = n,
+        kind = "pq"))
+    try {
+      val q = e.where(col("vec_id") === 3).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val knn = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+      val opt = knn.queryExecution.optimizedPlan
+      // the ANN leaf is the pq candidate scan (ids only — the codes
+      // never dequantize into the plan) ...
+      assert(opt.collect {
+        case a: AnnScanLogical if a.kind == "pq" => a
+      }.nonEmpty, opt.toString.take(800))
+      // ... always behind the join-back: pq never passes
+      // storesTrueVectors, so the Sort+Limit above rescores the pool
+      // against the TABLE's float rows
+      assert(opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty, opt.toString.take(800))
+      // pool = corpus ⇒ the exact rescore returns the EXACT top-10
+      // (the pre-fix per-shard top-k pool capped this at LUT recall)
+      val got = knn.select("vec_id").collect().map(_.getLong(0)).toSeq
+      val exact = e.orderBy(l2sq_dist(col("embedding"), lit(q)), col("vec_id"))
+        .limit(10).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got.toSet == exact.toSet)
+      // ambulkdelete analog: a tombstoned id is masked inside the LUT
+      // walk and can never ride the candidate path
+      val victim = exact.head
+      PqAnnIndex.delete(spark, path, Seq(victim))
+      val after = e.select(col("vec_id"), col("embedding"))
+        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(!after.contains(victim))
+      assert((exact.toSet - victim).subsetOf(after)) // pool = corpus: rest intact
+    } finally AnnCatalog.unregister(spark, tablePath)
+  }
+
   test("multivec kind: maxsim DESC rewrite = PLAID pre-rank + exact join-back rescore") {
     import graft.ops.MultiVec
     val dir = sf("sf0.001")

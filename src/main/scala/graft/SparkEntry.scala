@@ -15,7 +15,7 @@ object SparkEntry {
       MultimodalQueries.all ++ HttpQueries.all ++ ExportQueries.all ++
       SelectionQueries.all ++ TextPrepQueries.all ++ ClusterQueries.all ++
       TfIdfQueries.all ++ EventQueries.all ++ SparseQueries.all ++
-      MultiVecQueries.all ++ LifecycleQueries.all
+      MultiVecQueries.all ++ LifecycleQueries.all ++ AdminQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own hello-world: ORDER BY v <-> q LIMIT k. */

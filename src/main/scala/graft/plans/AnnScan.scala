@@ -98,6 +98,46 @@ object AnnCatalog {
   def anyFor(rootPaths: Seq[Path]): Boolean =
     rootPaths.exists(p => registry.contains(p.toString))
 
+  /** Catalog introspection — the analog of the reference's
+    * `ldb_get_indexes(tbl)` (lantern_hnsw/test/sql/utils/common.sql:17-42,
+    * called from most index tests, e.g. hnsw_create.sql via
+    * `SELECT * FROM ldb_get_indexes('sift_base1k')`): one row per
+    * registration with the index definition knobs, plus the artifact's
+    * on-disk footprint (`files`/`bytes` — the `size` column analog,
+    * from one recursive driver-side listing of the artifact directory;
+    * registrations are few, artifacts are directories of large files,
+    * so the listing is trivially cheap at any data scale) and a
+    * human-readable `definition` mirroring the reference's `indexdef`.
+    * Pass `table` to restrict to one table's indexes (qualified the
+    * way [[register]] qualified it). */
+  def describe(spark: SparkSession,
+      table: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val wanted = table.map(normalize(spark, _))
+    val rows = registry.readOnlySnapshot().toSeq
+      .filter(e => wanted.forall(_ == e._1))
+      .sortBy(_._1)
+      .flatMap { case (tbl, metas) =>
+        metas.sortBy(m => (m.vecCol, m.metric)).map { m =>
+          val p = new Path(m.artifact)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          var files = 0L
+          var bytes = 0L
+          if (fs.exists(p)) {
+            val it = fs.listFiles(p, true)
+            while (it.hasNext) { files += 1; bytes += it.next().getLen }
+          }
+          val definition = s"CREATE INDEX ON $tbl USING ${m.kind} " +
+            s"(${m.vecCol} ${m.metric}) WITH (ef=${m.ef}" +
+            (if (m.nprobe > 0) s", nprobe=${m.nprobe}" else "") + ")"
+          (tbl, m.vecCol, m.idCol, m.metric, m.kind, m.ef, m.nprobe,
+            m.artifact, files, bytes, definition)
+        }
+      }
+    rows.toDF("table", "vec_col", "id_col", "metric", "kind", "ef",
+      "nprobe", "artifact", "files", "bytes", "definition")
+  }
+
   // ------------------------------------------------- catalog persistence
 
   /** Persist every registration as one JSON file — the session analog

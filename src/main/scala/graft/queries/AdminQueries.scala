@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-checkable gates for the ADMINISTRATIVE surface: the
+  * `validate_index` family run as one sweep across every index kind
+  * (the reference calls `_lantern_internal.validate_index` from most
+  * tests, e.g. lantern_hnsw/test/sql/hnsw_create.sql:36), catalog
+  * introspection (`ldb_get_indexes`,
+  * lantern_hnsw/test/sql/utils/common.sql:17-42), and the recall
+  * measurement utility (`calculate_table_recall`,
+  * lantern_hnsw/test/sql/utils/calculate_recall.sql:1-48) as a
+  * distributed aggregation.
+  */
+object AdminQueries {
+
+  /** Deterministic small corpus for the admin gates: the first 256
+    * embedding rows. Validators re-derive every stored row from its
+    * source, so the gate's cost is deliberately bounded — the point is
+    * certifying the validator family end-to-end, not re-running the
+    * recall protocol. */
+  private def slice(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .orderBy(col("vec_id")).limit(256)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Build (once, cached per sf fingerprint) one build+append artifact
+    * per index kind over [[slice]] and return the artifact root. Every
+    * kind goes through its REAL append path so the validators certify
+    * the mutation codec, not just the batch build. */
+  private def ensureArtifacts(s: SparkSession, dir: String): String = {
+    import graft.ann._
+    import graft.ops.{MultiVec, SparseSearch}
+    val root = AnnQueries.artifactDir("vall", dir, "embeddings")
+    AnnQueries.cached(root) {
+      val e = slice(s, dir)
+      e.persist()
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val lower = e.where(col("vec_id") <= maxId / 2)
+      val upper = e.where(col("vec_id") > maxId / 2)
+
+      AnnIndex.build(lower, "vec_id", "embedding", s"$root/hnsw",
+        AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+      AnnIndex.append(upper, "vec_id", "embedding", s"$root/hnsw")
+
+      BqIndex.build(lower, "vec_id", "embedding", s"$root/bq")
+      BqIndex.append(upper, "vec_id", "embedding", s"$root/bq")
+
+      MrlIndex.build(lower, "vec_id", "embedding", m = 16, s"$root/mrl")
+      MrlIndex.append(upper, "vec_id", "embedding", s"$root/mrl")
+
+      IvfIndex.build(lower, "vec_id", "embedding", s"$root/ivf", nlists = 4)
+      IvfIndex.append(upper, "vec_id", "embedding", s"$root/ivf")
+
+      IvfPqIndex.build(lower, "vec_id", "embedding", s"$root/ivfpq",
+        nlists = 4, subvectors = 8, clusters = 16)
+      IvfPqIndex.append(upper, "vec_id", "embedding", s"$root/ivfpq")
+
+      val cb = graft.pq.ProductQuantizer.trainCodebook(
+        lower, "embedding", subvectors = 8, clusters = 16)
+      PqAnnIndex.build(lower, "vec_id", "embedding", s"$root/pq", cb,
+        AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+      PqAnnIndex.append(upper, "vec_id", "embedding", s"$root/pq")
+
+      MultiVec.writeIndex(
+        MultiVec.tokens(e, "vec_id", "embedding", 4), s"$root/multivec",
+        nlists = 8)
+
+      val sv = e.select(col("vec_id"),
+        SparseSearch.sparsify(col("embedding"), 0.0f).as("sv"))
+      SparseSearch.writePostings(
+        SparseSearch.postings(sv, "vec_id", col("sv")),
+        s"$root/sparse", buckets = 4)
+      e.unpersist()
+      ()
+    }
+    root
+  }
+
+  /** `validate_all` — every kind's `validate_index` analog run against
+    * its freshly built+appended artifact in one sweep, one row per
+    * kind. Each validator re-derives the stored representation from
+    * the claimed source (graph vectors, sign bits, prefix slices,
+    * list assignments, residual/pq codes, centroid filings, term
+    * buckets) and throws on the first violation, so a green row is
+    * codec-level bit-identity evidence. The reference validates every
+    * index it ships the same way (validate_index.c:436-528). */
+  private def validateAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann._
+    import graft.ops.{MultiVec, SparseSearch}
+    val root = ensureArtifacts(s, dir)
+    val e = slice(s, dir).persist()
+    try {
+      val n = e.count()
+      val src = Some((e, "vec_id", "embedding"))
+      val postings = SparseSearch.postings(
+        e.select(col("vec_id"),
+          SparseSearch.sparsify(col("embedding"), 0.0f).as("sv")),
+        "vec_id", col("sv")).count()
+      // the eight validators are independent multi-job reads of
+      // disjoint artifacts; wall time is driver job-launch latency, not
+      // compute — run them concurrently (Spark's scheduler interleaves
+      // jobs from multiple submitter threads), like a fleet of
+      // per-index VACUUM VERIFY workers would at scale
+      val checks: Seq[(String, () => Boolean)] = Seq(
+        "bq" -> (() => BqIndex.validateIndex(e, "vec_id", "embedding",
+          s"$root/bq") == n),
+        "hnsw" -> (() =>
+          AnnIndex.validateIndex(s, s"$root/hnsw", source = src) == n),
+        "ivf" -> (() =>
+          IvfIndex.validateIndex(s, s"$root/ivf", source = src) == n),
+        "ivfpq" -> (() =>
+          IvfPqIndex.validateIndex(s, s"$root/ivfpq", source = src) == n),
+        "mrl" -> (() =>
+          MrlIndex.validateIndex(s, s"$root/mrl", source = src) == n),
+        "multivec" -> (() => MultiVec.validateIndex(s, s"$root/multivec") == n),
+        "pq" -> (() =>
+          PqAnnIndex.validateIndex(s, s"$root/pq", source = src) == n),
+        "sparse" -> (() => SparseSearch.validatePostings(s,
+          s"$root/sparse") == postings))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(checks.size)
+      val results =
+        try {
+          val futures = checks.map { case (kind, check) =>
+            kind -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean = check()
+            })
+          }
+          futures.map { case (kind, f) => (kind, if (f.get()) 1 else 0) }
+        } finally pool.shutdown()
+      results.toDF("kind", "ok").orderBy("kind")
+    } finally { e.unpersist(); () }
+  }
+
+  private val validateAllOracle =
+    """SELECT * FROM (VALUES
+      |  ('bq', 1), ('hnsw', 1), ('ivf', 1), ('ivfpq', 1),
+      |  ('mrl', 1), ('multivec', 1), ('pq', 1), ('sparse', 1)
+      |) t(kind, ok) ORDER BY kind""".stripMargin
+
+  /** `index_info` — the `ldb_get_indexes` analog: register two indexes
+    * on the embeddings table, read them back through
+    * [[graft.plans.AnnCatalog.describe]], and project the
+    * deterministic definition columns plus a non-empty-artifact check
+    * (the reference's `size` column made hashable). */
+  private def indexInfo(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.AnnCatalog
+    val root = ensureArtifacts(s, dir)
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath, AnnCatalog.IndexMeta(
+      s"$root/hnsw", "vec_id", "embedding", "l2sq", ef = 64, kind = "hnsw"))
+    AnnCatalog.register(s, tablePath, AnnCatalog.IndexMeta(
+      s"$root/ivf", "vec_id", "embedding", "cos", ef = 128, kind = "ivf",
+      nprobe = 4))
+    try {
+      AnnCatalog.describe(s, table = Some(tablePath))
+        .select(col("kind"), col("metric"), col("vec_col"), col("id_col"),
+          col("ef"), col("nprobe"),
+          (col("files") > 0).cast("int").as("has_files"),
+          (col("bytes") > 0).cast("int").as("has_bytes"))
+        .orderBy("kind")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
+  private val indexInfoOracle =
+    """SELECT * FROM (VALUES
+      |  ('hnsw', 'l2sq', 'embedding', 'vec_id', 64, 0, 1, 1),
+      |  ('ivf', 'cos', 'embedding', 'vec_id', 128, 4, 1, 1)
+      |) t(kind, metric, vec_col, id_col, ef, nprobe, has_files, has_bytes)
+      |ORDER BY kind""".stripMargin
+
+  /** `table_recall` — [[graft.ops.Recall.tableRecall]] as a gate: the
+    * hnsw artifact answers 8 held-in queries, the exact top-10 truth
+    * comes from one broadcast kNN join, and the distributed recall
+    * aggregation must (a) score the truth against itself at exactly
+    * 1.0 — the measurement's own identity — and (b) score the ANN
+    * answers ≥ 0.8, the reference regression bar. */
+  private def tableRecallGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.AnnIndex
+    import graft.ops.{Recall, VectorSearch}
+    val root = ensureArtifacts(s, dir)
+    val e = slice(s, dir)
+    val qs = e.orderBy(col("vec_id")).limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val retrieved = AnnIndex.searchMany(s, s"$root/hnsw", qs.toSeq, k = 10)
+    val truth = VectorSearch.knnJoinExact(
+      qDf, "query_id", "qv", e, "vec_id", "embedding", 10, "l2sq")
+    val identity = Recall.tableRecall(truth, truth, 10,
+      "query_id", "neighbor_id")
+    val recall = Recall.tableRecall(retrieved, truth, 10,
+      "query_id", "neighbor_id")
+    if (math.abs(identity - 1.0) < 1e-12 && recall >= 0.8)
+      Seq(1).toDF("ok")
+    else Seq.empty[Int].toDF("ok")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("validate_all", Some(validateAllOracle), validateAll),
+    QueryDef("index_info", Some(indexInfoOracle), indexInfo),
+    QueryDef("table_recall", Some("SELECT 1 AS ok"), tableRecallGate),
+  )
+}

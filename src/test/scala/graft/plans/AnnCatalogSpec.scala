@@ -1,57 +1,56 @@
 package graft.plans
 
-import org.apache.spark.sql.functions._
-import graft.{SparkTestBase, Tables}
-import graft.functions.l2sq_dist
+import graft.SparkTestBase
 
+/** [[AnnCatalog.describe]] — the `ldb_get_indexes` analog (reference
+  * lantern_hnsw/test/sql/utils/common.sql:17-42): one row per
+  * registration, definition knobs round-trip, artifact footprint from
+  * the filesystem, rows filterable by table. */
 class AnnCatalogSpec extends SparkTestBase {
 
-  test("save/load round-trips registrations and the planner still fires") {
-    import graft.ann.{AnnIndex, AnnParams}
-    val dir = sf("sf0.001")
-    val e = Tables.embeddings(spark, dir)
-    val idx = new java.io.File(
-      java.nio.file.Files.createTempDirectory("graft-cat").toFile, "idx").toString
-    AnnIndex.build(e, "vec_id", "embedding", idx,
-      AnnParams(m = 8, efConstruction = 64, ef = 64, numPartitions = 2))
-    val tablePath = s"$dir/embeddings.parquet"
-    val catFile = java.nio.file.Files
-      .createTempDirectory("graft-catf").toString + "/catalog.json"
+  test("describe lists registrations with footprint and definition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val tableA = s"$tmp/tableA.parquet"
+    val tableB = s"$tmp/tableB.parquet"
+    val artifact = s"$tmp/artifact"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(artifact))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$artifact/part-0"), Array[Byte](1, 2, 3))
+
+    AnnCatalog.register(spark, tableA, AnnCatalog.IndexMeta(
+      artifact, "id", "v", "l2sq", ef = 64, kind = "hnsw"))
+    AnnCatalog.register(spark, tableA, AnnCatalog.IndexMeta(
+      s"$tmp/missing", "id", "v", "cos", ef = 32, kind = "ivf", nprobe = 4))
+    AnnCatalog.register(spark, tableB, AnnCatalog.IndexMeta(
+      artifact, "id", "v", "l2sq", ef = 16, kind = "bq"))
     try {
-      AnnCatalog.register(spark, tablePath,
-        AnnCatalog.IndexMeta(idx, "vec_id", "embedding", "l2sq", ef = 64))
-      AnnCatalog.register(spark, tablePath,
-        AnnCatalog.IndexMeta(idx, "vec_id", "embedding", "cos", ef = 32,
-          kind = "ivf", nprobe = 4))
-      AnnCatalog.save(spark, catFile)
+      val all = AnnCatalog.describe(spark).collect()
+      val mine = all.filter(_.getString(0).contains(tmp))
+      assert(mine.length == 3)
 
-      // simulate a fresh session: catalog cleared, planner stops firing
-      AnnCatalog.unregister(spark, tablePath)
-      val q = e.select("embedding").head().getSeq[Float](0).toArray
-      def knn = e.select(col("vec_id"), col("embedding"))
-        .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(5)
-      assert(knn.queryExecution.optimizedPlan.collect {
-        case a: AnnScanLogical => a
-      }.isEmpty)
+      val a = AnnCatalog.describe(spark, table = Some(tableA)).collect()
+      assert(a.length == 2)
+      // sorted by (vec_col, metric): cos row first
+      val ivfRow = a(0)
+      assert(ivfRow.getAs[String]("kind") == "ivf" &&
+        ivfRow.getAs[Int]("nprobe") == 4 &&
+        ivfRow.getAs[Long]("files") == 0L &&
+        ivfRow.getAs[Long]("bytes") == 0L)
+      assert(ivfRow.getAs[String]("definition")
+        .contains("USING ivf (v cos) WITH (ef=32, nprobe=4)"))
+      val hnswRow = a(1)
+      assert(hnswRow.getAs[String]("kind") == "hnsw" &&
+        hnswRow.getAs[Long]("files") == 1L &&
+        hnswRow.getAs[Long]("bytes") == 3L)
+      assert(hnswRow.getAs[String]("definition")
+        .contains("USING hnsw (v l2sq) WITH (ef=64)"))
 
-      val n = AnnCatalog.load(spark, catFile)
-      assert(n == 2)
-      // both metas restored with their fields
-      val fsPath = new org.apache.hadoop.fs.Path(tablePath)
-      val qualified = fsPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).makeQualified(fsPath)
-      val cosMeta = AnnCatalog.lookup(Seq(qualified), "embedding", "cos")
-      assert(cosMeta.exists(m =>
-        m.kind == "ivf" && m.nprobe == 4 && m.ef == 32 && m.artifact == idx))
-      // and the optimizer fires again off the loaded catalog
-      assert(knn.queryExecution.optimizedPlan.collect {
-        case a: AnnScanLogical => a
-      }.nonEmpty)
-      assert(knn.select("vec_id").collect().nonEmpty)
-
-      // load is idempotent (replace-by-(vecCol, metric), not duplicate)
-      AnnCatalog.load(spark, catFile)
-      assert(AnnCatalog.lookup(Seq(qualified), "embedding", "cos").size == 1)
-    } finally AnnCatalog.unregister(spark, tablePath)
+      val b = AnnCatalog.describe(spark, table = Some(tableB)).collect()
+      assert(b.length == 1 && b(0).getAs[String]("kind") == "bq")
+    } finally {
+      AnnCatalog.unregister(spark, tableA)
+      AnnCatalog.unregister(spark, tableB)
+    }
+    assert(AnnCatalog.describe(spark, table = Some(tableA)).isEmpty)
   }
 }

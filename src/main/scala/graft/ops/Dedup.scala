@@ -626,7 +626,32 @@ object Dedup {
     val (toks, small, big) =
       minhashBuckets(df, idCol, tokensCol, numHashes, bands, maxBucket)
 
+    // pairs whose BOTH endpoints sit in the SAME merged oversized
+    // bucket are already covered by that bucket's own verification
+    // machinery — all-pairs for under-limit buckets, the star path's
+    // exactness guarantee (anchor / bridge / leftover) for the rest —
+    // so surviving small band-fragments of a mega-cluster must not
+    // re-emit them. Without this, a corpus that is one big near-dup
+    // clique pays up to bands× duplicated verify work AND floods the
+    // component step with tens of millions of redundant edges
+    // (measured at a planted 10× corpus: 32.4M small-bucket pairs, of
+    // which ~99% were intra-mega-bucket — the keepers job thrashed;
+    // with the filter the pair set collapses to the genuine
+    // cross-bucket remainder and components run driver-side).
+    // Merged oversized buckets are disjoint (merging is by shared
+    // member), so membership is a function: one broadcast-joined
+    // lookup per endpoint.
+    val bigMember = big
+      .withColumn("__comp", monotonically_increasing_id())
+      .select($"__comp", explode($"ids").as("id"))
+      .localCheckpoint() // tiny: one row per oversized-bucket member
     val smallCand = smallAllPairs(small)
+      .join(bigMember.select($"id".as("id_a"), $"__comp".as("__ca")),
+        Seq("id_a"), "left")
+      .join(bigMember.select($"id".as("id_b"), $"__comp".as("__cb")),
+        Seq("id_b"), "left")
+      .where($"__ca".isNull || $"__cb".isNull || $"__ca" =!= $"__cb")
+      .select($"id_a", $"id_b")
     val toksBytes = toks
       .agg(coalesce(sum(size($"toks")), lit(0)).cast("long")).head().getLong(0) * 8L
     // the regime gate is token-table BYTES, which does not bound bucket
@@ -644,8 +669,12 @@ object Dedup {
         // over-limit buckets run star rounds with the same broadcast
         // map — ONE collect shared across every pass
         val bcast = broadcastToksMap(toks)
+        // the same pair can survive in several band fragments — dedupe
+        // before paying the verify (merged big buckets are disjoint,
+        // so bigAllPairs needs no distinct)
         val direct = verifyPairsWithBcast(
-          smallCand.unionByName(bigAllPairs(bigDirect)), bcast, threshold)
+          smallCand.distinct().unionByName(bigAllPairs(bigDirect)),
+          bcast, threshold)
           .select($"id_a", $"id_b")
         if (bigStar.head(1).isEmpty) direct
         else {
@@ -710,8 +739,10 @@ object Dedup {
     *    `a` provably cannot connect to `a`'s group and are skipped;
     *  - both never assigned → leftover all-pairs candidates.
     *
-    * @return (verified star edges (id_a,id_b), candidate pairs still
-    *         to verify at `threshold` — bridge + leftover)
+    * @return (verified edges (id_a,id_b) — star assignments plus any
+    *         bridge edges the chunked bridge scan verified in-pass,
+    *         candidate pairs still to verify at `threshold` —
+    *         small-product bridge tails + leftover)
     */
   private[graft] def bigBucketStarEdges(
       big: DataFrame,
@@ -719,7 +750,9 @@ object Dedup {
       threshold: Double,
       maxRounds: Int = 16,
       leftoverPairBudget: Long = 2000000L,
-      verify: (DataFrame, Double) => DataFrame = null): (DataFrame, DataFrame) = {
+      verify: (DataFrame, Double) => DataFrame = null,
+      bridgeChunkFloor: Long = 8000000L,
+      bridgeChunkRows: Int = 4096): (DataFrame, DataFrame) = {
     val spark = big.sparkSession
     import spark.implicits._
     // default verifier: the blocked chunk path (the 100 TB shape); the
@@ -798,31 +831,108 @@ object Dedup {
         .agg(sort_array(collect_list($"id")).as("ids"))
         .where(size($"ids") > 1)
         .select($"ids"))
-    val bridge =
-      if (midParts.isEmpty) emptyPairs
-      else {
-        val mids = midParts.reduce(_ unionByName _)
-        val groups = groupParts.reduce(_ unionByName _)
-        // REVERSE-triangle prune: for an edge (u, v) with j(u,v) >= t,
-        // |d(a,u) − d(a,v)| <= d(u,v) <= 1−t must hold, i.e.
-        // j(a,v) <= j(a,u) + (1−t). A mid doc at j(a,u) = 0.65 cannot
-        // connect to a core member at j(a,v) = 0.95 — this cuts most of
-        // the mid×group product (and excludes anchors, gj = 1.0, whose
-        // mid pairs were already verified). The 1e-9 slack keeps pairs
-        // sitting exactly ON the bound (small rational jaccards do hit
-        // it: mj = 2/3, gj = 13/15, j(u,v) = 0.8 exactly) from being
-        // lost to double rounding — slack only ADDS candidates, and
-        // candidates are always exact-verified.
-        mids.join(
-          groups.select($"bid", $"round", $"id".as("gid"), $"gj"),
-          Seq("bid", "round"))
-          .where($"id" =!= $"gid" && $"gj" <= $"mj" + lit(1.0 - threshold + 1e-9))
-          .select(least($"id", $"gid").as("id_a"), greatest($"id", $"gid").as("id_b"))
+    // Bridge pass. REVERSE-triangle prune throughout: for an edge
+    // (u, v) with j(u,v) >= t, |d(a,u) − d(a,v)| <= d(u,v) <= 1−t must
+    // hold, i.e. j(a,v) <= j(a,u) + (1−t). A mid doc at j(a,u) = 0.65
+    // cannot connect to a core member at j(a,v) = 0.95 — this cuts the
+    // mid×group product when anchor similarities spread (and excludes
+    // anchors, gj = 1.0, whose mid pairs were already verified). The
+    // 1e-9 slack keeps pairs sitting exactly ON the bound (small
+    // rational jaccards do hit it: mj = 2/3, gj = 13/15, j(u,v) = 0.8
+    // exactly) from being lost to double rounding — slack only ADDS
+    // candidates, and candidates are always exact-verified.
+    //
+    // In a near-clique the prune keeps almost everything, and the raw
+    // mid×group join materializes |mids|·|group| rows inside ONE task
+    // (the join key (bid, round) has a single hot value — measured
+    // 6 GiB in one partition on a planted 10× mega-clique). So when
+    // the product exceeds `leftoverPairBudget`, group members are
+    // scanned in CHUNKS with early exit: a mid leaves the scan at its
+    // FIRST verified edge into a group — group members are already
+    // mutually connected through their anchor, so one edge is all the
+    // component step needs; further edges into the same group are
+    // redundant. Mids that exhaust every chunk have had every
+    // in-band pair exact-verified (exactness preserved). The chunk
+    // loop stops early once the remaining product fits the budget and
+    // hands the tail to the caller's verifier as plain candidates.
+    var bridgeEdges = emptyPairs
+    var bridgeCand = emptyPairs
+    if (midParts.nonEmpty) {
+      val mids = midParts.reduce(_ unionByName _)
+      val groups = groupParts.reduce(_ unionByName _)
+        .select($"bid", $"round", $"id".as("gid"), $"gj")
+      val prune = $"id" =!= $"gid" &&
+        $"gj" <= $"mj" + lit(1.0 - threshold + 1e-9)
+      def productOf(p: DataFrame, g: DataFrame): Long =
+        p.groupBy($"bid", $"round").agg(count(lit(1)).as("nm"))
+          .join(g.groupBy($"bid", $"round").agg(count(lit(1)).as("ng")),
+            Seq("bid", "round"))
+          .agg(coalesce(sum($"nm" * $"ng"), lit(0)).cast("long"))
+          .head().getLong(0)
+      // the chunked scan guards MATERIALIZATION (a hot-key join blob),
+      // not verify work — so its trigger has a floor well above the
+      // tunable pair budget: 8M pairs × 16 B ≈ 128 MB, spread by the
+      // repartition, is safe anywhere, and per-iteration verifier
+      // overhead only pays off beyond that
+      val bridgeProductBudget = math.max(leftoverPairBudget, bridgeChunkFloor)
+      if (productOf(mids, groups) <= bridgeProductBudget) {
+        bridgeCand = mids.join(groups, Seq("bid", "round"))
+          .where(prune)
+          .select(least($"id", $"gid").as("id_a"),
+            greatest($"id", $"gid").as("id_b"))
+      } else {
+        val chunkRows = bridgeChunkRows
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"bid", $"round").orderBy($"gid")
+        val chunks = groups
+          .withColumn("chunk",
+            ((row_number().over(w) - 1) / chunkRows).cast("int"))
+          .localCheckpoint()
+        val nChunks =
+          chunks.agg(coalesce(max($"chunk"), lit(0))).head().getInt(0) + 1
+        var pending = mids.localCheckpoint()
+        val edgeParts = scala.collection.mutable.ListBuffer[DataFrame]()
+        var c = 0
+        var drained = false
+        while (c < nChunks && !drained &&
+            productOf(pending, chunks.where($"chunk" >= c)) >
+              bridgeProductBudget) {
+          val cand = pending
+            .join(chunks.where($"chunk" === c), Seq("bid", "round"))
+            .where(prune)
+            .select($"bid", $"round", $"id".as("mid"),
+              least($"id", $"gid").as("id_a"),
+              greatest($"id", $"gid").as("id_b"))
+            // spread the hot-key join output before the map-side verify
+            .repartition($"id_a")
+            .localCheckpoint()
+          val ve = verifyFn(cand.select($"id_a", $"id_b"), threshold)
+            .select($"id_a", $"id_b").localCheckpoint()
+          edgeParts += ve
+          // a verified edge connects the mid to that (bid, round)
+          // group — its remaining chunks of THAT group are redundant
+          val matched = ve.join(cand, Seq("id_a", "id_b"))
+            .select($"bid", $"round", $"mid".as("id")).distinct()
+          pending = pending
+            .join(matched, Seq("bid", "round", "id"), "left_anti")
+            .localCheckpoint()
+          drained = pending.head(1).isEmpty
+          c += 1
+        }
+        if (edgeParts.nonEmpty)
+          bridgeEdges = edgeParts.reduce(_ unionByName _)
+        if (!drained && c < nChunks)
+          bridgeCand = pending
+            .join(chunks.where($"chunk" >= c), Seq("bid", "round"))
+            .where(prune)
+            .select(least($"id", $"gid").as("id_a"),
+              greatest($"id", $"gid").as("id_b"))
       }
+    }
     val star =
-      if (starParts.isEmpty) emptyPairs
-      else starParts.reduce(_ unionByName _)
-    (star, leftover.unionByName(bridge))
+      if (starParts.isEmpty) bridgeEdges
+      else starParts.reduce(_ unionByName _).unionByName(bridgeEdges)
+    (star, leftover.unionByName(bridgeCand))
   }
 
   // ----------------------------------------------------------- simhash

@@ -148,6 +148,21 @@ class DedupSpec extends SparkTestBase {
     assert(labels(3L) == 1L, s"bridge doc lost: $labels")
     assert(labels(2L) == 1L && labels(4L) == 1L)
     assert(labels(20L) == 20L && labels(23L) == 20L)
+
+    // the CHUNKED bridge scan (mega-clique guard: group members
+    // scanned in bounded chunks, a mid leaves at its first verified
+    // edge) must preserve the same components — force it with a floor
+    // of 1 pair and 2-member chunks so several iterations and the
+    // early exit genuinely run
+    val (star2, extra2) = Dedup.bigBucketStarEdges(
+      big, toks, 0.8, maxRounds = 16, leftoverPairBudget = 0L,
+      bridgeChunkFloor = 1L, bridgeChunkRows = 2)
+    val verified2 = star2.unionByName(
+      Dedup.verifyPairsChunked(extra2.distinct(), toks, 0.8)
+        .select($"id_a", $"id_b"))
+    val labels2 = Dedup.connectedComponents(verified2, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels2 == labels, s"chunked bridge diverged: $labels2 vs $labels")
   }
 
   test("minhashDedupKeepers assigns keeper = component min, self for singletons") {

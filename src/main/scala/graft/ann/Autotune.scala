@@ -440,6 +440,89 @@ object Autotune {
       .toDF("pool", "recall", "avg_search_ms", "build_secs", "picked")
   }
 
+  // ------------------------------------------------- in-graph PQ (pq)
+
+  case class PqResult(ef: Int, recall: Double, avgSearchMs: Double)
+  case class PqReport(buildSecs: Double, results: Seq[PqResult],
+      picked: Option[PqResult])
+
+  /** The `autotune-index` protocol for the in-graph PQ kind
+    * (reference grid semantics index_autotune/mod.rs:328-358 applied
+    * to the pq serving knob): codebook + graph built ONCE, `ef` — the
+    * LUT-walk beam width a `kind = "pq"` registration exposes — swept
+    * ascending under the EXACT float rerank. Unlike the bq/mrl pools
+    * (nested prefixes of one ranking), a graph walk at a larger ef is
+    * not a superset of a smaller one, so the report records whatever
+    * recall each beam measures and the pick is simply the first
+    * variant meeting the target; monotonicity is NOT promised. */
+  def autotunePq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      queryCount: Int = 10,
+      targetRecall: Double = 0.9,
+      efs: Seq[Int] = Seq(16, 32, 64, 128, 256, 400),
+      subvectors: Int = 8,
+      clusters: Int = 64,
+      metric: String = "l2sq",
+      workDir: String = null): PqReport = {
+    val spark = df.sparkSession
+    val ownsWorkDir = workDir == null
+    val base = Option(workDir).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-pqtune").toString)
+    val queries = graft.util.Sampling
+      .hashSample(df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        queryCount, col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(queries.nonEmpty, "graft: autotune needs at least one sample row")
+    val truth = queries.map { case (_, q) =>
+      VectorSearch.exact(df, col(vecCol), q, k, metric,
+        tieBreak = Seq(col(idCol)))
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    }
+
+    val path = s"$base/pq"
+    val t0 = System.nanoTime()
+    val cb = graft.pq.ProductQuantizer.trainCodebook(
+      df, vecCol, subvectors, clusters)
+    PqAnnIndex.build(df, idCol, vecCol, path, cb,
+      AnnParams(m = 16, efConstruction = 128, ef = efs.max,
+        numPartitions = 4, metric = metric))
+    val buildSecs = (System.nanoTime() - t0) / 1e9
+
+    val results = efs.sorted.map { ef =>
+      val t1 = System.nanoTime()
+      val got = PqAnnIndex.searchMany(spark, path, queries.toSeq, k,
+          ef = ef, rerank = Some((df, idCol, vecCol)), metric = metric)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      val avgMs = (System.nanoTime() - t1) / 1e6 / queries.length
+      var hits = 0; var total = 0
+      queries.zip(truth).foreach { case ((qid, _), expected) =>
+        hits += got.getOrElse(qid, Set.empty).intersect(expected).size
+        total += expected.size
+      }
+      PqResult(ef, hits.toDouble / total, avgMs)
+    }
+    if (ownsWorkDir) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    PqReport(buildSecs, results, results.find(_.recall >= targetRecall))
+  }
+
+  /** PQ report as a DataFrame (same persistence shape as [[reportDf]]). */
+  def pqReportDf(spark: SparkSession, report: PqReport): DataFrame = {
+    import spark.implicits._
+    report.results
+      .map(r => (r.ef, r.recall, r.avgSearchMs, report.buildSecs,
+        report.picked.contains(r)))
+      .toDF("ef", "recall", "avg_search_ms", "build_secs", "picked")
+  }
+
   // --------------------------------------------------- matryoshka (MRL)
 
   case class MrlVariant(m: Int, pool: Int)

@@ -325,6 +325,43 @@ object LifecycleQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** PQ autotune gate ([[graft.ann.Autotune.autotunePq]] — the
+    * `autotune-index` protocol for the in-graph PQ serving knob): one
+    * codebook + graph build, the `ef` beam width swept ascending under
+    * the exact float rerank. A graph walk at a larger ef is NOT a
+    * superset of a smaller one (unlike the nested bq/mrl pools), so
+    * the recorded-spec check asserts the grid is fully measured with
+    * exactly one pick = the FIRST variant meeting the target and every
+    * cheaper variant below it — monotonicity deliberately unchecked. */
+  private def pqAutotune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.Autotune
+    val target = 0.9
+    val efs = Seq(16, 32, 64, 128, 256, 400)
+    val reportPath = AnnQueries.artifactDir("pqtune", dir, "embeddings")
+    AnnQueries.cached(reportPath) {
+      val rep = Autotune.autotunePq(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", queryCount = 5, targetRecall = target,
+        efs = efs)
+      Autotune.pqReportDf(s, rep)
+        .write.mode("overwrite").parquet(s"$reportPath/report")
+    }
+    val rows = s.read.parquet(s"$reportPath/report").collect()
+      .map(r => (r.getAs[Int]("ef"), r.getAs[Double]("recall"),
+        r.getAs[Boolean]("picked")))
+      .sortBy(_._1)
+    val ruleOk = rows.map(_._1).toSeq == efs && {
+      val recalls = rows.map(_._2).toSeq
+      val picks = rows.map(_._3).toSeq
+      val firstQualifying = recalls.indexWhere(_ >= target)
+      firstQualifying >= 0 && picks.count(identity) == 1 &&
+        picks(firstQualifying) &&
+        recalls.take(firstQualifying).forall(_ < target)
+    }
+    if (ruleOk) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ivf_insert", Some("SELECT 1 AS ok"),
       streamingIvfInsert),
@@ -335,5 +372,6 @@ object LifecycleQueries {
     QueryDef("pq_delete", Some("SELECT 1 AS ok"), pqDelete),
     QueryDef("autotune_ivf", Some("SELECT 1 AS ok"), ivfAutotune),
     QueryDef("autotune_ivfpq", Some("SELECT 1 AS ok"), ivfPqAutotune),
+    QueryDef("autotune_pq", Some("SELECT 1 AS ok"), pqAutotune),
   )
 }

@@ -486,7 +486,7 @@ object Autotune {
     val path = s"$base/pq"
     val t0 = System.nanoTime()
     val cb = graft.pq.ProductQuantizer.trainCodebook(
-      df, vecCol, subvectors, clusters)
+      df, vecCol, clusters = clusters, subvectors = subvectors)
     PqAnnIndex.build(df, idCol, vecCol, path, cb,
       AnnParams(m = 16, efConstruction = 128, ef = efs.max,
         numPartitions = 4, metric = metric))

@@ -881,24 +881,37 @@ object Dedup {
           .select(least($"id", $"gid").as("id_a"),
             greatest($"id", $"gid").as("id_b"))
       } else {
-        val chunkRows = bridgeChunkRows
+        // per-(bid, round) scan position over rank-ordered group
+        // members; the stride ADAPTS to the live pending count so each
+        // iteration's candidate volume stays within the budget even
+        // when the MID side dominates (a 300k-mid bucket at a fixed
+        // 4096-wide stride would be 1.2B pairs in one iteration —
+        // the very blob this loop exists to avoid). bridgeChunkRows
+        // caps the stride so a few stragglers cannot turn the tail of
+        // a huge group into one giant iteration. Superseded pending /
+        // cand checkpoint generations become unreachable on
+        // reassignment and the ContextCleaner reclaims their storage;
+        // only the ve edge frames stay referenced (bounded: verified
+        // edges only).
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"bid", $"round").orderBy($"gid")
-        val chunks = groups
-          .withColumn("chunk",
-            ((row_number().over(w) - 1) / chunkRows).cast("int"))
+        val ranked = groups
+          .withColumn("rn", (row_number().over(w) - 1).cast("long"))
           .localCheckpoint()
-        val nChunks =
-          chunks.agg(coalesce(max($"chunk"), lit(0))).head().getInt(0) + 1
+        val maxGroup =
+          ranked.agg(coalesce(max($"rn"), lit(0L))).head().getLong(0) + 1
         var pending = mids.localCheckpoint()
+        var nPending = pending.count()
         val edgeParts = scala.collection.mutable.ListBuffer[DataFrame]()
-        var c = 0
-        var drained = false
-        while (c < nChunks && !drained &&
-            productOf(pending, chunks.where($"chunk" >= c)) >
+        var off = 0L
+        while (off < maxGroup && nPending > 0 &&
+            productOf(pending, ranked.where($"rn" >= off)) >
               bridgeProductBudget) {
+          val width = math.max(1L, math.min(bridgeChunkRows.toLong,
+            bridgeProductBudget / math.max(1L, nPending)))
           val cand = pending
-            .join(chunks.where($"chunk" === c), Seq("bid", "round"))
+            .join(ranked.where($"rn" >= off && $"rn" < off + width),
+              Seq("bid", "round"))
             .where(prune)
             .select($"bid", $"round", $"id".as("mid"),
               least($"id", $"gid").as("id_a"),
@@ -910,20 +923,20 @@ object Dedup {
             .select($"id_a", $"id_b").localCheckpoint()
           edgeParts += ve
           // a verified edge connects the mid to that (bid, round)
-          // group — its remaining chunks of THAT group are redundant
+          // group — the rest of THAT group's scan is redundant for it
           val matched = ve.join(cand, Seq("id_a", "id_b"))
             .select($"bid", $"round", $"mid".as("id")).distinct()
           pending = pending
             .join(matched, Seq("bid", "round", "id"), "left_anti")
             .localCheckpoint()
-          drained = pending.head(1).isEmpty
-          c += 1
+          nPending = pending.count()
+          off += width
         }
         if (edgeParts.nonEmpty)
           bridgeEdges = edgeParts.reduce(_ unionByName _)
-        if (!drained && c < nChunks)
+        if (nPending > 0 && off < maxGroup)
           bridgeCand = pending
-            .join(chunks.where($"chunk" >= c), Seq("bid", "round"))
+            .join(ranked.where($"rn" >= off), Seq("bid", "round"))
             .where(prune)
             .select(least($"id", $"gid").as("id_a"),
               greatest($"id", $"gid").as("id_b"))

@@ -66,14 +66,18 @@ object AdminQueries {
       PqAnnIndex.append(upper, "vec_id", "embedding", s"$root/pq")
 
       MultiVec.writeIndex(
-        MultiVec.tokens(e, "vec_id", "embedding", 4), s"$root/multivec",
+        MultiVec.tokens(lower, "vec_id", "embedding", 4), s"$root/multivec",
         nlists = 8)
+      MultiVec.appendToIndex(s, s"$root/multivec",
+        MultiVec.tokens(upper, "vec_id", "embedding", 4))
 
-      val sv = e.select(col("vec_id"),
-        SparseSearch.sparsify(col("embedding"), 0.0f).as("sv"))
-      SparseSearch.writePostings(
-        SparseSearch.postings(sv, "vec_id", col("sv")),
+      def sparsePostings(part: DataFrame) = SparseSearch.postings(
+        part.select(col("vec_id"),
+          SparseSearch.sparsify(col("embedding"), 0.0f).as("sv")),
+        "vec_id", col("sv"))
+      SparseSearch.writePostings(sparsePostings(lower),
         s"$root/sparse", buckets = 4)
+      SparseSearch.appendPostings(sparsePostings(upper), s"$root/sparse")
       e.unpersist()
       ()
     }
@@ -85,9 +89,11 @@ object AdminQueries {
     * kind. Each validator re-derives the stored representation from
     * the claimed source (graph vectors, sign bits, prefix slices,
     * list assignments, residual/pq codes, centroid filings, term
-    * buckets) and throws on the first violation, so a green row is
-    * codec-level bit-identity evidence. The reference validates every
-    * index it ships the same way (validate_index.c:436-528). */
+    * buckets) and throws naming the first violation — the sweep
+    * catches that and flips the kind's row to 0, so a green row is
+    * codec-level bit-identity evidence and a red run names the broken
+    * kind in the oracle diff. The reference validates every index it
+    * ships the same way (validate_index.c:436-528). */
   private def validateAll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ann._
@@ -126,8 +132,16 @@ object AdminQueries {
       val results =
         try {
           val futures = checks.map { case (kind, check) =>
+            // a validator THROWS on its first violation (naming the
+            // row) — for this sweep that is a red row, not a dead
+            // gate, so the oracle sees which kind broke
             kind -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-              def call(): Boolean = check()
+              def call(): Boolean =
+                try check()
+                catch {
+                  case _: IllegalStateException | _: IllegalArgumentException =>
+                    false
+                }
             })
           }
           futures.map { case (kind, f) => (kind, if (f.get()) 1 else 0) }

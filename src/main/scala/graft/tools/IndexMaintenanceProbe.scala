@@ -9,7 +9,7 @@ import graft.queries.RecallProtocol
   * prove ONE append round and ONE delete each; nothing proved an index
   * stays healthy through many interleaved maintenance cycles, which is
   * what a 100 TB deployment actually does to it. Per kind
-  * (hnsw, ivf, ivfpq, pq), one artifact lives through `rounds` cycles
+  * (hnsw, ivf, ivfpq, pq, bq, mrl), one artifact lives through `rounds` cycles
   * of: append a fresh 2k-vector wave → tombstone a deterministic slice
   * of an OLD wave → every 4th round consolidate. After every round the
   * probe asserts, against exact brute-force truth over the CURRENT
@@ -42,7 +42,8 @@ object IndexMaintenanceProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val rounds = args.lift(1).map(_.toInt).getOrElse(12)
-    val kinds = args.lift(2).getOrElse("hnsw,ivf,ivfpq,pq").split(",").toSeq
+    val kinds = args.lift(2).getOrElse("hnsw,ivf,ivfpq,pq,bq,mrl")
+      .split(",").toSeq
     val initialWaves = 3
     val consolidateEvery = 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -99,6 +100,12 @@ object IndexMaintenanceProbe {
         delete: (String, Seq[Long]) => Unit,
         consolidate: String => Unit,
         validate: (String, DataFrame) => Long,
+        // search's DataFrame is the FULL corpus (deleted rows still
+        // present) — the realistic rerank source (a user deletes from
+        // the index before the table catches up), and the shape that
+        // makes the deleted-id check real: a leaked tombstone must
+        // SURFACE in results, not be silently laundered out by a
+        // rerank join against an already-clean table
         search: (String, DataFrame) => DataFrame)
 
     def ops(name: String): KindOps = name match {
@@ -136,9 +143,9 @@ object IndexMaintenanceProbe {
           p => IvfPqIndex.consolidate(spark, p),
           (p, live) => IvfPqIndex.validateIndex(spark, p,
             source = Some((live, "id", "vec"))),
-          (p, live) => IvfPqIndex.searchMany(spark, p, queries.toSeq,
+          (p, corpus) => IvfPqIndex.searchMany(spark, p, queries.toSeq,
             k = 10, nprobe = 16, ef = 512,
-            rerank = Some((live, "id", "vec"))))
+            rerank = Some((corpus, "id", "vec"))))
       case "pq" =>
         import graft.ann.{AnnParams, PqAnnIndex}
         import graft.pq.ProductQuantizer
@@ -155,8 +162,32 @@ object IndexMaintenanceProbe {
           p => PqAnnIndex.consolidate(spark, p, numPartitions = 4),
           (p, live) => PqAnnIndex.validateIndex(spark, p,
             source = Some((live, "id", "vec"))),
-          (p, live) => PqAnnIndex.searchMany(spark, p, queries.toSeq,
-            k = 10, ef = 512, rerank = Some((live, "id", "vec"))))
+          (p, corpus) => PqAnnIndex.searchMany(spark, p, queries.toSeq,
+            k = 10, ef = 512, rerank = Some((corpus, "id", "vec"))))
+      case "bq" =>
+        import graft.ann.BqIndex
+        KindOps("bq",
+          (df, p) => BqIndex.build(df, "id", "vec", p),
+          (b, p) => BqIndex.append(b, "id", "vec", p),
+          (p, ids) => BqIndex.delete(spark, p, ids),
+          p => BqIndex.consolidate(spark, p, numPartitions = 4),
+          (p, live) => BqIndex.validateIndex(live, "id", "vec", p),
+          (p, corpus) => graft.ops.BqSearch.topKManyPrepacked(
+            BqIndex.liveBits(spark, p), "id", "bits",
+            corpus, "vec", queries.toSeq, k = 10, pool = 384,
+            center = BqIndex.center(spark, p)))
+      case "mrl" =>
+        import graft.ann.MrlIndex
+        KindOps("mrl",
+          (df, p) => MrlIndex.build(df, "id", "vec", m = 32, path = p),
+          (b, p) => MrlIndex.append(b, "id", "vec", p),
+          (p, ids) => MrlIndex.delete(spark, p, ids),
+          p => MrlIndex.consolidate(spark, p, numPartitions = 4),
+          (p, live) => MrlIndex.validateIndex(spark, p,
+            source = Some((live, "id", "vec"))),
+          (p, corpus) => graft.ops.MrlSearch.topKManyPrepacked(
+            MrlIndex.livePrefixes(spark, p), "id", "pref",
+            corpus, "vec", queries.toSeq, k = 10, pool = 192, m = 32))
       case other =>
         throw new IllegalArgumentException(s"unknown kind '$other'")
     }
@@ -198,11 +229,11 @@ object IndexMaintenanceProbe {
         fileCounts += countFiles(path)
 
         val deletedDf = deleted.toDF("id")
-        val live = (0 until initialWaves + r).map(wave)
+        val corpus = (0 until initialWaves + r).map(wave)
           .reduce(_ unionAll _)
-          .join(deletedDf, Seq("id"), "left_anti")
+        val live = corpus.join(deletedDf, Seq("id"), "left_anti")
 
-        val annDf = kind.search(path, live)
+        val annDf = kind.search(path, corpus)
         val ann = RecallProtocol.perQueryDf(annDf)
         val exact = RecallProtocol.perQueryDf(
           graft.ops.VectorSearch.knnJoinExact(

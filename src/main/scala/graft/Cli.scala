@@ -31,6 +31,13 @@ object Cli {
       |  autotune-index     --src P --id-col C --vec-col C
       |                     [--metric l2sq] [--k 10] [--target-recall 0.9]
       |                     [--index P]   (promotes the winner when set)
+      |  retune-index       --table P --vec-col C --catalog P
+      |                     [--metric l2sq] [--k 10] [--target-recall 0.9]
+      |                     [--query-count 8] [--max-widen 16]
+      |                     (re-derives the serving budget of an
+      |                      EXISTING registration against the current
+      |                      corpus via the planner, persists the
+      |                      updated catalog — no rebuild)
       |  validate-index     --index P [--src P --id-col C --vec-col C]
       |                     (layout auto-detected; with --src the codec
       |                      re-derivation runs too — the reference's
@@ -79,6 +86,8 @@ object Cli {
     "autotune-index" -> Set("src", "id-col", "vec-col", "metric", "k",
       "target-recall", "index"),
     "validate-index" -> Set("index", "src", "id-col", "vec-col"),
+    "retune-index" -> Set("table", "vec-col", "catalog", "metric", "k",
+      "target-recall", "query-count", "max-widen"),
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
@@ -210,6 +219,37 @@ object Cli {
               k = k, targetRecall = recall)
         }
         ann.Autotune.reportDf(spark, report).show(100, truncate = false)
+
+      case "retune-index" =>
+        // the serving-budget refresh: load the catalog (a fresh JVM
+        // holds no registrations), sweep the registration's own knob
+        // through the planner against the current corpus, persist the
+        // update back. The no-rebuild answer to "my corpus grew and
+        // recall dropped" — see graft.ann.Retune.
+        val (tableP, vecCol, cat) =
+          (req(opts, "table"), req(opts, "vec-col"), req(opts, "catalog"))
+        val spark = session()
+        plans.AnnCatalog.load(spark, cat)
+        val widen = opts.getOrElse("max-widen", "16").toInt
+        val r = ann.Retune.retune(spark, tableP, vecCol,
+          metric = opts.getOrElse("metric", "l2sq"),
+          k = opts.getOrElse("k", "10").toInt,
+          queryCount = opts.getOrElse("query-count", "8").toInt,
+          targetRecall = opts.getOrElse("target-recall", "0.9").toDouble,
+          maxWiden = widen,
+          catalogPath = Some(cat))
+        ann.Retune.reportDf(spark, r).show(100, truncate = false)
+        r.picked match {
+          case Some(p) if r.updated =>
+            println(s"retuned ${r.kind} $tableP: ${r.knob} " +
+              s"${r.registered} -> $p (catalog saved)")
+          case Some(p) =>
+            println(s"registration already serves: ${r.knob} $p")
+          case None =>
+            println(s"no ${r.knob} up to ${r.registered.toLong * widen} " +
+              "met the target — widen --max-widen or rebuild with " +
+              "better parameters")
+        }
 
       case "validate-index" =>
         // the reference's `_validate_index` as a CLI verb: sniff the

@@ -1,0 +1,184 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftConf
+import graft.ops.VectorSearch
+import graft.plans.{AnnCatalog, AnnFilteredIdsLogical, AnnScanLogical}
+
+/** Serving-budget refresh for an EXISTING registration — closing the
+  * loop the reference leaves to the operator: its search knobs are
+  * runtime GUCs the user is expected to re-derive as the corpus grows
+  * (`lantern_hnsw.ef` — lantern_hnsw/src/hnsw/options.c:324-391), and
+  * autotune is the tool that derives them
+  * (lantern_cli/src/index_autotune/mod.rs:328-358). The 10×/30× scale
+  * probes (COVERAGE.md) measured exactly that staleness: the filtered
+  * forms of the compact-code kinds drop below the recall floor at 10×
+  * rows and recover under a ~4× wider runtime pool, no code change.
+  *
+  * `retune` automates the recovery WITHOUT a rebuild: it sweeps the
+  * registration's own serving knob — `ef` for the rescore-pool kinds
+  * (hnsw / bq / mrl / pq / ivfpq), `nprobe` for ivf — through the
+  * PLANNER's rewrite of the real query form (plain
+  * `orderBy(dist).limit(k)`, optionally under the workload's filter
+  * predicate, whose selectivity is what actually starves a fixed
+  * pool), measured against the exact truth on the CURRENT corpus, and
+  * re-registers the first qualifying value. The sweep stops at the
+  * first qualifier (every recorded cheaper step is provably below
+  * target), so cost is bounded by the distance between the stale and
+  * the adequate budget, not by the grid ceiling.
+  *
+  * Scale shape: `queryCount` planner probes per step (each an indexed
+  * search — the whole point is that these are cheap), plus ONE exact
+  * kNN join for the truth (broadcast queries, one pass over the
+  * corpus). Nothing corpus-sized ever reaches the driver.
+  */
+object Retune {
+
+  /** One measured knob value. */
+  case class Step(value: Int, recall: Double, avgSearchMs: Double)
+
+  /** Sweep record: `registered` is the knob value found in the
+    * catalog, `steps` every value measured (ascending; all pre-pick
+    * steps are below target by construction), `picked` the first
+    * qualifying value, `updated` whether the registration changed. */
+  case class Report(kind: String, knob: String, registered: Int,
+      targetRecall: Double, steps: Seq[Step], picked: Option[Int],
+      updated: Boolean)
+
+  /** Re-derive and re-register the serving budget of the
+    * (tablePath, vecCol, metric) registration against the current
+    * corpus. `maxWiden` caps the sweep at `registered × maxWiden`
+    * (doubling grid); `predicate` scopes both the measured query form
+    * and the truth to the workload's filter; `catalogPath`, when set,
+    * persists the updated catalog (the serving-restart contract).
+    * Throws if the table has no such registration or the form stops
+    * rewriting through the planner mid-sweep (either is operator
+    * error, not a tuning outcome). Returns the report; when no value
+    * up to the cap qualifies, `picked` is None and the registration
+    * is left untouched — widen `maxWiden` or rebuild with better
+    * build-time parameters.
+    */
+  def retune(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      metric: String = "l2sq",
+      k: Int = 10,
+      queryCount: Int = 8,
+      targetRecall: Double = 0.9,
+      maxWiden: Int = 16,
+      predicate: Option[Column] = None,
+      catalogPath: Option[String] = None): Report = {
+    require(Set("l2sq", "cos", "inner").contains(metric),
+      s"graft: retune sweeps the float-vector planner forms " +
+        s"(l2sq|cos|inner), got '$metric'")
+    require(maxWiden >= 1, s"graft: maxWiden must be >= 1, got $maxWiden")
+    val meta = AnnCatalog.metaFor(spark, tablePath, vecCol, metric)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: no ($vecCol, $metric) registration for $tablePath — " +
+          "retune re-derives an EXISTING registration's budget"))
+    val knobIsNprobe = meta.kind == "ivf"
+    val knob = if (knobIsNprobe) "nprobe" else "ef"
+    val registered = if (knobIsNprobe) meta.effectiveNprobe else meta.ef
+    require(registered >= 1,
+      s"graft: registration carries $knob=$registered; nothing to sweep")
+
+    val table = spark.read.parquet(tablePath)
+    val scoped = predicate.map(table.where).getOrElse(table)
+    val base = scoped.select(col(meta.idCol), col(vecCol))
+
+    // Deterministic query sample + ONE batched exact-truth pass over
+    // the (possibly predicate-scoped) current corpus.
+    val queries = graft.util.Sampling
+      .hashSample(
+        base.select(col(meta.idCol).cast("long").as("id"), col(vecCol)),
+        queryCount, col("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(queries.nonEmpty,
+      "graft: retune needs at least one sample row under the predicate")
+    val truth = {
+      import spark.implicits._
+      val qdf = queries.toSeq.toDF("query_id", "__qv")
+      VectorSearch
+        .knnJoinExact(qdf, "query_id", "__qv", base,
+          meta.idCol, vecCol, k, metric)
+        .select(col("query_id"), col("neighbor_id").cast("long"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+
+    val cap = registered.toLong * maxWiden
+    val grid = Iterator.iterate(registered.toLong)(_ * 2)
+      .takeWhile(_ <= cap).map(_.toInt).toSeq
+
+    val gucKey = if (knobIsNprobe) GraftConf.AnnNprobe else GraftConf.AnnEf
+    val prior = spark.conf.getOption(gucKey)
+    val steps = Seq.newBuilder[Step]
+    var picked: Option[Int] = None
+    try {
+      val it = grid.iterator
+      while (picked.isEmpty && it.hasNext) {
+        val v = it.next()
+        spark.conf.set(gucKey, v.toString)
+        val t0 = System.nanoTime()
+        val got = queries.map { case (qid, q) =>
+          val knn = base
+            .orderBy(VectorSearch.distance(metric, col(vecCol), lit(q)))
+            .limit(k)
+          // the scalar form rewrites to AnnScanLogical; a predicate-
+          // scoped sweep takes the FILTERED planner form (adaptive
+          // over-fetch + exact fallback) — both are the serving path
+          val planned = knn.queryExecution.optimizedPlan.collect {
+            case a: AnnScanLogical if a.kind == meta.kind => a: Any
+            case f: AnnFilteredIdsLogical if f.kind == meta.kind => f: Any
+          }.nonEmpty
+          if (!planned) throw new IllegalStateException(
+            s"graft: the $metric form over $tablePath did not rewrite " +
+              s"to the ${meta.kind} AnnScan at $knob=$v — retune " +
+              "measures the planner's serving path, not a table scan")
+          qid -> knn.select(col(meta.idCol).cast("long"))
+            .collect().map(_.getLong(0)).toSet
+        }.toMap
+        val avgMs = (System.nanoTime() - t0) / 1e6 / queries.length
+        var hits = 0; var total = 0
+        queries.foreach { case (qid, _) =>
+          val expected = truth.getOrElse(qid, Set.empty)
+          hits += got.getOrElse(qid, Set.empty).intersect(expected).size
+          total += expected.size
+        }
+        val recall = if (total == 0) 1.0 else hits.toDouble / total
+        steps += Step(v, recall, avgMs)
+        if (recall >= targetRecall) picked = Some(v)
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set(gucKey, v)
+      case None => spark.conf.unset(gucKey)
+    }
+
+    val updated = picked.exists(_ != registered)
+    if (updated) {
+      val p = picked.get
+      val next = if (knobIsNprobe) meta.copy(nprobe = p)
+        else meta.copy(ef = p)
+      AnnCatalog.register(spark, tablePath, next)
+      catalogPath.foreach(AnnCatalog.save(spark, _))
+    }
+    Report(meta.kind, knob, registered, targetRecall,
+      steps.result(), picked, updated)
+  }
+
+  /** The report as a DataFrame (one row per measured step), the same
+    * persistence shape the autotune reports use. */
+  def reportDf(spark: SparkSession, r: Report): DataFrame = {
+    import spark.implicits._
+    r.steps
+      .map(s => (r.kind, r.knob, r.registered, s.value, s.recall,
+        s.avgSearchMs, r.picked.contains(s.value), r.updated))
+      .toDF("kind", "knob", "registered", "value", "recall",
+        "avg_search_ms", "picked", "updated")
+  }
+}

@@ -95,6 +95,15 @@ object AnnCatalog {
       .flatMap(p => registry.getOrElse(p.toString, Nil))
       .find(m => m.vecCol == vecCol && m.metric == metric)
 
+  /** The registration for (table, column, metric), by table path — the
+    * user-facing lookup [[graft.ann.Retune]] and introspection use
+    * (the planner-side [[lookup]] works on already-normalized relation
+    * root paths). */
+  def metaFor(spark: SparkSession, tablePath: String, vecCol: String,
+      metric: String): Option[IndexMeta] =
+    registry.getOrElse(normalize(spark, tablePath), Nil)
+      .find(m => m.vecCol == vecCol && m.metric == metric)
+
   def anyFor(rootPaths: Seq[Path]): Boolean =
     rootPaths.exists(p => registry.contains(p.toString))
 

@@ -22,7 +22,7 @@ object AnnQueries {
     * reuse safe against interrupted builds, and the cache path embeds a
     * fingerprint of the source parquet (length + mtime) so regenerated
     * test data can never serve a stale index. */
-  private[queries] def artifactDir(tag: String, dir: String, table: String): String = {
+  private[graft] def artifactDir(tag: String, dir: String, table: String): String = {
     // fingerprint must reflect CONTENTS: for a parquet directory, the
     // directory inode's length/mtime are meaningless — fold in every
     // child file's (name, length, mtime) instead
@@ -36,7 +36,7 @@ object AnnQueries {
     new java.io.File(sys.props("java.io.tmpdir"), s"graft-$tag-$h/idx").toString
   }
 
-  private[queries] def cached(path: String)(build: => Unit): Unit = {
+  private[graft] def cached(path: String)(build: => Unit): Unit = {
     val marker = new java.io.File(path, "_GRAFT_SUCCESS")
     if (!marker.exists()) {
       build

@@ -362,6 +362,96 @@ object LifecycleQueries {
     if (ruleOk) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
   }
 
+  /** Retune gate ([[graft.ann.Retune]] — the serving-budget refresh
+    * the reference leaves to the operator: its knobs are runtime GUCs
+    * re-derived per corpus, options.c:324-391, and autotune derives
+    * them, index_autotune/mod.rs:328-358): a `kind = "bq"` table is
+    * registered with a deliberately STARVED rescore pool (ef = 12 ≈ k
+    * — the shape a corpus that outgrew its tuning exhibits, measured
+    * for real by the 10× scale probe), then `retune` sweeps the
+    * registration's own knob through the PLANNER's rewrite of the
+    * plain `orderBy(dist).limit(k)` form against the exact truth.
+    * Gated: the sweep starts at the registered value and it provably
+    * under-serves; every pre-pick step is below target; the pick is
+    * the first qualifying doubling; the registration is updated in
+    * place; and a second retune pass over the UPDATED registration —
+    * no GUC set, just the catalog — qualifies at its very first step
+    * (the re-registered budget actually serves). */
+  private def retuneBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{BqIndex, Retune}
+    import graft.plans.AnnCatalog
+    val target = 0.9
+    val e = Tables.embeddings(s, dir)
+    val path = AnnQueries.artifactDir("retunebq", dir, "embeddings")
+    AnnQueries.cached(path) {
+      BqIndex.build(e, "vec_id", "embedding", path)
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 12, kind = "bq"))
+    try {
+      val r = Retune.retune(s, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = target, maxWiden = 64)
+      val sweepOk = r.knob == "ef" && r.registered == 12 &&
+        r.steps.map(_.value) == r.steps.indices.map(i => 12 << i) &&
+        r.steps.head.recall < target &&
+        r.picked.isDefined && r.updated &&
+        r.steps.init.forall(_.recall < target) &&
+        r.steps.last.recall >= target &&
+        AnnCatalog.metaFor(s, tablePath, "embedding", "l2sq")
+          .exists(_.ef == r.picked.get)
+      val after = Retune.retune(s, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = target, maxWiden = 1)
+      val servesOk = after.steps.size == 1 && !after.updated &&
+        after.picked == r.picked
+      if (sweepOk && servesOk) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
+  /** The ivf counterpart of `retune_budget`: the swept knob must be
+    * `nprobe` (NOT ef — probing is the ivf serving cost), the grid is
+    * capped at nlists where the probe is exhaustive and therefore
+    * exact, so a qualifying value is guaranteed by construction at any
+    * corpus size — retune on ivf can never strand the operator. Gated
+    * additionally: a starved nprobe = 1 registration under-serves at
+    * the 0.95 floor, and the updated registration qualifies at its
+    * first step on the confirmation pass. */
+  private def retuneIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{IvfIndex, Retune}
+    import graft.plans.AnnCatalog
+    val target = 0.95
+    val e = Tables.embeddings(s, dir)
+    val path = AnnQueries.artifactDir("retuneivf", dir, "embeddings")
+    AnnQueries.cached(path) {
+      IvfIndex.build(e, "vec_id", "embedding", path, nlists = 16)
+    }
+    val tablePath = s"$dir/embeddings.parquet"
+    AnnCatalog.register(s, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 64, kind = "ivf", nprobe = 1))
+    try {
+      val r = Retune.retune(s, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = target, maxWiden = 16)
+      val sweepOk = r.knob == "nprobe" && r.registered == 1 &&
+        r.steps.head.recall < target &&
+        r.picked.isDefined && r.updated &&
+        r.steps.init.forall(_.recall < target) &&
+        r.steps.last.recall >= target &&
+        AnnCatalog.metaFor(s, tablePath, "embedding", "l2sq")
+          .exists(_.nprobe == r.picked.get)
+      val after = Retune.retune(s, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = target, maxWiden = 1)
+      val servesOk = after.steps.size == 1 && !after.updated &&
+        after.picked == r.picked
+      if (sweepOk && servesOk) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tablePath)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("streaming_ivf_insert", Some("SELECT 1 AS ok"),
       streamingIvfInsert),
@@ -373,5 +463,7 @@ object LifecycleQueries {
     QueryDef("autotune_ivf", Some("SELECT 1 AS ok"), ivfAutotune),
     QueryDef("autotune_ivfpq", Some("SELECT 1 AS ok"), ivfPqAutotune),
     QueryDef("autotune_pq", Some("SELECT 1 AS ok"), pqAutotune),
+    QueryDef("retune_budget", Some("SELECT 1 AS ok"), retuneBudget),
+    QueryDef("retune_ivf", Some("SELECT 1 AS ok"), retuneIvf),
   )
 }

@@ -34,36 +34,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val e = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val want = e.count() * copies
-    val existing = new java.io.File(s"$outDir/embeddings.parquet")
-    // reuse an existing derivation (same deterministic recipe): the
-    // gate artifact caches fingerprint the parquet files, so a rerun
-    // over unchanged files reuses every index build
-    val reuse = existing.exists() &&
-      (try spark.read.parquet(existing.toString).count() == want
-       catch { case _: Throwable => false })
-    if (!reuse) {
-      graft.util.Files.deleteRecursively(new java.io.File(outDir))
-      new java.io.File(outDir).mkdirs()
-      val idOffset = 1L << 24 // far above any source vec_id
-      val replicas = (0 until copies).map { c =>
-        if (c == 0) e
-        else e
-          .withColumn("vec_id", col("vec_id") + lit(c * idOffset))
-          // seeded hash noise in [-0.05, 0.05) per element: distinct
-          // vectors, same scale/distribution as the source
-          .withColumn("embedding", expr(
-            s"""transform(embedding, (x, j) ->
-               |  CAST(x + (pmod(hash(vec_id, j, $c), 1000) / 1000.0 - 0.5)
-               |       * 0.1 AS FLOAT))""".stripMargin))
-      }
-      replicas.reduce(_ unionAll _)
-        .repartition(cpus.toInt)
-        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    }
-    val rows = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"[probe] derived table: $rows rows at $outDir (reused=$reuse)")
+    val rows = DeriveScale.ensure(spark, srcDir, outDir, copies, cpus.toInt)
+    println(s"[probe] derived table: $rows rows at $outDir")
 
     val gates = SparkEntry.queries.filter(_._1.contains("planner"))
       .toSeq.sortBy(_._1)

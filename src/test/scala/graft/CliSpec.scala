@@ -116,6 +116,30 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("retune-index re-derives a stale budget and persists the catalog") {
+    spark // force shared session so Cli's getOrCreate reuses it
+    import graft.plans.AnnCatalog
+    val src = sf("sf0.001") + "/embeddings.parquet"
+    val bqOut = tmp("retune-bq")
+    Cli.run("create-index", Map("src" -> src, "id-col" -> "vec_id",
+      "vec-col" -> "embedding", "index" -> bqOut, "kind" -> "bq"))
+    // a catalog carrying a deliberately starved rescore pool
+    val cat = tmp("retune-cat") + "/catalog.json"
+    AnnCatalog.register(spark, src, AnnCatalog.IndexMeta(bqOut, "vec_id",
+      "embedding", "l2sq", ef = 12, kind = "bq"))
+    AnnCatalog.save(spark, cat)
+    AnnCatalog.unregister(spark, src)
+    try {
+      Cli.run("retune-index", Map("table" -> src, "vec-col" -> "embedding",
+        "catalog" -> cat, "query-count" -> "4", "max-widen" -> "64"))
+      // the widened budget survives a fresh load — the serving contract
+      AnnCatalog.clear()
+      assert(AnnCatalog.load(spark, cat) >= 1)
+      val m = AnnCatalog.metaFor(spark, src, "embedding", "l2sq").get
+      assert(m.kind == "bq" && m.ef > 12)
+    } finally AnnCatalog.unregister(spark, src)
+  }
+
   test("create-embeddings and create-index subcommands produce real artifacts") {
     spark // force shared session so Cli's getOrCreate reuses it
     val src = tmp("src")

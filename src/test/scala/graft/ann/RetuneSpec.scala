@@ -1,0 +1,145 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.plans.AnnCatalog
+
+/** [[Retune]] — the serving-budget refresh: sweeps a registration's
+  * own knob (ef / nprobe) through the planner's rewrite against the
+  * current corpus and re-registers the first qualifying value. */
+class RetuneSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+  private val tablePath = s"$dir/embeddings.parquet"
+
+  private def withBq[T](ef: Int)(f: => T): T = {
+    val e = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-retune-bq").toString + "/idx"
+    BqIndex.build(e, "vec_id", "embedding", path)
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = ef, kind = "bq"))
+    try f finally AnnCatalog.unregister(spark, tablePath)
+  }
+
+  private def withIvf[T](nprobe: Int)(f: => T): T = {
+    val e = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-retune-ivf").toString + "/idx"
+    IvfIndex.build(e, "vec_id", "embedding", path, nlists = 8)
+    AnnCatalog.register(spark, tablePath,
+      AnnCatalog.IndexMeta(path, "vec_id", "embedding", "l2sq",
+        ef = 64, kind = "ivf", nprobe = nprobe))
+    try f finally AnnCatalog.unregister(spark, tablePath)
+  }
+
+  test("bq: a starved rescore pool retunes to the first qualifying ef " +
+      "and the registration is updated in place") {
+    withBq(ef = 12) {
+      val r = Retune.retune(spark, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = 0.9, maxWiden = 64)
+      assert(r.kind == "bq" && r.knob == "ef" && r.registered == 12)
+      // grid is ascending doubling from the registered value
+      assert(r.steps.map(_.value) ==
+        r.steps.indices.map(i => 12 << i))
+      // the stale budget provably under-serves on this corpus
+      assert(r.steps.head.recall < 0.9)
+      assert(r.picked.isDefined, "some pool up to 64x must qualify")
+      val p = r.picked.get
+      assert(r.steps.last.value == p && r.steps.last.recall >= 0.9)
+      assert(r.steps.init.forall(_.recall < 0.9),
+        "every cheaper step must be below target (first-qualifying pick)")
+      assert(r.updated)
+      assert(AnnCatalog.metaFor(spark, tablePath, "embedding", "l2sq")
+        .get.ef == p)
+      val df = Retune.reportDf(spark, r)
+      assert(df.count() == r.steps.size)
+      assert(df.where(col("picked")).count() == 1)
+    }
+  }
+
+  test("ivf: the knob is nprobe and full-probe guarantees qualification") {
+    withIvf(nprobe = 1) {
+      val r = Retune.retune(spark, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = 0.95, maxWiden = 8)
+      assert(r.knob == "nprobe" && r.registered == 1)
+      assert(r.picked.isDefined,
+        "nprobe = nlists probes every list — exact, so it must qualify")
+      if (r.updated)
+        assert(AnnCatalog.metaFor(spark, tablePath, "embedding", "l2sq")
+          .get.nprobe == r.picked.get)
+    }
+  }
+
+  test("already-qualifying registration: no update, sweep stops at step 1") {
+    withIvf(nprobe = 8) {
+      val r = Retune.retune(spark, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = 0.9, maxWiden = 8)
+      assert(r.steps.size == 1 && r.picked.contains(8) && !r.updated)
+      assert(AnnCatalog.metaFor(spark, tablePath, "embedding", "l2sq")
+        .get.nprobe == 8)
+    }
+  }
+
+  test("nothing qualifies up to the cap: picked None, registration intact") {
+    withBq(ef = 12) {
+      val r = Retune.retune(spark, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = 1.01, maxWiden = 4)
+      assert(r.picked.isEmpty && !r.updated)
+      assert(r.steps.map(_.value) == Seq(12, 24, 48))
+      assert(AnnCatalog.metaFor(spark, tablePath, "embedding", "l2sq")
+        .get.ef == 12)
+    }
+  }
+
+  test("the ef GUC is restored after the sweep (preset and unset)") {
+    val key = graft.GraftConf.AnnEf
+    withIvf(nprobe = 8) {
+      spark.conf.set(key, "777")
+      try {
+        Retune.retune(spark, tablePath, "embedding", "l2sq",
+          k = 10, queryCount = 3, targetRecall = 0.5, maxWiden = 2)
+        assert(spark.conf.get(key) == "777")
+      } finally spark.conf.unset(key)
+      Retune.retune(spark, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 3, targetRecall = 0.5, maxWiden = 2)
+      assert(spark.conf.getOption(key).isEmpty)
+      assert(spark.conf.getOption(graft.GraftConf.AnnNprobe).isEmpty)
+    }
+  }
+
+  test("predicate-scoped retune measures the filtered planner form") {
+    withBq(ef = 12) {
+      val r = Retune.retune(spark, tablePath, "embedding", "l2sq",
+        k = 5, queryCount = 4, targetRecall = 0.9, maxWiden = 64,
+        predicate = Some(col("vec_id") % 2 === 0))
+      assert(r.picked.isDefined)
+      // the filtered pool requirement is at least the scalar form's:
+      // half the candidates under the same hamming ranking survive
+      assert(r.picked.get >= 12)
+    }
+  }
+
+  test("catalogPath: an update is persisted and survives a reload") {
+    val cat = java.nio.file.Files
+      .createTempDirectory("graft-retune-cat").toString + "/catalog.json"
+    withBq(ef = 12) {
+      val r = Retune.retune(spark, tablePath, "embedding", "l2sq",
+        k = 10, queryCount = 5, targetRecall = 0.9, maxWiden = 64,
+        catalogPath = Some(cat))
+      assert(r.updated, "the starved pool must have been widened")
+      AnnCatalog.clear()
+      assert(AnnCatalog.load(spark, cat) >= 1)
+      assert(AnnCatalog.metaFor(spark, tablePath, "embedding", "l2sq")
+        .get.ef == r.picked.get)
+    }
+  }
+
+  test("unregistered table: retune refuses rather than tuning a scan") {
+    intercept[IllegalArgumentException] {
+      Retune.retune(spark, tablePath, "embedding", "cos")
+    }
+  }
+}

@@ -38,6 +38,11 @@ object Cli {
       |                      EXISTING registration against the current
       |                      corpus via the planner, persists the
       |                      updated catalog — no rebuild)
+      |  maintain           --catalog P [--target-recall 0.9] [--k 10]
+      |                     [--query-count 8] [--max-widen 16]
+      |                     [--no-validate] [--consolidate-over N]
+      |                     (compact + validate + retune every
+      |                      registered index in one sweep)
       |  validate-index     --index P [--src P --id-col C --vec-col C]
       |                     (layout auto-detected; with --src the codec
       |                      re-derivation runs too — the reference's
@@ -88,6 +93,8 @@ object Cli {
     "validate-index" -> Set("index", "src", "id-col", "vec-col"),
     "retune-index" -> Set("table", "vec-col", "catalog", "metric", "k",
       "target-recall", "query-count", "max-widen"),
+    "maintain" -> Set("catalog", "target-recall", "k", "query-count",
+      "max-widen", "no-validate", "consolidate-over"),
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
@@ -250,6 +257,29 @@ object Cli {
               "met the target — widen --max-widen or rebuild with " +
               "better parameters")
         }
+
+      case "maintain" =>
+        // one-command maintenance sweep over every catalog
+        // registration: compact fragmented artifacts, validate each
+        // against its current source, retune stale serving budgets —
+        // see graft.ann.Maintain. Exit is nonzero when any index
+        // fails validation (the report names it first).
+        val cat = req(opts, "catalog")
+        val spark = session()
+        plans.AnnCatalog.load(spark, cat)
+        val entries = ann.Maintain.sweep(spark,
+          targetRecall = opts.getOrElse("target-recall", "0.9").toDouble,
+          k = opts.getOrElse("k", "10").toInt,
+          queryCount = opts.getOrElse("query-count", "8").toInt,
+          maxWiden = opts.getOrElse("max-widen", "16").toInt,
+          validate = !opts.contains("no-validate"),
+          consolidateOver = opts.getOrElse("consolidate-over", "0").toInt,
+          catalogPath = Some(cat))
+        ann.Maintain.sweepDf(spark, entries).show(100, truncate = false)
+        val bad = entries.filterNot(_.valid)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"graft: ${bad.size} index(es) failed validation: " +
+            bad.map(e => s"${e.kind} on ${e.table}").mkString(", "))
 
       case "validate-index" =>
         // the reference's `_validate_index` as a CLI verb: sniff the

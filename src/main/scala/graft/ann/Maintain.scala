@@ -1,0 +1,204 @@
+package graft.ann
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftConf
+import graft.plans.AnnCatalog
+
+/** One-command index maintenance over every catalog registration —
+  * what a long-lived deployment runs on a schedule, as one sweep
+  * instead of the operator hand-chaining per-kind verbs (the loop
+  * [[graft.tools.IndexMaintenanceProbe]] proved stays healthy, and
+  * what the reference delegates to autovacuum + per-index SQL calls:
+  * `_validate_index` lantern_hnsw/src/hnsw/validate_index.c:436-528,
+  * autotune lantern_cli/src/index_autotune/mod.rs:328-358).
+  *
+  * Per registration, in dependency order:
+  *  1. COMPACT when the artifact's data-file count exceeds the
+  *     threshold (appends accumulate delta files; search fan-out and
+  *     listing cost grow with them) — each kind's own `consolidate`,
+  *     flat layouts re-targeted by row volume (~1M rows/file, the
+  *     façade's sizing).
+  *  2. VALIDATE the artifact against its CURRENT source table (the
+  *     kind's `validateIndex` codec re-derivation). A violation marks
+  *     the row invalid and skips retune — a corrupt index must be
+  *     rebuilt, not retuned — but never aborts the sweep: the report
+  *     names the casualty, the other indexes still get maintained.
+  *  3. RETUNE ([[Retune.retune]]) when the kind's serving knob is
+  *     sweepable (ef / nprobe under an l2sq|cos|inner planner form):
+  *     re-derive the budget against the corpus as it is TODAY, update
+  *     the registration, persist to `catalogPath` when given.
+  *
+  * Scale shape: everything per-entry is one driver loop over the
+  * (few) registrations; the work inside is the kinds' own distributed
+  * jobs. Nothing corpus-sized reaches the driver.
+  */
+object Maintain {
+
+  /** One registration's maintenance outcome. Sentinel -1 for recall /
+    * knob fields of rows where retune does not apply. */
+  case class Entry(
+      table: String, vecCol: String, metric: String, kind: String,
+      filesBefore: Int, filesAfter: Int, consolidated: Boolean,
+      valid: Boolean, validatedRows: Long,
+      knob: String, knobBefore: Int, knobAfter: Int,
+      recallBefore: Double, recallAfter: Double, retuned: Boolean,
+      notes: String)
+
+  /** Sweep every registration currently in [[AnnCatalog]] (load
+    * `catalogPath` first yourself, or via [[graft.Cli]] `maintain`).
+    * `consolidateOver` = 0 uses `spark.graft.ann.consolidateShards`.
+    * Retune updates persist to `catalogPath` when given. */
+  def sweep(
+      spark: SparkSession,
+      targetRecall: Double = 0.9,
+      k: Int = 10,
+      queryCount: Int = 8,
+      maxWiden: Int = 16,
+      validate: Boolean = true,
+      consolidateOver: Int = 0,
+      catalogPath: Option[String] = None): Seq[Entry] = {
+    val threshold =
+      if (consolidateOver > 0) consolidateOver
+      else GraftConf.annConsolidateShards(spark)
+    AnnCatalog.entries().map { case (table, meta) =>
+      maintainOne(spark, table, meta, threshold, targetRecall, k,
+        queryCount, maxWiden, validate, catalogPath)
+    }
+  }
+
+  private def maintainOne(
+      spark: SparkSession, table: String, meta: AnnCatalog.IndexMeta,
+      threshold: Int, targetRecall: Double, k: Int, queryCount: Int,
+      maxWiden: Int, validate: Boolean,
+      catalogPath: Option[String]): Entry = {
+    val idx = meta.artifact
+    val notes = Seq.newBuilder[String]
+
+    // 1. compact — each kind's own fragmentation measure + consolidate
+    val filesBefore = fileCount(spark, meta.kind, idx)
+    val consolidated = filesBefore > threshold
+    if (consolidated) {
+      // flat layouts re-target by row volume (~1M rows/file, the
+      // façade's sizing); coarse-list kinds re-pack one file per list
+      lazy val target = math.max(1, math.ceil(
+        spark.read.parquet(table).count() / 1e6).toInt)
+      meta.kind match {
+        case "bq" => BqIndex.consolidate(spark, idx, target)
+        case "mrl" => MrlIndex.consolidate(spark, idx, target)
+        case "ivf" => IvfIndex.consolidate(spark, idx)
+        case "ivfpq" => IvfPqIndex.consolidate(spark, idx)
+        case "pq" => PqAnnIndex.consolidate(spark, idx, target)
+        case "sparse" => graft.ops.SparseSearch.consolidatePostings(spark, idx)
+        case "multivec" => graft.ops.MultiVec.consolidateIndex(spark, idx)
+        case _ => AnnIndex.consolidate(spark, idx, target)
+      }
+    }
+    val filesAfter =
+      if (consolidated) fileCount(spark, meta.kind, idx) else filesBefore
+
+    // 2. validate against the CURRENT source — a violation is a report
+    // row, not a sweep abort; a corrupt index is named, never retuned
+    var valid = true
+    var validatedRows = -1L
+    if (validate) {
+      try validatedRows = validateOne(spark, table, meta)
+      catch {
+        case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+          valid = false
+          notes += s"validate: ${e.getMessage}"
+      }
+    }
+
+    // 3. retune the serving knob where sweepable
+    val sweepable = valid &&
+      Set("l2sq", "cos", "inner").contains(meta.metric) &&
+      meta.kind != "sparse" && meta.kind != "multivec"
+    if (!sweepable && valid) notes += (meta.kind match {
+      case "sparse" => "retune n/a: sparse pre-rank is exact"
+      case "multivec" => "retune n/a: paired (nprobe, cand) knobs"
+      case _ => s"retune n/a: metric ${meta.metric}"
+    })
+    val r: Option[Retune.Report] =
+      if (!sweepable) None
+      else try Some(Retune.retune(spark, table, meta.vecCol, meta.metric,
+        k, queryCount, targetRecall, maxWiden, None, catalogPath))
+      catch {
+        case e: IllegalStateException =>
+          notes += s"retune: ${e.getMessage}"
+          None
+      }
+
+    Entry(table, meta.vecCol, meta.metric, meta.kind,
+      filesBefore, filesAfter, consolidated,
+      valid, validatedRows,
+      knob = r.map(_.knob).getOrElse(""),
+      knobBefore = r.map(_.registered).getOrElse(-1),
+      knobAfter = r.flatMap(_.picked).orElse(r.map(_.registered))
+        .getOrElse(-1),
+      recallBefore = r.map(_.steps.head.recall).getOrElse(-1.0),
+      recallAfter = r.map(_.steps.last.recall).getOrElse(-1.0),
+      retuned = r.exists(_.updated),
+      notes = notes.result().mkString("; "))
+  }
+
+  /** The kind's own fragmentation measure — delta/data files for the
+    * flat and coarse-list layouts, graph shards for hnsw/pq; a
+    * recursive data-file count for the kinds without a dedicated
+    * accessor. */
+  private def fileCount(spark: SparkSession, kind: String,
+      idx: String): Int = kind match {
+    case "bq" => BqIndex.fileCount(spark, idx)
+    case "mrl" => MrlIndex.fileCount(spark, idx)
+    case "ivf" => IvfIndex.fileCount(spark, idx)
+    case "ivfpq" => IvfPqIndex.fileCount(spark, idx)
+    case "pq" => PqAnnIndex.shardCount(spark, idx)
+    case "hnsw" => AnnIndex.shardCount(spark, idx)
+    case _ => // sparse/multivec: generic recursive data-file count
+      val p = new Path(idx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) {
+          val name = it.next().getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+        }
+        n
+      }
+  }
+
+  private def validateOne(spark: SparkSession, table: String,
+      meta: AnnCatalog.IndexMeta): Long = {
+    val idx = meta.artifact
+    lazy val df = spark.read.parquet(table)
+    lazy val src = Some((df, meta.idCol, meta.vecCol))
+    meta.kind match {
+      case "bq" => BqIndex.validateIndex(df, meta.idCol, meta.vecCol, idx)
+      case "mrl" => MrlIndex.validateIndex(spark, idx, src)
+      case "ivf" => IvfIndex.validateIndex(spark, idx, src)
+      case "ivfpq" => IvfPqIndex.validateIndex(spark, idx, src)
+      case "pq" => PqAnnIndex.validateIndex(spark, idx, src)
+      case "sparse" => graft.ops.SparseSearch.validatePostings(spark, idx)
+      case "multivec" => graft.ops.MultiVec.validateIndex(spark, idx)
+      case _ => AnnIndex.validateIndex(spark, idx, source = src)
+    }
+  }
+
+  /** The sweep report as a DataFrame (deterministic order). */
+  def sweepDf(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
+    import spark.implicits._
+    entries
+      .map(e => (e.table, e.vecCol, e.metric, e.kind, e.filesBefore,
+        e.filesAfter, e.consolidated, e.valid, e.validatedRows, e.knob,
+        e.knobBefore, e.knobAfter, e.recallBefore, e.recallAfter,
+        e.retuned, e.notes))
+      .toDF("table", "vec_col", "metric", "kind", "files_before",
+        "files_after", "consolidated", "valid", "validated_rows", "knob",
+        "knob_before", "knob_after", "recall_before", "recall_after",
+        "retuned", "notes")
+      .orderBy("table", "kind", "vec_col", "metric")
+  }
+}

@@ -107,6 +107,14 @@ object AnnCatalog {
   def anyFor(rootPaths: Seq[Path]): Boolean =
     rootPaths.exists(p => registry.contains(p.toString))
 
+  /** Every registration, (table → meta), deterministically ordered —
+    * the enumeration [[graft.ann.Maintain]] sweeps. */
+  def entries(): Seq[(String, IndexMeta)] =
+    registry.readOnlySnapshot().toSeq.sortBy(_._1).flatMap {
+      case (table, ms) =>
+        ms.sortBy(m => (m.vecCol, m.metric)).map(table -> _)
+    }
+
   /** Catalog introspection — the analog of the reference's
     * `ldb_get_indexes(tbl)` (lantern_hnsw/test/sql/utils/common.sql:17-42,
     * called from most index tests, e.g. hnsw_create.sql via

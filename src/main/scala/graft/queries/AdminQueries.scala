@@ -215,9 +215,81 @@ object AdminQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Maintenance-sweep gate ([[graft.ann.Maintain.sweep]] — compact +
+    * validate + retune over every catalog registration in ONE verb,
+    * the loop a long-lived deployment schedules): two registrations
+    * with opposite health are swept together. A fragmented bq artifact
+    * (build + 3 appends, over the compaction threshold) registered
+    * with a STARVED rescore pool must come out compacted (fewer
+    * files), validated against its current source (every row
+    * re-derived), and retuned to a serving budget; a healthy 2-shard
+    * hnsw at ef = 64 must be left alone — no compaction, no
+    * registration change — yet still validate and still serve. Fresh
+    * artifacts per invocation (the sweep mutates them). */
+  private def maintainSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann._
+    import graft.plans.AnnCatalog
+    val target = 0.9
+    // two deterministic slice TABLES (registrations key on the table
+    // path and one table admits one (column, metric) registration)
+    val tblRoot = AnnQueries.artifactDir("mainttbl", dir, "embeddings")
+    AnnQueries.cached(tblRoot) {
+      slice(s, dir).write.mode("overwrite").parquet(s"$tblRoot/a.parquet")
+      slice(s, dir).write.mode("overwrite").parquet(s"$tblRoot/b.parquet")
+    }
+    val (tblA, tblB) = (s"$tblRoot/a.parquet", s"$tblRoot/b.parquet")
+    val a = s.read.parquet(tblA)
+    val n = a.count()
+    val maxId = a.agg(max(col("vec_id"))).head().getLong(0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maint").toString
+    // fragmented + starved bq: build over the first quarter, three
+    // appends cover the rest — 4+ data files, ef = 12 ≈ k
+    val q = maxId / 4
+    BqIndex.build(a.where(col("vec_id") <= q), "vec_id", "embedding",
+      s"$root/bq")
+    Seq((q, 2 * q), (2 * q, 3 * q), (3 * q, Long.MaxValue)).foreach {
+      case (lo, hi) =>
+        BqIndex.append(
+          a.where(col("vec_id") > lo && col("vec_id") <= hi),
+          "vec_id", "embedding", s"$root/bq")
+    }
+    // healthy hnsw over table B: 2 shards (under threshold), ef 64
+    AnnIndex.build(s.read.parquet(tblB), "vec_id", "embedding",
+      s"$root/hnsw", AnnParams(m = 8, efConstruction = 64,
+        numPartitions = 2))
+    AnnCatalog.register(s, tblA, AnnCatalog.IndexMeta(s"$root/bq",
+      "vec_id", "embedding", "l2sq", ef = 12, kind = "bq"))
+    AnnCatalog.register(s, tblB, AnnCatalog.IndexMeta(s"$root/hnsw",
+      "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      val entries = Maintain.sweep(s, targetRecall = target, k = 10,
+        queryCount = 5, maxWiden = 64, consolidateOver = 3)
+      val rows = entries.sortBy(_.kind).map { e =>
+        val compacted = e.consolidated && e.filesAfter < e.filesBefore
+        val validOk = e.valid && e.validatedRows == n
+        val serves = e.recallAfter >= target
+        (e.kind, if (validOk) 1 else 0, if (compacted) 1 else 0,
+          if (e.retuned) 1 else 0, if (serves) 1 else 0)
+      }
+      rows.toDF("kind", "valid", "compacted", "retuned", "serves")
+        .orderBy("kind")
+    } finally {
+      AnnCatalog.unregister(s, tblA)
+      AnnCatalog.unregister(s, tblB)
+    }
+  }
+
+  private val maintainOracle =
+    """SELECT * FROM (VALUES
+      |  ('bq', 1, 1, 1, 1), ('hnsw', 1, 0, 0, 1)
+      |) t(kind, valid, compacted, retuned, serves) ORDER BY kind""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("validate_all", Some(validateAllOracle), validateAll),
     QueryDef("index_info", Some(indexInfoOracle), indexInfo),
     QueryDef("table_recall", Some("SELECT 1 AS ok"), tableRecallGate),
+    QueryDef("maintain_sweep", Some(maintainOracle), maintainSweep),
   )
 }

@@ -140,6 +140,27 @@ class CliSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, src)
   }
 
+  test("maintain sweeps the catalog: compacts, validates, retunes, persists") {
+    spark // force shared session so Cli's getOrCreate reuses it
+    import graft.plans.AnnCatalog
+    val src = sf("sf0.001") + "/embeddings.parquet"
+    val bqOut = tmp("maint-bq")
+    Cli.run("create-index", Map("src" -> src, "id-col" -> "vec_id",
+      "vec-col" -> "embedding", "index" -> bqOut, "kind" -> "bq"))
+    val cat = tmp("maint-cat") + "/catalog.json"
+    AnnCatalog.register(spark, src, AnnCatalog.IndexMeta(bqOut, "vec_id",
+      "embedding", "l2sq", ef = 12, kind = "bq"))
+    AnnCatalog.save(spark, cat)
+    AnnCatalog.unregister(spark, src)
+    try {
+      Cli.run("maintain", Map("catalog" -> cat, "query-count" -> "4",
+        "max-widen" -> "64"))
+      AnnCatalog.clear()
+      AnnCatalog.load(spark, cat)
+      assert(AnnCatalog.metaFor(spark, src, "embedding", "l2sq").get.ef > 12)
+    } finally AnnCatalog.unregister(spark, src)
+  }
+
   test("create-embeddings and create-index subcommands produce real artifacts") {
     spark // force shared session so Cli's getOrCreate reuses it
     val src = tmp("src")

@@ -1,0 +1,122 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+import graft.plans.AnnCatalog
+
+/** [[Maintain]] — the one-command sweep: compact fragmented artifacts,
+  * validate each against its current source, retune stale budgets;
+  * a corrupt index is reported and skipped, never retuned, and never
+  * aborts the rest of the sweep. */
+class MaintainSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft-maint").toString +
+      s"/$name"
+
+  // a private copy of the embeddings table (registrations key on the
+  // table path; tests need distinct paths)
+  private def tableCopy(name: String): String = {
+    val p = tmp(name)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .write.parquet(p)
+    p
+  }
+
+  test("sweep compacts, validates, and retunes a fragmented starved bq " +
+      "while leaving a healthy hnsw untouched") {
+    val tblA = tableCopy("a")
+    val tblB = tableCopy("b")
+    val a = spark.read.parquet(tblA)
+    val maxId = a.agg(max(col("vec_id"))).head().getLong(0)
+    val bqIdx = tmp("bq")
+    BqIndex.build(a.where(col("vec_id") <= maxId / 2),
+      "vec_id", "embedding", bqIdx)
+    BqIndex.append(a.where(col("vec_id") > maxId / 2),
+      "vec_id", "embedding", bqIdx)
+    val hnswIdx = tmp("hnsw")
+    AnnIndex.build(spark.read.parquet(tblB), "vec_id", "embedding",
+      hnswIdx, AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+    AnnCatalog.register(spark, tblA, AnnCatalog.IndexMeta(bqIdx,
+      "vec_id", "embedding", "l2sq", ef = 12, kind = "bq"))
+    AnnCatalog.register(spark, tblB, AnnCatalog.IndexMeta(hnswIdx,
+      "vec_id", "embedding", "l2sq", ef = 64))
+    try {
+      val entries = Maintain.sweep(spark, targetRecall = 0.9,
+        queryCount = 4, maxWiden = 64, consolidateOver = 1)
+      assert(entries.size == 2)
+      val bq = entries.find(_.kind == "bq").get
+      assert(bq.consolidated && bq.filesAfter < bq.filesBefore)
+      assert(bq.valid && bq.validatedRows == a.count())
+      assert(bq.knob == "ef" && bq.knobBefore == 12)
+      assert(bq.retuned && bq.knobAfter > 12)
+      assert(bq.recallAfter >= 0.9)
+      assert(AnnCatalog.metaFor(spark, tblA, "embedding", "l2sq")
+        .get.ef == bq.knobAfter)
+      val h = entries.find(_.kind == "hnsw").get
+      // 2 shards > consolidateOver=1 — compaction applies to hnsw too
+      assert(h.consolidated && h.filesAfter <= h.filesBefore)
+      assert(h.valid && !h.retuned && h.knobAfter == 64)
+      assert(h.recallAfter >= 0.9)
+      val df = Maintain.sweepDf(spark, entries)
+      assert(df.count() == 2)
+      assert(df.columns.contains("notes"))
+    } finally {
+      AnnCatalog.unregister(spark, tblA)
+      AnnCatalog.unregister(spark, tblB)
+    }
+  }
+
+  test("a corrupt index is reported invalid, not retuned, and the rest " +
+      "of the sweep proceeds") {
+    val tblA = tableCopy("bad-src")
+    val tblB = tableCopy("good-src")
+    val a = spark.read.parquet(tblA)
+    val maxId = a.agg(max(col("vec_id"))).head().getLong(0)
+    // artifact covers only HALF the table it is registered against —
+    // the expected->stored completeness check must flag it
+    val badIdx = tmp("bad-bq")
+    BqIndex.build(a.where(col("vec_id") <= maxId / 2),
+      "vec_id", "embedding", badIdx)
+    val goodIdx = tmp("good-bq")
+    BqIndex.build(spark.read.parquet(tblB), "vec_id", "embedding", goodIdx)
+    AnnCatalog.register(spark, tblA, AnnCatalog.IndexMeta(badIdx,
+      "vec_id", "embedding", "l2sq", ef = 512, kind = "bq"))
+    AnnCatalog.register(spark, tblB, AnnCatalog.IndexMeta(goodIdx,
+      "vec_id", "embedding", "l2sq", ef = 512, kind = "bq"))
+    try {
+      val entries = Maintain.sweep(spark, queryCount = 3,
+        consolidateOver = 1000)
+      val bad = entries.find(_.table.contains("bad-src")).get
+      assert(!bad.valid && bad.notes.contains("validate:"))
+      assert(!bad.retuned && bad.knob.isEmpty)
+      // the healthy sibling was still fully maintained
+      val good = entries.find(_.table.contains("good-src")).get
+      assert(good.valid && good.recallAfter >= 0.9)
+    } finally {
+      AnnCatalog.unregister(spark, tblA)
+      AnnCatalog.unregister(spark, tblB)
+    }
+  }
+
+  test("unsupported knobs are noted, not swept: hamming metric") {
+    val tbl = tableCopy("ham")
+    val idx = tmp("ham-hnsw")
+    AnnIndex.build(spark.read.parquet(tbl), "vec_id", "embedding", idx,
+      AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(idx,
+      "vec_id", "embedding", "hamming", ef = 64))
+    try {
+      val entries = Maintain.sweep(spark, queryCount = 3,
+        consolidateOver = 1000)
+      val e = entries.find(_.table.contains("ham")).get
+      assert(e.valid) // structural + codec validation still ran
+      assert(!e.retuned && e.recallBefore == -1.0)
+      assert(e.notes.contains("retune n/a"))
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Min-merge a fresh bench run into the committed round record.
+
+Policy (COVERAGE.md "bench record" notes): the committed record keeps
+per-query MINIMA across the round's clean rc=0 runs — co-tenant load
+only ever inflates a timing, so the min across runs is the best
+estimate of the code's steady-state cost. Queries new in the fresh run
+are added; queries whose code changed since the old record should be
+RESET by listing them under --reset (their stale minima no longer
+describe the shipped code).
+
+Usage:
+  python3 tools/merge_bench.py <record.jsonl> <fresh_run.jsonl> \
+      [--note "..."] [--reset q1,q2] [--run-label "r14 s5"]
+
+Writes the merged record back to <record.jsonl> (per-query lines sorted
+by name, then the recomputed total line).
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    qlines, total = {}, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            if row.get("metric") == "total":
+                total = row
+            elif "q" in row:
+                qlines[row["q"]] = row
+    return qlines, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("record")
+    ap.add_argument("fresh")
+    ap.add_argument("--note", default="")
+    ap.add_argument("--reset", default="",
+                    help="comma-separated queries whose old minima are stale "
+                         "(code changed): take the fresh timing verbatim")
+    ap.add_argument("--run-label", default="fresh run")
+    args = ap.parse_args()
+
+    old_q, old_t = load(args.record)
+    new_q, new_t = load(args.fresh)
+    if new_t is None:
+        sys.exit("fresh run has no total line - refusing to merge a "
+                 "partial/killed record")
+    if new_t.get("failed"):
+        sys.exit(f"fresh run reports failures {new_t['failed']} - fix "
+                 "before merging")
+    reset = set(q for q in args.reset.split(",") if q)
+
+    merged, improved, added = {}, 0, 0
+    for q in sorted(set(old_q) | set(new_q)):
+        o, n = old_q.get(q), new_q.get(q)
+        if q in reset and n is not None:
+            merged[q] = n
+        elif o is None:
+            merged[q] = n
+            added += 1
+        elif n is None:
+            merged[q] = o
+        elif n["sec"] < o["sec"]:
+            merged[q] = n
+            improved += 1
+        else:
+            merged[q] = o
+
+    total = dict(old_t or new_t)
+    total["queries"] = {q: merged[q]["sec"] for q in sorted(merged)}
+    total["value"] = sum(total["queries"].values())
+    runs = total.setdefault("calib", {}).setdefault("runs", [])
+    if args.run_label not in runs:
+        runs.append(args.run_label)
+    stamp = (f"{args.run_label} min-merge: {improved} improved, "
+             f"{added} added, {len(reset & set(new_q))} reset"
+             + (f". {args.note}" if args.note else ""))
+    total["note"] = (total.get("note", "") + " | " + stamp).strip(" |")
+
+    with open(args.record, "w") as f:
+        for q in sorted(merged):
+            f.write(json.dumps(merged[q]) + "\n")
+        f.write(json.dumps(total) + "\n")
+    print(f"merged {len(merged)} queries -> {args.record}: "
+          f"total {total['value']:.1f}s ({improved} improved, {added} added)")
+
+
+if __name__ == "__main__":
+    main()

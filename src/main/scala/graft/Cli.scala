@@ -238,13 +238,18 @@ object Cli {
         val spark = session()
         plans.AnnCatalog.load(spark, cat)
         val widen = opts.getOrElse("max-widen", "16").toInt
-        val r = ann.Retune.retune(spark, tableP, vecCol,
-          metric = opts.getOrElse("metric", "l2sq"),
-          k = opts.getOrElse("k", "10").toInt,
-          queryCount = opts.getOrElse("query-count", "8").toInt,
-          targetRecall = opts.getOrElse("target-recall", "0.9").toDouble,
-          maxWiden = widen,
-          catalogPath = Some(cat))
+        val metric = opts.getOrElse("metric", "l2sq")
+        val kk = opts.getOrElse("k", "10").toInt
+        val qc = opts.getOrElse("query-count", "8").toInt
+        val tr = opts.getOrElse("target-recall", "0.9").toDouble
+        val r =
+          if (metric == "maxsim") // multivec: paired knobs, one factor
+            ann.Retune.retuneMultivec(spark, tableP, vecCol,
+              k = kk, queryCount = qc, targetRecall = tr,
+              maxWiden = widen, catalogPath = Some(cat))
+          else ann.Retune.retune(spark, tableP, vecCol, metric,
+            k = kk, queryCount = qc, targetRecall = tr,
+            maxWiden = widen, catalogPath = Some(cat))
         ann.Retune.reportDf(spark, r).show(100, truncate = false)
         r.picked match {
           case Some(p) if r.updated =>

@@ -112,18 +112,22 @@ object Maintain {
     }
 
     // 3. retune the serving knob where sweepable
-    val sweepable = valid &&
-      Set("l2sq", "cos", "inner").contains(meta.metric) &&
+    val scalarSweep = Set("l2sq", "cos", "inner").contains(meta.metric) &&
       meta.kind != "sparse" && meta.kind != "multivec"
-    if (!sweepable && valid) notes += (meta.kind match {
+    val mvSweep = meta.kind == "multivec" && meta.metric == "maxsim"
+    if (valid && !scalarSweep && !mvSweep) notes += (meta.kind match {
       case "sparse" => "retune n/a: sparse pre-rank is exact"
-      case "multivec" => "retune n/a: paired (nprobe, cand) knobs"
       case _ => s"retune n/a: metric ${meta.metric}"
     })
     val r: Option[Retune.Report] =
-      if (!sweepable) None
-      else try Some(Retune.retune(spark, table, meta.vecCol, meta.metric,
-        k, queryCount, targetRecall, maxWiden, None, catalogPath))
+      if (!valid || (!scalarSweep && !mvSweep)) None
+      else try Some(
+        if (mvSweep)
+          Retune.retuneMultivec(spark, table, meta.vecCol,
+            k, queryCount, targetRecall, maxWiden, catalogPath)
+        else
+          Retune.retune(spark, table, meta.vecCol, meta.metric,
+            k, queryCount, targetRecall, maxWiden, None, catalogPath))
       catch {
         case e: IllegalStateException =>
           notes += s"retune: ${e.getMessage}"

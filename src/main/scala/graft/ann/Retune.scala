@@ -171,6 +171,127 @@ object Retune {
       steps.result(), picked, updated)
   }
 
+  /** The multivec counterpart of [[retune]] — completing the retune
+    * matrix across every approximate kind. A `kind = "multivec"`
+    * registration serves through TWO paired knobs (per-token probe
+    * count `nprobe` and stage-1 candidate budget `cand`, registered as
+    * `ef`), and widening one without the other starves differently
+    * (few probes → missing lists; small cand → truncated stage-1). So
+    * the sweep widens BOTH by the same doubling factor — `Step.value`
+    * records the swept `cand`, with `nprobe` scaled proportionally —
+    * through the PLANNER's maxsim rewrite (`orderBy(maxsim_score(toks,
+    * Q).desc).limit(k)`), measured against the exact MaxSim truth
+    * (computed with the registration temporarily lifted, because the
+    * scoring sort would otherwise itself rewrite). First qualifying
+    * factor is re-registered (ef AND nprobe); the probe count clamps
+    * to the centroid count inside the scan, so over-widening is safe.
+    */
+  def retuneMultivec(
+      spark: SparkSession,
+      tablePath: String,
+      vecCol: String,
+      k: Int = 10,
+      queryCount: Int = 8,
+      targetRecall: Double = 0.9,
+      maxWiden: Int = 16,
+      catalogPath: Option[String] = None): Report = {
+    require(maxWiden >= 1, s"graft: maxWiden must be >= 1, got $maxWiden")
+    val meta = AnnCatalog.metaFor(spark, tablePath, vecCol, "maxsim")
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: no ($vecCol, maxsim) registration for $tablePath"))
+    require(meta.kind == "multivec",
+      s"graft: maxsim retune expects kind=multivec, got '${meta.kind}'")
+    val (cand0, nprobe0) = (meta.ef, meta.effectiveNprobe)
+    require(cand0 >= 1 && nprobe0 >= 1,
+      s"graft: registration carries cand=$cand0 nprobe=$nprobe0")
+
+    val table = spark.read.parquet(tablePath)
+    val queries = graft.util.Sampling
+      .hashSample(
+        table.select(col(meta.idCol).cast("long").as("id"), col(vecCol)),
+        queryCount, col("id"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray))
+    require(queries.nonEmpty, "graft: retune needs at least one sample row")
+
+    def topIds(qm: Array[Array[Float]]): Set[Long] =
+      table
+        .orderBy(graft.ops.MultiVec.maxsimCol(col(vecCol), qm).desc,
+          col(meta.idCol))
+        .limit(k)
+        .select(col(meta.idCol).cast("long"))
+        .collect().map(_.getLong(0)).toSet
+
+    // exact truth with every registration of the table lifted — the
+    // same sort would rewrite through the index otherwise
+    val saved = AnnCatalog.metasFor(spark, tablePath)
+    AnnCatalog.unregister(spark, tablePath)
+    val truth =
+      try queries.map { case (qid, qm) => qid -> topIds(qm) }.toMap
+      finally saved.foreach(AnnCatalog.register(spark, tablePath, _))
+
+    val factors = Iterator.iterate(1L)(_ * 2)
+      .takeWhile(_ <= maxWiden).map(_.toInt).toSeq
+    val (efKey, npKey) = (GraftConf.AnnEf, GraftConf.AnnNprobe)
+    val (efPrior, npPrior) =
+      (spark.conf.getOption(efKey), spark.conf.getOption(npKey))
+    val steps = Seq.newBuilder[Step]
+    var picked: Option[Int] = None
+    var pickedFactor = 1
+    try {
+      val it = factors.iterator
+      while (picked.isEmpty && it.hasNext) {
+        val f = it.next()
+        spark.conf.set(efKey, (cand0 * f).toString)
+        spark.conf.set(npKey, (nprobe0 * f).toString)
+        val t0 = System.nanoTime()
+        val got = queries.map { case (qid, qm) =>
+          val knn = table
+            .orderBy(graft.ops.MultiVec.maxsimCol(col(vecCol), qm).desc,
+              col(meta.idCol))
+            .limit(k)
+          val planned = knn.queryExecution.optimizedPlan.collect {
+            case m: graft.plans.MaxSimIdsLogical => m
+          }.nonEmpty
+          if (!planned) throw new IllegalStateException(
+            s"graft: the maxsim form over $tablePath did not rewrite " +
+              s"through the multivec index at factor $f")
+          qid -> knn.select(col(meta.idCol).cast("long"))
+            .collect().map(_.getLong(0)).toSet
+        }.toMap
+        val avgMs = (System.nanoTime() - t0) / 1e6 / queries.length
+        var hits = 0; var total = 0
+        queries.foreach { case (qid, _) =>
+          val expected = truth.getOrElse(qid, Set.empty)
+          hits += got.getOrElse(qid, Set.empty).intersect(expected).size
+          total += expected.size
+        }
+        val recall = if (total == 0) 1.0 else hits.toDouble / total
+        steps += Step(cand0 * f, recall, avgMs)
+        if (recall >= targetRecall) { picked = Some(cand0 * f); pickedFactor = f }
+      }
+    } finally {
+      efPrior match {
+        case Some(v) => spark.conf.set(efKey, v)
+        case None => spark.conf.unset(efKey)
+      }
+      npPrior match {
+        case Some(v) => spark.conf.set(npKey, v)
+        case None => spark.conf.unset(npKey)
+      }
+    }
+
+    val updated = picked.exists(_ != cand0)
+    if (updated) {
+      AnnCatalog.register(spark, tablePath,
+        meta.copy(ef = picked.get, nprobe = nprobe0 * pickedFactor))
+      catalogPath.foreach(AnnCatalog.save(spark, _))
+    }
+    Report(meta.kind, "cand+nprobe", cand0, targetRecall,
+      steps.result(), picked, updated)
+  }
+
   /** The report as a DataFrame (one row per measured step), the same
     * persistence shape the autotune reports use. */
   def reportDf(spark: SparkSession, r: Report): DataFrame = {

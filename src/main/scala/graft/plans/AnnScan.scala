@@ -107,6 +107,13 @@ object AnnCatalog {
   def anyFor(rootPaths: Seq[Path]): Boolean =
     rootPaths.exists(p => registry.contains(p.toString))
 
+  /** Every registration of ONE table, by path — lets a caller
+    * snapshot-and-restore around a computation that must NOT rewrite
+    * (e.g. [[graft.ann.Retune]]'s exact-truth pass for maxsim, whose
+    * sort attribute resolves through projections into the rewrite). */
+  def metasFor(spark: SparkSession, tablePath: String): Seq[IndexMeta] =
+    registry.getOrElse(normalize(spark, tablePath), Nil)
+
   /** Every registration, (table → meta), deterministically ordered —
     * the enumeration [[graft.ann.Maintain]] sweeps. */
   def entries(): Seq[(String, IndexMeta)] =

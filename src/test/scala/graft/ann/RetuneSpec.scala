@@ -137,6 +137,41 @@ class RetuneSpec extends SparkTestBase {
     }
   }
 
+  test("multivec: both paired knobs widen by one factor and re-register") {
+    import graft.ops.MultiVec
+    val e = Tables.embeddings(spark, dir)
+    // synth docs: 4 consecutive embeddings = one doc's token matrix
+    val flat = e.select((col("vec_id") / 4).cast("long").as("mdoc"),
+      (col("vec_id") % 4).cast("int").as("t_idx"),
+      col("embedding").as("tok"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retune-mv").toString
+    MultiVec.docArrays(flat).write.parquet(s"$root/docs")
+    MultiVec.writeIndex(flat, s"$root/idx", nlists = 8)
+    val tbl = s"$root/docs"
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(s"$root/idx",
+      "mdoc", "toks", "maxsim", ef = 4, kind = "multivec", nprobe = 1))
+    try {
+      val r = Retune.retuneMultivec(spark, tbl, "toks",
+        k = 5, queryCount = 4, targetRecall = 0.9, maxWiden = 32)
+      assert(r.knob == "cand+nprobe" && r.registered == 4)
+      // cand doubles per step from the registered value
+      assert(r.steps.map(_.value) == r.steps.indices.map(i => 4 << i))
+      assert(r.picked.isDefined,
+        "full-probe (nprobe clamps to centroids) + wide cand must qualify")
+      assert(r.steps.init.forall(_.recall < 0.9))
+      if (r.updated) {
+        val m = AnnCatalog.metaFor(spark, tbl, "toks", "maxsim").get
+        assert(m.ef == r.picked.get)
+        val factor = r.picked.get / 4
+        assert(m.nprobe == factor) // nprobe0 = 1
+      }
+      // both GUCs restored
+      assert(spark.conf.getOption(graft.GraftConf.AnnEf).isEmpty)
+      assert(spark.conf.getOption(graft.GraftConf.AnnNprobe).isEmpty)
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
   test("unregistered table: retune refuses rather than tuning a scan") {
     intercept[IllegalArgumentException] {
       Retune.retune(spark, tablePath, "embedding", "cos")

@@ -103,9 +103,12 @@ object Maintain {
     var valid = true
     var validatedRows = -1L
     if (validate) {
+      // ANY failure here (violation, missing/unreadable artifact, bad
+      // schema) is a named report row, never a sweep abort — the sweep
+      // exists to name the casualty and keep maintaining the rest
       try validatedRows = validateOne(spark, table, meta)
       catch {
-        case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+        case scala.util.control.NonFatal(e) =>
           valid = false
           notes += s"validate: ${e.getMessage}"
       }
@@ -129,7 +132,10 @@ object Maintain {
           Retune.retune(spark, table, meta.vecCol, meta.metric,
             k, queryCount, targetRecall, maxWiden, None, catalogPath))
       catch {
-        case e: IllegalStateException =>
+        // rewrite stopped matching, a require() tripped (ef=0 in a
+        // hand-edited catalog, empty source table), artifact unreadable
+        // — report and move on, same contract as validation
+        case scala.util.control.NonFatal(e) =>
           notes += s"retune: ${e.getMessage}"
           None
       }
@@ -142,7 +148,14 @@ object Maintain {
       knobAfter = r.flatMap(_.picked).orElse(r.map(_.registered))
         .getOrElse(-1),
       recallBefore = r.map(_.steps.head.recall).getOrElse(-1.0),
-      recallAfter = r.map(_.steps.last.recall).getOrElse(-1.0),
+      // pair recall_after with the knob the row actually ends on: the
+      // pick's step when one qualified, else the REGISTERED value's
+      // step (nothing qualified, the registration was left untouched —
+      // reporting the widest swept recall next to the old knob would
+      // claim a recall the serving path does not achieve)
+      recallAfter = r.map(rr =>
+        if (rr.picked.isDefined) rr.steps.last.recall
+        else rr.steps.head.recall).getOrElse(-1.0),
       retuned = r.exists(_.updated),
       notes = notes.result().mkString("; "))
   }

@@ -111,7 +111,10 @@ object Retune {
         .view.mapValues(_.map(_.getLong(1)).toSet).toMap
     }
 
-    val cap = registered.toLong * maxWiden
+    // Long math + an Int.MaxValue ceiling: a large registered × widen
+    // product must stop the grid, not wrap negative into a GUC the
+    // planner would silently ignore (c > 0 falls back to the stale ef)
+    val cap = math.min(registered.toLong * maxWiden, Int.MaxValue.toLong)
     val grid = Iterator.iterate(registered.toLong)(_ * 2)
       .takeWhile(_ <= cap).map(_.toInt).toSeq
 
@@ -231,8 +234,13 @@ object Retune {
       try queries.map { case (qid, qm) => qid -> topIds(qm) }.toMap
       finally saved.foreach(AnnCatalog.register(spark, tablePath, _))
 
+    // factor capped so the widened cand stays an Int (same wrap hazard
+    // as the scalar grid)
     val factors = Iterator.iterate(1L)(_ * 2)
-      .takeWhile(_ <= maxWiden).map(_.toInt).toSeq
+      .takeWhile(f => f <= maxWiden &&
+        cand0.toLong * f <= Int.MaxValue &&
+        nprobe0.toLong * f <= Int.MaxValue)
+      .map(_.toInt).toSeq
     val (efKey, npKey) = (GraftConf.AnnEf, GraftConf.AnnNprobe)
     val (efPrior, npPrior) =
       (spark.conf.getOption(efKey), spark.conf.getOption(npKey))

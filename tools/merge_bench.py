@@ -56,6 +56,11 @@ def main():
         sys.exit(f"fresh run reports failures {new_t['failed']} - fix "
                  "before merging")
     reset = set(q for q in args.reset.split(",") if q)
+    missing_reset = reset - set(new_q)
+    if missing_reset:
+        sys.exit(f"--reset queries absent from the fresh run: "
+                 f"{sorted(missing_reset)} - their stale minima cannot be "
+                 "replaced; drop them from --reset or rerun the bench")
 
     merged, improved, added = {}, 0, 0
     for q in sorted(set(old_q) | set(new_q)):

@@ -32,7 +32,12 @@ import graft.plans.AnnCatalog
   *
   * Scale shape: everything per-entry is one driver loop over the
   * (few) registrations; the work inside is the kinds' own distributed
-  * jobs. Nothing corpus-sized reaches the driver.
+  * jobs. Nothing corpus-sized reaches the driver. The sweep is serial
+  * across entries BY DESIGN (not an oversight): retune steers the
+  * planner through the session-global ef/nprobe GUCs, so two
+  * concurrent sweeps in one session would trample each other's knob
+  * settings mid-measurement — validateAll-style thread pooling is
+  * safe for the validators but not for the retune stage.
   */
 object Maintain {
 

@@ -49,7 +49,7 @@ object Maintain {
       valid: Boolean, validatedRows: Long,
       knob: String, knobBefore: Int, knobAfter: Int,
       recallBefore: Double, recallAfter: Double, retuned: Boolean,
-      notes: String)
+      listSkew: Double, notes: String)
 
   /** Sweep every registration currently in [[AnnCatalog]] (load
     * `catalogPath` first yourself, or via [[graft.Cli]] `maintain`).
@@ -119,6 +119,27 @@ object Maintain {
       }
     }
 
+    // 2b. coarse-list skew (ivf/ivfpq): appends file new rows under
+    // the PERSISTED centroids, so drifting data piles into few lists.
+    // Retune compensates by widening nprobe but pays probe cost every
+    // query — past 4x max/mean the structural fix is a rebuild (fresh
+    // kmeans), and the sweep says so instead of silently widening
+    // forever. One small aggregation over the list layout.
+    val listSkew =
+      if (meta.kind != "ivf" && meta.kind != "ivfpq") -1.0
+      else try {
+        import org.apache.spark.sql.functions.{avg, col, max}
+        val r = spark.read.parquet(s"$idx/data")
+          .groupBy(col("list_id")).count()
+          .agg(max(col("count")).cast("double"), avg(col("count")))
+          .head()
+        val skew = r.getDouble(0) / math.max(r.getDouble(1), 1e-9)
+        if (skew > 4.0)
+          notes += f"list skew $skew%.1fx (max/mean rows): coarse " +
+            "centroids stale for the current data - consider a rebuild"
+        skew
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
     // 3. retune the serving knob where sweepable
     val scalarSweep = Set("l2sq", "cos", "inner").contains(meta.metric) &&
       meta.kind != "sparse" && meta.kind != "multivec"
@@ -162,6 +183,7 @@ object Maintain {
         if (rr.picked.isDefined) rr.steps.last.recall
         else rr.steps.head.recall).getOrElse(-1.0),
       retuned = r.exists(_.updated),
+      listSkew = listSkew,
       notes = notes.result().mkString("; "))
   }
 
@@ -216,11 +238,11 @@ object Maintain {
       .map(e => (e.table, e.vecCol, e.metric, e.kind, e.filesBefore,
         e.filesAfter, e.consolidated, e.valid, e.validatedRows, e.knob,
         e.knobBefore, e.knobAfter, e.recallBefore, e.recallAfter,
-        e.retuned, e.notes))
+        e.retuned, e.listSkew, e.notes))
       .toDF("table", "vec_col", "metric", "kind", "files_before",
         "files_after", "consolidated", "valid", "validated_rows", "knob",
         "knob_before", "knob_after", "recall_before", "recall_after",
-        "retuned", "notes")
+        "retuned", "list_skew", "notes")
       .orderBy("table", "kind", "vec_col", "metric")
   }
 }

@@ -103,6 +103,37 @@ class MaintainSpec extends SparkTestBase {
     }
   }
 
+  test("ivf list skew past 4x raises the stale-centroid note") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    val spread = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val v = spread.orderBy("vec_id").head().getSeq[Float](1).toArray
+    val maxId = spread.agg(max(col("vec_id"))).head().getLong(0)
+    // a tight late cluster: data drifted after the centroids persisted
+    // (200 near-identical rows over a ~500-row/16-list base lands one
+    // list at ~230 rows vs a ~44-row mean — skew ≈ 5x)
+    val tight = (0 until 200).map { i =>
+      (maxId + 1 + i, v.updated(0, v(0) + i * 1e-6f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val tbl = tmp("skew-tbl")
+    spread.unionAll(tight).write.parquet(tbl)
+    val idx = tmp("skew-ivf")
+    IvfIndex.build(spread, "vec_id", "embedding", idx, nlists = 16)
+    IvfIndex.append(tight, "vec_id", "embedding", idx)
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(idx,
+      "vec_id", "embedding", "l2sq", ef = 64, kind = "ivf", nprobe = 8))
+    try {
+      val e = Maintain.sweep(spark, queryCount = 3,
+        consolidateOver = 1000)
+        .find(_.table.contains("skew-tbl")).get
+      assert(e.valid, e.notes)
+      assert(e.listSkew > 4.0,
+        s"100 drifted rows into one of 8 lists must skew: ${e.listSkew}")
+      assert(e.notes.contains("list skew"))
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
   test("unsupported knobs are noted, not swept: hamming metric") {
     val tbl = tableCopy("ham")
     val idx = tmp("ham-hnsw")

@@ -41,8 +41,10 @@ object Cli {
       |  maintain           --catalog P [--target-recall 0.9] [--k 10]
       |                     [--query-count 8] [--max-widen 16]
       |                     [--no-validate] [--consolidate-over N]
+      |                     [--recluster] [--skew-over 4.0]
       |                     (compact + validate + retune every
-      |                      registered index in one sweep)
+      |                      registered index in one sweep; --recluster
+      |                      rebuilds skewed coarse-list centroids)
       |  validate-index     --index P [--src P --id-col C --vec-col C]
       |                     (layout auto-detected; with --src the codec
       |                      re-derivation runs too — the reference's
@@ -94,7 +96,8 @@ object Cli {
     "retune-index" -> Set("table", "vec-col", "catalog", "metric", "k",
       "target-recall", "query-count", "max-widen"),
     "maintain" -> Set("catalog", "target-recall", "k", "query-count",
-      "max-widen", "no-validate", "consolidate-over"),
+      "max-widen", "no-validate", "consolidate-over", "recluster",
+      "skew-over"),
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
@@ -279,7 +282,9 @@ object Cli {
           maxWiden = opts.getOrElse("max-widen", "16").toInt,
           validate = !opts.contains("no-validate"),
           consolidateOver = opts.getOrElse("consolidate-over", "0").toInt,
-          catalogPath = Some(cat))
+          catalogPath = Some(cat),
+          recluster = opts.contains("recluster"),
+          skewOver = opts.getOrElse("skew-over", "4.0").toDouble)
         ann.Maintain.sweepDf(spark, entries).show(100, truncate = false)
         val bad = entries.filterNot(_.valid)
         if (bad.nonEmpty) throw new IllegalStateException(

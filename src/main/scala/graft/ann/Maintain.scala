@@ -63,13 +63,15 @@ object Maintain {
       maxWiden: Int = 16,
       validate: Boolean = true,
       consolidateOver: Int = 0,
-      catalogPath: Option[String] = None): Seq[Entry] = {
+      catalogPath: Option[String] = None,
+      recluster: Boolean = false,
+      skewOver: Double = 4.0): Seq[Entry] = {
     val threshold =
       if (consolidateOver > 0) consolidateOver
       else GraftConf.annConsolidateShards(spark)
     AnnCatalog.entries().map { case (table, meta) =>
       maintainOne(spark, table, meta, threshold, targetRecall, k,
-        queryCount, maxWiden, validate, catalogPath)
+        queryCount, maxWiden, validate, catalogPath, recluster, skewOver)
     }
   }
 
@@ -77,7 +79,8 @@ object Maintain {
       spark: SparkSession, table: String, meta: AnnCatalog.IndexMeta,
       threshold: Int, targetRecall: Double, k: Int, queryCount: Int,
       maxWiden: Int, validate: Boolean,
-      catalogPath: Option[String]): Entry = {
+      catalogPath: Option[String], recluster: Boolean,
+      skewOver: Double): Entry = {
     val idx = meta.artifact
     val notes = Seq.newBuilder[String]
 
@@ -125,7 +128,7 @@ object Maintain {
     // query — past 4x max/mean the structural fix is a rebuild (fresh
     // kmeans), and the sweep says so instead of silently widening
     // forever. One small aggregation over the list layout.
-    val listSkew =
+    def measureSkew(): Double =
       if (meta.kind != "ivf" && meta.kind != "ivfpq") -1.0
       else try {
         import org.apache.spark.sql.functions.{avg, col, max}
@@ -133,12 +136,32 @@ object Maintain {
           .groupBy(col("list_id")).count()
           .agg(max(col("count")).cast("double"), avg(col("count")))
           .head()
-        val skew = r.getDouble(0) / math.max(r.getDouble(1), 1e-9)
-        if (skew > 4.0)
-          notes += f"list skew $skew%.1fx (max/mean rows): coarse " +
-            "centroids stale for the current data - consider a rebuild"
-        skew
+        r.getDouble(0) / math.max(r.getDouble(1), 1e-9)
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    var listSkew = measureSkew()
+    if (listSkew > skewOver) {
+      if (recluster && valid) {
+        // the structural fix, applied: fresh coarse kmeans over the
+        // CURRENT table (the validated source of truth — tombstoned
+        // rows drop out by construction), same recorded knobs, then an
+        // atomic-as-we-get directory swap (the AnnIndex.consolidate
+        // convention). Runs BEFORE retune so the budget is derived
+        // against the fresh layout, not the skewed one.
+        try {
+          val pre = listSkew
+          reclusterArtifact(spark, table, meta)
+          listSkew = measureSkew()
+          notes += f"reclustered: skew $pre%.1fx -> $listSkew%.1fx"
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            notes += s"recluster: ${e.getMessage}"
+        }
+      } else {
+        notes += f"list skew $listSkew%.1fx (max/mean rows): coarse " +
+          "centroids stale for the current data - rerun with " +
+          "recluster=true (or rebuild)"
+      }
+    }
 
     // 3. retune the serving knob where sweepable
     val scalarSweep = Set("l2sq", "cos", "inner").contains(meta.metric) &&
@@ -212,6 +235,42 @@ object Maintain {
         }
         n
       }
+  }
+
+  /** Rebuild a coarse-list artifact's centroids from the CURRENT
+    * table: every build knob is recovered from the artifact itself
+    * (nlists = stored centroid count; ivfpq codebook geometry from the
+    * codebook parquet — one row per (subvector, cluster) centroid;
+    * metric from the artifact meta), so the operator never re-supplies
+    * parameters the index already records. Build lands in a sibling
+    * directory and swaps in whole. */
+  private def reclusterArtifact(spark: SparkSession, table: String,
+      meta: AnnCatalog.IndexMeta): Unit = {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit, count => fcount}
+    val idx = meta.artifact
+    val df = spark.read.parquet(table)
+    val nlists = spark.read.parquet(s"$idx/centroids").count().toInt
+    val tmp = idx + ".reclustering"
+    meta.kind match {
+      case "ivf" =>
+        IvfIndex.build(df, meta.idCol, meta.vecCol, tmp, nlists,
+          IvfIndex.metricOf(spark, idx))
+      case "ivfpq" =>
+        val cb = spark.read.parquet(s"$idx/codebook")
+        val r = cb.agg(countDistinct(col("subvector_id")).cast("long"),
+          fcount(lit(1))).head()
+        val subvectors = r.getLong(0).toInt
+        val clusters = (r.getLong(1) / math.max(subvectors, 1)).toInt
+        IvfPqIndex.build(df, meta.idCol, meta.vecCol, tmp, nlists,
+          subvectors, clusters, IvfPqIndex.metricOf(spark, idx))
+      case other => throw new IllegalArgumentException(
+        s"graft: recluster applies to coarse-list kinds, not '$other'")
+    }
+    val p = new Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    if (!fs.rename(new Path(tmp), p)) throw new IllegalStateException(
+      s"graft: recluster swap failed renaming $tmp over $idx")
   }
 
   private def validateOne(spark: SparkSession, table: String,

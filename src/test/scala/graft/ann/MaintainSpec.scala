@@ -129,8 +129,23 @@ class MaintainSpec extends SparkTestBase {
         .find(_.table.contains("skew-tbl")).get
       assert(e.valid, e.notes)
       assert(e.listSkew > 4.0,
-        s"100 drifted rows into one of 8 lists must skew: ${e.listSkew}")
+        s"200 drifted rows into one of 16 lists must skew: ${e.listSkew}")
       assert(e.notes.contains("list skew"))
+
+      // recluster applies the structural fix: fresh coarse kmeans over
+      // the current table - skew collapses, the artifact re-validates,
+      // and the rebuilt layout still serves
+      val e2 = Maintain.sweep(spark, queryCount = 3,
+        consolidateOver = 1000, recluster = true)
+        .find(_.table.contains("skew-tbl")).get
+      assert(e2.notes.contains("reclustered"), e2.notes)
+      assert(e2.listSkew < e.listSkew)
+      assert(e2.recallAfter >= 0.9)
+      // the swapped-in artifact re-validates against the table in full
+      // (entry.valid certified the PRE-swap artifact)
+      val src = Some((spark.read.parquet(tbl), "vec_id", "embedding"))
+      assert(IvfIndex.validateIndex(spark, idx, src) ===
+        spark.read.parquet(tbl).count())
     } finally AnnCatalog.unregister(spark, tbl)
   }
 

@@ -281,6 +281,63 @@ object AdminQueries {
     }
   }
 
+  /** Recluster gate ([[graft.ann.Maintain]] `recluster` — the
+    * structural fix for coarse-centroid staleness): a deterministic
+    * drifted corpus (the 256-row slice plus a 200-row near-identical
+    * late cluster) is built spread-first then appended, so the tight
+    * cluster piles into ONE of 16 persisted lists (skew ≈ 7×). The
+    * sweep with recluster=true must (a) raise the reclustered note,
+    * (b) strictly reduce the measured skew, (c) leave an artifact that
+    * re-validates IN FULL against the table (every row re-derived
+    * under the FRESH centroids — the swap lost nothing), and (d) still
+    * serve through the planner at the recall floor. Fresh artifact per
+    * invocation (the sweep swaps it). */
+  private def maintainRecluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.{IvfIndex, Maintain}
+    import graft.plans.AnnCatalog
+    val target = 0.8
+    val tblRoot = AnnQueries.artifactDir("recltbl", dir, "embeddings")
+    AnnQueries.cached(tblRoot) {
+      val spread = slice(s, dir)
+      val v = spread.orderBy(col("vec_id")).head().getSeq[Float](1).toArray
+      val maxId = spread.agg(max(col("vec_id"))).head().getLong(0)
+      val tight = (0 until 200).map { i =>
+        (maxId + 1 + i, v.updated(0, v(0) + i * 1e-6f).toSeq)
+      }.toDF("vec_id", "embedding")
+      spread.unionAll(tight).write.mode("overwrite")
+        .parquet(s"$tblRoot/t.parquet")
+    }
+    val tbl = s"$tblRoot/t.parquet"
+    val a = s.read.parquet(tbl)
+    val n = a.count()
+    val splitId = a.agg(max(col("vec_id"))).head().getLong(0) - 200
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-recl").toString + "/ivf"
+    IvfIndex.build(a.where(col("vec_id") <= splitId),
+      "vec_id", "embedding", idx, nlists = 16)
+    IvfIndex.append(a.where(col("vec_id") > splitId),
+      "vec_id", "embedding", idx)
+    AnnCatalog.register(s, tbl, AnnCatalog.IndexMeta(idx,
+      "vec_id", "embedding", "l2sq", ef = 64, kind = "ivf", nprobe = 16))
+    try {
+      val pre = Maintain.sweep(s, targetRecall = target, queryCount = 5,
+        consolidateOver = 1000)
+        .find(_.table.contains("recltbl")).get
+      val post = Maintain.sweep(s, targetRecall = target, queryCount = 5,
+        consolidateOver = 1000, recluster = true)
+        .find(_.table.contains("recltbl")).get
+      val src = Some((a, "vec_id", "embedding"))
+      val ok = pre.valid && pre.listSkew > 4.0 &&
+        pre.notes.contains("list skew") &&
+        post.notes.contains("reclustered") &&
+        post.listSkew < pre.listSkew &&
+        post.recallAfter >= target &&
+        IvfIndex.validateIndex(s, idx, src) == n
+      if (ok) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tbl)
+  }
+
   private val maintainOracle =
     """SELECT * FROM (VALUES
       |  ('bq', 1, 1, 1, 1), ('hnsw', 1, 0, 0, 1)
@@ -291,5 +348,7 @@ object AdminQueries {
     QueryDef("index_info", Some(indexInfoOracle), indexInfo),
     QueryDef("table_recall", Some("SELECT 1 AS ok"), tableRecallGate),
     QueryDef("maintain_sweep", Some(maintainOracle), maintainSweep),
+    QueryDef("maintain_recluster", Some("SELECT 1 AS ok"),
+      maintainRecluster),
   )
 }

@@ -486,6 +486,54 @@ object MultiVecQueries {
     else Seq.empty[Int].toDF("ok")
   }
 
+  /** Retune gate for the paired-knob multivec kind
+    * ([[graft.ann.Retune.retuneMultivec]] — the `retune_budget`
+    * protocol applied to the maxsim planner form): the registration is
+    * STARVED on both knobs (cand = k, nprobe = 1 of 64 lists), the
+    * sweep widens both by one doubling factor through the planner's
+    * rewrite against the exact MaxSim truth (registration lifted for
+    * the truth pass), and the first qualifying factor re-registers
+    * BOTH knobs proportionally. A confirmation pass over the updated
+    * registration must qualify at its first step. */
+  private def retuneMultivecGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ann.Retune
+    import graft.plans.AnnCatalog
+    val target = 0.8
+    val t = toks(s, dir)
+    val corpus = t.where(col("mdoc") >= QDocs)
+    val idxPath = AnnQueries.artifactDir("mvpidx", dir, "embeddings")
+    AnnQueries.cached(idxPath) {
+      MultiVec.writeIndex(corpus, s"$idxPath/idx", Centroids)
+    }
+    val docsPath = AnnQueries.artifactDir("mvdocs", dir, "embeddings")
+    AnnQueries.cached(docsPath) {
+      MultiVec.docArrays(corpus).write.mode("overwrite")
+        .parquet(s"$docsPath/docs")
+    }
+    val tbl = s"$docsPath/docs"
+    AnnCatalog.register(s, tbl, AnnCatalog.IndexMeta(s"$idxPath/idx",
+      "mdoc", "toks", "maxsim", ef = K, kind = "multivec", nprobe = 1))
+    try {
+      val r = Retune.retuneMultivec(s, tbl, "toks", k = K,
+        queryCount = 5, targetRecall = target, maxWiden = 64)
+      val sweepOk = r.knob == "cand+nprobe" && r.registered == K &&
+        r.steps.head.recall < target &&
+        r.picked.isDefined && r.updated &&
+        r.steps.init.forall(_.recall < target) &&
+        r.steps.last.recall >= target && {
+          val m = AnnCatalog.metaFor(s, tbl, "toks", "maxsim").get
+          m.ef == r.picked.get && m.nprobe == r.picked.get / K
+        }
+      val after = Retune.retuneMultivec(s, tbl, "toks", k = K,
+        queryCount = 5, targetRecall = target, maxWiden = 1)
+      val servesOk = after.steps.size == 1 && !after.updated &&
+        after.picked == r.picked
+      if (sweepOk && servesOk) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+    } finally AnnCatalog.unregister(s, tbl)
+  }
+
   def all: Seq[QueryDef] = Seq(
     QueryDef("multivec_maxsim", Some(maxsimOracle), maxsimFlat),
     QueryDef("multivec_maxsim_doc", Some(maxsimOracle), maxsimDoc),
@@ -502,5 +550,7 @@ object MultiVecQueries {
     QueryDef("knn_join_maxsim_planner", Some("SELECT 1 AS ok"),
       maxsimJoinPlanner),
     QueryDef("knn_maxsim_filtered_planner", Some("SELECT 1 AS ok"),
-      maxsimFilteredPlanner))
+      maxsimFilteredPlanner),
+    QueryDef("retune_multivec", Some("SELECT 1 AS ok"),
+      retuneMultivecGate))
 }

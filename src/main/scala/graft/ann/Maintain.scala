@@ -132,8 +132,12 @@ object Maintain {
       if (meta.kind != "ivf" && meta.kind != "ivfpq") -1.0
       else try {
         import org.apache.spark.sql.functions.{avg, col, max}
-        val r = spark.read.parquet(s"$idx/data")
-          .groupBy(col("list_id")).count()
+        // tombstoned rows are masked at search — counting them would
+        // let a mostly-deleted list fake the skew that triggers the
+        // (destructive) recluster
+        val live = FlatArtifact.minusTombstones(spark, idx,
+          spark.read.parquet(s"$idx/data"))
+        val r = live.groupBy(col("list_id")).count()
           .agg(max(col("count")).cast("double"), avg(col("count")))
           .head()
         r.getDouble(0) / math.max(r.getDouble(1), 1e-9)
@@ -142,20 +146,26 @@ object Maintain {
     if (listSkew > skewOver) {
       if (recluster && valid) {
         // the structural fix, applied: fresh coarse kmeans over the
-        // CURRENT table (the validated source of truth — tombstoned
-        // rows drop out by construction), same recorded knobs, then an
-        // atomic-as-we-get directory swap (the AnnIndex.consolidate
-        // convention). Runs BEFORE retune so the budget is derived
-        // against the fresh layout, not the skewed one.
+        // current table MINUS the artifact's pending tombstones, same
+        // recorded knobs, move-aside swap with rollback. Runs BEFORE
+        // retune so the budget is derived against the fresh layout.
         try {
           val pre = listSkew
           reclusterArtifact(spark, table, meta)
           listSkew = measureSkew()
           notes += f"reclustered: skew $pre%.1fx -> $listSkew%.1fx"
+          // the row's `valid` must describe the artifact that now
+          // serves, not the one the swap retired
+          if (validate) validatedRows = validateOne(spark, table, meta)
         } catch {
           case scala.util.control.NonFatal(e) =>
+            valid = false
             notes += s"recluster: ${e.getMessage}"
         }
+      } else if (!valid) {
+        notes += f"list skew $listSkew%.1fx (max/mean rows) on an " +
+          "index that FAILED validation - recluster refused; rebuild " +
+          "from a trusted source"
       } else {
         notes += f"list skew $listSkew%.1fx (max/mean rows): coarse " +
           "centroids stale for the current data - rerun with " +
@@ -240,15 +250,31 @@ object Maintain {
   /** Rebuild a coarse-list artifact's centroids from the CURRENT
     * table: every build knob is recovered from the artifact itself
     * (nlists = stored centroid count; ivfpq codebook geometry from the
-    * codebook parquet — one row per (subvector, cluster) centroid;
-    * metric from the artifact meta), so the operator never re-supplies
-    * parameters the index already records. Build lands in a sibling
-    * directory and swaps in whole. */
+    * codebook parquet's distinct (subvector_id, centroid_id); metric
+    * from the artifact meta), so the operator never re-supplies
+    * parameters the index already records. Rows the artifact has
+    * TOMBSTONED are excluded from the rebuild (the table may lag the
+    * index's deletes — rebuilding from the raw table would resurrect
+    * them) and the tombstone files are carried into the new artifact,
+    * so the validator's pending-delete excusal keeps holding against
+    * the lagging table. Swap is move-aside + rename + rollback (the
+    * [[FlatArtifact.consolidateSubdir]] convention) — no window where
+    * the only copy of the index is a completed `fs.delete`. */
   private def reclusterArtifact(spark: SparkSession, table: String,
       meta: AnnCatalog.IndexMeta): Unit = {
-    import org.apache.spark.sql.functions.{col, countDistinct, lit, count => fcount}
+    import org.apache.spark.sql.functions.{col, countDistinct}
     val idx = meta.artifact
-    val df = spark.read.parquet(table)
+    val fs = new Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombDir = new Path(s"$idx/tombstones")
+    val raw = spark.read.parquet(table)
+    val df =
+      if (fs.exists(tombDir))
+        raw.join(spark.read.parquet(tombDir.toString)
+            .select(col("id").as("__graft_tomb_id")),
+          col(meta.idCol).cast("long") === col("__graft_tomb_id"),
+          "left_anti")
+      else raw
     val nlists = spark.read.parquet(s"$idx/centroids").count().toInt
     val tmp = idx + ".reclustering"
     meta.kind match {
@@ -257,20 +283,33 @@ object Maintain {
           IvfIndex.metricOf(spark, idx))
       case "ivfpq" =>
         val cb = spark.read.parquet(s"$idx/codebook")
-        val r = cb.agg(countDistinct(col("subvector_id")).cast("long"),
-          fcount(lit(1))).head()
-        val subvectors = r.getLong(0).toInt
-        val clusters = (r.getLong(1) / math.max(subvectors, 1)).toInt
+        val r = cb.agg(countDistinct(col("subvector_id")).cast("int"),
+          countDistinct(col("centroid_id")).cast("int")).head()
         IvfPqIndex.build(df, meta.idCol, meta.vecCol, tmp, nlists,
-          subvectors, clusters, IvfPqIndex.metricOf(spark, idx))
+          r.getInt(0), r.getInt(1), IvfPqIndex.metricOf(spark, idx))
       case other => throw new IllegalArgumentException(
         s"graft: recluster applies to coarse-list kinds, not '$other'")
     }
     val p = new Path(idx)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    if (!fs.rename(new Path(tmp), p)) throw new IllegalStateException(
-      s"graft: recluster swap failed renaming $tmp over $idx")
+    val backup = new Path(idx + ".replaced")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(p, backup)) throw new IllegalStateException(
+      s"graft: recluster could not move $idx aside — index untouched")
+    if (!fs.rename(new Path(tmp), p)) {
+      fs.rename(backup, p) // rollback: the original serves again
+      throw new IllegalStateException(
+        s"graft: recluster swap failed under $idx — original restored")
+    }
+    // carry pending tombstones: their rows are applied physically in
+    // the rebuild, but the lagging table still holds them — the
+    // validator's missing-row excusal needs the files
+    val backupTomb = new Path(s"$backup/tombstones")
+    if (fs.exists(backupTomb)) {
+      fs.rename(backupTomb, new Path(s"$idx/tombstones"))
+      ()
+    }
+    fs.delete(backup, true)
+    ()
   }
 
   private def validateOne(spark: SparkSession, table: String,

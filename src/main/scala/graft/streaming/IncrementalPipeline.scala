@@ -33,7 +33,11 @@ object IncrementalPipeline {
     * build it from the initial corpus first). Returns the running query;
     * caller owns its lifecycle. `consolidateOver` = 0 reads the
     * `spark.graft.ann.consolidateShards` conf; past it, the batch that
-    * crossed the line compacts before committing.
+    * crossed the line compacts before committing. Pass a NEGATIVE
+    * value to disable in-stream compaction entirely — the right mode
+    * when an external job already schedules `AnnIndex.consolidate`
+    * (two concurrent delete-and-rename rebuilds of the same artifact
+    * root would race each other).
     */
   def embedAndIndexStream(
       stream: DataFrame,
@@ -65,6 +69,7 @@ object IncrementalPipeline {
               val s = batch.sparkSession
               val threshold =
                 if (consolidateOver > 0) consolidateOver
+                else if (consolidateOver < 0) Int.MaxValue // disabled
                 else graft.GraftConf.annConsolidateShards(s)
               if (AnnIndex.shardCount(s, indexPath) > threshold) {
                 // one distributed count over the artifact, only on the

@@ -149,6 +149,45 @@ class MaintainSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tbl)
   }
 
+  test("recluster never resurrects tombstoned rows; the excusal carries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    val spread = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val v = spread.orderBy("vec_id").head().getSeq[Float](1).toArray
+    val maxId = spread.agg(max(col("vec_id"))).head().getLong(0)
+    val tight = (0 until 200).map { i =>
+      (maxId + 1 + i, v.updated(0, v(0) + i * 1e-6f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val tbl = tmp("resur-tbl")
+    spread.unionAll(tight).write.parquet(tbl)
+    val idx = tmp("resur-ivf")
+    IvfIndex.build(spread, "vec_id", "embedding", idx, nlists = 16)
+    IvfIndex.append(tight, "vec_id", "embedding", idx)
+    // the index deletes rows the (lagging) table still holds
+    val deleted = (0L until 10L).map(maxId + 1 + _)
+    IvfIndex.delete(spark, idx, deleted)
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(idx,
+      "vec_id", "embedding", "l2sq", ef = 64, kind = "ivf", nprobe = 16))
+    try {
+      val e = Maintain.sweep(spark, queryCount = 3,
+        consolidateOver = 1000, recluster = true)
+        .find(_.table.contains("resur-tbl")).get
+      assert(e.notes.contains("reclustered"), e.notes)
+      assert(e.valid, e.notes)
+      // deleted rows are physically absent from the rebuilt artifact
+      val storedIds = spark.read.parquet(s"$idx/data")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(deleted.forall(id => !storedIds.contains(id)),
+        "recluster must not resurrect index-deleted rows from the table")
+      // and the carried tombstones keep excusing them against the
+      // lagging table: the validator still passes in full
+      val src = Some((spark.read.parquet(tbl), "vec_id", "embedding"))
+      assert(IvfIndex.validateIndex(spark, idx, src) ===
+        spark.read.parquet(tbl).count() - deleted.size)
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
   test("unsupported knobs are noted, not swept: hamming metric") {
     val tbl = tableCopy("ham")
     val idx = tmp("ham-hnsw")

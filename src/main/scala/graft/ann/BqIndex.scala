@@ -160,7 +160,10 @@ object BqIndex {
       s"graft: bq index $path invalid — duplicate id ${dup.head.getLong(0)}")
     val expected = df.select(col(idCol).cast("long").as("id"),
       BqSearch.pack(col(vecCol), c).as("__exp"))
-    val orphan = stored.select("id")
+    // serving-set orphan check (tombstoned rows excused — a pending
+    // table-first delete is not corruption; see IvfIndex)
+    val orphan = FlatArtifact.minusTombstones(spark, path,
+        stored.select("id"))
       .join(expected.select("id"), Seq("id"), "left_anti")
       .limit(1).collect()
     if (orphan.nonEmpty) throw new IllegalStateException(

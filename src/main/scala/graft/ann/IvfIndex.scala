@@ -252,7 +252,12 @@ object IvfIndex {
         if (metric == "cos") normalized(col(vecCol)) else col(vecCol)
       val expected = df.select(col(idCol).cast(LongType).as("id"),
         vecExpr.as("__exp"))
-      val orphan = stored.select("id")
+      // orphan check runs on the SERVING set (stored minus pending
+      // tombstones): a tombstoned row can never surface, so its source
+      // row having been deleted table-first is a pending delete, not
+      // corruption — the table-authoritative protocol must validate
+      val orphan = FlatArtifact.minusTombstones(spark, path,
+          stored.select("id"))
         .join(expected.select("id"), Seq("id"), "left_anti")
         .limit(1).collect()
       if (orphan.nonEmpty) throw new IllegalStateException(

@@ -260,7 +260,10 @@ object IvfPqIndex {
       val expected = encoded(data, centroids, cb)
         .select(col("id"), col("codes").as("__codes"),
           col("list_id").as("__list"))
-      val orphan = stored.select("id")
+      // serving-set orphan check (tombstoned rows excused — a pending
+      // table-first delete is not corruption; see IvfIndex)
+      val orphan = FlatArtifact.minusTombstones(spark, path,
+          stored.select("id"))
         .join(expected.select("id"), Seq("id"), "left_anti")
         .limit(1).collect()
       if (orphan.nonEmpty) throw new IllegalStateException(

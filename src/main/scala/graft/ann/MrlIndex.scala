@@ -151,7 +151,10 @@ object MrlIndex {
     source.foreach { case (df, idCol, vecCol) =>
       val expected = df.select(col(idCol).cast("long").as("id"),
         MrlSearch.prefix(col(vecCol), mm).as("__exp"))
-      val orphan = pre.select("id")
+      // serving-set orphan check (tombstoned rows excused — a pending
+      // table-first delete is not corruption; see IvfIndex)
+      val orphan = FlatArtifact.minusTombstones(spark, path,
+          pre.select("id"))
         .join(expected.select("id"), Seq("id"), "left_anti")
         .limit(1).collect()
       if (orphan.nonEmpty) throw new IllegalStateException(

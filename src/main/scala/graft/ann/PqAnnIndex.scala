@@ -419,7 +419,10 @@ object PqAnnIndex {
       val quant = udf { v: Seq[Float] => cbB.value.quantize(v.toArray) }
       val expected = df.select(col(idCol).cast(LongType).as("id"),
         quant(rawVec).as("__exp"))
-      val orphan = stored.select("id")
+      // serving-set orphan check (tombstoned rows excused — a pending
+      // table-first delete is not corruption; see IvfIndex)
+      val orphan = FlatArtifact.minusTombstones(spark, path,
+          stored.select("id"))
         .join(expected.select("id"), Seq("id"), "left_anti")
         .limit(1).collect()
       if (orphan.nonEmpty) throw new IllegalStateException(

@@ -106,6 +106,33 @@ class ValidateIndexSpec extends SparkTestBase {
     assert(badLen.getMessage.contains("signature words"), badLen.getMessage)
   }
 
+  test("table-first delete: a tombstoned stored row is excused from the " +
+      "orphan direction; an untombstoned one stays corruption") {
+    // the table is authoritative and drops a row FIRST; until the index
+    // learns (delete -> tombstone), validation must flag the divergence;
+    // once tombstoned, the row can never serve, so it must validate
+    val victim = emb.orderBy($"vec_id").head().getLong(0)
+    val shrunk = emb.where($"vec_id" =!= victim)
+    // bq
+    val bqIdx = freshDir("graft-v-tfirst-bq")
+    BqIndex.build(emb, "vec_id", "embedding", bqIdx)
+    intercept[IllegalStateException] {
+      BqIndex.validateIndex(shrunk, "vec_id", "embedding", bqIdx)
+    }
+    BqIndex.delete(spark, bqIdx, Seq(victim))
+    BqIndex.validateIndex(shrunk, "vec_id", "embedding", bqIdx)
+    // ivf
+    val ivfIdx = freshDir("graft-v-tfirst-ivf")
+    IvfIndex.build(emb, "vec_id", "embedding", ivfIdx, nlists = 4)
+    intercept[IllegalStateException] {
+      IvfIndex.validateIndex(spark, ivfIdx,
+        Some((shrunk, "vec_id", "embedding")))
+    }
+    IvfIndex.delete(spark, ivfIdx, Seq(victim))
+    IvfIndex.validateIndex(spark, ivfIdx,
+      Some((shrunk, "vec_id", "embedding")))
+  }
+
   test("bq validateIndex: a MISSING source row is corruption (blind-spot check)") {
     val e = emb
     val dir = freshDir("vx-bqmiss")

@@ -578,8 +578,19 @@ object AnnIndex {
         s"${issues.head.getString(0)}: ${issues.head.getString(1)}")
     val live = vectors(spark, path)
     source.foreach { case (df, idCol, vecCol) =>
+      // a hamming graph stores b1-packed source ints as word floats
+      // (the build's own codec) — re-derive through the SAME expression
+      // so the drift check compares like with like
+      val srcElem = df.schema(df.schema.fieldIndex(vecCol))
+        .dataType.asInstanceOf[ArrayType].elementType
+      val expVec =
+        if (readHeader(spark, path).metric == "hamming" &&
+            srcElem == IntegerType)
+          GraftSqlShim.column(graft.functions.B1ToWordsExpr(
+            GraftSqlShim.expression(col(vecCol))))
+        else col(vecCol)
       val expected = df.select(col(idCol).cast(LongType).as("id"),
-        col(vecCol).as("__exp"))
+        expVec.as("__exp"))
       val orphan = live.select("id")
         .join(expected.select("id"), Seq("id"), "left_anti")
         .limit(1).collect()

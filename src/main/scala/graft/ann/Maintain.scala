@@ -31,13 +31,14 @@ import graft.plans.AnnCatalog
   *     the registration, persist to `catalogPath` when given.
   *
   * Scale shape: everything per-entry is one driver loop over the
-  * (few) registrations; the work inside is the kinds' own distributed
-  * jobs. Nothing corpus-sized reaches the driver. The sweep is serial
-  * across entries BY DESIGN (not an oversight): retune steers the
-  * planner through the session-global ef/nprobe GUCs, so two
-  * concurrent sweeps in one session would trample each other's knob
-  * settings mid-measurement — validateAll-style thread pooling is
-  * safe for the validators but not for the retune stage.
+  * registrations; the work inside is the kinds' own distributed jobs.
+  * Nothing corpus-sized reaches the driver. Entries default to serial
+  * because retune steers the planner through SESSION-scoped ef/nprobe
+  * GUCs — but `parallelism` > 1 lifts that safely by giving each
+  * entry its own `spark.newSession()` clone (shared SparkContext and
+  * catalog, isolated runtime conf), so a catalog-scale sweep over
+  * hundreds of registrations runs `parallelism` entries wide with no
+  * knob trampling.
   */
 object Maintain {
 
@@ -54,7 +55,19 @@ object Maintain {
   /** Sweep every registration currently in [[AnnCatalog]] (load
     * `catalogPath` first yourself, or via [[graft.Cli]] `maintain`).
     * `consolidateOver` = 0 uses `spark.graft.ann.consolidateShards`.
-    * Retune updates persist to `catalogPath` when given. */
+    * Retune updates persist to `catalogPath` when given — written
+    * ONCE, after every entry finished (single writer regardless of
+    * `parallelism`).
+    *
+    * `parallelism` > 1 maintains that many registrations CONCURRENTLY,
+    * each on its own `spark.newSession()` clone: the clone shares the
+    * SparkContext, the JVM-wide catalog, and the injected planner
+    * rules, but has an ISOLATED runtime conf — so each entry's retune
+    * steers its own session's ef/nprobe GUCs without trampling a
+    * sibling's mid-measurement (the reason the sweep was previously
+    * serial by design). At catalog scale (hundreds of registrations,
+    * each entry's work a distributed job) this turns the sweep's wall
+    * clock from sum-of-entries into max-of-batches. */
   def sweep(
       spark: SparkSession,
       targetRecall: Double = 0.9,
@@ -65,21 +78,47 @@ object Maintain {
       consolidateOver: Int = 0,
       catalogPath: Option[String] = None,
       recluster: Boolean = false,
-      skewOver: Double = 4.0): Seq[Entry] = {
+      skewOver: Double = 4.0,
+      parallelism: Int = 1): Seq[Entry] = {
+    require(parallelism >= 1,
+      s"graft: maintain parallelism must be >= 1, got $parallelism")
     val threshold =
       if (consolidateOver > 0) consolidateOver
       else GraftConf.annConsolidateShards(spark)
-    AnnCatalog.entries().map { case (table, meta) =>
-      maintainOne(spark, table, meta, threshold, targetRecall, k,
-        queryCount, maxWiden, validate, catalogPath, recluster, skewOver)
-    }
+    val work = AnnCatalog.entries()
+    val entries =
+      if (parallelism <= 1 || work.size <= 1)
+        work.map { case (table, meta) =>
+          maintainOne(spark, table, meta, threshold, targetRecall, k,
+            queryCount, maxWiden, validate, recluster, skewOver)
+        }
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(parallelism, work.size))
+        try {
+          val futures = work.map { case (table, meta) =>
+            pool.submit(new java.util.concurrent.Callable[Entry] {
+              def call(): Entry = {
+                // fresh conf per entry: GUC writes stay private
+                val session = spark.newSession()
+                maintainOne(session, table, meta, threshold,
+                  targetRecall, k, queryCount, maxWiden, validate,
+                  recluster, skewOver)
+              }
+            })
+          }
+          futures.map(_.get())
+        } finally pool.shutdown()
+      }
+    if (catalogPath.isDefined && entries.exists(_.retuned))
+      AnnCatalog.save(spark, catalogPath.get)
+    entries
   }
 
   private def maintainOne(
       spark: SparkSession, table: String, meta: AnnCatalog.IndexMeta,
       threshold: Int, targetRecall: Double, k: Int, queryCount: Int,
-      maxWiden: Int, validate: Boolean,
-      catalogPath: Option[String], recluster: Boolean,
+      maxWiden: Int, validate: Boolean, recluster: Boolean,
       skewOver: Double): Entry = {
     val idx = meta.artifact
     val notes = Seq.newBuilder[String]
@@ -127,7 +166,10 @@ object Maintain {
     // Retune compensates by widening nprobe but pays probe cost every
     // query — past 4x max/mean the structural fix is a rebuild (fresh
     // kmeans), and the sweep says so instead of silently widening
-    // forever. One small aggregation over the list layout.
+    // forever. One small aggregation over the list layout. A FAILED
+    // measurement (unreadable data/, bad schema) is a named report
+    // row, not a silent "no skew" — the sweep's contract is naming
+    // casualties, so the error lands in `notes` like validate's do.
     def measureSkew(): Double =
       if (meta.kind != "ivf" && meta.kind != "ivfpq") -1.0
       else try {
@@ -141,10 +183,23 @@ object Maintain {
           .agg(max(col("count")).cast("double"), avg(col("count")))
           .head()
         r.getDouble(0) / math.max(r.getDouble(1), 1e-9)
-      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          notes += s"skew: ${e.getMessage}"
+          -1.0
+      }
     var listSkew = measureSkew()
     if (listSkew > skewOver) {
-      if (recluster && valid) {
+      if (recluster && !validate) {
+        // with --no-validate, `valid` is VACUOUSLY true — nothing
+        // certified the artifact's tombstones against the table, so a
+        // rebuild could resurrect deleted rows the table still holds.
+        // Refuse: recluster's no-resurrection contract must hold
+        // independently of whether the operator skipped validation.
+        notes += f"list skew $listSkew%.1fx but recluster refused " +
+          "under validate=false - recluster rebuilds from the source " +
+          "table and needs the validation pass to certify it first"
+      } else if (recluster && valid) {
         // the structural fix, applied: fresh coarse kmeans over the
         // current table MINUS the artifact's pending tombstones, same
         // recorded knobs, move-aside swap with rollback. Runs BEFORE
@@ -173,9 +228,14 @@ object Maintain {
       }
     }
 
-    // 3. retune the serving knob where sweepable
-    val scalarSweep = Set("l2sq", "cos", "inner").contains(meta.metric) &&
-      meta.kind != "sparse" && meta.kind != "multivec"
+    // 3. retune the serving knob where sweepable: ef/nprobe under a
+    // scalar planner form (hamming included — a bits-column corpus
+    // retunes through its own hnsw graph form; the reference's ef GUC
+    // is metric-agnostic, options.c:324-391), paired cand+nprobe for
+    // multivec
+    val scalarSweep = (Set("l2sq", "cos", "inner").contains(meta.metric) &&
+      meta.kind != "sparse" && meta.kind != "multivec") ||
+      (meta.metric == "hamming" && meta.kind == "hnsw")
     val mvSweep = meta.kind == "multivec" && meta.metric == "maxsim"
     if (valid && !scalarSweep && !mvSweep) notes += (meta.kind match {
       case "sparse" => "retune n/a: sparse pre-rank is exact"
@@ -186,10 +246,10 @@ object Maintain {
       else try Some(
         if (mvSweep)
           Retune.retuneMultivec(spark, table, meta.vecCol,
-            k, queryCount, targetRecall, maxWiden, catalogPath)
+            k, queryCount, targetRecall, maxWiden)
         else
           Retune.retune(spark, table, meta.vecCol, meta.metric,
-            k, queryCount, targetRecall, maxWiden, None, catalogPath))
+            k, queryCount, targetRecall, maxWiden, None))
       catch {
         // rewrite stopped matching, a require() tripped (ef=0 in a
         // hand-edited catalog, empty source table), artifact unreadable
@@ -221,9 +281,15 @@ object Maintain {
   }
 
   /** The kind's own fragmentation measure — delta/data files for the
-    * flat and coarse-list layouts, graph shards for hnsw/pq; a
-    * recursive data-file count for the kinds without a dedicated
-    * accessor. */
+    * flat and coarse-list layouts, graph shards for hnsw/pq. The
+    * bucket-partitioned kinds (sparse `tb=*`, multivec
+    * `postings/cent=*`) measure EXCESS over their consolidated floor
+    * of one file per partition directory: a freshly consolidated
+    * artifact reads 1 no matter how many lists it has, and each append
+    * adds its file count — counting every file would make a list-heavy
+    * artifact trip the threshold on EVERY sweep and trigger a full
+    * rebuild that cannot reduce the number (the natural floor IS the
+    * list count). */
   private def fileCount(spark: SparkSession, kind: String,
       idx: String): Int = kind match {
     case "bq" => BqIndex.fileCount(spark, idx)
@@ -232,18 +298,25 @@ object Maintain {
     case "ivfpq" => IvfPqIndex.fileCount(spark, idx)
     case "pq" => PqAnnIndex.shardCount(spark, idx)
     case "hnsw" => AnnIndex.shardCount(spark, idx)
-    case _ => // sparse/multivec: generic recursive data-file count
-      val p = new Path(idx)
+    case _ =>
+      val root = if (kind == "multivec") s"$idx/postings" else idx
+      val p = new Path(root)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) 0
       else {
         val it = fs.listFiles(p, true)
-        var n = 0
+        var files = 0
+        val dirs = scala.collection.mutable.HashSet[String]()
         while (it.hasNext) {
-          val name = it.next().getPath.getName
-          if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+          val f = it.next().getPath
+          val name = f.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            files += 1
+            dirs += f.getParent.toString
+          }
         }
-        n
+        // one file per partition dir == fully consolidated == 1
+        if (files == 0) 0 else files - dirs.size + 1
       }
   }
 
@@ -260,8 +333,9 @@ object Maintain {
     * the lagging table. Swap is move-aside + rename + rollback (the
     * [[FlatArtifact.consolidateSubdir]] convention) — no window where
     * the only copy of the index is a completed `fs.delete`. */
-  private def reclusterArtifact(spark: SparkSession, table: String,
-      meta: AnnCatalog.IndexMeta): Unit = {
+  private[graft] def reclusterArtifact(spark: SparkSession, table: String,
+      meta: AnnCatalog.IndexMeta,
+      beforeTombCarry: () => Unit = () => ()): Unit = {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val idx = meta.artifact
     val fs = new Path(idx)
@@ -277,7 +351,13 @@ object Maintain {
       else raw
     val nlists = spark.read.parquet(s"$idx/centroids").count().toInt
     val tmp = idx + ".reclustering"
-    meta.kind match {
+    val tmpPath = new Path(tmp)
+    // a crashed prior attempt leaves the tmp dir behind and the build
+    // below would fail on the existing parquet path forever — clear it
+    // first, and clean up again when THIS build throws, so recluster
+    // stays retryable without manual repair
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    try meta.kind match {
       case "ivf" =>
         IvfIndex.build(df, meta.idCol, meta.vecCol, tmp, nlists,
           IvfIndex.metricOf(spark, idx))
@@ -289,24 +369,56 @@ object Maintain {
           r.getInt(0), r.getInt(1), IvfPqIndex.metricOf(spark, idx))
       case other => throw new IllegalArgumentException(
         s"graft: recluster applies to coarse-list kinds, not '$other'")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+        throw e
     }
     val p = new Path(idx)
     val backup = new Path(idx + ".replaced")
     if (fs.exists(backup)) fs.delete(backup, true)
     if (!fs.rename(p, backup)) throw new IllegalStateException(
       s"graft: recluster could not move $idx aside — index untouched")
-    if (!fs.rename(new Path(tmp), p)) {
+    if (!fs.rename(tmpPath, p)) {
       fs.rename(backup, p) // rollback: the original serves again
       throw new IllegalStateException(
         s"graft: recluster swap failed under $idx — original restored")
     }
     // carry pending tombstones: their rows are applied physically in
     // the rebuild, but the lagging table still holds them — the
-    // validator's missing-row excusal needs the files
+    // validator's missing-row excusal needs the files. The carry is
+    // file-by-file rename into a verified destination DIRECTORY, each
+    // result checked, and the backup is deleted only after every file
+    // verifiably landed: an unchecked whole-dir rename could fail (or
+    // nest, the Hadoop rename-into-existing-dir behavior the sparse
+    // swap documents) and the delete below would then destroy the only
+    // copy of the pending deletes — the silent-delete-loss class this
+    // repo eliminates everywhere else. On failure the backup stays for
+    // recovery and the error is loud; the rebuilt artifact still
+    // serves correctly (its rows physically exclude the tombstoned
+    // ids), and the next validation flags the lagging table.
+    beforeTombCarry()
     val backupTomb = new Path(s"$backup/tombstones")
     if (fs.exists(backupTomb)) {
-      fs.rename(backupTomb, new Path(s"$idx/tombstones"))
-      ()
+      val dest = new Path(s"$idx/tombstones")
+      if (fs.exists(dest) && !fs.getFileStatus(dest).isDirectory)
+        throw new IllegalStateException(
+          s"graft: recluster tombstone carry blocked — $dest exists " +
+            s"and is not a directory; pending deletes preserved at " +
+            s"$backupTomb (backup NOT deleted)")
+      if (!fs.exists(dest) && !fs.mkdirs(dest))
+        throw new IllegalStateException(
+          s"graft: recluster tombstone carry could not create $dest; " +
+            s"pending deletes preserved at $backupTomb (backup NOT " +
+            "deleted)")
+      fs.listStatus(backupTomb).filter(_.isFile).foreach { st =>
+        val to = new Path(dest, st.getPath.getName)
+        if (!fs.rename(st.getPath, to) || !fs.exists(to))
+          throw new IllegalStateException(
+            s"graft: recluster tombstone carry failed for " +
+              s"${st.getPath.getName}; pending deletes preserved at " +
+              s"$backupTomb (backup NOT deleted)")
+      }
     }
     fs.delete(backup, true)
     ()
@@ -323,8 +435,9 @@ object Maintain {
       case "ivf" => IvfIndex.validateIndex(spark, idx, src)
       case "ivfpq" => IvfPqIndex.validateIndex(spark, idx, src)
       case "pq" => PqAnnIndex.validateIndex(spark, idx, src)
-      case "sparse" => graft.ops.SparseSearch.validatePostings(spark, idx)
-      case "multivec" => graft.ops.MultiVec.validateIndex(spark, idx)
+      case "sparse" =>
+        graft.ops.SparseSearch.validatePostings(spark, idx, src)
+      case "multivec" => graft.ops.MultiVec.validateIndex(spark, idx, src)
       case _ => AnnIndex.validateIndex(spark, idx, source = src)
     }
   }

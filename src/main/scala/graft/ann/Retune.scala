@@ -71,14 +71,23 @@ object Retune {
       maxWiden: Int = 16,
       predicate: Option[Column] = None,
       catalogPath: Option[String] = None): Report = {
-    require(Set("l2sq", "cos", "inner").contains(metric),
-      s"graft: retune sweeps the float-vector planner forms " +
-        s"(l2sq|cos|inner), got '$metric'")
+    require(Set("l2sq", "cos", "inner", "hamming").contains(metric),
+      s"graft: retune sweeps the vector planner forms " +
+        s"(l2sq|cos|inner|hamming), got '$metric'")
     require(maxWiden >= 1, s"graft: maxWiden must be >= 1, got $maxWiden")
     val meta = AnnCatalog.metaFor(spark, tablePath, vecCol, metric)
       .getOrElse(throw new IllegalArgumentException(
         s"graft: no ($vecCol, $metric) registration for $tablePath — " +
           "retune re-derives an EXISTING registration's budget"))
+    // a bits-column corpus retunes exactly like a float one — the
+    // reference's ef GUC is metric-agnostic
+    // (lantern_hnsw/src/hnsw/options.c:324-391); only the sample
+    // extraction differs (b1-packed array<int> vs array<float>)
+    val isHamming = metric == "hamming"
+    require(!isHamming || meta.kind == "hnsw",
+      s"graft: hamming serves through the hnsw graph form; a " +
+        s"'${meta.kind}' registration under metric=hamming is a " +
+        "mislabel the planner would never rewrite")
     val knobIsNprobe = meta.kind == "ivf"
     val knob = if (knobIsNprobe) "nprobe" else "ef"
     val registered = if (knobIsNprobe) meta.effectiveNprobe else meta.ef
@@ -91,18 +100,57 @@ object Retune {
 
     // Deterministic query sample + ONE batched exact-truth pass over
     // the (possibly predicate-scoped) current corpus.
-    val queries = graft.util.Sampling
+    val sampled = graft.util.Sampling
       .hashSample(
         base.select(col(meta.idCol).cast("long").as("id"), col(vecCol)),
         queryCount, col("id"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(queries.nonEmpty,
+    require(sampled.nonEmpty,
       "graft: retune needs at least one sample row under the predicate")
+    // (query id, plan-time literal of its vector) — the literal is the
+    // serving-path sort operand; keep the planner's rewrite pattern
+    // (hamming_dist / dist over an un-cast literal), not a wrapper
+    val queries: Array[(Long, Column)] = sampled.map { r =>
+      r.getLong(0) -> (
+        if (isHamming) lit(r.getSeq[Int](1).toArray)
+        else lit(r.getSeq[Float](1).toArray))
+    }
+    def distCol(q: Column): Column =
+      if (isHamming) graft.functions.hamming_dist(col(vecCol), q)
+      else VectorSearch.distance(metric, col(vecCol), q)
     val truth = {
       import spark.implicits._
-      val qdf = queries.toSeq.toDF("query_id", "__qv")
-      VectorSearch
+      val qdf =
+        if (isHamming)
+          sampled.toSeq.map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+            .toDF("query_id", "__qv")
+        else
+          sampled.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+            .toDF("query_id", "__qv")
+      if (isHamming) {
+        // tie-INCLUSIVE exact top-k (rank over dist, same broadcast
+        // one-pass shape as knnJoinExact): packed-bit distances are
+        // small integers that tie massively, so a strict id top-k is
+        // not well-defined — the truth admits EVERY id within the k-th
+        // distance and any distance-valid answer scores full recall
+        // (the repo's hamming gates compare distance multisets for the
+        // same reason)
+        import org.apache.spark.sql.expressions.Window
+        val q = broadcast(qdf)
+        val w = Window.partitionBy(col("query_id")).orderBy(col("dist"))
+        base
+          .select(col(meta.idCol).cast("long").as("neighbor_id"),
+            col(vecCol).as("__dv"))
+          .crossJoin(q)
+          .withColumn("dist",
+            VectorSearch.distance(metric, col("__dv"), col("__qv")))
+          .withColumn("__rk", rank().over(w))
+          .where(col("__rk") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      } else VectorSearch
         .knnJoinExact(qdf, "query_id", "__qv", base,
           meta.idCol, vecCol, k, metric)
         .select(col("query_id"), col("neighbor_id").cast("long"))
@@ -130,7 +178,7 @@ object Retune {
         val t0 = System.nanoTime()
         val got = queries.map { case (qid, q) =>
           val knn = base
-            .orderBy(VectorSearch.distance(metric, col(vecCol), lit(q)))
+            .orderBy(distCol(q))
             .limit(k)
           // the scalar form rewrites to AnnScanLogical; a predicate-
           // scoped sweep takes the FILTERED planner form (adaptive
@@ -150,8 +198,13 @@ object Retune {
         var hits = 0; var total = 0
         queries.foreach { case (qid, _) =>
           val expected = truth.getOrElse(qid, Set.empty)
-          hits += got.getOrElse(qid, Set.empty).intersect(expected).size
-          total += expected.size
+          val g = got.getOrElse(qid, Set.empty)
+          hits += g.intersect(expected).size
+          // hamming truth is tie-inclusive (may exceed k) — the
+          // denominator is what the search RETURNS, so a distance-valid
+          // answer scores 1.0 no matter how the boundary ties broke
+          total += (if (isHamming) math.min(k, expected.size)
+            else expected.size)
         }
         val recall = if (total == 0) 1.0 else hits.toDouble / total
         steps += Step(v, recall, avgMs)
@@ -183,11 +236,18 @@ object Retune {
     * the sweep widens BOTH by the same doubling factor — `Step.value`
     * records the swept `cand`, with `nprobe` scaled proportionally —
     * through the PLANNER's maxsim rewrite (`orderBy(maxsim_score(toks,
-    * Q).desc).limit(k)`), measured against the exact MaxSim truth
-    * (computed with the registration temporarily lifted, because the
+    * Q).desc).limit(k)`), measured against the exact MaxSim truth in
+    * ONE batched corpus pass ([[graft.ops.MultiVec.maxsimJoinExact]],
+    * computed with the registration temporarily lifted, because the
     * scoring sort would otherwise itself rewrite). First qualifying
     * factor is re-registered (ef AND nprobe); the probe count clamps
     * to the centroid count inside the scan, so over-widening is safe.
+    *
+    * `predicate` scopes BOTH the measured query form and the truth to
+    * the workload's filter — the filtered maxsim form is what actually
+    * starves as a corpus grows (a fixed candidate budget thins under
+    * selectivity), so a filtered workload must be retuned against
+    * itself, exactly like the scalar path's `predicate`.
     */
   def retuneMultivec(
       spark: SparkSession,
@@ -197,7 +257,8 @@ object Retune {
       queryCount: Int = 8,
       targetRecall: Double = 0.9,
       maxWiden: Int = 16,
-      catalogPath: Option[String] = None): Report = {
+      catalogPath: Option[String] = None,
+      predicate: Option[Column] = None): Report = {
     require(maxWiden >= 1, s"graft: maxWiden must be >= 1, got $maxWiden")
     val meta = AnnCatalog.metaFor(spark, tablePath, vecCol, "maxsim")
       .getOrElse(throw new IllegalArgumentException(
@@ -209,29 +270,30 @@ object Retune {
       s"graft: registration carries cand=$cand0 nprobe=$nprobe0")
 
     val table = spark.read.parquet(tablePath)
+    val scoped = predicate.map(table.where).getOrElse(table)
     val queries = graft.util.Sampling
       .hashSample(
-        table.select(col(meta.idCol).cast("long").as("id"), col(vecCol)),
+        scoped.select(col(meta.idCol).cast("long").as("id"), col(vecCol)),
         queryCount, col("id"))
       .collect()
       .map(r => (r.getLong(0),
         r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray))
-    require(queries.nonEmpty, "graft: retune needs at least one sample row")
+    require(queries.nonEmpty,
+      "graft: retune needs at least one sample row under the predicate")
 
-    def topIds(qm: Array[Array[Float]]): Set[Long] =
-      table
-        .orderBy(graft.ops.MultiVec.maxsimCol(col(vecCol), qm).desc,
-          col(meta.idCol))
-        .limit(k)
-        .select(col(meta.idCol).cast("long"))
-        .collect().map(_.getLong(0)).toSet
-
-    // exact truth with every registration of the table lifted — the
-    // same sort would rewrite through the index otherwise
+    // exact truth in ONE batched pass over the (possibly predicate-
+    // scoped) corpus, with every registration of the table lifted —
+    // the per-query scoring sort would rewrite through the index
+    // otherwise. Same tie-break as the serving sort (score desc, id).
     val saved = AnnCatalog.metasFor(spark, tablePath)
     AnnCatalog.unregister(spark, tablePath)
     val truth =
-      try queries.map { case (qid, qm) => qid -> topIds(qm) }.toMap
+      try graft.ops.MultiVec
+        .maxsimJoinExact(scoped, meta.idCol, vecCol, queries.toSeq, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
       finally saved.foreach(AnnCatalog.register(spark, tablePath, _))
 
     // factor capped so the widened cand stays an Int (same wrap hazard
@@ -255,12 +317,16 @@ object Retune {
         spark.conf.set(npKey, (nprobe0 * f).toString)
         val t0 = System.nanoTime()
         val got = queries.map { case (qid, qm) =>
-          val knn = table
+          val knn = scoped
             .orderBy(graft.ops.MultiVec.maxsimCol(col(vecCol), qm).desc,
               col(meta.idCol))
             .limit(k)
+          // a predicate-scoped sweep must measure the FILTERED planner
+          // form (pred pushed into the scan) — that is the serving
+          // path whose budget is being re-derived
           val planned = knn.queryExecution.optimizedPlan.collect {
-            case m: graft.plans.MaxSimIdsLogical => m
+            case m: graft.plans.MaxSimIdsLogical
+                if predicate.isEmpty || m.pred.isDefined => m
           }.nonEmpty
           if (!planned) throw new IllegalStateException(
             s"graft: the maxsim form over $tablePath did not rewrite " +

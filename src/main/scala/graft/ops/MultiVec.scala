@@ -158,6 +158,37 @@ object MultiVec {
   def scoreDocs(docs: DataFrame, qMatrix: Array[Array[Float]]): DataFrame =
     docs.select(col("mdoc"), maxsimCol(col("toks"), qMatrix).as("score"))
 
+  /** Exact MaxSim top-k for EVERY query in one corpus pass — the
+    * maxsim counterpart of [[VectorSearch.knnJoinExact]]: broadcast
+    * the (small) query token matrices, stream the doc-array table
+    * once, score each (doc, query) pair with the codegen'd two-column
+    * [[graft.functions.MaxSimScoreCol]] (bit-identical to every other
+    * maxsim path), window top-k per query. Ties break on ascending doc
+    * id, matching the serving sort `orderBy(score.desc, idCol)`.
+    * Output: `(query_id, neighbor_id, score)`. */
+  def maxsimJoinExact(docs: DataFrame, idCol: String, toksCol: String,
+      queries: Seq[(Long, Array[Array[Float]])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "graft: maxsimJoinExact needs queries")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(
+      queries.map { case (qid, m) => (qid, m.map(_.toSeq).toSeq) }
+        .toDF("query_id", "__qtoks"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    docs
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(toksCol).as("__dtoks"))
+      .crossJoin(qdf)
+      .withColumn("score", GraftSqlShim.column(
+        graft.functions.MaxSimScoreCol(
+          GraftSqlShim.expression(col("__dtoks")),
+          GraftSqlShim.expression(col("__qtoks")))))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+  }
+
   /** Coarse token centroids: deterministic hash-sample + seeded
     * k-means++ over ALL documents' token vectors (queries included —
     * assignment must see the same space the probes are computed in). */
@@ -440,8 +471,20 @@ object MultiVec {
     * run as ONE aggregation pass over the postings; throws with the
     * first violated invariant named, returns the physical posting
     * count on success (equals the live count once tombstones have been
-    * consolidated). */
-  def validateIndex(spark: SparkSession, path: String): Long = {
+    * consolidated).
+    *
+    * With `source` = (docs table, id column, doc-array column), the
+    * CONTENT is additionally re-derived against the table (the
+    * reference walks every row the same way,
+    * lantern_hnsw/src/hnsw/validate_index.c:436-528): every SERVING
+    * posting (tombstoned docs excused — a pending table-first delete
+    * is lag, not corruption) must have a source token to re-derive
+    * from, every live source token must be posted, and the stored
+    * token vector must equal the source token bit-for-bit — a flipped
+    * bit in a stored `tok` fails here even though the structural
+    * cent/i8 checks (which re-derive from the STORED tok) would pass. */
+  def validateIndex(spark: SparkSession, path: String,
+      source: Option[(DataFrame, String, String)] = None): Long = {
     val centRows = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cent")).select(col("cent"), col("vec")).collect()
     val ids = centRows.map(_.getInt(0))
@@ -468,6 +511,36 @@ object MultiVec {
       s"graft: $badCent postings filed under a non-nearest centroid")
     require(badI8 == 0, s"graft: $badI8 postings with stale i8 codes")
     require(n == keys, s"graft: ${n - keys} duplicate (mdoc, t_idx) postings")
+    source.foreach { case (df, idCol, vecCol) =>
+      val derived = df.select(col(idCol).cast("long").as("mdoc"),
+        posexplode(col(vecCol)).as(Seq("t_idx", "__exp_tok")))
+      val unmasked = tombstoneMask(spark, path)
+      val orphan = unmasked(post.select(col("mdoc"), col("t_idx")))
+        .join(derived.select("mdoc", "t_idx"), Seq("mdoc", "t_idx"),
+          "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalStateException(
+        s"graft: multivec index $path invalid — posting (mdoc " +
+          s"${orphan.head.getLong(0)}, t_idx ${orphan.head.get(1)}) has " +
+          "no source token to re-derive from")
+      val missing = unmasked(
+          derived.select("mdoc", "t_idx")
+            .join(post.select("mdoc", "t_idx"), Seq("mdoc", "t_idx"),
+              "left_anti"))
+        .limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft: multivec index $path invalid — source token (mdoc " +
+          s"${missing.head.getLong(0)}, t_idx ${missing.head.get(1)}) " +
+          "is not posted (missing row)")
+      val drift = post.select(col("mdoc"), col("t_idx"), col("tok"))
+        .join(derived, Seq("mdoc", "t_idx"))
+        .where(!(col("tok") <=> col("__exp_tok")))
+        .select("mdoc", "t_idx").limit(1).collect()
+      if (drift.nonEmpty) throw new IllegalStateException(
+        s"graft: multivec index $path invalid — stored token (mdoc " +
+          s"${drift.head.getLong(0)}, t_idx ${drift.head.get(1)}) does " +
+          "not re-derive from its source row")
+    }
     n
   }
 

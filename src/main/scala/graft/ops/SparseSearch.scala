@@ -162,7 +162,8 @@ object SparseSearch {
     * a delete that never happened). Throws [[IllegalStateException]]
     * naming the FIRST violation; returns the live posting count when
     * valid. */
-  def validatePostings(spark: SparkSession, path: String): Long = {
+  def validatePostings(spark: SparkSession, path: String,
+      source: Option[(DataFrame, String, String)] = None): Long = {
     val (buckets, idCol) = readMeta(spark, path)
     if (buckets < 1) throw new IllegalStateException(
       s"graft: sparse index $path invalid — meta buckets $buckets < 1")
@@ -192,6 +193,45 @@ object SparseSearch {
       if (orphan.nonEmpty) throw new IllegalStateException(
         s"graft: sparse index $path invalid — tombstone id " +
           s"${orphan.head.get(0)} references no posting (orphan delete)")
+    }
+    // content re-derivation against the source table (the reference
+    // walks every row the same way, validate_index.c:436-528): the
+    // SAME `postings` explode the builder used, so a green run is
+    // bit-identity evidence — a flipped bit in a stored weight fails
+    // here even though the structural checks above would pass. The
+    // SERVING set is what's compared (tombstoned ids excused in both
+    // directions: a pending table-first delete is lag, not corruption).
+    source.foreach { case (df, srcIdCol, svCol) =>
+      val derived = postings(
+        df.select(col(srcIdCol).cast("long").as(idCol), col(svCol)),
+        idCol, col(svCol))
+        .select(col("term"), col(idCol), col("w").as("__exp_w"))
+      val unmasked = tombstoneMask(spark, path, idCol)
+      val orphanP = unmasked(post.select(col("term"), col(idCol)))
+        .join(derived.select(col("term"), col(idCol)),
+          Seq("term", idCol), "left_anti")
+        .limit(1).collect()
+      if (orphanP.nonEmpty) throw new IllegalStateException(
+        s"graft: sparse index $path invalid — posting (term " +
+          s"${orphanP.head.get(0)}, $idCol ${orphanP.head.get(1)}) has " +
+          "no source entry to re-derive from")
+      val missing = unmasked(
+          derived.select(col("term"), col(idCol))
+            .join(post.select(col("term"), col(idCol)),
+              Seq("term", idCol), "left_anti"))
+        .limit(1).collect()
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft: sparse index $path invalid — source entry (term " +
+          s"${missing.head.get(0)}, $idCol ${missing.head.get(1)}) is " +
+          "not posted (missing row)")
+      val drift = post.select(col("term"), col(idCol), col("w"))
+        .join(derived, Seq("term", idCol))
+        .where(!(col("w") <=> col("__exp_w")))
+        .select(col("term"), col(idCol)).limit(1).collect()
+      if (drift.nonEmpty) throw new IllegalStateException(
+        s"graft: sparse index $path invalid — stored weight (term " +
+          s"${drift.head.get(0)}, $idCol ${drift.head.get(1)}) does not " +
+          "re-derive from its source row")
     }
     post.count()
   }

@@ -188,20 +188,193 @@ class MaintainSpec extends SparkTestBase {
     } finally AnnCatalog.unregister(spark, tbl)
   }
 
-  test("unsupported knobs are noted, not swept: hamming metric") {
-    val tbl = tableCopy("ham")
+  test("a hamming registration is swept like any other — the ef knob " +
+      "is metric-agnostic") {
+    import graft.pq.ScalarQuantizer
+    val tbl = tmp("ham-bits")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        ScalarQuantizer.quantize_b1(col("embedding")).as("bits"))
+      .write.parquet(tbl)
     val idx = tmp("ham-hnsw")
-    AnnIndex.build(spark.read.parquet(tbl), "vec_id", "embedding", idx,
-      AnnParams(m = 8, efConstruction = 64, numPartitions = 2))
+    AnnIndex.build(spark.read.parquet(tbl), "vec_id", "bits", idx,
+      AnnParams(m = 8, efConstruction = 64, ef = 64,
+        metric = "hamming", numPartitions = 2))
     AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(idx,
-      "vec_id", "embedding", "hamming", ef = 64))
+      "vec_id", "bits", "hamming", ef = 10))
+    try {
+      val entries = Maintain.sweep(spark, targetRecall = 0.9,
+        queryCount = 3, maxWiden = 64, consolidateOver = 1000)
+      val e = entries.find(_.table.contains("ham-bits")).get
+      assert(e.valid, e.notes)
+      assert(e.knob == "ef" && e.knobBefore == 10,
+        s"hamming must be swept, not noted n/a: ${e.notes}")
+      assert(e.recallAfter >= 0.9)
+      assert(!e.notes.contains("retune n/a"))
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
+  test("sparse retune stays n/a (exact pre-rank) — the note names it") {
+    import graft.ops.SparseSearch
+    val tbl = tableCopy("sparse-src")
+    val e = spark.read.parquet(tbl)
+    val sp = SparseSearch.postings(
+      e.select(col("vec_id"),
+        SparseSearch.sparsify(col("embedding"), 0.0f).as("sv")),
+      "vec_id", col("sv"))
+    val idx = tmp("sparse-idx")
+    SparseSearch.writePostings(sp, idx, buckets = 4)
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(idx,
+      "vec_id", "sv", "sparsedot", ef = 64, kind = "sparse"))
     try {
       val entries = Maintain.sweep(spark, queryCount = 3,
-        consolidateOver = 1000)
-      val e = entries.find(_.table.contains("ham")).get
-      assert(e.valid) // structural + codec validation still ran
-      assert(!e.retuned && e.recallBefore == -1.0)
-      assert(e.notes.contains("retune n/a"))
+        consolidateOver = 1000, validate = false)
+      val en = entries.find(_.table.contains("sparse-src")).get
+      assert(!en.retuned && en.notes.contains("retune n/a"))
     } finally AnnCatalog.unregister(spark, tbl)
+  }
+
+  test("recluster is refused under validate=false — the no-resurrection " +
+      "contract needs the validation pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    val spread = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val v = spread.orderBy("vec_id").head().getSeq[Float](1).toArray
+    val maxId = spread.agg(max(col("vec_id"))).head().getLong(0)
+    val tight = (0 until 200).map { i =>
+      (maxId + 1 + i, v.updated(0, v(0) + i * 1e-6f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val tbl = tmp("noval-tbl")
+    spread.unionAll(tight).write.parquet(tbl)
+    val idx = tmp("noval-ivf")
+    IvfIndex.build(spread, "vec_id", "embedding", idx, nlists = 16)
+    IvfIndex.append(tight, "vec_id", "embedding", idx)
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(idx,
+      "vec_id", "embedding", "l2sq", ef = 64, kind = "ivf", nprobe = 16))
+    try {
+      val centroidsBefore = spark.read.parquet(s"$idx/centroids").collect()
+        .map(_.toString).sorted.toSeq
+      val e = Maintain.sweep(spark, queryCount = 3,
+        consolidateOver = 1000, recluster = true, validate = false)
+        .find(_.table.contains("noval-tbl")).get
+      assert(e.listSkew > 4.0)
+      assert(e.notes.contains("recluster refused"), e.notes)
+      assert(!e.notes.contains("reclustered:"))
+      // the artifact was NOT touched
+      val centroidsAfter = spark.read.parquet(s"$idx/centroids").collect()
+        .map(_.toString).sorted.toSeq
+      assert(centroidsAfter == centroidsBefore)
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
+  test("a failed tombstone carry preserves the backup — injected " +
+      "conflict at the carry window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    val spread = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = spread.agg(max(col("vec_id"))).head().getLong(0)
+    val tbl = tmp("carry-tbl")
+    spread.write.parquet(tbl)
+    val idx = tmp("carry-ivf")
+    IvfIndex.build(spread, "vec_id", "embedding", idx, nlists = 8)
+    // pending tombstones the carry must not lose
+    val deleted = (0L until 5L).map(i => maxId - i)
+    IvfIndex.delete(spark, idx, deleted)
+    val meta = AnnCatalog.IndexMeta(idx, "vec_id", "embedding", "l2sq",
+      ef = 64, kind = "ivf", nprobe = 8)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[IllegalStateException] {
+      Maintain.reclusterArtifact(spark, tbl, meta, beforeTombCarry = () => {
+        // a conflicting FILE lands where the tombstone dir must go —
+        // the carry must refuse and keep the backup, never delete it
+        val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+        val out = fs.create(p, false)
+        out.writeBytes("not a directory")
+        out.close()
+      })
+    }
+    assert(ex.getMessage.contains("NOT deleted"))
+    // the pending tombstones survived, preserved in the backup
+    val backupTomb = new org.apache.hadoop.fs.Path(
+      s"$idx.replaced/tombstones")
+    assert(fs.exists(backupTomb),
+      "the backup (with the only copy of the pending deletes) must " +
+        "survive a failed carry")
+    val carried = spark.read.parquet(backupTomb.toString)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(deleted.toSet.subsetOf(carried))
+  }
+
+  test("a stale .reclustering dir from a crashed attempt does not brick " +
+      "recluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    val spread = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val v = spread.orderBy("vec_id").head().getSeq[Float](1).toArray
+    val maxId = spread.agg(max(col("vec_id"))).head().getLong(0)
+    val tight = (0 until 200).map { i =>
+      (maxId + 1 + i, v.updated(0, v(0) + i * 1e-6f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val tbl = tmp("stale-tbl")
+    spread.unionAll(tight).write.parquet(tbl)
+    val idx = tmp("stale-ivf")
+    IvfIndex.build(spread, "vec_id", "embedding", idx, nlists = 16)
+    IvfIndex.append(tight, "vec_id", "embedding", idx)
+    // simulate the crashed prior attempt: a half-written tmp dir
+    val stale = new org.apache.hadoop.fs.Path(s"$idx.reclustering/data")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stale)
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(idx,
+      "vec_id", "embedding", "l2sq", ef = 64, kind = "ivf", nprobe = 16))
+    try {
+      val e = Maintain.sweep(spark, queryCount = 3,
+        consolidateOver = 1000, recluster = true)
+        .find(_.table.contains("stale-tbl")).get
+      assert(e.notes.contains("reclustered"), e.notes)
+      assert(e.valid, e.notes)
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
+  test("parallel sweep: entries run concurrently on session clones, " +
+      "GUCs never leak into the caller's session") {
+    val tblA = tableCopy("par-a")
+    val tblB = tableCopy("par-b")
+    val bqIdx = tmp("par-bq")
+    BqIndex.build(spark.read.parquet(tblA), "vec_id", "embedding", bqIdx)
+    val ivfIdx = tmp("par-ivf")
+    IvfIndex.build(spark.read.parquet(tblB), "vec_id", "embedding",
+      ivfIdx, nlists = 8)
+    AnnCatalog.register(spark, tblA, AnnCatalog.IndexMeta(bqIdx,
+      "vec_id", "embedding", "l2sq", ef = 12, kind = "bq"))
+    AnnCatalog.register(spark, tblB, AnnCatalog.IndexMeta(ivfIdx,
+      "vec_id", "embedding", "l2sq", ef = 64, kind = "ivf", nprobe = 1))
+    // a sentinel in the caller's session: concurrent retunes steering
+    // their clones' GUCs must never touch it
+    spark.conf.set(graft.GraftConf.AnnEf, "31337")
+    try {
+      val entries = Maintain.sweep(spark, targetRecall = 0.9,
+        queryCount = 4, maxWiden = 64, consolidateOver = 1000,
+        parallelism = 2)
+      assert(entries.size == 2)
+      val bq = entries.find(_.kind == "bq").get
+      assert(bq.valid && bq.retuned && bq.knobAfter > 12, bq.notes)
+      assert(bq.recallAfter >= 0.9)
+      val ivf = entries.find(_.kind == "ivf").get
+      assert(ivf.valid && ivf.knob == "nprobe", ivf.notes)
+      assert(ivf.recallAfter >= 0.9)
+      // both registrations updated in the SHARED catalog
+      assert(AnnCatalog.metaFor(spark, tblA, "embedding", "l2sq")
+        .get.ef == bq.knobAfter)
+      // the caller's session conf is untouched
+      assert(spark.conf.get(graft.GraftConf.AnnEf) == "31337")
+    } finally {
+      spark.conf.unset(graft.GraftConf.AnnEf)
+      AnnCatalog.unregister(spark, tblA)
+      AnnCatalog.unregister(spark, tblB)
+    }
   }
 }

@@ -177,4 +177,102 @@ class RetuneSpec extends SparkTestBase {
       Retune.retune(spark, tablePath, "embedding", "cos")
     }
   }
+
+  test("hamming: a bits-column registration sweeps ef through its own " +
+      "planner form — the metric-agnostic ef contract") {
+    import graft.pq.ScalarQuantizer
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retune-ham").toString
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        ScalarQuantizer.quantize_b1(col("embedding")).as("bits"))
+      .write.parquet(s"$root/tbl")
+    val b1 = spark.read.parquet(s"$root/tbl")
+    AnnIndex.build(b1, "vec_id", "bits", s"$root/idx",
+      AnnParams(m = 8, efConstruction = 64, ef = 64,
+        metric = "hamming", numPartitions = 2))
+    AnnCatalog.register(spark, s"$root/tbl", AnnCatalog.IndexMeta(
+      s"$root/idx", "vec_id", "bits", "hamming", ef = 10))
+    try {
+      val r = Retune.retune(spark, s"$root/tbl", "bits", "hamming",
+        k = 10, queryCount = 5, targetRecall = 0.9, maxWiden = 64)
+      assert(r.kind == "hnsw" && r.knob == "ef" && r.registered == 10)
+      assert(r.steps.map(_.value) == r.steps.indices.map(i => 10 << i))
+      assert(r.picked.isDefined,
+        "a 64x-wide beam over this corpus must reach 0.9")
+      assert(r.steps.init.forall(_.recall < 0.9))
+      if (r.updated)
+        assert(AnnCatalog.metaFor(spark, s"$root/tbl", "bits", "hamming")
+          .get.ef == r.picked.get)
+      assert(spark.conf.getOption(graft.GraftConf.AnnEf).isEmpty)
+    } finally AnnCatalog.unregister(spark, s"$root/tbl")
+  }
+
+  test("hamming under a non-hnsw kind is refused as a mislabel") {
+    withIvf(nprobe = 8) {
+      // re-register the same artifact claiming hamming: the planner
+      // would never rewrite it, so retune must refuse loudly
+      val meta = AnnCatalog.metaFor(spark, tablePath, "embedding", "l2sq").get
+      AnnCatalog.register(spark, tablePath, meta.copy(metric = "hamming"))
+      intercept[IllegalArgumentException] {
+        Retune.retune(spark, tablePath, "embedding", "hamming")
+      }
+    }
+  }
+
+  test("multivec: predicate scopes both the truth and the measured " +
+      "planner form to the filtered workload") {
+    import graft.ops.MultiVec
+    val e = Tables.embeddings(spark, dir)
+    val flat = e.select((col("vec_id") / 4).cast("long").as("mdoc"),
+      (col("vec_id") % 4).cast("int").as("t_idx"),
+      col("embedding").as("tok"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retune-mvp").toString
+    MultiVec.docArrays(flat).write.parquet(s"$root/docs")
+    MultiVec.writeIndex(flat, s"$root/idx", nlists = 8)
+    val tbl = s"$root/docs"
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(s"$root/idx",
+      "mdoc", "toks", "maxsim", ef = 4, kind = "multivec", nprobe = 1))
+    try {
+      // retuneMultivec throws mid-sweep if the FILTERED maxsim form
+      // stops rewriting — a green run certifies the measured path
+      val r = Retune.retuneMultivec(spark, tbl, "toks",
+        k = 5, queryCount = 4, targetRecall = 0.9, maxWiden = 32,
+        predicate = Some(col("mdoc") % 2 === 0))
+      assert(r.picked.isDefined,
+        "full-probe + wide cand must qualify under the predicate")
+      // the truth was computed over the scoped corpus: every sampled
+      // query id satisfies the predicate (hashSample over scoped rows)
+      assert(r.steps.nonEmpty)
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
+  test("multivec: the batched exact truth matches the per-query sort") {
+    import graft.ops.MultiVec
+    val e = Tables.embeddings(spark, dir)
+    val flat = e.select((col("vec_id") / 4).cast("long").as("mdoc"),
+      (col("vec_id") % 4).cast("int").as("t_idx"),
+      col("embedding").as("tok"))
+    val docs = MultiVec.docArrays(flat).persist()
+    try {
+      val qs = docs.orderBy(col("mdoc")).limit(3)
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray))
+      val batched = MultiVec
+        .maxsimJoinExact(docs, "mdoc", "toks", qs.toSeq, 5)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      qs.foreach { case (qid, qm) =>
+        val perQuery = docs
+          .orderBy(MultiVec.maxsimCol(col("toks"), qm).desc, col("mdoc"))
+          .limit(5).select(col("mdoc"))
+          .collect().map(_.getLong(0)).toSet
+        assert(batched(qid) == perQuery,
+          s"batched truth for query $qid diverged from the serving sort")
+      }
+    } finally { docs.unpersist(); () }
+  }
 }

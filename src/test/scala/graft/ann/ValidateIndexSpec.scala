@@ -227,6 +227,60 @@ class ValidateIndexSpec extends SparkTestBase {
       misfiled.getMessage)
   }
 
+  test("sparse validatePostings: source cross-check re-derives every " +
+      "weight — drift, orphan, missing all named; tombstones excused") {
+    val e = emb.limit(40)
+    val sv = e.select($"vec_id",
+      SparseSearch.sparsify($"embedding", Float.MinValue).as("sv"))
+    val dir = freshDir("vx-sparsesrc")
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", $"sv"), dir, buckets = 4)
+    val src = Some((sv, "vec_id", "sv"))
+    val n = SparseSearch.validatePostings(spark, dir, src)
+    assert(n > 0)
+
+    // a STORED weight that no longer re-derives (bit-flip class): an
+    // internally-consistent posting row with a drifted w — the
+    // structural checks can't see it, the source cross-check must
+    val one = spark.read.parquet(dir)
+      .select($"term", $"vec_id", $"w", $"tb").limit(1).collect().head
+    val dirD = freshDir("vx-sparsedrift")
+    SparseSearch.writePostings(
+      SparseSearch.postings(sv, "vec_id", $"sv"), dirD, buckets = 4)
+    Seq((one.getInt(0), one.getLong(1), one.getFloat(2) + 1.0f,
+        one.getInt(3)))
+      .toDF("term", "vec_id", "w", "tb")
+      .write.partitionBy("tb").mode("append").parquet(dirD)
+    val drift = intercept[IllegalStateException] {
+      SparseSearch.validatePostings(spark, dirD, src)
+    }
+    assert(drift.getMessage.contains("does not re-derive"),
+      drift.getMessage)
+
+    // a source doc the index never posted: missing row
+    val extra = sv.limit(1)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"sv")
+    val missing = intercept[IllegalStateException] {
+      SparseSearch.validatePostings(spark, dir,
+        Some((sv.unionAll(extra), "vec_id", "sv")))
+    }
+    assert(missing.getMessage.contains("not posted"), missing.getMessage)
+
+    // a posting whose source row is GONE: orphan — unless tombstoned
+    // (table-first delete protocol), in which case it is excused
+    val someId = sv.orderBy($"vec_id").head().getLong(0)
+    val shrunk = Some((sv.where($"vec_id" =!= someId), "vec_id", "sv"))
+    val orphan = intercept[IllegalStateException] {
+      SparseSearch.validatePostings(spark, dir, shrunk)
+    }
+    assert(orphan.getMessage.contains("no source entry"),
+      orphan.getMessage)
+    SparseSearch.deletePostings(spark, dir, Seq(someId))
+    assert(SparseSearch.validatePostings(spark, dir, shrunk) == n,
+      "a tombstoned id whose table row is gone is a pending delete, " +
+        "not corruption")
+  }
+
   // ------------------------------------------------------------- ivf
 
   test("ivf validateIndex: green on build+append+delete; violations named") {
@@ -377,5 +431,77 @@ class ValidateIndexSpec extends SparkTestBase {
       PqAnnIndex.validateIndex(spark, dir)
     }
     assert(hdr.getMessage.contains("headers disagree"), hdr.getMessage)
+  }
+
+  // -------------------------------------------------------- multivec
+
+  test("multivec validateIndex: source cross-check re-derives every " +
+      "stored token — drift, orphan, missing named; tombstones excused") {
+    import graft.ops.MultiVec
+    val e = emb.limit(40)
+    val flat = MultiVec.tokens(e, "vec_id", "embedding", 4)
+    val dir = freshDir("vx-mvsrc")
+    MultiVec.writeIndex(flat, dir, nlists = 8)
+    val docs = MultiVec.docArrays(flat).persist()
+    try {
+      val src = Some((docs, "mdoc", "toks"))
+      val n = MultiVec.validateIndex(spark, dir, src)
+      // tokens() groups 4 consecutive ids into one doc: 40 source rows
+      // = 10 docs x 4 tokens = 40 postings
+      assert(n == e.count())
+
+      // a stored token that no longer matches its source (bit-flip
+      // class): perturb ONE source token — the structural cent/i8
+      // checks re-derive from the STORED token and stay green, so only
+      // the source cross-check can catch the divergence
+      val victim = docs.orderBy($"mdoc").head().getLong(0)
+      val drifted = docs.withColumn("toks",
+        when($"mdoc" === victim,
+          transform($"toks", t => transform(t, x => x + lit(1.0f))))
+          .otherwise($"toks"))
+      val drift = intercept[IllegalStateException] {
+        MultiVec.validateIndex(spark, dir, Some((drifted, "mdoc", "toks")))
+      }
+      assert(drift.getMessage.contains("does not re-derive"),
+        drift.getMessage)
+
+      // an internally-consistent FOREIGN posting (orphan): valid cent
+      // and i8 for its token, but no source token to re-derive from
+      val dirO = freshDir("vx-mvorph")
+      MultiVec.writeIndex(flat, dirO, nlists = 8)
+      val one = spark.read.parquet(s"$dirO/postings")
+        .select($"mdoc", $"t_idx", $"tok", $"tok_i8", $"cent")
+        .limit(1).collect().head
+      Seq((one.getLong(0), 99,
+          one.getSeq[Float](2), one.getSeq[Byte](3), one.getInt(4)))
+        .toDF("mdoc", "t_idx", "tok", "tok_i8", "cent")
+        .write.partitionBy("cent").mode("append")
+        .parquet(s"$dirO/postings")
+      val orphan = intercept[IllegalStateException] {
+        MultiVec.validateIndex(spark, dirO, src)
+      }
+      assert(orphan.getMessage.contains("no source token"),
+        orphan.getMessage)
+
+      // a source doc the index never posted: missing row
+      val extra = docs.limit(1)
+        .select(($"mdoc" + 1000000L).as("mdoc"), $"toks")
+      val missing = intercept[IllegalStateException] {
+        MultiVec.validateIndex(spark, dir,
+          Some((docs.unionAll(extra), "mdoc", "toks")))
+      }
+      assert(missing.getMessage.contains("not posted"),
+        missing.getMessage)
+
+      // table-first delete: the doc's source row is gone but its
+      // postings are tombstoned — a pending delete, not corruption
+      val shrunk = Some((docs.where($"mdoc" =!= victim), "mdoc", "toks"))
+      val orphan2 = intercept[IllegalStateException] {
+        MultiVec.validateIndex(spark, dir, shrunk)
+      }
+      assert(orphan2.getMessage.contains("no source token"))
+      MultiVec.deleteDocs(spark, dir, Seq(victim))
+      assert(MultiVec.validateIndex(spark, dir, shrunk) == n)
+    } finally { docs.unpersist(); () }
   }
 }

@@ -62,28 +62,40 @@ def main():
                  f"{sorted(missing_reset)} - their stale minima cannot be "
                  "replaced; drop them from --reset or rerun the bench")
 
+    # queries present only in the OLD record were removed from the
+    # suite — carrying them forward would inflate the committed total
+    # forever, so they are DROPPED (loudly)
+    dropped = sorted(set(old_q) - set(new_q))
+    if dropped:
+        print(f"dropping {len(dropped)} queries absent from the fresh "
+              f"run (removed from the suite): {dropped}")
+
     merged, improved, added = {}, 0, 0
-    for q in sorted(set(old_q) | set(new_q)):
-        o, n = old_q.get(q), new_q.get(q)
-        if q in reset and n is not None:
+    for q in sorted(new_q):
+        o, n = old_q.get(q), new_q[q]
+        if q in reset or o is None:
             merged[q] = n
-        elif o is None:
-            merged[q] = n
-            added += 1
-        elif n is None:
-            merged[q] = o
+            added += 0 if q in reset else 1
         elif n["sec"] < o["sec"]:
             merged[q] = n
             improved += 1
         else:
             merged[q] = o
 
-    total = dict(old_t or new_t)
+    # the total line describes the FRESH run (wall, rc, failed, sf...);
+    # only the min-merged per-query map, the accumulated calib/runs
+    # history, and the note trail carry over from the old record
+    total = dict(new_t)
     total["queries"] = {q: merged[q]["sec"] for q in sorted(merged)}
     total["value"] = sum(total["queries"].values())
     runs = total.setdefault("calib", {}).setdefault("runs", [])
+    for r in ((old_t or {}).get("calib", {}) or {}).get("runs", []):
+        if r not in runs:
+            runs.append(r)
     if args.run_label not in runs:
         runs.append(args.run_label)
+    if old_t and old_t.get("note") and not total.get("note"):
+        total["note"] = old_t["note"]
     stamp = (f"{args.run_label} min-merge: {improved} improved, "
              f"{added} added, {len(reset & set(new_q))} reset"
              + (f". {args.note}" if args.note else ""))

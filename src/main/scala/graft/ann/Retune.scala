@@ -39,6 +39,31 @@ object Retune {
   /** One measured knob value. */
   case class Step(value: Int, recall: Double, avgSearchMs: Double)
 
+  /** Run one sweep step's planner probes CONCURRENTLY: each probe is a
+    * small multi-job indexed search, so wall clock is driver job-launch
+    * latency, not compute — the scheduler interleaves jobs from
+    * multiple submitter threads (the same shape as `validate_all`'s
+    * validator fleet). The GUC under sweep is session state shared by
+    * every probe in the step, set once before the fan-out. Probe
+    * failures (the planner-stopped-rewriting guard) are unwrapped so
+    * the caller sees the original error. */
+  private def probeAll[Q](pool: java.util.concurrent.ExecutorService,
+      queries: Array[(Long, Q)])(
+      run: (Long, Q) => Set[Long]): Map[Long, Set[Long]] = {
+    val futs = queries.map { case (qid, q) =>
+      qid -> pool.submit(new java.util.concurrent.Callable[Set[Long]] {
+        def call(): Set[Long] = run(qid, q)
+      })
+    }
+    futs.map { case (qid, fu) =>
+      qid -> (try fu.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      })
+    }.toMap
+  }
+
   /** Sweep record: `registered` is the knob value found in the
     * catalog, `steps` every value measured (ascending; all pre-pick
     * steps are below target by construction), `picked` the first
@@ -170,13 +195,15 @@ object Retune {
     val prior = spark.conf.getOption(gucKey)
     val steps = Seq.newBuilder[Step]
     var picked: Option[Int] = None
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(queries.length, 8))
     try {
       val it = grid.iterator
       while (picked.isEmpty && it.hasNext) {
         val v = it.next()
         spark.conf.set(gucKey, v.toString)
         val t0 = System.nanoTime()
-        val got = queries.map { case (qid, q) =>
+        val got = probeAll(pool, queries) { (_, q) =>
           val knn = base
             .orderBy(distCol(q))
             .limit(k)
@@ -191,9 +218,9 @@ object Retune {
             s"graft: the $metric form over $tablePath did not rewrite " +
               s"to the ${meta.kind} AnnScan at $knob=$v — retune " +
               "measures the planner's serving path, not a table scan")
-          qid -> knn.select(col(meta.idCol).cast("long"))
+          knn.select(col(meta.idCol).cast("long"))
             .collect().map(_.getLong(0)).toSet
-        }.toMap
+        }
         val avgMs = (System.nanoTime() - t0) / 1e6 / queries.length
         var hits = 0; var total = 0
         queries.foreach { case (qid, _) =>
@@ -210,9 +237,12 @@ object Retune {
         steps += Step(v, recall, avgMs)
         if (recall >= targetRecall) picked = Some(v)
       }
-    } finally prior match {
-      case Some(v) => spark.conf.set(gucKey, v)
-      case None => spark.conf.unset(gucKey)
+    } finally {
+      pool.shutdown()
+      prior match {
+        case Some(v) => spark.conf.set(gucKey, v)
+        case None => spark.conf.unset(gucKey)
+      }
     }
 
     val updated = picked.exists(_ != registered)
@@ -309,6 +339,8 @@ object Retune {
     val steps = Seq.newBuilder[Step]
     var picked: Option[Int] = None
     var pickedFactor = 1
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(queries.length, 8))
     try {
       val it = factors.iterator
       while (picked.isEmpty && it.hasNext) {
@@ -316,7 +348,7 @@ object Retune {
         spark.conf.set(efKey, (cand0 * f).toString)
         spark.conf.set(npKey, (nprobe0 * f).toString)
         val t0 = System.nanoTime()
-        val got = queries.map { case (qid, qm) =>
+        val got = probeAll(pool, queries) { (_, qm) =>
           val knn = scoped
             .orderBy(graft.ops.MultiVec.maxsimCol(col(vecCol), qm).desc,
               col(meta.idCol))
@@ -331,9 +363,9 @@ object Retune {
           if (!planned) throw new IllegalStateException(
             s"graft: the maxsim form over $tablePath did not rewrite " +
               s"through the multivec index at factor $f")
-          qid -> knn.select(col(meta.idCol).cast("long"))
+          knn.select(col(meta.idCol).cast("long"))
             .collect().map(_.getLong(0)).toSet
-        }.toMap
+        }
         val avgMs = (System.nanoTime() - t0) / 1e6 / queries.length
         var hits = 0; var total = 0
         queries.foreach { case (qid, _) =>
@@ -346,6 +378,7 @@ object Retune {
         if (recall >= targetRecall) { picked = Some(cand0 * f); pickedFactor = f }
       }
     } finally {
+      pool.shutdown()
       efPrior match {
         case Some(v) => spark.conf.set(efKey, v)
         case None => spark.conf.unset(efKey)

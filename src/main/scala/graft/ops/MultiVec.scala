@@ -442,10 +442,29 @@ object MultiVec {
     }
   }
 
-  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
-    spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cent")).select(col("vec"))
-      .collect().map(_.getSeq[Float](0).toArray)
+  // Centroid tables are tiny (nlists × dim floats) but live on the
+  // serving path of EVERY query — re-reading the parquet per search
+  // costs a Spark job each time (`ambeginscan`'s load-and-cache
+  // rationale, the same as graft.ann.GraphCache). Keyed by the
+  // centroid files' (name, length, mtime) fingerprint so a rebuild or
+  // recluster invalidates; bounded because each entry is a few KB and
+  // artifacts are few per JVM.
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(dir).toString + "#" +
+      fs.listStatus(dir).filter(_.isFile)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+    if (centroidCache.size > 256) centroidCache.clear() // stale generations
+    centroidCache.computeIfAbsent(key, _ =>
+      spark.read.parquet(dir.toString)
+        .orderBy(col("cent")).select(col("vec"))
+        .collect().map(_.getSeq[Float](0).toArray))
+  }
 
   /** Append new documents into a [[writeIndex]] layout: assign with
     * the PERSISTED centroids and append into the postings directories

@@ -103,10 +103,18 @@ object AdminQueries {
     try {
       val n = e.count()
       val src = Some((e, "vec_id", "embedding"))
+      // multivec/sparse validate against their OWN source shapes: the
+      // doc-array table and the sparse struct column — every stored
+      // token / weight re-derives from the table, like the six kinds
+      // whose source is the embedding column
+      val mvDocs = MultiVec.docArrays(
+        MultiVec.tokens(e, "vec_id", "embedding", 4))
+      val mvSrc = Some((mvDocs, "mdoc", "toks"))
+      val svDf = e.select(col("vec_id"),
+        SparseSearch.sparsify(col("embedding"), 0.0f).as("sv"))
+      val svSrc = Some((svDf, "vec_id", "sv"))
       val postings = SparseSearch.postings(
-        e.select(col("vec_id"),
-          SparseSearch.sparsify(col("embedding"), 0.0f).as("sv")),
-        "vec_id", col("sv")).count()
+        svDf, "vec_id", col("sv")).count()
       // the eight validators are independent multi-job reads of
       // disjoint artifacts; wall time is driver job-launch latency, not
       // compute — run them concurrently (Spark's scheduler interleaves
@@ -123,11 +131,12 @@ object AdminQueries {
           IvfPqIndex.validateIndex(s, s"$root/ivfpq", source = src) == n),
         "mrl" -> (() =>
           MrlIndex.validateIndex(s, s"$root/mrl", source = src) == n),
-        "multivec" -> (() => MultiVec.validateIndex(s, s"$root/multivec") == n),
+        "multivec" -> (() =>
+          MultiVec.validateIndex(s, s"$root/multivec", mvSrc) == n),
         "pq" -> (() =>
           PqAnnIndex.validateIndex(s, s"$root/pq", source = src) == n),
         "sparse" -> (() => SparseSearch.validatePostings(s,
-          s"$root/sparse") == postings))
+          s"$root/sparse", svSrc) == postings))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(checks.size)
       val results =
         try {

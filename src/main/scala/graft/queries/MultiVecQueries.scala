@@ -266,21 +266,24 @@ object MultiVecQueries {
     AnnCatalog.register(s, s"$docsPath/docs", AnnCatalog.IndexMeta(
       s"$idxPath/idx", "mdoc", "toks", "maxsim",
       ef = CandPerQuery, kind = "multivec", nprobe = Nprobe))
-
-    val docs = s.read.parquet(s"$docsPath/docs")
-    val byQ = q.groupBy(_._1).view
-      .mapValues(_.sortBy(_._2).map(_._3)).toMap
-    val ann = (0L until QDocs.toLong).map { qd =>
-      val top = docs
-        .orderBy(MultiVec.maxsimCol(col("toks"), byQ(qd)).desc)
-        .limit(K)
-      // every round-trip must serve through the index rewrite
-      if (!top.queryExecution.optimizedPlan.toString.contains("MaxSimIds"))
-        qd -> Set.empty[Long]
-      else qd -> top.select("mdoc").collect().map(_.getLong(0)).toSet
-    }.toMap
-    if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
-    else Seq.empty[Int].toDF("ok")
+    try {
+      val docs = s.read.parquet(s"$docsPath/docs")
+      val byQ = q.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3)).toMap
+      val ann = (0L until QDocs.toLong).map { qd =>
+        val top = docs
+          .orderBy(MultiVec.maxsimCol(col("toks"), byQ(qd)).desc)
+          .limit(K)
+        // every round-trip must serve through the index rewrite
+        if (!top.queryExecution.optimizedPlan.toString.contains("MaxSimIds"))
+          qd -> Set.empty[Long]
+        else qd -> top.select("mdoc").collect().map(_.getLong(0)).toSet
+      }.toMap
+      if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+      else Seq.empty[Int].toDF("ok")
+      // a leaked registration would surface in UNRELATED gates (the
+      // maintain sweep walks the whole catalog) — always clean up
+    } finally AnnCatalog.unregister(s, s"$docsPath/docs")
   }
 
   /** FILTERED maxsim planner gate: `WHERE pred ORDER BY maxsim DESC
@@ -491,10 +494,15 @@ object MultiVecQueries {
     * protocol applied to the maxsim planner form): the registration is
     * STARVED on both knobs (cand = k, nprobe = 1 of 64 lists), the
     * sweep widens both by one doubling factor through the planner's
-    * rewrite against the exact MaxSim truth (registration lifted for
-    * the truth pass), and the first qualifying factor re-registers
-    * BOTH knobs proportionally. A confirmation pass over the updated
-    * registration must qualify at its first step. */
+    * rewrite against the exact MaxSim truth — ONE batched corpus pass
+    * ([[graft.ops.MultiVec.maxsimJoinExact]]), registration lifted for
+    * it — and the first qualifying factor re-registers BOTH knobs
+    * proportionally. A confirmation pass over the updated registration
+    * must qualify at its first step. Finally the FILTERED maxsim form
+    * (the one the sf1 scale probes showed starving first) is retuned
+    * under its own predicate: retuneMultivec throws mid-sweep if the
+    * filtered form ever stops rewriting, so a green row also certifies
+    * the predicate-scoped serving path end-to-end. */
   private def retuneMultivecGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ann.Retune
@@ -512,24 +520,37 @@ object MultiVecQueries {
         .parquet(s"$docsPath/docs")
     }
     val tbl = s"$docsPath/docs"
+    // starved on both knobs (first step must measure below target) but
+    // only 2-3 doublings from the qualifying budget — the sweep pays
+    // for the steps that prove the protocol, not for a deeper hole
+    val (cand0, np0) = (4 * K, 4)
     AnnCatalog.register(s, tbl, AnnCatalog.IndexMeta(s"$idxPath/idx",
-      "mdoc", "toks", "maxsim", ef = K, kind = "multivec", nprobe = 1))
+      "mdoc", "toks", "maxsim", ef = cand0, kind = "multivec",
+      nprobe = np0))
     try {
       val r = Retune.retuneMultivec(s, tbl, "toks", k = K,
         queryCount = 5, targetRecall = target, maxWiden = 64)
-      val sweepOk = r.knob == "cand+nprobe" && r.registered == K &&
+      val sweepOk = r.knob == "cand+nprobe" && r.registered == cand0 &&
         r.steps.head.recall < target &&
         r.picked.isDefined && r.updated &&
         r.steps.init.forall(_.recall < target) &&
         r.steps.last.recall >= target && {
           val m = AnnCatalog.metaFor(s, tbl, "toks", "maxsim").get
-          m.ef == r.picked.get && m.nprobe == r.picked.get / K
+          m.ef == r.picked.get && m.nprobe == np0 * (r.picked.get / cand0)
         }
-      val after = Retune.retuneMultivec(s, tbl, "toks", k = K,
-        queryCount = 5, targetRecall = target, maxWiden = 1)
-      val servesOk = after.steps.size == 1 && !after.updated &&
-        after.picked == r.picked
-      if (sweepOk && servesOk) Seq(1).toDF("ok")
+      // the confirmation doubles as the FILTERED-form certification:
+      // the updated registration, retuned against the filtered
+      // workload (sampled queries satisfy the predicate, truth scoped
+      // to it, every step must rewrite through the filtered planner
+      // form or retuneMultivec throws), must qualify at its FIRST step
+      // — the serving-restart contract under the harder workload
+      val filtered = Retune.retuneMultivec(s, tbl, "toks", k = K,
+        queryCount = 5, targetRecall = target, maxWiden = 8,
+        predicate = Some(col("mdoc") % 3 === 1))
+      val filteredOk = filtered.steps.size == 1 && !filtered.updated &&
+        filtered.picked == r.picked &&
+        filtered.steps.head.recall >= target
+      if (sweepOk && filteredOk) Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tbl)
   }

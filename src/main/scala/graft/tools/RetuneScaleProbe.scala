@@ -26,6 +26,11 @@ object RetuneScaleProbe {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft-sf1probe")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // "adversarial" switches to the mixture-novel-points derivation
+    // (DeriveScale.ensureAdversarial) — recall gets HARDER with scale
+    // instead of easier, the honest version of this probe
+    val adversarial = args.lift(3).contains("adversarial")
+    val maxWiden = args.lift(4).map(_.toInt).getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,7 +43,10 @@ object RetuneScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rows = DeriveScale.ensure(spark, srcDir, outDir, copies, cpus.toInt)
+    val rows =
+      if (adversarial) DeriveScale.ensureAdversarial(
+        spark, srcDir, outDir, copies, cpus.toInt)
+      else DeriveScale.ensure(spark, srcDir, outDir, copies, cpus.toInt)
     println(s"[retune-probe] derived table: $rows rows at $outDir")
     val e = spark.read.parquet(s"$outDir/embeddings.parquet")
     val tablePath = s"$outDir/embeddings.parquet"
@@ -90,7 +98,7 @@ object RetuneScaleProbe {
       AnnCatalog.register(spark, tablePath, meta)
       val r = try {
         Retune.retune(spark, tablePath, "embedding", meta.metric,
-          k = 10, queryCount = 8, targetRecall = target, maxWiden = 16,
+          k = 10, queryCount = 8, targetRecall = target, maxWiden = maxWiden,
           predicate = Some(pred))
       } finally AnnCatalog.unregister(spark, tablePath)
       val secs = (System.nanoTime() - t0) / 1e9

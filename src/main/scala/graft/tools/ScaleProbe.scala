@@ -22,6 +22,10 @@ object ScaleProbe {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft-sf1probe")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // "adversarial" switches to the mixture-novel-points derivation
+    // (DeriveScale.ensureAdversarial) — recall gets HARDER with scale
+    // instead of easier, the honest version of this probe
+    val adversarial = args.lift(3).contains("adversarial")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,7 +38,10 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rows = DeriveScale.ensure(spark, srcDir, outDir, copies, cpus.toInt)
+    val rows =
+      if (adversarial) DeriveScale.ensureAdversarial(
+        spark, srcDir, outDir, copies, cpus.toInt)
+      else DeriveScale.ensure(spark, srcDir, outDir, copies, cpus.toInt)
     println(s"[probe] derived table: $rows rows at $outDir")
 
     val gates = SparkEntry.queries.filter(_._1.contains("planner"))

@@ -42,6 +42,7 @@ object Cli {
       |                     [--query-count 8] [--max-widen 16]
       |                     [--no-validate] [--consolidate-over N]
       |                     [--recluster] [--skew-over 4.0]
+      |                     [--parallelism N]
       |                     (compact + validate + retune every
       |                      registered index in one sweep; --recluster
       |                      rebuilds skewed coarse-list centroids)
@@ -97,7 +98,7 @@ object Cli {
       "target-recall", "query-count", "max-widen"),
     "maintain" -> Set("catalog", "target-recall", "k", "query-count",
       "max-widen", "no-validate", "consolidate-over", "recluster",
-      "skew-over"),
+      "skew-over", "parallelism"),
     "pq-table" -> Set("src", "vec-col", "out", "clusters", "splits"),
     "start-daemon" -> Set("jobs", "status", "results", "ckpt",
       "autotune-jobs", "autotune-status", "autotune-results", "once"),
@@ -284,7 +285,8 @@ object Cli {
           consolidateOver = opts.getOrElse("consolidate-over", "0").toInt,
           catalogPath = Some(cat),
           recluster = opts.contains("recluster"),
-          skewOver = opts.getOrElse("skew-over", "4.0").toDouble)
+          skewOver = opts.getOrElse("skew-over", "4.0").toDouble,
+          parallelism = opts.getOrElse("parallelism", "1").toInt)
         ann.Maintain.sweepDf(spark, entries).show(100, truncate = false)
         val bad = entries.filterNot(_.valid)
         if (bad.nonEmpty) throw new IllegalStateException(
@@ -308,7 +310,11 @@ object Cli {
                 "graft: bq validation re-derives signatures — " +
                   "--src/--id-col/--vec-col are required"))
             ("bq", ann.BqIndex.validateIndex(df, idCol, vecCol, idxP))
-          } else if (ann.MrlIndex.isMrl(spark, idxP))
+          } else if (ops.SparseSearch.isSparse(spark, idxP))
+            ("sparse", ops.SparseSearch.validatePostings(spark, idxP, source))
+          else if (ops.MultiVec.isMultiVec(spark, idxP))
+            ("multivec", ops.MultiVec.validateIndex(spark, idxP, source))
+          else if (ann.MrlIndex.isMrl(spark, idxP))
             ("mrl", ann.MrlIndex.validateIndex(spark, idxP, source))
           else if (ann.IvfPqIndex.isIvfPq(spark, idxP))
             ("ivfpq", ann.IvfPqIndex.validateIndex(spark, idxP, source))

@@ -89,12 +89,15 @@ object IvfIndex {
       graft.functions.UnitNormalize(
         org.apache.spark.sql.graftshim.GraftSqlShim.expression(c)))
 
+  // fingerprint-cached: centroids sit on the serving path of every
+  // query, and a per-search parquet read is a Spark job each time
   private def loadCentroids(spark: SparkSession, path: String)
-      : (Array[Array[Float]], String) = {
-    val rows = spark.read.parquet(s"$path/$CentroidsDir")
-      .orderBy("list_id").collect()
-    (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
-  }
+      : (Array[Array[Float]], String) =
+    graft.util.ArtifactCache.cached(spark, s"$path/$CentroidsDir") {
+      val rows = spark.read.parquet(s"$path/$CentroidsDir")
+        .orderBy("list_id").collect()
+      (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
+    }
 
   /** The metric the index was built under (persisted with the
     * centroids) — serving layers must not route a foreign-metric

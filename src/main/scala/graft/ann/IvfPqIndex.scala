@@ -182,25 +182,29 @@ object IvfPqIndex {
       graft.functions.UnitNormalize(
         org.apache.spark.sql.graftshim.GraftSqlShim.expression(c)))
 
+  // fingerprint-cached like IvfIndex's — a per-search parquet read of
+  // a few-KB table is a Spark job on every query's critical path
   private def loadCentroids(spark: SparkSession, path: String)
-      : (Array[Array[Float]], String) = {
-    val rows = spark.read.parquet(s"$path/$CentroidsDir")
-      .orderBy("list_id").collect()
-    (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
-  }
+      : (Array[Array[Float]], String) =
+    graft.util.ArtifactCache.cached(spark, s"$path/$CentroidsDir") {
+      val rows = spark.read.parquet(s"$path/$CentroidsDir")
+        .orderBy("list_id").collect()
+      (rows.map(_.getSeq[Float](1).toArray), rows.head.getString(2))
+    }
 
   /** The metric the index was built under (persisted with the
     * centroids). */
   def metricOf(spark: SparkSession, path: String): String =
     loadCentroids(spark, path)._2
 
-  private def loadCodebook(spark: SparkSession, path: String): PqCodebook = {
-    val df = spark.read.parquet(s"$path/$CodebookDir")
-    // dim = subvectors × subDim, both recoverable from the stored rows
-    val r = df.select(countDistinct(col("subvector_id")).cast("int"),
-      max(size(col("centroid")))).head()
-    PqCodebook.fromDf(df, r.getInt(0) * r.getInt(1))
-  }
+  private def loadCodebook(spark: SparkSession, path: String): PqCodebook =
+    graft.util.ArtifactCache.cached(spark, s"$path/$CodebookDir") {
+      val df = spark.read.parquet(s"$path/$CodebookDir")
+      // dim = subvectors × subDim, both recoverable from the stored rows
+      val r = df.select(countDistinct(col("subvector_id")).cast("int"),
+        max(size(col("centroid")))).head()
+      PqCodebook.fromDf(df, r.getInt(0) * r.getInt(1))
+    }
 
   /** `validate_index` analog for the coarse-list + residual-code
     * artifact (reference validate_index.c:436-528): structural checks

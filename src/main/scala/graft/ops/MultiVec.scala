@@ -432,6 +432,15 @@ object MultiVec {
   /** (toksPerDoc, token dim) recorded by [[writeIndex]] —
     * (0, centroid dim) for indexes written before the meta file
     * existed or with variable document lengths. */
+  /** Layout sniff: a [[writeIndex]] artifact is `centroids` +
+    * `postings` dirs — the detection the CLI validate-index uses. */
+  def isMultiVec(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings"))
+  }
+
   def readIndexMeta(spark: SparkSession, path: String): (Int, Int) = {
     val f = s"$path/meta.json"
     graft.util.MetaJson.read(spark, f) match {
@@ -444,27 +453,16 @@ object MultiVec {
 
   // Centroid tables are tiny (nlists × dim floats) but live on the
   // serving path of EVERY query — re-reading the parquet per search
-  // costs a Spark job each time (`ambeginscan`'s load-and-cache
-  // rationale, the same as graft.ann.GraphCache). Keyed by the
-  // centroid files' (name, length, mtime) fingerprint so a rebuild or
-  // recluster invalidates; bounded because each entry is a few KB and
-  // artifacts are few per JVM.
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
-
-  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val key = fs.makeQualified(dir).toString + "#" +
-      fs.listStatus(dir).filter(_.isFile)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString(",")
-    if (centroidCache.size > 256) centroidCache.clear() // stale generations
-    centroidCache.computeIfAbsent(key, _ =>
-      spark.read.parquet(dir.toString)
+  // costs a Spark job each time. Fingerprint-cached (the
+  // `ambeginscan` load-and-cache rationale, like graft.ann.GraphCache
+  // on executors); a rebuild or recluster changes the files and
+  // invalidates.
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    graft.util.ArtifactCache.cached(spark, s"$path/centroids") {
+      spark.read.parquet(s"$path/centroids")
         .orderBy(col("cent")).select(col("vec"))
-        .collect().map(_.getSeq[Float](0).toArray))
-  }
+        .collect().map(_.getSeq[Float](0).toArray)
+    }
 
   /** Append new documents into a [[writeIndex]] layout: assign with
     * the PERSISTED centroids and append into the postings directories

@@ -133,6 +133,11 @@ object SparseSearch {
     graft.util.MetaJson.write(spark, s"$path/$MetaFile",
       s"""{"buckets":$buckets,"idCol":"$idCol"}""")
 
+  /** Layout sniff: a [[writePostings]] table carries its meta file at
+    * the root — the detection the CLI validate-index dispatch uses. */
+  def isSparse(spark: SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(new Path(s"$path/$MetaFile"))
+
   /** (buckets, idCol) of a [[writePostings]] table — the layout
     * parameters every reader and appender must share; trusting a
     * caller-resupplied value instead would silently mis-bucket. */

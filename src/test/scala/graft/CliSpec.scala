@@ -114,6 +114,28 @@ class CliSpec extends SparkTestBase {
       Cli.run("validate-index", Map("index" -> bqOut, "src" -> drifted,
         "id-col" -> "vec_id", "vec-col" -> "embedding"))
     }
+    // multivec + sparse layouts dispatch to their own validators (they
+    // previously fell through to the hnsw walk and failed confusingly)
+    val e = spark.read.parquet(src).limit(40)
+    val flat = graft.ops.MultiVec.tokens(e, "vec_id", "embedding", 4)
+    val mvOut = tmp("vcli-mv")
+    graft.ops.MultiVec.writeIndex(flat, mvOut, nlists = 8)
+    Cli.run("validate-index", Map("index" -> mvOut))
+    val mvDocs = tmp("vcli-mvdocs")
+    graft.ops.MultiVec.docArrays(flat).write.parquet(mvDocs)
+    Cli.run("validate-index", Map("index" -> mvOut, "src" -> mvDocs,
+      "id-col" -> "mdoc", "vec-col" -> "toks"))
+    val svTbl = tmp("vcli-svtbl")
+    e.select($"vec_id", graft.ops.SparseSearch
+        .sparsify($"embedding", 0.0f).as("sv"))
+      .write.parquet(svTbl)
+    val spOut = tmp("vcli-sparse")
+    graft.ops.SparseSearch.writePostings(
+      graft.ops.SparseSearch.postings(
+        spark.read.parquet(svTbl), "vec_id", $"sv"), spOut, buckets = 4)
+    Cli.run("validate-index", Map("index" -> spOut))
+    Cli.run("validate-index", Map("index" -> spOut, "src" -> svTbl,
+      "id-col" -> "vec_id", "vec-col" -> "sv"))
   }
 
   test("retune-index re-derives a stale budget and persists the catalog") {
@@ -154,7 +176,7 @@ class CliSpec extends SparkTestBase {
     AnnCatalog.unregister(spark, src)
     try {
       Cli.run("maintain", Map("catalog" -> cat, "query-count" -> "4",
-        "max-widen" -> "64"))
+        "max-widen" -> "64", "parallelism" -> "2"))
       AnnCatalog.clear()
       AnnCatalog.load(spark, cat)
       assert(AnnCatalog.metaFor(spark, src, "embedding", "l2sq").get.ef > 12)

@@ -566,10 +566,14 @@ object AnnIndex {
     * kinds follow (throws [[IllegalStateException]] naming the FIRST
     * violation; returns the live row count): the structural shard walk,
     * plus — with `source` — both-way id completeness against the
-    * source table (tombstoned ids excused) and, for `f32` storage,
-    * exact vector re-derivation. Quantized storage (`f16|i8|b4|b2|b1`)
-    * holds codes, not the source floats, so only ids are checked
-    * there — the codec round-trip is covered by the quantizer specs. */
+    * source table (tombstoned ids excused) and exact vector
+    * re-derivation for EVERY storage kind: `f32` compares the source
+    * floats directly, quantized storage (`f16|i8|b4|b2|b1`) compares
+    * against the canonical snap round-trip
+    * ([[graft.pq.ScalarQuantizer.snap]], the same code insert applies),
+    * and hamming graphs repack the b1 source through the build's own
+    * word codec. A drifted stored vector is a named violation under
+    * any quant. */
   def validateIndex(spark: SparkSession, path: String,
       source: Option[(DataFrame, String, String)] = None): Long = {
     val issues = validate(spark, path).limit(1).collect()
@@ -577,17 +581,21 @@ object AnnIndex {
       s"graft: hnsw index $path invalid — shard " +
         s"${issues.head.getString(0)}: ${issues.head.getString(1)}")
     val live = vectors(spark, path)
+    val h = readHeader(spark, path)
     source.foreach { case (df, idCol, vecCol) =>
-      // a hamming graph stores b1-packed source ints as word floats
-      // (the build's own codec) — re-derive through the SAME expression
-      // so the drift check compares like with like
+      // re-derive the EXPECTED stored vector through the build's own
+      // codec so the drift check compares like with like: hamming
+      // graphs hold b1 ints repacked as word floats; quantized storage
+      // holds the snap round-trip; f32 holds the source floats
       val srcElem = df.schema(df.schema.fieldIndex(vecCol))
         .dataType.asInstanceOf[ArrayType].elementType
       val expVec =
-        if (readHeader(spark, path).metric == "hamming" &&
-            srcElem == IntegerType)
+        if (h.metric == "hamming" && srcElem == IntegerType)
           GraftSqlShim.column(graft.functions.B1ToWordsExpr(
             GraftSqlShim.expression(col(vecCol))))
+        else if (h.quant != "f32")
+          GraftSqlShim.column(graft.functions.SnapQuantExpr(
+            GraftSqlShim.expression(col(vecCol)), h.quant, h.i8Lo, h.i8Hi))
         else col(vecCol)
       val expected = df.select(col(idCol).cast(LongType).as("id"),
         expVec.as("__exp"))
@@ -604,15 +612,13 @@ object AnnIndex {
       if (missing.nonEmpty) throw new IllegalStateException(
         s"graft: hnsw index $path invalid — source id " +
           s"${missing.head.getLong(0)} is not stored (missing row)")
-      if (readHeader(spark, path).quant == "f32") {
-        val drift = live.join(expected, Seq("id"))
-          .where(!(col("vec") <=> col("__exp")))
-          .select("id").limit(1).collect()
-        if (drift.nonEmpty) throw new IllegalStateException(
-          s"graft: hnsw index $path invalid — id " +
-            s"${drift.head.getLong(0)}'s stored vector does not " +
-            "re-derive from its source row")
-      }
+      val drift = live.join(expected, Seq("id"))
+        .where(!(col("vec") <=> col("__exp")))
+        .select("id").limit(1).collect()
+      if (drift.nonEmpty) throw new IllegalStateException(
+        s"graft: hnsw index $path invalid — id " +
+          s"${drift.head.getLong(0)}'s stored vector does not " +
+          s"re-derive from its source row (quant=${h.quant})")
     }
     live.count()
   }

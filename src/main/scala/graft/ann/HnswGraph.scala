@@ -337,19 +337,11 @@ final class HnswGraph(
   /** Snap a vector to its stored-scalar representation, so build- and
     * search-time distances see exactly what the artifact will hold
     * (quantized traversal — reference quant_bits semantics). f16/i8
-    * decode is exact, so snap-then-encode round-trips losslessly. */
-  private def snap(v: Array[Float]): Array[Float] = quant match {
-    case Quant.F32 => v
-    case Quant.F16 =>
-      v.map(x => graft.pq.ScalarQuantizer.fromF16(graft.pq.ScalarQuantizer.toF16(x)))
-    case Quant.I8 =>
-      graft.pq.ScalarQuantizer.dequantizeI8(
-        graft.pq.ScalarQuantizer.quantizeI8(v, i8Lo, i8Hi), i8Lo, i8Hi)
-    case _ =>
-      graft.pq.ScalarQuantizer.dequantizePacked(
-        graft.pq.ScalarQuantizer.quantizePacked(v, packedBits, i8Lo, i8Hi),
-        v.length, packedBits, i8Lo, i8Hi)
-  }
+    * decode is exact, so snap-then-encode round-trips losslessly.
+    * Delegates to the canonical [[graft.pq.ScalarQuantizer.snap]] —
+    * the validator re-derives through the same code. */
+  private def snap(v: Array[Float]): Array[Float] =
+    graft.pq.ScalarQuantizer.snap(v, Quant.name(quant), i8Lo, i8Hi)
 
   def insert(id: Long, rawVec: Array[Float]): Unit = {
     require(!compact,

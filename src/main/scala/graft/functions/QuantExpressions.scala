@@ -308,6 +308,30 @@ case class DequantizeI8Expr(child: Expression, lo: Float, hi: Float)
     copy(child = newChild)
 }
 
+/** f32 → the stored-scalar round-trip of a quant kind
+  * ([[ScalarQuantizer.snap]]): what an hnsw artifact built with that
+  * quant HOLDS for a given source vector. The validator's drift check
+  * compares stored vectors against this, so quantized storage gets the
+  * same content re-derivation as f32 (a drifted stored vector can no
+  * longer hide behind "codes, not floats"). */
+case class SnapQuantExpr(child: Expression, quant: String,
+    lo: Float, hi: Float) extends FloatVecUnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "snap_quant"
+
+  override def nullSafeEval(v: Any): Any =
+    ScalarQuantizer.snapArray(v.asInstanceOf[ArrayData], quant, lo, hi)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val q = ctx.addReferenceObj("snapQuant", quant, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.pq.ScalarQuantizer.snapArray($c, $q, ${lo}f, ${hi}f)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SnapQuantExpr =
+    copy(child = newChild)
+}
+
 /** f32 → sign bits packed 32-per-int (array<int>, hamming layout). */
 case class QuantizeB1Expr(child: Expression) extends FloatVecUnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

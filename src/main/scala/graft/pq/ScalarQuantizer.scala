@@ -152,6 +152,33 @@ object ScalarQuantizer {
     Array.tabulate(dim)(i => (lo + packedCode(codes, i, nbits) * step).toFloat)
   }
 
+  /** Snap a float vector to its stored-scalar representation for a
+    * quant kind — the CANONICAL encode→decode round-trip
+    * [[graft.ann.HnswGraph]] applies at insert (quantized traversal,
+    * reference quant_bits semantics) and the hnsw validator re-derives
+    * against. One implementation so build, search, and validation can
+    * never drift. */
+  def snap(v: Array[Float], quant: String,
+      lo: Float = -1f, hi: Float = 1f): Array[Float] = quant match {
+    case "f32" => v
+    case "f16" => v.map(x => fromF16(toF16(x)))
+    case "i8" => dequantizeI8(quantizeI8(v, lo, hi), lo, hi)
+    case "b4" | "b2" | "b1" =>
+      val nbits = quant match { case "b4" => 4; case "b2" => 2; case _ => 1 }
+      dequantizePacked(quantizePacked(v, nbits, lo, hi), v.length, nbits,
+        lo, hi)
+    case other => throw new IllegalArgumentException(
+      s"graft: unsupported quant '$other' (expected f32|f16|i8|b4|b2|b1)")
+  }
+
+  /** [[snap]] over Catalyst array data — the static the codegen'd
+    * [[graft.functions.SnapQuantExpr]] calls. */
+  def snapArray(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      quant: String, lo: Float, hi: Float)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(snap(a.toFloatArray(), quant, lo, hi))
+
   // --------------------------------------------------------- columns
   // Native codegen'd expressions (graft.functions.QuantExpressions) —
   // the earlier Scala-UDF forms paid per-row ser/de and blocked

@@ -433,6 +433,27 @@ class ValidateIndexSpec extends SparkTestBase {
     assert(hdr.getMessage.contains("headers disagree"), hdr.getMessage)
   }
 
+  test("hnsw validateIndex: QUANTIZED storage re-derives through the " +
+      "snap round-trip — drift is a named violation, not a blind spot") {
+    for (quant <- Seq("i8", "f16", "b4")) {
+      val e = emb.limit(60)
+      val dir = freshDir(s"vx-hq-$quant")
+      AnnIndex.build(e, "vec_id", "embedding", dir,
+        AnnParams(m = 8, efConstruction = 64, numPartitions = 2,
+          quant = quant))
+      assert(AnnIndex.validateIndex(spark, dir,
+        source = Some((e, "vec_id", "embedding"))) == e.count(),
+        s"quant=$quant must validate in full against its source")
+      // a whole-vector +10 shift crosses every quant level boundary
+      val drift = intercept[IllegalStateException] {
+        AnnIndex.validateIndex(spark, dir,
+          source = Some((perturbed(e, 3L), "vec_id", "embedding")))
+      }
+      assert(drift.getMessage.contains("does not re-derive") &&
+        drift.getMessage.contains(s"quant=$quant"), drift.getMessage)
+    }
+  }
+
   // -------------------------------------------------------- multivec
 
   test("multivec validateIndex: source cross-check re-derives every " +

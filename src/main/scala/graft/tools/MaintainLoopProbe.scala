@@ -31,12 +31,16 @@ import graft.plans.AnnCatalog
   * printed table records the ef/nprobe trajectory — the budget
   * FOLLOWING corpus growth automatically is the probe's point.
   *
-  * Usage: runMain graft.tools.MaintainLoopProbe [sfDir] [cycles]
+  * Usage: runMain graft.tools.MaintainLoopProbe [sfDir] [cycles] [parallelism]
+  * (parallelism > 1 drives the sweep's per-entry session-clone mode —
+  * the same sustained cycles must hold with both entries maintained
+  * concurrently)
   */
 object MaintainLoopProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val cycles = args.lift(1).map(_.toInt).getOrElse(6)
+    val parallelism = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -99,7 +103,7 @@ object MaintainLoopProbe {
 
       val entries = Maintain.sweep(spark, targetRecall = 0.8,
         queryCount = 5, maxWiden = 16, consolidateOver = 8,
-        recluster = true)
+        recluster = true, parallelism = parallelism)
       entries.foreach { e =>
         val ok = e.valid && e.recallAfter >= 0.8
         if (!ok) failures += 1

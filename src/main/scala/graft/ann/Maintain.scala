@@ -43,7 +43,9 @@ import graft.plans.AnnCatalog
 object Maintain {
 
   /** One registration's maintenance outcome. Sentinel -1 for recall /
-    * knob fields of rows where retune does not apply. */
+    * knob fields of rows where retune does not apply, and for the file
+    * counts when the compact step could not even measure them (the
+    * failure is named in `notes`). */
   case class Entry(
       table: String, vecCol: String, metric: String, kind: String,
       filesBefore: Int, filesAfter: Int, consolidated: Boolean,
@@ -59,15 +61,19 @@ object Maintain {
     * ONCE, after every entry finished (single writer regardless of
     * `parallelism`).
     *
-    * `parallelism` > 1 maintains that many registrations CONCURRENTLY,
-    * each on its own `spark.newSession()` clone: the clone shares the
+    * `parallelism` > 1 maintains that many TABLES concurrently, each
+    * lane on its own `spark.newSession()` clone: the clone shares the
     * SparkContext, the JVM-wide catalog, and the injected planner
     * rules, but has an ISOLATED runtime conf — so each entry's retune
     * steers its own session's ef/nprobe GUCs without trampling a
     * sibling's mid-measurement (the reason the sweep was previously
-    * serial by design). At catalog scale (hundreds of registrations,
-    * each entry's work a distributed job) this turns the sweep's wall
-    * clock from sum-of-entries into max-of-batches. */
+    * serial by design). Registrations of the SAME table always run
+    * serially in one lane: they share one catalog key, and a sibling
+    * racing retuneMultivec's lift/restore of that key is the one
+    * lost-update window this sweep could otherwise open. At catalog
+    * scale (hundreds of tables, each entry's work a distributed job)
+    * this still turns the sweep's wall clock from sum-of-entries into
+    * max-of-lanes. */
   def sweep(
       spark: SparkSession,
       targetRecall: Double = 0.9,
@@ -86,33 +92,64 @@ object Maintain {
       if (consolidateOver > 0) consolidateOver
       else GraftConf.annConsolidateShards(spark)
     val work = AnnCatalog.entries()
-    val entries =
+    // every COMPLETED entry, recorded as it finishes — the catalog
+    // save below runs in a finally so a late fatal error (a lane that
+    // dies past every named-casualty catch) can never lose an earlier
+    // entry's already-applied retune: its knob is in the JVM catalog
+    // and gets persisted regardless
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+    def one(session: SparkSession, table: String,
+        meta: AnnCatalog.IndexMeta): Entry = {
+      val e = maintainOne(session, table, meta, threshold, targetRecall,
+        k, queryCount, maxWiden, validate, recluster, skewOver)
+      done.add(e)
+      e
+    }
+    try {
       if (parallelism <= 1 || work.size <= 1)
-        work.map { case (table, meta) =>
-          maintainOne(spark, table, meta, threshold, targetRecall, k,
-            queryCount, maxWiden, validate, recluster, skewOver)
-        }
+        work.map { case (table, meta) => one(spark, table, meta) }
       else {
+        // LANES: all registrations of one table run serially on one
+        // worker. Retune's truth pass lifts its own registration from
+        // the JVM-wide catalog for its duration (per-index granularity,
+        // [[AnnCatalog.unregisterOne]]) — still, two entries of the
+        // SAME table mutate the same catalog key concurrently
+        // (register-on-pick vs lift/restore), so same-table overlap is
+        // made structurally impossible rather than merely unlikely
+        // (the reference's per-index locks live under PG's per-table
+        // relation locking for the same reason). Lanes keep the
+        // catalog-scale win: tables are many, registrations per table
+        // are few.
+        val lanes = work.groupBy(_._1).toSeq.sortBy(_._1).map(_._2)
         val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(parallelism, work.size))
+          .newFixedThreadPool(math.min(parallelism, lanes.size))
         try {
-          val futures = work.map { case (table, meta) =>
-            pool.submit(new java.util.concurrent.Callable[Entry] {
-              def call(): Entry = {
-                // fresh conf per entry: GUC writes stay private
+          val futures = lanes.map { lane =>
+            pool.submit(new java.util.concurrent.Callable[Seq[Entry]] {
+              def call(): Seq[Entry] = {
+                // fresh conf per lane: GUC writes stay private
                 val session = spark.newSession()
-                maintainOne(session, table, meta, threshold,
-                  targetRecall, k, queryCount, maxWiden, validate,
-                  recluster, skewOver)
+                lane.map { case (table, meta) => one(session, table, meta) }
               }
             })
           }
-          futures.map(_.get())
+          futures.flatMap { fu =>
+            try fu.get()
+            catch {
+              // callers see the lane's ORIGINAL error, not the
+              // executor's wrapper
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
         } finally pool.shutdown()
       }
-    if (catalogPath.isDefined && entries.exists(_.retuned))
-      AnnCatalog.save(spark, catalogPath.get)
-    entries
+    } finally {
+      // single catalog writer regardless of parallelism
+      var anyRetuned = false
+      done.forEach(e => if (e.retuned) anyRetuned = true)
+      if (anyRetuned) catalogPath.foreach(AnnCatalog.save(spark, _))
+    }
   }
 
   private def maintainOne(
@@ -123,27 +160,42 @@ object Maintain {
     val idx = meta.artifact
     val notes = Seq.newBuilder[String]
 
-    // 1. compact — each kind's own fragmentation measure + consolidate
-    val filesBefore = fileCount(spark, meta.kind, idx)
-    val consolidated = filesBefore > threshold
-    if (consolidated) {
-      // flat layouts re-target by row volume (~1M rows/file, the
-      // façade's sizing); coarse-list kinds re-pack one file per list
-      lazy val target = math.max(1, math.ceil(
-        spark.read.parquet(table).count() / 1e6).toInt)
-      meta.kind match {
-        case "bq" => BqIndex.consolidate(spark, idx, target)
-        case "mrl" => MrlIndex.consolidate(spark, idx, target)
-        case "ivf" => IvfIndex.consolidate(spark, idx)
-        case "ivfpq" => IvfPqIndex.consolidate(spark, idx)
-        case "pq" => PqAnnIndex.consolidate(spark, idx, target)
-        case "sparse" => graft.ops.SparseSearch.consolidatePostings(spark, idx)
-        case "multivec" => graft.ops.MultiVec.consolidateIndex(spark, idx)
-        case _ => AnnIndex.consolidate(spark, idx, target)
-      }
+    // 1. compact — each kind's own fragmentation measure + consolidate.
+    // ANY failure (unreadable artifact, a refused/failed swap) is a
+    // named report row, never a sweep abort — the same contract as
+    // validate/skew/retune below: the sweep exists to name the
+    // casualty and keep maintaining the rest. `consolidated` reports
+    // what actually HAPPENED, so a failed compact reads false with the
+    // error in `notes`; file counts keep sentinel -1 when even the
+    // measurement failed.
+    var filesBefore = -1
+    var filesAfter = -1
+    var consolidated = false
+    try {
+      filesBefore = fileCount(spark, meta.kind, idx)
+      if (filesBefore > threshold) {
+        // flat layouts re-target by row volume (~1M rows/file, the
+        // façade's sizing); coarse-list kinds re-pack one file per list
+        lazy val target = math.max(1, math.ceil(
+          spark.read.parquet(table).count() / 1e6).toInt)
+        meta.kind match {
+          case "bq" => BqIndex.consolidate(spark, idx, target)
+          case "mrl" => MrlIndex.consolidate(spark, idx, target)
+          case "ivf" => IvfIndex.consolidate(spark, idx)
+          case "ivfpq" => IvfPqIndex.consolidate(spark, idx)
+          case "pq" => PqAnnIndex.consolidate(spark, idx, target)
+          case "sparse" => graft.ops.SparseSearch.consolidatePostings(spark, idx)
+          case "multivec" => graft.ops.MultiVec.consolidateIndex(spark, idx)
+          case _ => AnnIndex.consolidate(spark, idx, target)
+        }
+        consolidated = true
+        filesAfter = fileCount(spark, meta.kind, idx)
+      } else filesAfter = filesBefore
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        notes += s"consolidate: ${e.getMessage}"
+        if (filesAfter < 0) filesAfter = filesBefore
     }
-    val filesAfter =
-      if (consolidated) fileCount(spark, meta.kind, idx) else filesBefore
 
     // 2. validate against the CURRENT source — a violation is a report
     // row, not a sweep abort; a corrupt index is named, never retuned
@@ -299,7 +351,12 @@ object Maintain {
     case "pq" => PqAnnIndex.shardCount(spark, idx)
     case "hnsw" => AnnIndex.shardCount(spark, idx)
     case _ =>
-      val root = if (kind == "multivec") s"$idx/postings" else idx
+      // the bucket-partitioned kinds serve from a resolved generation
+      // dir after their first consolidate — measure what SERVES
+      val root =
+        if (kind == "multivec") graft.ops.MultiVec.postingsDir(spark, idx)
+        else if (kind == "sparse") graft.ops.SparseSearch.dataDir(spark, idx)
+        else idx
       val p = new Path(root)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) 0
@@ -315,8 +372,19 @@ object Maintain {
             dirs += f.getParent.toString
           }
         }
-        // one file per partition dir == fully consolidated == 1
-        if (files == 0) 0 else files - dirs.size + 1
+        // one file per partition dir == fully consolidated == 1;
+        // pending sparse tombstone files are pure fragmentation on top
+        // (consolidate applies and retires them), so they keep feeding
+        // the trigger even though they live at the root, outside the
+        // resolved data generation
+        val pendingTombs =
+          if (kind != "sparse") 0
+          else {
+            val t = new Path(s"$idx/_tombstones")
+            if (!fs.exists(t)) 0
+            else fs.listStatus(t).count(_.isFile)
+          }
+        (if (files == 0) 0 else files - dirs.size + 1) + pendingTombs
       }
   }
 

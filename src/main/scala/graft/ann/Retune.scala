@@ -36,7 +36,10 @@ import graft.plans.{AnnCatalog, AnnFilteredIdsLogical, AnnScanLogical}
   */
 object Retune {
 
-  /** One measured knob value. */
+  /** One measured knob value. `avgSearchMs` is the mean PER-QUERY
+    * serving latency, each probe timed inside its own worker thread —
+    * comparable round over round regardless of the fan-out's
+    * concurrency. */
   case class Step(value: Int, recall: Double, avgSearchMs: Double)
 
   /** Run one sweep step's planner probes CONCURRENTLY: each probe is a
@@ -46,22 +49,33 @@ object Retune {
     * validator fleet). The GUC under sweep is session state shared by
     * every probe in the step, set once before the fan-out. Probe
     * failures (the planner-stopped-rewriting guard) are unwrapped so
-    * the caller sees the original error. */
-  private def probeAll[Q](pool: java.util.concurrent.ExecutorService,
+    * the caller sees the original error. Returns the per-query results
+    * plus the mean PER-PROBE latency in ms, each probe timed inside
+    * its own thread — dividing the fan-out's wall clock by the query
+    * count would under-report serving latency by up to the concurrency
+    * factor, and `Step.avgSearchMs` feeds reports compared round over
+    * round. */
+  private def probeAll[Q, A](pool: java.util.concurrent.ExecutorService,
       queries: Array[(Long, Q)])(
-      run: (Long, Q) => Set[Long]): Map[Long, Set[Long]] = {
+      run: (Long, Q) => A): (Map[Long, A], Double) = {
     val futs = queries.map { case (qid, q) =>
-      qid -> pool.submit(new java.util.concurrent.Callable[Set[Long]] {
-        def call(): Set[Long] = run(qid, q)
+      qid -> pool.submit(new java.util.concurrent.Callable[(A, Long)] {
+        def call(): (A, Long) = {
+          val t0 = System.nanoTime()
+          val r = run(qid, q)
+          (r, System.nanoTime() - t0)
+        }
       })
     }
-    futs.map { case (qid, fu) =>
+    val resolved = futs.map { case (qid, fu) =>
       qid -> (try fu.get()
       catch {
         case e: java.util.concurrent.ExecutionException =>
           throw e.getCause
       })
-    }.toMap
+    }
+    (resolved.map { case (qid, (r, _)) => qid -> r }.toMap,
+      resolved.map(_._2._2).sum / 1e6 / math.max(resolved.length, 1))
   }
 
   /** Sweep record: `registered` is the knob value found in the
@@ -143,46 +157,59 @@ object Retune {
     def distCol(q: Column): Column =
       if (isHamming) graft.functions.hamming_dist(col(vecCol), q)
       else VectorSearch.distance(metric, col(vecCol), q)
-    val truth = {
-      import spark.implicits._
-      val qdf =
-        if (isHamming)
-          sampled.toSeq.map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
-            .toDF("query_id", "__qv")
-        else
-          sampled.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-            .toDF("query_id", "__qv")
-      if (isHamming) {
-        // tie-INCLUSIVE exact top-k (rank over dist, same broadcast
-        // one-pass shape as knnJoinExact): packed-bit distances are
-        // small integers that tie massively, so a strict id top-k is
-        // not well-defined — the truth admits EVERY id within the k-th
-        // distance and any distance-valid answer scores full recall
-        // (the repo's hamming gates compare distance multisets for the
-        // same reason)
-        import org.apache.spark.sql.expressions.Window
-        val q = broadcast(qdf)
-        val w = Window.partitionBy(col("query_id")).orderBy(col("dist"))
-        base
-          .select(col(meta.idCol).cast("long").as("neighbor_id"),
-            col(vecCol).as("__dv"))
-          .crossJoin(q)
-          .withColumn("dist",
-            VectorSearch.distance(metric, col("__dv"), col("__qv")))
-          .withColumn("__rk", rank().over(w))
-          .where(col("__rk") <= k)
-          .select(col("query_id"), col("neighbor_id"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      } else VectorSearch
+    import spark.implicits._
+    val qdf =
+      if (isHamming)
+        sampled.toSeq.map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+          .toDF("query_id", "__qv")
+      else
+        sampled.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .toDF("query_id", "__qv")
+    // Scalar truth: the exact id set (exactly k rows per query reach
+    // the driver, knnJoinExact's contract).
+    val truthIds: Map[Long, Set[Long]] =
+      if (isHamming) Map.empty
+      else VectorSearch
         .knnJoinExact(qdf, "query_id", "__qv", base,
           meta.idCol, vecCol, k, metric)
         .select(col("query_id"), col("neighbor_id").cast("long"))
         .collect()
         .groupBy(_.getLong(0))
         .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    }
+    // Hamming truth: a DISTANCE THRESHOLD per query, not an id set.
+    // Packed-bit distances are small integers that tie massively, so a
+    // strict id top-k is not well-defined — any answer within the k-th
+    // distance is distance-valid and must score full recall (the
+    // repo's hamming gates compare distance multisets for the same
+    // reason). Materializing the tie-inclusive id SET driver-side is
+    // unbounded (the k-th distance can admit a large fraction of the
+    // corpus), so the threshold + admitted-row count are aggregated
+    // distributed-side — exactly queryCount rows reach the driver —
+    // and the probe's answers are judged against the threshold. The
+    // row_number window stays map-side top-k (partial
+    // WindowGroupLimit), same one-pass broadcast shape as knnJoinExact.
+    val hammingKth: Map[Long, (Double, Long)] =
+      if (!isHamming) Map.empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val q = broadcast(qdf)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))
+        base
+          .select(col(meta.idCol).cast("long").as("neighbor_id"),
+            col(vecCol).as("__dv"))
+          .crossJoin(q)
+          .withColumn("dist",
+            VectorSearch.distance(metric, col("__dv"), col("__qv"))
+              .cast("double"))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= k)
+          .groupBy(col("query_id"))
+          .agg(max(col("dist")).as("kth"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+          .toMap
+      }
 
     // Long math + an Int.MaxValue ceiling: a large registered × widen
     // product must stop the grid, not wrap negative into a GUC the
@@ -202,8 +229,7 @@ object Retune {
       while (picked.isEmpty && it.hasNext) {
         val v = it.next()
         spark.conf.set(gucKey, v.toString)
-        val t0 = System.nanoTime()
-        val got = probeAll(pool, queries) { (_, q) =>
+        val (got, avgMs) = probeAll(pool, queries) { (_, q) =>
           val knn = base
             .orderBy(distCol(q))
             .limit(k)
@@ -218,20 +244,29 @@ object Retune {
             s"graft: the $metric form over $tablePath did not rewrite " +
               s"to the ${meta.kind} AnnScan at $knob=$v — retune " +
               "measures the planner's serving path, not a table scan")
-          knn.select(col(meta.idCol).cast("long"))
-            .collect().map(_.getLong(0)).toSet
+          // id + distance: hamming scoring judges answers against the
+          // exact k-th-distance threshold (re-deriving the distance on
+          // the ≤ k returned rows is free)
+          knn.select(col(meta.idCol).cast("long"),
+              distCol(q).cast("double"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1)))
         }
-        val avgMs = (System.nanoTime() - t0) / 1e6 / queries.length
         var hits = 0; var total = 0
         queries.foreach { case (qid, _) =>
-          val expected = truth.getOrElse(qid, Set.empty)
-          val g = got.getOrElse(qid, Set.empty)
-          hits += g.intersect(expected).size
-          // hamming truth is tie-inclusive (may exceed k) — the
-          // denominator is what the search RETURNS, so a distance-valid
-          // answer scores 1.0 no matter how the boundary ties broke
-          total += (if (isHamming) math.min(k, expected.size)
-            else expected.size)
+          val returned = got.getOrElse(qid, Array.empty[(Long, Double)])
+          if (isHamming) {
+            // an answer is a hit iff it lies within the exact k-th
+            // distance — tie-inclusive recall without materializing
+            // the tie set; denominator = what an exact search returns
+            val (kth, n) = hammingKth.getOrElse(qid,
+              (Double.NegativeInfinity, 0L))
+            hits += returned.count(_._2 <= kth)
+            total += math.min(k.toLong, n).toInt
+          } else {
+            val expected = truthIds.getOrElse(qid, Set.empty)
+            hits += returned.count(p => expected.contains(p._1))
+            total += expected.size
+          }
         }
         val recall = if (total == 0) 1.0 else hits.toDouble / total
         steps += Step(v, recall, avgMs)
@@ -312,11 +347,15 @@ object Retune {
       "graft: retune needs at least one sample row under the predicate")
 
     // exact truth in ONE batched pass over the (possibly predicate-
-    // scoped) corpus, with every registration of the table lifted —
-    // the per-query scoring sort would rewrite through the index
-    // otherwise. Same tie-break as the serving sort (score desc, id).
-    val saved = AnnCatalog.metasFor(spark, tablePath)
-    AnnCatalog.unregister(spark, tablePath)
+    // scoped) corpus, with THIS registration — and only this one —
+    // lifted: the per-query scoring sort would rewrite through the
+    // multivec index otherwise, but a sibling registration (another
+    // column/metric on the same table) never matches the maxsim sort,
+    // so lifting it too would only blind a concurrent maintainer's
+    // planner probe and clobber its freshly-retuned meta on restore
+    // (per-index lock granularity, like the reference's PG locking).
+    // Same tie-break as the serving sort (score desc, id).
+    val lifted = AnnCatalog.unregisterOne(spark, tablePath, vecCol, "maxsim")
     val truth =
       try graft.ops.MultiVec
         .maxsimJoinExact(scoped, meta.idCol, vecCol, queries.toSeq, k)
@@ -324,7 +363,7 @@ object Retune {
         .collect()
         .groupBy(_.getLong(0))
         .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      finally saved.foreach(AnnCatalog.register(spark, tablePath, _))
+      finally lifted.foreach(AnnCatalog.register(spark, tablePath, _))
 
     // factor capped so the widened cand stays an Int (same wrap hazard
     // as the scalar grid)
@@ -347,8 +386,7 @@ object Retune {
         val f = it.next()
         spark.conf.set(efKey, (cand0 * f).toString)
         spark.conf.set(npKey, (nprobe0 * f).toString)
-        val t0 = System.nanoTime()
-        val got = probeAll(pool, queries) { (_, qm) =>
+        val (got, avgMs) = probeAll(pool, queries) { (_, qm) =>
           val knn = scoped
             .orderBy(graft.ops.MultiVec.maxsimCol(col(vecCol), qm).desc,
               col(meta.idCol))
@@ -366,7 +404,6 @@ object Retune {
           knn.select(col(meta.idCol).cast("long"))
             .collect().map(_.getLong(0)).toSet
         }
-        val avgMs = (System.nanoTime() - t0) / 1e6 / queries.length
         var hits = 0; var total = 0
         queries.foreach { case (qid, _) =>
           val expected = truth.getOrElse(qid, Set.empty)

@@ -386,7 +386,7 @@ object MultiVec {
     val qToks = qMatrix.zipWithIndex.map { case (v, i) => (0L, i, v) }
     val cents = loadCentroids(spark, path)
     val probes = probeSets(qToks, cents, nprobe)
-    stage1PairsOnDisk(spark, s"$path/postings", qToks, probes, cand,
+    stage1PairsOnDisk(spark, postingsDir(spark, path), qToks, probes, cand,
         tombstoneMask(spark, path))
       .select("mdoc").collect().map(_.getLong(0))
   }
@@ -416,10 +416,13 @@ object MultiVec {
     val s = toks.sparkSession
     import s.implicits._
     // a REBUILD starts clean: stale tombstones from a previous
-    // generation must not mask the fresh postings
+    // generation must not mask the fresh postings, and stale committed
+    // generations must not out-resolve them
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(tomb)) fs.delete(tomb, true)
+    graft.util.Generations.clear(fs,
+      new org.apache.hadoop.fs.Path(s"$path/postings"))
     val cents = trainCentroids(toks, nlists, sampleLimit, seed)
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cent", "vec")
@@ -432,13 +435,28 @@ object MultiVec {
   /** (toksPerDoc, token dim) recorded by [[writeIndex]] —
     * (0, centroid dim) for indexes written before the meta file
     * existed or with variable document lengths. */
-  /** Layout sniff: a [[writeIndex]] artifact is `centroids` +
-    * `postings` dirs — the detection the CLI validate-index uses. */
+  /** Layout sniff: a [[writeIndex]] artifact is `centroids` + token
+    * postings (legacy `postings` dir or a committed generation) — the
+    * detection the CLI validate-index uses. */
   def isMultiVec(spark: SparkSession, path: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings"))
+      graft.util.Generations.exists(fs,
+        new org.apache.hadoop.fs.Path(s"$path/postings"))
+  }
+
+  /** The directory currently serving the token postings: the highest
+    * COMMITTED generation ([[graft.util.Generations]] — what
+    * [[consolidateIndex]] publishes), or the legacy `postings` dir for
+    * an artifact that has never been consolidated. One tiny listing of
+    * the artifact root; every reader and appender resolves through
+    * here so a consolidation can swap generations with no instant at
+    * which the serving path is missing. */
+  private[graft] def postingsDir(spark: SparkSession, path: String): String = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.Generations.resolve(fs, base).toString
   }
 
   def readIndexMeta(spark: SparkSession, path: String): (Int, Int) = {
@@ -469,7 +487,7 @@ object MultiVec {
     * — the daemon-side incremental path. */
   def appendToIndex(spark: SparkSession, path: String, toks: DataFrame): Unit =
     appendTokenPostings(
-      assign(toks, loadCentroids(spark, path)), s"$path/postings")
+      assign(toks, loadCentroids(spark, path)), postingsDir(spark, path))
 
   /** `ambulkdelete` analog: tombstoned doc ids append to their own
     * parquet dir; every [[searchIndex]] masks them with one anti-join
@@ -509,7 +527,7 @@ object MultiVec {
       s"graft: centroid ids not dense [0, ${ids.length}): " +
         ids.take(8).mkString(", "))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
-    val post = spark.read.parquet(s"$path/postings")
+    val post = spark.read.parquet(postingsDir(spark, path))
     val flag = (c: Column) => sum(when(c, 1L).otherwise(0L))
     val r = post
       .withColumn("__cent", GraftSqlShim.column(NearestCentroid(
@@ -571,21 +589,27 @@ object MultiVec {
     * POSTINGS like `writeIndex` — but [[deleteDocs]] may race it
     * safely: tombstone files are snapshotted up front, only the
     * snapshot is applied and retired, and files appended during the
-    * compaction survive and keep masking. The compacted table is
-    * written fully before the directory swap, and a failed swap rolls
-    * the original back, but a reader racing the two renames themselves
-    * can observe a missing postings dir on stores without atomic
-    * directory rename. Refuses
-    * to consolidate an index whose every doc is tombstoned — that
-    * would leave no readable postings (drop and rebuild instead). */
+    * compaction survive and keep masking. The compacted postings are
+    * published as a new COMMITTED GENERATION
+    * ([[graft.util.Generations]]): the data is fully written under a
+    * staging name, a marker-file create is the atomic commit, and the
+    * previous generation is deleted only afterwards — so a racing
+    * reader resolving [[postingsDir]] finds a complete generation at
+    * every instant, on any store, atomic directory rename or not.
+    * Refuses to consolidate an index whose every doc is tombstoned —
+    * that would leave no readable postings (drop and rebuild
+    * instead). */
   def consolidateIndex(spark: SparkSession, path: String): Unit =
     consolidateIndex(spark, path, () => ())
 
-  /** Test seam: `afterCompact` runs once the compacted postings are
-    * fully written, before the directory swap — the window a
-    * concurrent [[deleteDocs]] could land in. */
+  /** Test seams: `afterCompact` runs once the compacted postings are
+    * fully staged, before the commit; `beforeOldDelete` runs after the
+    * new generation is committed, before the previous one is deleted —
+    * the window where the old swap could expose a missing dir and a
+    * generation-resolving reader must not. */
   private[ops] def consolidateIndex(spark: SparkSession, path: String,
-      afterCompact: () => Unit): Unit = {
+      afterCompact: () => Unit,
+      beforeOldDelete: () => Unit = () => ()): Unit = {
     // snapshot the tombstone FILES first: only the snapshot is applied
     // physically and retired, so a deleteDocs racing the compaction
     // (a lightweight call users needn't treat as a writer) keeps its
@@ -603,30 +627,21 @@ object MultiVec {
           spark.read.parquet(snapParquet.map(_.toString): _*).distinct())
         df => df.join(tomb, Seq("mdoc"), "left_anti")
       } else identity
-    val live = masked(spark.read.parquet(s"$path/postings"))
+    val live = masked(spark.read.parquet(postingsDir(spark, path)))
     require(!live.isEmpty,
       s"graft: consolidate would leave an empty index under $path " +
         "(every doc tombstoned) — drop and rebuild instead")
-    val compact = new org.apache.hadoop.fs.Path(s"$path/postings_compact")
-    val fs = compact.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
+    val base = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (staging, gen) = graft.util.Generations.stage(fs, base)
     live.select(col("mdoc"), col("t_idx"), col("tok"), col("tok_i8"),
         col("cent"))
       .repartition(col("cent"))
-      .write.partitionBy("cent").mode("overwrite").parquet(compact.toString)
+      .write.partitionBy("cent").mode("overwrite").parquet(staging.toString)
     afterCompact()
-    val post = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val old = new org.apache.hadoop.fs.Path(s"$path/postings_old")
-    if (fs.exists(old)) fs.delete(old, true) // stale prior attempt
-    require(fs.rename(post, old),
-      s"graft: consolidate could not move $post aside")
-    if (!fs.rename(compact, post)) {
-      // roll the original back so the index never loses its postings
-      fs.rename(old, post)
-      throw new IllegalStateException(
-        s"graft: consolidate swap failed under $path — original restored")
-    }
-    fs.delete(old, true)
+    val previous = graft.util.Generations.commit(fs, base, staging, gen)
+    beforeOldDelete()
+    previous.foreach(p => fs.delete(p, true))
     // retire ONLY the snapshotted tombstone files; files appended
     // during the compaction stay and keep masking their (still
     // physically present) docs until the next consolidation. The
@@ -669,8 +684,8 @@ object MultiVec {
     val cents = loadCentroids(spark, path)
     val probes = probeSets(qToks, cents, nprobe)
     topKPerQuery(
-      plaidSearchOnDisk(spark, s"$path/postings", qToks, probes, candPerQuery,
-        mask = tombstoneMask(spark, path)), k)
+      plaidSearchOnDisk(spark, postingsDir(spark, path), qToks, probes,
+        candPerQuery, mask = tombstoneMask(spark, path)), k)
   }
 
   /** Batched PLAID search against a [[writeIndex]] layout with
@@ -694,8 +709,8 @@ object MultiVec {
     }
     val cents = loadCentroids(spark, path)
     val probes = probeSets(qToks, cents, nprobe)
-    val scored = plaidSearchOnDisk(spark, s"$path/postings", qToks, probes,
-      candPerQuery, mask = tombstoneMask(spark, path))
+    val scored = plaidSearchOnDisk(spark, postingsDir(spark, path), qToks,
+      probes, candPerQuery, mask = tombstoneMask(spark, path))
     val w = Window.partitionBy(col("q_mdoc"))
       .orderBy(col("score").desc, col("mdoc"))
     scored

@@ -52,8 +52,9 @@ import graft.functions.sparse_dot
   * (invisible to the parquet scan); every [[readPostings]] masks them
   * with one broadcast anti-join; [[consolidatePostings]] compacts the
   * append-accumulated files back to one per bucket, applies tombstones
-  * physically, and swaps directories — preserving any tombstone files
-  * appended concurrently with the compaction.
+  * physically, and publishes the result as a new committed data
+  * generation — preserving any tombstone files appended concurrently
+  * with the compaction.
   *
   * Determinism contract: both search paths accumulate matched products
   * in ascending-index order in double (the merge in `SparseDot`; a
@@ -138,6 +139,22 @@ object SparseSearch {
   def isSparse(spark: SparkSession, path: String): Boolean =
     fsFor(spark, path).exists(new Path(s"$path/$MetaFile"))
 
+  /** The directory currently holding the postings DATA: the highest
+    * COMMITTED `data_gNNNNNN` generation inside the table root
+    * ([[graft.util.Generations]] — what [[consolidatePostings]]
+    * publishes), or the root itself for a table that has never been
+    * consolidated (legacy layout: `tb=*` dirs at the root, beside the
+    * meta file and tombstones, which always stay at the root). One
+    * tiny listing; every reader and appender resolves through here so
+    * a consolidation can swap generations with no instant at which
+    * the serving data is missing. */
+  private[graft] def dataDir(spark: SparkSession, path: String): String = {
+    val fs = fsFor(spark, path)
+    val base = new Path(s"$path/data")
+    val r = graft.util.Generations.resolve(fs, base)
+    if (r == base) path else r.toString
+  }
+
   /** (buckets, idCol) of a [[writePostings]] table — the layout
     * parameters every reader and appender must share; trusting a
     * caller-resupplied value instead would silently mis-bucket. */
@@ -172,7 +189,7 @@ object SparseSearch {
     val (buckets, idCol) = readMeta(spark, path)
     if (buckets < 1) throw new IllegalStateException(
       s"graft: sparse index $path invalid — meta buckets $buckets < 1")
-    val post = spark.read.parquet(path)
+    val post = spark.read.parquet(dataDir(spark, path))
     val cols = post.columns.toSet
     for (c <- Seq("term", idCol, "w", "tb"))
       if (!cols.contains(c)) throw new IllegalStateException(
@@ -275,7 +292,8 @@ object SparseSearch {
       s"graft: append id column '${idColOf(post)}' != table's '$idCol'")
     post.withColumn("tb", pmod(col("term"), lit(buckets)))
       .repartition(col("tb"))
-      .write.partitionBy("tb").mode("append").parquet(path)
+      .write.partitionBy("tb").mode("append")
+      .parquet(dataDir(post.sparkSession, path))
   }
 
   // ------------------------------------------------------------- read
@@ -294,7 +312,7 @@ object SparseSearch {
     require(qIdx.nonEmpty, "graft: readPostings needs at least one query term")
     val (buckets, idCol) = readMeta(spark, path)
     val tbs = qIdx.map(i => math.floorMod(i, buckets)).distinct.sorted
-    val pruned = spark.read.parquet(path)
+    val pruned = spark.read.parquet(dataDir(spark, path))
       .where(col("tb").isin(tbs: _*) && col("term").isin(qIdx: _*))
       .select(col("term"), col(idCol), col("w"))
     tombstoneMask(spark, path, idCol)(pruned)
@@ -340,30 +358,32 @@ object SparseSearch {
     * search before == after, minus the deleted docs.
     *
     * A MAINTENANCE operation, single-writer for the POSTINGS (like
-    * every index build here) — but [[deletePostings]] is a lightweight
-    * call a user may issue concurrently, so the tombstone directory
-    * gets race-safe handling: the tombstone FILES are snapshotted
-    * before compaction, only the snapshot is applied and discarded,
-    * and any tombstone file that appeared while the compaction ran is
-    * carried into the new generation, still masking its docs. The
-    * directory swap itself is two renames; a reader racing them can
-    * observe a missing table on stores without atomic rename. */
+    * every index build here). The table root itself NEVER moves: the
+    * compacted data is published as a new committed `data_gNNNNNN`
+    * generation inside it ([[graft.util.Generations]] — staged fully,
+    * then an atomic marker-file create commits it, and only then is
+    * the previous generation deleted), so a racing reader resolving
+    * [[dataDir]] finds complete data at every instant on any store —
+    * and a concurrent [[deletePostings]] (a lightweight call a user
+    * may issue any time) cannot collide with a root rename, because
+    * there is none: its tombstone files land at the stable
+    * `_tombstones` root dir, only the pre-compaction SNAPSHOT of which
+    * is applied physically and retired — files appended during the
+    * compaction simply stay and keep masking. This retires the entire
+    * stub-harvest retry protocol the old root-swap needed. */
   def consolidatePostings(spark: SparkSession, path: String): Unit =
     consolidatePostings(spark, path, () => ())
 
-  /** Test seams, one per race window: `afterCompact` runs once the
-    * compacted table is fully written, before the original moves aside
-    * (a delete landing here rides the old generation and is harvested
-    * post-swap); `afterOldAside` runs between the move-aside and the
-    * swap — a delete landing here RECREATES the table path as a stub
-    * and forces the retry loop; `afterStubAside` runs inside that loop
-    * right after a racing stub has been renamed aside — the window
-    * where a list-then-recursive-delete would silently destroy a
-    * tombstone that landed between the listing and the delete. */
+  /** Test seams: `afterCompact` runs once the compacted data is fully
+    * staged, before the commit (a delete landing here survives as a
+    * late tombstone file and keeps masking); `beforeOldDelete` runs
+    * after the new generation is committed, before the previous data
+    * is deleted — the window where the old two-rename swap could
+    * expose a missing table and a generation-resolving reader must
+    * not. */
   private[ops] def consolidatePostings(spark: SparkSession, path: String,
       afterCompact: () => Unit,
-      afterOldAside: () => Unit = () => (),
-      afterStubAside: () => Unit = () => ()): Unit = {
+      beforeOldDelete: () => Unit = () => ()): Unit = {
     val (buckets, idCol) = readMeta(spark, path)
     val fs = fsFor(spark, path)
     val tombPath = new Path(s"$path/$TombDir")
@@ -373,7 +393,6 @@ object SparseSearch {
       if (fs.exists(tombPath))
         fs.listStatus(tombPath).filter(_.isFile).map(_.getPath).toSeq
       else Seq.empty
-    val snapNames = snapshot.map(_.getName).toSet
     val snapParquet = snapshot.filter(_.getName.endsWith(".parquet"))
     val masked: DataFrame => DataFrame =
       if (snapParquet.nonEmpty) {
@@ -381,120 +400,38 @@ object SparseSearch {
           spark.read.parquet(snapParquet.map(_.toString): _*).distinct())
         df => df.join(tomb, Seq(idCol), "left_anti")
       } else identity
-    val live = masked(spark.read.parquet(path))
+    val cur = dataDir(spark, path)
+    val live = masked(spark.read.parquet(cur))
     require(!live.isEmpty,
       s"graft: consolidate would leave an empty postings table under " +
         s"$path (every doc tombstoned) — drop and rebuild instead")
-    val compact = new Path(path + "__compact")
-    if (fs.exists(compact)) fs.delete(compact, true) // stale prior attempt
+    val base = new Path(s"$path/data")
+    val (staging, gen) = graft.util.Generations.stage(fs, base)
     live.select(col("term"), col(idCol), col("w"), col("tb"))
       .repartition(col("tb"))
-      .write.partitionBy("tb").mode("overwrite").parquet(compact.toString)
-    writeMeta(spark, compact.toString, buckets, idCol)
+      .write.partitionBy("tb").mode("overwrite").parquet(staging.toString)
     afterCompact()
-    val cur = new Path(path)
-    val old = new Path(path + "__old")
-    if (fs.exists(old)) fs.delete(old, true) // stale prior attempt
-    require(fs.rename(cur, old),
-      s"graft: consolidate could not move $cur aside")
-    afterOldAside()
-    // between the two renames a concurrent deletePostings RECREATES
-    // `cur` (its parquet write lands at $path/_tombstones), which
-    // would fail the swap rename — and nest the rollback rename. Move
-    // any such stub ASIDE atomically, then harvest its tombstones into
-    // the compacted generation (they must keep masking). The rename —
-    // not a list-then-recursive-delete — is what closes the silent-
-    // loss window: a tombstone file landing between a listing and a
-    // delete of `cur` would be destroyed without ever masking (a
-    // delete that never happened); after the rename the stub path is
-    // gone, so a racing deletePostings recreates `cur` fresh and the
-    // NEXT attempt harvests that stub. Bounded attempts because each
-    // retry closes one racing window.
-    var attempts = 0
-    var swapped = false
-    while (!swapped && attempts < 5) {
-      if (fs.exists(cur)) {
-        val stub = new Path(path + s"__stub$attempts")
-        if (fs.exists(stub)) fs.delete(stub, true) // stale prior run
-        if (fs.rename(cur, stub)) {
-          afterStubAside()
-          val stubTomb = new Path(stub, TombDir)
-          if (fs.exists(stubTomb)) {
-            val dstTomb = new Path(s"${compact.toString}/$TombDir")
-            fs.mkdirs(dstTomb)
-            fs.listStatus(stubTomb).filter(_.isFile).foreach(st =>
-              fs.rename(st.getPath, new Path(dstTomb, st.getPath.getName)))
-          }
-          fs.delete(stub, true)
-        }
-      }
-      // guard the swap on cur's absence, then VERIFY it: Hadoop rename
-      // into an EXISTING directory nests src inside it and still
-      // returns true, so a deletePostings recreating `cur` between the
-      // exists() check and the rename would otherwise read as success
-      // with the postings buried at cur/<compactName>. The meta file
-      // is the witness — the compacted generation always carries it at
-      // its root; when it is missing after a "successful" rename, the
-      // nesting is unwound (the buried dir renames back out to the
-      // compact path) and the loop retries.
-      if (!fs.exists(cur) && fs.rename(compact, cur)) {
-        if (fs.exists(new Path(cur, MetaFile))) swapped = true
-        else {
-          val nested = new Path(cur, compact.getName)
-          require(fs.exists(nested) && fs.rename(nested, compact),
-            s"graft: consolidate swap nested under $cur and could not " +
-              "be unwound — manual repair required")
-        }
-      }
-      attempts += 1
+    val previous = graft.util.Generations.commit(fs, base, staging, gen)
+    beforeOldDelete()
+    // delete the data the new generation replaces: older generation
+    // dirs whole; for the LEGACY layout (data at the root) only its
+    // `tb=*` bucket dirs — the meta file and tombstones live at the
+    // root permanently and must survive
+    previous.foreach(p => fs.delete(p, true))
+    val rootBuckets = fs.listStatus(new Path(path)).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("tb="))
+    rootBuckets.foreach(st => fs.delete(st.getPath, true))
+    // retire ONLY the snapshotted tombstone files; files appended
+    // during the compaction stay and keep masking their (still
+    // physically present) docs until the next consolidation
+    snapshot.foreach(p => fs.delete(p, false))
+    if (fs.exists(tombPath) &&
+        fs.listStatus(tombPath).forall(st =>
+          st.isFile && !st.getPath.getName.endsWith(".parquet"))) {
+      fs.listStatus(tombPath).foreach(st => fs.delete(st.getPath, false))
+      try { fs.delete(tombPath, false); () }
+      catch { case _: java.io.IOException => () } // late arrival — keep
     }
-    if (!swapped) {
-      // roll the original back so the table never loses its postings;
-      // a racing stub goes aside by rename first (same no-silent-loss
-      // protocol as the loop) and its tombstones land in the restored
-      // generation — the failure is loud, the deletes still mask
-      if (fs.exists(cur)) {
-        val stub = new Path(path + "__stubrb")
-        if (fs.exists(stub)) fs.delete(stub, true)
-        if (fs.rename(cur, stub)) {
-          val stubTomb = new Path(stub, TombDir)
-          if (fs.exists(stubTomb)) {
-            val dstTomb = new Path(s"${old.toString}/$TombDir")
-            fs.mkdirs(dstTomb)
-            fs.listStatus(stubTomb).filter(_.isFile).foreach(st =>
-              fs.rename(st.getPath, new Path(dstTomb, st.getPath.getName)))
-          }
-          fs.delete(stub, true)
-        }
-      }
-      // same guard-and-verify as the loop: renaming the original into
-      // a racing stub would bury it at cur/<oldName> while "restored"
-      val restored = !fs.exists(cur) && fs.rename(old, cur) &&
-        fs.exists(new Path(cur, MetaFile))
-      throw new IllegalStateException(
-        if (restored)
-          s"graft: consolidate swap failed under $path — original restored"
-        else
-          s"graft: consolidate swap failed under $path AND the rollback " +
-            s"could not restore the original cleanly (a concurrent writer " +
-            s"kept recreating the path) — postings remain at $old or " +
-            s"nested beneath $cur")
-    }
-    // tombstone files appended DURING the compaction (present in the
-    // old generation, absent from the snapshot) keep masking: move
-    // them into the new generation's tombstone dir before dropping old
-    val oldTomb = new Path(s"${old.toString}/$TombDir")
-    if (fs.exists(oldTomb)) {
-      val late = fs.listStatus(oldTomb)
-        .filter(st => st.isFile && !snapNames.contains(st.getPath.getName))
-      if (late.nonEmpty) {
-        val newTomb = new Path(s"$path/$TombDir")
-        fs.mkdirs(newTomb)
-        late.foreach(st =>
-          fs.rename(st.getPath, new Path(newTomb, st.getPath.getName)))
-      }
-    }
-    fs.delete(old, true)
     ()
   }
 

@@ -88,6 +88,28 @@ object AnnCatalog {
   def unregister(spark: SparkSession, tablePath: String): Unit =
     registry.remove(normalize(spark, tablePath))
 
+  /** Drop ONE registration — the (vecCol, metric) meta only, sibling
+    * registrations of the same table untouched — and return what was
+    * removed. The lock granularity the reference gets from PG's
+    * per-INDEX locking: a computation that must lift its own index out
+    * of the planner's sight (e.g. [[graft.ann.Retune]]'s exact-truth
+    * pass) must not also blind or clobber a sibling index a concurrent
+    * maintainer is re-registering — `unregister` + snapshot-restore
+    * loses that sibling's write. */
+  def unregisterOne(spark: SparkSession, tablePath: String, vecCol: String,
+      metric: String): Option[IndexMeta] = {
+    val key = normalize(spark, tablePath)
+    var removed: Option[IndexMeta] = None
+    registry.updateWith(key) {
+      case Some(ms) =>
+        removed = ms.find(m => m.vecCol == vecCol && m.metric == metric)
+        val rest = ms.filterNot(m => m.vecCol == vecCol && m.metric == metric)
+        if (rest.isEmpty) None else Some(rest)
+      case None => None
+    }
+    removed
+  }
+
   def clear(): Unit = registry.clear()
 
   def lookup(rootPaths: Seq[Path], vecCol: String, metric: String): Option[IndexMeta] =

@@ -415,7 +415,10 @@ object MultiVecQueries {
     MultiVec.deleteDocs(s, idxPath, Deleted)
     MultiVec.consolidateIndex(s, idxPath)
 
-    val centDirs = new java.io.File(s"$idxPath/postings").listFiles()
+    // post-consolidate the postings serve from the committed
+    // generation dir; the structural check must look at what SERVES
+    val served = new java.net.URI(MultiVec.postingsDir(s, idxPath)).getPath
+    val centDirs = new java.io.File(served).listFiles()
       .filter(_.getName.startsWith("cent="))
     val compacted = centDirs.nonEmpty && centDirs.forall(
       _.listFiles().count(f => f.getName.endsWith(".parquet") &&
@@ -425,7 +428,7 @@ object MultiVecQueries {
       Seq.empty[(Long, Double)].toDF("mdoc", "score")
     } else {
       cut(MultiVec.scoreFlat(
-        s.read.parquet(s"$idxPath/postings").select("mdoc", "t_idx", "tok"),
+        s.read.parquet(served).select("mdoc", "t_idx", "tok"),
         MultiVec.queryToks(t, Seq(0L))))
     }
   }

@@ -129,16 +129,23 @@ object PipelineQueries {
     val key = graft.GraftConf.DedupBroadcastBytes
     val saved = s.conf.getOption(key)
     s.conf.set(key, "0")
-    try
+    try {
       // budgets chosen so the scale branches run at BOTH gate scales
       // without degenerating into max-round churn: sf0.01's ~250-doc
-      // clusters exceed maxBucket=100, and both corpora start above
-      // the 20k pair budget (sf0.01 ≈ 31k, sf0.1 ≈ 2.9M) so star
-      // rounds fire, then the chunk verifier takes the remainder
+      // clusters exceed maxBucket=100, and the pair budget SCALES with
+      // the corpus (pair counts grow ~n²: sf0.01 ≈ 31k pairs vs 20k
+      // budget, sf0.1 ≈ 2.9M vs 2M) so star rounds provably FIRE at
+      // every gate scale yet stop after a bounded number of rounds —
+      // the chunk verifier then takes one genuinely large leftover
+      // set, instead of the sweep paying ~16 rounds of per-round job
+      // overhead to prove the same two branches
+      val n = docs.count()
+      val budget = math.max(20000L, (n * n) / 12500L * 1000L)
       Dedup.minhashDedupKeepers(docs, "doc_id", "toks", 0.8,
-          maxBucket = 100, leftoverPairBudget = 20000L)
+          maxBucket = 100, leftoverPairBudget = budget)
         .select(col("id").as("doc_id"), col("keeper_id"))
         .orderBy(col("doc_id"))
+    }
     finally saved match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)

@@ -171,7 +171,10 @@ object SparseQueries {
     SparseSearch.deletePostings(s, path, Deleted)
     SparseSearch.consolidatePostings(s, path)
 
-    val bucketDirs = new java.io.File(path).listFiles()
+    // post-consolidate the data serves from the committed generation
+    // dir; the structural check must look at what SERVES
+    val served = new java.net.URI(SparseSearch.dataDir(s, path)).getPath
+    val bucketDirs = new java.io.File(served).listFiles()
       .filter(_.getName.startsWith("tb="))
     val compacted = bucketDirs.nonEmpty && bucketDirs.forall(
       _.listFiles().count(f => f.getName.endsWith(".parquet") &&

@@ -377,4 +377,98 @@ class MaintainSpec extends SparkTestBase {
       AnnCatalog.unregister(spark, tblB)
     }
   }
+
+  test("same-table registrations share one lane: a parallel sweep over " +
+      "a table with multivec + scalar registrations retunes both and " +
+      "the persisted catalog holds BOTH fresh budgets") {
+    import graft.ops.MultiVec
+    val e = Tables.embeddings(spark, dir)
+    val flat = e.select((col("vec_id") / 4).cast("long").as("mdoc"),
+      (col("vec_id") % 4).cast("int").as("t_idx"),
+      col("embedding").as("tok"))
+    val root = tmp("lane")
+    // ONE table carrying both vector shapes — a doc-token matrix
+    // (multivec/maxsim) and a flat per-doc vector (bq/l2sq): two
+    // registrations on one catalog key, the exact seam where
+    // retuneMultivec's truth-pass lift could clobber a sibling's
+    // concurrent re-registration if the entries ran in parallel
+    MultiVec.docArrays(flat)
+      .withColumn("embedding", element_at(col("toks"), 1))
+      .write.parquet(s"$root/docs")
+    val tbl = s"$root/docs"
+    MultiVec.writeIndex(flat, s"$root/mv", nlists = 8)
+    BqIndex.build(spark.read.parquet(tbl), "mdoc", "embedding", s"$root/bq")
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(s"$root/mv",
+      "mdoc", "toks", "maxsim", ef = 4, kind = "multivec", nprobe = 1))
+    AnnCatalog.register(spark, tbl, AnnCatalog.IndexMeta(s"$root/bq",
+      "mdoc", "embedding", "l2sq", ef = 4, kind = "bq"))
+    val cat = tmp("lane-cat") + "/catalog.json"
+    try {
+      val entries = Maintain.sweep(spark, targetRecall = 0.9,
+        queryCount = 4, maxWiden = 64, consolidateOver = 1000,
+        catalogPath = Some(cat), parallelism = 2)
+      assert(entries.size == 2)
+      val mv = entries.find(_.kind == "multivec").get
+      val bq = entries.find(_.kind == "bq").get
+      assert(mv.valid && bq.valid, s"${mv.notes} | ${bq.notes}")
+      // both budgets were starved (4 < k = 10) and must widen
+      assert(mv.retuned && mv.knobAfter > 4, mv.notes)
+      assert(bq.retuned && bq.knobAfter > 4, bq.notes)
+      // neither in-memory write was lost to the sibling's lift/restore
+      assert(AnnCatalog.metaFor(spark, tbl, "toks", "maxsim")
+        .get.ef == mv.knobAfter)
+      assert(AnnCatalog.metaFor(spark, tbl, "embedding", "l2sq")
+        .get.ef == bq.knobAfter)
+      // and the PERSISTED catalog holds both fresh budgets
+      AnnCatalog.clear()
+      assert(AnnCatalog.load(spark, cat) == 2)
+      assert(AnnCatalog.metaFor(spark, tbl, "toks", "maxsim")
+        .get.ef == mv.knobAfter)
+      assert(AnnCatalog.metaFor(spark, tbl, "embedding", "l2sq")
+        .get.ef == bq.knobAfter)
+    } finally AnnCatalog.unregister(spark, tbl)
+  }
+
+  test("a failed consolidate is a named casualty — the sweep continues " +
+      "and the healthy sibling's retune still persists") {
+    val tblA = tableCopy("cons-bad")
+    val tblB = tableCopy("cons-good")
+    val badIdx = tmp("cons-bad-bq")
+    BqIndex.build(spark.read.parquet(tblA), "vec_id", "embedding", badIdx)
+    val goodIdx = tmp("cons-good-bq")
+    BqIndex.build(spark.read.parquet(tblB), "vec_id", "embedding", goodIdx)
+    // inject a corrupt data file into A's bits table: the fragmentation
+    // listing still counts it (tripping the threshold), but the
+    // consolidate's read throws — which must land in `notes`, not
+    // abort the sweep
+    val garbage = new org.apache.hadoop.fs.Path(s"$badIdx/bits/zz.parquet")
+    val fs = garbage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(garbage, false)
+    out.writeBytes("not a parquet file")
+    out.close()
+    AnnCatalog.register(spark, tblA, AnnCatalog.IndexMeta(badIdx,
+      "vec_id", "embedding", "l2sq", ef = 512, kind = "bq"))
+    AnnCatalog.register(spark, tblB, AnnCatalog.IndexMeta(goodIdx,
+      "vec_id", "embedding", "l2sq", ef = 4, kind = "bq"))
+    val cat = tmp("cons-cat") + "/catalog.json"
+    try {
+      val entries = Maintain.sweep(spark, targetRecall = 0.9,
+        queryCount = 4, maxWiden = 64, consolidateOver = 1,
+        catalogPath = Some(cat))
+      assert(entries.size == 2, "one bad artifact must not abort the sweep")
+      val bad = entries.find(_.table.contains("cons-bad")).get
+      assert(!bad.consolidated && bad.notes.contains("consolidate:"),
+        bad.notes)
+      val good = entries.find(_.table.contains("cons-good")).get
+      assert(good.valid && good.retuned && good.knobAfter > 4, good.notes)
+      // the healthy sibling's fresh budget reached the persisted catalog
+      AnnCatalog.clear()
+      assert(AnnCatalog.load(spark, cat) == 2)
+      assert(AnnCatalog.metaFor(spark, tblB, "embedding", "l2sq")
+        .get.ef == good.knobAfter)
+    } finally {
+      AnnCatalog.unregister(spark, tblA)
+      AnnCatalog.unregister(spark, tblB)
+    }
+  }
 }

@@ -12,6 +12,11 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
 
   private def rng(seed: Long) = new scala.util.Random(seed)
 
+  /** Local-fs path of the postings dir currently SERVING `dir` — after
+    * a consolidate that is the committed generation, not `postings`. */
+  private def served(dir: String): String =
+    new java.net.URI(MultiVec.postingsDir(spark, dir)).getPath
+
   /** Deterministic little corpus: nDocs docs × tpd tokens × dim floats. */
   private def corpus(nDocs: Int, tpd: Int, dim: Int, seed: Long = 7L) = {
     val r = rng(seed)
@@ -207,17 +212,19 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     MultiVec.appendToIndex(spark, dir, toksOf(_ > 6))
     MultiVec.deleteDocs(spark, dir, Seq(2L))
     MultiVec.consolidateIndex(spark, dir)
-    // one file per centroid directory, tombstones gone
-    val centDirs = new java.io.File(s"$dir/postings").listFiles()
+    // one file per centroid directory (in the committed generation now
+    // serving), tombstones gone, the legacy dir retired
+    val centDirs = new java.io.File(served(dir)).listFiles()
       .filter(_.getName.startsWith("cent="))
     assert(centDirs.nonEmpty && centDirs.forall(
       _.listFiles().count(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith(".")) == 1))
     assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"$dir/postings").exists())
     // compacted postings score bit-identically to the live docs
     val qToks = rows.filter(_._1 == 0L).sortBy(_._2).toArray
     val got = MultiVec.scoreFlat(
-        spark.read.parquet(s"$dir/postings").select("mdoc", "t_idx", "tok"), qToks)
+        spark.read.parquet(served(dir)).select("mdoc", "t_idx", "tok"), qToks)
       .select("mdoc", "score").as[(Long, Double)].collect().toMap
     val want = MultiVec.scoreFlat(toksOf(d => d != 0L && d != 2L), qToks)
       .select("mdoc", "score").as[(Long, Double)].collect().toMap
@@ -233,12 +240,22 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("mv-race").toString + "/i"
     MultiVec.writeIndex(toksOf(_ >= 1), dir, nlists = 4, seed = 5L)
     MultiVec.deleteDocs(spark, dir, Seq(2L))
-    // a deleteDocs lands AFTER the snapshot/compaction, BEFORE the swap
+    val qToksEarly = rows.filter(_._1 == 0L).sortBy(_._2).toArray
+    var sawInWindow = -1
+    // a deleteDocs lands AFTER the snapshot/compaction, BEFORE the
+    // commit — and a reader probes INSIDE the window where the old
+    // two-rename swap had no postings dir at all: resolving through
+    // the committed generation it must find complete data
     MultiVec.consolidateIndex(spark, dir,
-      () => MultiVec.deleteDocs(spark, dir, Seq(3L)))
+      () => MultiVec.deleteDocs(spark, dir, Seq(3L)),
+      beforeOldDelete = () => sawInWindow = MultiVec
+        .searchIndex(spark, dir, qToksEarly, k = 10,
+          nprobe = 4, candPerQuery = 20).select("mdoc").count().toInt)
+    assert(sawInWindow > 0,
+      "a reader inside the swap window must see complete postings")
     // doc 2 physically gone (snapshot applied); doc 3's LATE tombstone
     // survived — physically present but still masked in every search
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = spark.read.parquet(served(dir))
     assert(post.where(col("mdoc") === 2L).count() == 0)
     assert(post.where(col("mdoc") === 3L).count() > 0)
     assert(new java.io.File(s"$dir/tombstones").exists())
@@ -247,11 +264,14 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
         nprobe = 4, candPerQuery = 20)
       .select("mdoc").as[Long].collect().toSet
     assert(!ids.contains(2L) && !ids.contains(3L) && ids.nonEmpty)
-    // the NEXT consolidation retires it physically too
+    // the NEXT consolidation retires it physically too — and only ONE
+    // committed generation remains (the previous one was deleted)
     MultiVec.consolidateIndex(spark, dir)
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(spark.read.parquet(served(dir))
       .where(col("mdoc") === 3L).count() == 0)
     assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("postings_g")) == 1)
   }
 
   test("validateIndex passes on fresh/appended/consolidated; rejects corruption") {
@@ -270,10 +290,10 @@ class MultiVecSpec extends AnyFunSuite with SparkTestBase {
     // corruption: a posting filed under the wrong centroid (a duplicate
     // (mdoc, t_idx) with a foreign cent) must be named in the error
     val cents = MultiVec.loadCentroids(spark, dir)
-    val one = spark.read.parquet(s"$dir/postings").limit(1)
+    val one = spark.read.parquet(served(dir)).limit(1)
     val corrupt = MultiVec.assign(one.select("mdoc", "t_idx", "tok"), cents)
       .withColumn("cent", (col("cent") + 1) % cents.length)
-    MultiVec.appendTokenPostings(corrupt, s"$dir/postings")
+    MultiVec.appendTokenPostings(corrupt, served(dir))
     val e = intercept[Exception] { MultiVec.validateIndex(spark, dir) }
     assert(e.getMessage.contains("non-nearest centroid"), e.getMessage)
   }

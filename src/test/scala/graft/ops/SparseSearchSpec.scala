@@ -13,6 +13,11 @@ class SparseSearchSpec extends SparkTestBase {
   private def dense(rows: (Long, Seq[Float])*) =
     rows.toDF("id", "v").select($"id", $"v".cast("array<float>").as("v"))
 
+  /** Local-fs path of the data dir currently SERVING `dir` — after a
+    * consolidate that is the committed generation, not the root. */
+  private def served(dir: String): String =
+    new java.net.URI(SparseSearch.dataDir(spark, dir)).getPath
+
   test("sparsify keeps >= tau coordinates with ascending indices") {
     val df = dense(1L -> Seq(0.5f, 0.01f, 0.125f, -0.9f, 0.2f))
       .select($"id", SparseSearch.sparsify($"v", 0.125f).as("sv"))
@@ -194,13 +199,20 @@ class SparseSearchSpec extends SparkTestBase {
     // tombstones retired, scores unchanged
     SparseSearch.consolidatePostings(spark, dir)
     assert(!new java.io.File(s"$dir/_tombstones").exists())
-    new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("tb=")).foreach { d =>
-        val n = d.listFiles().count(f => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("."))
-        assert(n == 1, s"${d.getName} holds $n files after consolidate")
-      }
-    assert(spark.read.parquet(dir)
+    // the committed generation serves; the root keeps only meta + gens
+    val gen = new java.io.File(served(dir))
+    assert(gen.getName.startsWith("data_g"),
+      s"consolidate must publish a committed generation, got $gen")
+    val bucketDirs = gen.listFiles().filter(_.getName.startsWith("tb="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val n = d.listFiles().count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+      assert(n == 1, s"${d.getName} holds $n files after consolidate")
+    }
+    assert(!new java.io.File(dir).listFiles().exists(
+      _.getName.startsWith("tb=")), "legacy root buckets must retire")
+    assert(spark.read.parquet(served(dir))
       .where($"vec_id" === before.head).count() == 0)
     val afterCons = SparseSearch.invertedTopK(
         SparseSearch.readPostings(spark, dir, qIdx), "vec_id", qIdx, qVal, 5)
@@ -222,23 +234,25 @@ class SparseSearchSpec extends SparkTestBase {
     SparseSearch.consolidatePostings(spark, dir,
       () => SparseSearch.deletePostings(spark, dir, Seq(2L)))
     // doc 1 physically gone (snapshot applied); doc 2's LATE tombstone
-    // carried into the new generation — still present, still masking
-    assert(spark.read.parquet(dir).where($"vec_id" === 1L).count() == 0)
+    // survived at the stable root — still present, still masking
+    assert(spark.read.parquet(served(dir)).where($"vec_id" === 1L).count() == 0)
     assert(new java.io.File(s"$dir/_tombstones").exists())
-    assert(spark.read.parquet(dir).where($"vec_id" === 2L).count() > 0)
+    assert(spark.read.parquet(served(dir)).where($"vec_id" === 2L).count() > 0)
     val ids = SparseSearch.readPostings(spark, dir, Seq(0))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
     assert(!ids.contains(1L) && !ids.contains(2L) && ids.nonEmpty)
   }
 
-  test("consolidate swap-retry cannot silently destroy a tombstone racing it") {
-    // TWO nested races: a deletePostings lands after the original
-    // moved aside (recreating the table path as a stub, forcing the
-    // retry loop), and ANOTHER lands right after that stub was renamed
-    // aside — the exact window where a list-then-recursive-delete
-    // would destroy the tombstone without it ever masking (a delete
-    // that silently never happened). Both must survive into the new
-    // generation and keep masking.
+  test("a reader racing the generation swap never observes missing data " +
+      "— and a racing deletePostings never collides with it") {
+    // The old two-rename root swap had (a) an instant with NO table at
+    // the serving path, and (b) a collision protocol for deletes
+    // recreating the root mid-swap. Generations retire both: the root
+    // never moves, and a reader resolving at ANY point — including the
+    // window after the new generation commits and before the previous
+    // data is deleted — finds complete committed data. This test reads
+    // inside exactly that window, and injects racing deletes at both
+    // seams.
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(40)
     val sv = e.select($"vec_id",
       SparseSearch.sparsify($"embedding", Float.MinValue).as("sv"))
@@ -246,33 +260,44 @@ class SparseSearchSpec extends SparkTestBase {
       .createTempDirectory("graft-srace2").toString + "/post"
     SparseSearch.writePostings(
       SparseSearch.postings(sv, "vec_id", $"sv"), dir, buckets = 4)
-    // a real racing deletePostings reads the meta BEFORE the swap
-    // starts and its parquet write lands after — the injection is that
-    // write half alone (full deletePostings would re-read the meta at
-    // a path that is mid-rename)
-    def lateTombstone(id: Long): Unit =
-      Seq(id).toDF("vec_id").write.mode("append").parquet(s"$dir/_tombstones")
-    var injected = false
+    val allIds = spark.read.parquet(dir)
+      .select("vec_id").distinct().count()
+    def readerSees(): Long = SparseSearch
+      .readPostings(spark, dir,
+        (0 until 64).toSeq) // every bucket — a full-corpus read
+      .select("vec_id").distinct().count()
+    var sawInWindow = -1L
     SparseSearch.consolidatePostings(spark, dir,
-      afterCompact = () => (),
-      afterOldAside = () => lateTombstone(2L),
-      afterStubAside = () => if (!injected) {
-        injected = true
-        lateTombstone(3L)
-      })
-    assert(injected) // the second window actually opened
-    val post = spark.read.parquet(dir)
-    // both racing deletes survived: physically present (they missed
-    // the snapshot), tombstoned, masked in every read
+      // a deletePostings lands mid-compaction: the root tombstone dir
+      // is stable, so the full call (meta re-read included) just works
+      afterCompact = () => SparseSearch.deletePostings(spark, dir, Seq(2L)),
+      beforeOldDelete = () => sawInWindow = readerSees())
+    // the in-window reader resolved the freshly committed generation:
+    // complete data, with the racing delete already masking
+    assert(sawInWindow == allIds - 1,
+      s"reader in the swap window saw $sawInWindow of $allIds docs")
+    // the racing delete survived: physically present (it missed the
+    // snapshot), tombstoned, masked in every read
     assert(new java.io.File(s"$dir/_tombstones").exists())
-    assert(post.where($"vec_id" === 2L).count() > 0)
-    assert(post.where($"vec_id" === 3L).count() > 0)
+    assert(spark.read.parquet(served(dir)).where($"vec_id" === 2L).count() > 0)
     val ids = SparseSearch.readPostings(spark, dir, Seq(0))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(!ids.contains(2L) && !ids.contains(3L) && ids.nonEmpty)
-    // the NEXT consolidation applies them physically
+    assert(!ids.contains(2L) && ids.nonEmpty)
+    // the NEXT consolidation applies it physically and retires the
+    // older generation — exactly one committed generation remains
     SparseSearch.consolidatePostings(spark, dir)
-    assert(spark.read.parquet(dir).where($"vec_id".isin(2L, 3L)).count() == 0)
+    assert(spark.read.parquet(served(dir))
+      .where($"vec_id" === 2L).count() == 0)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("data_g")) == 1)
+    // crashed-attempt hygiene: an UNCOMMITTED staging leftover neither
+    // serves nor bricks the next consolidate
+    val stale = new java.io.File(dir, ".data_g000099.inprogress")
+    assert(stale.mkdirs())
+    val servedBefore = served(dir)
+    assert(served(dir) == servedBefore)
+    SparseSearch.consolidatePostings(spark, dir)
+    assert(new java.io.File(served(dir)).getName.startsWith("data_g"))
   }
 
   test("plan hygiene: no ScalaUDF; exact path reduces via TakeOrderedAndProject") {

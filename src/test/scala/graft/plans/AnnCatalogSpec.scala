@@ -104,4 +104,40 @@ class AnnCatalogSpec extends SparkTestBase {
     }
     assert(AnnCatalog.describe(spark, table = Some(tableA)).isEmpty)
   }
+
+  /** [[AnnCatalog.unregisterOne]] — per-index lock granularity: lifting
+    * one registration must leave siblings visible AND must not revert a
+    * sibling's concurrent update on restore (the retune truth-pass
+    * contract). */
+  test("unregisterOne drops exactly one meta and leaves siblings intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat1").toString
+    val table = s"$tmp/t.parquet"
+    val mv = AnnCatalog.IndexMeta(s"$tmp/mv", "id", "toks", "maxsim",
+      ef = 4, kind = "multivec", nprobe = 1)
+    val bq = AnnCatalog.IndexMeta(s"$tmp/bq", "id", "v", "l2sq",
+      ef = 8, kind = "bq")
+    AnnCatalog.register(spark, table, mv)
+    AnnCatalog.register(spark, table, bq)
+    try {
+      // lift the multivec meta only
+      val lifted = AnnCatalog.unregisterOne(spark, table, "toks", "maxsim")
+      assert(lifted.contains(mv))
+      assert(AnnCatalog.metaFor(spark, table, "toks", "maxsim").isEmpty)
+      // the sibling stays visible to the planner throughout
+      assert(AnnCatalog.metaFor(spark, table, "v", "l2sq").contains(bq))
+      // a sibling update landing while the meta is lifted...
+      AnnCatalog.register(spark, table, bq.copy(ef = 128))
+      // ...survives the restore (register puts back ONLY the lifted meta)
+      lifted.foreach(AnnCatalog.register(spark, table, _))
+      assert(AnnCatalog.metaFor(spark, table, "v", "l2sq").get.ef == 128)
+      assert(AnnCatalog.metaFor(spark, table, "toks", "maxsim").contains(mv))
+      // lifting a meta that is not registered returns None, no change
+      assert(AnnCatalog.unregisterOne(spark, table, "nope", "cos").isEmpty)
+      assert(AnnCatalog.metasFor(spark, table).size == 2)
+      // lifting the LAST meta drops the table key entirely
+      AnnCatalog.unregisterOne(spark, table, "toks", "maxsim")
+      AnnCatalog.unregisterOne(spark, table, "v", "l2sq")
+      assert(AnnCatalog.metasFor(spark, table).isEmpty)
+    } finally AnnCatalog.unregister(spark, table)
+  }
 }

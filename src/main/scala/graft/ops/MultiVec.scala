@@ -633,6 +633,10 @@ object MultiVec {
         "(every doc tombstoned) — drop and rebuild instead")
     val base = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // debris from a writer that crashed between publish and commit
+    // never serves, but it occupies generation numbers — clear it
+    // (single-writer maintenance makes this safe)
+    graft.util.Generations.clearStale(fs, base)
     val (staging, gen) = graft.util.Generations.stage(fs, base)
     live.select(col("mdoc"), col("t_idx"), col("tok"), col("tok_i8"),
         col("cent"))

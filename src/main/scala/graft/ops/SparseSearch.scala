@@ -406,6 +406,11 @@ object SparseSearch {
       s"graft: consolidate would leave an empty postings table under " +
         s"$path (every doc tombstoned) — drop and rebuild instead")
     val base = new Path(s"$path/data")
+    // crashed-writer debris (uncommitted gen dirs, staging leftovers)
+    // never serves but occupies numbers AND reads as permanent
+    // fragmentation in the root-listing file count — clear it
+    // (single-writer maintenance makes this safe)
+    graft.util.Generations.clearStale(fs, base)
     val (staging, gen) = graft.util.Generations.stage(fs, base)
     live.select(col("term"), col(idCol), col("w"), col("tb"))
       .repartition(col("tb"))

@@ -92,6 +92,29 @@ object Generations {
     (staging, gen)
   }
 
+  /** Remove UNCOMMITTED generation dirs and staging leftovers of
+    * `base` — debris from a writer that crashed between publish and
+    * commit. They never serve (no marker) but they occupy generation
+    * numbers and, for layouts whose fragmentation measure lists the
+    * whole artifact root, read as permanent fragmentation that
+    * re-triggers futile compactions forever. Single-writer maintenance
+    * (the documented contract of every consolidate here) makes this
+    * safe to call at the start of a compaction: no sibling writer can
+    * be mid-commit. */
+  def clearStale(fs: FileSystem, base: Path): Unit = {
+    val parent = base.getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        val stale = (n match {
+          case GenRe(stem, _) => stem == base.getName &&
+            !fs.exists(new Path(st.getPath, Marker))
+          case _ => n.startsWith("." + base.getName + "_g")
+        })
+        if (stale) { fs.delete(st.getPath, true); () }
+      }
+  }
+
   /** Remove every generation-named sibling of `base` (committed or
     * not) plus staging leftovers — a REBUILD starts over from the
     * legacy layout, and a stale committed generation must not

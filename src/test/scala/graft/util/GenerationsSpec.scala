@@ -52,4 +52,22 @@ class GenerationsSpec extends SparkTestBase {
     assert(Generations.resolve(fs, base) == base)
     assert(!fs.exists(new Path(s"$root/postings_g000005")))
   }
+
+  test("clearStale removes crashed-writer debris, keeps committed data") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gen2").toString
+    val base = new Path(s"$root/data")
+    val (s1, g1) = Generations.stage(fs, base)
+    fs.mkdirs(s1)
+    Generations.commit(fs, base, s1, g1)
+    // crashed-writer debris: an UNCOMMITTED gen dir (rename landed,
+    // marker never created) and a staging leftover
+    fs.mkdirs(new Path(s"$root/data_g000007"))
+    fs.mkdirs(new Path(s"$root/.data_g000008.inprogress"))
+    Generations.clearStale(fs, base)
+    assert(!fs.exists(new Path(s"$root/data_g000007")))
+    assert(!fs.exists(new Path(s"$root/.data_g000008.inprogress")))
+    // the committed generation still serves
+    assert(Generations.resolve(fs, base).getName == "data_g000001")
+  }
 }

@@ -154,15 +154,17 @@ object AnnQueries {
       // subsample runs through the optimizer per query (every plan must
       // rewrite), while the exact truth is ONE batched window join
       val qs = plannerSample(e)
-      var allPlanned = true
-      val ann = qs.map { case (qid, q) =>
+      val probes = RecallProtocol.probed(qs) { case (qid, q) =>
         val knn = e.select(col("vec_id"), col("embedding"))
           .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
-        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+        val planned = knn.queryExecution.optimizedPlan.collect {
           case a: AnnScanLogical => a
         }.nonEmpty
-        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      }.toMap
+        (planned,
+          qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet)
+      }
+      val allPlanned = probes.forall(_._1)
+      val ann = probes.map(_._2).toMap
       val exact = plannerTruth(e, qs)
       if (allPlanned && RecallProtocol.meanRecallOk(ann, exact))
         Seq(1).toDF("ok")
@@ -199,19 +201,20 @@ object AnnQueries {
         kind = "bq"))
     try {
       val qs = plannerSample(e)
-      var allPlanned = true
-      val ann = qs.map { case (qid, q) =>
+      val probes = RecallProtocol.probed(qs) { case (qid, q) =>
         val knn = e.select(col("vec_id"), col("embedding"))
           .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
         val opt = knn.queryExecution.optimizedPlan
-        allPlanned &&= opt.collect {
+        val planned = opt.collect {
           case a: AnnScanLogical if a.kind == "bq" => a
-        }.nonEmpty
-        allPlanned &&= opt.collect {
+        }.nonEmpty && opt.collect {
           case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
         }.nonEmpty
-        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      }.toMap
+        (planned,
+          qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet)
+      }
+      val allPlanned = probes.forall(_._1)
+      val ann = probes.map(_._2).toMap
       val exact = plannerTruth(e, qs)
       if (allPlanned && RecallProtocol.meanRecallOk(ann, exact))
         Seq(1).toDF("ok")
@@ -284,19 +287,20 @@ object AnnQueries {
         kind = "mrl"))
     try {
       val qs = plannerSample(e)
-      var allPlanned = true
-      val ann = qs.map { case (qid, q) =>
+      val probes = RecallProtocol.probed(qs) { case (qid, q) =>
         val knn = e.select(col("vec_id"), col("embedding"))
           .orderBy(l2sq_dist(col("embedding"), lit(q))).limit(10)
         val opt = knn.queryExecution.optimizedPlan
-        allPlanned &&= opt.collect {
+        val planned = opt.collect {
           case a: AnnScanLogical if a.kind == "mrl" => a
-        }.nonEmpty
-        allPlanned &&= opt.collect {
+        }.nonEmpty && opt.collect {
           case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
         }.nonEmpty
-        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      }.toMap
+        (planned,
+          qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet)
+      }
+      val allPlanned = probes.forall(_._1)
+      val ann = probes.map(_._2).toMap
       val exact = plannerTruth(e, qs)
       if (allPlanned && RecallProtocol.meanRecallOk(ann, exact))
         Seq(1).toDF("ok")
@@ -385,7 +389,7 @@ object AnnQueries {
     // it while the exact FILTERED truth is one batched window join
     val qs = plannerSample(e)
     val pred = col("vec_id") % 3 === 0
-    val ann = qs.map { case (qid, q) =>
+    val ann = RecallProtocol.probed(qs) { case (qid, q) =>
       qid -> AnnIndex
         .searchFiltered(e, "vec_id", "embedding", path, q, 10, pred)
         .map(_._1).toSet
@@ -457,12 +461,13 @@ object AnnQueries {
 
       val qs = plannerSample(e)
       val pred = col("vec_id") % 3 === 0
-      var allPlanned = true
-      val ann = qs.map { case (qid, q) =>
+      val probes = RecallProtocol.probed(qs) { case (qid, q) =>
         val knn = e.where(pred).orderBy(dist(q)).limit(10)
-        allPlanned &&= usesIndex(knn)
-        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      }.toMap
+        (usesIndex(knn),
+          qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet)
+      }
+      val allPlanned = probes.forall(_._1)
+      val ann = probes.map(_._2).toMap
       val exact = {
         val qDf = qs.map { case (qid, q) => (qid, q.toSeq) }.toDF("query_id", "qv")
         RecallProtocol.truth(qDf, e.where(pred), "vec_id", "embedding",
@@ -781,16 +786,17 @@ object AnnQueries {
         .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
       def hd(a: Array[Int], b: Array[Int]): Int =
         a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
-      var allPlanned = true
-      val annDists = qs.map { case (qid, qbits) =>
+      val probes = RecallProtocol.probed(qs) { case (qid, qbits) =>
         val knn = b1.select(col("vec_id"), col("bits"))
           .orderBy(hamming_dist(col("bits"), lit(qbits))).limit(10)
-        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+        val planned = knn.queryExecution.optimizedPlan.collect {
           case a: AnnScanLogical => a
         }.nonEmpty
-        qid -> knn.select("vec_id").collect()
-          .map(r => hd(bitsById(r.getLong(0)), qbits)).sorted.toSeq
-      }.toMap
+        (planned, qid -> knn.select("vec_id").collect()
+          .map(r => hd(bitsById(r.getLong(0)), qbits)).sorted.toSeq)
+      }
+      val allPlanned = probes.forall(_._1)
+      val annDists = probes.map(_._2).toMap
       val qDf = qs.map { case (qid, qbits) => (qid, qbits.toSeq) }
         .toDF("query_id", "qv")
       val exactDists = graft.ops.VectorSearch.knnJoinExact(
@@ -887,7 +893,7 @@ object AnnQueries {
       // recall through the RELOADED registration over the planner
       // sample (multi-query protocol, planner form)
       val qs = plannerSample(e)
-      val ann = qs.map { case (qid, qv) =>
+      val ann = RecallProtocol.probed(qs) { case (qid, qv) =>
         qid -> e.select(col("vec_id"), col("embedding"))
           .orderBy(l2sq_dist(col("embedding"), lit(qv))).limit(10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -1186,17 +1192,17 @@ object AnnQueries {
       AnnCatalog.IndexMeta(fPath, "vec_id", "embedding", "inner", ef = 64))
     val plannerOk = try {
       val qs = plannerSample(e)
-      var allPlanned = true
-      val ann = qs.map { case (qid, q) =>
+      val probes = RecallProtocol.probed(qs) { case (qid, q) =>
         val knn = e.select(col("vec_id"), col("embedding"))
           .orderBy(-inner_product(col("embedding"), lit(q))).limit(10)
-        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+        val planned = knn.queryExecution.optimizedPlan.collect {
           case a: AnnScanLogical => a
         }.nonEmpty
-        qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet
-      }.toMap
-      allPlanned && RecallProtocol.meanRecallOk(ann,
-        plannerTruth(e, qs, metric = "inner"))
+        (planned,
+          qid -> knn.select("vec_id").collect().map(_.getLong(0)).toSet)
+      }
+      probes.forall(_._1) && RecallProtocol.meanRecallOk(
+        probes.map(_._2).toMap, plannerTruth(e, qs, metric = "inner"))
     } finally AnnCatalog.unregister(s, tablePath)
     if (hnswOk && ivfOk && plannerOk) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")

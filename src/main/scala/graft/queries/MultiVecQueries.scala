@@ -270,7 +270,7 @@ object MultiVecQueries {
       val docs = s.read.parquet(s"$docsPath/docs")
       val byQ = q.groupBy(_._1).view
         .mapValues(_.sortBy(_._2).map(_._3)).toMap
-      val ann = (0L until QDocs.toLong).map { qd =>
+      val ann = RecallProtocol.probed(0L until QDocs.toLong) { qd =>
         val top = docs
           .orderBy(MultiVec.maxsimCol(col("toks"), byQ(qd)).desc)
           .limit(K)
@@ -317,7 +317,7 @@ object MultiVecQueries {
       val docs = s.read.parquet(s"$docsPath/docs")
       val byQ = q.groupBy(_._1).view
         .mapValues(_.sortBy(_._2).map(_._3)).toMap
-      val ann = (0L until QDocs.toLong).map { qd =>
+      val ann = RecallProtocol.probed(0L until QDocs.toLong) { qd =>
         val top = docs
           .where(col("mdoc") % 3 === 1)
           .orderBy(MultiVec.maxsimCol(col("toks"), byQ(qd)).desc,

@@ -85,6 +85,30 @@ object RecallProtocol {
     if (total == 0) 0.0 else hits.toDouble / total
   }
 
+  /** Run independent per-query probes CONCURRENTLY on a bounded pool —
+    * the multi-query planner gates each optimize + execute one small
+    * search per sample vector, and those round-trips are only
+    * sequential because the driver calls them sequentially (guide
+    * §2.6): submitting them together overlaps the driver-side Catalyst
+    * work of one probe with the cluster work of another, so gate wall
+    * ≈ one probe, not sampleCount. Order-preserving (results line up
+    * with `xs`), pool bounded at 8 like [[graft.ann.Retune]]'s
+    * probeAll; a probe's own exception rethrows unwrapped. */
+  def probed[A, B](xs: Seq[A], slots: Int = 8)(f: A => B): Seq[B] =
+    if (xs.sizeIs <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(xs.size, slots))
+      try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        }))
+        .map(fu => try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+      finally pool.shutdown()
+    }
+
   /** Per-(query, neighbor) exact distances for a batched ANN result —
     * used to assert reranked distances equal TRUE metric distances
     * (`ivfpq_recall_gate`'s distsTrue contract) without a per-query

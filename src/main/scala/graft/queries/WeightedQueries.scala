@@ -77,9 +77,7 @@ object WeightedQueries {
     // multi-query: WeightedSample (q, reverse q) pairs, each through
     // the per-column-ANN → union → joint re-rank path vs its exact
     // weighted top-10 — micro-averaged recall ≥ 0.8
-    var hits = 0
-    var total = 0
-    weightedSamples(e).foreach { case (_, q) =>
+    val probes = RecallProtocol.probed(weightedSamples(e)) { case (_, q) =>
       val q2 = q.reverse
       val terms = Seq(
         WeightedSearch.Term(0.7, "embedding", q),
@@ -90,9 +88,10 @@ object WeightedQueries {
       val exact = WeightedSearch
         .exact(df, terms, 10, tieBreak = Seq(col("vec_id")))
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      hits += ann.intersect(exact).size
-      total += exact.size
+      (ann.intersect(exact).size, exact.size)
     }
+    val hits = probes.map(_._1).sum
+    val total = probes.map(_._2).sum
     if (hits.toDouble >= 0.8 * total) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
@@ -130,25 +129,24 @@ object WeightedQueries {
       // sample vector (two distinct literal queries per joint metric);
       // EVERY pair's plan must rewrite, micro recall ≥ 0.8
       val qs = weightedSamples(e)
-      var allPlanned = true
-      var hits = 0
-      var total = 0
-      qs.indices.foreach { i =>
+      val probes = RecallProtocol.probed(qs.indices) { i =>
         val q = qs(i)._2
         val q2 = qs((i + 1) % qs.size)._2
         val joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
           lit(0.3) * graft.functions.cos_dist(col("embedding"), lit(q2))
         val knn = e.orderBy(joint).limit(10)
-        allPlanned &&= knn.queryExecution.optimizedPlan.collect {
+        val planned = knn.queryExecution.optimizedPlan.collect {
           case w: graft.plans.WeightedAnnIdsLogical => w
         }.nonEmpty
         val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
         val exact = e.withColumn("d", joint)
           .orderBy(col("d"), col("vec_id")).limit(10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        hits += got.intersect(exact).size
-        total += exact.size
+        (planned, got.intersect(exact).size, exact.size)
       }
+      val allPlanned = probes.forall(_._1)
+      val hits = probes.map(_._2).sum
+      val total = probes.map(_._3).sum
       if (allPlanned && hits.toDouble >= 0.8 * total) Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally AnnCatalog.unregister(s, tablePath)
@@ -193,12 +191,7 @@ object WeightedQueries {
       // allUnder audit on top of the search), micro recall ≥ 0.8,
       // EVERY max_dist plan must rewrite
       val qs = weightedSamples(e).take(3)
-      var allPlanned = true
-      var allUnder = true
-      var hits = 0
-      var total = 0
-      var generalStaysExact = true
-      qs.indices.foreach { i =>
+      val probes = RecallProtocol.probed(qs.indices) { i =>
         val q = qs(i)._2
         val q2 = qs((i + 1) % qs.size)._2
         def joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
@@ -208,20 +201,25 @@ object WeightedQueries {
         val md = e.withColumn("d", joint).orderBy(col("d"))
           .limit(20).agg(max(col("d"))).head().getDouble(0)
         val knn = e.where(joint < md).orderBy(joint).limit(10)
-        allPlanned &&= planned(knn)
+        val plannedOk = planned(knn)
         val gotIds = knn.select("vec_id").collect().map(_.getLong(0)).toSet
         val exact = e.withColumn("d", joint).where(col("d") < md)
           .orderBy(col("d"), col("vec_id")).limit(10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        hits += gotIds.intersect(exact).size
-        total += exact.size
-        allUnder &&= e.withColumn("d", joint)
+        val under = e.withColumn("d", joint)
           .where(col("vec_id").isin(gotIds.toSeq: _*))
           .select("d").collect().forall(_.getDouble(0) < md)
         // a general predicate must NOT fire the weighted rewrite
-        if (i == 0) generalStaysExact = !planned(
+        val generalExact = i != 0 || !planned(
           e.where(col("vec_id") % 3 === 0).orderBy(joint).limit(10))
+        (plannedOk, gotIds.intersect(exact).size, exact.size, under,
+          generalExact)
       }
+      val allPlanned = probes.forall(_._1)
+      val hits = probes.map(_._2).sum
+      val total = probes.map(_._3).sum
+      val allUnder = probes.forall(_._4)
+      val generalStaysExact = probes.forall(_._5)
       if (allPlanned && generalStaysExact && allUnder &&
           hits.toDouble >= 0.8 * total)
         Seq(1).toDF("ok")
@@ -258,11 +256,7 @@ object WeightedQueries {
       AnnCatalog.IndexMeta(pCos, "vec_id", "embedding", "cos", ef = 64))
     try {
       val qs = weightedSamples(e)
-      var allPlanned = true
-      var kindsOk = true
-      var hits = 0
-      var total = 0
-      qs.indices.foreach { i =>
+      val probes = RecallProtocol.probed(qs.indices) { i =>
         val q = qs(i)._2
         val q2 = qs((i + 1) % qs.size)._2
         val joint = lit(0.7) * graft.functions.l2sq_dist(col("embedding"), lit(q)) +
@@ -271,16 +265,18 @@ object WeightedQueries {
         val ws = knn.queryExecution.optimizedPlan.collect {
           case w: graft.plans.WeightedAnnIdsLogical => w
         }
-        allPlanned &&= ws.nonEmpty
-        kindsOk &&= ws.headOption.exists(
+        val kinds = ws.headOption.exists(
           _.terms.map(_.kind).toSet == Set("bq", "hnsw"))
         val got = knn.select("vec_id").collect().map(_.getLong(0)).toSet
         val exact = e.withColumn("d", joint)
           .orderBy(col("d"), col("vec_id")).limit(10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        hits += got.intersect(exact).size
-        total += exact.size
+        (ws.nonEmpty, kinds, got.intersect(exact).size, exact.size)
       }
+      val allPlanned = probes.forall(_._1)
+      val kindsOk = probes.forall(_._2)
+      val hits = probes.map(_._3).sum
+      val total = probes.map(_._4).sum
       if (allPlanned && kindsOk && hits.toDouble >= 0.8 * total)
         Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")

@@ -61,10 +61,11 @@ object AnnQueries {
       AnnIndex.build(h.base, "vec_id", "embedding", path,
         AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
     }
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding"))
     val ann = RecallProtocol.perQueryDf(
       AnnIndex.searchMany(s, path, h.queries.toSeq, k = 10, efOverride = 64))
-    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
-    if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+    if (RecallProtocol.meanRecallOk(ann, exactF())) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
 
@@ -84,6 +85,15 @@ object AnnQueries {
     val path = java.nio.file.Files
       .createTempDirectory("graft-sann").toString + "/idx"
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    // the exact truth never touches the index artifact — overlap it
+    // with the whole build + stream chain below
+    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(qDf, e, "vec_id", "embedding"))
     AnnIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id", "embedding",
       path, AnnParams(m = 16, efConstruction = 128, ef = 64, numPartitions = 4))
 
@@ -110,14 +120,9 @@ object AnnQueries {
     // set, answered in one searchMany batch — RecallProtocol, but with
     // in-table queries because the gate's subject is the post-append
     // index over the full table, not graph quality on a holdout
-    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val ann = RecallProtocol.perQueryDf(
       AnnIndex.searchMany(s, path, qs.toSeq, k = 10, efOverride = 64))
-    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    val exact = exactF()
     // streamed rows must actually surface: wherever the exact top-10
     // contains streamed-range ids, the ANN answers must include some
     val annIds = ann.values.flatten.toSet
@@ -1004,10 +1009,11 @@ object AnnQueries {
     // nprobe 12/16: the multi-query protocol exposed what the old
     // single-query gate hid — nprobe=8 measures 0.78 MEAN recall at
     // sf0.1 (the lucky vec_id=0 passed 0.8); 12 measures 0.938
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding"))
     val ann = RecallProtocol.perQueryDf(
       IvfIndex.searchMany(s, path, h.queries.toSeq, k = 10, nprobe = 12))
-    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
-    if (RecallProtocol.meanRecallOk(ann, exact)) Seq(1).toDF("ok")
+    if (RecallProtocol.meanRecallOk(ann, exactF())) Seq(1).toDF("ok")
     else Seq.empty[Int].toDF("ok")
   }
 
@@ -1071,10 +1077,12 @@ object AnnQueries {
     // multi-query protocol measures 0.774 MEAN recall at the old
     // (nprobe=8, ef=256) and 0.936 here — the single-query gate was
     // passing on a lucky vector
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding"))
     val annDf = IvfPqIndex.searchMany(s, path, h.queries.toSeq, k = 10,
       nprobe = 12, ef = 512, rerank = Some((h.base, "vec_id", "embedding")))
     val ann = RecallProtocol.perQueryDf(annDf)
-    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    val exact = exactF()
     // every reranked distance must equal the TRUE l2sq distance — one
     // batched join-back, no per-query loop
     val distsTrue = RecallProtocol.distsTrue(
@@ -1168,11 +1176,12 @@ object AnnQueries {
       IvfIndex.build(h.base, "vec_id", "embedding", iPath,
         nlists = 16, metric = "inner")
     }
-    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding",
-      metric = "inner")
+    val exactF = RecallProtocol.async(RecallProtocol.truth(
+      h.queriesDf, h.base, "vec_id", "embedding", metric = "inner"))
     val hnswOk = RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(
       AnnIndex.searchMany(s, hPath, h.queries.toSeq, k = 10, efOverride = 64)),
-      exact)
+      exactF())
+    val exact = exactF()
     // MIPS needs more probes than l2 at equal recall: high-inner-product
     // vectors are magnitude-driven and spread across l2-kmeans lists
     val ivfOk = RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(
@@ -1232,11 +1241,13 @@ object AnnQueries {
         AnnParams(m = 16, efConstruction = 128, ef = 64,
           numPartitions = 4, quant = "i8"))
     }
-    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding"))
     // (a) quantized-distance search alone ≥ 0.8, all queries batched
     val plainOk = RecallProtocol.meanRecallOk(RecallProtocol.perQueryDf(
       AnnIndex.searchMany(s, i8Path, h.queries.toSeq, k = 10,
-        efOverride = 64)), exact)
+        efOverride = 64)), exactF())
+    val exact = exactF()
     // (b) exact float re-rank ≥ 0.9: batched — the quantized graph
     // pre-selects 4k candidates per query in one searchMany pass, the
     // true float column joins back and an exact window rank keeps 10

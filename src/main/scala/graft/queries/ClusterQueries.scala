@@ -209,10 +209,12 @@ object ClusterQueries {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(qDf, e, "vec_id", "embedding"))
     val ann = RecallProtocol.perQueryDf(graft.ops.ProjectedSearch.topKMany(
       e, "vec_id", "embedding", m.components, m.bias, qs.toSeq,
       k = 10, pool = 256))
-    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    val exact = exactF()
     // the single-query form's plan contract still holds: both stages
     // TakeOrderedAndProject (per-partition heaps, no global sort)
     val knn1 = graft.ops.ProjectedSearch.topK(
@@ -240,6 +242,8 @@ object ClusterQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val h = RecallProtocol.holdout(e)
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding"))
     val annDf = graft.ops.MrlSearch.topKMany(
       h.base, "vec_id", "embedding", h.queries.toSeq,
       k = 10, pool = 256, m = 32)
@@ -268,7 +272,7 @@ object ClusterQueries {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val samePaths = rows(annDf) == rows(packedDf)
-    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    val exact = exactF()
     val distOk = RecallProtocol.distsTrue(
       annDf, h.queriesDf, h.base, "vec_id", "embedding")
     if (planOk && prefScanOk && samePaths && distOk &&
@@ -293,6 +297,17 @@ object ClusterQueries {
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val path = java.nio.file.Files
       .createTempDirectory("graft-smrl").toString + "/idx"
+    val qs = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val vecs = e.select(col("vec_id").as("id"), col("embedding"))
+    def triples(df: DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the inline truth never touches the index artifact — overlap it
+    // with the whole build + stream chain below
+    val inlineF = RecallProtocol.async(triples(graft.ops.MrlSearch.topKMany(
+      vecs, "id", "embedding", qs, k = 10, pool = 64, m = 32)))
     MrlIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id",
       "embedding", m = 32, path)
     val base = e.where(col("vec_id") > maxId / 2)
@@ -318,17 +333,9 @@ object ClusterQueries {
       // a dropped micro-batch must fail loudly
       Seq.empty[Int].toDF("ok")
     } else {
-      val qs = e.orderBy(col("vec_id")).limit(8)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      val vecs = e.select(col("vec_id").as("id"), col("embedding"))
-      def triples(df: DataFrame) = df
-        .select("query_id", "neighbor_id", "rank")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val streamed = triples(graft.ops.MrlSearch.topKManyPrepacked(
         pre, "id", "pref", vecs, "embedding", qs, k = 10, pool = 64, m = 32))
-      val inline = triples(graft.ops.MrlSearch.topKMany(
-        vecs, "id", "embedding", qs, k = 10, pool = 64, m = 32))
+      val inline = inlineF()
       if (streamed.nonEmpty && streamed == inline) Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     }

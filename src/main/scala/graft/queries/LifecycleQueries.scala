@@ -45,6 +45,15 @@ object LifecycleQueries {
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val path = java.nio.file.Files
       .createTempDirectory(s"graft-$tag").toString + "/idx"
+    // the exact truth never touches the index artifact — overlap it
+    // with the whole build + stream chain below
+    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(qDf, e, "vec_id", "embedding"))
     build(e.where(col("vec_id") <= maxId / 2), path)
     val base = e.where(col("vec_id") > maxId / 2)
       .select(col("vec_id"), col("embedding"))
@@ -66,13 +75,8 @@ object LifecycleQueries {
 
     if (validate(path, e) != e.count()) return Seq.empty[Int].toDF("ok")
 
-    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val ann = RecallProtocol.perQueryDf(search(path, qs.toSeq))
-    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    val exact = exactF()
     val annIds = ann.values.flatten.toSet
     val exactIds = exact.values.flatten.toSet
     val streamedFound = annIds.exists(_ > maxId / 2) ||

@@ -198,6 +198,9 @@ object MultiVecQueries {
     // the directory fan-out only costs write/listing time here
     val idxPath = java.nio.file.Files
       .createTempDirectory("graft-mvins").toString + "/idx"
+    // the fail-fast corpus token count never touches the index —
+    // overlap it with the build + stream chain below
+    val nToksF = RecallProtocol.async(corpusToks.count())
     MultiVec.writeIndex(
       corpusToks.where(col("mdoc") <= half), idxPath, nlists = 16)
     // the daemon shape: centroids loaded once, reused every micro-batch
@@ -228,7 +231,7 @@ object MultiVecQueries {
     StreamChunks.drive(q, streamDir, files)
 
     val post = s.read.parquet(s"$idxPath/postings")
-    if (post.count() != corpusToks.count()) {
+    if (post.count() != nToksF()) {
       // a dropped micro-batch must fail the hash compare loudly
       Seq.empty[(Long, Double)].toDF("mdoc", "score")
     } else {

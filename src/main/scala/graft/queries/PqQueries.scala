@@ -69,11 +69,12 @@ object PqQueries {
       val cb = ProductQuantizer.trainCodebook(
         h.base, "embedding", clusters = 64, subvectors = 32, seed = 7)
       val pq = ProductQuantizer.quantizeTable(h.base, "embedding", cb)
-      val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+      val exactF = RecallProtocol.async(
+        RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding"))
       val approx = RecallProtocol.perQueryDf(ProductQuantizer
         .searchPqMany(pq, "vec_id", "embedding_pq", cb, h.queries.toSeq, 10,
           rerankCol = Some("embedding"), ef = 100))
-      if (RecallProtocol.meanRecallOk(approx, exact)) Seq(1).toDF("ok")
+      if (RecallProtocol.meanRecallOk(approx, exactF())) Seq(1).toDF("ok")
       else Seq.empty[Int].toDF("ok")
     } finally { e.unpersist(); () }
   }

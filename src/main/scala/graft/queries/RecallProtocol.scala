@@ -109,6 +109,21 @@ object RecallProtocol {
       finally pool.shutdown()
     }
 
+  /** Start `f` on its own thread NOW and hand back the join — overlaps
+    * an independent distributed pass (typically the exact truth, which
+    * never depends on the index artifact) with the build/stream chain
+    * running on the caller's thread (guide §2.6: actions are only
+    * sequential because the driver calls them sequentially). The
+    * thunk's own exception rethrows unwrapped at the join. */
+  def async[A](f: => A): () => A = {
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync(() => f)
+    () =>
+      try fut.join()
+      catch {
+        case e: java.util.concurrent.CompletionException => throw e.getCause
+      }
+  }
+
   /** Per-(query, neighbor) exact distances for a batched ANN result —
     * used to assert reranked distances equal TRUE metric distances
     * (`ivfpq_recall_gate`'s distsTrue contract) without a per-query

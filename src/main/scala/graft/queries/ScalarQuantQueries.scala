@@ -69,10 +69,12 @@ object ScalarQuantQueries {
     val annDf = BqSearch.topKManyPrepacked(
       bits, "vec_id", "bits", h.base, "embedding", h.queries.toSeq,
       k = 10, pool = 384, metric = "l2sq", center = center)
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding"))
     val plan = graft.ops.MaskedExplain.explain(annDf, "formatted")
     val planOk = plan.contains("hamming_dist") &&
       plan.contains("WindowGroupLimit") && !plan.contains("ScalaUDF")
-    val exact = RecallProtocol.truth(h.queriesDf, h.base, "vec_id", "embedding")
+    val exact = exactF()
     val distOk = RecallProtocol.distsTrue(
       annDf, h.queriesDf, h.base, "vec_id", "embedding")
     if (planOk && distOk &&
@@ -98,6 +100,15 @@ object ScalarQuantQueries {
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val path = java.nio.file.Files
       .createTempDirectory("graft-sbq").toString + "/idx"
+    // the exact truth never touches the index artifact — overlap it
+    // with the whole build + stream chain below
+    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactF = RecallProtocol.async(
+      RecallProtocol.truth(qDf, e, "vec_id", "embedding"))
     BqIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id", "embedding",
       path)
     val base = e.where(col("vec_id") > maxId / 2)
@@ -118,16 +129,11 @@ object ScalarQuantQueries {
       .start()
     StreamChunks.drive(q, streamDir, files)
 
-    val qs = e.orderBy(col("vec_id")).limit(RecallProtocol.QueryCount)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qDf = e.where(col("vec_id") <= qs.map(_._1).max)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val ann = RecallProtocol.perQueryDf(BqSearch.topKManyPrepacked(
       BqIndex.liveBits(s, path), "id", "bits",
       e.select(col("vec_id").as("id"), col("embedding")), "embedding",
       qs.toSeq, k = 10, pool = 384, center = BqIndex.center(s, path)))
-    val exact = RecallProtocol.truth(qDf, e, "vec_id", "embedding")
+    val exact = exactF()
     val annIds = ann.values.flatten.toSet
     val exactIds = exact.values.flatten.toSet
     val streamedFound = annIds.exists(_ > maxId / 2) ||

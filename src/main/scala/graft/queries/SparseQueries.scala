@@ -105,6 +105,11 @@ object SparseQueries {
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val path = java.nio.file.Files
       .createTempDirectory("graft-ssp").toString + "/post"
+    // the fail-fast corpus count and the query row never touch the
+    // postings table — overlap them with the build + stream chain
+    val nKeptF = RecallProtocol.async(sparseDocs(docs)
+      .where(size(col("sv.indices")) > 0).count())
+    val qArrF = RecallProtocol.async(queryArrays(e))
     SparseSearch.writePostings(
       SparseSearch.postings(sparseDocs(e.where(col("vec_id") <= maxId / 2)),
         "vec_id", col("sv")), path)
@@ -129,14 +134,12 @@ object SparseQueries {
 
     val streamed = s.read.parquet(path)
     val nDocs = streamed.select("vec_id").distinct().count()
-    val nKept = sparseDocs(docs)
-      .where(size(col("sv.indices")) > 0).count()
-    if (nDocs != nKept) {
+    if (nDocs != nKeptF()) {
       // a dropped micro-batch must fail the hash compare loudly
       import s.implicits._
       Seq.empty[(Long, Double)].toDF("vec_id", "score")
     } else {
-      val (qIdx, qVal) = queryArrays(e)
+      val (qIdx, qVal) = qArrF()
       invertedCut(SparseSearch.readPostings(s, path, qIdx), qIdx, qVal)
     }
   }

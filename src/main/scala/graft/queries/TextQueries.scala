@@ -179,10 +179,15 @@ object TextQueries {
     val merges = trainedMerges(s, dir)
     val vocab = BpeTrainer.vocabulary(
       merges, BpeTrainer.corpusAlphabet(docs, "text"))
+    // materialize the encode ONCE: assignBlocks' two-level running
+    // total makes two more passes over `ids` (bucket totals + the
+    // windowed pass), and without this each re-runs the O(len·merges)
+    // BPE encode of every document — the gate's dominant cost ×3
     val ids = docs
       .select(col("doc_id"),
         BpeTrainer.encodeIds(col("text"), merges, vocab).as("ids"))
       .where(size(col("ids")) > 0)
+      .localCheckpoint()
     val blocks = graft.ops.Packing
       .assignBlocks(ids, size(col("ids")), 128, Seq(col("doc_id")))
       .select(col("doc_id"), size(col("ids")).as("n"),

@@ -410,6 +410,9 @@ object MultiVecQueries {
     val t = toks(s, dir)
     val corpusToks = t.where(col("mdoc") =!= 0)
     val half = t.agg(max(col("mdoc"))).head().getLong(0) / 2
+    // the query-doc tokens never touch the index — overlap their
+    // fetch with the build/append/delete/consolidate chain
+    val qToksF = RecallProtocol.async(MultiVec.queryToks(t, Seq(0L)))
     val idxPath = java.nio.file.Files
       .createTempDirectory("graft-mvcons").toString + "/idx"
     MultiVec.writeIndex(
@@ -432,7 +435,7 @@ object MultiVecQueries {
     } else {
       cut(MultiVec.scoreFlat(
         s.read.parquet(served).select("mdoc", "t_idx", "tok"),
-        MultiVec.queryToks(t, Seq(0L))))
+        qToksF()))
     }
   }
 

@@ -160,7 +160,9 @@ object SparseQueries {
   private def sparseConsolidate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-    val (qIdx, qVal) = queryArrays(e)
+    // the query row never touches the postings — overlap its fetch
+    // with the build/append/delete/consolidate chain
+    val qArrF = RecallProtocol.async(queryArrays(e))
     val docs = sparseDocs(e)
     val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
     val path = java.nio.file.Files
@@ -186,6 +188,7 @@ object SparseQueries {
     if (!compacted || !tombGone) {
       Seq.empty[(Long, Double)].toDF("vec_id", "score")
     } else {
+      val (qIdx, qVal) = qArrF()
       invertedCut(SparseSearch.readPostings(s, path, qIdx), qIdx, qVal)
     }
   }

@@ -270,14 +270,18 @@ object EmbeddingJobs {
           val part = src.where(pmod(xxhash64(col(idCol)), lit(nChunks)) === c)
           val processed = run(part).cache()
           try {
-            val failed = EmbeddingPipeline.failedRows(processed)
+            EmbeddingPipeline.failedRows(processed)
               .select(col(idCol), col(EmbeddingPipeline.ErrorCol))
-            failedN += failed.count()
-            failed.write.mode("append").parquet(s"$out/failed")
+              .write.mode("append").parquet(s"$out/failed")
             EmbeddingPipeline.embeddedRows(processed)
               .select(col(idCol), col(valueCol))
               .write.mode("append").parquet(s"$out/$outDir")
-            done += processed.count()
+            // both progress counters in ONE cached-scan agg (count of a
+            // non-null column = failed rows) instead of two count() jobs
+            val cnts = processed.agg(
+              count(lit(1)), count(col(EmbeddingPipeline.ErrorCol))).head()
+            done += cnts.getLong(0)
+            failedN += cnts.getLong(1)
           } finally { processed.unpersist(); () }
           st("running", math.min(99, (done * 100 / total).toInt), done, failedN)
         }

@@ -226,7 +226,7 @@ object Bench {
     val results = new scala.collection.mutable.ArrayBuffer[
       (String, Double, Option[String], Double)]
     @volatile var completed = false
-    def partialSummary(): String = {
+    def partialSummary(): (String, String) = {
       val snap = results.synchronized { results.toList }
       val seen = snap.map(_._1).toSet
       // queries that finished pass 1 but never reached their pass-2
@@ -242,16 +242,24 @@ object Bench {
       val failed = all.collect { case (k, _, Some(_), _) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = all.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"partial":true,"wall":$elapsedS,""" +
-        s""""budget":$budgetS,"sf":"$sfDir"}"""
+        s""""budget":$budgetS,"sf":"$sfDir"}""",
+        s"""{"metric":"total","value":$total,"unit":"sec","partial":true,""" +
+          s""""wall":$elapsedS,"budget":$budgetS,""" +
+          s""""n_queries":${all.size},"sf":"$sfDir"}""")
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       terminating = true
       if (!completed) {
-        val line = partialSummary()
+        // full line first, compact totals-only line LAST — a tail-only
+        // capture window keeps the parseable compact line (see the
+        // completed-run emit below for the rationale)
+        val (line, compact) = partialSummary()
         println(line)
-        jsonl.synchronized { jsonl.println(line); jsonl.flush() }
+        println(compact)
+        jsonl.synchronized {
+          jsonl.println(line); jsonl.println(compact); jsonl.flush() }
       }
     }))
 
@@ -330,7 +338,27 @@ object Bench {
       s"""{"serial_start":$calibSerial0,"parallel_start":$calibParallel0,""" +
         s""""serial_end":$calibSerial1,"parallel_end":$calibParallel1,""" +
         s""""load_end":$loadEnd,"load_max":$loadMax}"""
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"wall":$elapsedS,"budget":$budgetS,"degraded":$degraded,"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib":$calib,"wall":$elapsedS,"budget":$budgetS,"degraded":$degraded,"sf":"$sfDir"}"""
+    emit(summary)
+    // The full summary line is ~8 KB at 197 queries; a capture window
+    // that keeps only a stdout TAIL truncates it mid-map and loses every
+    // timing (PERF_r15/r16 both had per_query: {} for exactly this
+    // reason). Two mitigations, neither changing what is measured:
+    //  - the full summary map is ALSO persisted to a per-core-count
+    //    file (a scaling run at a different $SPARK_GRAFT_CPUS no longer
+    //    clobbers the main run's map);
+    //  - a SECOND, compact totals-only line goes out LAST, small enough
+    //    to always survive a tail buffer and parse on its own.
+    val summaryFile = s"bench_summary_c$cpus.json"
+    try {
+      val tmp = java.nio.file.Paths.get(summaryFile + ".tmp")
+      java.nio.file.Files.write(tmp,
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(summaryFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write $summaryFile: $t") }
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","wall":$elapsedS,"budget":$budgetS,"degraded":$degraded,"n_queries":${results.size},"n_failed":${results.count(_._3.isDefined)},"calib":$calib,"queries_file":"$summaryFile","sf":"$sfDir"}""")
     completed = true
     jsonl.close()
     java.nio.file.Files.move(

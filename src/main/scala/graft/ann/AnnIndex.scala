@@ -659,6 +659,15 @@ object GraphCache {
           size() > MaxEntries
       })
 
+  // Per-key load locks: concurrent probes of one gate (the bounded
+  // pool in RecallProtocol.probed issues up to 8 searches at once) must
+  // share ONE deserialization of a missing shard, not race N duplicate
+  // multi-MB loads. The lock map entry is dropped after the load; a
+  // straggler still holding the old lock object just re-checks the
+  // cache and hits.
+  private val loadLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def get(file: String, conf: org.apache.hadoop.conf.Configuration): HnswGraph = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
@@ -666,9 +675,17 @@ object GraphCache {
     val key = s"$file#${st.getLen}#${st.getModificationTime}"
     var g = cache.get(key)
     if (g == null) {
-      val in = new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 20))
-      try g = HnswGraph.read(in) finally in.close()
-      cache.put(key, g)
+      val lock = loadLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        g = cache.get(key)
+        if (g == null) {
+          val in = new DataInputStream(
+            new BufferedInputStream(fs.open(p), 1 << 20))
+          try g = HnswGraph.read(in) finally in.close()
+          cache.put(key, g)
+        }
+      }
+      loadLocks.remove(key)
     }
     g
   }

@@ -78,6 +78,29 @@ object Retune {
       resolved.map(_._2._2).sum / 1e6 / math.max(resolved.length, 1))
   }
 
+  /** Start `f` on its own daemon thread NOW and hand back the join —
+    * the exact-truth pass is independent of the sweep's planner probes
+    * (it reads only the corpus, never the GUC under sweep), so it
+    * overlaps with the first step's probe fan-out instead of running
+    * serially before it (guide §2.6). A fresh thread, not
+    * ForkJoinPool.commonPool: the blocking collect must not occupy a
+    * shared common-pool worker. The join rethrows the job's own
+    * exception unwrapped; joining more than once is free. */
+  private def overlapped[A](f: => A): () => A = {
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => f,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-retune-truth")
+        t.setDaemon(true)
+        t.start()
+      })
+    () =>
+      try fut.join()
+      catch {
+        case e: java.util.concurrent.CompletionException => throw e.getCause
+      }
+  }
+
   /** Sweep record: `registered` is the knob value found in the
     * catalog, `steps` every value measured (ascending; all pre-pick
     * steps are below target by construction), `picked` the first
@@ -166,16 +189,17 @@ object Retune {
         sampled.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           .toDF("query_id", "__qv")
     // Scalar truth: the exact id set (exactly k rows per query reach
-    // the driver, knnJoinExact's contract).
-    val truthIds: Map[Long, Set[Long]] =
-      if (isHamming) Map.empty
-      else VectorSearch
+    // the driver, knnJoinExact's contract). Overlapped with the first
+    // sweep step's probes — the truth never reads the GUC under sweep.
+    val truthIdsF: () => Map[Long, Set[Long]] =
+      if (isHamming) { () => Map.empty }
+      else overlapped(VectorSearch
         .knnJoinExact(qdf, "query_id", "__qv", base,
           meta.idCol, vecCol, k, metric)
         .select(col("query_id"), col("neighbor_id").cast("long"))
         .collect()
         .groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap)
     // Hamming truth: a DISTANCE THRESHOLD per query, not an id set.
     // Packed-bit distances are small integers that tie massively, so a
     // strict id top-k is not well-defined — any answer within the k-th
@@ -188,9 +212,9 @@ object Retune {
     // and the probe's answers are judged against the threshold. The
     // row_number window stays map-side top-k (partial
     // WindowGroupLimit), same one-pass broadcast shape as knnJoinExact.
-    val hammingKth: Map[Long, (Double, Long)] =
-      if (!isHamming) Map.empty
-      else {
+    val hammingKthF: () => Map[Long, (Double, Long)] =
+      if (!isHamming) { () => Map.empty }
+      else overlapped {
         import org.apache.spark.sql.expressions.Window
         val q = broadcast(qdf)
         val w = Window.partitionBy(col("query_id"))

@@ -274,7 +274,11 @@ object SparseSearch {
     post.withColumn("tb", pmod(col("term"), lit(buckets)))
       .repartition(col("tb"))
       .write.partitionBy("tb").mode("overwrite").parquet(path)
-    // after the table write: overwrite mode clears the directory first
+    // overwrite mode clears the directory first — including any
+    // committed data_g* generation dirs, which bypasses the mutators
+    // that normally invalidate the resolve memo; drop it by hand
+    graft.util.Generations.invalidate(
+      fsFor(post.sparkSession, path), new Path(s"$path/data"))
     writeMeta(post.sparkSession, path, buckets, idCol)
   }
 

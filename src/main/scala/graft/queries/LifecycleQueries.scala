@@ -73,7 +73,13 @@ object LifecycleQueries {
       .start()
     StreamChunks.drive(q, streamDir, files)
 
-    if (validate(path, e) != e.count()) return Seq.empty[Int].toDF("ok")
+    if (validate(path, e) != e.count()) {
+      // drain the overlapped truth pass before the fail-fast return —
+      // an unjoined job would bleed cluster work into the next gate's
+      // timing; its own failure must not mask the empty-DF contract
+      try exactF() catch { case _: Throwable => () }
+      return Seq.empty[Int].toDF("ok")
+    }
 
     val ann = RecallProtocol.perQueryDf(search(path, qs.toSeq))
     val exact = exactF()

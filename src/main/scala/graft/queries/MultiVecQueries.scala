@@ -431,6 +431,7 @@ object MultiVecQueries {
         !f.getName.startsWith(".")) == 1)
     val tombGone = !new java.io.File(s"$idxPath/tombstones").exists()
     if (!compacted || !tombGone) {
+      try qToksF() catch { case _: Throwable => () } // drain the overlap
       Seq.empty[(Long, Double)].toDF("mdoc", "score")
     } else {
       cut(MultiVec.scoreFlat(

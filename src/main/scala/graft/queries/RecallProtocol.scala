@@ -114,9 +114,26 @@ object RecallProtocol {
     * never depends on the index artifact) with the build/stream chain
     * running on the caller's thread (guide §2.6: actions are only
     * sequential because the driver calls them sequentially). The
-    * thunk's own exception rethrows unwrapped at the join. */
+    * thunk's own exception rethrows unwrapped at the join.
+    *
+    * Runs on a fresh daemon thread, NOT ForkJoinPool.commonPool: a
+    * blocking Spark collect would occupy a common-pool worker (shared
+    * JVM-wide, sized ncpu-1) and silently serialize against other
+    * common-pool users. One thread per call is fine at this fan-out —
+    * gates start 1-2 overlapped passes, never hundreds.
+    *
+    * Fail-fast gate branches must STILL drain the thunk before
+    * returning (discarding the value): an unjoined truth job would keep
+    * running after the gate returns and bleed cluster work into the
+    * next gate's bench timing. */
   def async[A](f: => A): () => A = {
-    val fut = java.util.concurrent.CompletableFuture.supplyAsync(() => f)
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => f,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-async")
+        t.setDaemon(true)
+        t.start()
+      })
     () =>
       try fut.join()
       catch {

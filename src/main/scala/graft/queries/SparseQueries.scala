@@ -135,7 +135,10 @@ object SparseQueries {
     val streamed = s.read.parquet(path)
     val nDocs = streamed.select("vec_id").distinct().count()
     if (nDocs != nKeptF()) {
-      // a dropped micro-batch must fail the hash compare loudly
+      // a dropped micro-batch must fail the hash compare loudly;
+      // drain the still-running query fetch so it cannot bleed into
+      // the next gate's timing (its own failure must not mask this)
+      try qArrF() catch { case _: Throwable => () }
       import s.implicits._
       Seq.empty[(Long, Double)].toDF("vec_id", "score")
     } else {
@@ -186,6 +189,7 @@ object SparseQueries {
         !f.getName.startsWith(".")) == 1)
     val tombGone = !new java.io.File(s"$path/_tombstones").exists()
     if (!compacted || !tombGone) {
+      try qArrF() catch { case _: Throwable => () } // drain the overlap
       Seq.empty[(Long, Double)].toDF("vec_id", "score")
     } else {
       val (qIdx, qVal) = qArrF()

@@ -182,27 +182,33 @@ object TextQueries {
     // materialize the encode ONCE: assignBlocks' two-level running
     // total makes two more passes over `ids` (bucket totals + the
     // windowed pass), and without this each re-runs the O(len·merges)
-    // BPE encode of every document — the gate's dominant cost ×3
+    // BPE encode of every document — the gate's dominant cost ×3.
+    // persist (not localCheckpoint): same one-pass-encode win, but the
+    // blocks are reclaimed in the finally instead of pinning the
+    // tokenized corpus until ContextCleaner GC across repeated runs,
+    // and the lineage stays recomputable on executor loss
     val ids = docs
       .select(col("doc_id"),
         BpeTrainer.encodeIds(col("text"), merges, vocab).as("ids"))
       .where(size(col("ids")) > 0)
-      .localCheckpoint()
-    val blocks = graft.ops.Packing
-      .assignBlocks(ids, size(col("ids")), 128, Seq(col("doc_id")))
-      .select(col("doc_id"), size(col("ids")).as("n"),
-        col("start_token"), col("first_block"), col("last_block"))
-      .orderBy("doc_id")
-      .as[(Long, Int, Long, Long, Long)].collect()
-    var off = 0L
-    var ok = blocks.nonEmpty
-    blocks.foreach { case (_, n, start, fb, lb) =>
-      ok &&= start == off &&
-        fb == start / 128 && lb == (start + n - 1) / 128
-      off += n
-    }
-    ok &&= off == blocks.map(_._2.toLong).sum
-    if (ok) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val blocks = graft.ops.Packing
+        .assignBlocks(ids, size(col("ids")), 128, Seq(col("doc_id")))
+        .select(col("doc_id"), size(col("ids")).as("n"),
+          col("start_token"), col("first_block"), col("last_block"))
+        .orderBy("doc_id")
+        .as[(Long, Int, Long, Long, Long)].collect()
+      var off = 0L
+      var ok = blocks.nonEmpty
+      blocks.foreach { case (_, n, start, fb, lb) =>
+        ok &&= start == off &&
+          fb == start / 128 && lb == (start + n - 1) / 128
+        off += n
+      }
+      ok &&= off == blocks.map(_._2.toLong).sum
+      if (ok) Seq(1).toDF("ok") else Seq.empty[Int].toDF("ok")
+    } finally { ids.unpersist(); () }
   }
 
   /** Full pipeline through the library: analyzed docs → inverted table

@@ -39,6 +39,28 @@ object Generations {
   val Marker = "_graft_committed"
   private val GenRe = "(.*)_g(\\d{6})$".r
 
+  // resolve() costs a parent listing plus a marker-exists per committed
+  // generation, and it sits on EVERY read and EVERY micro-batch append
+  // of the sparse/multivec layouts — the r16 driver measured the whole
+  // lifecycle family 20-40% slower for it. The committed set changes
+  // only through commit/clear/clearStale, and every consolidate here is
+  // single-writer by contract, so the resolved path is memoized per
+  // qualified base path and invalidated by those mutators. An
+  // out-of-process writer would not be visible to the memo — the same
+  // single-JVM exposure the fingerprint ArtifactCache documents.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def memoKey(fs: FileSystem, base: Path): String =
+    fs.makeQualified(base).toString
+
+  /** Drop the memoized resolution for `base` — called by every mutator
+    * of the committed set, and available to tests / external swappers. */
+  private[graft] def invalidate(fs: FileSystem, base: Path): Unit =
+    memo.remove(memoKey(fs, base))
+
+  /** Memo entry count (test introspection). */
+  private[graft] def memoSize: Int = memo.size()
+
   private def genName(base: Path, n: Int): String =
     f"${base.getName}_g$n%06d"
 
@@ -60,14 +82,29 @@ object Generations {
   }
 
   /** The directory currently serving `base`'s data: the highest
-    * committed generation, else the legacy `base` itself. */
-  def resolve(fs: FileSystem, base: Path): Path =
-    committed(fs, base).lastOption.map(_._2).getOrElse(base)
+    * committed generation, else the legacy `base` itself. Memoized —
+    * see the memo note above; the listing runs once per base path per
+    * JVM and once more after each commit/clear. */
+  def resolve(fs: FileSystem, base: Path): Path = {
+    val k = memoKey(fs, base)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val r = committed(fs, base).lastOption.map(_._2).getOrElse(base)
+      // a crude bound: base paths are artifact roots (a handful per
+      // session in practice), but a long session cycling fresh /tmp
+      // artifacts must not grow the memo without limit
+      if (memo.size() > 4096) memo.clear()
+      memo.put(k, r)
+      r
+    }
+  }
 
   /** True when either the legacy dir or any committed generation
-    * exists — the layout-sniff form of [[resolve]]. */
+    * exists — the layout-sniff form of [[resolve]]. Reuses the
+    * [[resolve]] memo: a memoized generation answers without listing. */
   def exists(fs: FileSystem, base: Path): Boolean =
-    fs.exists(base) || committed(fs, base).nonEmpty
+    fs.exists(base) || resolve(fs, base) != base
 
   /** Begin writing the next generation: returns (staging dir to write
     * the data into, the final generation path). The staging dir is
@@ -113,6 +150,9 @@ object Generations {
         })
         if (stale) { fs.delete(st.getPath, true); () }
       }
+    // uncommitted debris never served, so the resolution is unchanged —
+    // invalidated anyway for safety (runs once per compaction)
+    invalidate(fs, base)
   }
 
   /** Remove every generation-named sibling of `base` (committed or
@@ -130,6 +170,7 @@ object Generations {
         }
         if (matches) { fs.delete(st.getPath, true); () }
       }
+    invalidate(fs, base)
   }
 
   /** Publish a staged generation: rename into its final name, then
@@ -148,6 +189,7 @@ object Generations {
         "left for inspection)")
     val out = fs.create(new Path(gen, Marker), true)
     out.close()
+    invalidate(fs, base)
     previous
   }
 }

@@ -70,4 +70,26 @@ class GenerationsSpec extends SparkTestBase {
     // the committed generation still serves
     assert(Generations.resolve(fs, base).getName == "data_g000001")
   }
+
+  test("resolve is memoized per base; mutators invalidate") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gen3").toString
+    val base = new Path(s"$root/data")
+    val (s1, g1) = Generations.stage(fs, base)
+    fs.mkdirs(s1)
+    Generations.commit(fs, base, s1, g1)
+    assert(Generations.resolve(fs, base).getName == "data_g000001")
+    // prove the memo: delete the generation BEHIND the API's back —
+    // resolve must keep answering from the memo without re-listing
+    // (the single-writer contract makes out-of-band deletion illegal,
+    // which is exactly what lets every read/append skip the listing)
+    fs.delete(g1, true)
+    assert(Generations.resolve(fs, base).getName == "data_g000001")
+    // exists() rides the same memo
+    assert(Generations.exists(fs, base))
+    // an explicit invalidate drops it; resolve re-lists and falls back
+    Generations.invalidate(fs, base)
+    assert(Generations.resolve(fs, base) == base)
+    assert(!Generations.exists(fs, base))
+  }
 }
